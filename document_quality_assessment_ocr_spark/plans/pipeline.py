@@ -1,0 +1,357 @@
+"""End-to-end extraction plan (SURVEY.md §3 'Spark lifecycle').
+
+Dataflow::
+
+    payloads ── score_media (pandas UDF, ONCE per distinct payload) ──┐
+    spans ── dedup(last-wins) ── sort spans by offset ── posexplode ──┴─ join
+          ── span gating columns ── ONE groupBy(doc_id) ── verdict fold
+          ── ordered reassembly ── (doc_id, accepted, reasons, warnings, spans)
+
+Scale notes (the 100 TB story):
+  * PNG bytes never travel with span rows — kernels run over the payload
+    table, and only the small numeric score struct joins to spans. With
+    mostly-unique payloads this is the same kernel work as scoring in-line,
+    with deduplicated work for free when media repeats (very common in web
+    corpora).
+  * Exactly one all-to-all over the big span table when ``assume_unique_doc_ids``
+    (the dedup shuffle otherwise precedes it and the final groupBy reuses its
+    exchange — HashPartitioning(doc_id) satisfies the aggregate's clustering).
+  * The verdict fold + reassembly are pure Column expressions — whole-stage
+    codegen, no Python.
+  * Mega-documents skew the explode→aggregate path; `salt_hint` documents the
+    AQE-driven mitigation (spans arrays are bounded per-row; AQE skew-join +
+    adaptive coalescing handle the rest — see plans/metrics.py histograms).
+
+Semantics mirror :mod:`..oracle` exactly; parity is pinned by
+tests/test_parity_spark.py byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..config import RECOMMENDED, REQUIRED, WARNING, CriteriaConfig, Threshold, default_criteria
+from ..functions.text import text_density
+from ..functions.udfs import score_media
+from ..oracle import NO_IMAGES_MSG
+
+_EMPTY_STR_ARR = "array<string>"
+_OUT_SPAN = "array<struct<kind:string,text:string,media_ref:string,order:int>>"
+
+
+def _get(criteria: List[CriteriaConfig], name: str) -> Optional[CriteriaConfig]:
+    return next((c for c in criteria if c.name == name), None)
+
+
+def _agg_by_mode(col: Column, mode: str) -> Column:
+    if mode == "max":
+        return F.max(col)
+    if mode == "avg":
+        return F.avg(col)
+    return F.min(col)  # "min" and unknown modes (reference criteria.py:149)
+
+
+def score_payload_table(payloads_df: DataFrame) -> DataFrame:
+    """Payload table → (media_ref, p_dpi, ms struct of K1–K8 scores/error).
+
+    The ONLY pandas-UDF stage. Runs once per distinct payload.
+    """
+    return payloads_df.select(
+        "media_ref",
+        F.col("dpi").cast("double").alias("p_dpi"),
+        score_media(F.col("png"), F.col("media_ref")).alias("ms"),
+    )
+
+
+def dedup_last_wins(spans_df: DataFrame) -> DataFrame:
+    """Duplicate doc_ids collapse, last ingest wins (reference
+    ``evaluator.py:55-57``). Single hash aggregate — no window, and the
+    resulting HashPartitioning(doc_id) is reused by the final aggregation."""
+    cols = spans_df.columns
+    seq = F.col("ingest_seq") if "ingest_seq" in cols else F.monotonically_increasing_id()
+    skip = F.col("skip_checks") if "skip_checks" in cols else F.lit(False)
+    return (
+        spans_df.select(
+            "doc_id", F.struct(seq.alias("seq"), F.col("spans").alias("spans"), skip.alias("skip_checks")).alias("v")
+        )
+        .groupBy("doc_id")
+        .agg(F.max_by("v", F.col("v.seq")).alias("v"))
+        .select("doc_id", F.col("v.spans").alias("spans"), F.col("v.skip_checks").alias("skip_checks"))
+    )
+
+
+def run_extraction(
+    spans_df: DataFrame,
+    payloads_df: DataFrame,
+    criteria: Optional[List[CriteriaConfig]] = None,
+    assume_unique_doc_ids: bool = False,
+    include_metrics_cols: bool = False,
+) -> DataFrame:
+    """The flagship plan: spans+payloads → per-document verdict + surviving
+    ordered span sequence ``(kind, text, media_ref, order)``."""
+    criteria = criteria or default_criteria()
+
+    # ---- driver-side constants (config is tiny: closed over, never a join)
+    td = _get(criteria, "text_density")
+    td_thresh = td.threshold if td and td.threshold else Threshold(min_percent=1.0, max_percent=80.0)
+    min_content = td_thresh.min_percent if td_thresh.min_percent is not None else 1.0
+    blur_c = _get(criteria, "blur")
+    skew_c = _get(criteria, "skew")
+    noise_c = _get(criteria, "noise")
+
+    docs = spans_df if assume_unique_doc_ids else dedup_last_wins(spans_df)
+    if assume_unique_doc_ids and "skip_checks" not in docs.columns:
+        docs = docs.withColumn("skip_checks", F.lit(False))
+
+    # sort spans by offset ONCE (array-local, no shuffle); offset leads the
+    # struct so sort_array orders by it (posexplode pos is then offset-rank)
+    spans_sorted = F.sort_array(
+        F.transform(
+            "spans",
+            lambda s: F.struct(
+                s["offset"].alias("offset"),
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+            ),
+        )
+    )
+    docs = docs.select(
+        "doc_id",
+        "skip_checks",
+        F.coalesce(F.size("spans"), F.lit(0)).alias("n_spans"),
+        spans_sorted.alias("spans"),
+    )
+
+    ex = docs.select(
+        "doc_id",
+        "skip_checks",
+        "n_spans",
+        F.posexplode_outer("spans").alias("pos", "s"),
+    )
+
+    scored = score_payload_table(payloads_df)
+    ex = ex.join(scored, ex["s.media_ref"] == scored["media_ref"], "left").drop(
+        scored["media_ref"]
+    )
+
+    is_media = F.col("s.kind") == F.lit("media")
+    # error-as-data: missing payload or decode failure (only meaningful for
+    # non-bypass docs; oracle short-circuits bypass before decode)
+    err_span = F.when(
+        is_media & ~F.col("skip_checks"),
+        F.when(
+            F.col("p_dpi").isNull(),
+            F.concat(F.lit("missing media payload "), F.col("s.media_ref")),
+        ).otherwise(F.col("ms.error")),
+    )
+
+    # ---- span-level gating (north_star): text density band; media
+    # blur/skew/noise thresholds — thresholds read from config, absent → pass
+    gate = F.lit(True)
+    if blur_c and blur_c.threshold and blur_c.threshold.min_variance is not None:
+        gate = gate & (F.col("ms.lap_var") >= F.lit(float(blur_c.threshold.min_variance)))
+    if skew_c and skew_c.threshold and skew_c.threshold.max_deg is not None:
+        gate = gate & (F.abs(F.col("ms.skew_deg")) <= F.lit(float(skew_c.threshold.max_deg)))
+    if noise_c and noise_c.threshold and noise_c.threshold.max_percent is not None:
+        gate = gate & (F.col("ms.noise_pct") <= F.lit(float(noise_c.threshold.max_percent)))
+    t_min = float(td_thresh.min_percent if td_thresh.min_percent is not None else 1.0)
+    t_max = float(td_thresh.max_percent if td_thresh.max_percent is not None else 80.0)
+    dens = text_density(F.col("s.text"))
+    survives = F.when(F.col("s").isNull(), F.lit(False)).otherwise(
+        F.when(F.col("skip_checks"), F.lit(True)).otherwise(
+            F.when(~is_media, (dens >= F.lit(t_min)) & (dens <= F.lit(t_max))).otherwise(
+                F.coalesce(gate, F.lit(False))
+            )
+        )
+    )
+
+    ratio = F.col("ms.content_ratio")
+    # ---- ONE shuffle: every doc-level aggregate in a single HashAggregate
+    agg = ex.groupBy("doc_id", "skip_checks", "n_spans").agg(
+        F.count(F.when(is_media, F.lit(1))).alias("n_media"),
+        F.min(F.when(err_span.isNotNull(), F.struct(F.col("s.offset").alias("o"), err_span.alias("e")))).alias("ferr"),
+        F.avg(ratio).alias("avg_ratio"),
+        F.min(ratio).alias("min_ratio"),
+        _agg_by_mode(ratio, td.aggregate_mode if td else "avg").alias("td_ratio"),
+        F.avg("ms.brightness").alias("avg_bright"),
+        F.min("ms.lap_var").alias("min_lap"),
+        F.max(F.abs("ms.skew_deg")).alias("max_abs_skew"),
+        F.max("ms.watermark").alias("max_wm"),
+        F.max("ms.noise_pct").alias("max_noise"),
+        F.min("ms.entropy").alias("min_ent"),
+        F.min("p_dpi").alias("min_dpi_meta"),
+        # K8 fallback value of page ONE (reference criteria.py:243): min-by-offset
+        F.min(F.when(is_media, F.struct(F.col("s.offset").alias("o"), F.col("ms.est_dpi").alias("v")))).alias("fest"),
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    survives,
+                    F.struct(
+                        F.col("s.offset").alias("offset"),
+                        F.col("s.kind").alias("kind"),
+                        F.col("s.text").alias("text"),
+                        F.col("s.media_ref").alias("media_ref"),
+                    ),
+                )
+            )
+        ).alias("kept"),
+    )
+
+    # ---- verdict fold (reference criteria.py:205-325) as Column expressions
+    def fail_and_reason(c: CriteriaConfig) -> tuple[Column, Column]:
+        t = c.threshold or Threshold()
+        n = c.name
+        false = F.lit(False)
+        if n == "file_integrity":
+            return false, F.lit("")
+        if n == "resolution":
+            skip_blank = F.coalesce(F.col("avg_ratio"), F.lit(0.0)) < F.lit(float(min_content))
+            meta_low = F.col("min_dpi_meta") < F.lit(float(t.min_dpi))
+            est_low = F.coalesce(F.col("fest.v"), F.lit(0.0)) < F.lit(float(t.min_dpi))
+            fail = ~skip_blank & F.coalesce(meta_low & est_low, false)
+            reason = F.format_string(
+                "Resolution too low (metadata_dpi: %.2f, estimated_dpi: %.2f)",
+                F.coalesce(F.col("min_dpi_meta"), F.lit(0.0)),
+                F.coalesce(F.col("fest.v"), F.lit(0.0)),
+            )
+            return fail, reason
+        if n == "brightness":
+            v = F.col("avg_bright")
+            fail = F.coalesce(~((v >= F.lit(float(t.min))) & (v <= F.lit(float(t.max)))), false)
+            return fail, F.lit("Brightness out of range")
+        if n == "blur":
+            v = F.col("min_lap")
+            fail = F.coalesce(v < F.lit(float(t.min_variance)), false)
+            return fail, F.format_string("Image too blurry (variance: %.2f)", F.coalesce(v, F.lit(0.0)))
+        if n == "skew":
+            v = F.col("max_abs_skew")
+            fail = F.coalesce(v > F.lit(float(t.max_deg)), false)
+            return fail, F.lit("Skew angle too large")
+        if n == "watermark":
+            v = F.col("max_wm")
+            fail = F.coalesce(v > F.lit(float(t.max_overlap)), false)
+            return fail, F.format_string(
+                "Watermark interference too high (FFT score: %.2f)", F.coalesce(v, F.lit(0.0))
+            )
+        if n == "text_density":
+            v = F.col("td_ratio")
+            fail = F.coalesce(
+                ~((v >= F.lit(float(t.min_percent))) & (v <= F.lit(float(t.max_percent)))), false
+            )
+            return fail, F.format_string("Text density out of range (%.2f%%)", F.coalesce(v, F.lit(0.0)))
+        if n == "noise":
+            v = F.col("max_noise")
+            fail = F.coalesce(v > F.lit(float(t.max_percent)), false)
+            return fail, F.format_string("Noise level too high (max: %.2f%%)", F.coalesce(v, F.lit(0.0)))
+        if n == "compression":
+            v = F.col("min_ent")
+            fail = F.coalesce(v < F.lit(float(t.min_entropy)), false)
+            return fail, F.format_string(
+                "Compression artifact detected (min_entropy: %.2f)", F.coalesce(v, F.lit(0.0))
+            )
+        if n == "missing_pages":
+            v = F.col("min_ratio")
+            fail = F.coalesce(v < F.lit(float(t.min_content_ratio)), false)
+            return fail, F.format_string(
+                "Page may be missing or blank (content ratio: %.2f%%)", F.coalesce(v, F.lit(0.0))
+            )
+        return false, F.lit("")  # unknown criterion name → implicit pass
+
+    check_structs = []
+    for i, c in enumerate(criteria):
+        fail, reason = fail_and_reason(c)
+        check_structs.append(
+            F.struct(
+                F.lit(i).alias("idx"),
+                F.lit(c.type).alias("ctype"),
+                fail.alias("fail"),
+                reason.alias("reason"),
+            )
+        )
+    checks = F.array(*check_structs)
+
+    agg = agg.withColumn("checks", checks)
+    first_req = F.array_min(
+        F.transform(
+            F.filter("checks", lambda x: x["fail"] & (x["ctype"] == F.lit(REQUIRED))),
+            lambda x: x["idx"],
+        )
+    )
+    agg = agg.withColumn("first_req", first_req)
+    processed = F.filter(
+        "checks", lambda x: F.col("first_req").isNull() | (x["idx"] <= F.col("first_req"))
+    )
+    reasons_fold = F.transform(
+        F.filter(
+            processed,
+            lambda x: x["fail"]
+            & ((x["ctype"] == F.lit(REQUIRED)) | (x["ctype"] == F.lit(RECOMMENDED))),
+        ),
+        lambda x: x["reason"],
+    )
+    warnings_fold = F.transform(
+        F.filter(processed, lambda x: x["fail"] & (x["ctype"] == F.lit(WARNING))),
+        lambda x: x["reason"],
+    )
+
+    empty_s = F.array().cast(_EMPTY_STR_ARR)
+    has_err = F.col("ferr").isNotNull()
+    err_msg = F.concat(F.lit("Critical error during evaluation: "), F.col("ferr.e"))
+    no_media = F.col("n_media") == 0
+
+    # CASE order mirrors the oracle: bypass → empty → error → fold
+    accepted = (
+        F.when(F.col("skip_checks"), F.lit(True))
+        .when(F.col("n_spans") == 0, F.lit(False))
+        .when(has_err, F.lit(False))
+        .when(no_media, F.lit(True))
+        .otherwise(F.col("first_req").isNull())
+    )
+    reasons = (
+        F.when(F.col("skip_checks"), empty_s)
+        .when(F.col("n_spans") == 0, F.array(F.lit(NO_IMAGES_MSG)))
+        .when(has_err, F.array(err_msg))
+        .when(no_media, empty_s)
+        .otherwise(reasons_fold)
+    )
+    warnings = (
+        F.when(F.col("skip_checks"), empty_s)
+        .when((F.col("n_spans") == 0) | has_err | no_media, empty_s)
+        .otherwise(warnings_fold)
+    )
+    spans_out = F.when(
+        ~F.col("skip_checks") & ((F.col("n_spans") == 0) | has_err),
+        F.array().cast(_OUT_SPAN),
+    ).otherwise(
+        F.transform(
+            "kept",
+            lambda x, i: F.struct(
+                x["kind"].alias("kind"),
+                x["text"].alias("text"),
+                x["media_ref"].alias("media_ref"),
+                i.cast("int").alias("order"),
+            ),
+        )
+    )
+
+    out_cols = [
+        F.col("doc_id"),
+        accepted.alias("accepted"),
+        reasons.alias("reasons"),
+        warnings.alias("warnings"),
+        spans_out.alias("spans"),
+    ]
+    if include_metrics_cols:
+        out_cols += [
+            F.col("n_spans"),
+            F.col("n_media"),
+            F.size(spans_out).alias("n_kept"),
+            F.col("min_lap"),
+            F.col("max_abs_skew"),
+            F.col("max_noise"),
+        ]
+    return agg.select(*out_cols)

@@ -1,0 +1,82 @@
+"""Table readers with explicit schemas (SURVEY.md §2.1 S1–S3).
+
+Parquet today; the same call sites take ``spark.read.format("iceberg")`` in a
+catalog-equipped deployment (the fixture layout matches the Iceberg-style
+``(doc_id, spans)`` table of BASELINE.json's input_hint). Schemas are declared
+(FAILFAST-style), not inferred — the reference validates with pydantic on read
+(``evaluator.py:54``); here malformed rows fail the scan analyzer-side.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+SPAN_STRUCT = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("offset", T.IntegerType()),
+    ]
+)
+
+SPANS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("skip_checks", T.BooleanType()),
+        T.StructField("ingest_seq", T.LongType()),
+        T.StructField("spans", T.ArrayType(SPAN_STRUCT)),
+    ]
+)
+
+PAYLOADS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("dpi", T.IntegerType()),
+        T.StructField("png", T.BinaryType()),
+    ]
+)
+
+TESTDATA_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def read_spans(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema(SPANS_SCHEMA).parquet(path)
+
+
+def read_payloads(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema(PAYLOADS_SCHEMA).parquet(path)
+
+
+def read_corpus(spark: SparkSession, dir_: str) -> tuple[DataFrame, DataFrame]:
+    return (
+        read_spans(spark, os.path.join(dir_, "documents_spans.parquet")),
+        read_payloads(spark, os.path.join(dir_, "media_payloads.parquet")),
+    )
+
+
+def load_testdata(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> dict:
+    """Load the driver-generated TPC-H-ish tables as DataFrames and register
+    temp views with the same names."""
+    out = {}
+    for t in tables or TESTDATA_TABLES:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+        df.createOrReplaceTempView(t)
+        out[t] = df
+    return out

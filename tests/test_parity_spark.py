@@ -1,0 +1,60 @@
+"""THE correctness gate (BASELINE.json invariant): the Spark pipeline's
+per-document output — accepted, reasons, warnings, and the surviving span
+sequence ``(kind, text, media_ref, order)`` — must equal the pure-Python
+oracle byte-for-byte, on the full fixture corpus, under both the shipped
+config and the tiered variant."""
+
+import pytest
+
+from document_quality_assessment_ocr_spark import oracle
+from document_quality_assessment_ocr_spark.config import default_criteria, tiered_criteria
+from document_quality_assessment_ocr_spark.plans.pipeline import run_extraction
+from document_quality_assessment_ocr_spark.sources import fixtures, tables
+
+
+def _compare(spark, corpus_dir, criteria, n_docs, seed, size, mega):
+    spans, pay = tables.read_corpus(spark, corpus_dir)
+    got = {
+        r["doc_id"]: r.asDict(recursive=True)
+        for r in run_extraction(spans, pay, criteria=criteria).collect()
+    }
+    exp = oracle.evaluate_corpus(
+        fixtures.build_corpus(n_docs=n_docs, seed=seed, mega_spans=mega),
+        fixtures.build_payloads(seed=seed, size=size),
+        criteria,
+    )
+    assert set(got) == set(exp)
+    for doc_id, e in exp.items():
+        g = got[doc_id]
+        assert g["accepted"] == e["accepted"], (doc_id, g["reasons"], e["reasons"])
+        assert g["reasons"] == e["reasons"], doc_id
+        assert g["warnings"] == e["warnings"], doc_id
+        gs = [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in g["spans"]]
+        es = [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in e["spans"]]
+        assert gs == es, doc_id
+
+
+@pytest.mark.slow
+def test_parity_default_config(spark, small_corpus_dir):
+    _compare(spark, small_corpus_dir, default_criteria(), 12, 7, (800, 1000), 80)
+
+
+@pytest.mark.slow
+def test_parity_tiered_config(spark, small_corpus_dir):
+    _compare(spark, small_corpus_dir, tiered_criteria(), 12, 7, (800, 1000), 80)
+
+
+@pytest.mark.slow
+def test_entry_contract(spark):
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py")
+    spec = importlib.util.spec_from_file_location("__spark_entry__", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    df = mod.entry(spark)
+    assert df.count() >= 0
+    q = mod.queries()
+    o = mod.oracle_sql()
+    assert set(o) <= set(q)
