@@ -163,6 +163,75 @@ def _q_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_quality_assessment_ocr_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(
+        _doc(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+        n_hashes=8,
+    )
+
+
+def _q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_quality_assessment_ocr_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _doc(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+        n_hashes=8,
+        bands=4,
+    )
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_quality_assessment_ocr_spark.operators.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(
+        _doc(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+        ngram=5,
+        threshold=0.05,
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_quality_assessment_ocr_spark.operators.dedup import simhash64
+
+    return simhash64(
+        _doc(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+        bits=32,
+    )
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_quality_assessment_ocr_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    return cosine_topk_bruteforce(emb, probe_ids=[0, 1, 2, 3, 4], k=5)
+
+
+def _q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_quality_assessment_ocr_spark.operators.textstats import doc_stats
+
+    return doc_stats(
+        _doc(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    )
+
+
+def _q_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_quality_assessment_ocr_spark.operators.textstats import (
+        rolling_fingerprints,
+    )
+
+    return rolling_fingerprints(
+        _doc(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_text_density": _q_text_density,
@@ -173,7 +242,103 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q06_dedup_last_wins": _q_dedup_last_wins,
         "q07_reassembly": _q_reassembly,
         "q08_metrics_rollup": _q_metrics_rollup,
+        "q09_minhash_signatures": _q_minhash,
+        "q10_minhash_lsh_pairs": _q_lsh_pairs,
+        "q11_ngram_jaccard": _q_ngram_jaccard,
+        "q12_simhash": _q_simhash,
+        "q13_cosine_topk": _q_cosine_topk,
+        "q14_doc_stats": _q_doc_stats,
+        "q15_rolling_fingerprint": _q_rolling_fp,
     }
+
+
+def _minhash_sql(n_hashes: int = 8, ngram: int = 5) -> str:
+    """Shared CTE: shingles + per-doc MinHash mins (md5-keyed, engine-portable)."""
+    mins = ",\n               ".join(
+        f"MIN(MD5('{i}|' || g)) AS h{i:02d}" for i in range(n_hashes)
+    )
+    return f"""
+        WITH norm AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   REGEXP_REPLACE(LOWER(COALESCE(text,'')), '{WS}+', ' ', 'g') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, SUBSTR(t, CAST(i AS INT), {ngram}) AS g
+            FROM (SELECT doc_id, t,
+                         UNNEST(RANGE(1, GREATEST(LENGTH(t) - {ngram - 1}, 0) + 1)) AS i
+                  FROM norm)
+        ), sig AS (
+            SELECT doc_id,
+               {mins}
+            FROM sh GROUP BY doc_id
+        )
+    """
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    terms = []
+    for k in range(bits):
+        nib = f"(STRPOS('0123456789abcdef', SUBSTR(MD5(tok), {k // 4 + 1}, 1)) - 1)"
+        bit = f"(CAST(FLOOR({nib} / {2 ** (3 - k % 4)}.0) AS INT) % 2)"
+        terms.append(f"SUM(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS s{k:02d}")
+    acc = " + ".join(
+        f"(CASE WHEN s{k:02d} > 0 THEN CAST({2 ** (bits - 1 - k)} AS BIGINT) ELSE 0 END)"
+        for k in range(bits)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, tok
+            FROM (SELECT doc_id,
+                         UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(COALESCE(text,''))), '{WS}+')) AS tok
+                  FROM documents)
+            WHERE tok <> ''
+        ), sums AS (
+            SELECT doc_id, {", ".join(terms)}
+            FROM toks GROUP BY doc_id
+        )
+        SELECT doc_id, {acc} AS simhash FROM sums
+    """
+
+
+def _doc_stats_sql() -> str:
+    from document_quality_assessment_ocr_spark.operators.textstats import LANG_STOPWORDS
+
+    ink = f"LENGTH(REGEXP_REPLACE(COALESCE(text,''), '{WS}', '', 'g'))"
+    dens = f"(100.0 * {ink} / GREATEST(LENGTH(COALESCE(text,'')), 1))"
+    ltoks = (
+        f"LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(COALESCE(text,''))), '{WS}+'),"
+        " x -> x <> '')"
+    )
+    toks = (
+        f"LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(COALESCE(text,'')), '{WS}+'),"
+        " x -> x <> '')"
+    )
+    # python list repr uses single quotes — a valid DuckDB list literal
+    scores = {
+        lang: f"LEN(LIST_INTERSECT({ltoks}, {list(words)!r}))"
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    best = "GREATEST(" + ", ".join(scores[l] for l in sorted(scores)) + ")"
+    lang_case = "CASE "
+    for lang in sorted(scores):
+        lang_case += f"WHEN {scores[lang]} > 0 AND {scores[lang]} = {best} THEN '{lang}' "
+    lang_case += "ELSE 'und' END"
+    n_toks = f"CAST(LEN({toks}) AS BIGINT)"
+    mean_wlen = f"(CAST({ink} AS DOUBLE) / CAST(GREATEST({n_toks}, 1) AS DOUBLE))"
+    n = "LENGTH(COALESCE(text,''))"
+    s_len = f"(CASE WHEN {n} >= 100 AND {n} <= 20000 THEN 1.0 ELSE 0.0 END)"
+    s_dens = f"(CASE WHEN {dens} >= 50.0 AND {dens} <= 90.0 THEN 1.0 ELSE 0.0 END)"
+    s_wlen = f"(CASE WHEN {mean_wlen} >= 2.0 AND {mean_wlen} <= 12.0 THEN 1.0 ELSE 0.0 END)"
+    s_toks = f"(CASE WHEN {n_toks} >= 20 THEN 1.0 ELSE 0.0 END)"
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST({n} AS BIGINT) AS n_chars_measured,
+               {n_toks} AS n_tokens,
+               {dens} AS density,
+               {lang_case} AS lang_pred,
+               (({s_len} + {s_dens} + {s_wlen} + {s_toks}) / 4.0) AS quality
+        FROM documents
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -234,5 +399,80 @@ def oracle_sql() -> dict[str, str]:
         "q08_metrics_rollup": """
             SELECT event_type AS reason, COUNT(*) AS n
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "q09_minhash_signatures": _minhash_sql(8) + "SELECT * FROM sig",
+        "q10_minhash_lsh_pairs": _minhash_sql(8)
+        + """
+            , bands AS (
+                SELECT doc_id, 0 AS band, MD5(CONCAT_WS('#', h00, h01)) AS key FROM sig
+                UNION ALL SELECT doc_id, 1, MD5(CONCAT_WS('#', h02, h03)) FROM sig
+                UNION ALL SELECT doc_id, 2, MD5(CONCAT_WS('#', h04, h05)) FROM sig
+                UNION ALL SELECT doc_id, 3, MD5(CONCAT_WS('#', h06, h07)) FROM sig
+            )
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        """,
+        "q11_ngram_jaccard": f"""
+            WITH norm AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       REGEXP_REPLACE(LOWER(COALESCE(text,'')), '{WS}+', ' ', 'g') AS t
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id, SUBSTR(t, CAST(i AS INT), 5) AS g
+                FROM (SELECT doc_id, t,
+                             UNNEST(RANGE(1, GREATEST(LENGTH(t) - 4, 0) + 1)) AS i
+                      FROM norm)
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+                FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   ROUND(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.05
+        """,
+        "q12_simhash": _simhash_sql(32),
+        "q13_cosine_topk": """
+            WITH e AS (
+                SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ), p AS (
+                SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id IN (0,1,2,3,4)
+            ), s AS (
+                SELECT probe_id, e.vec_id AS neighbor_id,
+                       ROUND(LIST_DOT_PRODUCT(pv, v)
+                             / SQRT(LIST_DOT_PRODUCT(pv, pv) * LIST_DOT_PRODUCT(v, v)), 6) AS cos
+                FROM p, e WHERE e.vec_id <> probe_id
+            )
+            SELECT probe_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                               ORDER BY cos DESC, neighbor_id ASC) AS rank
+                  FROM s)
+            WHERE rank <= 5
+        """,
+        "q14_doc_stats": _doc_stats_sql(),
+        "q15_rolling_fingerprint": f"""
+            WITH norm AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       REGEXP_REPLACE(LOWER(COALESCE(text,'')), '{WS}+', ' ', 'g') AS t
+                FROM documents
+            ), w AS (
+                SELECT doc_id, t,
+                       GREATEST(CAST(FLOOR((LENGTH(t) - 32) / 16.0) AS INT) + 1, 0) AS cnt
+                FROM norm
+            ), f AS (
+                SELECT doc_id, MD5(SUBSTR(t, CAST(i * 16 + 1 AS INT), 32)) AS fp
+                FROM (SELECT doc_id, t, UNNEST(RANGE(0, CAST(cnt AS BIGINT))) AS i FROM w)
+            ), agg AS (
+                SELECT doc_id, MIN(fp) AS min_fp, COUNT(*) AS n_w FROM f GROUP BY doc_id
+            )
+            SELECT w.doc_id, agg.min_fp, CAST(COALESCE(agg.n_w, 0) AS INT) AS n_windows
+            FROM w LEFT JOIN agg USING (doc_id)
         """,
     }

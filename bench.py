@@ -1,0 +1,241 @@
+"""Benchmark harness — prints ONE JSON line with per-query seconds.
+
+Input scale follows $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1);
+parallelism follows $SPARK_GRAFT_CPUS (default: all cores). The flagship
+``extract`` query runs the full extraction pipeline over a spans corpus
+derived from the sf_dir documents table plus a cached pool of DISTINCT
+payload pages (unique media is the production-representative regime: kernel
+work scales with media spans). Remaining queries are the driver-contract
+headliners over the raw sf_dir tables.
+
+Scaling evidence (north_rule: ≥0.8 efficiency N→4N) is produced by
+``scripts/scaling_bench.py`` which runs this file at two parallelism levels
+on the SAME input and writes BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+BENCH_SIZE = (512, 640)  # (w, h) of bench payload pages
+MAX_PAYLOADS = 12288
+DOC_REPLICATION = 4  # replicas of the documents table → more docs + spans
+PAYLOADS_PER_FILE = 64  # pre-split payload dataset → scan-parallel, no shuffle
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _gen_payload_part(args) -> str:
+    """Generate one payload parquet part (runs in a worker process)."""
+    part_idx, start, count, w, h, out_dir = args
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_quality_assessment_ocr_spark import png as pngmod
+    from document_quality_assessment_ocr_spark.sources import fixtures
+
+    prows = []
+    for i in range(start, start + count):
+        rng = np.random.default_rng(42 + i)  # per-payload seed → order-free
+        kind = i % 20
+        if kind < 16:
+            arr = fixtures.draw_text_page(rng, w=w, h=h)
+        elif kind == 16:
+            arr = fixtures.salt_pepper(rng, fixtures.draw_text_page(rng, w=w, h=h))
+        elif kind == 17:
+            arr = fixtures.gaussian_blur(fixtures.draw_text_page(rng, w=w, h=h), 5.0)
+        elif kind == 18:
+            arr = fixtures.rotate_nearest(fixtures.draw_text_page(rng, w=w, h=h), 4.0)
+        else:
+            arr = fixtures.periodic_dot_comb(h, w)
+        prows.append(
+            {
+                "media_ref": f"p{i:05d}",
+                "width": int(arr.shape[1]),
+                "height": int(arr.shape[0]),
+                "dpi": 200,
+                "png": pngmod.encode_gray(arr, dpi=200),
+            }
+        )
+    path = os.path.join(out_dir, f"part-{part_idx:04d}.parquet")
+    pq.write_table(pa.Table.from_pylist(prows, schema=fixtures.PAYLOADS_SCHEMA), path)
+    return path
+
+
+def build_bench_corpus(sf_dir: str, cache_root: str) -> str:
+    """Derive (spans, payloads) parquet from sf_dir/documents.parquet +
+    seeded distinct pages; cached on disk keyed by sf dir name. Payloads are
+    written as MANY small files so the Spark scan is naturally split (the
+    production Iceberg scan would be too) — no repartition shuffle needed."""
+    from multiprocessing import Pool
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_quality_assessment_ocr_spark.sources import fixtures
+
+    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out_dir = os.path.join(
+        cache_root, f"bench_{key}_{BENCH_SIZE[0]}x{BENCH_SIZE[1]}_v2"
+    )
+    spans_path = os.path.join(out_dir, "documents_spans.parquet")
+    pay_dir = os.path.join(out_dir, "media_payloads")
+    done_marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done_marker):
+        return out_dir
+    os.makedirs(pay_dir, exist_ok=True)
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    doc_ids = docs.column("doc_id").to_pylist()
+    texts = docs.column("text").to_pylist()
+    n_base = len(doc_ids)
+    n_docs = n_base * DOC_REPLICATION
+    n_pay = max(64, min(MAX_PAYLOADS, n_docs))
+    n_pay -= n_pay % PAYLOADS_PER_FILE
+    w, h = BENCH_SIZE
+
+    log(f"[bench] generating {n_pay} distinct payloads ({w}x{h}) for {n_docs} docs ...")
+    t0 = time.time()
+    parts = [
+        (p, p * PAYLOADS_PER_FILE, PAYLOADS_PER_FILE, w, h, pay_dir)
+        for p in range(n_pay // PAYLOADS_PER_FILE)
+    ]
+    with Pool(min(16, os.cpu_count() or 4)) as pool:
+        pool.map(_gen_payload_part, parts)
+    log(f"[bench] payloads done in {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    rng2 = np.random.default_rng(7)
+    srows = []
+    pick = rng2.integers(0, n_pay, size=(n_docs, 2))
+    j = 0
+    for rep in range(DOC_REPLICATION):
+        for did, text in zip(doc_ids, texts):
+            text = text or ""
+            third = max(1, len(text) // 3)
+            spans = [
+                {"kind": "text", "text": text[:third], "media_ref": "", "offset": 0},
+                {"kind": "media", "text": "", "media_ref": f"p{pick[j,0]:05d}", "offset": third},
+                {"kind": "text", "text": text[third : 2 * third], "media_ref": "", "offset": third + 1},
+                {"kind": "media", "text": "", "media_ref": f"p{pick[j,1]:05d}", "offset": 2 * third + 2},
+                {"kind": "text", "text": text[2 * third :], "media_ref": "", "offset": 2 * third + 3},
+            ]
+            srows.append(
+                {"doc_id": f"{did}_{rep}", "skip_checks": False, "ingest_seq": j, "spans": spans}
+            )
+            j += 1
+    pq.write_table(pa.Table.from_pylist(srows, schema=fixtures.SPANS_SCHEMA), spans_path)
+    log(f"[bench] spans done in {time.time()-t0:.1f}s")
+    with open(done_marker, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    # SPARK_GRAFT_MASTER overrides the master URL — scaling_bench uses
+    # local-cluster[N,c,mem] to model N separate executors (north_rule runs
+    # at two cluster sizes); cpus then means TOTAL cores for sizing
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    repo = os.path.dirname(os.path.abspath(__file__))
+    cache_root = os.path.join(repo, ".bench_cache")
+    corpus_dir = build_bench_corpus(sf_dir, cache_root)
+
+    from document_quality_assessment_ocr_spark.plans.pipeline import run_extraction
+    from document_quality_assessment_ocr_spark.session import get_spark
+    from document_quality_assessment_ocr_spark.sources import tables
+
+    spark = get_spark(
+        app_name=f"bench[{cpus}]",
+        master=master,
+        shuffle_partitions=max(2 * cpus, 8),
+        # one scan partition per payload part-file (the files are ~0.4 MB;
+        # default openCost would bin-pack them into too few splits to keep
+        # the kernel UDF busy on all cores)
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(64 * 1024),
+        },
+    )
+
+    # warm up executor python workers with a REAL kernel batch (worker
+    # processes import numpy + the kernels module on their first task; that
+    # one-time cost is not steady-state throughput)
+    from pyspark.sql import functions as F
+
+    from document_quality_assessment_ocr_spark.plans.pipeline import score_payload_table
+
+    warm_pay = tables.read_payloads(spark, os.path.join(corpus_dir, "media_payloads"))
+    score_payload_table(warm_pay.limit(2 * cpus).repartition(2 * cpus)).select(
+        F.count("ms.lap_var")
+    ).collect()
+
+    timings: dict[str, float] = {}
+    sink = os.path.join(cache_root, "bench_out")
+
+    def timed(name, fn, reps: int = 2):
+        # best-of-N: the sandbox host has noisy neighbors (identical queries
+        # measured 0.2s..60s); min is the least-contended observation
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+        log(f"[bench] {name}: {timings[name]}s")
+
+    spans = tables.read_spans(spark, os.path.join(corpus_dir, "documents_spans.parquet"))
+    pay = tables.read_payloads(spark, os.path.join(corpus_dir, "media_payloads"))
+    n_docs = spans.count()
+
+    def run_extract():
+        shutil.rmtree(sink, ignore_errors=True)
+        run_extraction(spans, pay, assume_unique_doc_ids=True).write.mode(
+            "overwrite"
+        ).parquet(sink)
+
+    # cold includes whole-stage-codegen JIT of the fold expressions (a fixed
+    # per-query cost, not throughput); steady-state is the headline number
+    timed("extract_cold", run_extract, reps=1)
+    timed("extract", run_extract, reps=2)
+
+    # driver-contract headliners on the raw sf tables
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(repo, "__spark_entry__.py")
+    )
+    se = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(se)
+    qs = se.queries()
+    for name in ("q01_text_density", "q03_fingerprint_dedup", "q04_agg_modes", "q07_reassembly"):
+        timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save())
+
+    docs_per_sec = round(n_docs / timings["extract"], 2)
+    out = {
+        "metric": "docs_per_sec_extraction",
+        "value": docs_per_sec,
+        "unit": "docs/sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "master": master,
+        "n_docs": n_docs,
+    }
+    spark.stop()
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,181 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All hashing is md5-based (bit-identical in Spark and DuckDB) so every
+operator has an exact SQL oracle. Scale notes per operator below; the common
+theme: one shuffle per logical step, candidate generation before any
+quadratic work, and skew-safe bucket joins (LSH buckets are bounded by
+banding, never a full cross join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import WS_CLASS, char_ngrams, fingerprint
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate removal by normalized-text fingerprint: keep the
+    smallest id per group. One hash-aggregate shuffle; at 100 TB bucket the
+    table by fingerprint to make this a shuffle-free partial aggregate."""
+    return (
+        docs.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    ngram: int = 5,
+) -> DataFrame:
+    """MinHash signatures over character n-gram shingles.
+
+    Permutation i is simulated by md5(i || '|' || shingle) and the signature
+    element is the lexicographic MIN of those digests — a valid minwise hash
+    family, string-stable across engines. Shuffle profile: explode shingles →
+    one groupBy(id) computing all n_hashes mins in a single HashAggregate
+    (partial aggregation shrinks the shuffle to n_hashes values per doc)."""
+    sh = docs.select(
+        F.col(id_col), F.explode(char_ngrams(F.col(text_col), ngram)).alias("g")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("g")))).alias(f"h{i:02d}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    ngram: int = 5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded LSH over MinHash signatures.
+
+    rows_per_band = n_hashes/bands; docs agreeing on ALL rows of any band
+    become a candidate pair. Self-join is per band-bucket (skew-bounded:
+    a bucket only holds near-identical docs), pairs deduped with id<id2.
+    """
+    assert n_hashes % bands == 0
+    rows = n_hashes // bands
+    sig = minhash_signatures(docs, id_col, text_col, n_hashes, ngram)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"h{b * rows + r:02d}") for r in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("#", *parts)).alias("key"))
+        )
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col(f"b.band"))
+            & (F.col(f"a.key") == F.col(f"b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for co-shingled pairs.
+
+    inter = |shingles(a) ∩ shingles(b)| via a self-join on DISTINCT
+    (id, shingle); sizes joined back; jaccard = inter/(|a|+|b|-inter).
+    At scale, run AFTER LSH candidate filtering (pass the lsh pair set in and
+    semi-join); here the full co-occurrence join is the oracle-checkable form.
+    """
+    sh = docs.select(
+        F.col(id_col), F.explode(char_ngrams(F.col(text_col), ngram)).alias("g")
+    ).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= F.lit(threshold)).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def simhash64(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash over whitespace tokens: bit k of the hash is the sign of
+    Σ_tokens (±1 by bit k of md5(token)). Bits come from md5 hex nibbles via
+    arithmetic (strpos/floor/mod) — reproducible in DuckDB for the oracle.
+
+    One explode + one groupBy; the bit sums fold into a single HashAggregate.
+    """
+    assert bits % 4 == 0
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), WS_CLASS + "+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("tok"),
+    )
+    bit_sums = []
+    for k in range(bits):
+        nib = F.expr(
+            f"locate(substr(md5(tok), {k // 4 + 1}, 1), '0123456789abcdef') - 1"
+        )
+        bit = F.floor(nib / F.lit(2 ** (3 - k % 4))) % 2
+        bit_sums.append(
+            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{k:02d}")
+        )
+    sums = toks.groupBy(id_col).agg(*bit_sums)
+    acc = F.lit(0).cast("long")
+    for k in range(bits):
+        acc = acc + F.when(F.col(f"s{k:02d}") > 0, F.lit(2 ** (bits - 1 - k)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sums.select(F.col(id_col), acc.alias("simhash"))
+
+
+def dedup_last_wins(df: DataFrame, key: str, seq: str) -> DataFrame:
+    """Generic last-wins dedup (reference evaluator.py:55-57 semantics) via
+    max_by aggregation — single shuffle, no window sort."""
+    others = [c for c in df.columns if c != key]
+    return (
+        df.groupBy(key)
+        .agg(F.max_by(F.struct(*others), F.col(seq)).alias("v"))
+        .select(key, *[F.col(f"v.{c}").alias(c) for c in others])
+    )

@@ -1,0 +1,131 @@
+"""Multimodal payload plumbing: typed metadata + decode/feature/resize/frame
+stages as Arrow-batched ``mapInPandas`` transforms.
+
+Images are real (the in-repo PNG codec); audio/video decoding libraries do
+not ship in this container, so those decode steps are STUBBED behind
+``NotImplementedError`` / deterministic fakes — the Spark-side contract
+(schemas, batch iteration, partitioning) is real and tested
+(tests/test_multimodal.py)."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import kernels, png
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_gray", T.DoubleType()),
+        T.StructField("ink_ratio", T.DoubleType()),
+        T.StructField("entropy", T.DoubleType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+THUMB_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("thumb_w", T.IntegerType()),
+        T.StructField("thumb_h", T.IntegerType()),
+        T.StructField("thumb_png", T.BinaryType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+AUDIO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def image_features(payloads: DataFrame) -> DataFrame:
+    """Decode PNG payloads → basic image features. mapInPandas so each Arrow
+    batch is one python round-trip; errors are data."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, data in zip(pdf["media_ref"], pdf["png"]):
+                try:
+                    arr, _ = png.decode_gray(bytes(data))
+                    rows.append(
+                        (
+                            ref,
+                            arr.shape[1],
+                            arr.shape[0],
+                            float(arr.mean()),
+                            kernels.content_ratio(arr) / 100.0,
+                            kernels.entropy256(arr),
+                            None,
+                        )
+                    )
+                except Exception as e:
+                    rows.append((ref, None, None, None, None, None, str(e)))
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])
+
+    return payloads.select("media_ref", "png").mapInPandas(gen, IMAGE_FEATURES_SCHEMA)
+
+
+def image_thumbnails(payloads: DataFrame, max_size: int = 128) -> DataFrame:
+    """Decode → aspect-fit resize → re-encode. The resize/encode path is the
+    real thing (numpy + in-repo codec)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, data in zip(pdf["media_ref"], pdf["png"]):
+                try:
+                    arr, dpi = png.decode_gray(bytes(data))
+                    th = kernels.thumbnail_fit(arr, max_size)
+                    rows.append((ref, th.shape[1], th.shape[0], png.encode_gray(th), None))
+                except Exception as e:
+                    rows.append((ref, None, None, None, str(e)))
+            yield pd.DataFrame(rows, columns=[f.name for f in THUMB_SCHEMA.fields])
+
+    return payloads.select("media_ref", "png").mapInPandas(gen, THUMB_SCHEMA)
+
+
+def decode_audio(payload: bytes) -> np.ndarray:
+    """STUB: no audio codec ships in this container. A real deployment plugs
+    soundfile/ffmpeg here; the Spark-side contract is `bytes → float32 PCM`."""
+    raise NotImplementedError("audio decoding requires a codec library (not in container)")
+
+
+def _fake_pcm(payload: bytes, n: int = 4096) -> np.ndarray:
+    """Deterministic fake decode for plumbing tests: bytes → pseudo-PCM."""
+    seed = int.from_bytes(payload[:8].ljust(8, b"\0"), "little") & 0x7FFFFFFF
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(n).astype(np.float32)
+
+
+def audio_frame_rms(payloads: DataFrame, frame: int = 512, use_fake_decoder: bool = True) -> DataFrame:
+    """Frame-sample an audio payload and emit per-frame RMS — the canonical
+    'decode → window → feature' audio shape, exercised with the deterministic
+    fake decoder (real decoder: swap ``decode_audio`` in)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, idxs, rmss = [], [], []
+            for ref, data in zip(pdf["media_ref"], pdf["png"]):
+                pcm = _fake_pcm(bytes(data)) if use_fake_decoder else decode_audio(bytes(data))
+                n_frames = len(pcm) // frame
+                fr = pcm[: n_frames * frame].reshape(n_frames, frame)
+                rms = np.sqrt((fr * fr).mean(axis=1))
+                refs += [ref] * n_frames
+                idxs += list(range(n_frames))
+                rmss += [float(x) for x in rms]
+            yield pd.DataFrame({"media_ref": refs, "frame_idx": idxs, "rms": rmss})
+
+    return payloads.select("media_ref", "png").mapInPandas(gen, AUDIO_FRAME_SCHEMA)

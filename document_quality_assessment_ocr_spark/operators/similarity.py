@@ -1,0 +1,121 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the correctness baseline (native higher-order
+functions, SQL-checkable against DuckDB's list_cosine_similarity); the scale
+path is random-hyperplane LSH bucketing, which cuts the candidate set from
+|corpus| to one bucket before exact scoring.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a, b):
+    """Cosine similarity between two array<float/double> columns — native
+    Column expression (JVM-side, codegen)."""
+    return _dot(a, b) / F.sqrt(_dot(a, a) * _dot(b, b))
+
+
+def cosine_topk_bruteforce(
+    emb: DataFrame,
+    probe_ids: list,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbours for a probe set: broadcast the probes, score
+    every corpus row, per-probe window top-k. One broadcast join + one
+    window shuffle on probe_id (small: |probes|·|corpus| rows never
+    materialize beyond the join's streaming side)."""
+    probes = emb.filter(F.col(id_col).isin(probe_ids)).select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    )
+    scored = (
+        emb.alias("c")
+        .join(F.broadcast(probes), F.col("probe_id") != F.col(f"c.{id_col}"))
+        .select(
+            "probe_id",
+            F.col(f"c.{id_col}").alias("neighbor_id"),
+            F.round(cosine(F.col("probe_vec"), F.col(f"c.{vec_col}")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def hyperplane_lsh_buckets(
+    emb: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane (SimHash-for-vectors) bucket id per row.
+
+    The plane matrix is generated driver-side from a seed and folded into a
+    native Column expression (sign bits of W·x via aggregate/zip_with) — no
+    UDF, no shuffle; bucket collisions approximate cosine neighbourhoods."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    acc = F.lit(0).cast("long")
+    for p in range(n_planes):
+        w = F.array(*[F.lit(float(x)) for x in planes[p]])
+        dot = _dot(w, F.col(vec_col))
+        acc = acc + F.when(dot > 0, F.lit(2**p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return emb.select(F.col(id_col), F.col(vec_col), acc.alias("bucket"))
+
+
+def cosine_topk_lsh(
+    emb: DataFrame,
+    probe_ids: list,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the probe's LSH bucket,
+    then exact cosine + window top-k. At corpus scale the bucket join is a
+    co-partitioned hash join on bucket id; recall is tuned by n_planes (and
+    multi-probe variants would OR several buckets)."""
+    b = hyperplane_lsh_buckets(emb, dim, n_planes, seed, id_col, vec_col)
+    probes = b.filter(F.col(id_col).isin(probe_ids)).select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("probe_vec"),
+        F.col("bucket").alias("probe_bucket"),
+    )
+    cands = b.alias("c").join(
+        F.broadcast(probes),
+        (F.col("probe_bucket") == F.col("c.bucket"))
+        & (F.col("probe_id") != F.col(f"c.{id_col}")),
+    )
+    scored = cands.select(
+        "probe_id",
+        F.col(f"c.{id_col}").alias("neighbor_id"),
+        F.round(cosine(F.col("probe_vec"), F.col(f"c.{vec_col}")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cos", "rank")
+    )

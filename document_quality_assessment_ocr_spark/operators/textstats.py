@@ -1,0 +1,111 @@
+"""Text-analysis operators for training-data curation: language-ID,
+quality scoring, fingerprinting, token stats — all native Column
+expressions with exact DuckDB oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import WS_CLASS, ink_chars, text_density, token_count
+
+# tiny per-language stopword lists (n-gram heuristic scale-model: real
+# pipelines swap in fastText/CLD — the *dataflow* is the deliverable)
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "en", "por", "que"],
+    "zh": ["de", "shi", "le", "bu", "wo", "zai", "you", "he", "ren", "ta"],
+}
+
+
+def _tokens(text: Column) -> Column:
+    return F.filter(
+        F.split(F.trim(F.lower(F.coalesce(text, F.lit("")))), WS_CLASS + "+"),
+        lambda x: x != F.lit(""),
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword-hit count (distinct hits, like an n-gram
+    profile intersection)."""
+    toks = _tokens(text)
+    return {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """argmax language by stopword hits; ties and zero-hit → 'und'
+    (deterministic: languages compared in fixed order)."""
+    scores = lang_scores(text)
+    best_score = F.greatest(*scores.values())
+    # fold reversed so the OUTERMOST when is the alphabetically-first
+    # language → deterministic first-max-wins tie-break
+    expr = F.lit("und")
+    for lang in sorted(LANG_STOPWORDS, reverse=True):
+        expr = F.when((scores[lang] > 0) & (scores[lang] == best_score), F.lit(lang)).otherwise(
+            expr
+        )
+    return expr
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality in [0,1]: length band, ink-density band, mean word
+    length band, token count band — the text analog of the reference's
+    multi-criteria accept score (each sub-score is 1 inside its band, 0
+    outside; average of 4)."""
+    t = F.coalesce(text, F.lit(""))
+    n = F.length(t)
+    toks = token_count(t)
+    dens = text_density(t)
+    mean_wlen = ink_chars(t).cast("double") / F.greatest(toks, F.lit(1)).cast("double")
+    s_len = F.when((n >= 100) & (n <= 20000), 1.0).otherwise(0.0)
+    s_dens = F.when((dens >= 50.0) & (dens <= 90.0), 1.0).otherwise(0.0)
+    s_wlen = F.when((mean_wlen >= 2.0) & (mean_wlen <= 12.0), 1.0).otherwise(0.0)
+    s_toks = F.when(toks >= 20, 1.0).otherwise(0.0)
+    return ((s_len + s_dens + s_wlen + s_toks) / F.lit(4.0)).alias("quality")
+
+
+def doc_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.length(F.coalesce(t, F.lit(""))).cast("long").alias("n_chars_measured"),
+        token_count(t).alias("n_tokens"),
+        text_density(t).alias("density"),
+        lang_id(t).alias("lang_pred"),
+        quality_score(t).alias("quality"),
+    )
+
+
+def rolling_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 32,
+    stride: int = 16,
+) -> DataFrame:
+    """Document fingerprint sketch: md5 of each fixed-stride window of the
+    normalized text (rolling-hash analog with engine-portable hashing),
+    keeping the lexicographic min per doc ('winnowing lite'). Exploded form
+    for SQL checkability."""
+    norm = F.regexp_replace(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))), WS_CLASS + "+", " "
+    )
+    cnt = F.greatest(
+        F.floor((F.length(norm) - F.lit(window)) / F.lit(stride)).cast("int") + 1, F.lit(0)
+    )
+    wins = F.when(cnt <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), cnt - 1),
+            lambda i: F.md5(norm.substr(i * stride + 1, F.lit(window))),
+        )
+    )
+    return docs.select(
+        F.col(id_col),
+        F.array_min(wins).alias("min_fp"),
+        F.size(wins).alias("n_windows"),
+    )

@@ -89,9 +89,14 @@ def run_extraction(
     criteria: Optional[List[CriteriaConfig]] = None,
     assume_unique_doc_ids: bool = False,
     include_metrics_cols: bool = False,
+    scored_payloads: Optional[DataFrame] = None,
 ) -> DataFrame:
     """The flagship plan: spans+payloads → per-document verdict + surviving
-    ordered span sequence ``(kind, text, media_ref, order)``."""
+    ordered span sequence ``(kind, text, media_ref, order)``.
+
+    ``scored_payloads`` lets callers inject a pre-scored (and e.g. persisted)
+    payload table so multi-pass drivers (checkpointed group runs) pay the
+    kernel cost once."""
     criteria = criteria or default_criteria()
 
     # ---- driver-side constants (config is tiny: closed over, never a join)
@@ -133,7 +138,7 @@ def run_extraction(
         F.posexplode_outer("spans").alias("pos", "s"),
     )
 
-    scored = score_payload_table(payloads_df)
+    scored = scored_payloads if scored_payloads is not None else score_payload_table(payloads_df)
     ex = ex.join(scored, ex["s.media_ref"] == scored["media_ref"], "left").drop(
         scored["media_ref"]
     )

@@ -1,0 +1,170 @@
+"""Scaling-efficiency evidence (north_rule: ≥0.8 throughput scaling N→4N).
+
+No real cluster exists in this sandbox, so the same job runs at two local
+parallelism levels on IDENTICAL input (driver instruction): each level is a
+fresh subprocess running bench.py with SPARK_GRAFT_CPUS pinned. Efficiency =
+(throughput_4N / throughput_N) / 4. Results + a hardware memory-bandwidth
+baseline (pure multiprocessing over the same payloads) go to BENCH.md.
+
+Usage: python3 scripts/scaling_bench.py [N 4N [N 4N ...]]   (default: 8 32 4 16)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(cpus: int, master: str | None = None) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    if master:
+        env["SPARK_GRAFT_MASTER"] = master
+    t0 = time.time()
+    # hard-pin the whole process tree (JVM + python workers) to `cpus`
+    # physical cores — without this the small configuration's threads spill
+    # onto idle host cores and the baseline is inflated (a real N-core
+    # cluster slice has N cores, full stop)
+    p = subprocess.run(
+        ["taskset", "-c", f"0-{cpus - 1}", sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1800,
+        cwd=REPO,
+    )
+    if p.returncode != 0:
+        raise RuntimeError(f"bench failed at cpus={cpus}: {p.stderr[-2000:]}")
+    line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
+    out = json.loads(line)
+    out["wall"] = round(time.time() - t0, 1)
+    print(
+        f"[scaling] {master or f'local[{cpus}]'}: {out['value']} docs/sec "
+        f"(extract {out['queries']['extract']}s)",
+        file=sys.stderr,
+    )
+    return out
+
+
+def mp_baseline(pay_path: str, workers: int) -> float:
+    """Pure-multiprocessing kernel throughput — the hardware ceiling."""
+    code = f"""
+import time, pyarrow.parquet as pq
+from multiprocessing import Pool
+import document_quality_assessment_ocr_spark.kernels as K
+import document_quality_assessment_ocr_spark.png as P
+pngs = pq.read_table({pay_path!r}, columns=['png']).column('png').to_pylist()
+def work(d):
+    arr,_ = P.decode_gray(bytes(d)); K.score_page(arr); K.estimate_dpi(arr); return 0
+with Pool({workers}) as p:
+    p.map(work, pngs[:128], chunksize=8)
+    t0 = time.time(); p.map(work, pngs, chunksize=8)
+    print(time.time()-t0)
+"""
+    env = dict(
+        os.environ,
+        PYTHONPATH=REPO,
+        MALLOC_MMAP_THRESHOLD_="134217728",
+        MALLOC_TRIM_THRESHOLD_="134217728",
+    )
+    p = subprocess.run(
+        ["taskset", "-c", f"0-{workers - 1}", sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+        cwd=REPO,
+        env=env,
+    )
+    if p.returncode != 0:
+        raise RuntimeError(p.stderr[-1000:])
+    return float(p.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    # headline evidence: N vs 4N EXECUTORS (separate Worker JVMs, 8 cores
+    # each — the closest local model of two cluster sizes); thread-mode
+    # local[N] numbers from the CLI args are secondary context
+    exec_levels = {
+        1: "local-cluster[1,8,4096]",
+        4: "local-cluster[4,8,4096]",
+    }
+    args = [int(x) for x in sys.argv[1:]] or [8, 32]
+    pairs = [(args[i], args[i + 1]) for i in range(0, len(args), 2)]
+    results = {}
+    exec_results = {}
+    for n_exec, master in exec_levels.items():
+        exec_results[n_exec] = run_bench(8 * n_exec, master=master)
+    for n in sorted({c for p in pairs for c in p}):
+        results[n] = run_bench(n)
+
+    sf_dir = exec_results[1]["sf"]
+    corpus = None
+    for d in sorted(os.listdir(os.path.join(REPO, ".bench_cache"))):
+        if d.startswith("bench_" + os.path.basename(sf_dir)):
+            corpus = os.path.join(REPO, ".bench_cache", d)  # last (newest version) wins
+    mp = {}
+    if corpus:
+        pay_path = os.path.join(corpus, "media_payloads")
+        for n in sorted({c for p in pairs for c in p}):
+            mp[n] = mp_baseline(pay_path, n)
+            print(f"[scaling] mp{n}: {mp[n]:.2f}s", file=sys.stderr)
+
+    lines = [
+        "# BENCH — throughput + scaling efficiency",
+        "",
+        f"Input: spans corpus derived from `{sf_dir}` documents + "
+        f"{'' if not corpus else os.path.basename(corpus)} distinct payload pages; "
+        "IDENTICAL input at every parallelism level (no real cluster in this "
+        "sandbox — north_rule two-cluster-size criterion evidenced at two "
+        "local[N] levels per driver instruction).",
+        "",
+        "| configuration | extract sec | docs/sec | full-bench queries |",
+        "|---|---|---|---|",
+    ]
+    for n, r in sorted(exec_results.items()):
+        lines.append(
+            f"| {n} executor(s) × 8 cores ({r['master']}) | {r['queries']['extract']} "
+            f"| {r['value']} | "
+            + ", ".join(f"{k}={v}s" for k, v in r["queries"].items() if k != "extract")
+            + " |"
+        )
+    for n, r in sorted(results.items()):
+        lines.append(
+            f"| local[{n}] threads | {r['queries']['extract']} | {r['value']} | "
+            + ", ".join(f"{k}={v}s" for k, v in r["queries"].items() if k != "extract")
+            + " |"
+        )
+    lines += ["", "## Scaling efficiency (throughput_4N / throughput_N / 4)", ""]
+    eff_exec = exec_results[4]["value"] / exec_results[1]["value"] / 4
+    lines.append(
+        f"- **1 → 4 executors (8 cores each): {eff_exec:.2f}** "
+        "(headline north_rule evidence: N → 4N executors, separate worker JVMs)"
+    )
+    for a, b in pairs:
+        eff = results[b]["value"] / results[a]["value"] / (b / a)
+        lines.append(f"- local[{a}] → local[{b}] threads: {eff:.2f}")
+    if mp:
+        lines += [
+            "",
+            "## Hardware ceiling (pure multiprocessing, same kernels, same payloads)",
+            "",
+            "| workers | sec |",
+            "|---|---|",
+        ] + [f"| {n} | {v:.2f} |" for n, v in sorted(mp.items())]
+        for a, b in pairs:
+            if a in mp and b in mp:
+                eff = mp[a] / mp[b] / (b / a)
+                lines.append(f"\n- mp {a} → {b} efficiency: **{eff:.2f}** "
+                             "(memory-bandwidth ceiling of this box, Spark-independent)")
+    out = "\n".join(lines) + "\n"
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        f.write(out)
+    print(out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+"""Resume-from-checkpoint semantics (north_rule): a run killed mid-way
+resumes from the last committed snapshot, re-emits nothing, and the final
+output is identical to a single-shot run."""
+
+import json
+import os
+
+import pytest
+
+from document_quality_assessment_ocr_spark.plans import checkpoint as cp
+from document_quality_assessment_ocr_spark.plans.pipeline import run_extraction
+from document_quality_assessment_ocr_spark.sources import tables
+
+
+def _result_set(df):
+    return {
+        (
+            r["doc_id"],
+            r["accepted"],
+            tuple(r["reasons"]),
+            tuple(r["warnings"]),
+            tuple((s["kind"], s["text"], s["media_ref"], s["order"]) for s in r["spans"]),
+        )
+        for r in df.collect()
+    }
+
+
+@pytest.mark.slow
+def test_checkpoint_resume_identical(spark, small_corpus_dir, tmp_path, monkeypatch):
+    spans, pay = tables.read_corpus(spark, small_corpus_dir)
+    base = str(tmp_path / "snap")
+
+    # single-shot reference result
+    expect = _result_set(run_extraction(spans, pay))
+
+    # crash after 2 of 4 groups: the 3rd run_extraction call raises
+    calls = {"n": 0}
+    real = cp.run_extraction
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("injected crash")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(cp, "run_extraction", flaky)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        cp.run_with_checkpoints(spark, spans, pay, base, n_groups=4)
+    snap = json.load(open(os.path.join(base, cp.SNAPSHOT)))
+    assert len(snap["committed_groups"]) == 2  # two groups committed, crash on 3rd
+
+    # resume with the real pipeline: only the remaining groups run
+    monkeypatch.setattr(cp, "run_extraction", real)
+    calls_before = calls["n"]
+    out = cp.run_with_checkpoints(spark, spans, pay, base, n_groups=4)
+    snap = json.load(open(os.path.join(base, cp.SNAPSHOT)))
+    assert snap["committed_groups"] == [0, 1, 2, 3]
+    assert _result_set(out) == expect
+
+    # idempotent re-invoke: nothing to do, same data back
+    out2 = cp.run_with_checkpoints(spark, spans, pay, base, n_groups=4)
+    assert _result_set(out2) == expect
+
+
+@pytest.mark.slow
+def test_manifests_record_lineage(spark, small_corpus_dir, tmp_path):
+    spans, pay = tables.read_corpus(spark, small_corpus_dir)
+    base = str(tmp_path / "snap2")
+    cp.run_with_checkpoints(spark, spans, pay, base, n_groups=2)
+    mani = cp.read_manifests(spark, base)
+    rows = mani.collect()
+    assert {r["group_id"] for r in rows} == {0, 1}
+    total_docs = sum(r["n_docs"] for r in rows)
+    assert total_docs == spans.select("doc_id").distinct().count()
+    assert all(r["spans_kept"] is not None for r in rows)

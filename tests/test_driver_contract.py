@@ -1,0 +1,62 @@
+"""Driver-contract regression: every queries() entry matches its oracle_sql()
+on DuckDB at sf0.001 (the driver's own check runs at sf0.01 — same shape)."""
+
+import importlib.util
+import os
+
+import duckdb
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def entry_mod():
+    path = os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py")
+    spec = importlib.util.spec_from_file_location("__spark_entry__", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ducks():
+    con = duckdb.connect()
+    for t in ["documents", "lineitem", "events", "embeddings", "orders", "customer"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.slow
+def test_all_queries_match_duckdb(spark, entry_mod, ducks):
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    mismatches = []
+    for name, fn in qs.items():
+        if name not in oracles:
+            continue
+        sdf = fn(spark, SF).toPandas()
+        odf = ducks.execute(oracles[name]).df()
+        cols = sorted(sdf.columns)
+        if cols != sorted(odf.columns):
+            mismatches.append((name, "columns", list(sdf.columns), list(odf.columns)))
+            continue
+        sdf = sdf[cols].sort_values(cols).reset_index(drop=True)
+        odf = odf[cols].sort_values(cols).reset_index(drop=True)
+        if sdf.shape != odf.shape:
+            mismatches.append((name, "shape", sdf.shape, odf.shape))
+            continue
+        for c in cols:
+            a, b = sdf[c], odf[c]
+            if a.dtype.kind == "f" or b.dtype.kind == "f":
+                ok = np.allclose(
+                    a.astype(float), b.astype(float), rtol=0, atol=0, equal_nan=True
+                )
+            else:
+                ok = (a.astype(str) == b.astype(str)).all()
+            if not ok:
+                mismatches.append((name, f"values:{c}", None, None))
+                break
+    assert not mismatches, mismatches

@@ -1,0 +1,161 @@
+"""Training-data operator tests: dedup family, similarity search, text stats.
+Small in-memory frames; numpy oracles where the math is nontrivial."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs away fast"),
+        (2, "the quick brown fox jumps over the lazy dog and runs away fast"),  # exact dup
+        (3, "the quick brown fox jumps over the lazy dog and walks away fast"),  # near dup
+        (4, "der hund läuft und der mann ist nicht da mit dem auto zu haus"),
+        (5, "completely different content about spark query engines and shuffles"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    from document_quality_assessment_ocr_spark.operators.dedup import exact_dedup
+
+    out = {r["keep_id"]: r["n_dups"] for r in exact_dedup(docs).collect()}
+    assert out[1] == 2  # docs 1,2 collapse; keep min id
+    assert out[3] == 1 and out[4] == 1
+
+
+def test_minhash_near_dup_similarity(docs):
+    from document_quality_assessment_ocr_spark.operators.dedup import minhash_signatures
+
+    sig = {r["doc_id"]: [r[f"h{i:02d}"] for i in range(16)] for r in
+           minhash_signatures(docs, n_hashes=16).collect()}
+    assert sig[1] == sig[2]  # identical text → identical signature
+    agree_near = sum(a == b for a, b in zip(sig[1], sig[3]))
+    agree_far = sum(a == b for a, b in zip(sig[1], sig[5]))
+    assert agree_near > agree_far  # near-dup agrees on more minhashes
+    assert 6 not in sig  # empty text → no shingles → absent
+
+
+def test_lsh_pairs_finds_duplicates(docs):
+    from document_quality_assessment_ocr_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_pairs(docs, n_hashes=16, bands=8).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) in pairs or (2, 3) in pairs  # near-dup caught by some band
+    assert (1, 5) not in pairs and (4, 5) not in pairs
+
+
+def test_ngram_jaccard_exact_value(docs):
+    from document_quality_assessment_ocr_spark.operators.dedup import ngram_jaccard_pairs
+
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           ngram_jaccard_pairs(docs, threshold=0.0).collect()}
+    assert out[(1, 2)] == pytest.approx(1.0)
+
+    # numpy oracle for the (1,3) pair
+    def shingles(t):
+        t = " ".join(t.lower().split())
+        return {t[i : i + 5] for i in range(len(t) - 4)}
+
+    a = shingles("the quick brown fox jumps over the lazy dog and runs away fast")
+    b = shingles("the quick brown fox jumps over the lazy dog and walks away fast")
+    expect = len(a & b) / len(a | b)
+    assert out[(1, 3)] == pytest.approx(expect, rel=1e-9)
+
+
+def test_simhash_hamming_locality(docs):
+    from document_quality_assessment_ocr_spark.operators.dedup import simhash64
+
+    sh = {r["doc_id"]: r["simhash"] for r in simhash64(docs, bits=32).collect()}
+    assert sh[1] == sh[2]
+    ham_near = bin(sh[1] ^ sh[3]).count("1")
+    ham_far = bin(sh[1] ^ sh[5]).count("1")
+    assert ham_near < ham_far
+
+
+def test_dedup_last_wins_generic(spark):
+    from document_quality_assessment_ocr_spark.operators.dedup import dedup_last_wins
+
+    df = spark.createDataFrame(
+        [("a", 1, "old"), ("a", 5, "new"), ("b", 2, "only")],
+        "k string, seq long, v string",
+    )
+    out = {r["k"]: r["v"] for r in dedup_last_wins(df, "k", "seq").collect()}
+    assert out == {"a": "new", "b": "only"}
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((30, 8))
+    base[7] = base[0] + 0.01 * rng.standard_normal(8)  # near neighbour of 0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(30)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>"), base
+
+
+def test_cosine_topk_bruteforce_vs_numpy(emb):
+    from document_quality_assessment_ocr_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    df, base = emb
+    out = [
+        (r["neighbor_id"], r["rank"])
+        for r in cosine_topk_bruteforce(df, [0], k=3).orderBy("rank").collect()
+    ]
+    norms = base / np.linalg.norm(base, axis=1, keepdims=True)
+    cos = norms @ norms[0]
+    cos[0] = -2
+    expect = list(np.argsort(-np.round(cos, 6), kind="stable")[:3])
+    assert [n for n, _ in out] == [int(x) for x in expect]
+    assert out[0][0] == 7  # the planted near neighbour ranks first
+
+
+def test_lsh_topk_recalls_planted_neighbor(emb):
+    from document_quality_assessment_ocr_spark.operators.similarity import cosine_topk_lsh
+
+    df, _ = emb
+    out = cosine_topk_lsh(df, [0], dim=8, k=3, n_planes=4).collect()
+    # vec 7 is nearly collinear with vec 0 → same bucket with high prob for
+    # 4 planes; assert the mechanism returns it as top hit when bucketed
+    got = [(r["neighbor_id"], r["rank"]) for r in out]
+    if got:  # bucket can legitimately be a singleton for some seeds
+        assert got[0][0] == 7
+
+
+def test_doc_stats_and_lang_id(spark):
+    from document_quality_assessment_ocr_spark.operators.textstats import doc_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat in a house for a while that day " * 4),
+            (2, "der mann und die frau sind nicht mit dem auto zu haus " * 4),
+            (3, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in doc_stats(df).collect()}
+    assert out[1]["lang_pred"] == "en"
+    assert out[2]["lang_pred"] == "de"
+    assert out[3]["lang_pred"] == "und"
+    assert out[1]["n_tokens"] == 14 * 4
+    assert 0.0 <= out[1]["quality"] <= 1.0
+
+
+def test_rolling_fingerprints_windows(spark):
+    from document_quality_assessment_ocr_spark.operators.textstats import (
+        rolling_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a" * 100), (2, "short"), (3, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in rolling_fingerprints(df).collect()}
+    assert out[1]["n_windows"] == (100 - 32) // 16 + 1
+    assert out[1]["min_fp"] is not None
+    assert out[2]["n_windows"] == 0 and out[2]["min_fp"] is None
+    assert out[3]["n_windows"] == 0
