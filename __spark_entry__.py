@@ -232,6 +232,60 @@ def _q_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+
+
+def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_quality_assessment_ocr_spark.operators.similarity import cosine_topk_lsh
+
+    return cosine_topk_lsh(_emb(spark, sf_dir), probe_ids=[0, 1, 2], dim=64, k=5, n_planes=6)
+
+
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_quality_assessment_ocr_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(_emb(spark, sf_dir), probe_ids=[0, 1, 2], dim=64, k=5, n_centroids=8)
+
+
+def _q_extract_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship pipeline at sf_dir (rows-only driver check: image kernels are
+    not SQL-expressible). Output flattened to scalar columns for hashing."""
+    from document_quality_assessment_ocr_spark.plans.pipeline import run_extraction
+    from document_quality_assessment_ocr_spark.sources.derive import (
+        payloads_df,
+        spans_from_documents,
+    )
+
+    pay = payloads_df(spark)
+    names = sorted(r["media_ref"] for r in pay.select("media_ref").collect())
+    spans = spans_from_documents(_doc(spark, sf_dir), names)
+    res = run_extraction(spans, pay, assume_unique_doc_ids=True)
+    return res.select(
+        "doc_id",
+        "accepted",
+        F.array_join("reasons", "|").alias("reasons"),
+        F.size("spans").alias("n_kept"),
+    )
+
+
+def _q_extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_quality_assessment_ocr_spark.plans.metrics import rejection_summary
+    from document_quality_assessment_ocr_spark.plans.pipeline import run_extraction
+    from document_quality_assessment_ocr_spark.sources.derive import (
+        payloads_df,
+        spans_from_documents,
+    )
+
+    pay = payloads_df(spark)
+    names = sorted(r["media_ref"] for r in pay.select("media_ref").collect())
+    spans = spans_from_documents(_doc(spark, sf_dir), names)
+    return rejection_summary(run_extraction(spans, pay, assume_unique_doc_ids=True))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_text_density": _q_text_density,
@@ -249,6 +303,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_cosine_topk": _q_cosine_topk,
         "q14_doc_stats": _q_doc_stats,
         "q15_rolling_fingerprint": _q_rolling_fp,
+        "q16_lsh_topk": _q_lsh_topk,
+        "q17_ivf_topk": _q_ivf_topk,
+        # flagship extraction — rows-only checks (kernels not SQL-expressible)
+        "q90_extract_full": _q_extract_full,
+        "q91_extract_metrics": _q_extract_metrics,
     }
 
 
@@ -338,6 +397,42 @@ def _doc_stats_sql() -> str:
                {lang_case} AS lang_pred,
                (({s_len} + {s_dens} + {s_wlen} + {s_toks}) / 4.0) AS quality
         FROM documents
+    """
+
+
+def _lsh_topk_sql(n_planes: int = 6, dim: int = 64, k: int = 5, seed: int = 42) -> str:
+    """Hyperplane-LSH top-k oracle: the SAME seeded plane matrix as the Spark
+    operator, embedded as list literals."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    terms = []
+    for p in range(n_planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in planes[p]) + "]"
+        terms.append(
+            f"(CASE WHEN LIST_DOT_PRODUCT(v, {lit}) > 0 THEN {2 ** p} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+        WITH e AS (
+            SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ), b AS (
+            SELECT vec_id, v, {bucket} AS bucket FROM e
+        ), p AS (
+            SELECT vec_id AS probe_id, v AS pv, bucket AS pb FROM b WHERE vec_id IN (0,1,2)
+        ), s AS (
+            SELECT probe_id, b.vec_id AS neighbor_id,
+                   ROUND(LIST_DOT_PRODUCT(pv, v)
+                         / SQRT(LIST_DOT_PRODUCT(pv, pv) * LIST_DOT_PRODUCT(v, v)), 6) AS cos
+            FROM p JOIN b ON b.bucket = p.pb AND b.vec_id <> p.probe_id
+        )
+        SELECT probe_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                           ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM s)
+        WHERE rank <= {k}
     """
 
 
@@ -457,6 +552,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 5
         """,
         "q14_doc_stats": _doc_stats_sql(),
+        "q16_lsh_topk": _lsh_topk_sql(),
         "q15_rolling_fingerprint": f"""
             WITH norm AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id,

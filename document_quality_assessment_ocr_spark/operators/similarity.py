@@ -83,6 +83,84 @@ def hyperplane_lsh_buckets(
     return emb.select(F.col(id_col), F.col(vec_col), acc.alias("bucket"))
 
 
+def _kmeans_lite(sample: np.ndarray, k: int, iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Tiny driver-side k-means (numpy) for the IVF coarse quantizer."""
+    rng = np.random.default_rng(seed)
+    cents = sample[rng.choice(len(sample), size=min(k, len(sample)), replace=False)].copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                cents[c] = sample[m].mean(0)
+    return cents
+
+
+def ivf_topk(
+    emb: DataFrame,
+    probe_ids: list,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    sample_rows: int = 512,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: a driver-side k-means coarse quantizer (trained
+    on a deterministic sample) assigns every vector to its nearest centroid
+    via native Column expressions; probes search their ``n_probe`` nearest
+    cells only. At corpus scale: centroids are broadcast literals (the list
+    is tiny), cell assignment is a codegen projection, and the candidate join
+    is hash-partitioned by cell id — candidate count drops by ~n_centroids/
+    n_probe versus brute force."""
+    sample = np.array(
+        [r[vec_col] for r in emb.orderBy(id_col).limit(sample_rows).collect()],
+        dtype=np.float64,
+    )
+    cents = _kmeans_lite(sample, n_centroids, seed=seed)
+
+    def cell_expr(v):
+        # argmin over ||x||² − 2c·x + ||c||² (||x||² constant per row → drop)
+        dists = [
+            -2.0 * _dot(F.array(*[F.lit(float(x)) for x in c]), v)
+            + float((c * c).sum())
+            for c in cents
+        ]
+        arr = F.array(*[d for d in dists])
+        return F.array_position(arr, F.array_min(arr)).cast("int") - 1
+
+    assigned = emb.select(F.col(id_col), F.col(vec_col), cell_expr(F.col(vec_col)).alias("cell"))
+    probes = assigned.filter(F.col(id_col).isin(probe_ids)).collect()
+    # n_probe nearest cells per probe, computed driver-side from centroids
+    probe_cells = []
+    for r in probes:
+        v = np.array(r[vec_col], dtype=np.float64)
+        order = np.argsort(((cents - v) ** 2).sum(1))[:n_probe]
+        for c in order:
+            probe_cells.append((r[id_col], list(r[vec_col]), int(c)))
+    pdf = emb.sparkSession.createDataFrame(
+        probe_cells, f"probe_id long, probe_vec array<double>, cell int"
+    )
+    cands = assigned.alias("c").join(
+        F.broadcast(pdf),
+        (F.col("c.cell") == pdf["cell"]) & (pdf["probe_id"] != F.col(f"c.{id_col}")),
+    )
+    scored = cands.select(
+        "probe_id",
+        F.col(f"c.{id_col}").alias("neighbor_id"),
+        F.round(cosine(F.col("probe_vec"), F.col(f"c.{vec_col}")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def cosine_topk_lsh(
     emb: DataFrame,
     probe_ids: list,

@@ -81,7 +81,13 @@ def evaluate_document(
     scored: dict,
     criteria: list[CriteriaConfig],
     skip_checks: bool = False,
+    max_media_spans: Optional[int] = None,
 ) -> dict:
+    """``max_media_spans`` is the span-model analog of the reference's page
+    budget (≤3 PDF pages / ≤20 TIFF frames, ``pdf_handler.py:65``,
+    ``tiff_handler.py:15``): only the first K media spans (offset order)
+    contribute to the DOCUMENT verdict, exactly as the reference scores only
+    the rendered page subset. Span-level gating still sees every span."""
     """One document → dict(accepted, reasons, warnings, spans) where spans is
     the surviving ordered ``(kind, text, media_ref, order)`` list."""
     ordered = sorted(spans, key=lambda s: s["offset"])
@@ -101,11 +107,13 @@ def evaluate_document(
     if not spans:  # P2: reference criteria.py:198-199
         return {"accepted": False, "reasons": [NO_IMAGES_MSG], "warnings": [], "spans": []}
 
-    # media pages in offset order; the first failing page (missing payload or
-    # decode error) rejects the whole document
+    # media pages in offset order (only the first ``max_media_spans`` are
+    # document pages — the reference's page budget); the first failing page
+    # (missing payload or decode error) rejects the whole document
     media = [s for s in ordered if s["kind"] == "media"]
+    capped = media if max_media_spans is None else media[:max_media_spans]
     pages = []
-    for s in media:
+    for s in capped:
         p = scored.get(s["media_ref"])
         err = (
             f"missing media payload {s['media_ref']}" if p is None else p["error"]
@@ -212,15 +220,15 @@ def evaluate_document(
     max_deg = skew_c.threshold.max_deg if skew_c and skew_c.threshold else None
     noise_c = _get(criteria, "noise")
     max_noise = noise_c.threshold.max_percent if noise_c and noise_c.threshold else None
-    score_by_ref_off = {
-        (s["media_ref"], s["offset"]): p["scores"] for s, p in zip(media, pages)
-    }
 
     def survives(s: dict) -> bool:
         if s["kind"] == "text":
             d = text_density(s["text"])
             return t_min <= d <= t_max
-        sc = score_by_ref_off[(s["media_ref"], s["offset"])]
+        p = scored.get(s["media_ref"])
+        if p is None or p["error"] is not None:
+            return False  # unscorable media span never survives gating
+        sc = p["scores"]
         if min_var is not None and sc["lap_var"] < min_var:
             return False
         if max_deg is not None and abs(sc["skew_deg"]) > max_deg:
@@ -241,6 +249,7 @@ def evaluate_corpus(
     rows: list[dict],
     payloads: dict,
     criteria: Optional[list[CriteriaConfig]] = None,
+    max_media_spans: Optional[int] = None,
 ) -> dict[str, dict]:
     """Whole corpus → {doc_id: result}. Duplicate doc_ids collapse last-wins
     by ingest_seq (reference dedup, ``evaluator.py:55-57``)."""
@@ -251,7 +260,11 @@ def evaluate_corpus(
     scored = score_payloads(payloads)
     return {
         doc_id: evaluate_document(
-            r["spans"], scored, criteria, skip_checks=r.get("skip_checks", False)
+            r["spans"],
+            scored,
+            criteria,
+            skip_checks=r.get("skip_checks", False),
+            max_media_spans=max_media_spans,
         )
         for doc_id, r in latest.items()
     }

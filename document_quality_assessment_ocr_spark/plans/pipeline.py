@@ -90,13 +90,19 @@ def run_extraction(
     assume_unique_doc_ids: bool = False,
     include_metrics_cols: bool = False,
     scored_payloads: Optional[DataFrame] = None,
+    max_media_spans: Optional[int] = None,
 ) -> DataFrame:
     """The flagship plan: spans+payloads → per-document verdict + surviving
     ordered span sequence ``(kind, text, media_ref, order)``.
 
     ``scored_payloads`` lets callers inject a pre-scored (and e.g. persisted)
     payload table so multi-pass drivers (checkpointed group runs) pay the
-    kernel cost once."""
+    kernel cost once.
+
+    ``max_media_spans`` — the reference's page budget analog (≤3 PDF pages /
+    ≤20 TIFF frames, ``pdf_handler.py:65``, ``tiff_handler.py:15``): only the
+    first K media spans per document (offset order) feed the DOCUMENT
+    verdict; span gating still sees every span."""
     criteria = criteria or default_criteria()
 
     # ---- driver-side constants (config is tiny: closed over, never a join)
@@ -130,11 +136,27 @@ def run_extraction(
         F.coalesce(F.size("spans"), F.lit(0)).alias("n_spans"),
         spans_sorted.alias("spans"),
     )
+    if max_media_spans is not None:
+        # offsets of the first K media spans — the document's "pages"
+        docs = docs.withColumn(
+            "page_offsets",
+            F.transform(
+                F.slice(
+                    F.filter("spans", lambda x: x["kind"] == F.lit("media")),
+                    1,
+                    max_media_spans,
+                ),
+                lambda x: x["offset"],
+            ),
+        )
+    else:
+        docs = docs.withColumn("page_offsets", F.lit(None).cast("array<int>"))
 
     ex = docs.select(
         "doc_id",
         "skip_checks",
         "n_spans",
+        "page_offsets",
         F.posexplode_outer("spans").alias("pos", "s"),
     )
 
@@ -144,10 +166,19 @@ def run_extraction(
     )
 
     is_media = F.col("s.kind") == F.lit("media")
+    # is this media span one of the document's scored "pages"?
+    if max_media_spans is None:
+        is_page = is_media
+    else:
+        is_page = is_media & F.array_contains(
+            F.coalesce(F.col("page_offsets"), F.array().cast("array<int>")),
+            F.col("s.offset"),
+        )
     # error-as-data: missing payload or decode failure (only meaningful for
-    # non-bypass docs; oracle short-circuits bypass before decode)
+    # non-bypass docs and only within the page budget — the reference never
+    # decodes beyond it; oracle short-circuits bypass before decode)
     err_span = F.when(
-        is_media & ~F.col("skip_checks"),
+        is_page & ~F.col("skip_checks"),
         F.when(
             F.col("p_dpi").isNull(),
             F.concat(F.lit("missing media payload "), F.col("s.media_ref")),
@@ -174,7 +205,10 @@ def run_extraction(
         )
     )
 
-    ratio = F.col("ms.content_ratio")
+    def pg(col: Column) -> Column:
+        return F.when(is_page, col)
+
+    ratio = pg(F.col("ms.content_ratio"))
     # ---- ONE shuffle: every doc-level aggregate in a single HashAggregate
     agg = ex.groupBy("doc_id", "skip_checks", "n_spans").agg(
         F.count(F.when(is_media, F.lit(1))).alias("n_media"),
@@ -182,15 +216,15 @@ def run_extraction(
         F.avg(ratio).alias("avg_ratio"),
         F.min(ratio).alias("min_ratio"),
         _agg_by_mode(ratio, td.aggregate_mode if td else "avg").alias("td_ratio"),
-        F.avg("ms.brightness").alias("avg_bright"),
-        F.min("ms.lap_var").alias("min_lap"),
-        F.max(F.abs("ms.skew_deg")).alias("max_abs_skew"),
-        F.max("ms.watermark").alias("max_wm"),
-        F.max("ms.noise_pct").alias("max_noise"),
-        F.min("ms.entropy").alias("min_ent"),
-        F.min("p_dpi").alias("min_dpi_meta"),
+        F.avg(pg(F.col("ms.brightness"))).alias("avg_bright"),
+        F.min(pg(F.col("ms.lap_var"))).alias("min_lap"),
+        F.max(pg(F.abs(F.col("ms.skew_deg")))).alias("max_abs_skew"),
+        F.max(pg(F.col("ms.watermark"))).alias("max_wm"),
+        F.max(pg(F.col("ms.noise_pct"))).alias("max_noise"),
+        F.min(pg(F.col("ms.entropy"))).alias("min_ent"),
+        F.min(pg(F.col("p_dpi"))).alias("min_dpi_meta"),
         # K8 fallback value of page ONE (reference criteria.py:243): min-by-offset
-        F.min(F.when(is_media, F.struct(F.col("s.offset").alias("o"), F.col("ms.est_dpi").alias("v")))).alias("fest"),
+        F.min(F.when(is_page, F.struct(F.col("s.offset").alias("o"), F.col("ms.est_dpi").alias("v")))).alias("fest"),
         F.sort_array(
             F.collect_list(
                 F.when(

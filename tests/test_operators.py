@@ -127,6 +127,15 @@ def test_lsh_topk_recalls_planted_neighbor(emb):
         assert got[0][0] == 7
 
 
+def test_ivf_topk_recalls_planted_neighbor(emb):
+    from document_quality_assessment_ocr_spark.operators.similarity import ivf_topk
+
+    df, _ = emb
+    out = ivf_topk(df, [0], dim=8, k=3, n_centroids=4, n_probe=2).collect()
+    got = [(r["neighbor_id"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert got and got[0][0] == 7  # planted near-neighbour of vec 0
+
+
 def test_doc_stats_and_lang_id(spark):
     from document_quality_assessment_ocr_spark.operators.textstats import doc_stats
 

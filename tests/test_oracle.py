@@ -162,6 +162,28 @@ def test_mixed_dpi_estimation_on_page_one():
     assert r["accepted"] is True, r["reasons"]
 
 
+def test_page_budget_caps_verdict_scope():
+    # bad page is the 4th media span: with the reference's 3-page budget the
+    # doc is ACCEPTED (page never scored), without it the blur check fails
+    spans = [
+        span("media", ref="ok_clean", offset=1),
+        span("media", ref="ok_clean2", offset=2),
+        span("media", ref="ok_clean3", offset=3),
+        span("media", ref="bad_blur", offset=4),
+    ]
+    full = oracle.evaluate_document(spans, SCORED, CRIT)
+    assert full["accepted"] is False
+    capped = oracle.evaluate_document(spans, SCORED, CRIT, max_media_spans=3)
+    assert capped["accepted"] is True
+    # gating still sees the 4th span and drops it
+    assert [s["media_ref"] for s in capped["spans"]] == ["ok_clean", "ok_clean2", "ok_clean3"]
+    # beyond-budget decode errors do not reject the document
+    spans2 = spans[:3] + [span("media", ref="corrupt", offset=9)]
+    r = oracle.evaluate_document(spans2, SCORED, CRIT, max_media_spans=3)
+    assert r["accepted"] is True
+    assert [s["media_ref"] for s in r["spans"]] == ["ok_clean", "ok_clean2", "ok_clean3"]
+
+
 def test_first_error_by_offset_wins():
     spans = [
         span("media", ref="corrupt", offset=10),

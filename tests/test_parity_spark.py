@@ -12,16 +12,19 @@ from document_quality_assessment_ocr_spark.plans.pipeline import run_extraction
 from document_quality_assessment_ocr_spark.sources import fixtures, tables
 
 
-def _compare(spark, corpus_dir, criteria, n_docs, seed, size, mega):
+def _compare(spark, corpus_dir, criteria, n_docs, seed, size, mega, max_media=None):
     spans, pay = tables.read_corpus(spark, corpus_dir)
     got = {
         r["doc_id"]: r.asDict(recursive=True)
-        for r in run_extraction(spans, pay, criteria=criteria).collect()
+        for r in run_extraction(
+            spans, pay, criteria=criteria, max_media_spans=max_media
+        ).collect()
     }
     exp = oracle.evaluate_corpus(
         fixtures.build_corpus(n_docs=n_docs, seed=seed, mega_spans=mega),
         fixtures.build_payloads(seed=seed, size=size),
         criteria,
+        max_media_spans=max_media,
     )
     assert set(got) == set(exp)
     for doc_id, e in exp.items():
@@ -42,6 +45,12 @@ def test_parity_default_config(spark, small_corpus_dir):
 @pytest.mark.slow
 def test_parity_tiered_config(spark, small_corpus_dir):
     _compare(spark, small_corpus_dir, tiered_criteria(), 12, 7, (800, 1000), 80)
+
+
+@pytest.mark.slow
+def test_parity_page_budget(spark, small_corpus_dir):
+    # reference's 3-page budget analog (pdf_handler.py:65)
+    _compare(spark, small_corpus_dir, default_criteria(), 12, 7, (800, 1000), 80, max_media=3)
 
 
 @pytest.mark.slow
