@@ -130,12 +130,7 @@ def run_extraction(
             ),
         )
     )
-    docs = docs.select(
-        "doc_id",
-        "skip_checks",
-        F.coalesce(F.size("spans"), F.lit(0)).alias("n_spans"),
-        spans_sorted.alias("spans"),
-    )
+    docs = docs.select("doc_id", "skip_checks", spans_sorted.alias("spans"))
     if max_media_spans is not None:
         # offsets of the first K media spans — the document's "pages"
         docs = docs.withColumn(
@@ -155,7 +150,6 @@ def run_extraction(
     ex = docs.select(
         "doc_id",
         "skip_checks",
-        "n_spans",
         "page_offsets",
         F.posexplode_outer("spans").alias("pos", "s"),
     )
@@ -209,8 +203,13 @@ def run_extraction(
         return F.when(is_page, col)
 
     ratio = pg(F.col("ms.content_ratio"))
-    # ---- ONE shuffle: every doc-level aggregate in a single HashAggregate
-    agg = ex.groupBy("doc_id", "skip_checks", "n_spans").agg(
+    # ---- ONE shuffle: every doc-level aggregate in a single HashAggregate.
+    # n_spans is an aggregate (count of non-null exploded spans), NOT a group
+    # key — so a mega-document's spans array may be pre-split across several
+    # input rows (operators/salting.split_oversized_docs) and the partial
+    # aggregation merges the pieces transparently.
+    agg = ex.groupBy("doc_id", "skip_checks").agg(
+        F.count(F.col("s")).alias("n_spans"),
         F.count(F.when(is_media, F.lit(1))).alias("n_media"),
         F.min(F.when(err_span.isNotNull(), F.struct(F.col("s.offset").alias("o"), err_span.alias("e")))).alias("ferr"),
         F.avg(ratio).alias("avg_ratio"),

@@ -54,6 +54,34 @@ def test_parity_page_budget(spark, small_corpus_dir):
 
 
 @pytest.mark.slow
+def test_split_mega_docs_identical(spark, small_corpus_dir):
+    """Skew mitigation is semantics-free: chunking oversized spans arrays
+    across rows yields byte-identical extraction output."""
+    from document_quality_assessment_ocr_spark.operators.dedup import dedup_last_wins
+    from document_quality_assessment_ocr_spark.operators.salting import (
+        split_oversized_docs,
+    )
+
+    spans, pay = tables.read_corpus(spark, small_corpus_dir)
+    uniq = dedup_last_wins(spans, "doc_id", "ingest_seq")
+    split = split_oversized_docs(uniq, max_spans_per_row=7)
+    assert split.count() > uniq.count()  # the mega-doc actually split
+
+    def res(df):
+        return {
+            (
+                r["doc_id"],
+                r["accepted"],
+                tuple(r["reasons"]),
+                tuple((s["kind"], s["text"], s["media_ref"], s["order"]) for s in r["spans"]),
+            )
+            for r in run_extraction(df, pay, assume_unique_doc_ids=True).collect()
+        }
+
+    assert res(split) == res(uniq)
+
+
+@pytest.mark.slow
 def test_entry_contract(spark):
     import importlib.util
     import os
