@@ -53,7 +53,16 @@ def _get(criteria: list[CriteriaConfig], name: str) -> Optional[CriteriaConfig]:
 
 
 def _fmt(x: float) -> str:
-    return f"{x:.2f}"
+    """Two-decimal formatting matching Spark's ``format_string('%.2f', …)``.
+
+    Java's Formatter rounds the double's SHORTEST decimal representation
+    HALF_UP, while Python's f-string rounds the exact binary value half-even
+    — they disagree on values like 0.125 ('0.13' vs '0.12'; verified
+    empirically against Spark). Decimal(repr(x)) + ROUND_HALF_UP reproduces
+    the Java behavior for every double."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return str(Decimal(repr(float(x))).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP))
 
 
 def score_payloads(payloads: dict) -> dict:

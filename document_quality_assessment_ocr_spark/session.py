@@ -56,6 +56,7 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
     if master.startswith("local-cluster"):
         spark.sparkContext.addPyFile(_package_zip())
     return spark
