@@ -286,6 +286,21 @@ def _q_extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rejection_summary(run_extraction(spans, pay, assume_unique_doc_ids=True))
 
 
+def _q_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_quality_assessment_ocr_spark.streaming.windows import (
+        tumbling_counts_batch,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = tumbling_counts_batch(ev, "1 hour")
+    return out.select(
+        F.unix_timestamp("window_start").alias("hour_epoch"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_text_density": _q_text_density,
@@ -305,6 +320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_rolling_fingerprint": _q_rolling_fp,
         "q16_lsh_topk": _q_lsh_topk,
         "q17_ivf_topk": _q_ivf_topk,
+        "q18_window_agg": _q_window_agg,
         # flagship extraction — rows-only checks (kernels not SQL-expressible)
         "q90_extract_full": _q_extract_full,
         "q91_extract_metrics": _q_extract_metrics,
@@ -553,6 +569,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q14_doc_stats": _doc_stats_sql(),
         "q16_lsh_topk": _lsh_topk_sql(),
+        "q18_window_agg": """
+            SELECT CAST(EPOCH(DATE_TRUNC('hour', ts)) AS BIGINT) AS hour_epoch,
+                   event_type,
+                   COUNT(*) AS n,
+                   ROUND(SUM(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
         "q15_rolling_fingerprint": f"""
             WITH norm AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id,
