@@ -286,6 +286,14 @@ def _q_extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rejection_summary(run_extraction(spans, pay, assume_unique_doc_ids=True))
 
 
+def _q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_quality_assessment_ocr_spark.plans.curation import curate_documents
+
+    return curate_documents(
+        _doc(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    )
+
+
 def _q_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_quality_assessment_ocr_spark.streaming.windows import (
         tumbling_counts_batch,
@@ -321,6 +329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_lsh_topk": _q_lsh_topk,
         "q17_ivf_topk": _q_ivf_topk,
         "q18_window_agg": _q_window_agg,
+        "q19_curation": _q_curation,
         # flagship extraction — rows-only checks (kernels not SQL-expressible)
         "q90_extract_full": _q_extract_full,
         "q91_extract_metrics": _q_extract_metrics,
@@ -375,7 +384,9 @@ def _simhash_sql(bits: int = 32) -> str:
     """
 
 
-def _doc_stats_sql() -> str:
+def _text_exprs() -> dict:
+    """Shared DuckDB SQL snippets mirroring functions/text.py +
+    operators/textstats.py column expressions."""
     from document_quality_assessment_ocr_spark.operators.textstats import LANG_STOPWORDS
 
     ink = f"LENGTH(REGEXP_REPLACE(COALESCE(text,''), '{WS}', '', 'g'))"
@@ -405,15 +416,77 @@ def _doc_stats_sql() -> str:
     s_dens = f"(CASE WHEN {dens} >= 50.0 AND {dens} <= 90.0 THEN 1.0 ELSE 0.0 END)"
     s_wlen = f"(CASE WHEN {mean_wlen} >= 2.0 AND {mean_wlen} <= 12.0 THEN 1.0 ELSE 0.0 END)"
     s_toks = f"(CASE WHEN {n_toks} >= 20 THEN 1.0 ELSE 0.0 END)"
+    quality = f"(({s_len} + {s_dens} + {s_wlen} + {s_toks}) / 4.0)"
+    fp = f"MD5(TRIM(REGEXP_REPLACE(LOWER(COALESCE(text,'')), '{WS}+', ' ', 'g')))"
+    return {
+        "ink": ink,
+        "dens": dens,
+        "n": n,
+        "n_toks": n_toks,
+        "lang_case": lang_case,
+        "quality": quality,
+        "fp": fp,
+    }
+
+
+def _doc_stats_sql() -> str:
+    e = _text_exprs()
     return f"""
         SELECT CAST(doc_id AS BIGINT) AS doc_id,
-               CAST({n} AS BIGINT) AS n_chars_measured,
-               {n_toks} AS n_tokens,
-               {dens} AS density,
-               {lang_case} AS lang_pred,
-               (({s_len} + {s_dens} + {s_wlen} + {s_toks}) / 4.0) AS quality
+               CAST({e["n"]} AS BIGINT) AS n_chars_measured,
+               {e["n_toks"]} AS n_tokens,
+               {e["dens"]} AS density,
+               {e["lang_case"]} AS lang_pred,
+               {e["quality"]} AS quality
         FROM documents
     """
+
+
+def _curation_sql() -> str:
+    """Composite curation oracle: exact dedup → density band → quality →
+    language → MinHash-LSH near-dup demotion (same precedence as
+    plans/curation.curate_documents)."""
+    e = _text_exprs()
+    return (
+        _minhash_sql(8)
+        + f"""
+        , bands AS (
+            SELECT doc_id, 0 AS band, MD5(CONCAT_WS('#', h00, h01)) AS key FROM sig
+            UNION ALL SELECT doc_id, 1, MD5(CONCAT_WS('#', h02, h03)) FROM sig
+            UNION ALL SELECT doc_id, 2, MD5(CONCAT_WS('#', h04, h05)) FROM sig
+            UNION ALL SELECT doc_id, 3, MD5(CONCAT_WS('#', h06, h07)) FROM sig
+        ), demoted AS (
+            SELECT DISTINCT b.doc_id
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ), fp AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, {e["fp"]} AS fpv, text
+            FROM documents
+        ), keepers AS (
+            SELECT fpv, MIN(doc_id) AS keep_id FROM fp GROUP BY fpv
+        ), flags AS (
+            SELECT f.doc_id, f.text,
+                   (f.doc_id = k.keep_id) AS is_first,
+                   (d.doc_id IS NOT NULL) AS near_dup
+            FROM fp f
+            JOIN keepers k USING (fpv)
+            LEFT JOIN demoted d ON d.doc_id = f.doc_id
+        )
+        SELECT doc_id,
+               (reason = '') AS kept,
+               reason AS drop_reason
+        FROM (
+            SELECT doc_id,
+                   CASE WHEN NOT is_first THEN 'exact_duplicate'
+                        WHEN {e["dens"]} < 1.0 OR {e["dens"]} > 80.0 THEN 'density'
+                        WHEN {e["quality"]} < 0.5 THEN 'quality'
+                        WHEN {e["lang_case"]} NOT IN ('en') THEN 'language'
+                        WHEN near_dup THEN 'near_duplicate'
+                        ELSE '' END AS reason
+            FROM flags
+        )
+    """
+    )
 
 
 def _lsh_topk_sql(n_planes: int = 6, dim: int = 64, k: int = 5, seed: int = 42) -> str:
@@ -569,6 +642,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q14_doc_stats": _doc_stats_sql(),
         "q16_lsh_topk": _lsh_topk_sql(),
+        "q19_curation": _curation_sql(),
         "q18_window_agg": """
             SELECT CAST(EPOCH(DATE_TRUNC('hour', ts)) AS BIGINT) AS hour_epoch,
                    event_type,

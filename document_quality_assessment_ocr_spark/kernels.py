@@ -245,11 +245,12 @@ def skew_degrees(arr: np.ndarray) -> float:
     a = thumbnail_fit(arr, 1000)
     h, w = a.shape
     ys, xs = np.nonzero(a < 128)
-    if len(ys) == 0:
+    n = len(ys)
+    if n == 0:
         return 0.0
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
-    yc = ys - cy
-    xc = xs - cx
+    yc = (ys - cy).astype(np.float64)
+    xc = (xs - cx).astype(np.float64)
     angles = np.arange(-5, 6)
     best_score, best_angle = -1.0, 0
     for ang in angles:
@@ -263,7 +264,9 @@ def skew_degrees(arr: np.ndarray) -> float:
         rows = np.rint(ny + (out_h - 1) / 2.0).astype(np.int64)
         np.clip(rows, 0, out_h - 1, out=rows)
         counts = np.bincount(rows, minlength=out_h)
-        score = float(np.var(counts))
+        # var of counts via E[x²]−E[x]² (counts sum to n by construction)
+        sumsq = float(np.dot(counts, counts))
+        score = sumsq / out_h - (n / out_h) ** 2
         if score > best_score:
             best_score, best_angle = score, int(ang)
     return float(best_angle)
