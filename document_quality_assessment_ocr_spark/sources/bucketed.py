@@ -18,6 +18,14 @@ def save_bucketed_spans(
     df: DataFrame, table: str, n_buckets: int = 32, sort_by: str | None = None
 ) -> None:
     """Persist a spans DataFrame as a doc_id-bucketed managed table."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a previous session may have left the managed location behind without
+    # catalog metadata — clear it or saveAsTable refuses
+    import shutil
+
+    loc = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix("file:")
+    shutil.rmtree(f"{loc}/{table}", ignore_errors=True)
     w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, "doc_id")
     if sort_by:
         w = w.sortBy(sort_by)
