@@ -309,6 +309,44 @@ def _q_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-flavored: customer ⨝ orders ⨝ lineitem, revenue per order,
+    top 20. Small dims broadcast; decimal revenue for engine-exact sums."""
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))).cast("decimal(28,4)")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(cu), o["o_custkey"] == cu["c_custkey"])
+        .groupBy(F.col("l_orderkey").alias("orderkey"), F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.sum(rev).cast("decimal(28,4)").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("orderkey").asc())
+        .limit(20)
+    )
+
+
+def _q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS: customers having at least one order above threshold."""
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    big = o.filter(F.col("o_totalprice") > 200000).select("o_custkey")
+    return (
+        cu.join(big, cu["c_custkey"] == big["o_custkey"], "left_semi")
+        .select(F.col("c_custkey").cast("long").alias("c_custkey"), "c_mktsegment")
+    )
+
+
+def _q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS: parts never shipped."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        p.join(li.select("l_partkey"), p["p_partkey"] == li["l_partkey"], "left_anti")
+        .select(F.col("p_partkey").cast("long").alias("p_partkey"), "p_brand")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_text_density": _q_text_density,
@@ -330,6 +368,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_ivf_topk": _q_ivf_topk,
         "q18_window_agg": _q_window_agg,
         "q19_curation": _q_curation,
+        "q20_join_topk": _q_join_topk,
+        "q21_semi_join": _q_semi_join,
+        "q22_anti_join": _q_anti_join,
         # flagship extraction — rows-only checks (kernels not SQL-expressible)
         "q90_extract_full": _q_extract_full,
         "q91_extract_metrics": _q_extract_metrics,
@@ -643,6 +684,29 @@ def oracle_sql() -> dict[str, str]:
         "q14_doc_stats": _doc_stats_sql(),
         "q16_lsh_topk": _lsh_topk_sql(),
         "q19_curation": _curation_sql(),
+        "q20_join_topk": """
+            SELECT l_orderkey AS orderkey, c_mktsegment AS mktsegment,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+                        AS DECIMAL(28,4)) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2
+            ORDER BY revenue DESC, orderkey ASC
+            LIMIT 20
+        """,
+        "q21_semi_join": """
+            SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment
+            FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+        """,
+        "q22_anti_join": """
+            SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_brand
+            FROM part
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        """,
         "q18_window_agg": """
             SELECT CAST(EPOCH(DATE_TRUNC('hour', ts)) AS BIGINT) AS hour_epoch,
                    event_type,

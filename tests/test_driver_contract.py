@@ -23,7 +23,7 @@ def entry_mod():
 @pytest.fixture(scope="module")
 def ducks():
     con = duckdb.connect()
-    for t in ["documents", "lineitem", "events", "embeddings", "orders", "customer"]:
+    for t in ["documents", "lineitem", "events", "embeddings", "orders", "customer", "part", "supplier", "nation", "region"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     return con
 
