@@ -338,11 +338,12 @@ def _q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT EXISTS: parts never shipped."""
+    """NOT EXISTS: parts never shipped in bulk (quantity > 45)."""
     p = spark.read.parquet(f"{sf_dir}/part.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    bulk = li.filter(F.col("l_quantity") > 45).select("l_partkey")
     return (
-        p.join(li.select("l_partkey"), p["p_partkey"] == li["l_partkey"], "left_anti")
+        p.join(bulk, p["p_partkey"] == bulk["l_partkey"], "left_anti")
         .select(F.col("p_partkey").cast("long").alias("p_partkey"), "p_brand")
     )
 
@@ -705,7 +706,8 @@ def oracle_sql() -> dict[str, str]:
         "q22_anti_join": """
             SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_brand
             FROM part
-            WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                              WHERE l_partkey = p_partkey AND l_quantity > 45)
         """,
         "q18_window_agg": """
             SELECT CAST(EPOCH(DATE_TRUNC('hour', ts)) AS BIGINT) AS hour_epoch,
