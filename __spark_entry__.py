@@ -286,6 +286,14 @@ def _q_extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rejection_summary(run_extraction(spans, pay, assume_unique_doc_ids=True))
 
 
+def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_quality_assessment_ocr_spark.operators.similarity import (
+        embedding_near_dups,
+    )
+
+    return embedding_near_dups(_emb(spark, sf_dir), dim=64, threshold=0.2)
+
+
 def _q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_quality_assessment_ocr_spark.plans.curation import curate_documents
 
@@ -370,6 +378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_window_agg": _q_window_agg,
         "q19_curation": _q_curation,
         "q20_join_topk": _q_join_topk,
+        "q23_embedding_near_dups": _q_embedding_near_dups,
         "q21_semi_join": _q_semi_join,
         "q22_anti_join": _q_anti_join,
         # flagship extraction — rows-only checks (kernels not SQL-expressible)
@@ -531,9 +540,9 @@ def _curation_sql() -> str:
     )
 
 
-def _lsh_topk_sql(n_planes: int = 6, dim: int = 64, k: int = 5, seed: int = 42) -> str:
-    """Hyperplane-LSH top-k oracle: the SAME seeded plane matrix as the Spark
-    operator, embedded as list literals."""
+def _bucket_sql(n_planes: int, dim: int, seed: int = 42) -> str:
+    """Hyperplane bucket expression with the SAME seeded plane matrix as the
+    Spark operator, embedded as list literals (column ``v``)."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
@@ -544,7 +553,11 @@ def _lsh_topk_sql(n_planes: int = 6, dim: int = 64, k: int = 5, seed: int = 42) 
         terms.append(
             f"(CASE WHEN LIST_DOT_PRODUCT(v, {lit}) > 0 THEN {2 ** p} ELSE 0 END)"
         )
-    bucket = " + ".join(terms)
+    return " + ".join(terms)
+
+
+def _lsh_topk_sql(n_planes: int = 6, dim: int = 64, k: int = 5, seed: int = 42) -> str:
+    bucket = _bucket_sql(n_planes, dim, seed)
     return f"""
         WITH e AS (
             SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -685,6 +698,22 @@ def oracle_sql() -> dict[str, str]:
         "q14_doc_stats": _doc_stats_sql(),
         "q16_lsh_topk": _lsh_topk_sql(),
         "q19_curation": _curation_sql(),
+        "q23_embedding_near_dups": f"""
+            WITH e AS (
+                SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ), b AS (
+                SELECT vec_id, v, {_bucket_sql(6, 64)} AS bucket FROM e
+            )
+            SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+                   ROUND(LIST_DOT_PRODUCT(a.v, b2.v)
+                         / SQRT(LIST_DOT_PRODUCT(a.v, a.v) * LIST_DOT_PRODUCT(b2.v, b2.v)),
+                         6) AS cos
+            FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+            WHERE ROUND(LIST_DOT_PRODUCT(a.v, b2.v)
+                        / SQRT(LIST_DOT_PRODUCT(a.v, a.v) * LIST_DOT_PRODUCT(b2.v, b2.v)),
+                        6) >= 0.2
+        """,
         "q20_join_topk": """
             SELECT l_orderkey AS orderkey, c_mktsegment AS mktsegment,
                    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))

@@ -83,6 +83,33 @@ def hyperplane_lsh_buckets(
     return emb.select(F.col(id_col), F.col(vec_col), acc.alias("bucket"))
 
 
+def embedding_near_dups(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucket candidates (vectors
+    agreeing on every hyperplane sign), exact cosine filter at ``threshold``.
+    The bucket self-join bounds the candidate set — never a cross join; at
+    corpus scale it is a co-partitioned hash join on bucket id."""
+    b = hyperplane_lsh_buckets(emb, dim, n_planes, seed, id_col, vec_col)
+    a, c = b.alias("a"), b.alias("b")
+    pairs = a.join(
+        c,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias("cos"),
+    )
+    return pairs.filter(F.col("cos") >= F.lit(float(threshold)))
+
+
 def _kmeans_lite(sample: np.ndarray, k: int, iters: int = 10, seed: int = 42) -> np.ndarray:
     """Tiny driver-side k-means (numpy) for the IVF coarse quantizer."""
     rng = np.random.default_rng(seed)

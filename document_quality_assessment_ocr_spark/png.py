@@ -56,6 +56,11 @@ def encode_gray(arr: np.ndarray, dpi: int = 0) -> bytes:
 def _unfilter(raw: np.ndarray, h: int, w: int) -> np.ndarray:
     """Undo per-scanline PNG filters for bpp=1 grayscale."""
     stride = w + 1
+    # fast path: every scanline filter byte is 0 (this codec's encoder and
+    # most scanned-document PNGs) → a single strided copy, no python loop
+    view = raw.reshape(h, stride)
+    if not view[:, 0].any():
+        return view[:, 1:].copy()
     img = np.zeros((h, w), dtype=np.uint8)
     prev = np.zeros(w, dtype=np.uint8)
     for y in range(h):
