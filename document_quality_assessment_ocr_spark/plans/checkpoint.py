@@ -58,6 +58,7 @@ def run_with_checkpoints(
     n_groups: int = 8,
     run_id: Optional[str] = None,
     assume_unique_doc_ids: bool = False,
+    max_media_spans: Optional[int] = None,
 ) -> DataFrame:
     """Extract group-by-group with snapshot commits; returns the full result
     read back from committed data. Safe to re-invoke after a crash."""
@@ -78,6 +79,7 @@ def run_with_checkpoints(
                     include_metrics_cols=True,
                     scored_payloads=scored,
                     assume_unique_doc_ids=assume_unique_doc_ids,
+                    max_media_spans=max_media_spans,
                 )
                 data_dir = os.path.join(base_dir, "data", f"group={g}")
                 res.write.mode("overwrite").parquet(data_dir)

@@ -66,6 +66,7 @@ def main(argv=None) -> int:
             criteria=criteria,
             n_groups=args.groups,
             assume_unique_doc_ids=args.assume_unique_doc_ids,
+            max_media_spans=args.max_media_spans,
         )
         result.write.mode("overwrite").parquet(args.output)
     else:
