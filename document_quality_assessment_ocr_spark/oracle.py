@@ -99,7 +99,12 @@ def evaluate_document(
     the rendered page subset. Span-level gating still sees every span."""
     """One document → dict(accepted, reasons, warnings, spans) where spans is
     the surviving ordered ``(kind, text, media_ref, order)`` list."""
-    ordered = sorted(spans, key=lambda s: s["offset"])
+    # total order matching the engine's sort_array over (offset, kind, text,
+    # media_ref) structs — ties on offset (undefined by the input contract)
+    # still resolve identically on both sides
+    ordered = sorted(
+        spans, key=lambda s: (s["offset"], s["kind"], s["text"] or "", s["media_ref"] or "")
+    )
 
     def emit(survive_fn):
         out, k = [], 0

@@ -82,6 +82,43 @@ def test_split_mega_docs_identical(spark, small_corpus_dir):
 
 
 @pytest.mark.slow
+def test_duplicate_offset_tiebreak_parity(spark, small_corpus_dir, tmp_path):
+    """Duplicate offsets (undefined by the input contract) must still resolve
+    identically: both sides totally order spans by (offset, kind, text,
+    media_ref)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spans_rows = [
+        {
+            "doc_id": "dup_off",
+            "skip_checks": False,
+            "ingest_seq": 0,
+            "spans": [
+                {"kind": "text", "text": "zz aa bb cc dd", "media_ref": "", "offset": 5},
+                {"kind": "media", "text": "", "media_ref": "ok_clean", "offset": 5},
+                {"kind": "text", "text": "aa bb cc dd ee", "media_ref": "", "offset": 5},
+                {"kind": "media", "text": "", "media_ref": "ok_clean2", "offset": 1},
+            ],
+        }
+    ]
+    d = tmp_path / "dupoff"
+    d.mkdir()
+    pq.write_table(
+        pa.Table.from_pylist(spans_rows, schema=fixtures.SPANS_SCHEMA),
+        str(d / "documents_spans.parquet"),
+    )
+    _, pay = tables.read_corpus(spark, small_corpus_dir)
+    sdf = tables.read_spans(spark, str(d / "documents_spans.parquet"))
+    g = run_extraction(sdf, pay).collect()[0].asDict(recursive=True)
+    e = oracle.evaluate_corpus(spans_rows, fixtures.build_payloads(seed=7))["dup_off"]
+    assert g["accepted"] == e["accepted"] and g["reasons"] == e["reasons"]
+    assert [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in g["spans"]] == [
+        (s["kind"], s["text"], s["media_ref"], s["order"]) for s in e["spans"]
+    ]
+
+
+@pytest.mark.slow
 def test_entry_contract(spark):
     import importlib.util
     import os
