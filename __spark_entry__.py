@@ -317,6 +317,26 @@ def _q_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (lang, source): per-group, per-lang, and grand totals."""
+    d = _doc(spark, sf_dir)
+    return (
+        d.rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.avg("n_chars").alias("avg_chars"),
+        )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("ALL")).alias("source"),
+            "n_docs",
+            "total_chars",
+            "avg_chars",
+        )
+    )
+
+
 def _q_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-flavored: customer ⨝ orders ⨝ lineitem, revenue per order,
     top 20. Small dims broadcast; decimal revenue for engine-exact sums."""
@@ -379,6 +399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_curation": _q_curation,
         "q20_join_topk": _q_join_topk,
         "q23_embedding_near_dups": _q_embedding_near_dups,
+        "q24_rollup": _q_rollup,
         "q21_semi_join": _q_semi_join,
         "q22_anti_join": _q_anti_join,
         # flagship extraction — rows-only checks (kernels not SQL-expressible)
@@ -713,6 +734,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE ROUND(LIST_DOT_PRODUCT(a.v, b2.v)
                         / SQRT(LIST_DOT_PRODUCT(a.v, a.v) * LIST_DOT_PRODUCT(b2.v, b2.v)),
                         6) >= 0.2
+        """,
+        "q24_rollup": """
+            SELECT COALESCE(lang, 'ALL') AS lang,
+                   COALESCE(source, 'ALL') AS source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                   AVG(n_chars) AS avg_chars
+            FROM documents GROUP BY ROLLUP (lang, source)
         """,
         "q20_join_topk": """
             SELECT l_orderkey AS orderkey, c_mktsegment AS mktsegment,
