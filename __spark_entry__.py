@@ -376,6 +376,22 @@ def _q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_quality_assessment_ocr_spark.plans.pipeline import (
+        assemble_main_content,
+        run_extraction,
+    )
+    from document_quality_assessment_ocr_spark.sources.derive import (
+        payloads_df,
+        spans_from_documents,
+    )
+
+    pay = payloads_df(spark)
+    names = sorted(r["media_ref"] for r in pay.select("media_ref").collect())
+    spans = spans_from_documents(_doc(spark, sf_dir), names)
+    return assemble_main_content(run_extraction(spans, pay, assume_unique_doc_ids=True))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_text_density": _q_text_density,
@@ -405,6 +421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # flagship extraction — rows-only checks (kernels not SQL-expressible)
         "q90_extract_full": _q_extract_full,
         "q91_extract_metrics": _q_extract_metrics,
+        "q92_main_content": _q_main_content,
     }
 
 
@@ -462,7 +479,11 @@ def _text_exprs() -> dict:
     from document_quality_assessment_ocr_spark.operators.textstats import LANG_STOPWORDS
 
     ink = f"LENGTH(REGEXP_REPLACE(COALESCE(text,''), '{WS}', '', 'g'))"
-    dens = f"(100.0 * {ink} / GREATEST(LENGTH(COALESCE(text,'')), 1))"
+    ntoks = (
+        f"LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(COALESCE(text,'')), '{WS}+'),"
+        " x -> x <> ''))"
+    )
+    dens = f"(100.0 * {ink} / GREATEST(LENGTH(COALESCE(text,'')) + {ntoks}, 1))"
     ltoks = (
         f"LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(COALESCE(text,''))), '{WS}+'),"
         " x -> x <> '')"
@@ -603,7 +624,11 @@ def _lsh_topk_sql(n_planes: int = 6, dim: int = 64, k: int = 5, seed: int = 42) 
 
 def oracle_sql() -> dict[str, str]:
     ink = f"LENGTH(REGEXP_REPLACE(COALESCE(text,''), '{WS}', '', 'g'))"
-    dens = f"(100.0 * {ink} / GREATEST(LENGTH(COALESCE(text,'')), 1))"
+    ntoks = (
+        f"LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(COALESCE(text,'')), '{WS}+'),"
+        " x -> x <> ''))"
+    )
+    dens = f"(100.0 * {ink} / GREATEST(LENGTH(COALESCE(text,'')) + {ntoks}, 1))"
     return {
         "q01_text_density": f"""
             SELECT CAST(doc_id AS BIGINT) AS doc_id,

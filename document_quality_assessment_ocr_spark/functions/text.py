@@ -26,10 +26,20 @@ def ink_chars(text: Column) -> Column:
 
 
 def text_density(text: Column) -> Column:
-    """100·non_ws_chars/len; empty/null → 0.0 (K1 analog for text spans)."""
+    """Ink coverage of the span's character grid with a one-cell advance per
+    token: ``100·ink/(len + n_tokens)``; empty/null → 0.0.
+
+    The K1 analog for text spans, calibrated so the band semantics carry
+    over: natural prose lands ~60–75% (inside the shipped (1, 80) band,
+    measured 65–74% on the sf corpora), solid glyph runs →~100 (dropped
+    high), whitespace padding →~0 (dropped low). A plain non-ws/len ratio
+    puts real English at 79–86% — straddling the 80 cap — so the implicit
+    inter-word advance is load-bearing, not cosmetic."""
     t = F.coalesce(text, F.lit(""))
     return (
-        F.lit(100.0) * ink_chars(t) / F.greatest(F.length(t), F.lit(1))
+        F.lit(100.0)
+        * ink_chars(t)
+        / F.greatest(F.length(t) + token_count(t), F.lit(1))
     ).cast("double")
 
 

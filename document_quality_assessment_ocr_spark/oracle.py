@@ -41,11 +41,30 @@ WS = set(" \t\n\r\f\x0b")
 
 
 def text_density(text: Optional[str]) -> float:
+    """Token-advance ink coverage: 100·ink/(len + n_tokens) — mirrors
+    functions/text.text_density (see its docstring for the calibration)."""
     t = text or ""
     if not t:
         return 0.0
     ink = sum(1 for ch in t if ch not in WS)
-    return 100.0 * ink / len(t)
+    n_tokens = sum(1 for tok in _ws_split(t) if tok)
+    return 100.0 * ink / max(len(t) + n_tokens, 1)
+
+
+def _ws_split(t: str) -> list[str]:
+    """Split on runs of the pinned ASCII whitespace class (same class as the
+    engine's regex)."""
+    out, cur = [], []
+    for ch in t.strip(" \t\n\r\f\x0b"):
+        if ch in WS:
+            if cur:
+                out.append("".join(cur))
+                cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
 
 
 def _get(criteria: list[CriteriaConfig], name: str) -> Optional[CriteriaConfig]:

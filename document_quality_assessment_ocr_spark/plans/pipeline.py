@@ -393,3 +393,24 @@ def run_extraction(
             F.col("max_noise"),
         ]
     return agg.select(*out_cols)
+
+
+def assemble_main_content(result: DataFrame, sep: str = "\n") -> DataFrame:
+    """Extraction result → the document's main-content TEXT: surviving text
+    spans joined in order, with media placeholders elided. Pure Column
+    expressions over the already-ordered spans array."""
+    text = F.array_join(
+        F.transform(
+            F.filter("spans", lambda s: s["kind"] == F.lit("text")),
+            lambda s: s["text"],
+        ),
+        sep,
+    )
+    n_media_kept = F.size(F.filter("spans", lambda s: s["kind"] == F.lit("media")))
+    return result.select(
+        "doc_id",
+        "accepted",
+        text.alias("main_text"),
+        F.length(text).alias("n_chars"),
+        n_media_kept.alias("n_media_kept"),
+    )
