@@ -168,3 +168,23 @@ def test_rolling_fingerprints_windows(spark):
     assert out[1]["min_fp"] is not None
     assert out[2]["n_windows"] == 0 and out[2]["min_fp"] is None
     assert out[3]["n_windows"] == 0
+
+
+def test_sql_registered_kernels(spark, small_corpus_dir):
+    from document_quality_assessment_ocr_spark.functions.register import (
+        register_sql_functions,
+    )
+    from document_quality_assessment_ocr_spark.sources import tables
+
+    register_sql_functions(spark)
+    _, pay = tables.read_corpus(spark, small_corpus_dir)
+    pay.createOrReplaceTempView("payloads_v")
+    rows = spark.sql(
+        """SELECT media_ref, score_media(png, media_ref) AS ms,
+                  estimate_dpi(png) AS est
+           FROM payloads_v WHERE media_ref = 'ok_clean'"""
+    ).collect()
+    assert len(rows) == 1
+    ms = rows[0]["ms"]
+    assert ms["error"] is None and ms["lap_var"] > 50
+    assert rows[0]["est"] > 72
