@@ -622,6 +622,71 @@ def _lsh_topk_sql(n_planes: int = 6, dim: int = 64, k: int = 5, seed: int = 42) 
     """
 
 
+def _ivf_sql(
+    sf_dir: str | None = None,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    k: int = 5,
+    sample_rows: int = 512,
+    seed: int = 42,
+) -> str:
+    """IVF top-k oracle: recomputes the SAME deterministic k-means centroids
+    (seeded, sample = first ``sample_rows`` by vec_id) the Spark operator
+    trains, embedded as literals. The driver's correctness run uses sf0.01 —
+    centroids are generated for that table."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from document_quality_assessment_ocr_spark.operators.similarity import _kmeans_lite
+
+    # the driver's correctness harness runs at sf0.01; override for local
+    # testing at another scale with SPARK_GRAFT_ORACLE_SF
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.array(tbl.column("vec_id"))
+    vecs = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    sample = vecs[order[:sample_rows]]
+    cents = _kmeans_lite(sample, n_centroids, seed=seed)
+    dists = ", ".join(
+        "(-2.0 * LIST_DOT_PRODUCT(v, ["
+        + ", ".join(repr(float(x)) for x in c)
+        + f"]) + {float((c * c).sum())!r})"
+        for c in cents
+    )
+    cell = f"(LIST_INDEXOF([{dists}], LIST_MIN([{dists}])) - 1)"
+    # probe cells mirror the Spark driver-side n_probe-nearest computation
+    by_id = {int(i): vecs[j] for j, i in enumerate(ids)}
+    probes = []
+    for pid in (0, 1, 2):
+        order_c = np.argsort(((cents - by_id[pid]) ** 2).sum(1))[:n_probe]
+        probes += [f"({pid}, {int(c)})" for c in order_c]
+    return f"""
+        WITH e AS (
+            SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ), assigned AS (
+            SELECT vec_id, v, {cell} AS cell FROM e
+        ), probe_cells(probe_id, cell) AS (VALUES {", ".join(probes)}),
+        p AS (
+            SELECT pc.probe_id, e.v AS pv, pc.cell
+            FROM probe_cells pc JOIN e ON e.vec_id = pc.probe_id
+        ), s AS (
+            SELECT p.probe_id, a.vec_id AS neighbor_id,
+                   ROUND(LIST_DOT_PRODUCT(pv, a.v)
+                         / SQRT(LIST_DOT_PRODUCT(pv, pv) * LIST_DOT_PRODUCT(a.v, a.v)), 6) AS cos
+            FROM p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.probe_id
+        )
+        SELECT probe_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                           ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM s)
+        WHERE rank <= {k}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     ink = f"LENGTH(REGEXP_REPLACE(COALESCE(text,''), '{WS}', '', 'g'))"
     ntoks = (
@@ -743,6 +808,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q14_doc_stats": _doc_stats_sql(),
         "q16_lsh_topk": _lsh_topk_sql(),
+        "q17_ivf_topk": _ivf_sql(),
         "q19_curation": _curation_sql(),
         "q23_embedding_near_dups": f"""
             WITH e AS (

@@ -13,6 +13,7 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def entry_mod():
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = SF  # IVF oracle centroids per-sf
     path = os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py")
     spec = importlib.util.spec_from_file_location("__spark_entry__", path)
     mod = importlib.util.module_from_spec(spec)
