@@ -13,7 +13,11 @@ through decimal(18,2) to stay order-independent.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # cwd-independent
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -28,8 +32,21 @@ def _doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Make the package importable in THIS session's python workers even when
+    the session was created elsewhere with a foreign cwd (driver smoke runs):
+    ship the package zip via addPyFile — the runtime --py-files analog."""
+    try:
+        from document_quality_assessment_ocr_spark.session import _package_zip
+
+        spark.sparkContext.addPyFile(_package_zip())
+    except Exception:
+        pass  # already added in this session, or running from the repo root
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: main-content extraction over interleaved text+media spans."""
+    _ensure_shipped(spark)
     from document_quality_assessment_ocr_spark.plans.pipeline import run_extraction
     from document_quality_assessment_ocr_spark.sources.derive import (
         payloads_df,
@@ -254,6 +271,7 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_extract_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship pipeline at sf_dir (rows-only driver check: image kernels are
     not SQL-expressible). Output flattened to scalar columns for hashing."""
+    _ensure_shipped(spark)
     from document_quality_assessment_ocr_spark.plans.pipeline import run_extraction
     from document_quality_assessment_ocr_spark.sources.derive import (
         payloads_df,
@@ -273,6 +291,7 @@ def _q_extract_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_shipped(spark)
     from document_quality_assessment_ocr_spark.plans.metrics import rejection_summary
     from document_quality_assessment_ocr_spark.plans.pipeline import run_extraction
     from document_quality_assessment_ocr_spark.sources.derive import (
@@ -377,6 +396,7 @@ def _q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_shipped(spark)
     from document_quality_assessment_ocr_spark.plans.pipeline import (
         assemble_main_content,
         run_extraction,

@@ -21,6 +21,8 @@ import shutil
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # cwd-independent
+
 BENCH_SIZE = (512, 640)  # (w, h) of bench payload pages
 MAX_PAYLOADS = 12288
 DOC_REPLICATION = 4  # replicas of the documents table → more docs + spans

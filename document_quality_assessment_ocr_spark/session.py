@@ -28,6 +28,14 @@ def get_spark(
     # +13% at 32, and sys-CPU drops from ~25% to ~5%)
     os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "134217728")
     os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "134217728")
+    # python workers must import this package regardless of the caller's cwd
+    # (set before the JVM launches; workers inherit the env)
+    _repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _pp = os.environ.get("PYTHONPATH", "")
+    if _repo_root not in _pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _repo_root + (os.pathsep + _pp if _pp else "")
+        )
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
