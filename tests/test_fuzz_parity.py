@@ -66,6 +66,10 @@ def _random_corpus(rng: np.random.Generator, n_docs: int) -> list[dict]:
     (202, "tiered", None),
     (303, "default", 2),
     (404, "tiered", 1),
+    (505, "default", 20),
+    (606, "tiered", 3),
+    (707, "default", None),
+    (808, "tiered", None),
 ])
 def test_fuzz_corpus_parity(spark, tmp_path, seed, tiers, budget):
     rng = np.random.default_rng(seed)
