@@ -120,9 +120,19 @@ def evaluate_document(
     the surviving ordered ``(kind, text, media_ref, order)`` list."""
     # total order matching the engine's sort_array over (offset, kind, text,
     # media_ref) structs — ties on offset (undefined by the input contract)
-    # still resolve identically on both sides
+    # still resolve identically on both sides. Spark's struct ordering puts a
+    # NULL field BEFORE every string (including ''), so the key carries an
+    # is-not-None flag ahead of each nullable field.
     ordered = sorted(
-        spans, key=lambda s: (s["offset"], s["kind"], s["text"] or "", s["media_ref"] or "")
+        spans,
+        key=lambda s: (
+            s["offset"],
+            s["kind"],
+            s["text"] is not None,
+            s["text"] or "",
+            s["media_ref"] is not None,
+            s["media_ref"] or "",
+        ),
     )
 
     def emit(survive_fn):

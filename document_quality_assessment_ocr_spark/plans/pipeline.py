@@ -132,25 +132,30 @@ def run_extraction(
     )
     docs = docs.select("doc_id", "skip_checks", spans_sorted.alias("spans"))
     if max_media_spans is not None:
-        # offsets of the first K media spans — the document's "pages"
+        # array POSITIONS of the first K media spans — the document's
+        # "pages". Index-based (not offset-based) so duplicate offsets at the
+        # budget boundary resolve by the same total order the oracle slices
+        # (oracle.py: media[:max_media_spans] over the sorted list).
         docs = docs.withColumn(
-            "page_offsets",
-            F.transform(
-                F.slice(
-                    F.filter("spans", lambda x: x["kind"] == F.lit("media")),
-                    1,
-                    max_media_spans,
+            "page_pos",
+            F.slice(
+                F.filter(
+                    F.transform(
+                        "spans", lambda x, i: F.when(x["kind"] == F.lit("media"), i)
+                    ),
+                    lambda v: v.isNotNull(),
                 ),
-                lambda x: x["offset"],
+                1,
+                max_media_spans,
             ),
         )
     else:
-        docs = docs.withColumn("page_offsets", F.lit(None).cast("array<int>"))
+        docs = docs.withColumn("page_pos", F.lit(None).cast("array<int>"))
 
     ex = docs.select(
         "doc_id",
         "skip_checks",
-        "page_offsets",
+        "page_pos",
         F.posexplode_outer("spans").alias("pos", "s"),
     )
 
@@ -165,8 +170,8 @@ def run_extraction(
         is_page = is_media
     else:
         is_page = is_media & F.array_contains(
-            F.coalesce(F.col("page_offsets"), F.array().cast("array<int>")),
-            F.col("s.offset"),
+            F.coalesce(F.col("page_pos"), F.array().cast("array<int>")),
+            F.col("pos"),
         )
     # error-as-data: missing payload or decode failure (only meaningful for
     # non-bypass docs and only within the page budget — the reference never
@@ -211,7 +216,23 @@ def run_extraction(
     agg = ex.groupBy("doc_id", "skip_checks").agg(
         F.count(F.col("s")).alias("n_spans"),
         F.count(F.when(is_media, F.lit(1))).alias("n_media"),
-        F.min(F.when(err_span.isNotNull(), F.struct(F.col("s.offset").alias("o"), err_span.alias("e")))).alias("ferr"),
+        # first-error selection: min over the FULL span total order
+        # (offset, text, media_ref — kind is constant 'media' among pages;
+        # struct min orders null fields first, matching the oracle's sort
+        # key) so ties on offset pick the same page the oracle's pages[0]
+        # loop hits first. NOT keyed on posexplode pos: pos is chunk-local
+        # under operators/salting.split_oversized_docs.
+        F.min(
+            F.when(
+                err_span.isNotNull(),
+                F.struct(
+                    F.col("s.offset").alias("o"),
+                    F.col("s.text").alias("t"),
+                    F.col("s.media_ref").alias("m"),
+                    err_span.alias("e"),
+                ),
+            )
+        ).alias("ferr"),
         F.avg(ratio).alias("avg_ratio"),
         F.min(ratio).alias("min_ratio"),
         _agg_by_mode(ratio, td.aggregate_mode if td else "avg").alias("td_ratio"),
@@ -222,8 +243,19 @@ def run_extraction(
         F.max(pg(F.col("ms.noise_pct"))).alias("max_noise"),
         F.min(pg(F.col("ms.entropy"))).alias("min_ent"),
         F.min(pg(F.col("p_dpi"))).alias("min_dpi_meta"),
-        # K8 fallback value of page ONE (reference criteria.py:243): min-by-offset
-        F.min(F.when(is_page, F.struct(F.col("s.offset").alias("o"), F.col("ms.est_dpi").alias("v")))).alias("fest"),
+        # K8 fallback value of page ONE (reference criteria.py:243): min over
+        # the same full-key total order as ferr
+        F.min(
+            F.when(
+                is_page,
+                F.struct(
+                    F.col("s.offset").alias("o"),
+                    F.col("s.text").alias("t"),
+                    F.col("s.media_ref").alias("m"),
+                    F.col("ms.est_dpi").alias("v"),
+                ),
+            )
+        ).alias("fest"),
         F.sort_array(
             F.collect_list(
                 F.when(

@@ -51,8 +51,11 @@ def tumbling_counts_stream(
     query_name: str = "tumbling_counts",
 ):
     """readStream → watermark (late-data bound) → tumbling window agg →
-    memory sink, run to completion with availableNow. Append mode: windows
-    emit once finalized by the watermark (plus the terminal flush)."""
+    memory sink, run to completion with availableNow. Complete mode: every
+    window is (re-)emitted each micro-batch and full window state is retained
+    — the watermark bounds accepted late data, not emission. (Append mode
+    would emit each window exactly once after the watermark passes it, but
+    never flushes the final windows of a bounded availableNow run.)"""
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)

@@ -118,6 +118,113 @@ def test_duplicate_offset_tiebreak_parity(spark, small_corpus_dir, tmp_path):
     ]
 
 
+def _roundtrip(spark, tmp_path, spans_rows, pay_dir, name, **kw):
+    """Write rows → run engine + oracle → return (got, exp) dicts per doc."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / name
+    d.mkdir()
+    pq.write_table(
+        pa.Table.from_pylist(spans_rows, schema=fixtures.SPANS_SCHEMA),
+        str(d / "documents_spans.parquet"),
+    )
+    _, pay = tables.read_corpus(spark, pay_dir)
+    sdf = tables.read_spans(spark, str(d / "documents_spans.parquet"))
+    got = {
+        r["doc_id"]: r.asDict(recursive=True)
+        for r in run_extraction(sdf, pay, **kw).collect()
+    }
+    exp = oracle.evaluate_corpus(
+        spans_rows,
+        fixtures.build_payloads(seed=7),
+        max_media_spans=kw.get("max_media_spans"),
+    )
+    return got, exp
+
+
+def _assert_doc_parity(got, exp):
+    assert set(got) == set(exp)
+    for doc_id, e in exp.items():
+        g = got[doc_id]
+        assert g["accepted"] == e["accepted"], (doc_id, g["reasons"], e["reasons"])
+        assert g["reasons"] == e["reasons"], doc_id
+        assert g["warnings"] == e["warnings"], doc_id
+        gs = [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in g["spans"]]
+        es = [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in e["spans"]]
+        assert gs == es, doc_id
+
+
+@pytest.mark.slow
+def test_page_budget_duplicate_offset_boundary(spark, small_corpus_dir, tmp_path):
+    """ADVICE r01 (high): two media spans sharing an offset at the page-budget
+    boundary must resolve by array RANK, not offset membership — otherwise the
+    out-of-budget span (here a missing payload) leaks into the verdict."""
+    rows = [
+        {
+            "doc_id": "dup_budget",
+            "skip_checks": False,
+            "ingest_seq": 0,
+            "spans": [
+                {"kind": "media", "text": "", "media_ref": "ok_clean", "offset": 5},
+                {"kind": "media", "text": "", "media_ref": "zzz_missing", "offset": 5},
+            ],
+        }
+    ]
+    got, exp = _roundtrip(
+        spark, tmp_path, rows, small_corpus_dir, "dupbudget", max_media_spans=1
+    )
+    assert exp["dup_budget"]["accepted"] is True  # the scenario is live
+    _assert_doc_parity(got, exp)
+
+
+@pytest.mark.slow
+def test_first_error_tiebreak_same_offset(spark, small_corpus_dir, tmp_path):
+    """ADVICE r01 (medium): two failing pages at ONE offset — the engine's
+    first-error min must pick the oracle's pages[0] (media_ref order), so the
+    'Critical error ...' message names the right payload."""
+    rows = [
+        {
+            "doc_id": "two_err",
+            "skip_checks": False,
+            "ingest_seq": 0,
+            "spans": [
+                # 'aaa_missing' < 'corrupt' lexicographically → its
+                # missing-payload error must win over corrupt's decode error
+                {"kind": "media", "text": "", "media_ref": "corrupt", "offset": 3},
+                {"kind": "media", "text": "", "media_ref": "aaa_missing", "offset": 3},
+            ],
+        }
+    ]
+    got, exp = _roundtrip(spark, tmp_path, rows, small_corpus_dir, "twoerr")
+    assert "aaa_missing" in exp["two_err"]["reasons"][0]
+    _assert_doc_parity(got, exp)
+
+
+@pytest.mark.slow
+def test_null_vs_empty_field_ordering(spark, small_corpus_dir, tmp_path):
+    """ADVICE r01 (low): same-offset same-kind spans with NULL vs '' fields
+    must order identically on both engines (Spark structs sort NULL first)."""
+    rows = [
+        {
+            "doc_id": "null_empty",
+            "skip_checks": False,
+            "ingest_seq": 0,
+            "spans": [
+                {"kind": "text", "text": "aa bb cc dd", "media_ref": "", "offset": 2},
+                {"kind": "text", "text": "aa bb cc dd", "media_ref": None, "offset": 2},
+                {"kind": "text", "text": None, "media_ref": "", "offset": 7},
+                {"kind": "text", "text": "", "media_ref": "", "offset": 7},
+                {"kind": "media", "text": "", "media_ref": "ok_clean", "offset": 9},
+            ],
+        }
+    ]
+    got, exp = _roundtrip(spark, tmp_path, rows, small_corpus_dir, "nullempty")
+    # the two surviving twins differ only in media_ref NULL vs '' — order matters
+    assert [s["media_ref"] for s in exp["null_empty"]["spans"][:2]] == [None, ""]
+    _assert_doc_parity(got, exp)
+
+
 @pytest.mark.slow
 def test_entry_contract(spark):
     import importlib.util
