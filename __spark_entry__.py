@@ -367,7 +367,10 @@ def _q_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(cu), o["o_custkey"] == cu["c_custkey"])
         .groupBy(F.col("l_orderkey").alias("orderkey"), F.col("c_mktsegment").alias("mktsegment"))
-        .agg(F.sum(rev).cast("decimal(28,4)").alias("revenue"))
+        # sum in decimal (order-independent), surface as DOUBLE: DuckDB
+        # decimals materialize as float64 in the driver's compare, so a
+        # Decimal-typed Spark column would hash-mismatch on representation
+        .agg(F.sum(rev).cast("decimal(28,4)").cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("orderkey").asc())
         .limit(20)
     )
@@ -856,9 +859,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q20_join_topk": """
             SELECT l_orderkey AS orderkey, c_mktsegment AS mktsegment,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
-                        AS DECIMAL(28,4)) AS revenue
+                        AS DECIMAL(28,4)) AS DOUBLE) AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
