@@ -151,11 +151,17 @@ def simhash64(
                 lambda x: x != F.lit(""),
             )
         ).alias("tok"),
+    ).select(
+        # hoist md5 into ONE projection — the per-bit expressions below read
+        # nibbles from it instead of re-hashing the token `bits` times
+        # (Catalyst CSE is not guaranteed across aggregate expressions)
+        F.col(id_col),
+        F.md5("tok").alias("h"),
     )
     bit_sums = []
     for k in range(bits):
         nib = F.expr(
-            f"locate(substr(md5(tok), {k // 4 + 1}, 1), '0123456789abcdef') - 1"
+            f"locate(substr(h, {k // 4 + 1}, 1), '0123456789abcdef') - 1"
         )
         bit = F.floor(nib / F.lit(2 ** (3 - k % 4))) % 2
         bit_sums.append(

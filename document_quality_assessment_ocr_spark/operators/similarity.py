@@ -33,11 +33,17 @@ def cosine_topk_bruteforce(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fanout: int = 32,
 ) -> DataFrame:
     """Exact top-k neighbours for a probe set: broadcast the probes, score
-    every corpus row, per-probe window top-k. One broadcast join + one
-    window shuffle on probe_id (small: |probes|·|corpus| rows never
-    materialize beyond the join's streaming side)."""
+    every corpus row, TWO-LEVEL top-k merge.
+
+    Level 1 buckets neighbours by ``pmod(hash(id), fanout)`` and keeps each
+    bucket's top-k, so no single task ever sorts a probe's entire scored
+    corpus (the single-reducer window this replaces was the r01 scale flag);
+    level 2 merges ≤ fanout·k survivors per probe. Exact by construction:
+    the global top-k is a subset of the per-bucket top-ks, and the shared
+    (−cos, neighbor_id) struct order makes ties deterministic."""
     probes = emb.filter(F.col(id_col).isin(probe_ids)).select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
     )
@@ -50,13 +56,25 @@ def cosine_topk_bruteforce(
             F.round(cosine(F.col("probe_vec"), F.col(f"c.{vec_col}")), 6).alias("cos"),
         )
     )
-    w = Window.partitionBy("probe_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
+    item = F.struct(
+        (-F.col("cos")).alias("nc"),
+        F.col("neighbor_id").alias("neighbor_id"),
+        F.col("cos").alias("cos"),
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("probe_id", "neighbor_id", "cos", "rank")
+    topk = lambda c: F.slice(F.sort_array(F.collect_list(c)), 1, k)
+    lvl1 = scored.groupBy(
+        "probe_id", F.pmod(F.hash("neighbor_id"), F.lit(fanout)).alias("b")
+    ).agg(topk(item).alias("top"))
+    merged = (
+        lvl1.select("probe_id", F.explode("top").alias("t"))
+        .groupBy("probe_id")
+        .agg(topk(F.col("t")).alias("top"))
+    )
+    return merged.select("probe_id", F.posexplode("top").alias("r", "t")).select(
+        "probe_id",
+        F.col("t.neighbor_id").alias("neighbor_id"),
+        F.col("t.cos").alias("cos"),
+        (F.col("r") + 1).cast("int").alias("rank"),
     )
 
 
