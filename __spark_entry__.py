@@ -210,6 +210,20 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for near-dup ranking: MinHash-LSH candidates → exact
+    jaccard on those pairs only (no shingle self-join)."""
+    from document_quality_assessment_ocr_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    d = _doc(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    cand = minhash_lsh_pairs(d, n_hashes=8, bands=4)
+    out = ngram_jaccard_pairs(d, ngram=5, threshold=0.3, candidates=cand)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_quality_assessment_ocr_spark.operators.dedup import simhash64
 
@@ -429,6 +443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_minhash_lsh_pairs": _q_lsh_pairs,
         "q11_ngram_jaccard": _q_ngram_jaccard,
         "q12_simhash": _q_simhash,
+        "q25_lsh_jaccard": _q_lsh_jaccard,
         "q13_cosine_topk": _q_cosine_topk,
         "q14_doc_stats": _q_doc_stats,
         "q15_rolling_fingerprint": _q_rolling_fp,
@@ -811,6 +826,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.05
         """,
         "q12_simhash": _simhash_sql(32),
+        "q25_lsh_jaccard": _minhash_sql(8)
+        + """
+            , bands AS (
+                SELECT doc_id, 0 AS band, MD5(CONCAT_WS('#', h00, h01)) AS key FROM sig
+                UNION ALL SELECT doc_id, 1, MD5(CONCAT_WS('#', h02, h03)) FROM sig
+                UNION ALL SELECT doc_id, 2, MD5(CONCAT_WS('#', h04, h05)) FROM sig
+                UNION ALL SELECT doc_id, 3, MD5(CONCAT_WS('#', h06, h07)) FROM sig
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            ), shd AS (
+                SELECT DISTINCT doc_id, g FROM sh
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS sz FROM shd GROUP BY doc_id
+            ), inter AS (
+                SELECT c.id_a, c.id_b, COUNT(*) AS i
+                FROM cand c
+                JOIN shd a ON a.doc_id = c.id_a
+                JOIN shd b ON b.doc_id = c.id_b AND b.g = a.g
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   ROUND(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.3
+        """,
         "q13_cosine_topk": """
             WITH e AS (
                 SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -67,6 +67,39 @@ def test_ngram_jaccard_exact_value(docs):
     assert out[(1, 3)] == pytest.approx(expect, rel=1e-9)
 
 
+def test_ngram_jaccard_candidates_path(docs, spark):
+    """The scale path (candidates pair-join) must return exactly the full
+    self-join's values restricted to the candidate pairs."""
+    from document_quality_assessment_ocr_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    full = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+            ngram_jaccard_pairs(docs, threshold=0.0).collect()}
+    cand = minhash_lsh_pairs(docs, n_hashes=16, bands=8)
+    cand_pairs = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           ngram_jaccard_pairs(docs, threshold=0.0, candidates=cand).collect()}
+    assert set(got) == {p for p in cand_pairs if p in full}  # zero-inter pairs drop
+    for p, v in got.items():
+        assert v == pytest.approx(full[p], rel=1e-12)
+
+
+def test_ngram_jaccard_doc_freq_cap(docs):
+    """Stop-shingle pruning keeps identical-pair jaccard a lower bound and
+    leaves unique-shingle pairs untouched."""
+    from document_quality_assessment_ocr_spark.operators.dedup import ngram_jaccard_pairs
+
+    full = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+            ngram_jaccard_pairs(docs, threshold=0.0).collect()}
+    capped = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+              ngram_jaccard_pairs(docs, threshold=0.0, max_doc_freq=2).collect()}
+    assert set(capped) <= set(full)
+    for p, v in capped.items():
+        assert v <= full[p] + 1e-12
+
+
 def test_simhash_hamming_locality(docs):
     from document_quality_assessment_ocr_spark.operators.dedup import simhash64
 
