@@ -456,7 +456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_rollup": _q_rollup,
         "q21_semi_join": _q_semi_join,
         "q22_anti_join": _q_anti_join,
-        # flagship extraction — rows-only checks (kernels not SQL-expressible)
+        # flagship extraction — full oracle via seeded score literals
         "q90_extract_full": _q_extract_full,
         "q91_extract_metrics": _q_extract_metrics,
         "q92_main_content": _q_main_content,
@@ -725,6 +725,223 @@ def _ivf_sql(
     """
 
 
+def _fmt2_sql(x: str) -> str:
+    """Java-exact ``format_string('%.2f', …)`` in DuckDB: double → VARCHAR is
+    the shortest decimal repr (same digits Java's Formatter starts from),
+    re-parsed as DECIMAL and rounded half-up — reproduces the engine's reason
+    strings byte-for-byte (python f-strings round half-even on the binary
+    value and disagree on 0.125-style doubles; see oracle._fmt)."""
+    return (
+        f"CAST(CAST(ROUND(CAST(CAST({x} AS VARCHAR) AS DECIMAL(38,17)), 2)"
+        " AS DECIMAL(38,2)) AS VARCHAR)"
+    )
+
+
+def _md5_pick_sql(salt: int, npay: int) -> str:
+    """0-based payload index — byte-identical twin of
+    ``sources.derive._md5_pick_index`` (first 6 md5 hex nibbles → int)."""
+    h = f"MD5(CAST(doc_id AS VARCHAR) || '|{salt}')"
+    terms = " + ".join(
+        f"(STRPOS('0123456789abcdef', SUBSTR({h}, {i}, 1)) - 1) * {16 ** (6 - i)}"
+        for i in range(1, 7)
+    )
+    return f"(({terms}) % {npay})"
+
+
+def _payload_scores_cte() -> tuple[list[str], str]:
+    """Sorted payload names + a VALUES CTE embedding the seeded catalog's
+    kernel scores as literals (the q17 centroid-literal technique): the
+    catalog is tiny and deterministic, so the oracle carries the exact
+    float64 scores the engine's pandas UDF computes, and the fold/gating
+    become plain SQL."""
+    from document_quality_assessment_ocr_spark.config import default_criteria
+    from document_quality_assessment_ocr_spark.oracle import score_payloads
+    from document_quality_assessment_ocr_spark.sources.fixtures import build_payloads
+
+    pl = build_payloads(seed=42, size=(800, 1000))
+    scored = score_payloads(pl)
+    names = sorted(scored)
+    crit = {c.name: c for c in default_criteria()}
+    min_var = float(crit["blur"].threshold.min_variance)
+    max_deg = float(crit["skew"].threshold.max_deg)
+    max_noise = float(crit["noise"].threshold.max_percent)
+    rows = []
+    for n in names:
+        p = scored[n]
+        if p["error"] is not None:
+            err = p["error"].replace("'", "''")
+            rows.append(
+                f"('{n}', '{err}', FALSE, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,"
+                f" {float(p['dpi'])!r}, 0.0)"
+            )
+            continue
+        sc = p["scores"]
+        surv = (
+            sc["lap_var"] >= min_var
+            and abs(sc["skew_deg"]) <= max_deg
+            and sc["noise_pct"] <= max_noise
+        )
+        rows.append(
+            "('{}', NULL, {}, {!r}, {!r}, {!r}, {!r}, {!r}, {!r}, {!r}, {!r}, {!r})".format(
+                n,
+                "TRUE" if surv else "FALSE",
+                float(sc["content_ratio"]),
+                float(sc["brightness"]),
+                float(sc["lap_var"]),
+                float(abs(sc["skew_deg"])),
+                float(sc["watermark"]),
+                float(sc["noise_pct"]),
+                float(sc["entropy"]),
+                float(p["dpi"]),
+                float(p["est"]),
+            )
+        )
+    cte = (
+        "scores(media_ref, err, survives, content_ratio, brightness, lap_var,"
+        " abs_skew, watermark, noise_pct, entropy, p_dpi, est_dpi) AS (VALUES\n            "
+        + ",\n            ".join(rows)
+        + ")"
+    )
+    return names, cte
+
+
+def _dens_sql(col: str) -> str:
+    """text_density over an arbitrary (non-null) string expression — same
+    operation order as functions/text.text_density."""
+    ink = f"LENGTH(REGEXP_REPLACE({col}, '{WS}', '', 'g'))"
+    ntoks = (
+        f"LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM({col}), '{WS}+'),"
+        " x -> x <> ''))"
+    )
+    return f"(100.0 * {ink} / GREATEST(LENGTH({col}) + {ntoks}, 1))"
+
+
+def _extract_oracle_cte() -> str:
+    """Shared WITH-body reproducing the flagship pipeline over the DERIVED
+    spans corpus: derivation (md5 picks + text thirds), verdict fold in
+    config order, and span gating — pure SQL over the score literals.
+
+    The derived corpus has a fixed 5-span shape (c1@0, m1@third, c2@third+1,
+    m2@2·third, c3@2·third+1), so page order is always (ref1, ref2) and the
+    surviving-text order is always (c1, c2, c3) — no explicit sort needed."""
+    names, scores_cte = _payload_scores_cte()
+    names_lit = "[" + ", ".join(f"'{n}'" for n in names) + "]"
+    d1, d2, d3 = _dens_sql("c1"), _dens_sql("c2"), _dens_sql("c3")
+    fmt = _fmt2_sql
+    return f"""
+        WITH {scores_cte},
+        base AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   COALESCE(text, '') AS t,
+                   GREATEST(CAST(FLOOR(LENGTH(COALESCE(text, '')) / 3.0) AS INT), 1) AS third
+            FROM documents
+        ), picks AS (
+            SELECT doc_id, t, third,
+                   SUBSTR(t, 1, third) AS c1,
+                   SUBSTR(t, third + 1, third) AS c2,
+                   SUBSTR(t, 2 * third + 1, LENGTH(t)) AS c3,
+                   LIST_EXTRACT({names_lit}, {_md5_pick_sql(1, len(names))} + 1) AS ref1,
+                   LIST_EXTRACT({names_lit}, {_md5_pick_sql(2, len(names))} + 1) AS ref2
+            FROM base
+        ), j AS (
+            SELECT p.doc_id, p.c1, p.c2, p.c3,
+                   COALESCE(s1.err, s2.err) AS err,
+                   s1.survives AS surv1, s2.survives AS surv2,
+                   (s1.content_ratio + s2.content_ratio) / 2.0 AS avg_ratio,
+                   LEAST(s1.content_ratio, s2.content_ratio) AS min_ratio,
+                   (s1.brightness + s2.brightness) / 2.0 AS avg_bright,
+                   LEAST(s1.lap_var, s2.lap_var) AS min_lap,
+                   GREATEST(s1.abs_skew, s2.abs_skew) AS max_abs_skew,
+                   GREATEST(s1.watermark, s2.watermark) AS max_wm,
+                   GREATEST(s1.noise_pct, s2.noise_pct) AS max_noise,
+                   LEAST(s1.entropy, s2.entropy) AS min_ent,
+                   LEAST(s1.p_dpi, s2.p_dpi) AS min_dpi,
+                   s1.est_dpi AS est1
+            FROM picks p
+            JOIN scores s1 ON s1.media_ref = p.ref1
+            JOIN scores s2 ON s2.media_ref = p.ref2
+        ), v AS (
+            SELECT doc_id, err, surv1, surv2,
+                   CASE
+                     WHEN err IS NOT NULL
+                       THEN 'Critical error during evaluation: ' || err
+                     WHEN max_abs_skew > 5.0 THEN 'Skew angle too large'
+                     WHEN NOT (avg_ratio >= 1.0 AND avg_ratio <= 80.0)
+                       THEN 'Text density out of range (' || {fmt("avg_ratio")} || '%)'
+                     WHEN NOT (avg_ratio < 1.0) AND min_dpi < 72.0 AND est1 < 72.0
+                       THEN 'Resolution too low (metadata_dpi: ' || {fmt("min_dpi")}
+                            || ', estimated_dpi: ' || {fmt("est1")} || ')'
+                     WHEN NOT (avg_bright >= 50.0 AND avg_bright <= 250.0)
+                       THEN 'Brightness out of range'
+                     WHEN min_lap < 50.0
+                       THEN 'Image too blurry (variance: ' || {fmt("min_lap")} || ')'
+                     WHEN max_noise > 15.0
+                       THEN 'Noise level too high (max: ' || {fmt("max_noise")} || '%)'
+                     WHEN max_wm > 10.0
+                       THEN 'Watermark interference too high (FFT score: ' || {fmt("max_wm")} || ')'
+                     WHEN min_ent < 0.2
+                       THEN 'Compression artifact detected (min_entropy: ' || {fmt("min_ent")} || ')'
+                     WHEN min_ratio < 1.0
+                       THEN 'Page may be missing or blank (content ratio: ' || {fmt("min_ratio")} || '%)'
+                     ELSE '' END AS reason,
+                   CASE WHEN LENGTH(c1) > 0 AND {d1} >= 1.0 AND {d1} <= 80.0 THEN c1 END AS k1,
+                   CASE WHEN LENGTH(c2) > 0 AND {d2} >= 1.0 AND {d2} <= 80.0 THEN c2 END AS k2,
+                   CASE WHEN LENGTH(c3) > 0 AND {d3} >= 1.0 AND {d3} <= 80.0 THEN c3 END AS k3
+            FROM j
+        )
+    """
+
+
+def _extract_full_sql() -> str:
+    return (
+        _extract_oracle_cte()
+        + """
+        SELECT doc_id,
+               (err IS NULL AND reason = '') AS accepted,
+               reason AS reasons,
+               CAST(CASE WHEN err IS NOT NULL THEN 0 ELSE
+                    (CASE WHEN k1 IS NOT NULL THEN 1 ELSE 0 END)
+                  + (CASE WHEN k2 IS NOT NULL THEN 1 ELSE 0 END)
+                  + (CASE WHEN k3 IS NOT NULL THEN 1 ELSE 0 END)
+                  + (CASE WHEN surv1 THEN 1 ELSE 0 END)
+                  + (CASE WHEN surv2 THEN 1 ELSE 0 END) END AS INT) AS n_kept
+        FROM v
+    """
+    )
+
+
+def _extract_metrics_sql() -> str:
+    return (
+        _extract_oracle_cte()
+        + """
+        SELECT reason, COUNT(*) AS n FROM v WHERE reason <> '' GROUP BY reason
+    """
+    )
+
+
+def _main_content_sql() -> str:
+    return (
+        _extract_oracle_cte()
+        + """
+        SELECT doc_id, accepted, main_text,
+               CAST(LENGTH(main_text) AS INT) AS n_chars,
+               n_media_kept
+        FROM (
+            SELECT doc_id,
+                   (err IS NULL AND reason = '') AS accepted,
+                   CASE WHEN err IS NOT NULL THEN ''
+                        ELSE ARRAY_TO_STRING(
+                               LIST_FILTER([k1, k2, k3], x -> x IS NOT NULL),
+                               CHR(10)) END AS main_text,
+                   CAST(CASE WHEN err IS NOT NULL THEN 0 ELSE
+                        (CASE WHEN surv1 THEN 1 ELSE 0 END)
+                      + (CASE WHEN surv2 THEN 1 ELSE 0 END) END AS INT) AS n_media_kept
+            FROM v
+        )
+    """
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     ink = f"LENGTH(REGEXP_REPLACE(COALESCE(text,''), '{WS}', '', 'g'))"
     ntoks = (
@@ -950,4 +1167,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT w.doc_id, agg.min_fp, CAST(COALESCE(agg.n_w, 0) AS INT) AS n_windows
             FROM w LEFT JOIN agg USING (doc_id)
         """,
+        # flagship extraction: kernels aren't SQL-expressible, but the payload
+        # catalog is tiny and seeded — its scores ride along as literals and
+        # the derivation + fold + gating are exact SQL (md5 picks)
+        "q90_extract_full": _extract_full_sql(),
+        "q91_extract_metrics": _extract_metrics_sql(),
+        "q92_main_content": _main_content_sql(),
     }

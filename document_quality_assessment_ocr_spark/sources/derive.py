@@ -29,13 +29,31 @@ def payloads_df(spark: SparkSession, seed: int = 42, size=(800, 1000)) -> DataFr
     )
 
 
+def _md5_pick_index(hcol: str, npay: int):
+    """0-based payload index from the first 6 hex nibbles of an md5 column.
+
+    md5-nibble arithmetic (not F.hash): murmur3 has no DuckDB equivalent, so
+    this keeps the derived corpus reproducible in the SQL oracle
+    (``__spark_entry__._md5_pick_sql`` is the byte-identical twin)."""
+    val = F.lit(0).cast("long")
+    for i in range(1, 7):
+        nib = F.expr(f"locate(substr({hcol}, {i}, 1), '0123456789abcdef') - 1").cast("long")
+        val = val + nib * F.lit(16 ** (6 - i)).cast("long")
+    return F.pmod(val, F.lit(npay)).cast("int")
+
+
 def spans_from_documents(docs: DataFrame, payload_names: list[str]) -> DataFrame:
     """documents(doc_id, text, ...) → (doc_id, skip_checks, ingest_seq, spans)."""
+    docs = docs.select(
+        "*",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|1"))).alias("_h1"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|2"))).alias("_h2"),
+    )
     n = F.length(F.coalesce(F.col("text"), F.lit("")))
     third = F.greatest((n / 3).cast("int"), F.lit(1))
     names = F.array(*[F.lit(x) for x in payload_names])
-    npay = F.lit(len(payload_names))
-    pick = lambda salt: F.element_at(names, (F.pmod(F.hash(F.col("doc_id"), F.lit(salt)), npay) + 1).cast("int"))
+    npay = len(payload_names)
+    pick = lambda salt: F.element_at(names, _md5_pick_index(f"_h{salt}", npay) + 1)
     t = F.coalesce(F.col("text"), F.lit(""))
     spans = F.array(
         F.struct(F.lit("text").alias("kind"), t.substr(F.lit(1), third).alias("text"),
