@@ -1,0 +1,158 @@
+"""Binary front-end (S4/S5) contract tests: dispatch, page/frame caps, error
+paths, K9 effective-DPI, end-to-end extraction — mirroring the reference's
+handler tests (which fully mock pymupdf/PIL; reference
+tests/test_handlers.py:18-124) with the in-repo PNG codec as the decoder
+double."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from document_quality_assessment_ocr_spark import png
+from document_quality_assessment_ocr_spark.sources import binary_docs as B
+from document_quality_assessment_ocr_spark.sources.fixtures import draw_text_page
+
+
+def _page_png(seed=0, dpi=200, w=400, h=500):
+    rng = np.random.default_rng(seed)
+    return png.encode_gray(draw_text_page(rng, w=w, h=h), dpi=dpi)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, B.BINARY_DOCS_SCHEMA)
+
+
+def _raster(spark, rows, **kw):
+    return B.rasterize(_mk(spark, rows), **kw).collect()
+
+
+def test_container_roundtrip():
+    pages = [(_page_png(1), 612.0), (_page_png(2), 595.5)]
+    blob = B.encode_page_container(pages)
+    assert B.parse_page_container(blob) == pages
+    with pytest.raises(ValueError):
+        B.parse_page_container(b"JUNK" + blob[4:])
+    with pytest.raises(ValueError):
+        B.parse_page_container(blob[:-10])  # truncated
+
+
+@pytest.mark.slow
+def test_pdf_three_page_cap(spark):
+    # 5-page PDF, max_pages=5 → hard cap 3 (reference pdf_handler.py:65)
+    blob = B.encode_page_container([(_page_png(i), 612.0) for i in range(5)])
+    rows = _raster(spark, [("d1", "PDF", bytearray(blob), True)])
+    assert sorted(r["page_idx"] for r in rows) == [0, 1, 2]
+    assert all(r["error"] is None for r in rows)
+
+
+@pytest.mark.slow
+def test_tiff_twenty_frame_cap(spark):
+    blob = B.encode_page_container([(_page_png(i), 0.0) for i in range(25)])
+    rows = _raster(spark, [("d1", "tiff", bytearray(blob), True)])
+    assert len(rows) == 20  # reference tiff_handler.py:15
+
+
+@pytest.mark.slow
+def test_pdf_first_page_failure_rejects_document(spark):
+    blob = B.encode_page_container([(b"not a png", 612.0), (_page_png(1), 612.0)])
+    rows = _raster(spark, [("bad1", "pdf", bytearray(blob), True)])
+    assert len(rows) == 1
+    err = rows[0]["error"]
+    assert err.startswith("Failed to extract images from bad1: ")
+    assert "Failed to extract even the first page:" in err
+
+
+@pytest.mark.slow
+def test_pdf_later_page_failure_is_skipped(spark):
+    blob = B.encode_page_container(
+        [(_page_png(1), 612.0), (b"not a png", 612.0), (_page_png(2), 612.0)]
+    )
+    rows = _raster(spark, [("d1", "pdf", bytearray(blob), True)])
+    assert sorted(r["page_idx"] for r in rows) == [0, 2]
+    assert all(r["error"] is None for r in rows)
+
+
+@pytest.mark.slow
+def test_tiff_bad_frame_skipped_even_first(spark):
+    blob = B.encode_page_container([(b"junk", 0.0), (_page_png(1), 0.0)])
+    rows = _raster(spark, [("d1", "TIFF", bytearray(blob), True)])
+    assert [r["page_idx"] for r in rows] == [1]
+
+
+@pytest.mark.slow
+def test_generic_image_and_dispatch_errors(spark):
+    rows = _raster(
+        spark,
+        [
+            ("img1", "png", bytearray(_page_png(3, dpi=150)), True),
+            ("img2", None, bytearray(_page_png(4)), True),
+            ("broken", "png", bytearray(b"zzzz"), True),
+            ("notpdf", "pdf", bytearray(b"zzzz"), True),
+        ],
+    )
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["doc_id"], []).append(r)
+    assert by_id["img1"][0]["dpi"] == 150 and by_id["img1"][0]["page_idx"] == 0
+    assert by_id["img2"][0]["error"] is None  # None fmt → generic decode
+    assert by_id["broken"][0]["error"].startswith("Failed to extract images from broken: ")
+    assert by_id["notpdf"][0]["error"].startswith("Failed to extract images from notpdf: ")
+    assert "not a multi-page container" in by_id["notpdf"][0]["error"]
+
+
+@pytest.mark.slow
+def test_k9_effective_dpi(spark):
+    # PDF page with NO metadata dpi: 400 px wide over 200 pt → 144 dpi; a
+    # sibling WITH metadata keeps the whole doc on metadata (all() truthy)
+    no_meta = B.encode_page_container([(_page_png(5, dpi=0, w=400), 200.0)])
+    with_meta = B.encode_page_container(
+        [(_page_png(6, dpi=300, w=400), 200.0), (_page_png(7, dpi=250, w=400), 200.0)]
+    )
+    mixed = B.encode_page_container(
+        [(_page_png(8, dpi=300, w=400), 200.0), (_page_png(9, dpi=0, w=400), 100.0)]
+    )
+    pages = B.rasterize(
+        _mk(
+            spark,
+            [
+                ("eff", "pdf", bytearray(no_meta), True),
+                ("meta", "pdf", bytearray(with_meta), True),
+                ("mixed", "pdf", bytearray(mixed), True),
+                ("img", "png", bytearray(_page_png(5, dpi=0, w=400)), True),
+            ],
+        )
+    )
+    pay = {r["media_ref"]: r["dpi"] for r in B.pages_to_payloads(pages).collect()}
+    assert pay["eff#p0"] == pytest.approx(400 * 72.0 / 200.0)  # 144.0
+    assert pay["meta#p0"] == 300.0 and pay["meta#p1"] == 250.0
+    # one missing page flips the WHOLE pdf doc to effective dpi
+    assert pay["mixed#p0"] == pytest.approx(400 * 72.0 / 200.0)
+    assert pay["mixed#p1"] == pytest.approx(400 * 72.0 / 100.0)
+    # non-pdf never uses geometry (reference guards on doc_format == 'pdf')
+    assert pay["img#p0"] == 0.0
+
+
+@pytest.mark.slow
+def test_extract_from_binary_end_to_end(spark):
+    ok_pdf = B.encode_page_container([(_page_png(10), 612.0), (_page_png(11), 612.0)])
+    corrupt = B.encode_page_container([(b"trash", 612.0)])
+    rows = [
+        ("ok", "pdf", bytearray(ok_pdf), True),
+        ("bad", "pdf", bytearray(corrupt), True),
+        ("bypass", "pdf", bytearray(corrupt), False),  # requiresOCR=False
+        ("lone", "png", bytearray(_page_png(12)), True),
+    ]
+    out = {
+        r["doc_id"]: r.asDict(recursive=True)
+        for r in B.extract_from_binary(_mk(spark, rows)).collect()
+    }
+    assert out["ok"]["accepted"] is True and out["ok"]["reasons"] == []
+    assert len(out["ok"]["spans"]) == 2  # both pages survive gating
+    assert out["bad"]["accepted"] is False
+    assert out["bad"]["reasons"][0].startswith(
+        "Critical error during evaluation: Failed to extract images from bad: "
+    )
+    assert out["bad"]["spans"] == []
+    assert out["bypass"]["accepted"] is True and out["bypass"]["reasons"] == []
+    assert out["lone"]["accepted"] is True
+    assert [s["media_ref"] for s in out["lone"]["spans"]] == ["lone#p0"]
