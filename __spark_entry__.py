@@ -412,6 +412,60 @@ def _q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_batch_reattach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch skeleton fan-back-out (reference evaluator.py:132-139): every
+    document appears in TWO batches (buckets doc_id%50 and (doc_id+1)%50), so
+    duplicate documentIDs across batches must echo the SAME shared result,
+    in input order. Exploded back to scalars for hashing."""
+    from document_quality_assessment_ocr_spark.functions.text import text_density
+    from document_quality_assessment_ocr_spark.sources.json_batches import (
+        reattach_results,
+    )
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("did"), "text", "n_chars"
+    )
+    m = d.select((F.col("did") % 50).alias("b"), F.lit(0).alias("role"), "did").unionAll(
+        d.select(((F.col("did") + 1) % 50).alias("b"), F.lit(1).alias("role"), "did")
+    )
+    docs_arr = F.transform(
+        F.sort_array(F.collect_list(F.struct(F.col("role"), F.col("did")))),
+        lambda x: F.struct(x["did"].cast("string").alias("documentID")),
+    )
+    batches = m.groupBy("b").agg(docs_arr.alias("documents")).select(
+        F.concat(F.lit("c"), F.col("b").cast("string")).alias("customerID"),
+        F.concat(F.lit("t"), F.col("b").cast("string")).alias("transactionID"),
+        "documents",
+    )
+    dens = text_density(F.col("text"))
+    c0 = F.col("n_chars") < F.lit(50)
+    c1 = ~((dens >= F.lit(1.0)) & (dens <= F.lit(80.0)))
+    res = d.select(
+        F.col("did").cast("string").alias("doc_id"),
+        (~c0 & ~c1).alias("accepted"),
+        F.when(c0, F.array(F.lit("too short")))
+        .otherwise(
+            F.when(c1, F.array(F.lit("density out of range"))).otherwise(
+                F.array().cast("array<string>")
+            )
+        )
+        .alias("reasons"),
+        F.array().cast("array<string>").alias("warnings"),
+    )
+    out = reattach_results(batches, res)
+    ex = out.select(
+        "customerID", "transactionID", F.posexplode("documents").alias("pos", "d")
+    )
+    return ex.select(
+        "customerID",
+        "transactionID",
+        "pos",
+        F.col("d.documentID").alias("documentID"),
+        F.col("d.isAccepted").alias("accepted"),
+        F.array_join("d.reasons", "|").alias("reasons"),
+    )
+
+
 def _q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_shipped(spark)
     from document_quality_assessment_ocr_spark.plans.pipeline import (
@@ -456,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_rollup": _q_rollup,
         "q21_semi_join": _q_semi_join,
         "q22_anti_join": _q_anti_join,
+        "q26_batch_reattach": _q_batch_reattach,
         # flagship extraction — full oracle via seeded score literals
         "q90_extract_full": _q_extract_full,
         "q91_extract_metrics": _q_extract_metrics,
@@ -1166,6 +1221,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT w.doc_id, agg.min_fp, CAST(COALESCE(agg.n_w, 0) AS INT) AS n_windows
             FROM w LEFT JOIN agg USING (doc_id)
+        """,
+        "q26_batch_reattach": f"""
+            WITH v AS (
+                SELECT CAST(doc_id AS BIGINT) AS did,
+                       (NOT (n_chars < 50) AND ({dens} >= 1.0 AND {dens} <= 80.0)) AS accepted,
+                       CASE WHEN n_chars < 50 THEN 'too short'
+                            WHEN NOT ({dens} >= 1.0 AND {dens} <= 80.0) THEN 'density out of range'
+                            ELSE '' END AS reasons
+                FROM documents
+            ), m AS (
+                SELECT did % 50 AS b, 0 AS role, did FROM v
+                UNION ALL
+                SELECT (did + 1) % 50 AS b, 1 AS role, did FROM v
+            ), o AS (
+                SELECT b, did,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY b ORDER BY role, did) - 1 AS INT) AS pos
+                FROM m
+            )
+            SELECT 'c' || CAST(b AS VARCHAR) AS customerID,
+                   't' || CAST(b AS VARCHAR) AS transactionID,
+                   pos,
+                   CAST(did AS VARCHAR) AS documentID,
+                   v.accepted, v.reasons
+            FROM o JOIN v USING (did)
         """,
         # flagship extraction: kernels aren't SQL-expressible, but the payload
         # catalog is tiny and seeded — its scores ride along as literals and
