@@ -30,8 +30,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="Span extraction pipeline")
-    ap.add_argument("--input", required=True, help="spans parquet path")
-    ap.add_argument("--payloads", required=True, help="media payloads parquet path")
+    ap.add_argument("--input", default=None, help="spans parquet path")
+    ap.add_argument("--payloads", default=None, help="media payloads parquet path")
+    ap.add_argument(
+        "--json-batches",
+        default=None,
+        help="reference-format DocumentBatch JSON array (instead of --input/"
+        "--payloads); output becomes the batch-shaped JSON echo",
+    )
+    ap.add_argument(
+        "--content",
+        default=None,
+        help="binary content parquet (documentPath, content) for --json-batches",
+    )
     ap.add_argument("--output", required=True, help="output parquet path")
     ap.add_argument("--config", default=None, help="criteria JSON (reference format)")
     ap.add_argument("--max-media-spans", type=int, default=None, help="page budget")
@@ -54,6 +65,46 @@ def main(argv=None) -> int:
 
     criteria = load_criteria_config(args.config) if args.config else None
     spark = get_spark(app_name="extract", master=args.master)
+
+    if args.json_batches:
+        # reference-style run: nested JSON batches in, batch-shaped echo out
+        # (reference main.py flow: load_json → run_pipeline → save_json)
+        if not args.content:
+            ap.error("--json-batches requires --content")
+        from pyspark.sql import functions as F
+
+        from document_quality_assessment_ocr_spark.sources.json_batches import (
+            evaluate_document_batches,
+            read_document_batches,
+        )
+
+        batches = read_document_batches(spark, args.json_batches)
+        content = spark.read.parquet(args.content)
+        out_batches = evaluate_document_batches(batches, content, criteria=criteria)
+        out_batches.write.mode("overwrite").json(args.output)
+        docs = spark.read.json(args.output).select(
+            F.explode("documents").alias("d")
+        ).select("d.documentID", "d.isAccepted", "d.reasons").distinct()
+        total = docs.count()
+        accepted = docs.filter(F.col("isAccepted")).count()
+        rej = {
+            r["reason"]: r["n"]
+            for r in docs.filter(~F.col("isAccepted"))
+            .select(F.explode("reasons").alias("reason"))
+            .groupBy("reason")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        print(json.dumps({
+            "summary": {"total_docs": total, "accepted_docs": accepted,
+                        "rejected_docs": total - accepted},
+            "rejection_summary": rej,
+        }, indent=1))
+        spark.stop()
+        return 0
+
+    if not args.input or not args.payloads:
+        ap.error("--input and --payloads are required without --json-batches")
     spans = tables.read_spans(spark, args.input)
     payloads = tables.read_payloads(spark, args.payloads)
 

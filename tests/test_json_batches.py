@@ -86,6 +86,60 @@ def test_reattach_shared_duplicate_results(spark, batch_file):
     assert b_docs[1]["isAccepted"] is None
 
 
+REF_CONFIG = "/root/reference/config/criteria_config.json"
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not __import__("os").path.exists(REF_CONFIG),
+                    reason="reference config not present")
+def test_cli_json_batches_with_reference_config(spark, batch_file, tmp_path):
+    """End-to-end CLI smoke: reference-format JSON in, batch-shaped JSON echo
+    out, driven with the reference's OWN shipped criteria_config.json.
+    Subprocess run — the CLI owns (and stops) its session."""
+    import glob
+    import os
+    import subprocess
+    import sys
+
+    rng = np.random.default_rng(3)
+    page = png.encode_gray(draw_text_page(rng, w=400, h=500), dpi=200)
+    content = spark.createDataFrame(
+        [
+            ("/data/doc1_v2.pdf", bytearray(B.encode_page_container([(page, 612.0)]))),
+            ("/data/doc2.pdf", bytearray(B.encode_page_container([(b"trash", 612.0)]))),
+            ("/data/doc3.png", bytearray(page)),
+        ],
+        "documentPath string, content binary",
+    )
+    cpath = str(tmp_path / "content")
+    content.write.mode("overwrite").parquet(cpath)
+    out = str(tmp_path / "echo_json")
+    proc = subprocess.run(
+        [
+            sys.executable, "/root/repo/scripts/run_extraction.py",
+            "--json-batches", batch_file,
+            "--content", cpath,
+            "--config", REF_CONFIG,
+            "--output", out,
+            "--master", "local[4]",
+        ],
+        capture_output=True, text=True, timeout=300,
+        env={**os.environ, "PYTHONPATH": "/root/repo"},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    echoed = {}
+    for part in glob.glob(os.path.join(out, "part-*.json")):
+        with open(part) as f:
+            for line in f:
+                b = json.loads(line)
+                echoed[b["customerID"]] = b
+    assert set(echoed) == {"cust-a", "cust-b"}
+    a = {d["documentID"]: d for d in echoed["cust-a"]["documents"]}
+    assert a["doc2"]["isAccepted"] is False
+    assert a["doc2"]["reasons"][0].startswith("Critical error during evaluation:")
+    assert '"rejection_summary"' in proc.stdout
+
+
 @pytest.mark.slow
 def test_evaluate_document_batches_end_to_end(spark, batch_file):
     rng = np.random.default_rng(0)
