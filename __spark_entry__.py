@@ -412,6 +412,13 @@ def _q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from document_quality_assessment_ocr_spark.operators.sessions import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, gap_seconds=1800)
+
+
 def _q_batch_reattach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch skeleton fan-back-out (reference evaluator.py:132-139): every
     document appears in TWO batches (buckets doc_id%50 and (doc_id+1)%50), so
@@ -511,6 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_semi_join": _q_semi_join,
         "q22_anti_join": _q_anti_join,
         "q26_batch_reattach": _q_batch_reattach,
+        "q27_sessionize": _q_sessionize,
         # flagship extraction — full oracle via seeded score literals
         "q90_extract_full": _q_extract_full,
         "q91_extract_metrics": _q_extract_metrics,
@@ -1221,6 +1229,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT w.doc_id, agg.min_fp, CAST(COALESCE(agg.n_w, 0) AS INT) AS n_windows
             FROM w LEFT JOIN agg USING (doc_id)
+        """,
+        "q27_sessionize": """
+            WITH l AS (
+                SELECT CAST(user_id AS BIGINT) AS user_id,
+                       EPOCH_US(ts) AS tus, value,
+                       LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id
+                                               ORDER BY ts ASC, event_id ASC) AS prev,
+                       ts, event_id
+                FROM events
+            ), f AS (
+                SELECT *, CASE WHEN prev IS NULL OR tus - prev > 1800000000
+                               THEN 1 ELSE 0 END AS new_s
+                FROM l
+            ), s AS (
+                SELECT user_id, tus, value,
+                       SUM(new_s) OVER (PARTITION BY user_id
+                                        ORDER BY ts ASC, event_id ASC
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                FROM f
+            )
+            SELECT user_id, CAST(sid AS INT) AS session_idx,
+                   MIN(tus) AS session_start_us,
+                   MAX(tus) AS session_end_us,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 6) AS sum_value
+            FROM s GROUP BY 1, 2
         """,
         "q26_batch_reattach": f"""
             WITH v AS (

@@ -129,3 +129,72 @@ def audio_frame_rms(payloads: DataFrame, frame: int = 512, use_fake_decoder: boo
             yield pd.DataFrame({"media_ref": refs, "frame_idx": idxs, "rms": rmss})
 
     return payloads.select("media_ref", "png").mapInPandas(gen, AUDIO_FRAME_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_gray", T.DoubleType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def decode_video_frames(payload: bytes):
+    """STUB: no video codec ships in this container. A real deployment plugs
+    ffmpeg/pyav here; the Spark-side contract is `bytes → iterator of frame
+    arrays` (and ``video_frame_sample`` is the only consumer)."""
+    raise NotImplementedError("video decoding requires a codec library (not in container)")
+
+
+def video_frame_sample(
+    payloads: DataFrame,
+    every_k: int = 5,
+    max_frames: int = 8,
+    use_container_double: bool = True,
+) -> DataFrame:
+    """Sample every ``every_k``-th frame of a video payload (≤ ``max_frames``)
+    and emit per-frame stats — the canonical 'demux → stride-sample → decode
+    only sampled frames → feature' shape. Stride selection happens BEFORE any
+    decode, so at scale the cost is proportional to the frames kept, not the
+    video length (the same budget idea as the reference's 3-page/20-frame
+    caps).
+
+    ``use_container_double=True`` reads the deterministic multi-page
+    container of PNG frames (``sources.binary_docs.encode_page_container``)
+    as the in-container stand-in for a real demuxer; a real deployment swaps
+    :func:`decode_video_frames` in. Per-payload failures are error rows,
+    never task crashes."""
+    from ..sources.binary_docs import parse_page_container
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        names = [f.name for f in VIDEO_FRAME_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for ref, data in zip(pdf["media_ref"], pdf["png"]):
+                try:
+                    if use_container_double:
+                        frames = parse_page_container(bytes(data))
+                        picked = frames[:: max(every_k, 1)][:max_frames]
+                        for i, (fdata, _) in enumerate(picked):
+                            arr, _dpi = png.decode_gray(bytes(fdata))
+                            rows.append(
+                                (ref, i * every_k, int(arr.shape[1]),
+                                 int(arr.shape[0]), float(arr.mean()), None)
+                            )
+                    else:
+                        for i, arr in enumerate(decode_video_frames(bytes(data))):
+                            if i % every_k or i // every_k >= max_frames:
+                                continue
+                            rows.append(
+                                (ref, i, int(arr.shape[1]), int(arr.shape[0]),
+                                 float(arr.mean()), None)
+                            )
+                except Exception as e:
+                    rows.append((ref, None, None, None, None, str(e)))
+            yield pd.DataFrame(rows, columns=names)
+
+    return payloads.select("media_ref", "png").mapInPandas(gen, VIDEO_FRAME_SCHEMA)

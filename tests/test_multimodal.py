@@ -52,3 +52,60 @@ def test_audio_frame_rms_fake_decoder(payloads):
 def test_real_audio_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         mm.decode_audio(b"RIFF....WAVE")
+
+
+def test_video_frame_sample_stride_and_errors(spark):
+    """Stride sampling decodes only every k-th frame up to the budget; bad
+    containers are error rows; the real decoder is honestly stubbed."""
+    from document_quality_assessment_ocr_spark.sources.binary_docs import (
+        encode_page_container,
+    )
+
+    rng = np.random.default_rng(11)
+    frames = [
+        (png.encode_gray(np.full((20, 30), i * 10, dtype=np.uint8)), 0.0)
+        for i in range(20)
+    ]
+    vid = encode_page_container(frames)
+    df = spark.createDataFrame(
+        [("v1", bytearray(vid)), ("junk", bytearray(b"zz"))],
+        "media_ref string, png binary",
+    )
+    rows = mm.video_frame_sample(df, every_k=5, max_frames=3).collect()
+    by_ref = {}
+    for r in rows:
+        by_ref.setdefault(r["media_ref"], []).append(r)
+    got = sorted((r["frame_idx"], r["mean_gray"]) for r in by_ref["v1"])
+    # frames 0, 5, 10 (every 5th, capped at 3): solid gray i*10
+    assert got == [(0, 0.0), (5, 50.0), (10, 100.0)]
+    assert by_ref["junk"][0]["error"] is not None
+
+    with pytest.raises(NotImplementedError):
+        mm.decode_video_frames(b"anything")
+
+
+def test_sessionize_gaps_and_islands(spark):
+    """Two users; gaps > 30 min split sessions; stats per session."""
+    import datetime as dt
+
+    from document_quality_assessment_ocr_spark.operators.sessions import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        # user 1: 3 events in one session, then a 2-hour gap, 1 more
+        (1, t0, 1, 1.0),
+        (1, t0 + dt.timedelta(minutes=10), 2, 2.0),
+        (1, t0 + dt.timedelta(minutes=20), 3, 3.0),
+        (1, t0 + dt.timedelta(hours=2, minutes=21), 4, 4.0),
+        # user 2: single event
+        (2, t0, 5, 10.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    out = {(r["user_id"], r["session_idx"]): r for r in sessionize(ev).collect()}
+    assert set(out) == {(1, 1), (1, 2), (2, 1)}
+    assert out[(1, 1)]["n_events"] == 3 and out[(1, 1)]["sum_value"] == 6.0
+    assert out[(1, 2)]["n_events"] == 1 and out[(1, 2)]["sum_value"] == 4.0
+    dur = out[(1, 1)]["session_end_us"] - out[(1, 1)]["session_start_us"]
+    assert dur == 20 * 60 * 1_000_000
