@@ -53,9 +53,10 @@ def entry(spark: SparkSession) -> DataFrame:
         spans_from_documents,
     )
 
+    from document_quality_assessment_ocr_spark.sources.fixtures import payload_names
+
     pay = payloads_df(spark)
-    names = [r["media_ref"] for r in pay.select("media_ref").collect()]
-    spans = spans_from_documents(_doc(spark, SF0001), sorted(names))
+    spans = spans_from_documents(_doc(spark, SF0001), sorted(payload_names()))
     return run_extraction(spans, pay, assume_unique_doc_ids=True)
 
 
@@ -292,9 +293,10 @@ def _q_extract_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         spans_from_documents,
     )
 
+    from document_quality_assessment_ocr_spark.sources.fixtures import payload_names
+
     pay = payloads_df(spark)
-    names = sorted(r["media_ref"] for r in pay.select("media_ref").collect())
-    spans = spans_from_documents(_doc(spark, sf_dir), names)
+    spans = spans_from_documents(_doc(spark, sf_dir), sorted(payload_names()))
     res = run_extraction(spans, pay, assume_unique_doc_ids=True)
     return res.select(
         "doc_id",
@@ -313,9 +315,10 @@ def _q_extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         spans_from_documents,
     )
 
+    from document_quality_assessment_ocr_spark.sources.fixtures import payload_names
+
     pay = payloads_df(spark)
-    names = sorted(r["media_ref"] for r in pay.select("media_ref").collect())
-    spans = spans_from_documents(_doc(spark, sf_dir), names)
+    spans = spans_from_documents(_doc(spark, sf_dir), sorted(payload_names()))
     return rejection_summary(run_extraction(spans, pay, assume_unique_doc_ids=True))
 
 
@@ -484,9 +487,10 @@ def _q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
         spans_from_documents,
     )
 
+    from document_quality_assessment_ocr_spark.sources.fixtures import payload_names
+
     pay = payloads_df(spark)
-    names = sorted(r["media_ref"] for r in pay.select("media_ref").collect())
-    spans = spans_from_documents(_doc(spark, sf_dir), names)
+    spans = spans_from_documents(_doc(spark, sf_dir), sorted(payload_names()))
     return assemble_main_content(run_extraction(spans, pay, assume_unique_doc_ids=True))
 
 
@@ -811,12 +815,15 @@ def _md5_pick_sql(salt: int, npay: int) -> str:
     return f"(({terms}) % {npay})"
 
 
-def _payload_scores_cte() -> tuple[list[str], str]:
+def _payload_scores_cte(_cache={}) -> tuple[list[str], str]:
     """Sorted payload names + a VALUES CTE embedding the seeded catalog's
     kernel scores as literals (the q17 centroid-literal technique): the
     catalog is tiny and deterministic, so the oracle carries the exact
     float64 scores the engine's pandas UDF computes, and the fold/gating
-    become plain SQL."""
+    become plain SQL. Memoized — three flagship oracles share one scoring
+    pass."""
+    if "v" in _cache:
+        return _cache["v"]
     from document_quality_assessment_ocr_spark.config import default_criteria
     from document_quality_assessment_ocr_spark.oracle import score_payloads
     from document_quality_assessment_ocr_spark.sources.fixtures import build_payloads
@@ -865,6 +872,7 @@ def _payload_scores_cte() -> tuple[list[str], str]:
         + ",\n            ".join(rows)
         + ")"
     )
+    _cache["v"] = (names, cte)
     return names, cte
 
 

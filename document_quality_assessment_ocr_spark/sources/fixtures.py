@@ -248,6 +248,14 @@ _BAD_PAYLOADS = [
 ]
 
 
+def payload_names() -> list[str]:
+    """Catalog keys WITHOUT building any pixels — the cheap driver-side
+    constant for span derivation (entry/bench paths must not round-trip the
+    name list through a Spark collect; the catalog is seeded config, not
+    data). Kept in lockstep with build_payloads by a unit test."""
+    return _OK_PAYLOADS + _BAD_PAYLOADS + ["corrupt"]
+
+
 def build_corpus(
     n_docs: int = 60,
     seed: int = 42,

@@ -193,3 +193,13 @@ def test_first_error_by_offset_wins():
     assert r["reasons"] == [
         "Critical error during evaluation: missing media payload missing_one"
     ]
+
+
+def test_payload_names_lockstep():
+    """fixtures.payload_names() (pixel-free constant for the entry paths)
+    must always equal the built catalog's keys."""
+    from document_quality_assessment_ocr_spark.sources import fixtures
+
+    assert sorted(fixtures.payload_names()) == sorted(
+        fixtures.build_payloads(seed=42, size=(64, 80))
+    )
