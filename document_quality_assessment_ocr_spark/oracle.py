@@ -158,8 +158,10 @@ def evaluate_document(
     pages = []
     for s in capped:
         p = scored.get(s["media_ref"])
+        # `or ''`: NULL media_ref renders as the empty string in the message,
+        # matching the engine's coalesce (pipeline err_span)
         err = (
-            f"missing media payload {s['media_ref']}" if p is None else p["error"]
+            f"missing media payload {s['media_ref'] or ''}" if p is None else p["error"]
         )
         if err is not None:
             return {

@@ -180,7 +180,13 @@ def run_extraction(
         is_page & ~F.col("skip_checks"),
         F.when(
             F.col("p_dpi").isNull(),
-            F.concat(F.lit("missing media payload "), F.col("s.media_ref")),
+            # coalesce: a NULL media_ref is still a missing payload (concat
+            # with NULL would swallow the whole error); oracle mirrors with
+            # `or ''`
+            F.concat(
+                F.lit("missing media payload "),
+                F.coalesce(F.col("s.media_ref"), F.lit("")),
+            ),
         ).otherwise(F.col("ms.error")),
     )
 

@@ -16,7 +16,7 @@ from document_quality_assessment_ocr_spark.sources import fixtures, tables
 PAYLOAD_NAMES = [
     "ok_clean", "ok_clean2", "bad_blur", "bad_noise", "bad_density_low",
     "bad_watermark", "corrupt", "edge_blank", "bad_resolution",
-    "no_such_ref", "another_missing", "",
+    "no_such_ref", "another_missing", "", None,
 ]
 
 TEXT_POOL = [
@@ -24,6 +24,7 @@ TEXT_POOL = [
     "x" + " " * 200,
     "q" * 150,
     "",
+    None,  # NULL text — must order before '' (Spark struct null-first)
     "word " * 40,
     "tab\tsep\ttext\nwith newlines\n",
     "ünïcödé tëxt with âccents and spaces here",
@@ -44,11 +45,14 @@ def _random_corpus(rng: np.random.Generator, n_docs: int) -> list[dict]:
                 spans.append(
                     {"kind": "text",
                      "text": TEXT_POOL[int(rng.integers(0, len(TEXT_POOL)))],
-                     "media_ref": "", "offset": int(off)}
+                     # occasional NULL media_ref on text spans (ordering path)
+                     "media_ref": None if rng.random() < 0.1 else "",
+                     "offset": int(off)}
                 )
             else:
                 spans.append(
-                    {"kind": "media", "text": "",
+                    {"kind": "media",
+                     "text": None if rng.random() < 0.1 else "",
                      "media_ref": PAYLOAD_NAMES[int(rng.integers(0, len(PAYLOAD_NAMES)))],
                      "offset": int(off)}
                 )
