@@ -221,3 +221,32 @@ def test_sql_registered_kernels(spark, small_corpus_dir):
     ms = rows[0]["ms"]
     assert ms["error"] is None and ms["lap_var"] > 50
     assert rows[0]["est"] > 72
+
+
+def test_sessionize_plan_single_exchange(spark):
+    """The window pair and the per-session aggregate must share ONE
+    hash exchange on user_id (HashPartitioning(user_id) satisfies the
+    (user_id, session_idx) clustering)."""
+    import datetime as dt
+
+    from document_quality_assessment_ocr_spark.operators.sessions import sessionize
+
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1, 1.0)],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    plan = sessionize(ev)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_cosine_topk_plan_has_no_window(emb):
+    """Two-level top-k merge replaced the per-probe window: the plan must
+    contain partial aggregation and no Window node."""
+    from document_quality_assessment_ocr_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    df, _ = emb
+    plan = cosine_topk_bruteforce(df, probe_ids=[0, 1], k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "partial" in plan.lower() or "ObjectHashAggregate" in plan, plan
