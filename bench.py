@@ -219,7 +219,14 @@ def main() -> None:
     se = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(se)
     qs = se.queries()
-    for name in ("q01_text_density", "q03_fingerprint_dedup", "q04_agg_modes", "q07_reassembly"):
+    for name in (
+        "q01_text_density",
+        "q03_fingerprint_dedup",
+        "q04_agg_modes",
+        "q07_reassembly",
+        "q25_lsh_jaccard",
+        "q27_sessionize",
+    ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"
         ).save())

@@ -59,3 +59,53 @@ def stream_extraction(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def stream_binary_extraction(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    criteria: Optional[List[CriteriaConfig]] = None,
+    max_pages: int = 5,
+    parser=None,
+    available_now: bool = True,
+):
+    """Incremental ingest of BINARY documents: readStream tails a parquet
+    directory of (doc_id, fmt, content, requires_ocr) rows; every micro-batch
+    runs the identical batch front-end + extraction plan
+    (:func:`..sources.binary_docs.extract_from_binary`) and appends.
+
+    The production analog of the reference's one-shot CLI run turned into a
+    continuously-fed pipeline: new document files land, get rasterized,
+    scored, folded and appended exactly once (stream checkpointing), with
+    all of the batch path's caps/dispatch/error contracts intact."""
+    from ..sources.binary_docs import (
+        BINARY_DOCS_SCHEMA,
+        extract_from_binary,
+        parse_page_container,
+    )
+
+    stream = (
+        spark.readStream.schema(BINARY_DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        out = extract_from_binary(
+            batch_df,
+            criteria=criteria,
+            max_pages=max_pages,
+            parser=parser or parse_page_container,
+        )
+        out.write.mode("append").parquet(output_dir)
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

@@ -156,3 +156,47 @@ def test_extract_from_binary_end_to_end(spark):
     assert out["bypass"]["accepted"] is True and out["bypass"]["reasons"] == []
     assert out["lone"]["accepted"] is True
     assert [s["media_ref"] for s in out["lone"]["spans"]] == ["lone#p0"]
+
+
+@pytest.mark.slow
+def test_stream_binary_extraction_equals_batch(spark, tmp_path):
+    """readStream over binary documents through foreachBatch must equal the
+    one-shot batch run on identical input."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from document_quality_assessment_ocr_spark.streaming.extract import (
+        stream_binary_extraction,
+    )
+
+    def doc(i, good=True):
+        blob = B.encode_page_container(
+            [(_page_png(100 + i), 612.0)] if good else [(b"junk", 612.0)]
+        )
+        return {"doc_id": f"s{i}", "fmt": "pdf", "content": blob,
+                "requires_ocr": True}
+
+    rows = [doc(0), doc(1), doc(2, good=False), doc(3)]
+    schema = pa.schema([("doc_id", pa.string()), ("fmt", pa.string()),
+                        ("content", pa.binary()), ("requires_ocr", pa.bool_())])
+    in_dir = tmp_path / "bin_in"
+    in_dir.mkdir()
+    # two files → two micro-batches with maxFilesPerTrigger=1
+    pq.write_table(pa.Table.from_pylist(rows[:2], schema=schema), str(in_dir / "a.parquet"))
+    pq.write_table(pa.Table.from_pylist(rows[2:], schema=schema), str(in_dir / "b.parquet"))
+
+    out_dir, cp = str(tmp_path / "bin_out"), str(tmp_path / "bin_cp")
+    stream_binary_extraction(spark, str(in_dir), out_dir, cp)
+    got = {r["doc_id"]: r.asDict(recursive=True)
+           for r in spark.read.parquet(out_dir).collect()}
+
+    batch_in = spark.createDataFrame(
+        [(r["doc_id"], r["fmt"], bytearray(r["content"]), r["requires_ocr"])
+         for r in rows], B.BINARY_DOCS_SCHEMA)
+    exp = {r["doc_id"]: r.asDict(recursive=True)
+           for r in B.extract_from_binary(batch_in).collect()}
+    assert set(got) == set(exp) == {"s0", "s1", "s2", "s3"}
+    for k in exp:
+        assert got[k]["accepted"] == exp[k]["accepted"], k
+        assert got[k]["reasons"] == exp[k]["reasons"], k
+        assert got[k]["spans"] == exp[k]["spans"], k
