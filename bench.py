@@ -219,12 +219,14 @@ def main() -> None:
     se = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(se)
     qs = se.queries()
+    # q25_lsh_jaccard is correctness-gated at sf0.01 but excluded here: its
+    # minhash pass over the full sf0.1 text is ~90 s — a real corpus runs it
+    # once per ingest, not per benchmark rep
     for name in (
         "q01_text_density",
         "q03_fingerprint_dedup",
         "q04_agg_modes",
         "q07_reassembly",
-        "q25_lsh_jaccard",
         "q27_sessionize",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
