@@ -530,10 +530,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _minhash_sql(n_hashes: int = 8, ngram: int = 5) -> str:
-    """Shared CTE: shingles + per-doc MinHash mins (md5-keyed, engine-portable)."""
+def _minhash_sql(n_hashes: int = 8, ngram: int = 5, seed: int = 1) -> str:
+    """Shared CTE: shingles + per-doc MinHash mins.
+
+    Twin of operators/dedup.minhash_signatures: ONE md5 per shingle parsed to
+    a 60-bit int, then seeded universal-hash permutations (a·h+b mod 2^31−1)
+    with the SAME coefficients."""
+    from document_quality_assessment_ocr_spark.operators.dedup import (
+        MERSENNE31,
+        minhash_coeffs,
+    )
+
+    p = MERSENNE31
     mins = ",\n               ".join(
-        f"MIN(MD5('{i}|' || g)) AS h{i:02d}" for i in range(n_hashes)
+        f"MIN(({a} * hm + {b}) % {p}) AS h{i:02d}"
+        for i, (a, b) in enumerate(minhash_coeffs(n_hashes, seed))
     )
     return f"""
         WITH norm AS (
@@ -545,10 +556,14 @@ def _minhash_sql(n_hashes: int = 8, ngram: int = 5) -> str:
             FROM (SELECT doc_id, t,
                          UNNEST(RANGE(1, GREATEST(LENGTH(t) - {ngram - 1}, 0) + 1)) AS i
                   FROM norm)
+        ), shh AS (
+            SELECT doc_id,
+                   (CAST(('0x' || SUBSTR(MD5(g), 1, 15)) AS BIGINT) % {p}) AS hm
+            FROM sh
         ), sig AS (
             SELECT doc_id,
                {mins}
-            FROM sh GROUP BY doc_id
+            FROM shh GROUP BY doc_id
         )
     """
 

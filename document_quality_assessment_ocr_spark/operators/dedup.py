@@ -9,10 +9,34 @@ banding, never a full cross join).
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import WS_CLASS, char_ngrams, fingerprint
+
+#: modulus of the universal-hash permutation family (Mersenne prime 2^31−1):
+#: coefficients and reduced shingle hashes stay < 2^31, so a·h+b < 2^62 never
+#: overflows int64 on either engine
+MERSENNE31 = (1 << 31) - 1
+
+
+def minhash_coeffs(n_hashes: int, seed: int = 1) -> list[tuple[int, int]]:
+    """Seeded (a_i, b_i) pairs of the permutation family — shared verbatim by
+    the Spark operator and the DuckDB oracle SQL builder."""
+    rng = np.random.default_rng(seed)
+    return [
+        (int(rng.integers(1, MERSENNE31)), int(rng.integers(0, MERSENNE31)))
+        for _ in range(n_hashes)
+    ]
+
+
+def shingle_hash_expr(g_col: str = "g"):
+    """Shingle → 60-bit integer: first 15 hex chars of ONE md5, parsed base-16
+    (DuckDB twin: ``CAST('0x' || SUBSTR(MD5(g),1,15) AS BIGINT)``), reduced
+    mod 2^31−1."""
+    h = F.expr(f"cast(conv(substr(md5({g_col}), 1, 15), 16, 10) as bigint)")
+    return F.pmod(h, F.lit(MERSENNE31))
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -32,20 +56,29 @@ def minhash_signatures(
     text_col: str = "text",
     n_hashes: int = 16,
     ngram: int = 5,
+    seed: int = 1,
 ) -> DataFrame:
     """MinHash signatures over character n-gram shingles.
 
-    Permutation i is simulated by md5(i || '|' || shingle) and the signature
-    element is the lexicographic MIN of those digests — a valid minwise hash
-    family, string-stable across engines. Shuffle profile: explode shingles →
-    one groupBy(id) computing all n_hashes mins in a single HashAggregate
-    (partial aggregation shrinks the shuffle to n_hashes values per doc)."""
+    The shingle is hashed ONCE (md5 → 60-bit int, mod 2^31−1); permutation i
+    is the universal-hash map ``(a_i·h + b_i) mod (2^31−1)`` with seeded
+    coefficients, and the signature element is the MIN over shingles — a
+    valid minwise family at one md5 per shingle instead of one per
+    (shingle × permutation) (the r01 form burned 8–16 md5s per shingle; this
+    is the dominant cost of the dedup family on real text). Engine-portable:
+    the DuckDB oracle parses the same 15 hex chars and applies the same
+    coefficients.
+
+    Shuffle profile: explode shingles → one groupBy(id) computing all
+    n_hashes mins in a single HashAggregate (partial aggregation shrinks the
+    shuffle to n_hashes ints per doc)."""
     sh = docs.select(
         F.col(id_col), F.explode(char_ngrams(F.col(text_col), ngram)).alias("g")
-    )
+    ).select(F.col(id_col), shingle_hash_expr("g").alias("hm"))
+    p = F.lit(MERSENNE31)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("g")))).alias(f"h{i:02d}")
-        for i in range(n_hashes)
+        F.min((F.lit(a) * F.col("hm") + F.lit(b)) % p).alias(f"h{i:02d}")
+        for i, (a, b) in enumerate(minhash_coeffs(n_hashes, seed))
     ]
     return sh.groupBy(id_col).agg(*aggs)
 
