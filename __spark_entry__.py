@@ -415,6 +415,25 @@ def _q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets family beyond q24's ROLLUP: full CUBE over (lang,
+    source) — adds the source-only marginal the rollup lacks."""
+    d = _doc(spark, sf_dir)
+    return (
+        d.cube("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("n_chars").alias("avg_chars"),
+        )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("ALL")).alias("source"),
+            "n_docs",
+            "avg_chars",
+        )
+    )
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_quality_assessment_ocr_spark.operators.sessions import sessionize
 
@@ -523,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_anti_join": _q_anti_join,
         "q26_batch_reattach": _q_batch_reattach,
         "q27_sessionize": _q_sessionize,
+        "q28_cube": _q_cube,
         # flagship extraction — full oracle via seeded score literals
         "q90_extract_full": _q_extract_full,
         "q91_extract_metrics": _q_extract_metrics,
@@ -1252,6 +1272,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT w.doc_id, agg.min_fp, CAST(COALESCE(agg.n_w, 0) AS INT) AS n_windows
             FROM w LEFT JOIN agg USING (doc_id)
+        """,
+        "q28_cube": """
+            SELECT COALESCE(lang, 'ALL') AS lang,
+                   COALESCE(source, 'ALL') AS source,
+                   COUNT(*) AS n_docs,
+                   AVG(n_chars) AS avg_chars
+            FROM documents GROUP BY CUBE (lang, source)
         """,
         "q27_sessionize": """
             WITH l AS (
