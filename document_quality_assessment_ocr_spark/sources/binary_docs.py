@@ -231,12 +231,19 @@ def pages_to_payloads(pages_df: DataFrame) -> DataFrame:
     )
 
 
+_SPAN_ARR = "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+
+
 def pages_to_spans(pages_df: DataFrame, docs_df: Optional[DataFrame] = None) -> DataFrame:
     """Raster rows → (doc_id, skip_checks, spans) in the pipeline's input
     model: one media span per page (offset = page index); a handler-error doc
     carries one span referencing its ``#error`` pseudo-payload. Passing the
     original ``docs_df`` wires the requiresOCR bypass (reference
-    ``evaluator.py:21-22``: requiresOCR=False → accept unchecked)."""
+    ``evaluator.py:21-22``: requiresOCR=False → accept unchecked) AND
+    preserves zero-page documents (empty PDF/TIFF, all frames undecodable):
+    they get an EMPTY spans array so the pipeline rejects them with the
+    reference's no-images message (criteria.py:198-199) instead of silently
+    vanishing from the output."""
     ref = F.when(F.col("error").isNull(), _page_ref()).otherwise(
         F.concat(F.col("doc_id"), F.lit("#error"))
     )
@@ -251,11 +258,18 @@ def pages_to_spans(pages_df: DataFrame, docs_df: Optional[DataFrame] = None) -> 
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("s")).alias("spans"))
     )
-    if docs_df is not None and "requires_ocr" in docs_df.columns:
-        skip = docs_df.select(
-            "doc_id", (~F.coalesce(F.col("requires_ocr"), F.lit(True))).alias("skip_checks")
+    if docs_df is not None:
+        skip = (
+            (~F.coalesce(F.col("requires_ocr"), F.lit(True)))
+            if "requires_ocr" in docs_df.columns
+            else F.lit(False)
         )
-        return spans.join(skip, "doc_id", "left").fillna({"skip_checks": False})
+        base = docs_df.select("doc_id", skip.alias("skip_checks"))
+        return base.join(spans, "doc_id", "left").select(
+            "doc_id",
+            "skip_checks",
+            F.coalesce(F.col("spans"), F.array().cast(_SPAN_ARR)).alias("spans"),
+        )
     return spans.withColumn("skip_checks", F.lit(False))
 
 
