@@ -59,15 +59,21 @@ def run_with_checkpoints(
     run_id: Optional[str] = None,
     assume_unique_doc_ids: bool = False,
     max_media_spans: Optional[int] = None,
+    scored_payloads: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Extract group-by-group with snapshot commits; returns the full result
-    read back from committed data. Safe to re-invoke after a crash."""
+    read back from committed data. Safe to re-invoke after a crash.
+    ``scored_payloads`` injects a pre-built score table (e.g. the binary
+    front-end's kernel scores ∪ handler-error rows) — still scored once and
+    persisted across groups."""
     os.makedirs(base_dir, exist_ok=True)
     snap = _read_snapshot(base_dir)
     done = set(snap["committed_groups"])
     todo = [g for g in range(n_groups) if g not in done]
     if todo:
-        scored = score_payload_table(payloads_df).persist(StorageLevel.MEMORY_AND_DISK)
+        scored = (
+            scored_payloads if scored_payloads is not None else score_payload_table(payloads_df)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         try:
             grp = F.pmod(F.xxhash64("doc_id"), F.lit(n_groups)).cast("int")
             for g in todo:
@@ -103,3 +109,47 @@ def run_with_checkpoints(
 
 def read_manifests(spark: SparkSession, base_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(base_dir, "manifests"))
+
+
+def run_binary_with_checkpoints(
+    spark: SparkSession,
+    docs_df: DataFrame,
+    base_dir: str,
+    criteria: Optional[List[CriteriaConfig]] = None,
+    n_groups: int = 8,
+    max_pages: int = 5,
+    parser=None,
+    run_id: Optional[str] = None,
+) -> DataFrame:
+    """Checkpointed end-to-end run over a BINARY documents table: rasterize
+    once (persisted — pages feed both the score table and the spans), then
+    group-committed extraction with resume, exactly like the spans path.
+    ``doc_id`` must be unique (dedup upstream, reference evaluator.py:55-57)."""
+    from ..sources.binary_docs import (
+        error_scored_rows,
+        pages_to_payloads,
+        pages_to_spans,
+        parse_page_container,
+        rasterize,
+    )
+
+    pages = rasterize(
+        docs_df, max_pages=max_pages, parser=parser or parse_page_container
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        payloads = pages_to_payloads(pages)
+        scored = score_payload_table(payloads).unionByName(error_scored_rows(pages))
+        spans = pages_to_spans(pages, docs_df)
+        return run_with_checkpoints(
+            spark,
+            spans,
+            payloads,
+            base_dir,
+            criteria=criteria,
+            n_groups=n_groups,
+            run_id=run_id,
+            assume_unique_doc_ids=True,
+            scored_payloads=scored,
+        )
+    finally:
+        pages.unpersist()

@@ -73,3 +73,48 @@ def test_manifests_record_lineage(spark, small_corpus_dir, tmp_path):
     total_docs = sum(r["n_docs"] for r in rows)
     assert total_docs == spans.select("doc_id").distinct().count()
     assert all(r["spans_kept"] is not None for r in rows)
+
+
+@pytest.mark.slow
+def test_binary_checkpoint_resume_identical(spark, tmp_path, monkeypatch):
+    """run_binary_with_checkpoints: crash mid-run, resume, output identical
+    to the one-shot binary extraction (handler errors included)."""
+    import numpy as np
+
+    from document_quality_assessment_ocr_spark import png
+    from document_quality_assessment_ocr_spark.sources import binary_docs as B
+    from document_quality_assessment_ocr_spark.sources.fixtures import draw_text_page
+
+    rng = np.random.default_rng(5)
+
+    def pdf(i, good=True):
+        pages = (
+            [(png.encode_gray(draw_text_page(rng, w=300, h=380), dpi=200), 612.0)]
+            if good
+            else [(b"trash", 612.0)]
+        )
+        return (f"c{i}", "pdf", bytearray(B.encode_page_container(pages)), True)
+
+    rows = [pdf(0), pdf(1), pdf(2, good=False), pdf(3), pdf(4)]
+    docs = spark.createDataFrame(rows, B.BINARY_DOCS_SCHEMA)
+    expect = _result_set(B.extract_from_binary(docs))
+
+    base = str(tmp_path / "bsnap")
+    calls = {"n": 0}
+    real = cp.run_extraction
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("injected crash")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(cp, "run_extraction", flaky)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        cp.run_binary_with_checkpoints(spark, docs, base, n_groups=4)
+    snap = json.load(open(os.path.join(base, cp.SNAPSHOT)))
+    assert len(snap["committed_groups"]) == 2  # two groups survived the crash
+
+    monkeypatch.setattr(cp, "run_extraction", real)
+    out = cp.run_binary_with_checkpoints(spark, docs, base, n_groups=4)
+    assert _result_set(out) == expect
