@@ -415,6 +415,18 @@ def _q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer counts (task brief: 'token counting (whitespace
+    + a BPE-ish regex)') — the regex half; q02 is the whitespace half."""
+    from document_quality_assessment_ocr_spark.functions.text import token_count_bpe
+
+    d = _doc(spark, sf_dir)
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        token_count_bpe(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
 def _q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets family beyond q24's ROLLUP: full CUBE over (lang,
     source) — adds the source-only marginal the rollup lacks."""
@@ -543,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_batch_reattach": _q_batch_reattach,
         "q27_sessionize": _q_sessionize,
         "q28_cube": _q_cube,
+        "q29_bpe_tokens": _q_bpe_tokens,
         # flagship extraction — full oracle via seeded score literals
         "q90_extract_full": _q_extract_full,
         "q91_extract_metrics": _q_extract_metrics,
@@ -1048,6 +1061,21 @@ def _main_content_sql() -> str:
     )
 
 
+def _bpe_sql() -> str:
+    """Twin of functions/text.token_count_bpe — identical pattern; DuckDB
+    single-quoted literals pass backslashes through to RE2 unmodified, so
+    only the apostrophe needs escaping."""
+    from document_quality_assessment_ocr_spark.functions.text import BPE_PATTERN
+
+    pat = BPE_PATTERN.replace("'", "''")
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(LEN(REGEXP_EXTRACT_ALL(COALESCE(text,''), '{pat}')) AS BIGINT)
+                   AS n_bpe_tokens
+        FROM documents
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     ink = f"LENGTH(REGEXP_REPLACE(COALESCE(text,''), '{WS}', '', 'g'))"
     ntoks = (
@@ -1273,6 +1301,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT w.doc_id, agg.min_fp, CAST(COALESCE(agg.n_w, 0) AS INT) AS n_windows
             FROM w LEFT JOIN agg USING (doc_id)
         """,
+        "q29_bpe_tokens": _bpe_sql(),
         "q28_cube": """
             SELECT COALESCE(lang, 'ALL') AS lang,
                    COALESCE(source, 'ALL') AS source,

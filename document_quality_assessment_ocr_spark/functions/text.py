@@ -58,6 +58,26 @@ def token_count(text: Column) -> Column:
     return F.size(toks).cast("long")
 
 
+#: BPE-ish pre-tokenizer pattern (GPT-2-style word/number/punct split,
+#: ASCII-scoped so Java regex and RE2 agree exactly): a letter run with an
+#: optional apostrophe suffix, a digit run, or a punctuation run.
+BPE_PATTERN = "[A-Za-z]+(?:'[A-Za-z]+)?|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f\\x0b]+"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """Array of BPE-ish pre-tokens (the regex split a byte-pair tokenizer
+    applies before merges). Native regexp_extract_all — JVM-side, and the
+    DuckDB oracle runs the identical pattern."""
+    return F.regexp_extract_all(F.coalesce(text, F.lit("")), F.lit(BPE_PATTERN), 0)
+
+
+def token_count_bpe(text: Column) -> Column:
+    """Pre-token count under the BPE-ish pattern — the proxy a training-data
+    pipeline uses for byte-pair token budgeting (exact BPE merges need the
+    vocab; the pre-token count is the scale-stable upper-bound signal)."""
+    return F.size(bpe_tokens(text)).cast("long")
+
+
 def char_ngrams(text: Column, n: int = 5) -> Column:
     """Array of character n-gram shingles of the whitespace-normalized text.
 
