@@ -277,6 +277,17 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_lsh(_emb(spark, sf_dir), probe_ids=[0, 1, 2], dim=64, k=5, n_planes=6)
 
 
+def _q_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k: each probe also searches the Hamming-1 buckets
+    of its first 2 plane bits (recall lever without more planes)."""
+    from document_quality_assessment_ocr_spark.operators.similarity import cosine_topk_lsh
+
+    return cosine_topk_lsh(
+        _emb(spark, sf_dir), probe_ids=[0, 1, 2], dim=64, k=5, n_planes=6,
+        multiprobe_bits=2,
+    )
+
+
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from document_quality_assessment_ocr_spark.operators.similarity import ivf_topk
 
@@ -556,6 +567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_sessionize": _q_sessionize,
         "q28_cube": _q_cube,
         "q29_bpe_tokens": _q_bpe_tokens,
+        "q30_lsh_multiprobe": _q_lsh_multiprobe,
         # flagship extraction — full oracle via seeded score literals
         "q90_extract_full": _q_extract_full,
         "q91_extract_metrics": _q_extract_metrics,
@@ -751,8 +763,20 @@ def _bucket_sql(n_planes: int, dim: int, seed: int = 42) -> str:
     return " + ".join(terms)
 
 
-def _lsh_topk_sql(n_planes: int = 6, dim: int = 64, k: int = 5, seed: int = 42) -> str:
+def _lsh_topk_sql(
+    n_planes: int = 6,
+    dim: int = 64,
+    k: int = 5,
+    seed: int = 42,
+    multiprobe_bits: int = 0,
+) -> str:
     bucket = _bucket_sql(n_planes, dim, seed)
+    pm = "SELECT probe_id, pv, pb FROM p"
+    for i in range(min(multiprobe_bits, n_planes)):
+        pm += (
+            f"\n            UNION ALL SELECT probe_id, pv,"
+            f" xor(pb, CAST({1 << i} AS BIGINT)) FROM p"
+        )
     return f"""
         WITH e AS (
             SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -761,11 +785,13 @@ def _lsh_topk_sql(n_planes: int = 6, dim: int = 64, k: int = 5, seed: int = 42) 
             SELECT vec_id, v, {bucket} AS bucket FROM e
         ), p AS (
             SELECT vec_id AS probe_id, v AS pv, bucket AS pb FROM b WHERE vec_id IN (0,1,2)
+        ), pm AS (
+            {pm}
         ), s AS (
-            SELECT probe_id, b.vec_id AS neighbor_id,
+            SELECT DISTINCT probe_id, b.vec_id AS neighbor_id,
                    ROUND(LIST_DOT_PRODUCT(pv, v)
                          / SQRT(LIST_DOT_PRODUCT(pv, pv) * LIST_DOT_PRODUCT(v, v)), 6) AS cos
-            FROM p JOIN b ON b.bucket = p.pb AND b.vec_id <> p.probe_id
+            FROM pm JOIN b ON b.bucket = pm.pb AND b.vec_id <> pm.probe_id
         )
         SELECT probe_id, neighbor_id, cos, CAST(rank AS INT) AS rank
         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
@@ -1226,6 +1252,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q14_doc_stats": _doc_stats_sql(),
         "q16_lsh_topk": _lsh_topk_sql(),
+        "q30_lsh_multiprobe": _lsh_topk_sql(multiprobe_bits=2),
         "q17_ivf_topk": _ivf_sql(),
         "q19_curation": _curation_sql(),
         "q23_embedding_near_dups": f"""

@@ -215,17 +215,33 @@ def cosine_topk_lsh(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe_bits: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the probe's LSH bucket,
     then exact cosine + window top-k. At corpus scale the bucket join is a
-    co-partitioned hash join on bucket id; recall is tuned by n_planes (and
-    multi-probe variants would OR several buckets)."""
+    co-partitioned hash join on bucket id; recall is tuned by n_planes AND by
+    ``multiprobe_bits`` — the probe additionally searches every bucket at
+    Hamming distance 1 obtained by flipping one of its first
+    ``multiprobe_bits`` plane signs (classic multi-probe LSH: near misses on
+    a single hyperplane are the dominant false-negative mode). Candidate
+    volume grows linearly in probes×buckets, never quadratically."""
     b = hyperplane_lsh_buckets(emb, dim, n_planes, seed, id_col, vec_col)
     probes = b.filter(F.col(id_col).isin(probe_ids)).select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("probe_vec"),
         F.col("bucket").alias("probe_bucket"),
     )
+    if multiprobe_bits > 0:
+        variants = F.array(
+            F.col("probe_bucket"),
+            *[
+                F.col("probe_bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(min(multiprobe_bits, n_planes))
+            ],
+        )
+        probes = probes.select(
+            "probe_id", "probe_vec", F.explode(variants).alias("probe_bucket")
+        )
     cands = b.alias("c").join(
         F.broadcast(probes),
         (F.col("probe_bucket") == F.col("c.bucket"))
@@ -236,6 +252,9 @@ def cosine_topk_lsh(
         F.col(f"c.{id_col}").alias("neighbor_id"),
         F.round(cosine(F.col("probe_vec"), F.col(f"c.{vec_col}")), 6).alias("cos"),
     )
+    if multiprobe_bits > 0:
+        # a neighbour can land in several probed buckets — dedup before rank
+        scored = scored.dropDuplicates(["probe_id", "neighbor_id"])
     w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

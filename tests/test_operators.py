@@ -250,3 +250,45 @@ def test_cosine_topk_plan_has_no_window(emb):
     plan = cosine_topk_bruteforce(df, probe_ids=[0, 1], k=3)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
     assert "partial" in plan.lower() or "ObjectHashAggregate" in plan, plan
+
+
+def test_lsh_multiprobe_superset_recall(emb):
+    """Multi-probe searches a superset of the single-probe bucket: its top-1
+    similarity can never be worse, and a neighbour reachable through two
+    probed buckets is ranked exactly once."""
+    from document_quality_assessment_ocr_spark.operators.similarity import cosine_topk_lsh
+
+    df, _ = emb
+    single = cosine_topk_lsh(df, [0, 1, 2], dim=8, k=5, n_planes=4).collect()
+    multi = cosine_topk_lsh(
+        df, [0, 1, 2], dim=8, k=5, n_planes=4, multiprobe_bits=3
+    ).collect()
+
+    def top1(rows):
+        out = {}
+        for r in rows:
+            if r["rank"] == 1:
+                out[r["probe_id"]] = r["cos"]
+        return out
+
+    s1, m1 = top1(single), top1(multi)
+    for pid, cos in s1.items():
+        assert m1[pid] >= cos - 1e-12, pid
+    # no duplicate (probe, neighbor) rows survive the dedup
+    seen = [(r["probe_id"], r["neighbor_id"]) for r in multi]
+    assert len(seen) == len(set(seen))
+    # candidate pool strictly grows for at least one probe on this corpus
+    assert len(multi) >= len(single)
+
+
+def test_parquet_filter_pushdown(spark):
+    """Predicates and projections must reach the parquet scan: the physical
+    plan advertises PushedFilters and a pruned ReadSchema."""
+    d = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "n_chars")
+    )
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan, plan
+    assert "doc_id" in plan and "text" not in plan.split("ReadSchema")[1][:200], plan
