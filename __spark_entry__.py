@@ -277,6 +277,19 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_lsh(_emb(spark, sf_dir), probe_ids=[0, 1, 2], dim=64, k=5, n_planes=6)
 
 
+def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: connected components over LSH pairs via
+    iterative min-label propagation (driver convergence loop) — the oracle
+    recomputes components with a recursive CTE."""
+    from document_quality_assessment_ocr_spark.operators.dedup import duplicate_clusters
+
+    return duplicate_clusters(
+        _doc(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+        n_hashes=8,
+        bands=4,
+    )
+
+
 def _q_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH top-k: each probe also searches the Hamming-1 buckets
     of its first 2 plane bits (recall lever without more planes)."""
@@ -568,6 +581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_cube": _q_cube,
         "q29_bpe_tokens": _q_bpe_tokens,
         "q30_lsh_multiprobe": _q_lsh_multiprobe,
+        "q31_dup_clusters": _q_dup_clusters,
         # flagship extraction — full oracle via seeded score literals
         "q90_extract_full": _q_extract_full,
         "q91_extract_metrics": _q_extract_metrics,
@@ -1203,6 +1217,36 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.05
         """,
         "q12_simhash": _simhash_sql(32),
+        # connected components via recursive CTE — WITH must become
+        # WITH RECURSIVE for the reach() member
+        "q31_dup_clusters": _minhash_sql(8).replace("WITH ", "WITH RECURSIVE ", 1)
+        + """
+            , bands AS (
+                SELECT doc_id, 0 AS band, MD5(CONCAT_WS('#', h00, h01)) AS key FROM sig
+                UNION ALL SELECT doc_id, 1, MD5(CONCAT_WS('#', h02, h03)) FROM sig
+                UNION ALL SELECT doc_id, 2, MD5(CONCAT_WS('#', h04, h05)) FROM sig
+                UNION ALL SELECT doc_id, 3, MD5(CONCAT_WS('#', h06, h07)) FROM sig
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            ), edges AS (
+                SELECT id_a AS ea, id_b AS eb FROM cand
+                UNION SELECT id_b, id_a FROM cand
+            ), reach(n, m) AS (
+                SELECT ea, eb FROM edges
+                UNION
+                SELECT r.n, e.eb FROM reach r JOIN edges e ON e.ea = r.m
+                WHERE e.eb <> r.n
+            ), comp AS (
+                SELECT n AS did, LEAST(n, MIN(m)) AS cid FROM reach GROUP BY n
+            )
+            SELECT d.doc_id,
+                   COALESCE(comp.cid, d.doc_id) AS cluster_id,
+                   (COALESCE(comp.cid, d.doc_id) = d.doc_id) AS is_cluster_head
+            FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d
+            LEFT JOIN comp ON comp.did = d.doc_id
+        """,
         "q25_lsh_jaccard": _minhash_sql(8)
         + """
             , bands AS (

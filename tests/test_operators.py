@@ -292,3 +292,43 @@ def test_parquet_filter_pushdown(spark):
     plan = d._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan, plan
     assert "doc_id" in plan and "text" not in plan.split("ReadSchema")[1][:200], plan
+
+
+def test_duplicate_clusters_union_find(spark):
+    """Iterative min-label propagation == python union-find on the same
+    candidate pairs; singletons cluster to themselves."""
+    from document_quality_assessment_ocr_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_lsh_pairs,
+    )
+
+    rows = [(i, t) for i, t in [
+        (1, "aaa bbb ccc ddd eee fff ggg hhh iii jjj"),
+        (2, "aaa bbb ccc ddd eee fff ggg hhh iii jjj"),
+        (3, "aaa bbb ccc ddd eee fff ggg hhh iii jjk"),
+        (4, "totally different words in this one here"),
+        (5, "totally different words in this one here"),
+        (6, "a singleton document unlike all the others"),
+    ]]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = [(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_pairs(docs, n_hashes=16, bands=8).collect()]
+
+    parent = {i: i for i, _ in rows}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {i: find(i) for i, _ in rows}
+
+    got = {r["doc_id"]: (r["cluster_id"], r["is_cluster_head"]) for r in
+           duplicate_clusters(docs, n_hashes=16, bands=8).collect()}
+    assert {k: v[0] for k, v in got.items()} == expect
+    for k, (cid, head) in got.items():
+        assert head == (k == cid)
+    assert got[6] == (6, True)  # singleton
