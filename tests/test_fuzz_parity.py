@@ -74,6 +74,10 @@ def _random_corpus(rng: np.random.Generator, n_docs: int) -> list[dict]:
     (606, "tiered", 3),
     (707, "default", None),
     (808, "tiered", None),
+    (909, "default", 1),
+    (1010, "tiered", 2),
+    (1111, "default", 4),
+    (1212, "tiered", None),
 ])
 def test_fuzz_corpus_parity(spark, tmp_path, seed, tiers, budget):
     rng = np.random.default_rng(seed)
