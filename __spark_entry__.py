@@ -277,6 +277,24 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_lsh(_emb(spark, sf_dir), probe_ids=[0, 1, 2], dim=64, k=5, n_planes=6)
 
 
+def _q_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-ranking family beyond row_number: ntile(4) buckets and
+    percent_rank of event values within each event_type (total order via the
+    unique event_id tie-break, so both engines agree exactly)."""
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+    )
+
+
 def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate clusters: connected components over LSH pairs via
     iterative min-label propagation (driver convergence loop) — the oracle
@@ -582,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_bpe_tokens": _q_bpe_tokens,
         "q30_lsh_multiprobe": _q_lsh_multiprobe,
         "q31_dup_clusters": _q_dup_clusters,
+        "q32_value_quartiles": _q_value_quartiles,
         # flagship extraction — full oracle via seeded score literals
         "q90_extract_full": _q_extract_full,
         "q91_extract_metrics": _q_extract_metrics,
@@ -1379,6 +1398,14 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs,
                    AVG(n_chars) AS avg_chars
             FROM documents GROUP BY CUBE (lang, source)
+        """,
+        "q32_value_quartiles": """
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   event_type,
+                   CAST(NTILE(4) OVER w AS INT) AS quartile,
+                   ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
         """,
         "q27_sessionize": """
             WITH l AS (
