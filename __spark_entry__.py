@@ -567,6 +567,116 @@ def _q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assemble_main_content(run_extraction(spans, pay, assume_unique_doc_ids=True))
 
 
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: duplicate-line stats (columnar) +
+    most-frequent word 2-gram + duplicated-gram char fraction."""
+    from document_quality_assessment_ocr_spark.operators.quality import repetition_report
+
+    return repetition_report(
+        _doc(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+        n=2,
+    )
+
+
+def _q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing a word 5-gram with
+    the (deterministic doc_id % 89 == 0) eval slice; eval shingles broadcast."""
+    from document_quality_assessment_ocr_spark.operators.decontam import (
+        contamination_report,
+    )
+
+    docs = _doc(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    eval_set = docs.where(F.col("doc_id") % 89 == 0)
+    train = docs.where(F.col("doc_id") % 89 != 0)
+    return contamination_report(train, eval_set, n=5)
+
+
+def _q_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog (md5 registers, m=256) distinct users per
+    event_type — audit mode carries the exact count so sketch accuracy is
+    itself oracle-checked."""
+    from document_quality_assessment_ocr_spark.operators.sketches import hll_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.col("user_id").cast("long").alias("user_id")
+    )
+    return hll_distinct(ev, "event_type", "user_id", with_exact=True)
+
+
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click enriched with the user's most recent purchase
+    at-or-before it (union + ordered carry-forward window, one exchange).
+    Purchases pre-deduped per (user, ts) by max event_id so the tie row is
+    well-defined on both engines (DuckDB oracle uses native ASOF JOIN)."""
+    from document_quality_assessment_ocr_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").cast("long").alias("user_id"), "ts")
+        .agg(
+            F.max(F.col("event_id").cast("long")).alias("event_id"),
+            F.max_by("value", F.col("event_id").cast("long")).alias("value"),
+        )
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        "ts",
+    )
+    joined = asof_join(clicks, purchases, "user_id", "ts", ["event_id", "value", "ts"])
+    # parquet naive timestamps are TIMESTAMP_NTZ; the session runs UTC so the
+    # cast is a pure reinterpretation (same convention as operators/sessions)
+    tus = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return joined.select(
+        "event_id",
+        "user_id",
+        tus("ts").alias("ts_us"),
+        F.col("asof_event_id").alias("purchase_event_id"),
+        F.col("asof_value").alias("purchase_value"),
+        (tus("ts") - tus("asof_ts")).alias("gap_us"),
+    )
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified down-sampling by language (md5-uniform
+    threshold — reproducible, engine-portable, retry-stable)."""
+    from document_quality_assessment_ocr_spark.operators.sampling import stratified_sample
+
+    docs = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang"
+    )
+    return stratified_sample(
+        docs,
+        "lang",
+        rates={"en": 0.5, "de": 0.75, "fr": 0.25, "es": 0.125, "zh": 1.0},
+        default_rate=0.0625,
+    )
+
+
+def _q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (spam-host guard): ≤ 5 docs per source chosen
+    by the deterministic md5-uniform — two-level top-k merge, no per-group
+    window."""
+    from document_quality_assessment_ocr_spark.operators.sampling import per_group_cap
+
+    docs = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )
+    return per_group_cap(docs, "source", k=5)
+
+
+def _q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-style top-3 terms per document (integer (tf desc, df asc,
+    term) ranking — bit-exact cross-engine, no libm log)."""
+    from document_quality_assessment_ocr_spark.operators.textstats import top_terms
+
+    return top_terms(
+        _doc(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+        k=3,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_text_density": _q_text_density,
@@ -601,6 +711,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_lsh_multiprobe": _q_lsh_multiprobe,
         "q31_dup_clusters": _q_dup_clusters,
         "q32_value_quartiles": _q_value_quartiles,
+        "q33_repetition": _q_repetition,
+        "q34_decontam": _q_decontam,
+        "q35_hll_distinct": _q_hll,
+        "q36_asof_join": _q_asof_join,
+        "q37_stratified_sample": _q_stratified_sample,
+        "q38_source_cap": _q_source_cap,
+        "q39_top_terms": _q_top_terms,
         # flagship extraction — full oracle via seeded score literals
         "q90_extract_full": _q_extract_full,
         "q91_extract_metrics": _q_extract_metrics,
@@ -1135,6 +1252,180 @@ def _bpe_sql() -> str:
     """
 
 
+def _nib_sql(h: str, i: int) -> str:
+    """0-based value of the i-th (1-based) hex char of ``h`` — the DuckDB
+    twin of operators.sketches._nibble / sources.derive nibble arithmetic."""
+    return f"(STRPOS('0123456789abcdef', SUBSTR({h}, {i}, 1)) - 1)"
+
+
+def _md5_u32_sql(h: str, start: int = 1) -> str:
+    """Unsigned 32-bit int from 8 hex chars of ``h`` starting at ``start`` —
+    byte-identical twin of Spark's CONV(SUBSTRING(h, start, 8), 16, 10)."""
+    terms = " + ".join(
+        f"{_nib_sql(h, start + j)} * {16 ** (7 - j)}" for j in range(8)
+    )
+    return f"({terms})"
+
+
+def _md5_uniform_sql(id_expr: str, salt: int = 0) -> str:
+    """Deterministic uniform in [0,1) — twin of operators.sampling.md5_uniform
+    (first 32 md5 bits / 2^32; division by a power of two is exact)."""
+    h = f"MD5(CAST({id_expr} AS VARCHAR) || '|{salt}')"
+    return f"(CAST({_md5_u32_sql(h)} AS DOUBLE) / 4294967296.0)"
+
+
+def _hll_sql() -> str:
+    """HLL oracle: identical md5 register/rho arithmetic as
+    operators.sketches (m=256, p=8); BIN() renders minimal-width on both
+    engines so the leading-zero count is LENGTH-based on both."""
+    from document_quality_assessment_ocr_spark.operators.sketches import ALPHA_M, M
+
+    h = "hh"
+    reg = f"({_nib_sql(h, 1)} * 16 + {_nib_sql(h, 2)})"
+    v = _md5_u32_sql(h, 3)
+    num = repr(ALPHA_M * M * M)
+    return f"""
+        WITH src AS (
+            SELECT event_type, CAST(user_id AS BIGINT) AS user_id,
+                   MD5(CAST(CAST(user_id AS BIGINT) AS VARCHAR)) AS hh
+            FROM events
+        ), rr AS (
+            SELECT event_type, user_id, {reg} AS reg, {v} AS v FROM src
+        ), rt AS (
+            SELECT event_type, user_id, reg,
+                   CASE WHEN v = 0 THEN 33
+                        ELSE 33 - LENGTH(LTRIM(BIN(v), '0')) END AS rho
+            FROM rr
+        ), per_reg AS (
+            SELECT event_type, reg, MAX(rho) AS max_rho,
+                   COUNT(DISTINCT user_id) AS n_items
+            FROM rt GROUP BY 1, 2
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS INT) AS n_hit_registers,
+               CAST({M} - COUNT(*) AS INT) AS n_zero_registers,
+               SUM(POWER(2.0, -max_rho)) + CAST({M} - COUNT(*) AS DOUBLE)
+                   AS harmonic_sum,
+               {num} / (SUM(POWER(2.0, -max_rho)) + CAST({M} - COUNT(*) AS DOUBLE))
+                   AS raw_estimate,
+               CAST(SUM(n_items) AS BIGINT) AS exact_distinct
+        FROM per_reg GROUP BY 1
+    """
+
+
+def _repetition_sql() -> str:
+    toks = (
+        f"LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(t)), '{WS}+'),"
+        " x -> x <> '')"
+    )
+    return f"""
+        WITH d AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, COALESCE(text,'') AS t
+            FROM documents
+        ), lines0 AS (
+            SELECT doc_id,
+                   UNNEST(LIST_FILTER(STRING_SPLIT(t, CHR(10)), x -> x <> '')) AS line
+            FROM d
+        ), lcnt AS (
+            SELECT doc_id, line, COUNT(*) AS c, LENGTH(line) AS len
+            FROM lines0 GROUP BY 1, 2
+        ), lstat AS (
+            SELECT doc_id,
+                   CAST(SUM(c) AS INT) AS n_lines,
+                   1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+                       AS dup_line_frac,
+                   CASE WHEN SUM(c * len) = 0 THEN 0.0
+                        ELSE CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c * len END), 0) AS DOUBLE)
+                             / CAST(SUM(c * len) AS DOUBLE) END AS dup_line_char_frac
+            FROM lcnt GROUP BY 1
+        ), tk AS (
+            SELECT doc_id, {toks} AS a FROM d
+        ), grams0 AS (
+            SELECT doc_id,
+                   a[CAST(i AS INT)] || ' ' || a[CAST(i AS INT) + 1] AS gram
+            FROM (SELECT doc_id, a,
+                         UNNEST(RANGE(1, GREATEST(LEN(a) - 1, 0) + 1)) AS i
+                  FROM tk)
+        ), gcnt AS (
+            SELECT doc_id, gram, COUNT(*) AS cnt FROM grams0 GROUP BY 1, 2
+        ), gagg AS (
+            SELECT doc_id,
+                   COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt * LENGTH(gram) END), 0) AS dup_chars,
+                   COALESCE(SUM(cnt * LENGTH(gram)), 0) AS all_chars
+            FROM gcnt GROUP BY 1
+        ), gtop AS (
+            SELECT doc_id, gram, cnt FROM (
+                SELECT doc_id, gram, cnt,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY cnt DESC, gram ASC) AS rn
+                FROM gcnt) WHERE rn = 1
+        )
+        SELECT d.doc_id,
+               COALESCE(lstat.n_lines, 0) AS n_lines,
+               COALESCE(lstat.dup_line_frac, 0.0) AS dup_line_frac,
+               COALESCE(lstat.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+               gtop.gram AS top_gram,
+               CAST(COALESCE(gtop.cnt, 0) AS BIGINT) AS top_cnt,
+               CASE WHEN COALESCE(gagg.all_chars, 0) = 0 THEN 0.0
+                    ELSE CAST(gagg.dup_chars AS DOUBLE) / CAST(gagg.all_chars AS DOUBLE)
+               END AS dup_gram_char_frac
+        FROM d
+        LEFT JOIN lstat USING (doc_id)
+        LEFT JOIN gagg USING (doc_id)
+        LEFT JOIN gtop USING (doc_id)
+    """
+
+
+def _decontam_sql() -> str:
+    toks = (
+        f"LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(COALESCE(text,''))), '{WS}+'),"
+        " x -> x <> '')"
+    )
+    gram5 = " || ' ' || ".join(f"a[CAST(i AS INT) + {j}]" for j in range(5))
+    return f"""
+        WITH d AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, {toks} AS a FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, MD5({gram5}) AS shingle
+            FROM (SELECT doc_id, a,
+                         UNNEST(RANGE(1, GREATEST(LEN(a) - 4, 0) + 1)) AS i
+                  FROM d)
+        ), ev AS (
+            SELECT DISTINCT shingle FROM sh WHERE doc_id % 89 = 0
+        )
+        SELECT s.doc_id, COUNT(*) AS n_shared_shingles
+        FROM sh s JOIN ev USING (shingle)
+        WHERE s.doc_id % 89 <> 0
+        GROUP BY 1
+    """
+
+
+def _top_terms_sql() -> str:
+    toks = (
+        f"LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(COALESCE(text,''))), '{WS}+'),"
+        " x -> x <> '')"
+    )
+    return f"""
+        WITH tok AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, UNNEST({toks}) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+        ), df AS (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+        )
+        SELECT doc_id, term,
+               CAST(tf AS BIGINT) AS tf,
+               CAST(df AS BIGINT) AS df,
+               CAST(rn AS INT) AS rank
+        FROM (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                     ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                        ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rn
+              FROM tf JOIN df USING (term))
+        WHERE rn <= 3
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     ink = f"LENGTH(REGEXP_REPLACE(COALESCE(text,''), '{WS}', '', 'g'))"
     ntoks = (
@@ -1457,6 +1748,50 @@ def oracle_sql() -> dict[str, str]:
                    v.accepted, v.reasons
             FROM o JOIN v USING (did)
         """,
+        "q33_repetition": _repetition_sql(),
+        "q34_decontam": _decontam_sql(),
+        "q35_hll_distinct": _hll_sql(),
+        "q36_asof_join": """
+            WITH p AS (
+                SELECT CAST(user_id AS BIGINT) AS user_id, ts,
+                       MAX(CAST(event_id AS BIGINT)) AS pe,
+                       ARG_MAX(value, CAST(event_id AS BIGINT)) AS pv
+                FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+            ), c AS (
+                SELECT CAST(event_id AS BIGINT) AS event_id,
+                       CAST(user_id AS BIGINT) AS user_id, ts
+                FROM events WHERE event_type = 'click'
+            )
+            SELECT c.event_id, c.user_id, EPOCH_US(c.ts) AS ts_us,
+                   p.pe AS purchase_event_id, p.pv AS purchase_value,
+                   EPOCH_US(c.ts) - EPOCH_US(p.ts) AS gap_us
+            FROM c ASOF LEFT JOIN p
+              ON c.user_id = p.user_id AND p.ts <= c.ts
+        """,
+        "q37_stratified_sample": f"""
+            WITH d AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+                       {_md5_uniform_sql('CAST(doc_id AS BIGINT)')} AS sample_u
+                FROM documents
+            )
+            SELECT doc_id, lang, sample_u FROM d
+            WHERE sample_u < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.75
+                                       WHEN 'fr' THEN 0.25 WHEN 'es' THEN 0.125
+                                       WHEN 'zh' THEN 1.0 ELSE 0.0625 END
+        """,
+        "q38_source_cap": f"""
+            WITH d AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+                       {_md5_uniform_sql('CAST(doc_id AS BIGINT)')} AS sample_u
+                FROM documents
+            )
+            SELECT source, doc_id, sample_u FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                             ORDER BY sample_u ASC, doc_id ASC) AS rn
+                FROM d
+            ) WHERE rn <= 5
+        """,
+        "q39_top_terms": _top_terms_sql(),
         # flagship extraction: kernels aren't SQL-expressible, but the payload
         # catalog is tiny and seeded — its scores ride along as literals and
         # the derivation + fold + gating are exact SQL (md5 picks)

@@ -1,0 +1,89 @@
+"""Deterministic sampling / capping operators for corpus curation.
+
+Training-data pipelines re-balance corpora with two primitives:
+
+* **stratified down-sampling** — per-stratum keep rates (e.g. English 30%,
+  tail languages 100%), and
+* **per-group caps** — at most k documents per host/source (the
+  common-crawl spam-host guard).
+
+Both must be **deterministic and reproducible across engines and re-runs**
+(a training corpus is a versioned artifact), so the randomness is an
+md5-derived uniform per row — identical arithmetic in Spark and the DuckDB
+oracle, no ``rand()``, no seed-per-partition nondeterminism, stable under
+retries/speculative execution (Spark's own ``sample`` is not, and its
+XORShift stream has no SQL twin).
+
+u(doc) = int(first 8 md5 hex chars of "{id}|{salt}") / 2^32  ∈ [0, 1)
+
+Scale: the stratified filter is a pure codegen predicate on the scan — at
+100 TB it pushes into the row filter with NO shuffle at all. The per-group
+cap is the two-level top-k merge (bounded state per task) rather than a
+per-group row_number window, so one spam host with 10^9 pages never lands
+on a single reducer.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def md5_uniform(id_col: Column, salt: int = 0) -> Column:
+    """Deterministic uniform in [0,1): first 32 md5 bits / 2^32 — division
+    by a power of two is exact, so engine and oracle agree bitwise."""
+    h = F.md5(F.concat(id_col.cast("string"), F.lit(f"|{salt}")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(4294967296.0)
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates: Dict[str, float],
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: int = 0,
+) -> DataFrame:
+    """Keep each row iff u(id) < rate(stratum). Pure predicate — no
+    shuffle, no state; rates are a tiny driver-side dict folded into a
+    CASE expression (never a join)."""
+    rate = F.lit(float(default_rate))
+    for stratum in sorted(rates, reverse=True):
+        rate = F.when(F.col(stratum_col) == F.lit(stratum), F.lit(float(rates[stratum]))).otherwise(rate)
+    u = md5_uniform(F.col(id_col), salt)
+    return df.where(u < rate).withColumn("sample_u", u)
+
+
+def per_group_cap(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: int = 0,
+    fanout: int = 32,
+) -> DataFrame:
+    """At most ``k`` rows per group, chosen deterministically by
+    (u(id), id) ascending — an unbiased without-replacement sample of k.
+
+    Two-level merge: level 1 keeps each (group, hash-bucket)'s top-k, so
+    per-task aggregation state is ≤ k rows per bucket; level 2 merges
+    ≤ fanout·k survivors per group. Exact: the global k smallest are a
+    subset of the per-bucket k smallest."""
+    u = md5_uniform(F.col(id_col), salt)
+    item = F.struct(u.alias("u"), F.col(id_col).alias("id"))
+    topk = lambda c: F.slice(F.sort_array(F.collect_list(c)), 1, k)  # noqa: E731
+    lvl1 = (
+        df.select(F.col(group_col), item.alias("it"))
+        .groupBy(group_col, F.pmod(F.hash(F.col(f"it.id")), F.lit(fanout)).alias("b"))
+        .agg(topk(F.col("it")).alias("top"))
+    )
+    kept = (
+        lvl1.select(group_col, F.explode("top").alias("it"))
+        .groupBy(group_col)
+        .agg(topk(F.col("it")).alias("top"))
+        .select(group_col, F.explode("top").alias("it"))
+        .select(group_col, F.col("it.id").alias(id_col), F.col("it.u").alias("sample_u"))
+    )
+    return kept

@@ -1,0 +1,89 @@
+"""Distinct-count sketch (HyperLogLog) with engine-portable determinism.
+
+Spark ships ``approx_count_distinct`` (HLL++), but its register hashing is
+JVM-private — no external oracle can reproduce it. This module implements
+the textbook HLL (Flajolet et al. 2007) from **md5-derived registers**, so
+the DuckDB oracle computes the *identical* sketch bit-for-bit, and the
+driver's value-hash gate applies to a probabilistic operator:
+
+* register index = first two md5 hex nibbles (m = 256, p = 8),
+* rho = 1 + leading-zero count of the next 32 hash bits (0 → 33),
+* registers merge with ``max`` — a classic algebraic aggregate, so the
+  100 TB path is two hash aggregations with map-side partial combine:
+  ``groupBy(key, register).max(rho)`` then ``groupBy(key)`` fold. The
+  shuffle carries ≤ m rows per key regardless of input size — this is why
+  sketches exist at scale.
+* the harmonic sum Σ 2^(−max_rho) is a sum of powers of two spanning
+  2^0 … 2^−33 < 53 bits of precision, so IEEE-754 addition is **exact in
+  any order** — engine and oracle agree on the estimate to the last bit
+  without any float-ordering ceremony.
+
+``raw_estimate`` is the uncorrected α·m²/Σ form; the small-range
+(linear-counting) correction needs ``ln``, whose last-bit rounding differs
+between libm implementations, so it is left to the caller as a driver-side
+scalar — ``n_zero_registers`` (its only input besides m) is emitted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+M = 256  # registers (p = 8)
+ALPHA_M = 0.7213 / (1.0 + 1.079 / M)  # Flajolet et al. 2007, fig. 3
+
+
+def hll_register_rho(item: Column) -> tuple[Column, Column]:
+    """(register index, rho) for one item — md5-based, see module doc."""
+    h = F.md5(item.cast("string"))
+    reg = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    v = F.conv(F.substring(h, 3, 8), 16, 10).cast("long")
+    # leading zeros of the 32-bit word: bin() renders without leading
+    # zeros, so lzc = 32 − len(bin(v)); ltrim guards padded renderings
+    rho = F.when(v == 0, F.lit(33)).otherwise(
+        F.lit(33) - F.length(F.ltrim(F.bin(v), F.lit("0")))
+    )
+    return reg, rho.cast("int")
+
+
+def hll_distinct(
+    df: DataFrame, key_col: str, item_col: str, with_exact: bool = False
+) -> DataFrame:
+    """Per-key HLL distinct-count estimate of ``item_col``.
+
+    Output: key, n_hit_registers, n_zero_registers, harmonic_sum,
+    raw_estimate — and, with ``with_exact=True`` (audit mode, used by the
+    oracle-gated query so sketch accuracy is itself checked), the exact
+    distinct count. Audit mode keeps per-register item sets in the
+    aggregation state — the exact thing the sketch exists to avoid — so it
+    is opt-in and for validation scale only; the default plan's state is a
+    fixed 256 ints per key."""
+    reg, rho = hll_register_rho(F.col(item_col))
+    base = df.select(
+        F.col(key_col), reg.alias("reg"), rho.alias("rho"), F.col(item_col).alias("item")
+    )
+    if with_exact:
+        per_reg = base.groupBy(key_col, "reg").agg(
+            F.max("rho").alias("max_rho"), F.size(F.collect_set("item")).alias("n_items")
+        )
+        extra = [F.sum("n_items").cast("long").alias("exact_distinct")]
+    else:
+        per_reg = base.groupBy(key_col, "reg").agg(F.max("rho").alias("max_rho"))
+        extra = []
+    folded = per_reg.groupBy(key_col).agg(
+        F.count("reg").alias("n_hit"),
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("hit_sum"),
+        *extra,
+    )
+    n_zero = (F.lit(M) - F.col("n_hit")).cast("int")
+    harmonic = F.col("hit_sum") + n_zero.cast("double")
+    out = [
+        F.col(key_col),
+        F.col("n_hit").cast("int").alias("n_hit_registers"),
+        n_zero.alias("n_zero_registers"),
+        harmonic.alias("harmonic_sum"),
+        (F.lit(ALPHA_M * M * M) / harmonic).alias("raw_estimate"),
+    ]
+    if with_exact:
+        out.append(F.col("exact_distinct"))
+    return folded.select(*out)

@@ -81,6 +81,49 @@ def doc_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """TF-IDF-style keyword extraction: each document's top-k terms ranked
+    by (tf desc, df asc, term asc) — term frequency first, rarer-in-corpus
+    breaking ties, exactly the ordering tf·idf induces for monotone idf,
+    computed in **pure integer arithmetic** so the DuckDB oracle matches
+    bit-for-bit (a float idf needs ``ln``, whose last-bit rounding is
+    libm-specific).
+
+    Plan shape at scale: explode tokens → ``groupBy(doc, term)`` count
+    (map-side combine collapses within-doc repeats) → df per term via a
+    second aggregate over *distinct doc-term rows* (never re-reads the
+    corpus) → broadcast-or-shuffle join back → per-doc top-k as a bounded
+    ``slice(sort_array(collect_list))`` (state ≤ doc vocabulary, one merge
+    per doc — not a global window)."""
+    terms = docs.select(F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count("term").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(id_col).alias("df"))
+    scored = tf.join(df_, "term")
+    item = F.struct(
+        (-F.col("tf")).alias("ntf"),
+        F.col("df").alias("df"),
+        F.col("term").alias("term"),
+        F.col("tf").alias("tf"),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.slice(F.sort_array(F.collect_list(item)), 1, k).alias("top"))
+        .select(F.col(id_col), F.posexplode("top").alias("r", "t"))
+        .select(
+            F.col(id_col),
+            F.col("t.term").alias("term"),
+            F.col("t.tf").cast("long").alias("tf"),
+            F.col("t.df").cast("long").alias("df"),
+            (F.col("r") + 1).cast("int").alias("rank"),
+        )
+    )
+
+
 def rolling_fingerprints(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Side-by-side check of selected queries() entries vs their oracle_sql()
+on DuckDB — the driver's CORRECTNESS gate in miniature.
+
+Usage: python scripts/check_queries.py [sf_dir] [query ...]
+Defaults: sf0.001, all queries. Prints RESULT <name> ok|MISMATCH per query.
+"""
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+ONLY = sys.argv[2:]
+
+
+def main():
+    os.environ.setdefault("SPARK_GRAFT_ORACLE_SF", SF)
+    import importlib.util
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "__spark_entry__.py")
+    spec = importlib.util.spec_from_file_location("__spark_entry__", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from document_quality_assessment_ocr_spark.session import get_spark
+
+    spark = get_spark()
+    con = duckdb.connect()
+    for t in ["documents", "lineitem", "events", "embeddings", "orders",
+              "customer", "part", "supplier", "nation", "region"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+    qs, oracles = mod.queries(), mod.oracle_sql()
+    names = ONLY or [n for n in qs if n in oracles]
+    bad = 0
+    for name in names:
+        try:
+            sdf = qs[name](spark, SF).toPandas()
+            odf = con.execute(oracles[name]).df()
+            cols = sorted(sdf.columns)
+            assert cols == sorted(odf.columns), f"cols {list(sdf.columns)} vs {list(odf.columns)}"
+            s = sdf[cols].sort_values(cols).reset_index(drop=True)
+            o = odf[cols].sort_values(cols).reset_index(drop=True)
+            assert s.shape == o.shape, f"shape {s.shape} vs {o.shape}"
+            for c in cols:
+                a, b = s[c], o[c]
+                if a.dtype.kind == "f" or b.dtype.kind == "f":
+                    ok = np.allclose(a.astype(float), b.astype(float), rtol=0, atol=0, equal_nan=True)
+                else:
+                    ok = (a.astype(str) == b.astype(str)).all()
+                assert ok, f"values differ in column {c}"
+            print(f"RESULT {name} ok rows={len(s)}")
+        except Exception as e:
+            bad += 1
+            print(f"RESULT {name} MISMATCH: {e}")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()

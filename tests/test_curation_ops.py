@@ -1,0 +1,191 @@
+"""Unit tests for the round-2 curation operators: repetition filters,
+decontamination, HLL sketch, as-of join, deterministic sampling, top terms."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from document_quality_assessment_ocr_spark.operators.asof import asof_join
+from document_quality_assessment_ocr_spark.operators.decontam import contamination_report
+from document_quality_assessment_ocr_spark.operators.quality import (
+    repetition_line_stats,
+    repetition_report,
+    top_ngram_stats,
+)
+from document_quality_assessment_ocr_spark.operators.sampling import (
+    per_group_cap,
+    stratified_sample,
+)
+from document_quality_assessment_ocr_spark.operators.sketches import hll_distinct
+from document_quality_assessment_ocr_spark.operators.textstats import top_terms
+
+
+# ---------------------------------------------------------------- repetition
+def test_repetition_line_stats(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a\nb\na\n\nc"),      # lines a,b,a,c → 4 lines, 3 distinct
+            (2, "x\ny"),               # no dups
+            (3, ""),                   # no lines
+            (4, None),                 # null text
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_line_stats(docs).collect()}
+    assert rows[1]["n_lines"] == 4
+    assert rows[1]["dup_line_frac"] == pytest.approx(1 - 3 / 4)
+    # duplicated chars: the two 'a' lines = 2 of 4 total chars
+    assert rows[1]["dup_line_char_frac"] == pytest.approx(0.5)
+    assert rows[2]["dup_line_frac"] == 0.0
+    assert rows[3]["n_lines"] == 0 and rows[3]["dup_line_char_frac"] == 0.0
+    assert rows[4]["n_lines"] == 0
+
+
+def test_top_ngram_stats(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "to be or not to be"),  # 2-grams: "to be"×2, others ×1
+            (2, "word"),               # < 2 words → no grams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in top_ngram_stats(docs, n=2).collect()}
+    assert rows[1]["top_gram"] == "to be"
+    assert rows[1]["top_cnt"] == 2
+    # dup chars = 2·5 ("to be"×2); all = 2·5 + 5+6+6 ("be or","or not","not to")
+    assert rows[1]["dup_gram_char_frac"] == pytest.approx(10 / 27)
+    assert rows[2]["top_gram"] is None and rows[2]["top_cnt"] == 0
+
+
+def test_repetition_report_joins_both(spark):
+    docs = spark.createDataFrame([(1, "a b a b"), (2, "x")], "doc_id long, text string")
+    out = repetition_report(docs, n=2).collect()
+    assert len(out) == 2
+    r1 = next(r for r in out if r["doc_id"] == 1)
+    assert r1["top_gram"] == "a b" and r1["n_lines"] == 1
+
+
+# --------------------------------------------------------------- decontam
+def test_contamination_report_planted_overlap(spark):
+    eval_set = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "prefix alpha beta gamma delta epsilon suffix"),  # shares 5-grams
+            (2, "completely different words here entirely now"),
+            (3, "alpha beta gamma delta epsilon zeta extra"),      # shares 2 distinct
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["n_shared_shingles"] for r in contamination_report(train, eval_set, n=5).collect()}
+    assert rows[1] == 1      # "alpha beta gamma delta epsilon"
+    assert 2 not in rows     # clean doc not emitted
+    assert rows[3] == 2      # both eval 5-grams
+
+
+# --------------------------------------------------------------- HLL sketch
+def test_hll_register_arithmetic_matches_python(spark):
+    df = spark.createDataFrame([("k", i) for i in range(50)], "key string, item long")
+    out = hll_distinct(df, "key", "item", with_exact=True).collect()[0]
+    # python recomputation of the same sketch
+    regs = {}
+    for i in range(50):
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        reg = int(h[:2], 16)
+        v = int(h[2:10], 16)
+        rho = 33 if v == 0 else 33 - len(bin(v)[2:])
+        regs[reg] = max(regs.get(reg, 0), rho)
+    harmonic = sum(2.0 ** -r for r in regs.values()) + (256 - len(regs))
+    assert out["n_hit_registers"] == len(regs)
+    assert out["harmonic_sum"] == harmonic  # exact (powers of two)
+    assert out["exact_distinct"] == 50
+
+
+def test_hll_accuracy_within_bound(spark):
+    # m=256 → standard error 1.04/√256 = 6.5%; allow 4σ on one draw
+    n = 5000
+    df = spark.createDataFrame([("k", f"u{i}") for i in range(n)], "key string, item string")
+    out = hll_distinct(df, "key", "item").collect()[0]
+    assert abs(out["raw_estimate"] - n) / n < 0.26
+
+
+# --------------------------------------------------------------- as-of join
+def test_asof_join_semantics(spark):
+    right = spark.createDataFrame(
+        [(1, 100, 10, 1.0), (1, 200, 11, 2.0), (2, 500, 12, 3.0)],
+        "user_id long, t long, event_id long, value double",
+    )
+    left = spark.createDataFrame(
+        [(1, 50, 900), (1, 100, 901), (1, 150, 902), (1, 250, 903), (2, 400, 904)],
+        "user_id long, t long, event_id long",
+    )
+    out = {
+        r["event_id"]: (r["asof_event_id"], r["asof_value"])
+        for r in asof_join(left, right, "user_id", "t", ["event_id", "value"]).collect()
+    }
+    assert out[900] == (None, None)          # before any right row
+    assert out[901] == (10, 1.0)             # tie: t=100 is included (≤)
+    assert out[902] == (10, 1.0)
+    assert out[903] == (11, 2.0)             # most recent, not first
+    assert out[904] == (None, None)          # other key, right row is later
+
+
+# --------------------------------------------------------------- sampling
+def test_stratified_sample_deterministic_and_rate(spark):
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(2000)], "doc_id long, lang string"
+    )
+    out1 = stratified_sample(docs, "lang", {"en": 0.5, "de": 0.1}).collect()
+    out2 = stratified_sample(docs, "lang", {"en": 0.5, "de": 0.1}).collect()
+    assert sorted(r["doc_id"] for r in out1) == sorted(r["doc_id"] for r in out2)
+    n_en = sum(1 for r in out1 if r["lang"] == "en")
+    n_de = sum(1 for r in out1 if r["lang"] == "de")
+    assert abs(n_en / 1000 - 0.5) < 0.08 and abs(n_de / 1000 - 0.1) < 0.05
+    assert all(0.0 <= r["sample_u"] < 1.0 for r in out1)
+
+
+def test_per_group_cap_matches_window_reference(spark):
+    from pyspark.sql import Window
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 7}") for i in range(300)], "doc_id long, source string"
+    )
+    got = per_group_cap(docs, "source", k=5)
+    # reference implementation: global window over the same deterministic u
+    from document_quality_assessment_ocr_spark.operators.sampling import md5_uniform
+
+    w = Window.partitionBy("source").orderBy(md5_uniform(F.col("doc_id")), F.col("doc_id"))
+    ref = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("source", "doc_id")
+    )
+    assert sorted(map(tuple, got.select("source", "doc_id").collect())) == sorted(
+        map(tuple, ref.collect())
+    )
+    sizes = got.groupBy("source").count().collect()
+    assert all(r["count"] == 5 for r in sizes)
+
+
+# --------------------------------------------------------------- top terms
+def test_top_terms_ranking(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana cherry"),
+            (2, "banana banana cherry cherry date"),
+        ],
+        "doc_id long, text string",
+    )
+    out = [
+        (r["doc_id"], r["rank"], r["term"], r["tf"], r["df"])
+        for r in top_terms(docs, k=2).orderBy("doc_id", "rank").collect()
+    ]
+    # doc1: apple tf=2; banana/cherry tf=1 → df tie (both 2) → term asc
+    assert out[0] == (1, 1, "apple", 2, 1)
+    assert out[1] == (1, 2, "banana", 1, 2)
+    # doc2: banana and cherry both tf=2, df=2 → term asc
+    assert out[2] == (2, 1, "banana", 2, 2)
+    assert out[3] == (2, 2, "cherry", 2, 2)
