@@ -22,18 +22,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .quality import word_ngrams
+from .quality import _words, ngrams_from_tokens
 
 
 def shingle_hashes(
     docs: DataFrame, n: int = 5, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Distinct (id, md5(word n-gram)) pairs per document."""
+    """Distinct (id, md5(word n-gram)) pairs per document. Tokens are
+    materialized by their own projection so the n element_at references per
+    gram hit an attribute, not n re-tokenizations (quality.ngrams_from_tokens)."""
     return docs.select(
+        F.col(id_col), _words(F.col(text_col)).alias("_toks")
+    ).select(
         F.col(id_col),
         F.explode(
             F.array_distinct(
-                F.transform(word_ngrams(F.col(text_col), n), F.md5)
+                F.transform(ngrams_from_tokens(F.col("_toks"), n), F.md5)
             )
         ).alias("shingle"),
     )

@@ -43,9 +43,16 @@ def _words(text: Column) -> Column:
     )
 
 
-def word_ngrams(text: Column, n: int) -> Column:
-    """Array of space-joined word n-grams (empty array when < n words)."""
-    toks = _words(text)
+def ngrams_from_tokens(toks: Column, n: int) -> Column:
+    """Space-joined word n-grams from an ALREADY-MATERIALIZED token-array
+    column (empty array when < n words).
+
+    ``toks`` must be a plain attribute (project ``_words(text)`` to a column
+    first): passing the tokenization *expression* would inline it once per
+    ``element_at`` reference — n+2 re-tokenizations per row — because a
+    single Column tree has no common-subexpression boundary. A separate
+    projection is that boundary (Catalyst's CollapseProject refuses to
+    duplicate non-cheap expressions referenced more than once)."""
     cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
     return F.when(cnt <= 0, F.array().cast("array<string>")).otherwise(
         F.transform(
@@ -57,12 +64,27 @@ def word_ngrams(text: Column, n: int) -> Column:
     )
 
 
+def word_ngrams(text: Column, n: int) -> Column:
+    """Array of space-joined word n-grams straight from text — convenience
+    form for single-use expressions; hot paths should project ``_words``
+    and use :func:`ngrams_from_tokens` (see its docstring)."""
+    return ngrams_from_tokens(_words(text), n)
+
+
 def repetition_line_stats(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", delim: str = "\n"
 ) -> DataFrame:
     """Per-document duplicate-line statistics — pure Column expressions
-    (zero shuffle; the filter runs inside the scan's codegen stage)."""
-    lines = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), delim), lambda x: x != F.lit(""))
+    (zero shuffle). The line array is materialized by its own projection so
+    the split runs once per row, not once per referencing aggregate."""
+    docs = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), delim),
+            lambda x: x != F.lit(""),
+        ).alias("_lines"),
+    )
+    lines = F.col("_lines")
     n_lines = F.size(lines)
     n_distinct = F.size(F.array_distinct(lines))
     dup_lines = F.filter(
@@ -91,7 +113,10 @@ def top_ngram_stats(
     fraction. Two-level aggregate over exploded grams (see module doc);
     documents with < n words yield (NULL gram, 0 cnt, 0 frac)."""
     grams = docs.select(
-        F.col(id_col), F.explode_outer(word_ngrams(F.col(text_col), n)).alias("gram")
+        F.col(id_col), _words(F.col(text_col)).alias("_toks")
+    ).select(
+        F.col(id_col),
+        F.explode_outer(ngrams_from_tokens(F.col("_toks"), n)).alias("gram"),
     )
     per_gram = grams.groupBy(id_col, "gram").agg(F.count("gram").alias("cnt"))
     gram_chars = F.col("cnt") * F.length("gram")

@@ -133,6 +133,41 @@ def test_asof_join_semantics(spark):
     assert out[904] == (None, None)          # other key, right row is later
 
 
+def test_asof_join_randomized_vs_bruteforce(spark):
+    """Property check: the union+window plan equals the quadratic-scan
+    definition on a random event mix (includes keys with only-left,
+    only-right, interleaved ties)."""
+    import random
+
+    rnd = random.Random(1234)
+    rights = [
+        (u, rnd.randrange(0, 50) * 10, 1000 + i, float(i))
+        for i, u in enumerate(rnd.choices(range(8), k=60))
+    ]
+    # unique per (key, t): keep max event_id like callers must
+    best = {}
+    for u, t, eid, v in rights:
+        if (u, t) not in best or eid > best[(u, t)][0]:
+            best[(u, t)] = (eid, v)
+    rights_dedup = [(u, t, eid, v) for (u, t), (eid, v) in best.items()]
+    lefts = [
+        (u, rnd.randrange(0, 50) * 10 + rnd.choice([0, 5]), 2000 + i)
+        for i, u in enumerate(rnd.choices(range(10), k=80))
+    ]
+    right = spark.createDataFrame(
+        rights_dedup, "user_id long, t long, event_id long, value double"
+    )
+    left = spark.createDataFrame(lefts, "user_id long, t long, event_id long")
+    got = {
+        r["event_id"]: (r["asof_event_id"], r["asof_value"])
+        for r in asof_join(left, right, "user_id", "t", ["event_id", "value"]).collect()
+    }
+    for u, t, eid in lefts:
+        cands = [(rt, reid, rv) for (ru, rt, reid, rv) in rights_dedup if ru == u and rt <= t]
+        exp = max(cands)[1:] if cands else (None, None)
+        assert got[eid] == exp, (u, t, eid)
+
+
 # --------------------------------------------------------------- sampling
 def test_stratified_sample_deterministic_and_rate(spark):
     docs = spark.createDataFrame(
