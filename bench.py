@@ -228,6 +228,8 @@ def main() -> None:
         "q04_agg_modes",
         "q07_reassembly",
         "q27_sessionize",
+        "q33_repetition",
+        "q36_asof_join",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

@@ -205,6 +205,53 @@ def test_per_group_cap_matches_window_reference(spark):
     assert all(r["count"] == 5 for r in sizes)
 
 
+# --------------------------------------------------------------- plan shapes
+def test_decontam_plan_broadcasts_eval_side(spark):
+    """The 100 TB contract: the training corpus streams through a broadcast
+    of the (tiny) eval shingle set — no shuffle of train shingles before the
+    join, and only one split() per scan side (tokens are materialized once,
+    not re-derived per element_at)."""
+    docs = spark.createDataFrame(
+        [(i, "one two three four five six") for i in range(10)],
+        "doc_id long, text string",
+    )
+    rep = contamination_report(docs.where("doc_id > 0"), docs.where("doc_id = 0"))
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("split(") == 2, plan
+
+
+def test_stratified_sample_plan_no_shuffle(spark):
+    docs = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    plan = (
+        stratified_sample(docs, "lang", {"en": 0.5})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_per_group_cap_plan_no_window(spark):
+    docs = spark.createDataFrame([(1, "s")], "doc_id long, source string")
+    plan = (
+        per_group_cap(docs, "source", k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan, plan
+
+
+def test_repetition_line_stats_plan_no_shuffle_single_split(spark):
+    docs = spark.createDataFrame([(1, "a\nb")], "doc_id long, text string")
+    plan = (
+        repetition_line_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert plan.count("split(") == 1, plan
+
+
 # --------------------------------------------------------------- top terms
 def test_top_terms_ranking(spark):
     docs = spark.createDataFrame(
