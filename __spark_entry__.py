@@ -677,6 +677,29 @@ def _q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph/chunk-level exact dedup, first-occurrence-wins
+    (RefinedWeb-style): 20-word chunks, winner per distinct chunk is an
+    algebraic min-struct aggregate, survivors reassembled in doc order."""
+    from document_quality_assessment_ocr_spark.operators.dedup import chunk_dedup
+
+    return chunk_dedup(
+        _doc(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+        chunk_words=20,
+    )
+
+
+def _q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language n_chars percentiles from a mergeable fixed-grid
+    histogram sketch (integer arithmetic only — bit-exact cross-engine)."""
+    from document_quality_assessment_ocr_spark.operators.sketches import histogram_quantiles
+
+    return histogram_quantiles(
+        _doc(spark, sf_dir), "lang", "n_chars", lo=0, hi=1024, n_bins=64,
+        percents=[50, 90, 99],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_text_density": _q_text_density,
@@ -718,6 +741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_stratified_sample": _q_stratified_sample,
         "q38_source_cap": _q_source_cap,
         "q39_top_terms": _q_top_terms,
+        "q40_chunk_dedup": _q_chunk_dedup,
+        "q41_quantile_sketch": _q_quantile_sketch,
         # flagship extraction — full oracle via seeded score literals
         "q90_extract_full": _q_extract_full,
         "q91_extract_metrics": _q_extract_metrics,
@@ -1792,6 +1817,60 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn <= 5
         """,
         "q39_top_terms": _top_terms_sql(),
+        "q40_chunk_dedup": """
+            WITH t AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       STRING_SPLIT(text, ' ') AS w
+                FROM documents
+            ), n AS (
+                SELECT doc_id, w,
+                       GREATEST(CAST(CEIL(LEN(w) / 20.0) AS BIGINT), 1) AS nch
+                FROM t
+            ), ch AS (
+                SELECT doc_id, i - 1 AS chunk_idx,
+                       ARRAY_TO_STRING(LIST_SLICE(w, (i - 1) * 20 + 1, i * 20), ' ') AS chunk
+                FROM (SELECT doc_id, w, UNNEST(RANGE(1, nch + 1)) AS i FROM n)
+            ), keep AS (
+                SELECT doc_id, chunk_idx, chunk FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY MD5(chunk) ORDER BY doc_id, chunk_idx) AS rn
+                    FROM ch
+                ) WHERE rn = 1
+            ), asm AS (
+                SELECT doc_id, COUNT(*) AS n_kept,
+                       STRING_AGG(chunk, ' ' ORDER BY chunk_idx) AS clean_text
+                FROM keep GROUP BY doc_id
+            )
+            SELECT n.doc_id, n.nch AS n_total,
+                   COALESCE(asm.n_kept, 0) AS n_kept,
+                   COALESCE(asm.clean_text, '') AS clean_text
+            FROM n LEFT JOIN asm ON n.doc_id = asm.doc_id
+        """,
+        "q41_quantile_sketch": """
+            WITH v AS (
+                SELECT lang,
+                       LEAST(GREATEST(CAST(FLOOR(n_chars * 64 / 1024.0) AS BIGINT), 0),
+                             63) AS bin
+                FROM documents
+            ), hist AS (
+                SELECT lang, bin, COUNT(*) AS c FROM v GROUP BY lang, bin
+            ), tot AS (
+                SELECT lang, SUM(c) AS n FROM hist GROUP BY lang
+            ), cum AS (
+                SELECT lang, bin,
+                       SUM(c) OVER (PARTITION BY lang ORDER BY bin) AS cumc
+                FROM hist
+            ), q AS (SELECT * FROM (VALUES (50), (90), (99)) AS t(p)),
+            sel AS (
+                SELECT cum.lang, q.p, MIN(cum.bin) AS est_bin
+                FROM cum JOIN tot ON cum.lang = tot.lang
+                         JOIN q ON cum.cumc * 100 >= tot.n * q.p
+                GROUP BY cum.lang, q.p
+            )
+            SELECT sel.lang, CAST(sel.p AS INT) AS p, tot.n AS n, sel.est_bin,
+                   sel.est_bin * 16 AS est_lo, (sel.est_bin + 1) * 16 AS est_hi
+            FROM sel JOIN tot ON sel.lang = tot.lang
+        """,
         # flagship extraction: kernels aren't SQL-expressible, but the payload
         # catalog is tiny and seeded — its scores ride along as literals and
         # the derivation + fold + gating are exact SQL (md5 picks)

@@ -329,3 +329,81 @@ def dedup_last_wins(df: DataFrame, key: str, seq: str) -> DataFrame:
         .agg(F.max_by(F.struct(*others), F.col(seq)).alias("v"))
         .select(key, *[F.col(f"v.{c}").alias(c) for c in others])
     )
+
+
+def chunk_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 20,
+) -> DataFrame:
+    """Paragraph/chunk-level exact dedup, first-occurrence-wins
+    (RefinedWeb-style boilerplate removal; no reference analog —
+    training-data addition per the task brief).
+
+    Each document is split into fixed-width word chunks (a stand-in for
+    paragraphs on corpora whose paragraph breaks did not survive
+    extraction), every chunk is hashed, only the globally FIRST occurrence
+    of each distinct chunk survives — "first" by total order
+    ``(doc_id, chunk_idx)`` — and survivors are reassembled in document
+    order.
+
+    Output: ``id_col, n_total, n_kept, clean_text`` — one row per input
+    document (documents whose every chunk is boilerplate keep a row with
+    ``n_kept = 0`` and empty text).
+
+    Scale shape (100 TB): the winner per distinct chunk is an **algebraic
+    min-struct aggregate** — map-side partial combine shrinks the shuffle
+    to one row per distinct chunk per map task, and because the chunk text
+    is carried inside the min struct (identical across a hash group) there
+    is **no join back to the exploded table**. Reassembly is one more hash
+    aggregate on ``doc_id`` (``sort_array(collect_list)`` — no window) and
+    the final per-doc left join rides the same doc_id partitioning. No
+    step is quadratic; per-group state is bounded by document length.
+    """
+    cw = chunk_words
+    toks = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("w")
+    ).select(
+        id_col,
+        "w",
+        # ≥1 so empty documents keep exactly one (empty) chunk instead of
+        # producing a descending sequence(1,0)
+        F.greatest(F.ceil(F.size("w") / cw), F.lit(1)).cast("int").alias("nch"),
+    )
+    chunks = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("nch")),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("w"), (i - F.lit(1)) * cw + F.lit(1), F.lit(cw))
+                ),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    # winner per distinct chunk: min over the (doc_id, chunk_idx, chunk)
+    # struct — chunk is constant within an md5 group, so the struct min IS
+    # the first occurrence, text included
+    winners = (
+        chunks.groupBy(F.md5("chunk").alias("h"))
+        .agg(F.min(F.struct(id_col, "chunk_idx", "chunk")).alias("win"))
+        .select("win.*")
+    )
+    assembled = winners.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+        ).alias("clean_text"),
+    )
+    per_doc = toks.select(id_col, F.col("nch").cast("long").alias("n_total"))
+    return per_doc.join(assembled, id_col, "left").select(
+        id_col,
+        "n_total",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

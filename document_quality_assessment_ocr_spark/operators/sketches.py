@@ -87,3 +87,84 @@ def hll_distinct(
     if with_exact:
         out.append(F.col("exact_distinct"))
     return folded.select(*out)
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    lo: int,
+    hi: int,
+    n_bins: int,
+    percents: list[int],
+) -> DataFrame:
+    """Mergeable fixed-grid histogram quantile sketch (per-key percentiles).
+
+    Spark's ``percentile_approx`` (KLL/GK-style) has JVM-private internals
+    no external oracle can reproduce; this sketch is the engine-portable
+    counterpart for monitoring score/length distributions at corpus scale
+    (the checkpoint manifests' blur/skew/noise distributions use the same
+    shape). Everything is INTEGER arithmetic — bin index by integer
+    multiply/divide, the quantile threshold via ``100·cum ≥ n·p`` instead
+    of ``ceil`` — so the estimate is bit-identical across engines.
+
+    Estimate: the lower/upper edge of the first bin where the cumulative
+    count reaches ``ceil(n·p/100)`` — i.e. a true quantile with error
+    bounded by one grid cell. ``(hi − lo)`` should divide by ``n_bins`` to
+    keep the emitted edges integral.
+
+    Scale shape (100 TB): one hash aggregate collapses the corpus to
+    ≤ ``n_bins`` rows per key (count is algebraic — map-side combine does
+    most of the work), then a second aggregate folds those ≤ ``n_bins``
+    rows with ``sort_array`` + ``aggregate`` — JVM higher-order functions
+    over a bounded array, no window, no second full shuffle of data rows.
+    Histograms merge by adding counts, so partial sketches from separate
+    runs/partitions combine losslessly (the checkpoint-resume property).
+    """
+    width = (hi - lo) // n_bins
+    v = F.col(value_col).cast("long")
+    # integer division via floor over exact small-int float division
+    # (|operands| ≪ 2^53 so the double quotient floors exactly; Column has
+    # no native `//`)
+    bin_idx = F.least(
+        F.greatest(
+            F.floor((v - F.lit(lo)) * n_bins / F.lit(hi - lo)).cast("long"), F.lit(0)
+        ),
+        F.lit(n_bins - 1),
+    )
+    hist = (
+        df.select(F.col(key_col), bin_idx.alias("bin"))
+        .groupBy(key_col, "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    folded = hist.groupBy(key_col).agg(
+        F.sum("c").alias("n"),
+        F.sort_array(F.collect_list(F.struct("bin", "c"))).alias("bins"),
+    )
+    qs = F.explode(F.array(*[F.lit(int(p)) for p in percents])).alias("p")
+    with_p = folded.select(key_col, "n", "bins", qs)
+    # first bin whose cumulative count reaches ceil(n·p/100):
+    # fold (cum, found) over the sorted bins; integer comparison only
+    est = F.aggregate(
+        F.col("bins"),
+        F.struct(F.lit(0).cast("long").alias("cum"), F.lit(-1).cast("long").alias("bin")),
+        lambda acc, x: F.struct(
+            (acc["cum"] + x["c"]).alias("cum"),
+            F.when(acc["bin"] >= 0, acc["bin"])
+            .otherwise(
+                F.when(
+                    (acc["cum"] + x["c"]) * 100 >= F.col("n") * F.col("p"),
+                    x["bin"].cast("long"),
+                ).otherwise(F.lit(-1).cast("long"))
+            )
+            .alias("bin"),
+        ),
+    )["bin"]
+    return with_p.select(
+        key_col,
+        F.col("p"),
+        F.col("n"),
+        est.alias("est_bin"),
+        (F.lit(lo) + est * width).alias("est_lo"),
+        (F.lit(lo) + (est + 1) * width).alias("est_hi"),
+    )

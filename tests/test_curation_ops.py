@@ -271,3 +271,67 @@ def test_top_terms_ranking(spark):
     # doc2: banana and cherry both tf=2, df=2 → term asc
     assert out[2] == (2, 1, "banana", 2, 2)
     assert out[3] == (2, 2, "cherry", 2, 2)
+
+
+# --------------------------------------------------------------- chunk dedup
+def test_chunk_dedup_first_occurrence_wins(spark):
+    from document_quality_assessment_ocr_spark.operators.dedup import chunk_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),   # chunks: "a b c", "d e f" — both first
+            (2, "a b c x y z"),   # "a b c" is doc 1's → dropped; "x y z" kept
+            (3, ""),              # empty doc → one empty chunk
+            (4, "x y z q r s"),   # "x y z" is doc 2's → dropped; "q r s" kept
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in chunk_dedup(docs, chunk_words=3).collect()}
+    assert rows[1]["clean_text"] == "a b c d e f" and rows[1]["n_kept"] == 2
+    assert rows[2]["clean_text"] == "x y z" and rows[2]["n_kept"] == 1
+    assert rows[4]["clean_text"] == "q r s" and rows[4]["n_kept"] == 1
+    assert rows[3]["n_total"] == 1  # empty doc keeps a row
+    assert all(r["n_total"] == 2 for d, r in rows.items() if d != 3)
+
+
+def test_chunk_dedup_plan_no_window_no_selfjoin(spark):
+    """The winner per distinct chunk is an algebraic min-struct aggregate —
+    no per-hash window, no join back to the exploded chunk table (the only
+    join is the final per-doc re-attach)."""
+    from document_quality_assessment_ocr_spark.operators.dedup import chunk_dedup
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = chunk_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert plan.count("Generate explode") <= 1, plan
+
+
+# --------------------------------------------------- histogram quantile sketch
+def test_histogram_quantiles_matches_numpy_within_cell(spark):
+    from document_quality_assessment_ocr_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+
+    vals = [(i % 3, (i * 37) % 1000) for i in range(300)]
+    df = spark.createDataFrame(vals, "k int, v int")
+    out = histogram_quantiles(df, "k", "v", lo=0, hi=1024, n_bins=64, percents=[50, 99])
+    rows = {(r["k"], r["p"]): r for r in out.collect()}
+    import numpy as np
+
+    for k in (0, 1, 2):
+        data = np.array(sorted(v for kk, v in vals if kk == k))
+        for p in (50, 99):
+            exact = data[int(np.ceil(p / 100 * len(data))) - 1]
+            r = rows[(k, p)]
+            assert r["est_lo"] <= exact < r["est_hi"] + 16, (k, p, exact, r)
+            assert r["n"] == len(data)
+
+
+def test_histogram_quantiles_clamps_out_of_range(spark):
+    from document_quality_assessment_ocr_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+
+    df = spark.createDataFrame([(1, -5), (1, 99999)], "k int, v int")
+    rows = histogram_quantiles(df, "k", "v", 0, 1024, 64, [50, 99]).collect()
+    assert {r["est_bin"] for r in rows} <= {0, 63}
