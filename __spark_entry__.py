@@ -700,6 +700,41 @@ def _q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with md5-Bloom pruning (m=2048 bits, k=3),
+    instrumented per training doc: total shingles, Bloom candidates, exact
+    matches — false-positive cost is (bloom_candidates − exact_matches).
+    The bitmap (≤64 rows) broadcasts; the corpus side never shuffles."""
+    from document_quality_assessment_ocr_spark.operators.bloom import (
+        bloom_prefilter_contamination,
+    )
+
+    docs = _doc(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    return bloom_prefilter_contamination(
+        docs.where(F.col("doc_id") % 89 != 0),
+        docs.where(F.col("doc_id") % 89 == 0),
+        n=5, n_words=64, k=3,
+    )
+
+
+def _q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count–Min sketch term-frequency estimates (width 256 × depth 4) for
+    a fixed probe vocabulary, audit mode: exact counts ride along so the
+    overestimate-only guarantee is itself oracle-checked."""
+    from document_quality_assessment_ocr_spark.operators.quality import _words
+    from document_quality_assessment_ocr_spark.operators.sketches import (
+        count_min_estimate,
+    )
+
+    toks = _doc(spark, sf_dir).select(
+        F.explode(_words(F.col("text"))).alias("term")
+    )
+    return count_min_estimate(
+        toks, "term", probes=["table", "spark", "vector", "the", "zzz_absent"],
+        width=256, depth=4, with_exact=True,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_text_density": _q_text_density,
@@ -743,6 +778,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_top_terms": _q_top_terms,
         "q40_chunk_dedup": _q_chunk_dedup,
         "q41_quantile_sketch": _q_quantile_sketch,
+        "q42_bloom_decontam": _q_bloom_decontam,
+        "q43_count_min": _q_count_min,
         # flagship extraction — full oracle via seeded score literals
         "q90_extract_full": _q_extract_full,
         "q91_extract_metrics": _q_extract_metrics,
@@ -1425,6 +1462,91 @@ def _decontam_sql() -> str:
     """
 
 
+def _bloom_decontam_sql(n_words: int = 64, k: int = 3) -> str:
+    """DuckDB twin of operators/bloom.bloom_prefilter_contamination: same
+    md5-slice positions, same 32-bit-per-BIGINT-word bitmap, BIT_OR build,
+    bitwise-AND probe."""
+    m = 32 * n_words
+    toks = (
+        f"LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(COALESCE(text,''))), '{WS}+'),"
+        " x -> x <> '')"
+    )
+    gram5 = " || ' ' || ".join(f"a[CAST(i AS INT) + {j}]" for j in range(5))
+    ks = ", ".join(str(j) for j in range(k))
+    pos = f"CAST('0x' || SUBSTR(MD5(shingle), 1 + 8 * j, 8) AS BIGINT) % {m}"
+    return f"""
+        WITH d AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, {toks} AS a FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, MD5({gram5}) AS shingle
+            FROM (SELECT doc_id, a,
+                         UNNEST(RANGE(1, GREATEST(LEN(a) - 4, 0) + 1)) AS i
+                  FROM d)
+        ), ev AS (
+            SELECT DISTINCT shingle FROM sh WHERE doc_id % 89 = 0
+        ), evpos AS (
+            SELECT {pos} AS pos FROM ev, (SELECT UNNEST([{ks}]) AS j)
+        ), bloom AS (
+            SELECT CAST(pos // 32 AS INT) AS word_idx,
+                   BIT_OR(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+            FROM evpos GROUP BY 1
+        ), tr AS (
+            SELECT doc_id, shingle FROM sh WHERE doc_id % 89 <> 0
+        ), trpos AS (
+            SELECT doc_id, shingle, {pos} AS pos
+            FROM tr, (SELECT UNNEST([{ks}]) AS j)
+        ), probed AS (
+            SELECT doc_id, shingle,
+                   SUM(CASE WHEN COALESCE(b.bits, 0)
+                                 & (CAST(1 AS BIGINT) << CAST(t.pos % 32 AS INT))
+                                 <> 0 THEN 1 ELSE 0 END) AS nhit
+            FROM trpos t LEFT JOIN bloom b ON CAST(t.pos // 32 AS INT) = b.word_idx
+            GROUP BY 1, 2
+        )
+        SELECT p.doc_id,
+               COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN p.nhit = {k} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS bloom_candidates,
+               CAST(SUM(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS exact_matches
+        FROM probed p LEFT JOIN ev e ON p.shingle = e.shingle
+        GROUP BY 1
+    """
+
+
+def _count_min_sql(width: int = 256, depth: int = 4) -> str:
+    """DuckDB twin of operators/sketches.count_min_estimate (audit mode)."""
+    toks = (
+        f"LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(COALESCE(text,''))), '{WS}+'),"
+        " x -> x <> '')"
+    )
+    js = ", ".join(str(j) for j in range(depth))
+    pos = f"CAST('0x' || SUBSTR(MD5(term), 1 + 8 * j, 8) AS BIGINT) % {width}"
+    probes = "('table'), ('spark'), ('vector'), ('the'), ('zzz_absent')"
+    return f"""
+        WITH tok AS (
+            SELECT UNNEST({toks}) AS term FROM documents
+        ), cells AS (
+            SELECT j, {pos} AS pos FROM tok, (SELECT UNNEST([{js}]) AS j)
+        ), cms AS (
+            SELECT j, pos, COUNT(*) AS c FROM cells GROUP BY 1, 2
+        ), probes AS (
+            SELECT * FROM (VALUES {probes}) AS t(term)
+        ), ppos AS (
+            SELECT term, j, {pos} AS pos
+            FROM probes, (SELECT UNNEST([{js}]) AS j)
+        ), est AS (
+            SELECT term, CAST(MIN(COALESCE(c, 0)) AS BIGINT) AS est
+            FROM ppos LEFT JOIN cms USING (j, pos) GROUP BY 1
+        ), exact AS (
+            SELECT term, COUNT(*) AS exact FROM tok GROUP BY 1
+        )
+        SELECT est.term, est.est,
+               CAST(COALESCE(exact.exact, 0) AS BIGINT) AS exact
+        FROM est LEFT JOIN exact USING (term)
+    """
+
+
 def _top_terms_sql() -> str:
     toks = (
         f"LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(COALESCE(text,''))), '{WS}+'),"
@@ -1871,6 +1993,8 @@ def oracle_sql() -> dict[str, str]:
                    sel.est_bin * 16 AS est_lo, (sel.est_bin + 1) * 16 AS est_hi
             FROM sel JOIN tot ON sel.lang = tot.lang
         """,
+        "q42_bloom_decontam": _bloom_decontam_sql(),
+        "q43_count_min": _count_min_sql(),
         # flagship extraction: kernels aren't SQL-expressible, but the payload
         # catalog is tiny and seeded — its scores ride along as literals and
         # the derivation + fold + gating are exact SQL (md5 picks)

@@ -168,3 +168,82 @@ def histogram_quantiles(
         (F.lit(lo) + est * width).alias("est_lo"),
         (F.lit(lo) + (est + 1) * width).alias("est_hi"),
     )
+
+
+def count_min_estimate(
+    df: DataFrame,
+    item_col: str,
+    probes: list[str],
+    width: int = 256,
+    depth: int = 4,
+    with_exact: bool = False,
+) -> DataFrame:
+    """Count–Min sketch (Cormode & Muthukrishnan 2005) frequency estimates
+    for ``probes`` — engine-portable like the HLL/Bloom siblings: cell
+    positions are md5 hex slices (``depth ≤ 4``), the sketch is pure
+    integer COUNTs, and the estimate is an integer MIN, so the DuckDB twin
+    is bit-identical and the driver's value-hash gate covers the sketch.
+
+    Guarantee: ``est ≥ exact`` always (hash collisions only ever ADD);
+    ``est ≤ exact + εN`` w.h.p. for ε = e/width. ``with_exact=True`` (audit
+    mode for the oracle-gated query) carries the true count alongside so
+    sketch accuracy is itself driver-checked.
+
+    Scale shape (100 TB): the sketch build is ONE hash aggregate whose
+    result is ≤ ``depth·width`` rows regardless of corpus size (count is
+    algebraic — map-side combine does the heavy lifting); probing joins the
+    broadcast sketch to a literal probe list. Daily/partition sketches
+    merge by cell-wise addition — the checkpoint-resume property shared by
+    all sketches in this module.
+    """
+    if not 1 <= depth <= 4:
+        raise ValueError("depth must be in 1..4 (md5 yields four 32-bit slices)")
+    spark = df.sparkSession
+    item = F.col(item_col).cast("string")
+    h = F.md5(item)
+    cells = df.select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.conv(F.substring(h, 1 + 8 * j, 8), 16, 10).cast("long"),
+                        F.lit(width),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("j", "pos")
+    )
+    cms = cells.groupBy("j", "pos").agg(F.count(F.lit(1)).alias("c"))
+    probe_df = spark.createDataFrame([(p,) for p in probes], "term string")
+    ph = F.md5(F.col("term"))
+    ppos = probe_df.select(
+        "term",
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.conv(F.substring(ph, 1 + 8 * j, 8), 16, 10).cast("long"),
+                        F.lit(width),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("j", "pos"),
+    )
+    est = (
+        ppos.join(F.broadcast(cms), ["j", "pos"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce("c", F.lit(0))).alias("est"))
+    )
+    if not with_exact:
+        return est
+    exact = (
+        df.select(item.alias("term"))
+        .where(F.col("term").isin(probes))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    return est.join(exact, "term", "left").select(
+        "term", "est", F.coalesce("exact", F.lit(0)).alias("exact")
+    )

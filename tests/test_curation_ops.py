@@ -335,3 +335,76 @@ def test_histogram_quantiles_clamps_out_of_range(spark):
     df = spark.createDataFrame([(1, -5), (1, 99999)], "k int, v int")
     rows = histogram_quantiles(df, "k", "v", 0, 1024, 64, [50, 99]).collect()
     assert {r["est_bin"] for r in rows} <= {0, 63}
+
+
+# ---------------------------------------------------------------- bloom filter
+def test_bloom_no_false_negatives_and_probe_plan(spark):
+    from document_quality_assessment_ocr_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    items = spark.createDataFrame([(f"item{i}",) for i in range(50)], "s string")
+    bloom = bloom_build(items, "s", n_words=64, k=3)
+    probes = spark.createDataFrame(
+        [(f"item{i}",) for i in range(50)] + [(f"other{i}",) for i in range(200)],
+        "s string",
+    )
+    out = bloom_probe(probes, "s", bloom, n_words=64, k=3)
+    rows = {r["s"]: r["bloom_maybe"] for r in out.collect()}
+    # every inserted item MUST pass (no false negatives)
+    assert all(rows[f"item{i}"] for i in range(50))
+    # most non-members must be rejected (m=2048 bits, 50 items, k=3 → fp ≪ 50%)
+    fp = sum(rows[f"other{i}"] for i in range(200))
+    assert fp < 40, f"false-positive rate implausibly high: {fp}/200"
+    # the bitmap side is broadcast — the probe corpus never shuffles for it
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bloom_prefilter_counts_bound_exact(spark):
+    from document_quality_assessment_ocr_spark.operators.bloom import (
+        bloom_prefilter_contamination,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),   # eval doc
+            (1, "alpha beta gamma delta epsilon zeta"),   # fully contaminated
+            (2, "one two three four five six seven"),     # clean
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in bloom_prefilter_contamination(
+            docs.where(F.col("doc_id") > 0), docs.where(F.col("doc_id") == 0), n=5
+        ).collect()
+    }
+    assert out[1]["exact_matches"] == out[1]["n_shingles"] == 2
+    assert out[1]["bloom_candidates"] == 2  # no false negatives
+    assert out[2]["exact_matches"] == 0
+    assert out[2]["bloom_candidates"] >= out[2]["exact_matches"]
+
+
+# ------------------------------------------------------------- count-min sketch
+def test_count_min_overestimates_only_and_tight_for_heavy(spark):
+    from document_quality_assessment_ocr_spark.operators.sketches import (
+        count_min_estimate,
+    )
+
+    rows = [("heavy",)] * 500 + [(f"tail{i % 97}",) for i in range(300)]
+    df = spark.createDataFrame(rows, "term string")
+    out = {
+        r["term"]: r
+        for r in count_min_estimate(
+            df, "term", probes=["heavy", "tail3", "absent"], with_exact=True
+        ).collect()
+    }
+    for r in out.values():
+        assert r["est"] >= r["exact"]  # CMS never underestimates
+    assert out["heavy"]["exact"] == 500
+    # ε = e/256 → overestimate ≤ ~9 on 800 items w.h.p.
+    assert out["heavy"]["est"] - out["heavy"]["exact"] <= 25
+    assert out["absent"]["exact"] == 0
