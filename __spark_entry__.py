@@ -735,6 +735,24 @@ def _q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-longest curation policy over the q31 near-dup clusters: one
+    representative per cluster by (n_chars desc, doc_id asc) — algebraic
+    min-struct argmax, no window."""
+    from document_quality_assessment_ocr_spark.operators.dedup import (
+        dedup_keep_best,
+        duplicate_clusters,
+    )
+
+    docs = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    clusters = duplicate_clusters(docs.select("doc_id", "text"), n_hashes=8, bands=4)
+    return dedup_keep_best(docs, clusters, score_col="n_chars")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_text_density": _q_text_density,
@@ -780,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_quantile_sketch": _q_quantile_sketch,
         "q42_bloom_decontam": _q_bloom_decontam,
         "q43_count_min": _q_count_min,
+        "q44_dedup_keep_best": _q_dedup_keep_best,
         # flagship extraction — full oracle via seeded score literals
         "q90_extract_full": _q_extract_full,
         "q91_extract_metrics": _q_extract_metrics,
@@ -822,6 +841,34 @@ def _minhash_sql(n_hashes: int = 8, ngram: int = 5, seed: int = 1) -> str:
                {mins}
             FROM shh GROUP BY doc_id
         )
+    """
+
+
+def _clusters_comp_sql() -> str:
+    """Shared CTE chain for q31/q44: MinHash sig → LSH bands → candidate
+    pairs → connected components (recursive CTE) ending at ``comp(did, cid)``.
+    Twin of operators/dedup.duplicate_clusters."""
+    return _minhash_sql(8).replace("WITH ", "WITH RECURSIVE ", 1) + """
+            , bands AS (
+                SELECT doc_id, 0 AS band, MD5(CONCAT_WS('#', h00, h01)) AS key FROM sig
+                UNION ALL SELECT doc_id, 1, MD5(CONCAT_WS('#', h02, h03)) FROM sig
+                UNION ALL SELECT doc_id, 2, MD5(CONCAT_WS('#', h04, h05)) FROM sig
+                UNION ALL SELECT doc_id, 3, MD5(CONCAT_WS('#', h06, h07)) FROM sig
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            ), edges AS (
+                SELECT id_a AS ea, id_b AS eb FROM cand
+                UNION SELECT id_b, id_a FROM cand
+            ), reach(n, m) AS (
+                SELECT ea, eb FROM edges
+                UNION
+                SELECT r.n, e.eb FROM reach r JOIN edges e ON e.ea = r.m
+                WHERE e.eb <> r.n
+            ), comp AS (
+                SELECT n AS did, LEAST(n, MIN(m)) AS cid FROM reach GROUP BY n
+            )
     """
 
 
@@ -1676,33 +1723,33 @@ def oracle_sql() -> dict[str, str]:
         "q12_simhash": _simhash_sql(32),
         # connected components via recursive CTE — WITH must become
         # WITH RECURSIVE for the reach() member
-        "q31_dup_clusters": _minhash_sql(8).replace("WITH ", "WITH RECURSIVE ", 1)
+        "q31_dup_clusters": _clusters_comp_sql()
         + """
-            , bands AS (
-                SELECT doc_id, 0 AS band, MD5(CONCAT_WS('#', h00, h01)) AS key FROM sig
-                UNION ALL SELECT doc_id, 1, MD5(CONCAT_WS('#', h02, h03)) FROM sig
-                UNION ALL SELECT doc_id, 2, MD5(CONCAT_WS('#', h04, h05)) FROM sig
-                UNION ALL SELECT doc_id, 3, MD5(CONCAT_WS('#', h06, h07)) FROM sig
-            ), cand AS (
-                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                FROM bands a JOIN bands b
-                  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-            ), edges AS (
-                SELECT id_a AS ea, id_b AS eb FROM cand
-                UNION SELECT id_b, id_a FROM cand
-            ), reach(n, m) AS (
-                SELECT ea, eb FROM edges
-                UNION
-                SELECT r.n, e.eb FROM reach r JOIN edges e ON e.ea = r.m
-                WHERE e.eb <> r.n
-            ), comp AS (
-                SELECT n AS did, LEAST(n, MIN(m)) AS cid FROM reach GROUP BY n
-            )
             SELECT d.doc_id,
                    COALESCE(comp.cid, d.doc_id) AS cluster_id,
                    (COALESCE(comp.cid, d.doc_id) = d.doc_id) AS is_cluster_head
             FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d
             LEFT JOIN comp ON comp.did = d.doc_id
+        """,
+        # keep-best policy on top of the q31 components: one representative
+        # per cluster by (n_chars desc, doc_id asc) — min-struct argmax
+        "q44_dedup_keep_best": _clusters_comp_sql()
+        + """
+            , mem AS (
+                SELECT d.doc_id, COALESCE(comp.cid, d.doc_id) AS cluster_id,
+                       d.n_chars
+                FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                             CAST(n_chars AS BIGINT) AS n_chars FROM documents) d
+                LEFT JOIN comp ON comp.did = d.doc_id
+            ), win AS (
+                SELECT cluster_id,
+                       MIN({'negs': -n_chars, 'kid': doc_id}) AS w,
+                       COUNT(*) AS n_members
+                FROM mem GROUP BY cluster_id
+            )
+            SELECT cluster_id, (w).kid AS keep_id, -(w).negs AS best_n_chars,
+                   n_members
+            FROM win
         """,
         "q25_lsh_jaccard": _minhash_sql(8)
         + """

@@ -407,3 +407,41 @@ def chunk_dedup(
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    clusters: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Collapse each near-duplicate cluster to ONE representative — the
+    member with the highest ``score_col`` (ties → smallest id), the
+    standard keep-longest curation policy applied on top of
+    ``duplicate_clusters``.
+
+    Output: (cluster_id, keep_id, best_<score_col>, n_members).
+
+    Scale shape: the winner is an algebraic min-struct aggregate over
+    ``(-score, id)`` — one hash exchange on ``cluster_id`` after the id
+    join, map-side combine, no window, no per-cluster sort."""
+    joined = docs.select(F.col(id_col), F.col(score_col)).join(
+        clusters.select(id_col, "cluster_id"), id_col
+    )
+    return (
+        joined.groupBy("cluster_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col(score_col)).alias("negs"), F.col(id_col).alias("kid")
+                )
+            ).alias("w"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            "cluster_id",
+            F.col("w.kid").alias("keep_id"),
+            (-F.col("w.negs")).alias(f"best_{score_col}"),
+            "n_members",
+        )
+    )

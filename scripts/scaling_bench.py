@@ -181,7 +181,8 @@ def main() -> None:
         "bandwidth, which the pinned-local model cannot. See SCALE.md §7.",
     ]
     out = "\n".join(lines) + "\n"
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    # write a side file — BENCH.md is the curated multi-run record, merged by hand
+    with open(os.path.join(REPO, ".bench_cache", "scaling_run.md"), "w") as f:
         f.write(out)
     print(out)
 

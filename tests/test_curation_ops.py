@@ -408,3 +408,21 @@ def test_count_min_overestimates_only_and_tight_for_heavy(spark):
     # ε = e/256 → overestimate ≤ ~9 on 800 items w.h.p.
     assert out["heavy"]["est"] - out["heavy"]["exact"] <= 25
     assert out["absent"]["exact"] == 0
+
+
+# --------------------------------------------------------------- keep-best
+def test_dedup_keep_best_longest_then_smallest_id(spark):
+    from document_quality_assessment_ocr_spark.operators.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 7)], "doc_id long, n_chars long"
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)], "doc_id long, cluster_id long"
+    )
+    rows = {r["cluster_id"]: r for r in dedup_keep_best(docs, clusters, "n_chars").collect()}
+    assert rows[1]["keep_id"] == 2  # longest (30), tie → smaller id (2 < 3)
+    assert rows[1]["best_n_chars"] == 30 and rows[1]["n_members"] == 3
+    assert rows[4]["keep_id"] == 4 and rows[4]["n_members"] == 1
+    plan = dedup_keep_best(docs, clusters, "n_chars")._jdf.queryExecution()
+    assert "Window" not in plan.executedPlan().toString()
