@@ -230,6 +230,8 @@ def main() -> None:
         "q27_sessionize",
         "q33_repetition",
         "q36_asof_join",
+        "q40_chunk_dedup",
+        "q42_bloom_decontam",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"
