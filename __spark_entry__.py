@@ -325,6 +325,18 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(_emb(spark, sf_dir), probe_ids=[0, 1, 2], dim=64, k=5, n_centroids=8)
 
 
+def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (asymmetric-distance scan over m=4 byte
+    codes, ks=16 centroids per subspace): the memory-bounded scale path —
+    corpus compressed ~64×, per-probe lookup tables broadcast, two-level
+    top-k merge."""
+    from document_quality_assessment_ocr_spark.operators.similarity import pq_topk
+
+    return pq_topk(
+        _emb(spark, sf_dir), probe_ids=[0, 1, 2], dim=64, k=5, m=4, ks=16
+    )
+
+
 def _q_extract_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship pipeline at sf_dir (rows-only driver check: image kernels are
     not SQL-expressible). Output flattened to scalar columns for hashing."""
@@ -753,6 +765,22 @@ def _q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_keep_best(docs, clusters, score_col="n_chars")
 
 
+def _q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation composite v2 — operators chained over INTERMEDIATE outputs:
+    chunk-level boilerplate strip → repetition filter on the cleaned text →
+    Bloom-prefiltered decontamination of the cleaned text vs the eval slice.
+    First matching reason wins (boilerplate → contaminated → repetition)."""
+    from document_quality_assessment_ocr_spark.plans.curation import curate_documents_v2
+
+    docs = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return curate_documents_v2(
+        docs.where(F.col("doc_id") % 89 != 0),
+        docs.where(F.col("doc_id") % 89 == 0),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_text_density": _q_text_density,
@@ -799,6 +827,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_bloom_decontam": _q_bloom_decontam,
         "q43_count_min": _q_count_min,
         "q44_dedup_keep_best": _q_dedup_keep_best,
+        "q45_curation_v2": _q_curation_v2,
+        "q46_pq_topk": _q_pq_topk,
         # flagship extraction — full oracle via seeded score literals
         "q90_extract_full": _q_extract_full,
         "q91_extract_metrics": _q_extract_metrics,
@@ -1509,6 +1539,180 @@ def _decontam_sql() -> str:
     """
 
 
+def _pq_sql(
+    sf_dir: str | None = None,
+    dim: int = 64,
+    m: int = 4,
+    ks: int = 16,
+    k: int = 5,
+    sample_rows: int = 512,
+    seed: int = 42,
+    probe_ids: tuple = (0, 1, 2),
+) -> str:
+    """PQ top-k oracle: recomputes the SAME per-subspace seeded codebooks the
+    Spark operator trains (sample = first ``sample_rows`` by vec_id), encodes
+    in SQL with identical argmin expressions, and embeds each probe's L2²
+    lookup table as list literals — float operation order matches the engine
+    exactly (q17 centroid-literal technique)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from document_quality_assessment_ocr_spark.operators.similarity import pq_codebooks
+
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.array(tbl.column("vec_id"))
+    vecs = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    sample = vecs[order[:sample_rows]]
+    books = pq_codebooks(sample, m, ks, seed)
+    sub = dim // m
+
+    codes = []
+    for j in range(m):
+        sl = f"LIST_SLICE(v, {j * sub + 1}, {(j + 1) * sub})"
+        dists = ", ".join(
+            f"(-2.0 * LIST_DOT_PRODUCT({sl}, ["
+            + ", ".join(repr(float(x)) for x in c)
+            + f"]) + {float((c * c).sum())!r})"
+            for c in books[j]
+        )
+        codes.append(
+            f"(LIST_INDEXOF([{dists}], LIST_MIN([{dists}])) - 1) AS c{j}"
+        )
+
+    by_id = {int(i): vecs[idx] for idx, i in enumerate(ids)}
+    parts = []
+    for pid in probe_ids:
+        v = by_id[pid]
+        terms = []
+        for j in range(m):
+            lut = ", ".join(
+                repr(float(x))
+                for x in ((books[j] - v[j * sub : (j + 1) * sub]) ** 2).sum(1)
+            )
+            terms.append(f"([{lut}])[c{j} + 1]")
+        parts.append(
+            f"SELECT {pid} AS probe_id, vec_id AS neighbor_id, "
+            f"ROUND({' + '.join(terms)}, 6) AS approx_dist "
+            f"FROM enc WHERE vec_id <> {pid}"
+        )
+
+    return f"""
+        WITH e AS (
+            SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ), enc AS (
+            SELECT vec_id, {", ".join(codes)} FROM e
+        ), scored AS (
+            {" UNION ALL ".join(parts)}
+        )
+        SELECT probe_id, neighbor_id, approx_dist, CAST(rank AS INT) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                           ORDER BY approx_dist ASC, neighbor_id ASC) AS rank
+              FROM scored)
+        WHERE rank <= {k}
+    """
+
+
+def _curation_v2_sql(
+    chunk_words: int = 20,
+    min_keep_ratio: float = 0.5,
+    max_dup_gram_char_frac: float = 0.2,
+) -> str:
+    """DuckDB twin of plans/curation.curate_documents_v2. The engine's Bloom
+    stage needs no SQL model: Bloom has no false negatives and every
+    candidate is exact-verified, so contamination reduces to the exact
+    shingle intersection."""
+    cw = chunk_words
+    toks = (
+        f"LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(COALESCE({{c}},''))), '{WS}+'),"
+        " x -> x <> '')"
+    )
+    gram5 = " || ' ' || ".join(f"a[CAST(i AS INT) + {j}]" for j in range(5))
+    reason = f"""CASE WHEN keep_ratio < {min_keep_ratio}
+                     THEN 'boilerplate'
+                 WHEN contaminated THEN 'contaminated'
+                 WHEN dup_gram_char_frac > {max_dup_gram_char_frac}
+                     THEN 'repetition'
+                 ELSE '' END"""
+    return f"""
+        WITH tr AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+            WHERE CAST(doc_id AS BIGINT) % 89 <> 0
+        ), t AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM tr
+        ), n AS (
+            SELECT doc_id, w,
+                   GREATEST(CAST(CEIL(LEN(w) / {cw}.0) AS BIGINT), 1) AS nch
+            FROM t
+        ), ch AS (
+            SELECT doc_id, i - 1 AS chunk_idx,
+                   ARRAY_TO_STRING(LIST_SLICE(w, (i - 1) * {cw} + 1, i * {cw}), ' ') AS chunk
+            FROM (SELECT doc_id, w, UNNEST(RANGE(1, nch + 1)) AS i FROM n)
+        ), keep AS (
+            SELECT doc_id, chunk_idx, chunk FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY MD5(chunk) ORDER BY doc_id, chunk_idx) AS rn
+                FROM ch
+            ) WHERE rn = 1
+        ), asm AS (
+            SELECT doc_id, COUNT(*) AS n_kept,
+                   STRING_AGG(chunk, ' ' ORDER BY chunk_idx) AS clean_text
+            FROM keep GROUP BY doc_id
+        ), cleaned AS (
+            SELECT n.doc_id, n.nch AS n_total,
+                   COALESCE(asm.n_kept, 0) AS n_kept,
+                   COALESCE(asm.clean_text, '') AS clean_text
+            FROM n LEFT JOIN asm ON n.doc_id = asm.doc_id
+        ), tk AS (
+            SELECT doc_id, {toks.format(c='clean_text')} AS a FROM cleaned
+        ), grams0 AS (
+            SELECT doc_id,
+                   a[CAST(i AS INT)] || ' ' || a[CAST(i AS INT) + 1] AS gram
+            FROM (SELECT doc_id, a,
+                         UNNEST(RANGE(1, GREATEST(LEN(a) - 1, 0) + 1)) AS i
+                  FROM tk)
+        ), gcnt AS (
+            SELECT doc_id, gram, COUNT(*) AS cnt FROM grams0 GROUP BY 1, 2
+        ), gagg AS (
+            SELECT doc_id,
+                   COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt * LENGTH(gram) END), 0) AS dup_chars,
+                   COALESCE(SUM(cnt * LENGTH(gram)), 0) AS all_chars
+            FROM gcnt GROUP BY 1
+        ), sh AS (
+            SELECT DISTINCT doc_id, MD5({gram5}) AS shingle
+            FROM (SELECT doc_id, a,
+                         UNNEST(RANGE(1, GREATEST(LEN(a) - 4, 0) + 1)) AS i
+                  FROM tk)
+        ), evtk AS (
+            SELECT {toks.format(c='text')} AS a FROM documents
+            WHERE CAST(doc_id AS BIGINT) % 89 = 0
+        ), ev AS (
+            SELECT DISTINCT MD5({gram5}) AS shingle
+            FROM (SELECT a, UNNEST(RANGE(1, GREATEST(LEN(a) - 4, 0) + 1)) AS i
+                  FROM evtk)
+        ), cont AS (
+            SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (shingle)
+        ), m AS (
+            SELECT c.doc_id, c.n_total, c.n_kept,
+                   CAST(c.n_kept AS DOUBLE) / CAST(c.n_total AS DOUBLE) AS keep_ratio,
+                   CASE WHEN COALESCE(g.all_chars, 0) = 0 THEN 0.0
+                        ELSE CAST(g.dup_chars AS DOUBLE) / CAST(g.all_chars AS DOUBLE)
+                   END AS dup_gram_char_frac,
+                   (cont.doc_id IS NOT NULL) AS contaminated
+            FROM cleaned c
+            LEFT JOIN gagg g USING (doc_id)
+            LEFT JOIN cont USING (doc_id)
+        )
+        SELECT doc_id, n_total, n_kept, keep_ratio, dup_gram_char_frac,
+               contaminated,
+               ({reason} = '') AS kept,
+               {reason} AS drop_reason
+        FROM m
+    """
+
+
 def _bloom_decontam_sql(n_words: int = 64, k: int = 3) -> str:
     """DuckDB twin of operators/bloom.bloom_prefilter_contamination: same
     md5-slice positions, same 32-bit-per-BIGINT-word bitmap, BIT_OR build,
@@ -2041,6 +2245,8 @@ def oracle_sql() -> dict[str, str]:
             FROM sel JOIN tot ON sel.lang = tot.lang
         """,
         "q42_bloom_decontam": _bloom_decontam_sql(),
+        "q45_curation_v2": _curation_v2_sql(),
+        "q46_pq_topk": _pq_sql(),
         "q43_count_min": _count_min_sql(),
         # flagship extraction: kernels aren't SQL-expressible, but the payload
         # catalog is tiny and seeded — its scores ride along as literals and

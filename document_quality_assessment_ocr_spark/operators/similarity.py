@@ -206,6 +206,122 @@ def ivf_topk(
     )
 
 
+def pq_codebooks(
+    sample: np.ndarray, m: int, ks: int, seed: int = 42
+) -> list[np.ndarray]:
+    """Per-subspace product-quantization codebooks: the sample is split into
+    ``m`` contiguous sub-vectors and each subspace trains its own seeded
+    k-means (``ks`` centroids). Deterministic given (sample, m, ks, seed)."""
+    sub = sample.shape[1] // m
+    return [
+        _kmeans_lite(sample[:, j * sub : (j + 1) * sub], ks, seed=seed + j)
+        for j in range(m)
+    ]
+
+
+def pq_topk(
+    emb: DataFrame,
+    probe_ids: list,
+    dim: int,
+    k: int = 5,
+    m: int = 4,
+    ks: int = 16,
+    sample_rows: int = 512,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fanout: int = 32,
+) -> DataFrame:
+    """Product-quantization ANN (ADC): the corpus is compressed to ``m``
+    byte-sized codes per vector, probes scan the CODES with a per-probe
+    lookup table — the memory-bounded scale path that complements LSH/IVF
+    pruning (Jégou et al., "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011).
+
+    Spark-first shape: codebooks are driver-side seeded k-means on a bounded
+    sample; code assignment is a pure codegen projection (argmin over
+    −2c·x+|c|² per subspace — no UDF); each probe's m×ks distance lookup
+    table is a literal array, so the scan reads m ints per corpus row
+    instead of ``dim`` floats. At 100 TB the encoded table is ~dim·4/m×
+    smaller than the raw vectors and can be cached/bucketed; the top-k is
+    the same two-level merge as :func:`cosine_topk_bruteforce` (no
+    single-reducer window). Approximate distances are asymmetric L2² —
+    exact re-ranking of the survivors (k ≪ corpus) can follow at will.
+
+    Output: (probe_id, neighbor_id, approx_dist, rank)."""
+    sub = dim // m
+    sample = np.array(
+        [r[vec_col] for r in emb.orderBy(id_col).limit(sample_rows).collect()],
+        dtype=np.float64,
+    )
+    books = pq_codebooks(sample, m, ks, seed)
+
+    def code_expr(j: int):
+        sl = F.slice(F.col(vec_col), j * sub + 1, sub)
+        dists = [
+            -2.0 * _dot(F.array(*[F.lit(float(x)) for x in c]), sl)
+            + float((c * c).sum())
+            for c in books[j]
+        ]
+        arr = F.array(*dists)
+        return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+
+    enc = emb.select(
+        F.col(id_col), *[code_expr(j).alias(f"c{j}") for j in range(m)]
+    )
+
+    probes = emb.filter(F.col(id_col).isin(probe_ids)).collect()
+    luts = []  # (probe_id, lut_0 .. lut_{m-1}) with lut_j a ks-list of L2²
+    for r in probes:
+        v = np.array(r[vec_col], dtype=np.float64)
+        luts.append(
+            (int(r[id_col]),)
+            + tuple(
+                [float(x) for x in ((books[j] - v[j * sub : (j + 1) * sub]) ** 2).sum(1)]
+                for j in range(m)
+            )
+        )
+    lut_schema = "probe_id long, " + ", ".join(
+        f"lut{j} array<double>" for j in range(m)
+    )
+    lut_df = emb.sparkSession.createDataFrame(luts, lut_schema)
+
+    # ONE scan of the encoded table regardless of probe-panel size: the
+    # (tiny) LUT table broadcasts and each corpus row evaluates every probe's
+    # table lookup in the same pass
+    adist = F.lit(0.0).cast("double")
+    for j in range(m):
+        adist = adist + F.element_at(F.col(f"lut{j}"), F.col(f"c{j}") + 1)
+    scored = (
+        enc.join(F.broadcast(lut_df), F.col("probe_id") != F.col(id_col))
+        .select(
+            "probe_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(adist, 6).alias("approx_dist"),
+        )
+    )
+
+    item = F.struct(
+        F.col("approx_dist").alias("d"),
+        F.col("neighbor_id").alias("neighbor_id"),
+    )
+    topk = lambda c: F.slice(F.sort_array(F.collect_list(c)), 1, k)  # noqa: E731
+    lvl1 = scored.groupBy(
+        "probe_id", F.pmod(F.hash("neighbor_id"), F.lit(fanout)).alias("b")
+    ).agg(topk(item).alias("top"))
+    merged = (
+        lvl1.select("probe_id", F.explode("top").alias("t"))
+        .groupBy("probe_id")
+        .agg(topk(F.col("t")).alias("top"))
+    )
+    return merged.select("probe_id", F.posexplode("top").alias("r", "t")).select(
+        "probe_id",
+        F.col("t.neighbor_id").alias("neighbor_id"),
+        F.col("t.d").alias("approx_dist"),
+        (F.col("r") + 1).cast("int").alias("rank"),
+    )
+
+
 def cosine_topk_lsh(
     emb: DataFrame,
     probe_ids: list,

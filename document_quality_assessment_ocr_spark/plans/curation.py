@@ -80,3 +80,106 @@ def curate_documents(
         (reason == F.lit("")).alias("kept"),
         reason.alias("drop_reason"),
     )
+
+
+def curate_documents_v2(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 20,
+    min_keep_ratio: float = 0.5,
+    max_dup_gram_char_frac: float = 0.2,
+    decontam_n: int = 5,
+    bloom_words: int = 64,
+    bloom_k: int = 3,
+) -> DataFrame:
+    """Second-generation curation composite, chained over INTERMEDIATE
+    outputs (not the raw text):
+
+        chunk-level exact dedup (global first-occurrence-wins boilerplate
+        strip, 20-word chunks)
+          → repetition filter on the CLEANED text (duplicated-2-gram
+            character fraction, Gopher A1.1)
+          → benchmark decontamination of the CLEANED text against the eval
+            set's raw 5-gram shingles, Bloom-prefiltered
+
+    Every doc appears once with its fate and the metrics that decided it —
+    first matching reason wins, in the order boilerplate → contaminated →
+    repetition.
+
+    Scale shape (100 TB): stage 1 is two algebraic hash aggregates (winner
+    per distinct chunk, reassembly per doc — operators/dedup.chunk_dedup);
+    stage 2 re-uses the per-doc partitioning for its two-level gram
+    aggregate; stage 3 never shuffles the corpus — the eval Bloom bitmap
+    (≤``bloom_words`` rows) and the distinct eval shingle set broadcast, so
+    the cleaned corpus is probed map-side and only Bloom survivors reach
+    the exact broadcast join. The final assembly joins ride the doc_id
+    hash partitioning established by stage 1.
+
+    Output: (doc_id, n_total, n_kept, keep_ratio, dup_gram_char_frac,
+    contaminated, kept, drop_reason).
+    """
+    from ..operators.bloom import bloom_build, bloom_probe
+    from ..operators.decontam import shingle_hashes
+    from ..operators.dedup import chunk_dedup
+    from ..operators.quality import top_ngram_stats
+
+    # 1. boilerplate strip: global chunk dedup over the training slice only
+    cleaned = chunk_dedup(train, id_col, text_col, chunk_words)
+
+    # 2. repetition metrics over what SURVIVED the strip
+    grams = top_ngram_stats(
+        cleaned.select(id_col, F.col("clean_text")),
+        n=2,
+        id_col=id_col,
+        text_col="clean_text",
+    ).select(id_col, "dup_gram_char_frac")
+
+    # 3. decontamination: cleaned-text 5-grams vs the eval set's raw text
+    tr_sh = shingle_hashes(
+        cleaned.select(id_col, F.col("clean_text")), decontam_n, id_col, "clean_text"
+    )
+    ev_sh = (
+        shingle_hashes(eval_set, decontam_n, id_col, text_col)
+        .select("shingle")
+        .distinct()
+    )
+    bloom = bloom_build(ev_sh, "shingle", bloom_words, bloom_k)
+    candidates = bloom_probe(tr_sh, "shingle", bloom, bloom_words, bloom_k).where(
+        F.col("bloom_maybe")
+    )
+    contaminated = (
+        candidates.join(F.broadcast(ev_sh), "shingle", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+
+    keep_ratio = F.col("n_kept").cast("double") / F.col("n_total").cast("double")
+    out = (
+        cleaned.join(grams, id_col, "left")
+        .join(contaminated, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_total",
+            "n_kept",
+            keep_ratio.alias("keep_ratio"),
+            F.coalesce("dup_gram_char_frac", F.lit(0.0)).alias("dup_gram_char_frac"),
+            F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+        )
+    )
+    reason = (
+        F.when(F.col("keep_ratio") < F.lit(min_keep_ratio), F.lit("boilerplate"))
+        .when(F.col("contaminated"), F.lit("contaminated"))
+        .when(
+            F.col("dup_gram_char_frac") > F.lit(max_dup_gram_char_frac),
+            F.lit("repetition"),
+        )
+        .otherwise(F.lit(""))
+    )
+    return out.select(
+        "*",
+        (reason == F.lit("")).alias("kept"),
+        reason.alias("drop_reason"),
+    )

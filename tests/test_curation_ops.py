@@ -426,3 +426,64 @@ def test_dedup_keep_best_longest_then_smallest_id(spark):
     assert rows[4]["keep_id"] == 4 and rows[4]["n_members"] == 1
     plan = dedup_keep_best(docs, clusters, "n_chars")._jdf.queryExecution()
     assert "Window" not in plan.executedPlan().toString()
+
+
+# ----------------------------------------------------------- curation v2
+def test_curate_documents_v2_fates(spark):
+    """Each drop reason fires on its named doc, and the filters chain over
+    the CLEANED text: a doc whose repetitive chunk is owned by an earlier
+    doc is judged only on what survived the strip."""
+    from document_quality_assessment_ocr_spark.plans.curation import (
+        curate_documents_v2,
+    )
+
+    rep20 = " ".join(["spam", "ham"] * 10)           # 20 words, all 2-grams dup
+    uniq20 = " ".join(f"w{i:02d}" for i in range(20))  # 20 distinct words
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+            (4, "the quick brown fox jumps over the lazy dog today"),
+            (10, rep20),                                  # repetitive, first owner
+            (11, rep20 + " " + uniq20),                   # dup chunk + clean chunk
+        ],
+        "doc_id long, text string",
+    )
+    eval_set = spark.createDataFrame(
+        [(9, "quick brown fox jumps over stuff")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in curate_documents_v2(train, eval_set).collect()}
+
+    assert rows[1]["kept"] and rows[1]["drop_reason"] == ""
+    assert rows[2]["drop_reason"] == "boilerplate" and rows[2]["n_kept"] == 0
+    assert rows[4]["drop_reason"] == "contaminated" and rows[4]["contaminated"]
+    assert rows[10]["drop_reason"] == "repetition"
+    assert rows[10]["dup_gram_char_frac"] == pytest.approx(1.0)
+    # doc 11: chunk 1 owned by doc 10 → stripped; judged on uniq20 only
+    assert rows[11]["n_total"] == 2 and rows[11]["n_kept"] == 1
+    assert rows[11]["keep_ratio"] == pytest.approx(0.5)
+    assert rows[11]["kept"] and rows[11]["dup_gram_char_frac"] == 0.0
+
+
+def test_curate_documents_v2_plan_shape(spark):
+    """The composite never degenerates into a cartesian/nested-loop join or
+    a per-doc window — every stage is hash aggregation + (broadcast) hash
+    joins, the shape that survives a 100× scale-up."""
+    from document_quality_assessment_ocr_spark.plans.curation import (
+        curate_documents_v2,
+    )
+
+    train = spark.createDataFrame(
+        [(i, f"doc {i} body text words here") for i in range(6)],
+        "doc_id long, text string",
+    )
+    eval_set = spark.createDataFrame([(99, "held out")], "doc_id long, text string")
+    plan = (
+        curate_documents_v2(train, eval_set)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan

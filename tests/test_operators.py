@@ -332,3 +332,32 @@ def test_duplicate_clusters_union_find(spark):
     for k, (cid, head) in got.items():
         assert head == (k == cid)
     assert got[6] == (6, True)  # singleton
+
+
+def test_pq_topk_vs_numpy_adc(emb):
+    """PQ ADC result equals the numpy re-computation of the same codebooks,
+    codes and lookup tables — and the plan is window-free (two-level merge)."""
+    from document_quality_assessment_ocr_spark.operators.similarity import (
+        pq_codebooks,
+        pq_topk,
+    )
+
+    df, base = emb
+    q = pq_topk(df, [0], dim=8, k=3, m=2, ks=4, sample_rows=30)
+    out = [(r["neighbor_id"], r["approx_dist"]) for r in q.orderBy("rank").collect()]
+
+    books = pq_codebooks(base[np.argsort(np.arange(30))][:30], m=2, ks=4, seed=42)
+    codes = np.stack(
+        [((base[:, j * 4 : (j + 1) * 4, None] - books[j].T[None]) ** 2).sum(1).argmin(1)
+         for j in range(2)],
+        axis=1,
+    )
+    lut = [((books[j] - base[0, j * 4 : (j + 1) * 4]) ** 2).sum(1) for j in range(2)]
+    adist = np.round(lut[0][codes[:, 0]] + lut[1][codes[:, 1]], 6)
+    adist[0] = np.inf  # probe excluded
+    order = sorted(range(30), key=lambda i: (adist[i], i))[:3]
+    assert [n for n, _ in out] == order
+    assert out[0][1] == pytest.approx(adist[order[0]])
+    # planted near-neighbour of vec 0 should be nearest in code space too
+    assert out[0][0] == 7
+    assert "Window" not in q._jdf.queryExecution().executedPlan().toString()
