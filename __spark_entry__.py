@@ -765,6 +765,25 @@ def _q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_keep_best(docs, clusters, score_col="n_chars")
 
 
+def _q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss projection 64 → 8 dims: seeded Gaussian matrix
+    as literal codegen expressions — zero shuffle, 8× memory/shuffle cut for
+    downstream embedding ops."""
+    from document_quality_assessment_ocr_spark.operators.similarity import (
+        random_projection,
+    )
+
+    return random_projection(_emb(spark, sf_dir), dim=64, out_dim=8)
+
+
+def _q_sq_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization audit: per-vector scale, deterministic
+    floor(x/s+0.5) rounding, exact L2 reconstruction error."""
+    from document_quality_assessment_ocr_spark.operators.similarity import sq_int8
+
+    return sq_int8(_emb(spark, sf_dir))
+
+
 def _q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation composite v2 — operators chained over INTERMEDIATE outputs:
     chunk-level boilerplate strip → repetition filter on the cleaned text →
@@ -829,6 +848,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_dedup_keep_best": _q_dedup_keep_best,
         "q45_curation_v2": _q_curation_v2,
         "q46_pq_topk": _q_pq_topk,
+        "q47_random_projection": _q_random_projection,
+        "q48_sq_int8": _q_sq_int8,
         # flagship extraction — full oracle via seeded score literals
         "q90_extract_full": _q_extract_full,
         "q91_extract_metrics": _q_extract_metrics,
@@ -1615,6 +1636,53 @@ def _pq_sql(
     """
 
 
+def _rp_sql(dim: int = 64, out_dim: int = 8, seed: int = 42) -> str:
+    """JL-projection oracle: the SAME seeded Gaussian matrix as literals;
+    LIST_DOT_PRODUCT's sequential fold matches the engine's zip_with
+    aggregate (multiplication commutes exactly in IEEE)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    R = rng.standard_normal((out_dim, dim)) / np.sqrt(out_dim)
+    cols = ", ".join(
+        "ROUND(LIST_DOT_PRODUCT(v, ["
+        + ", ".join(repr(float(x)) for x in R[j])
+        + f"]), 6) AS p{j:02d}"
+        for j in range(out_dim)
+    )
+    return f"""
+        WITH e AS (
+            SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        )
+        SELECT vec_id, {cols} FROM e
+    """
+
+
+_SQ_DIFF = "LIST_TRANSFORM(v, x -> x - FLOOR(x / s + 0.5) * s)"
+
+_SQ_INT8_SQL = f"""
+    WITH e AS (
+        SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ), sc AS (
+        SELECT vec_id, v,
+               LIST_MAX(LIST_TRANSFORM(v, x -> ABS(x))) / 127.0 AS s
+        FROM e
+    )
+    SELECT vec_id,
+           ROUND(s, 9) AS scale,
+           CAST(CASE WHEN s = 0 THEN 0
+                ELSE LIST_MAX(LIST_TRANSFORM(v,
+                         x -> ABS(CAST(FLOOR(x / s + 0.5) AS INT))))
+                END AS INT) AS max_code,
+           CASE WHEN s = 0 THEN 0.0
+                ELSE ROUND(SQRT(LIST_DOT_PRODUCT({_SQ_DIFF}, {_SQ_DIFF})), 6)
+                END AS recon_err
+    FROM sc
+"""
+
+
 def _curation_v2_sql(
     chunk_words: int = 20,
     min_keep_ratio: float = 0.5,
@@ -2247,6 +2315,8 @@ def oracle_sql() -> dict[str, str]:
         "q42_bloom_decontam": _bloom_decontam_sql(),
         "q45_curation_v2": _curation_v2_sql(),
         "q46_pq_topk": _pq_sql(),
+        "q47_random_projection": _rp_sql(),
+        "q48_sq_int8": _SQ_INT8_SQL,
         "q43_count_min": _count_min_sql(),
         # flagship extraction: kernels aren't SQL-expressible, but the payload
         # catalog is tiny and seeded — its scores ride along as literals and

@@ -322,6 +322,66 @@ def pq_topk(
     )
 
 
+def random_projection(
+    emb: DataFrame,
+    dim: int,
+    out_dim: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: a seeded Gaussian matrix
+    R/√d′ folded into literal Column expressions — one codegen projection,
+    zero shuffle, no UDF. Pairwise distances are preserved within
+    O(√(log n / d′)) (JL lemma), so downstream dedup/ANN can run on the
+    d′-dim output at dim/d′× less memory and shuffle volume.
+
+    Output: (id_col, p00..p{out_dim-1}) — scalar columns, each rounded to
+    6 dp so the DuckDB twin hashes identically."""
+    rng = np.random.default_rng(seed)
+    R = rng.standard_normal((out_dim, dim)) / np.sqrt(out_dim)
+    cols = [
+        F.round(
+            _dot(F.array(*[F.lit(float(x)) for x in R[j]]), F.col(vec_col)), 6
+        ).alias(f"p{j:02d}")
+        for j in range(out_dim)
+    ]
+    return emb.select(F.col(id_col), *cols)
+
+
+def sq_int8(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Int8 scalar quantization audit: per-vector symmetric scale
+    (max|x|/127), deterministic floor(x/s + 0.5) rounding (identical on
+    both engines — no banker's-rounding ambiguity), and the exact L2
+    reconstruction error. At 100 TB this is the 4× storage/shuffle
+    compression step before ANN indexing; emitting the error makes the
+    accuracy cost measurable per vector rather than assumed.
+
+    Output: (id_col, scale, max_code, recon_err) — pure codegen, zero
+    shuffle."""
+    v = F.col(vec_col)
+    scale = (F.array_max(F.transform(v, F.abs)) / F.lit(127.0)).alias("_s")
+    with_s = emb.select(F.col(id_col), v.alias("_v"), scale)
+    s = F.col("_s")
+    code = lambda x: F.floor(x / s + F.lit(0.5))  # noqa: E731
+    diff = F.transform(F.col("_v"), lambda x: x - code(x) * s)
+    err = F.sqrt(_dot(diff, diff))
+    max_code = F.array_max(
+        F.transform(F.col("_v"), lambda x: F.abs(code(x).cast("int")))
+    )
+    zero = s == F.lit(0.0)
+    return with_s.select(
+        F.col(id_col),
+        F.round(s, 9).alias("scale"),
+        F.when(zero, F.lit(0)).otherwise(max_code).cast("int").alias("max_code"),
+        F.when(zero, F.lit(0.0)).otherwise(F.round(err, 6)).alias("recon_err"),
+    )
+
+
 def cosine_topk_lsh(
     emb: DataFrame,
     probe_ids: list,

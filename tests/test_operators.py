@@ -361,3 +361,47 @@ def test_pq_topk_vs_numpy_adc(emb):
     # planted near-neighbour of vec 0 should be nearest in code space too
     assert out[0][0] == 7
     assert "Window" not in q._jdf.queryExecution().executedPlan().toString()
+
+
+def test_random_projection_preserves_distances(emb):
+    """JL sanity: projected pairwise distances correlate with the originals
+    (loose bound — d'=4 on 8-dim input), and the op is a pure projection
+    (no Exchange in the plan)."""
+    from document_quality_assessment_ocr_spark.operators.similarity import (
+        random_projection,
+    )
+
+    df, base = emb
+    q = random_projection(df, dim=8, out_dim=4)
+    rows = {r["vec_id"]: [r[f"p{j:02d}"] for j in range(4)] for r in q.collect()}
+    P = np.array([rows[i] for i in range(30)])
+    d_orig = np.linalg.norm(base[:10, None] - base[None, :10], axis=2).ravel()
+    d_proj = np.linalg.norm(P[:10, None] - P[None, :10], axis=2).ravel()
+    mask = d_orig > 0
+    corr = np.corrcoef(d_orig[mask], d_proj[mask])[0, 1]
+    assert corr > 0.5
+    assert "Exchange" not in q._jdf.queryExecution().executedPlan().toString()
+
+
+def test_sq_int8_numpy_parity_and_zero_vector(spark):
+    from document_quality_assessment_ocr_spark.operators.similarity import sq_int8
+
+    rng = np.random.default_rng(5)
+    vecs = [[float(x) for x in rng.standard_normal(8)] for _ in range(4)]
+    vecs.append([0.0] * 8)  # zero vector → scale 0, no div-by-zero blowup
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    out = {r["vec_id"]: r for r in sq_int8(df).collect()}
+    for i, v in enumerate(vecs[:4]):
+        a = np.array(v)
+        s = np.abs(a).max() / 127.0
+        codes = np.floor(a / s + 0.5)
+        assert out[i]["scale"] == pytest.approx(s, abs=1e-9)
+        assert out[i]["max_code"] == int(np.abs(codes).max())
+        assert out[i]["recon_err"] == pytest.approx(
+            float(np.sqrt(((a - codes * s) ** 2).sum())), abs=1e-6
+        )
+        assert out[i]["max_code"] <= 127
+    assert out[4]["scale"] == 0.0 and out[4]["recon_err"] == 0.0
+    assert out[4]["max_code"] == 0
