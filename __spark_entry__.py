@@ -784,6 +784,21 @@ def _q_sq_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq_int8(_emb(spark, sf_dir))
 
 
+def _q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing offsets: whitespace token counts →
+    distributed two-level prefix sum (range buckets + bounded per-bucket
+    window) → 512-token sequence assignment. The oracle's single global
+    SUM OVER is exactly what the operator refuses to run at scale."""
+    from document_quality_assessment_ocr_spark.functions.text import token_count
+    from document_quality_assessment_ocr_spark.operators.packing import pack_offsets
+
+    docs = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    return pack_offsets(docs, seq_len=512, n_buckets=16)
+
+
 def _q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation composite v2 — operators chained over INTERMEDIATE outputs:
     chunk-level boilerplate strip → repetition filter on the cleaned text →
@@ -850,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_pq_topk": _q_pq_topk,
         "q47_random_projection": _q_random_projection,
         "q48_sq_int8": _q_sq_int8,
+        "q49_sequence_packing": _q_sequence_packing,
         # flagship extraction — full oracle via seeded score literals
         "q90_extract_full": _q_extract_full,
         "q91_extract_metrics": _q_extract_metrics,
@@ -2317,6 +2333,34 @@ def oracle_sql() -> dict[str, str]:
         "q46_pq_topk": _pq_sql(),
         "q47_random_projection": _rp_sql(),
         "q48_sq_int8": _SQ_INT8_SQL,
+        # single global SUM OVER here is the SPEC; the engine computes the
+        # same result as a distributed two-level prefix sum (range buckets +
+        # bounded per-bucket windows) — see operators/packing.py
+        "q49_sequence_packing": f"""
+            WITH d AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       CAST({ntoks} AS BIGINT) AS n_tokens
+                FROM documents
+            ), o AS (
+                SELECT doc_id, n_tokens,
+                       CAST(COALESCE(SUM(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS start_token
+                FROM d
+            )
+            SELECT doc_id, n_tokens, start_token,
+                   start_token + n_tokens AS end_token,
+                   start_token // 512 AS first_seq,
+                   CASE WHEN n_tokens > 0
+                        THEN (start_token + n_tokens - 1) // 512
+                        ELSE start_token // 512 END AS last_seq,
+                   (CASE WHEN n_tokens > 0
+                         THEN (start_token + n_tokens - 1) // 512
+                         ELSE start_token // 512 END
+                    > start_token // 512) AS straddles
+            FROM o
+        """,
         "q43_count_min": _count_min_sql(),
         # flagship extraction: kernels aren't SQL-expressible, but the payload
         # catalog is tiny and seeded — its scores ride along as literals and

@@ -405,3 +405,38 @@ def test_sq_int8_numpy_parity_and_zero_vector(spark):
         assert out[i]["max_code"] <= 127
     assert out[4]["scale"] == 0.0 and out[4]["recon_err"] == 0.0
     assert out[4]["max_code"] == 0
+
+
+def test_pack_offsets_matches_global_scan(spark):
+    """Two-level distributed prefix sum == the naive global running sum,
+    including empty docs, id gaps, and boundary straddles — and no
+    single-partition Window in the plan."""
+    from document_quality_assessment_ocr_spark.operators.packing import pack_offsets
+
+    rows = [(1, 3), (2, 0), (5, 10), (9, 4), (10, 0), (40, 7), (41, 1)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = {r["doc_id"]: r for r in pack_offsets(df, seq_len=8, n_buckets=3).collect()}
+
+    acc = 0
+    for did, n in rows:  # already in doc_id order
+        r = out[did]
+        assert r["start_token"] == acc, did
+        assert r["end_token"] == acc + n
+        assert r["first_seq"] == acc // 8
+        exp_last = (acc + n - 1) // 8 if n > 0 else acc // 8
+        assert r["last_seq"] == exp_last
+        assert r["straddles"] == (exp_last > acc // 8)
+        acc += n
+
+    plan = (
+        pack_offsets(df, seq_len=8, n_buckets=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the window must be partitioned by the range bucket — a global
+    # ORDER BY window (single reducer) would have no _bucket partition spec
+    import re
+
+    assert "Window" in plan
+    assert re.search(r"windowspecdefinition\(_bucket#\d+L?,", plan)
