@@ -232,6 +232,9 @@ def main() -> None:
         "q36_asof_join",
         "q40_chunk_dedup",
         "q42_bloom_decontam",
+        "q45_curation_v2",
+        "q46_pq_topk",
+        "q49_sequence_packing",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

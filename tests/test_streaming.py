@@ -46,3 +46,47 @@ def test_stream_matches_batch(spark, small_corpus_dir, tmp_path):
     spans = tables.read_spans(spark, in_dir)
     expect = _result_set(run_extraction(spans, pay))
     assert got == expect
+
+
+@pytest.mark.slow
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Streaming first-occurrence dedup: duplicate fingerprints across two
+    file drops collapse to one surviving row per fingerprint; survivors
+    equal the batch distinct-fingerprint set."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from document_quality_assessment_ocr_spark.functions.text import fingerprint
+    from document_quality_assessment_ocr_spark.streaming.dedup import (
+        stream_fingerprint_dedup,
+    )
+
+    from datetime import datetime
+
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    batch1 = [(1, t0, "alpha beta"), (2, t0, "gamma delta"), (3, t0, "alpha beta")]
+    batch2 = [(4, t0, "ALPHA   beta"), (5, t0, "epsilon zeta")]  # 4 ≡ 1 after norm
+    in_dir = str(tmp_path / "sin")
+    os.makedirs(in_dir)
+    for i, rows in enumerate((batch1, batch2)):
+        spark.createDataFrame(
+            rows, "doc_id long, ts timestamp, text string"
+        ).coalesce(1).write.parquet(os.path.join(in_dir, f"drop-{i}"))
+        time.sleep(1.1)  # distinct mtimes → deterministic file order
+
+    stream_fingerprint_dedup(
+        spark, in_dir + "/*", str(tmp_path / "sckpt"), query_name="sdedup_t"
+    )
+    got = spark.sql("SELECT fp, doc_id FROM sdedup_t").collect()
+    fps = [r["fp"] for r in got]
+    assert len(fps) == len(set(fps)) == 3  # alpha-beta, gamma-delta, epsilon-zeta
+
+    batch_fps = {
+        r["fp"]
+        for r in spark.read.parquet(in_dir + "/*")
+        .select(fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+        .collect()
+    }
+    assert set(fps) == batch_fps
