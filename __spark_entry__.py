@@ -799,6 +799,53 @@ def _q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_offsets(docs, seq_len=512, n_buckets=16)
 
 
+def _q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped five-table join: region ⋈ nation ⋈ customer ⋈ orders
+    ⋈ lineitem, revenue per nation. The dimension chain (region→nation) is
+    explicitly broadcast; money goes through decimal(18,2) products so the
+    sum is order-independent, surfaced as DOUBLE (q20 lesson)."""
+    r = spark.read.parquet(f"{sf_dir}/region.parquet").where(
+        F.col("r_name").isin("ASIA", "EUROPE")
+    )
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))
+    )
+    dims = F.broadcast(
+        n.join(r, n["n_regionkey"] == r["r_regionkey"]).select(
+            "n_nationkey", "n_name", "r_name"
+        )
+    )
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(dims, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(rev).cast("decimal(28,4)").cast("double").alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+def _q_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase ANN: PQ ADC shortlist (k·4 from compressed codes) → exact
+    cosine re-rank of the shortlist only — the corpus is read once through
+    the code scan; raw vectors are fetched for O(k) rows per probe."""
+    from document_quality_assessment_ocr_spark.operators.similarity import (
+        pq_topk_refined,
+    )
+
+    return pq_topk_refined(
+        _emb(spark, sf_dir), probe_ids=[0, 1, 2], dim=64, k=5,
+        refine_factor=4, m=4, ks=16,
+    )
+
+
 def _q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation composite v2 — operators chained over INTERMEDIATE outputs:
     chunk-level boilerplate strip → repetition filter on the cleaned text →
@@ -866,6 +913,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_random_projection": _q_random_projection,
         "q48_sq_int8": _q_sq_int8,
         "q49_sequence_packing": _q_sequence_packing,
+        "q50_regional_revenue": _q_regional_revenue,
+        "q51_pq_refined": _q_pq_refined,
         # flagship extraction — full oracle via seeded score literals
         "q90_extract_full": _q_extract_full,
         "q91_extract_metrics": _q_extract_metrics,
@@ -1585,6 +1634,8 @@ def _pq_sql(
     sample_rows: int = 512,
     seed: int = 42,
     probe_ids: tuple = (0, 1, 2),
+    refine: bool = False,
+    final_k: int = 5,
 ) -> str:
     """PQ top-k oracle: recomputes the SAME per-subspace seeded codebooks the
     Spark operator trains (sample = first ``sample_rows`` by vec_id), encodes
@@ -1635,7 +1686,7 @@ def _pq_sql(
             f"FROM enc WHERE vec_id <> {pid}"
         )
 
-    return f"""
+    base = f"""
         WITH e AS (
             SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
             FROM embeddings
@@ -1643,13 +1694,34 @@ def _pq_sql(
             SELECT vec_id, {", ".join(codes)} FROM e
         ), scored AS (
             {" UNION ALL ".join(parts)}
+        ), adc AS (
+            SELECT probe_id, neighbor_id, approx_dist, CAST(rank AS INT) AS rank
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                               ORDER BY approx_dist ASC, neighbor_id ASC) AS rank
+                  FROM scored)
+            WHERE rank <= {k}
+        )"""
+    if not refine:
+        return base + "\n        SELECT * FROM adc"
+    return (
+        base
+        + f"""
+        , ex AS (
+            SELECT a.probe_id, a.neighbor_id,
+                   ROUND(LIST_DOT_PRODUCT(p.v, n.v)
+                         / SQRT(LIST_DOT_PRODUCT(p.v, p.v)
+                                * LIST_DOT_PRODUCT(n.v, n.v)), 6) AS cos
+            FROM adc a
+            JOIN e p ON p.vec_id = a.probe_id
+            JOIN e n ON n.vec_id = a.neighbor_id
         )
-        SELECT probe_id, neighbor_id, approx_dist, CAST(rank AS INT) AS rank
+        SELECT probe_id, neighbor_id, cos, CAST(rank AS INT) AS rank
         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
-                                           ORDER BY approx_dist ASC, neighbor_id ASC) AS rank
-              FROM scored)
-        WHERE rank <= {k}
+                                           ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM ex)
+        WHERE rank <= {final_k}
     """
+    )
 
 
 def _rp_sql(dim: int = 64, out_dim: int = 8, seed: int = 42) -> str:
@@ -2331,8 +2403,23 @@ def oracle_sql() -> dict[str, str]:
         "q42_bloom_decontam": _bloom_decontam_sql(),
         "q45_curation_v2": _curation_v2_sql(),
         "q46_pq_topk": _pq_sql(),
+        "q51_pq_refined": _pq_sql(k=20, refine=True, final_k=5),
         "q47_random_projection": _rp_sql(),
         "q48_sq_int8": _SQ_INT8_SQL,
+        "q50_regional_revenue": """
+            SELECT r_name, n_name,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+                        AS DECIMAL(28,4)) AS DOUBLE) AS revenue,
+                   COUNT(DISTINCT o_orderkey) AS n_orders
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name IN ('ASIA', 'EUROPE')
+            GROUP BY 1, 2
+        """,
         # single global SUM OVER here is the SPEC; the engine computes the
         # same result as a distributed two-level prefix sum (range buckets +
         # bounded per-bucket windows) — see operators/packing.py

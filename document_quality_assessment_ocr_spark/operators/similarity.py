@@ -322,6 +322,55 @@ def pq_topk(
     )
 
 
+def pq_topk_refined(
+    emb: DataFrame,
+    probe_ids: list,
+    dim: int,
+    k: int = 5,
+    refine_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **pq_kwargs,
+) -> DataFrame:
+    """PQ + exact refinement: the ADC scan shortlists ``k·refine_factor``
+    candidates per probe from the COMPRESSED codes, then only those few
+    rows fetch their raw vectors for an exact cosine re-rank — the standard
+    two-phase ANN serving shape (compressed scan bounds recall cost, exact
+    re-rank restores precision on a candidate set that is O(k), not
+    O(corpus)).
+
+    Scale shape: the candidate set (probes × k·refine_factor rows) is
+    broadcast into ONE join against the raw-vector table — the full
+    corpus is only ever read through the code scan; the final top-k
+    windows over ≤ k·refine_factor rows per probe."""
+    cand = pq_topk(
+        emb, probe_ids, dim, k=k * refine_factor,
+        id_col=id_col, vec_col=vec_col, **pq_kwargs,
+    ).select("probe_id", "neighbor_id")
+    probes = emb.filter(F.col(id_col).isin(probe_ids)).select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    )
+    exact = (
+        emb.join(
+            F.broadcast(cand), F.col(id_col) == F.col("neighbor_id")
+        )
+        .join(F.broadcast(probes), "probe_id")
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(cosine(F.col("probe_vec"), F.col(vec_col)), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def random_projection(
     emb: DataFrame,
     dim: int,

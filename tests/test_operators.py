@@ -440,3 +440,22 @@ def test_pack_offsets_matches_global_scan(spark):
 
     assert "Window" in plan
     assert re.search(r"windowspecdefinition\(_bucket#\d+L?,", plan)
+
+
+def test_pq_refined_recalls_planted_neighbor(emb):
+    """Exact re-rank of the ADC shortlist surfaces the planted near
+    neighbour with its TRUE cosine (not the quantized distance)."""
+    from document_quality_assessment_ocr_spark.operators.similarity import (
+        pq_topk_refined,
+    )
+
+    df, base = emb
+    out = (
+        pq_topk_refined(df, [0], dim=8, k=3, refine_factor=4, m=2, ks=4,
+                        sample_rows=30)
+        .orderBy("rank")
+        .collect()
+    )
+    assert out[0]["neighbor_id"] == 7
+    norms = base / np.linalg.norm(base, axis=1, keepdims=True)
+    assert out[0]["cos"] == pytest.approx(round(float(norms[7] @ norms[0]), 6))
