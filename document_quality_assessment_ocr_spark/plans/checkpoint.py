@@ -111,6 +111,39 @@ def read_manifests(spark: SparkSession, base_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(base_dir, "manifests"))
 
 
+def snapshot_history(base_dir: str) -> List[dict]:
+    """The snapshot commit log as Iceberg-style versions: entry i is the
+    state AFTER the i-th group commit (version = i, plus the committed
+    group, run_id and wall-clock ts). Empty list before the first commit."""
+    snap = _read_snapshot(base_dir)
+    return [
+        {"version": i, "group": r["group"], "run_id": r["run_id"], "ts": r["ts"]}
+        for i, r in enumerate(snap["runs"])
+    ]
+
+
+def read_as_of(
+    spark: SparkSession, base_dir: str, version: Optional[int] = None
+) -> DataFrame:
+    """Time-travel read: the extraction output as of snapshot ``version``
+    (None → latest). Only the groups committed by that version are read —
+    the group id is a physical partition column, so the filter is a
+    partition PRUNE (skipped directories), not a scan-and-discard; at
+    Iceberg scale this is the manifest-pruned snapshot read."""
+    history = snapshot_history(base_dir)
+    if version is None:
+        version = len(history) - 1
+    if version < 0 or not history:
+        raise ValueError(f"no committed snapshot at version {version}")
+    groups = sorted({h["group"] for h in history[: version + 1]})
+    return (
+        spark.read.parquet(os.path.join(base_dir, "data"))
+        .where(F.col("group").isin(groups))
+        .drop("n_spans", "n_media", "n_kept", "min_lap", "max_abs_skew", "max_noise")
+        .drop("group")
+    )
+
+
 def run_binary_with_checkpoints(
     spark: SparkSession,
     docs_df: DataFrame,

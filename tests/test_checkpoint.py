@@ -118,3 +118,42 @@ def test_binary_checkpoint_resume_identical(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(cp, "run_extraction", real)
     out = cp.run_binary_with_checkpoints(spark, docs, base, n_groups=4)
     assert _result_set(out) == expect
+
+
+@pytest.mark.slow
+def test_time_travel_read_as_of(spark, small_corpus_dir, tmp_path):
+    """Iceberg-style snapshot time travel: version v sees exactly the groups
+    committed by then, the latest version equals the full run, and the
+    group filter is a partition PRUNE (pushed partition filter), never a
+    scan-and-discard."""
+    from pyspark.sql import functions as F
+
+    spans, pay = tables.read_corpus(spark, small_corpus_dir)
+    base = str(tmp_path / "tt")
+    full = cp.run_with_checkpoints(spark, spans, pay, base, n_groups=4)
+
+    hist = cp.snapshot_history(base)
+    assert [h["version"] for h in hist] == [0, 1, 2, 3]
+
+    grp_col = F.pmod(F.xxhash64("doc_id"), F.lit(4)).cast("int")
+    for v in (0, 1, 3):
+        got = _result_set(cp.read_as_of(spark, base, version=v))
+        committed = {h["group"] for h in hist[: v + 1]}
+        expect = _result_set(
+            spark.createDataFrame(full.rdd, full.schema).where(
+                grp_col.isin(sorted(committed))
+            )
+        )
+        assert got == expect, f"version {v}"
+    assert _result_set(cp.read_as_of(spark, base)) == _result_set(full)
+
+    plan = (
+        cp.read_as_of(spark, base, version=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [" in plan and "group" in plan.split("PartitionFilters")[1][:120]
+
+    with pytest.raises(ValueError):
+        cp.read_as_of(spark, str(tmp_path / "nowhere"))  # no snapshot yet

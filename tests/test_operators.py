@@ -459,3 +459,34 @@ def test_pq_refined_recalls_planted_neighbor(emb):
     assert out[0]["neighbor_id"] == 7
     norms = base / np.linalg.norm(base, axis=1, keepdims=True)
     assert out[0]["cos"] == pytest.approx(round(float(norms[7] @ norms[0]), 6))
+
+
+def test_salted_join_identical_results(spark):
+    """Salted equi-join == plain join for inner and left, including
+    unmatched-left rows and a hot key with many matches; the join key is
+    (key, salt) so the hot key spreads over n_salts reducers."""
+    from document_quality_assessment_ocr_spark.operators.salting import salted_join
+
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(50)] + [("cold", 0), ("missing", 9)],
+        "k string, lv long",
+    )
+    right = spark.createDataFrame(
+        [("hot", "a"), ("hot", "b"), ("cold", "c"), ("orphan", "z")],
+        "k string, rv string",
+    )
+    for how in ("inner", "left"):
+        exp = {tuple(r) for r in left.join(right, "k", how).collect()}
+        got = {tuple(r) for r in salted_join(left, right, "k", n_salts=4, how=how).collect()}
+        assert got == exp, how
+
+    plan = (
+        salted_join(left, right, "k", n_salts=4)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "_salt" in plan  # the salt really is part of the join key
+
+    with pytest.raises(ValueError):
+        salted_join(left, right, "k", how="full")
