@@ -846,6 +846,50 @@ def _q_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode/whitespace hygiene with audit counts. Zero-width + control
+    characters are PLANTED deterministically (doc_id % 11) so the scrub has
+    real work on the synthetic corpus; both engines plant identically."""
+    from document_quality_assessment_ocr_spark.operators.scrub import normalize_text
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    planted = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.coalesce("text", F.lit("")), F.lit(" x\u200b\x01y  tail")),
+        ).otherwise(F.coalesce("text", F.lit(""))),
+    )
+    return normalize_text(planted)
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction with per-kind counts. Emails/IPs/phones are PLANTED
+    deterministically (doc_id % 7, id-derived values) on both engines."""
+    from document_quality_assessment_ocr_spark.operators.scrub import scrub_pii
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    sid = F.col("doc_id").cast("string")
+    planted = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.coalesce("text", F.lit("")),
+                F.lit(" contact u"), sid, F.lit("@example.com or +1415"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" at 10.0."), (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1"),
+            ),
+        ).otherwise(F.coalesce("text", F.lit(""))),
+    )
+    return scrub_pii(planted)
+
+
 def _q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation composite v2 — operators chained over INTERMEDIATE outputs:
     chunk-level boilerplate strip → repetition filter on the cleaned text →
@@ -915,6 +959,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_sequence_packing": _q_sequence_packing,
         "q50_regional_revenue": _q_regional_revenue,
         "q51_pq_refined": _q_pq_refined,
+        "q52_normalize_text": _q_normalize_text,
+        "q53_pii_scrub": _q_pii_scrub,
         # flagship extraction — full oracle via seeded score literals
         "q90_extract_full": _q_extract_full,
         "q91_extract_metrics": _q_extract_metrics,
@@ -1771,6 +1817,64 @@ _SQ_INT8_SQL = f"""
 """
 
 
+def _scrub_sqls() -> tuple[str, str]:
+    """DuckDB twins of operators/scrub — the SAME pattern constants feed
+    both engines (\\x{..} hex escapes mean the same in Java regex and RE2);
+    DuckDB needs the explicit 'g' flag to match Spark's replace-all."""
+    from document_quality_assessment_ocr_spark.operators.scrub import (
+        CONTROLS,
+        EMAIL,
+        IPV4,
+        MULTI_SPACE,
+        PHONE,
+        ZERO_WIDTH,
+    )
+
+    norm = f"""
+        WITH d AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CASE WHEN CAST(doc_id AS BIGINT) % 11 = 0
+                        THEN COALESCE(text,'') || ' x' || CHR(8203) || CHR(1)
+                             || 'y  tail'
+                        ELSE COALESCE(text,'') END AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               TRIM(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+                    t, '{ZERO_WIDTH}', '', 'g'), '{CONTROLS}', '', 'g'),
+                    '{MULTI_SPACE}', ' ', 'g')) AS clean_text,
+               CAST(LEN(REGEXP_EXTRACT_ALL(t, '{ZERO_WIDTH}')) AS BIGINT)
+                   AS n_zero_width,
+               CAST(LEN(REGEXP_EXTRACT_ALL(t, '{CONTROLS}')) AS BIGINT)
+                   AS n_controls
+        FROM d
+    """
+    pii = f"""
+        WITH d AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CASE WHEN CAST(doc_id AS BIGINT) % 7 = 0
+                        THEN COALESCE(text,'') || ' contact u'
+                             || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)
+                             || '@example.com or +1415'
+                             || LPAD(CAST(CAST(doc_id AS BIGINT) % 10000 AS VARCHAR), 4, '0')
+                             || ' at 10.0.'
+                             || CAST(CAST(doc_id AS BIGINT) % 256 AS VARCHAR)
+                             || '.1'
+                        ELSE COALESCE(text,'') END AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+                    t, '{EMAIL}', '<EMAIL>', 'g'), '{IPV4}', '<IP>', 'g'),
+                    '{PHONE}', '<PHONE>', 'g') AS scrubbed,
+               CAST(LEN(REGEXP_EXTRACT_ALL(t, '{EMAIL}')) AS BIGINT) AS n_emails,
+               CAST(LEN(REGEXP_EXTRACT_ALL(t, '{IPV4}')) AS BIGINT) AS n_ips,
+               CAST(LEN(REGEXP_EXTRACT_ALL(t, '{PHONE}')) AS BIGINT) AS n_phones
+        FROM d
+    """
+    return norm, pii
+
+
 def _curation_v2_sql(
     chunk_words: int = 20,
     min_keep_ratio: float = 0.5,
@@ -2404,6 +2508,8 @@ def oracle_sql() -> dict[str, str]:
         "q45_curation_v2": _curation_v2_sql(),
         "q46_pq_topk": _pq_sql(),
         "q51_pq_refined": _pq_sql(k=20, refine=True, final_k=5),
+        "q52_normalize_text": _scrub_sqls()[0],
+        "q53_pii_scrub": _scrub_sqls()[1],
         "q47_random_projection": _rp_sql(),
         "q48_sq_int8": _SQ_INT8_SQL,
         "q50_regional_revenue": """

@@ -487,3 +487,39 @@ def test_curate_documents_v2_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan
+
+
+# ----------------------------------------------------------------- scrub
+def test_normalize_text_strips_and_counts(spark):
+    from document_quality_assessment_ocr_spark.operators.scrub import normalize_text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a​b‌c  d \x01e\x07f"),
+            (2, "  plain  "),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in normalize_text(docs).collect()}
+    assert out[1]["clean_text"] == "abc d ef"
+    assert out[1]["n_zero_width"] == 2 and out[1]["n_controls"] == 2
+    assert out[2]["clean_text"] == "plain" and out[2]["n_zero_width"] == 0
+    assert out[3]["clean_text"] == "" and out[3]["n_controls"] == 0
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from document_quality_assessment_ocr_spark.operators.scrub import scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-1.org and 192.168.0.1 call +491234567 ok"),
+            (2, "no pii here, just 1234 numbers"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    assert out[1]["scrubbed"] == "mail <EMAIL> and <IP> call <PHONE> ok"
+    assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_phones"]) == (1, 1, 1)
+    assert out[2]["scrubbed"] == docs.collect()[1]["text"]
+    assert out[2]["n_emails"] == 0 and out[2]["n_phones"] == 0
