@@ -846,6 +846,21 @@ def _q_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary (top-500 by count, two-level merge — no global
+    sort) + tokenize-to-ids against the broadcast vocab; one row per token
+    position, OOV → -1."""
+    from document_quality_assessment_ocr_spark.operators.textstats import (
+        build_vocab,
+        tokenize_to_ids,
+    )
+
+    docs = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return tokenize_to_ids(docs, build_vocab(docs, vocab_size=500))
+
+
 def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode/whitespace hygiene with audit counts. Zero-width + control
     characters are PLANTED deterministically (doc_id % 11) so the scrub has
@@ -961,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_pq_refined": _q_pq_refined,
         "q52_normalize_text": _q_normalize_text,
         "q53_pii_scrub": _q_pii_scrub,
+        "q54_tokenize_ids": _q_tokenize_ids,
         # flagship extraction — full oracle via seeded score literals
         "q90_extract_full": _q_extract_full,
         "q91_extract_metrics": _q_extract_metrics,
@@ -2509,6 +2525,27 @@ def oracle_sql() -> dict[str, str]:
         "q46_pq_topk": _pq_sql(),
         "q51_pq_refined": _pq_sql(k=20, refine=True, final_k=5),
         "q52_normalize_text": _scrub_sqls()[0],
+        "q54_tokenize_ids": f"""
+            WITH tk AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(COALESCE(text,''))),
+                                   '{WS}+'), x -> x <> '') AS a
+                FROM documents
+            ), t AS (
+                SELECT doc_id, CAST(i AS INT) AS pos, a[CAST(i AS INT) + 1] AS token
+                FROM (SELECT doc_id, a, UNNEST(RANGE(0, LEN(a))) AS i FROM tk)
+            ), cnt AS (
+                SELECT token, COUNT(*) AS cnt FROM t GROUP BY 1
+            ), vocab AS (
+                SELECT token,
+                       CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) - 1
+                        AS INT) AS token_id
+                FROM cnt ORDER BY cnt DESC, token ASC LIMIT 500
+            )
+            SELECT t.doc_id, t.pos,
+                   CAST(COALESCE(v.token_id, -1) AS INT) AS token_id
+            FROM t LEFT JOIN vocab v USING (token)
+        """,
         "q53_pii_scrub": _scrub_sqls()[1],
         "q47_random_projection": _rp_sql(),
         "q48_sq_int8": _SQ_INT8_SQL,

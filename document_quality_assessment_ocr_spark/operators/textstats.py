@@ -124,6 +124,68 @@ def top_terms(
     )
 
 
+def build_vocab(
+    docs: DataFrame,
+    vocab_size: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fanout: int = 32,
+) -> DataFrame:
+    """Corpus vocabulary: the globally most frequent ``vocab_size`` tokens,
+    ranked (count desc, token asc), assigned dense ids 0..V-1 in rank order.
+
+    Scale shape: token counts are one hash aggregate (map-side combine
+    collapses repeats before the exchange); the global top-V is the
+    two-level merge — per-hash-bucket top-V (bounded ``sort_array`` state),
+    then one merge of ≤ fanout·V survivors — never a global sort or a
+    one-reducer window over the full term dictionary.
+
+    Output: (token, token_id, cnt)."""
+    counts = (
+        docs.select(F.explode(_tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    item = F.struct(
+        (-F.col("cnt")).alias("nc"), F.col("token").alias("token"),
+        F.col("cnt").alias("cnt"),
+    )
+    topv = lambda c: F.slice(F.sort_array(F.collect_list(c)), 1, vocab_size)  # noqa: E731
+    lvl1 = counts.groupBy(
+        F.pmod(F.hash("token"), F.lit(fanout)).alias("b")
+    ).agg(topv(item).alias("top"))
+    merged = lvl1.select(F.explode("top").alias("t")).agg(topv(F.col("t")).alias("top"))
+    return merged.select(F.posexplode("top").alias("r", "t")).select(
+        F.col("t.token").alias("token"),
+        F.col("r").cast("int").alias("token_id"),
+        F.col("t.cnt").cast("long").alias("cnt"),
+    )
+
+
+def tokenize_to_ids(
+    docs: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    oov_id: int = -1,
+) -> DataFrame:
+    """Tokens → integer ids against a (broadcast) vocabulary; out-of-vocab
+    tokens map to ``oov_id``. Output one row per token position —
+    (id_col, pos, token_id) — the materialized form a sequence-packing /
+    training-shard writer consumes. The corpus side never shuffles: the
+    vocabulary (≤ V rows) broadcasts into the scan."""
+    toks = docs.select(
+        F.col(id_col), F.posexplode(_tokens(F.col(text_col))).alias("pos", "token")
+    )
+    return toks.join(
+        F.broadcast(vocab.select("token", "token_id")), "token", "left"
+    ).select(
+        F.col(id_col),
+        F.col("pos").cast("int").alias("pos"),
+        F.coalesce(F.col("token_id"), F.lit(oov_id)).cast("int").alias("token_id"),
+    )
+
+
 def rolling_fingerprints(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -523,3 +523,30 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_phones"]) == (1, 1, 1)
     assert out[2]["scrubbed"] == docs.collect()[1]["text"]
     assert out[2]["n_emails"] == 0 and out[2]["n_phones"] == 0
+
+
+# ------------------------------------------------------------- tokenize
+def test_build_vocab_and_tokenize_ids(spark):
+    from document_quality_assessment_ocr_spark.operators.textstats import (
+        build_vocab,
+        tokenize_to_ids,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "b b b a a c"),
+            (2, "a A rare"),
+        ],
+        "doc_id long, text string",
+    )
+    vocab = {r["token"]: (r["token_id"], r["cnt"]) for r in
+             build_vocab(docs, vocab_size=2).collect()}
+    # counts: a=4 (lowercased), b=3, c=1, rare=1 → vocab = {a:0, b:1}
+    assert vocab == {"a": (0, 4), "b": (1, 3)}
+
+    ids = {(r["doc_id"], r["pos"]): r["token_id"] for r in
+           tokenize_to_ids(docs, build_vocab(docs, vocab_size=2)).collect()}
+    assert ids[(1, 0)] == 1 and ids[(1, 3)] == 0  # b → 1, a → 0
+    assert ids[(1, 5)] == -1                      # c is OOV
+    assert ids[(2, 1)] == 0                       # "A" lowercased → a
+    assert ids[(2, 2)] == -1                      # rare OOV
