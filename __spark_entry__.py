@@ -861,6 +861,21 @@ def _q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenize_to_ids(docs, build_vocab(docs, vocab_size=500))
 
 
+def _q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level profile of the documents table (nulls, distincts,
+    extrema, lengths) — ONE aggregation pass, no row shuffle; the standard
+    per-partition data-quality monitor."""
+    from document_quality_assessment_ocr_spark.operators.profile import profile_table
+
+    return profile_table(
+        _doc(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "text", "lang", "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+
+
 def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode/whitespace hygiene with audit counts. Zero-width + control
     characters are PLANTED deterministically (doc_id % 11) so the scrub has
@@ -977,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_normalize_text": _q_normalize_text,
         "q53_pii_scrub": _q_pii_scrub,
         "q54_tokenize_ids": _q_tokenize_ids,
+        "q55_profile_table": _q_profile_table,
         # flagship extraction — full oracle via seeded score literals
         "q90_extract_full": _q_extract_full,
         "q91_extract_metrics": _q_extract_metrics,
@@ -1833,6 +1849,23 @@ _SQ_INT8_SQL = f"""
 """
 
 
+def _profile_sql(cols: tuple = ("doc_id", "text", "lang", "source", "n_chars")) -> str:
+    parts = []
+    for c in cols:
+        parts.append(f"""
+            SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+                   COUNT(*) - COUNT({c}) AS n_nulls,
+                   CASE WHEN COUNT(*) = 0 THEN 0.0
+                        ELSE CAST(COUNT(*) - COUNT({c}) AS DOUBLE)
+                             / CAST(COUNT(*) AS DOUBLE) END AS null_frac,
+                   CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                   MIN(CAST({c} AS VARCHAR)) AS min_str,
+                   MAX(CAST({c} AS VARCHAR)) AS max_str,
+                   AVG(LENGTH(CAST({c} AS VARCHAR))) AS avg_len
+            FROM documents""")
+    return " UNION ALL ".join(parts)
+
+
 def _scrub_sqls() -> tuple[str, str]:
     """DuckDB twins of operators/scrub — the SAME pattern constants feed
     both engines (\\x{..} hex escapes mean the same in Java regex and RE2);
@@ -2547,6 +2580,7 @@ def oracle_sql() -> dict[str, str]:
             FROM t LEFT JOIN vocab v USING (token)
         """,
         "q53_pii_scrub": _scrub_sqls()[1],
+        "q55_profile_table": _profile_sql(),
         "q47_random_projection": _rp_sql(),
         "q48_sq_int8": _SQ_INT8_SQL,
         "q50_regional_revenue": """

@@ -1,0 +1,68 @@
+"""Column-level table profiling — the data-quality monitor a lakehouse
+runs on every ingested partition (null rates, distinct counts, extrema,
+value lengths).
+
+One pass, one row out per column: every statistic is computed in a SINGLE
+`agg()` over the scan, then unpivoted to the long (column, stat...) form.
+With ``approx_distinct=True`` every aggregate is algebraic/sketchable, so
+the only data movement is the final single-row combine — no shuffle of
+table rows at all; the exact-distinct default adds Spark's Expand-based
+multi-distinct rewrite (one exchange of distinct values — audit-scale
+only). The output feeds the checkpoint manifests as lineage metadata.
+
+`approx_distinct=True` swaps exact `count_distinct` (a per-column shuffle
+of distinct values) for HyperLogLog `approx_count_distinct` — at corpus
+scale the exact form is only for audit runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    approx_distinct: bool = False,
+) -> DataFrame:
+    """Profile ``columns`` (default: all) of ``df``.
+
+    Output: one row per column — (column, n_rows, n_nulls, null_frac,
+    n_distinct, min_str, max_str, avg_len) where min/max/len are computed
+    on the string form so every column type profiles uniformly."""
+    cols = columns or df.columns
+    distinct = (
+        F.approx_count_distinct if approx_distinct else F.count_distinct
+    )
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        s = F.col(c).cast("string")
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(s).alias(f"{c}__min"),
+            F.max(s).alias(f"{c}__max"),
+            F.avg(F.length(s)).alias(f"{c}__avglen"),
+        ]
+    wide = df.agg(*aggs)
+    entries = []
+    for c in cols:
+        entries.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                (
+                    F.when(F.col("n_rows") == 0, F.lit(0.0)).otherwise(
+                        F.col(f"{c}__nulls").cast("double")
+                        / F.col("n_rows").cast("double")
+                    )
+                ).alias("null_frac"),
+                F.col(f"{c}__distinct").cast("long").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_str"),
+                F.col(f"{c}__max").alias("max_str"),
+                F.col(f"{c}__avglen").alias("avg_len"),
+            )
+        )
+    return wide.select(F.explode(F.array(*entries)).alias("p")).select("p.*")

@@ -550,3 +550,26 @@ def test_build_vocab_and_tokenize_ids(spark):
     assert ids[(1, 5)] == -1                      # c is OOV
     assert ids[(2, 1)] == 0                       # "A" lowercased → a
     assert ids[(2, 2)] == -1                      # rare OOV
+
+
+# ----------------------------------------------------------------- profile
+def test_profile_table_stats(spark):
+    """One-pass column profiler: nulls/distincts/extrema/lengths per column,
+    and the plan contains no Exchange of table rows (single global agg)."""
+    from document_quality_assessment_ocr_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "aa", None), (2, "b", 5), (None, "aa", 7)],
+        "k long, s string, v long",
+    )
+    out = {r["column"]: r for r in profile_table(df).collect()}
+    assert out["k"]["n_rows"] == 3 and out["k"]["n_nulls"] == 1
+    assert out["k"]["null_frac"] == pytest.approx(1 / 3)
+    assert out["k"]["n_distinct"] == 2
+    assert out["s"]["min_str"] == "aa" and out["s"]["max_str"] == "b"
+    assert out["s"]["avg_len"] == pytest.approx(5 / 3)
+    assert out["v"]["n_distinct"] == 2 and out["v"]["min_str"] == "5"
+
+    empty = {r["column"]: r for r in
+             profile_table(df.where(F.lit(False))).collect()}
+    assert empty["k"]["n_rows"] == 0 and empty["k"]["null_frac"] == 0.0
