@@ -861,6 +861,75 @@ def _q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenize_to_ids(docs, build_vocab(docs, vocab_size=500))
 
 
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (3 iterations, nano-rank integers) over the
+    undirected LSH near-duplicate graph — an iterative numeric algorithm
+    whose integer arithmetic makes it bit-exact oracle-checkable (float
+    PR sums are order-dependent and could never hash-match)."""
+    from document_quality_assessment_ocr_spark.operators.dedup import minhash_lsh_pairs
+    from document_quality_assessment_ocr_spark.operators.graph import pagerank_fixed
+
+    docs = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    pairs = minhash_lsh_pairs(docs, n_hashes=8, bands=4)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    return pagerank_fixed(nodes, edges, iters=3).select(
+        F.col("id").alias("doc_id"), "pr"
+    )
+
+
+def _q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual near-duplicate pairs: REAL image work (PNG decode → 8×8
+    average-hash) over the payload catalog via mapInPandas, joined to the
+    derived per-document media picks; documents sharing a perceptual hash
+    pair up (id_a < id_b). Undecodable payloads are error rows, excluded.
+    The oracle embeds the same ahash64() values as literals (q90
+    technique) — the multimodal decode path itself sits under the gate."""
+    from document_quality_assessment_ocr_spark.operators.multimodal import image_ahash
+    from document_quality_assessment_ocr_spark.sources.derive import (
+        _md5_pick_index,
+        payloads_df,
+    )
+    from document_quality_assessment_ocr_spark.sources.fixtures import payload_names
+
+    names = sorted(payload_names())
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|1"))).alias("_h1"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|2"))).alias("_h2"),
+    )
+    arr = F.array(*[F.lit(x) for x in names])
+    picks = d.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.element_at(arr, _md5_pick_index("_h1", len(names)) + 1),
+                F.element_at(arr, _md5_pick_index("_h2", len(names)) + 1),
+            )
+        ).alias("media_ref"),
+    )
+    ph = image_ahash(payloads_df(spark)).where(F.col("phash").isNotNull())
+    dp = (
+        picks.join(F.broadcast(ph.select("media_ref", "phash")), "media_ref")
+        .select("doc_id", "phash")
+        .distinct()
+    )
+    a, b = dp.alias("a"), dp.alias("b")
+    return a.join(
+        b,
+        (F.col("a.phash") == F.col("b.phash"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.col("a.phash").alias("phash"),
+    )
+
+
 def _q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-level profile of the documents table (nulls, distincts,
     extrema, lengths) — ONE aggregation pass, no row shuffle; the standard
@@ -993,6 +1062,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_pii_scrub": _q_pii_scrub,
         "q54_tokenize_ids": _q_tokenize_ids,
         "q55_profile_table": _q_profile_table,
+        "q56_pagerank": _q_pagerank,
+        "q57_phash_dedup": _q_phash_dedup,
         # flagship extraction — full oracle via seeded score literals
         "q90_extract_full": _q_extract_full,
         "q91_extract_metrics": _q_extract_metrics,
@@ -1849,6 +1920,95 @@ _SQ_INT8_SQL = f"""
 """
 
 
+def _pagerank_sql(iters: int = 3) -> str:
+    """q56 oracle: the same LSH pair graph (q10 SQL), PageRank unrolled
+    ``iters`` times in fixed-point BIGINT arithmetic — `//` floor division
+    on non-negatives matches Spark's DIV exactly."""
+    its = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        its.append(f"""
+            s{i} AS (
+                SELECT e.dst AS id, SUM(r.pr // d.outdeg) AS m
+                FROM edges e
+                JOIN {prev} r ON r.id = e.src
+                JOIN deg d ON d.src = e.src
+                GROUP BY 1
+            ), r{i} AS (
+                SELECT n.id,
+                       CAST(150000000 + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS pr
+                FROM nodes n LEFT JOIN s{i} s USING (id)
+            )""")
+        prev = f"r{i}"
+    return (
+        _minhash_sql(8)
+        + f"""
+            , bands AS (
+                SELECT doc_id, 0 AS band, MD5(CONCAT_WS('#', h00, h01)) AS key FROM sig
+                UNION ALL SELECT doc_id, 1, MD5(CONCAT_WS('#', h02, h03)) FROM sig
+                UNION ALL SELECT doc_id, 2, MD5(CONCAT_WS('#', h04, h05)) FROM sig
+                UNION ALL SELECT doc_id, 3, MD5(CONCAT_WS('#', h06, h07)) FROM sig
+            ), pairs AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            ), edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs
+            ), nodes AS (
+                SELECT CAST(doc_id AS BIGINT) AS id FROM documents
+            ), deg AS (
+                SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1
+            ), r0 AS (
+                SELECT id, CAST(1000000000 AS BIGINT) AS pr FROM nodes
+            ), {", ".join(its)}
+            SELECT id AS doc_id, pr FROM {prev}
+        """
+    )
+
+
+def _phash_sql() -> str:
+    """q57 oracle: the seeded payload catalog's average-hashes as literals
+    (computed by the SAME ahash64 the engine's mapInPandas calls),
+    derived media picks via the md5-nibble twin, pair join in SQL.
+    Undecodable payloads have no row — matching the engine's error-row
+    exclusion."""
+    from document_quality_assessment_ocr_spark import png as _png
+    from document_quality_assessment_ocr_spark.operators.multimodal import ahash64
+    from document_quality_assessment_ocr_spark.sources.fixtures import (
+        build_payloads,
+        payload_names,
+    )
+
+    pl = build_payloads(seed=42, size=(800, 1000))
+    names = sorted(payload_names())
+    vals = []
+    for n in names:
+        try:
+            arr, _ = _png.decode_gray(bytes(pl[n]["png"]))
+            vals.append(f"('{n}', CAST({ahash64(arr)} AS BIGINT))")
+        except Exception:
+            pass  # engine emits an error row with NULL phash — excluded
+    names_lit = "[" + ", ".join(f"'{n}'" for n in names) + "]"
+    return f"""
+        WITH ph(media_ref, phash) AS (VALUES {", ".join(vals)}),
+        picks AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   LIST_EXTRACT({names_lit}, {_md5_pick_sql(1, len(names))} + 1) AS r1,
+                   LIST_EXTRACT({names_lit}, {_md5_pick_sql(2, len(names))} + 1) AS r2
+            FROM documents
+        ), m AS (
+            SELECT doc_id, r1 AS media_ref FROM picks
+            UNION ALL SELECT doc_id, r2 FROM picks
+        ), dp AS (
+            SELECT DISTINCT m.doc_id, ph.phash
+            FROM m JOIN ph ON m.media_ref = ph.media_ref
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.phash
+        FROM dp a JOIN dp b ON a.phash = b.phash AND a.doc_id < b.doc_id
+    """
+
+
 def _profile_sql(cols: tuple = ("doc_id", "text", "lang", "source", "n_chars")) -> str:
     parts = []
     for c in cols:
@@ -2581,6 +2741,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q53_pii_scrub": _scrub_sqls()[1],
         "q55_profile_table": _profile_sql(),
+        "q56_pagerank": _pagerank_sql(),
+        "q57_phash_dedup": _phash_sql(),
         "q47_random_projection": _rp_sql(),
         "q48_sq_int8": _SQ_INT8_SQL,
         "q50_regional_revenue": """

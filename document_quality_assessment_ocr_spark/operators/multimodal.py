@@ -50,6 +50,53 @@ AUDIO_FRAME_SCHEMA = T.StructType(
 )
 
 
+def ahash64(arr: np.ndarray, hash_size: int = 8) -> int:
+    """Average-hash perceptual fingerprint of a grayscale array: crop to a
+    multiple of ``hash_size``, block-mean down to hash_size², threshold at
+    the global mean, pack row-major into a SIGNED 64-bit int (Spark
+    LongType two's-complement). Deterministic pure numpy — the oracle
+    generator calls this same function to embed literals."""
+    h, w = arr.shape
+    hs = hash_size
+    h8, w8 = h - h % hs, w - w % hs
+    blocks = arr[:h8, :w8].astype(np.float64).reshape(hs, h8 // hs, hs, w8 // hs)
+    means = blocks.mean(axis=(1, 3))
+    bits = (means > means.mean()).ravel()
+    val = 0
+    for i, b in enumerate(bits):
+        if b:
+            val |= 1 << i
+    return val - (1 << 64) if val >= 1 << 63 else val
+
+
+def image_ahash(payloads: DataFrame, hash_size: int = 8) -> DataFrame:
+    """PNG payloads → (media_ref, phash) perceptual hashes via one
+    Arrow-batched ``mapInPandas`` decode pass; errors are data (NULL phash,
+    message in ``error``). The visual-dedup primitive: identical/near-
+    identical imagery collides on ``phash`` regardless of the byte stream
+    (re-encodes, metadata diffs)."""
+    schema = T.StructType(
+        [
+            T.StructField("media_ref", T.StringType()),
+            T.StructField("phash", T.LongType()),
+            T.StructField("error", T.StringType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, data in zip(pdf["media_ref"], pdf["png"]):
+                try:
+                    arr, _ = png.decode_gray(bytes(data))
+                    rows.append((ref, ahash64(arr, hash_size), None))
+                except Exception as e:
+                    rows.append((ref, None, str(e)))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return payloads.select("media_ref", "png").mapInPandas(gen, schema)
+
+
 def image_features(payloads: DataFrame) -> DataFrame:
     """Decode PNG payloads → basic image features. mapInPandas so each Arrow
     batch is one python round-trip; errors are data."""

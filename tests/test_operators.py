@@ -490,3 +490,57 @@ def test_salted_join_identical_results(spark):
 
     with pytest.raises(ValueError):
         salted_join(left, right, "k", how="full")
+
+
+def test_pagerank_fixed_vs_python(spark):
+    """Fixed-point PageRank equals an integer-arithmetic python replay,
+    including dangling nodes and isolated nodes."""
+    from document_quality_assessment_ocr_spark.operators.graph import (
+        SCALE,
+        pagerank_fixed,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    edge_list = [(0, 1), (1, 2), (2, 0), (0, 2), (3, 0)]  # 4 isolated
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r["id"]: r["pr"] for r in pagerank_fixed(nodes, edges, iters=3).collect()}
+
+    deg = {}
+    for s, _ in edge_list:
+        deg[s] = deg.get(s, 0) + 1
+    r = {i: SCALE for i in range(5)}
+    for _ in range(3):
+        m = {i: 0 for i in range(5)}
+        for s, d in edge_list:
+            m[d] += r[s] // deg[s]
+        r = {i: 150000000 + (85 * m[i]) // 100 for i in range(5)}
+    assert got == r
+    assert got[4] == 150000000  # isolated node holds the base rank
+
+
+def test_image_ahash_perceptual_properties(spark):
+    """aHash is invariant to brightness scaling (threshold at own mean),
+    distinguishes different structures, and reports decode errors as data."""
+    import numpy as np
+
+    from document_quality_assessment_ocr_spark import png as P
+    from document_quality_assessment_ocr_spark.operators.multimodal import (
+        ahash64,
+        image_ahash,
+    )
+
+    rng = np.random.default_rng(9)
+    a = (rng.random((64, 64)) * 200).astype(np.uint8)  # headroom: +40 won't clip
+    brighter = (a + 40).astype(np.uint8)
+    other = (rng.random((64, 64)) * 200).astype(np.uint8)
+    assert ahash64(a) == ahash64(brighter)
+    assert ahash64(a) != ahash64(other)
+
+    rows = [
+        ("ok", bytearray(P.encode_gray(a))),
+        ("bad", bytearray(b"not a png")),
+    ]
+    df = spark.createDataFrame(rows, "media_ref string, png binary")
+    out = {r["media_ref"]: r for r in image_ahash(df).collect()}
+    assert out["ok"]["phash"] == ahash64(a) and out["ok"]["error"] is None
+    assert out["bad"]["phash"] is None and out["bad"]["error"]
