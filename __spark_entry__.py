@@ -861,6 +861,49 @@ def _q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenize_to_ids(docs, build_vocab(docs, vocab_size=500))
 
 
+def _q_session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-containment join: purchases attributed to the click-session
+    whose [start, end] contains them — bucketed interval join (hour
+    buckets), exact predicate re-applied after the bucket equi-join."""
+    from document_quality_assessment_ocr_spark.operators.intervals import (
+        interval_bucket_join,
+    )
+    from document_quality_assessment_ocr_spark.operators.sessions import sessionize
+
+    pad = 7_200_000_000  # ±2 h attribution window around session activity
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sessions = sessionize(ev.where(F.col("event_type") == "click")).select(
+        "user_id",
+        "session_idx",
+        (F.col("session_start_us") - pad).alias("w_start_us"),
+        (F.col("session_end_us") + pad).alias("w_end_us"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    return interval_bucket_join(
+        purchases, sessions, "user_id", "ts_us", "w_start_us", "w_end_us"
+    ).select("event_id", "user_id", "ts_us", "session_idx", "w_start_us")
+
+
+def _q_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search: exact top-5 among vectors sharing
+    the probe's label — pre-filter join, never post-filter (which can
+    return < k)."""
+    from document_quality_assessment_ocr_spark.operators.similarity import (
+        cosine_topk_filtered,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        F.col("label").cast("int").alias("label"),
+    )
+    return cosine_topk_filtered(emb, probe_ids=[0, 1, 2], filter_col="label", k=5)
+
+
 def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point PageRank (3 iterations, nano-rank integers) over the
     undirected LSH near-duplicate graph — an iterative numeric algorithm
@@ -1063,6 +1106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_tokenize_ids": _q_tokenize_ids,
         "q55_profile_table": _q_profile_table,
         "q56_pagerank": _q_pagerank,
+        "q58_filtered_topk": _q_filtered_topk,
+        "q59_session_attribution": _q_session_attribution,
         "q57_phash_dedup": _q_phash_dedup,
         # flagship extraction — full oracle via seeded score literals
         "q90_extract_full": _q_extract_full,
@@ -2742,6 +2787,69 @@ def oracle_sql() -> dict[str, str]:
         "q53_pii_scrub": _scrub_sqls()[1],
         "q55_profile_table": _profile_sql(),
         "q56_pagerank": _pagerank_sql(),
+        # naive BETWEEN join as the SPEC; the engine runs the bucketed
+        # interval join (operators/intervals.py) with identical results
+        "q59_session_attribution": """
+            WITH clicks AS (
+                SELECT CAST(user_id AS BIGINT) AS user_id,
+                       EPOCH_US(ts) AS tus, ts, CAST(event_id AS BIGINT) AS event_id
+                FROM events WHERE event_type = 'click'
+            ), l AS (
+                SELECT user_id, tus,
+                       LAG(tus) OVER (PARTITION BY user_id
+                                      ORDER BY ts ASC, event_id ASC) AS prev,
+                       ts, event_id
+                FROM clicks
+            ), f AS (
+                SELECT *, CASE WHEN prev IS NULL OR tus - prev > 1800000000
+                               THEN 1 ELSE 0 END AS new_s
+                FROM l
+            ), s AS (
+                SELECT user_id, tus,
+                       SUM(new_s) OVER (PARTITION BY user_id
+                                        ORDER BY ts ASC, event_id ASC
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                FROM f
+            ), sessions AS (
+                SELECT user_id, CAST(sid AS INT) AS session_idx,
+                       MIN(tus) - 7200000000 AS w_start_us,
+                       MAX(tus) + 7200000000 AS w_end_us
+                FROM s GROUP BY 1, 2
+            ), purchases AS (
+                SELECT CAST(event_id AS BIGINT) AS event_id,
+                       CAST(user_id AS BIGINT) AS user_id,
+                       EPOCH_US(ts) AS ts_us
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT p.event_id, p.user_id, p.ts_us, se.session_idx,
+                   se.w_start_us
+            FROM purchases p
+            JOIN sessions se
+              ON p.user_id = se.user_id
+             AND p.ts_us BETWEEN se.w_start_us AND se.w_end_us
+        """,
+        "q58_filtered_topk": """
+            WITH e AS (
+                SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                       CAST(embedding AS DOUBLE[]) AS v,
+                       CAST(label AS INT) AS label
+                FROM embeddings
+            ), p AS (
+                SELECT vec_id AS probe_id, v AS pv, label AS pl
+                FROM e WHERE vec_id IN (0, 1, 2)
+            ), s AS (
+                SELECT probe_id, e.vec_id AS neighbor_id,
+                       ROUND(LIST_DOT_PRODUCT(pv, v)
+                             / SQRT(LIST_DOT_PRODUCT(pv, pv) * LIST_DOT_PRODUCT(v, v)),
+                             6) AS cos
+                FROM p JOIN e ON e.label = p.pl AND e.vec_id <> p.probe_id
+            )
+            SELECT probe_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                               ORDER BY cos DESC, neighbor_id ASC) AS rank
+                  FROM s)
+            WHERE rank <= 5
+        """,
         "q57_phash_dedup": _phash_sql(),
         "q47_random_projection": _rp_sql(),
         "q48_sq_int8": _SQ_INT8_SQL,

@@ -206,6 +206,65 @@ def ivf_topk(
     )
 
 
+def cosine_topk_filtered(
+    emb: DataFrame,
+    probe_ids: list,
+    filter_col: str,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fanout: int = 32,
+) -> DataFrame:
+    """Filtered vector search: exact top-k among only the rows whose
+    ``filter_col`` equals the probe's own value (the metadata-filtered ANN
+    every retrieval stack needs — post-filtering a plain top-k instead can
+    return < k or even zero survivors).
+
+    The filter is applied PRE-scoring as a join predicate, so selective
+    filters cut the scored set proportionally — at scale, partition the
+    corpus by the filter column and the scan prunes to matching partitions
+    before any vector math. Same two-level merge as the unfiltered path
+    (no single-reducer window)."""
+    probes = emb.filter(F.col(id_col).isin(probe_ids)).select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("probe_vec"),
+        F.col(filter_col).alias("_pf"),
+    )
+    scored = (
+        emb.alias("c")
+        .join(
+            F.broadcast(probes),
+            (F.col("probe_id") != F.col(f"c.{id_col}"))
+            & (F.col(f"c.{filter_col}") == F.col("_pf")),
+        )
+        .select(
+            "probe_id",
+            F.col(f"c.{id_col}").alias("neighbor_id"),
+            F.round(cosine(F.col("probe_vec"), F.col(f"c.{vec_col}")), 6).alias("cos"),
+        )
+    )
+    item = F.struct(
+        (-F.col("cos")).alias("nc"),
+        F.col("neighbor_id").alias("neighbor_id"),
+        F.col("cos").alias("cos"),
+    )
+    topk = lambda c: F.slice(F.sort_array(F.collect_list(c)), 1, k)  # noqa: E731
+    lvl1 = scored.groupBy(
+        "probe_id", F.pmod(F.hash("neighbor_id"), F.lit(fanout)).alias("b")
+    ).agg(topk(item).alias("top"))
+    merged = (
+        lvl1.select("probe_id", F.explode("top").alias("t"))
+        .groupBy("probe_id")
+        .agg(topk(F.col("t")).alias("top"))
+    )
+    return merged.select("probe_id", F.posexplode("top").alias("r", "t")).select(
+        "probe_id",
+        F.col("t.neighbor_id").alias("neighbor_id"),
+        F.col("t.cos").alias("cos"),
+        (F.col("r") + 1).cast("int").alias("rank"),
+    )
+
+
 def pq_codebooks(
     sample: np.ndarray, m: int, ks: int, seed: int = 42
 ) -> list[np.ndarray]:

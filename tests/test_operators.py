@@ -544,3 +544,40 @@ def test_image_ahash_perceptual_properties(spark):
     out = {r["media_ref"]: r for r in image_ahash(df).collect()}
     assert out["ok"]["phash"] == ahash64(a) and out["ok"]["error"] is None
     assert out["bad"]["phash"] is None and out["bad"]["error"]
+
+
+def test_interval_bucket_join_equals_naive(spark):
+    """Bucketed interval join == the naive BETWEEN join, including
+    multi-bucket-spanning intervals, boundary timestamps, and key misses."""
+    from document_quality_assessment_ocr_spark.operators.intervals import (
+        interval_bucket_join,
+    )
+
+    intervals = spark.createDataFrame(
+        [(1, 10, 250, "a"), (1, 300, 310, "b"), (2, 0, 1000, "c")],
+        "k long, lo long, hi long, tag string",
+    )
+    points = spark.createDataFrame(
+        [(1, 10), (1, 250), (1, 260), (1, 305), (2, 999), (3, 50)],
+        "k long, t long",
+    )
+    got = {
+        (r["k"], r["t"], r["tag"])
+        for r in interval_bucket_join(
+            points, intervals, "k", "t", "lo", "hi", bucket_width=100
+        ).collect()
+    }
+    naive = {
+        (r["k"], r["t"], r["tag"])
+        for r in points.join(
+            intervals,
+            (points["k"] == intervals["k"])
+            & (points["t"] >= intervals["lo"])
+            & (points["t"] <= intervals["hi"]),
+        )
+        .select(points["k"], "t", "tag")
+        .collect()
+    }
+    assert got == naive
+    assert (1, 10, "a") in got and (1, 250, "a") in got  # inclusive bounds
+    assert (1, 260, "a") not in got and not any(k == 3 for k, _, _ in got)
