@@ -2019,7 +2019,7 @@ def _phash_sql() -> str:
     Undecodable payloads have no row — matching the engine's error-row
     exclusion."""
     from document_quality_assessment_ocr_spark import png as _png
-    from document_quality_assessment_ocr_spark.operators.multimodal import ahash64
+    from document_quality_assessment_ocr_spark.operators.multimodal import ahash_hex
     from document_quality_assessment_ocr_spark.sources.fixtures import (
         build_payloads,
         payload_names,
@@ -2031,7 +2031,7 @@ def _phash_sql() -> str:
     for n in names:
         try:
             arr, _ = _png.decode_gray(bytes(pl[n]["png"]))
-            vals.append(f"('{n}', CAST({ahash64(arr)} AS BIGINT))")
+            vals.append(f"('{n}', '{ahash_hex(arr)}')")
         except Exception:
             pass  # engine emits an error row with NULL phash — excluded
     names_lit = "[" + ", ".join(f"'{n}'" for n in names) + "]"

@@ -69,8 +69,16 @@ def ahash64(arr: np.ndarray, hash_size: int = 8) -> int:
     return val - (1 << 64) if val >= 1 << 63 else val
 
 
+def ahash_hex(arr: np.ndarray, hash_size: int = 8) -> str:
+    """:func:`ahash64` as a 16-digit lowercase hex string — the surfaced
+    form: strings are dtype-stable across Spark↔pandas↔DuckDB (a signed
+    BIGINT beyond 2⁵³ silently loses precision if a NULL anywhere coerces
+    the pandas column to float64)."""
+    return f"{ahash64(arr, hash_size) & 0xFFFFFFFFFFFFFFFF:016x}"
+
+
 def image_ahash(payloads: DataFrame, hash_size: int = 8) -> DataFrame:
-    """PNG payloads → (media_ref, phash) perceptual hashes via one
+    """PNG payloads → (media_ref, phash-hex) perceptual hashes via one
     Arrow-batched ``mapInPandas`` decode pass; errors are data (NULL phash,
     message in ``error``). The visual-dedup primitive: identical/near-
     identical imagery collides on ``phash`` regardless of the byte stream
@@ -78,7 +86,7 @@ def image_ahash(payloads: DataFrame, hash_size: int = 8) -> DataFrame:
     schema = T.StructType(
         [
             T.StructField("media_ref", T.StringType()),
-            T.StructField("phash", T.LongType()),
+            T.StructField("phash", T.StringType()),
             T.StructField("error", T.StringType()),
         ]
     )
@@ -89,7 +97,7 @@ def image_ahash(payloads: DataFrame, hash_size: int = 8) -> DataFrame:
             for ref, data in zip(pdf["media_ref"], pdf["png"]):
                 try:
                     arr, _ = png.decode_gray(bytes(data))
-                    rows.append((ref, ahash64(arr, hash_size), None))
+                    rows.append((ref, ahash_hex(arr, hash_size), None))
                 except Exception as e:
                     rows.append((ref, None, str(e)))
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])

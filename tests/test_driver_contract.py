@@ -58,6 +58,16 @@ def test_all_queries_match_duckdb(spark, entry_mod, ducks):
             else:
                 ok = (a.astype(str) == b.astype(str)).all()
             if not ok:
-                mismatches.append((name, f"values:{c}", None, None))
+                if a.dtype.kind == "f" or b.dtype.kind == "f":
+                    bad = ~np.isclose(
+                        a.astype(float), b.astype(float), rtol=0, atol=0, equal_nan=True
+                    )
+                else:
+                    bad = (a.astype(str) != b.astype(str)).to_numpy()
+                i = int(np.argmax(bad))
+                mismatches.append(
+                    (name, f"values:{c}", f"dtypes {a.dtype}/{b.dtype}",
+                     f"row {i}: {a.iloc[i]!r} vs {b.iloc[i]!r}")
+                )
                 break
     assert not mismatches, mismatches

@@ -526,6 +526,7 @@ def test_image_ahash_perceptual_properties(spark):
     from document_quality_assessment_ocr_spark import png as P
     from document_quality_assessment_ocr_spark.operators.multimodal import (
         ahash64,
+        ahash_hex,
         image_ahash,
     )
 
@@ -542,7 +543,8 @@ def test_image_ahash_perceptual_properties(spark):
     ]
     df = spark.createDataFrame(rows, "media_ref string, png binary")
     out = {r["media_ref"]: r for r in image_ahash(df).collect()}
-    assert out["ok"]["phash"] == ahash64(a) and out["ok"]["error"] is None
+    assert out["ok"]["phash"] == ahash_hex(a) and out["ok"]["error"] is None
+    assert int(out["ok"]["phash"], 16) & 0xFFFFFFFFFFFFFFFF == ahash64(a) & 0xFFFFFFFFFFFFFFFF
     assert out["bad"]["phash"] is None and out["bad"]["error"]
 
 
