@@ -861,6 +861,19 @@ def _q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenize_to_ids(docs, build_vocab(docs, vocab_size=500))
 
 
+def _q_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training-order shuffle: md5-keyed (shard, pos) — the
+    retry-stable, windows-bounded replacement for ORDER BY rand()."""
+    from document_quality_assessment_ocr_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    return deterministic_shuffle(
+        _doc(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id")),
+        n_shards=8,
+    )
+
+
 def _q_session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range-containment join: purchases attributed to the click-session
     whose [start, end] contains them — bucketed interval join (hour
@@ -1108,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_pagerank": _q_pagerank,
         "q58_filtered_topk": _q_filtered_topk,
         "q59_session_attribution": _q_session_attribution,
+        "q60_deterministic_shuffle": _q_deterministic_shuffle,
         "q57_phash_dedup": _q_phash_dedup,
         # flagship extraction — full oracle via seeded score literals
         "q90_extract_full": _q_extract_full,
@@ -2787,6 +2801,19 @@ def oracle_sql() -> dict[str, str]:
         "q53_pii_scrub": _scrub_sqls()[1],
         "q55_profile_table": _profile_sql(),
         "q56_pagerank": _pagerank_sql(),
+        "q60_deterministic_shuffle": """
+            WITH d AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       CAST('0x' || SUBSTR(MD5(CAST(CAST(doc_id AS BIGINT) AS VARCHAR)
+                                               || '|0'), 1, 8) AS BIGINT) AS k
+                FROM documents
+            )
+            SELECT doc_id, CAST(k % 8 AS INT) AS shard,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY k % 8
+                                           ORDER BY k ASC, doc_id ASC) - 1
+                        AS BIGINT) AS pos_in_shard
+            FROM d
+        """,
         # naive BETWEEN join as the SPEC; the engine runs the bucketed
         # interval join (operators/intervals.py) with identical results
         "q59_session_attribution": """

@@ -56,6 +56,38 @@ def stratified_sample(
     return df.where(u < rate).withColumn("sample_u", u)
 
 
+def deterministic_shuffle(
+    df: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Reproducible training-order shuffle: every row gets a (shard,
+    pos_in_shard) coordinate from md5 arithmetic — the versioned-artifact
+    answer to `ORDER BY rand()` (which is retry-unstable and, as a global
+    sort, a scale anti-pattern).
+
+    shard = first 32 md5 bits of "{id}|{seed}" mod n_shards; position =
+    rank of (md5 key, id) WITHIN the shard. The only window partitions by
+    shard (~1/n_shards of the data, n_shards tracks cluster size) — no
+    global ordering anywhere, yet the result is a total order:
+    (shard, pos_in_shard) enumerates the corpus in a fixed pseudo-random
+    permutation any engine can reproduce."""
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"|{seed}")))
+    key = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    from pyspark.sql import Window
+
+    out = df.select(
+        F.col(id_col), key.alias("_k"), F.pmod(key, F.lit(n_shards)).cast("int").alias("shard")
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("_k").asc(), F.col(id_col).asc())
+    return out.select(
+        id_col,
+        "shard",
+        (F.row_number().over(w) - 1).cast("long").alias("pos_in_shard"),
+    )
+
+
 def per_group_cap(
     df: DataFrame,
     group_col: str,

@@ -573,3 +573,33 @@ def test_profile_table_stats(spark):
     empty = {r["column"]: r for r in
              profile_table(df.where(F.lit(False))).collect()}
     assert empty["k"]["n_rows"] == 0 and empty["k"]["null_frac"] == 0.0
+
+
+# --------------------------------------------------------------- shuffle
+def test_deterministic_shuffle_replay(spark):
+    """md5-keyed shuffle: dense per-shard positions, python-replay equal,
+    identical across invocations (retry-stable)."""
+    import hashlib
+
+    from document_quality_assessment_ocr_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    out = {r["doc_id"]: (r["shard"], r["pos_in_shard"])
+           for r in deterministic_shuffle(docs, n_shards=4).collect()}
+
+    keys = {i: int(hashlib.md5(f"{i}|0".encode()).hexdigest()[:8], 16)
+            for i in range(40)}
+    shards = {}
+    for i in range(40):
+        shards.setdefault(keys[i] % 4, []).append(i)
+    expect = {}
+    for sh, members in shards.items():
+        for pos, i in enumerate(sorted(members, key=lambda i: (keys[i], i))):
+            expect[i] = (sh, pos)
+    assert out == expect
+
+    again = {r["doc_id"]: (r["shard"], r["pos_in_shard"])
+             for r in deterministic_shuffle(docs, n_shards=4).collect()}
+    assert again == out
