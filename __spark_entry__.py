@@ -861,6 +861,21 @@ def _q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenize_to_ids(docs, build_vocab(docs, vocab_size=500))
 
 
+def _q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-efficient batching: 64-token length buckets, 16-doc batches
+    in deterministic id order — pure integer arithmetic, bounded windows."""
+    from document_quality_assessment_ocr_spark.functions.text import token_count
+    from document_quality_assessment_ocr_spark.operators.packing import (
+        length_bucketed_batches,
+    )
+
+    docs = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    return length_bucketed_batches(docs, batch_size=16, bucket_width=64)
+
+
 def _q_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible training-order shuffle: md5-keyed (shard, pos) — the
     retry-stable, windows-bounded replacement for ORDER BY rand()."""
@@ -1122,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_filtered_topk": _q_filtered_topk,
         "q59_session_attribution": _q_session_attribution,
         "q60_deterministic_shuffle": _q_deterministic_shuffle,
+        "q61_length_batches": _q_length_batches,
         "q57_phash_dedup": _q_phash_dedup,
         # flagship extraction — full oracle via seeded score literals
         "q90_extract_full": _q_extract_full,
@@ -2801,6 +2817,23 @@ def oracle_sql() -> dict[str, str]:
         "q53_pii_scrub": _scrub_sqls()[1],
         "q55_profile_table": _profile_sql(),
         "q56_pagerank": _pagerank_sql(),
+        "q61_length_batches": f"""
+            WITH d AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       CAST({ntoks} AS BIGINT) AS n_tokens
+                FROM documents
+            ), bk AS (
+                SELECT doc_id, n_tokens,
+                       CAST(n_tokens // 64 AS INT) AS bucket,
+                       ROW_NUMBER() OVER (PARTITION BY n_tokens // 64
+                                          ORDER BY doc_id ASC) - 1 AS idx
+                FROM d
+            )
+            SELECT doc_id, n_tokens, bucket,
+                   CAST(idx // 16 AS BIGINT) AS batch_idx,
+                   CAST(idx % 16 AS INT) AS pos_in_batch
+            FROM bk
+        """,
         "q60_deterministic_shuffle": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -26,6 +26,40 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def length_bucketed_batches(
+    docs: DataFrame,
+    batch_size: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    bucket_width: int = 64,
+) -> DataFrame:
+    """Padding-efficient batch assignment: documents group into
+    ``bucket_width``-token length buckets, and each bucket fills fixed
+    ``batch_size`` batches in deterministic ``id_col`` order — the
+    pad-to-longest waste inside any batch is bounded by ``bucket_width``
+    tokens instead of the corpus max length.
+
+    Output: (id_col, n_tokens, bucket, batch_idx, pos_in_batch). Pure
+    integer arithmetic (oracle-exact); the only window partitions by
+    length bucket — bounded, no global ordering."""
+    b = F.expr(f"{tokens_col} DIV {bucket_width}")
+    w = Window.partitionBy("bucket").orderBy(F.col(id_col).asc())
+    return (
+        docs.select(
+            F.col(id_col), F.col(tokens_col).cast("long").alias("n_tokens"),
+            b.cast("int").alias("bucket"),
+        )
+        .withColumn("_idx", (F.row_number().over(w) - 1).cast("long"))
+        .select(
+            id_col,
+            "n_tokens",
+            "bucket",
+            F.expr(f"_idx DIV {batch_size}").alias("batch_idx"),
+            F.pmod("_idx", F.lit(batch_size)).cast("int").alias("pos_in_batch"),
+        )
+    )
+
+
 def pack_offsets(
     docs: DataFrame,
     seq_len: int,

@@ -583,3 +583,25 @@ def test_interval_bucket_join_equals_naive(spark):
     assert got == naive
     assert (1, 10, "a") in got and (1, 250, "a") in got  # inclusive bounds
     assert (1, 260, "a") not in got and not any(k == 3 for k, _, _ in got)
+
+
+def test_length_bucketed_batches(spark):
+    """Bucket and batch coordinates: dense per-bucket indices in id order,
+    pos bounded by batch size, pad waste bounded by the bucket width."""
+    from document_quality_assessment_ocr_spark.operators.packing import (
+        length_bucketed_batches,
+    )
+
+    rows = [(i, n) for i, n in enumerate([5, 70, 12, 65, 130, 8, 63, 64])]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = {r["doc_id"]: r for r in
+           length_bucketed_batches(df, batch_size=2, bucket_width=64).collect()}
+    # bucket 0: ids 0,2,5,6 (n<64) → batches [0,0,1,1]; bucket 1: 1,3,7; bucket 2: 4
+    assert [out[i]["bucket"] for i in (0, 2, 5, 6)] == [0, 0, 0, 0]
+    assert [(out[i]["batch_idx"], out[i]["pos_in_batch"]) for i in (0, 2, 5, 6)] == [
+        (0, 0), (0, 1), (1, 0), (1, 1)
+    ]
+    assert out[7]["bucket"] == 1 and out[4]["bucket"] == 2
+    assert [(out[i]["batch_idx"], out[i]["pos_in_batch"]) for i in (1, 3, 7)] == [
+        (0, 0), (0, 1), (1, 0)
+    ]
