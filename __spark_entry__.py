@@ -1076,6 +1076,53 @@ def _q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_html(d: DataFrame) -> DataFrame:
+    """Deterministic HTML wrapping of documents.text — nav/footer chrome,
+    a heading, paragraphs split on the literal ' data ', and (doc_id%4==0)
+    a link-only promo block. The DuckDB oracle builds the IDENTICAL string
+    (`_html_sqls`), so the block decomposition + classification is
+    hash-gated end-to-end on real per-doc variety."""
+    t = F.coalesce(F.col("text"), F.lit(""))
+    promo = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(
+            F.lit('<div><a href="/x">'), F.substring(t, 1, 40), F.lit("</a></div>")
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><style>p{margin:0}</style><script>var x=1;</script></head><body>"),
+        F.lit('<div class="nav"><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></div>'),
+        F.lit("<h2>"),
+        F.substring(t, 1, 30),
+        F.lit(" &amp; more</h2><p>"),
+        F.replace(t, F.lit(" data "), F.lit("</p><p>")),
+        F.lit("</p>"),
+        promo,
+        F.lit('<div class="footer">Copyright <a href="/p">Privacy</a> <a href="/t">Terms</a></div></body></html>'),
+    )
+    return d.select(F.col("doc_id").cast("long").alias("doc_id"), html.alias("html"))
+
+
+def _q_html_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate strip / DOM heuristics (north rule): block
+    decomposition + jusText-style classification over synthesized HTML."""
+    from document_quality_assessment_ocr_spark.operators.html import (
+        classify_blocks,
+        html_blocks,
+    )
+
+    return classify_blocks(html_blocks(_synth_html(_doc(spark, sf_dir))))
+
+
+def _q_html_main(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content assembly from classified HTML blocks."""
+    from document_quality_assessment_ocr_spark.operators.html import extract_main_html
+
+    return extract_main_html(_synth_html(_doc(spark, sf_dir)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_text_density": _q_text_density,
@@ -1138,6 +1185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_session_attribution": _q_session_attribution,
         "q60_deterministic_shuffle": _q_deterministic_shuffle,
         "q61_length_batches": _q_length_batches,
+        "q62_html_blocks": _q_html_blocks,
+        "q63_html_main": _q_html_main,
         "q57_phash_dedup": _q_phash_dedup,
         # flagship extraction — full oracle via seeded score literals
         "q90_extract_full": _q_extract_full,
@@ -2368,6 +2417,146 @@ def _top_terms_sql() -> str:
     """
 
 
+def _html_sqls() -> tuple[str, str]:
+    """DuckDB twins of operators/html — the SAME pattern constants feed both
+    engines (Java regex ∩ RE2 subset); the HTML synthesis expression is the
+    byte-identical twin of `_synth_html`."""
+    from document_quality_assessment_ocr_spark.operators.html import (
+        ANCHOR,
+        BLOCK_TAG,
+        COMMENT,
+        ENTITIES,
+        HEADSEC,
+        HEAD_OPEN,
+        MARKER_CLASS,
+        MAX_LINK_DENSITY,
+        MIN_GOOD_WORDS,
+        MIN_STOP_DENSITY,
+        SCRIPT,
+        STOPWORDS,
+        STYLE,
+        TAG,
+    )
+
+    def vis(x: str) -> str:
+        inner = f"REGEXP_REPLACE({x}, '{TAG}', ' ', 'g')"
+        for ent, rep in ENTITIES:
+            inner = f"REPLACE({inner}, '{ent}', '{rep.replace(chr(39), chr(39) * 2)}')"
+        return f"TRIM(REGEXP_REPLACE({inner}, '{WS}+', ' ', 'g'))"
+
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    prefix = f"""
+        WITH d AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   '<html><head><title>Doc ' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)
+                   || '</title><style>p{{margin:0}}</style><script>var x=1;</script></head><body>'
+                   || '<div class="nav"><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></div>'
+                   || '<h2>' || SUBSTR(COALESCE(text,''), 1, 30) || ' &amp; more</h2><p>'
+                   || REPLACE(COALESCE(text,''), ' data ', '</p><p>') || '</p>'
+                   || CASE WHEN CAST(doc_id AS BIGINT) % 4 = 0
+                           THEN '<div><a href="/x">' || SUBSTR(COALESCE(text,''), 1, 40)
+                                || '</a></div>'
+                           ELSE '' END
+                   || '<div class="footer">Copyright <a href="/p">Privacy</a> <a href="/t">Terms</a></div></body></html>'
+                       AS html
+            FROM documents
+        ), prep AS (
+            SELECT doc_id,
+                   REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+                   REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+                       html, '{MARKER_CLASS}', '', 'g'),
+                       '{COMMENT}', ' ', 'g'),
+                       '{HEADSEC}', ' ', 'g'),
+                       '{SCRIPT}', ' ', 'g'),
+                       '{STYLE}', ' ', 'g'),
+                       '{HEAD_OPEN}', CHR(30) || CHR(31), 'g'),
+                       '{BLOCK_TAG}', CHR(30), 'g') AS prepped
+            FROM d
+        ), parts AS (
+            SELECT doc_id, STR_SPLIT(prepped, CHR(30)) AS ps FROM prep
+        ), fr AS (
+            SELECT doc_id, ps, UNNEST(RANGE(1, LEN(ps) + 1)) AS i FROM parts
+        ), f0 AS (
+            SELECT doc_id, CAST(i - 1 AS INT) AS block_idx,
+                   STARTS_WITH(ps[CAST(i AS INT)], CHR(31)) AS is_heading,
+                   CASE WHEN STARTS_WITH(ps[CAST(i AS INT)], CHR(31))
+                        THEN SUBSTR(ps[CAST(i AS INT)], 2)
+                        ELSE ps[CAST(i AS INT)] END AS raw
+            FROM fr
+        ), f1 AS (
+            SELECT doc_id, block_idx, is_heading, raw, {vis('raw')} AS text
+            FROM f0
+        ), f2 AS (
+            SELECT doc_id, block_idx, is_heading, text,
+                   CAST(LENGTH(text) AS BIGINT) AS n_chars,
+                   CAST(LEN(LIST_FILTER(STR_SPLIT(text, ' '), x -> x <> ''))
+                        AS BIGINT) AS n_words,
+                   CAST(LEN(LIST_FILTER(LIST_FILTER(STR_SPLIT(text, ' '),
+                            x -> x <> ''),
+                            x -> LIST_CONTAINS([{stop_list}], LOWER(x))))
+                        AS BIGINT) AS stop_hits,
+                   CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(
+                            REGEXP_EXTRACT_ALL(raw, '{ANCHOR}'),
+                            m -> CAST(LENGTH({vis('m')}) AS BIGINT))), 0)
+                        AS BIGINT) AS link_chars
+            FROM f1
+            WHERE LENGTH(text) > 0
+        ), f3 AS (
+            SELECT doc_id, block_idx, is_heading, text, n_chars, n_words,
+                   link_chars,
+                   LEAST(CAST(link_chars AS DOUBLE) / CAST(n_chars AS DOUBLE),
+                         1.0) AS link_density,
+                   CASE WHEN n_words > 0
+                        THEN CAST(stop_hits AS DOUBLE) / CAST(n_words AS DOUBLE)
+                        ELSE 0.0 END AS stop_density
+            FROM f2
+        ), pv AS (
+            SELECT *,
+                   CASE WHEN link_density > {MAX_LINK_DENSITY!r} THEN 'bad'
+                        WHEN n_words >= {int(MIN_GOOD_WORDS)}
+                             AND stop_density >= {MIN_STOP_DENSITY!r} THEN 'good'
+                        ELSE 'short' END AS prov
+            FROM f3
+        ), lab AS (
+            SELECT *,
+                   COALESCE(LAG(prov) OVER (PARTITION BY doc_id
+                        ORDER BY block_idx) = 'good', FALSE) AS prv,
+                   COALESCE(LEAD(prov) OVER (PARTITION BY doc_id
+                        ORDER BY block_idx) = 'good', FALSE) AS nxt
+            FROM pv
+        ), blk AS (
+            SELECT doc_id, block_idx, is_heading, text, n_chars, n_words,
+                   link_chars, link_density, stop_density,
+                   CASE WHEN prov = 'good' THEN 'content'
+                        WHEN prov = 'bad' THEN 'boilerplate'
+                        WHEN is_heading THEN
+                             CASE WHEN nxt THEN 'content' ELSE 'boilerplate' END
+                        WHEN prv OR nxt THEN 'content'
+                        ELSE 'boilerplate' END AS label
+            FROM lab
+        )
+    """
+    blocks = prefix + """
+        SELECT doc_id, block_idx, is_heading, text, n_chars, n_words,
+               link_chars, link_density, stop_density, label
+        FROM blk
+    """
+    main = prefix + """
+        SELECT doc_id,
+               COALESCE(STRING_AGG(text, CHR(10) ORDER BY block_idx)
+                        FILTER (WHERE label = 'content'), '') AS main_text,
+               COUNT(*) AS n_blocks,
+               COUNT(*) FILTER (WHERE label = 'content') AS n_content,
+               COALESCE(SUM(n_chars) FILTER (WHERE label = 'content'), 0)
+                   AS content_chars,
+               COALESCE(SUM(n_chars) FILTER (WHERE label <> 'content'), 0)
+                   AS boiler_chars
+        FROM blk
+        GROUP BY doc_id
+    """
+    return blocks, main
+
+
 def oracle_sql() -> dict[str, str]:
     ink = f"LENGTH(REGEXP_REPLACE(COALESCE(text,''), '{WS}', '', 'g'))"
     ntoks = (
@@ -2793,6 +2982,8 @@ def oracle_sql() -> dict[str, str]:
         "q46_pq_topk": _pq_sql(),
         "q51_pq_refined": _pq_sql(k=20, refine=True, final_k=5),
         "q52_normalize_text": _scrub_sqls()[0],
+        "q62_html_blocks": _html_sqls()[0],
+        "q63_html_main": _html_sqls()[1],
         "q54_tokenize_ids": f"""
             WITH tk AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id,
