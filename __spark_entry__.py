@@ -1123,6 +1123,100 @@ def _q_html_main(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_main_html(_synth_html(_doc(spark, sf_dir)))
 
 
+def _q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE: apply a synthesized changelog (updates, inserts of the
+    held-out doc_id%10==9 slice, deletes, and a second-seq change that must
+    win) to the snapshot. Oracle builds the identical changelog."""
+    from document_quality_assessment_ocr_spark.operators.cdc import apply_changes
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "lang"
+    )
+    did = F.col("doc_id")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    base = d.where(did % 10 != 9)
+    u = d.where((did % 7 == 0) & (did % 10 != 9)).select(
+        did,
+        F.lit(1).cast("long").alias("seq"),
+        F.lit("U").alias("op"),
+        F.concat(F.lit("updated "), F.substring(t, 1, 50)).alias("text"),
+        "lang",
+    )
+    ins = d.where(did % 10 == 9).select(
+        did, F.lit(1).cast("long").alias("seq"), F.lit("I").alias("op"),
+        t.alias("text"), "lang",
+    )
+    dl = d.where((did % 13 == 0) & (did % 7 != 0) & (did % 10 != 9)).select(
+        did, F.lit(1).cast("long").alias("seq"), F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+    u2 = d.where((did % 14 == 0) & (did % 10 != 9)).select(
+        did, F.lit(2).cast("long").alias("seq"), F.lit("U").alias("op"),
+        F.lit("updated twice").alias("text"), "lang",
+    )
+    return apply_changes(base, u.unionByName(ins).unionByName(dl).unionByName(u2))
+
+
+def _synth_urls(d: DataFrame) -> DataFrame:
+    """Deterministic URL column over documents (doc_id%5 shape mix: messy
+    canonical-case + default port + tracking + fragment, default-port http,
+    clean https with mixed params, an unparseable string, fbclid-only).
+    The oracle builds the identical strings."""
+    did = F.col("doc_id")
+    sid = did.cast("string")
+    url = (
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit("https://WWW.Example.COM:443/"), F.col("source"),
+                F.lit("/"), (did % 100).cast("string"), F.lit("/?id="), sid,
+                F.lit("&utm_source=feed&q="), F.col("lang"), F.lit("#top"),
+            ),
+        )
+        .when(did % 5 == 1, F.concat(F.lit("http://cdn.example.org:80/assets/"), sid))
+        .when(
+            did % 5 == 2,
+            F.concat(
+                F.lit("https://news.site.net/a/"), (did % 50).cast("string"),
+                F.lit("?ref=tw&z=1&a=2"),
+            ),
+        )
+        .when(did % 5 == 3, F.concat(F.lit("not a url "), sid))
+        .otherwise(
+            F.concat(
+                F.lit("https://example.com/"), F.col("source"),
+                F.lit("?fbclid=xyz"), sid,
+            )
+        )
+    )
+    return d.select(F.col("doc_id").cast("long").alias("doc_id"), url.alias("url"))
+
+
+def _q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parse + canonicalization (scheme/host/path/query split, www +
+    default-port + tracking-param + fragment strip, param sort)."""
+    from document_quality_assessment_ocr_spark.operators.urls import parse_urls
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "source"
+    )
+    return parse_urls(_synth_urls(d))
+
+
+def _q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level rollup of canonical URLs (domain curation policy input)."""
+    from document_quality_assessment_ocr_spark.operators.urls import (
+        host_stats,
+        parse_urls,
+    )
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "source"
+    )
+    return host_stats(parse_urls(_synth_urls(d)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_text_density": _q_text_density,
@@ -1187,6 +1281,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_length_batches": _q_length_batches,
         "q62_html_blocks": _q_html_blocks,
         "q63_html_main": _q_html_main,
+        "q64_cdc_upsert": _q_cdc_upsert,
+        "q65_url_normalize": _q_url_normalize,
+        "q66_host_stats": _q_host_stats,
         "q57_phash_dedup": _q_phash_dedup,
         # flagship extraction — full oracle via seeded score literals
         "q90_extract_full": _q_extract_full,
@@ -2557,6 +2654,87 @@ def _html_sqls() -> tuple[str, str]:
     return blocks, main
 
 
+def _url_sqls() -> tuple[str, str]:
+    """DuckDB twins of operators/urls — shared pattern constants; URL
+    synthesis is the byte-identical twin of `_synth_urls`."""
+    from document_quality_assessment_ocr_spark.operators.urls import (
+        QUERY_PART,
+        TRACKING_PARAM,
+        TRAILING_SLASH,
+        URL_PARTS,
+        WWW_PREFIX,
+    )
+
+    prefix = f"""
+        WITH d AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source
+            FROM documents
+        ), u AS (
+            SELECT doc_id,
+                   CASE doc_id % 5
+                     WHEN 0 THEN 'https://WWW.Example.COM:443/' || source
+                          || '/' || CAST(doc_id % 100 AS VARCHAR)
+                          || '/?id=' || CAST(doc_id AS VARCHAR)
+                          || '&utm_source=feed&q=' || lang || '#top'
+                     WHEN 1 THEN 'http://cdn.example.org:80/assets/'
+                          || CAST(doc_id AS VARCHAR)
+                     WHEN 2 THEN 'https://news.site.net/a/'
+                          || CAST(doc_id % 50 AS VARCHAR) || '?ref=tw&z=1&a=2'
+                     WHEN 3 THEN 'not a url ' || CAST(doc_id AS VARCHAR)
+                     ELSE 'https://example.com/' || source
+                          || '?fbclid=xyz' || CAST(doc_id AS VARCHAR)
+                   END AS url
+            FROM d
+        ), p0 AS (
+            SELECT doc_id, url,
+                   REGEXP_EXTRACT(LOWER(url), '{URL_PARTS}', 1) AS scheme,
+                   REGEXP_REPLACE(REGEXP_EXTRACT(LOWER(url), '{URL_PARTS}', 2),
+                                  '{WWW_PREFIX}', '') AS h0,
+                   REGEXP_REPLACE(REGEXP_EXTRACT(LOWER(url), '{URL_PARTS}', 3),
+                                  '{TRAILING_SLASH}', '') AS path0,
+                   COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(
+                       STR_SPLIT(REGEXP_EXTRACT(LOWER(url), '{QUERY_PART}', 1),
+                                 '&'),
+                       q -> q <> '' AND NOT REGEXP_MATCHES(q, '{TRACKING_PARAM}')
+                   )), '&'), '') AS query_clean
+            FROM u
+        ), p AS (
+            SELECT doc_id, url, scheme,
+                   CASE WHEN scheme = 'http' AND h0 LIKE '%:80'
+                        THEN SUBSTR(h0, 1, LENGTH(h0) - 3)
+                        WHEN scheme = 'https' AND h0 LIKE '%:443'
+                        THEN SUBSTR(h0, 1, LENGTH(h0) - 4)
+                        ELSE h0 END AS host,
+                   CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+                   query_clean
+            FROM p0
+        ), parsed AS (
+            SELECT doc_id, url, scheme, host, path, query_clean,
+                   CASE WHEN scheme = '' THEN NULL
+                        ELSE scheme || '://' || host || path
+                             || CASE WHEN query_clean = '' THEN ''
+                                     ELSE '?' || query_clean END
+                   END AS url_norm
+            FROM p
+        )
+    """
+    parse = prefix + """
+        SELECT doc_id, url, scheme, host, path, query_clean, url_norm
+        FROM parsed
+    """
+    hosts = prefix + """
+        SELECT host,
+               COUNT(*) AS n_docs,
+               COUNT(DISTINCT url_norm) AS n_urls,
+               COUNT(*) - COUNT(DISTINCT url_norm) AS n_dup_docs,
+               MIN(doc_id) AS first_doc
+        FROM parsed
+        WHERE host <> ''
+        GROUP BY host
+    """
+    return parse, hosts
+
+
 def oracle_sql() -> dict[str, str]:
     ink = f"LENGTH(REGEXP_REPLACE(COALESCE(text,''), '{WS}', '', 'g'))"
     ntoks = (
@@ -2984,6 +3162,44 @@ def oracle_sql() -> dict[str, str]:
         "q52_normalize_text": _scrub_sqls()[0],
         "q62_html_blocks": _html_sqls()[0],
         "q63_html_main": _html_sqls()[1],
+        "q65_url_normalize": _url_sqls()[0],
+        "q66_host_stats": _url_sqls()[1],
+        "q64_cdc_upsert": """
+            WITH d AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang
+                FROM documents
+            ), base AS (
+                SELECT * FROM d WHERE doc_id % 10 <> 9
+            ), ch AS (
+                SELECT doc_id, 1 AS seq, 'U' AS op,
+                       'updated ' || SUBSTR(COALESCE(text,''), 1, 50) AS text,
+                       lang
+                FROM d WHERE doc_id % 7 = 0 AND doc_id % 10 <> 9
+                UNION ALL
+                SELECT doc_id, 1, 'I', COALESCE(text,''), lang
+                FROM d WHERE doc_id % 10 = 9
+                UNION ALL
+                SELECT doc_id, 1, 'D', NULL, NULL
+                FROM d WHERE doc_id % 13 = 0 AND doc_id % 7 <> 0
+                           AND doc_id % 10 <> 9
+                UNION ALL
+                SELECT doc_id, 2, 'U', 'updated twice', lang
+                FROM d WHERE doc_id % 14 = 0 AND doc_id % 10 <> 9
+            ), coll AS (
+                SELECT doc_id, op, text, lang FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY doc_id ORDER BY seq DESC) AS rn
+                    FROM ch
+                ) WHERE rn = 1
+            )
+            SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+                   CASE WHEN c.doc_id IS NOT NULL THEN c.text
+                        ELSE b.text END AS text,
+                   CASE WHEN c.doc_id IS NOT NULL THEN c.lang
+                        ELSE b.lang END AS lang
+            FROM base b FULL OUTER JOIN coll c ON b.doc_id = c.doc_id
+            WHERE c.op IS NULL OR c.op <> 'D'
+        """,
         "q54_tokenize_ids": f"""
             WITH tk AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id,
