@@ -1217,6 +1217,36 @@ def _q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_stats(parse_urls(_synth_urls(d)))
 
 
+def _q_prefix_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-prefix policy join (robots/blocklist): bounded prefix explode
+    + equi-join, algebraic longest-match winner — no starts-with theta join."""
+    from document_quality_assessment_ocr_spark.operators.urls import (
+        parse_urls,
+        prefix_block_join,
+    )
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "source"
+    )
+    rules = spark.createDataFrame(
+        _BLOCK_RULES, "host string, path_prefix string, action string"
+    )
+    return prefix_block_join(parse_urls(_synth_urls(d)), rules)
+
+
+def _q_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-surprisal (KenLM-lite) quality filter — fixed-point whole-bit
+    surprisal keeps both engines bit-identical."""
+    from document_quality_assessment_ocr_spark.operators.textstats import (
+        unigram_surprisal,
+    )
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return unigram_surprisal(d)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_text_density": _q_text_density,
@@ -1284,6 +1314,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_cdc_upsert": _q_cdc_upsert,
         "q65_url_normalize": _q_url_normalize,
         "q66_host_stats": _q_host_stats,
+        "q67_surprisal": _q_surprisal,
+        "q68_prefix_block": _q_prefix_block,
         "q57_phash_dedup": _q_phash_dedup,
         # flagship extraction — full oracle via seeded score literals
         "q90_extract_full": _q_extract_full,
@@ -2732,7 +2764,48 @@ def _url_sqls() -> tuple[str, str]:
         WHERE host <> ''
         GROUP BY host
     """
-    return parse, hosts
+    rule_rows = ", ".join(
+        f"('{h}', '{p}', '{a}')" for h, p, a in _BLOCK_RULES
+    )
+    block = prefix + f"""
+        , pref AS (
+            SELECT doc_id, host,
+                   UNNEST(LIST_PREPEND('/', LIST_FILTER(LIST_TRANSFORM(
+                       RANGE(1, LEAST(LEN(STR_SPLIT(path, '/')) - 1, 8) + 1),
+                       i -> ARRAY_TO_STRING(
+                           LIST_SLICE(STR_SPLIT(path, '/'), 1,
+                                      CAST(i AS INT) + 1), '/')),
+                       x -> x <> ''))) AS pfx
+            FROM parsed WHERE host <> ''
+        ), rules(rhost, rpfx, raction) AS (
+            VALUES {rule_rows}
+        ), hits AS (
+            SELECT p.doc_id, r.rpfx, r.raction
+            FROM pref p JOIN rules r ON p.host = r.rhost AND p.pfx = r.rpfx
+        ), win AS (
+            SELECT doc_id, rpfx AS matched_prefix, raction FROM (
+                SELECT doc_id, rpfx, raction,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY LENGTH(rpfx) DESC, rpfx DESC) AS rn
+                FROM hits
+            ) WHERE rn = 1
+        )
+        SELECT parsed.doc_id, url, scheme, host, path, query_clean, url_norm,
+               win.matched_prefix,
+               COALESCE(win.raction, 'allow') AS action
+        FROM parsed LEFT JOIN win ON parsed.doc_id = win.doc_id
+    """
+    return parse, hosts, block
+
+
+# policy rules for q68 — shared literal table (engine builds the same rows)
+_BLOCK_RULES = [
+    ("example.com", "/", "allow"),
+    ("example.com", "/src1", "deny"),
+    ("example.com", "/src1/5", "allow"),
+    ("news.site.net", "/a", "deny"),
+    ("cdn.example.org", "/assets", "deny"),
+]
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3164,6 +3237,39 @@ def oracle_sql() -> dict[str, str]:
         "q63_html_main": _html_sqls()[1],
         "q65_url_normalize": _url_sqls()[0],
         "q66_host_stats": _url_sqls()[1],
+        "q68_prefix_block": _url_sqls()[2],
+        "q67_surprisal": f"""
+            WITH d AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(
+                           TRIM(LOWER(COALESCE(text,''))), '{WS}+'),
+                           x -> x <> '') AS a
+                FROM documents
+            ), tk AS (
+                SELECT doc_id, UNNEST(a) AS tok FROM d
+            ), c AS (
+                SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok
+            ), n AS (
+                SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM c
+            ), s AS (
+                SELECT tk.doc_id,
+                       CAST(LENGTH(BIN(n.n_total // c.c)) - 1 AS BIGINT) AS bits
+                FROM tk JOIN c USING (tok) CROSS JOIN n
+            ), a AS (
+                SELECT doc_id, COUNT(*) AS n_tokens,
+                       CAST(SUM(bits) AS BIGINT) AS sum_bits
+                FROM s GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(a.n_tokens, 0) AS n_tokens,
+                   COALESCE(a.sum_bits, 0) AS sum_bits,
+                   CAST(a.sum_bits AS DOUBLE) / CAST(a.n_tokens AS DOUBLE)
+                       AS avg_bits,
+                   COALESCE(CAST(a.sum_bits AS DOUBLE)
+                            / CAST(a.n_tokens AS DOUBLE) BETWEEN 3.0 AND 9.0,
+                            FALSE) AS keep
+            FROM d LEFT JOIN a USING (doc_id)
+        """,
         "q64_cdc_upsert": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang

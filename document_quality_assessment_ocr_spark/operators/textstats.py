@@ -214,3 +214,60 @@ def rolling_fingerprints(
         F.array_min(wins).alias("min_fp"),
         F.size(wins).alias("n_windows"),
     )
+
+
+def unigram_surprisal(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_lo_bits: float = 3.0,
+    keep_hi_bits: float = 9.0,
+) -> DataFrame:
+    """KenLM-lite perplexity filter: mean per-token surprisal under the
+    corpus's OWN unigram model, in whole bits —
+    ``floor(log2(N / count(tok)))`` via integer division + binary length,
+    so both engines are bit-identical (the fixed-point-oracle invariant:
+    float log-sums are order-dependent and can never hash-match). The
+    DOUBLE mean is one exact division of two BIGINTs.
+
+    Gibberish/rare-token documents score high, boilerplate/repetitive
+    documents score low; ``keep`` brackets the healthy band (the
+    CCNet/KenLM recipe shape).
+
+    Plan: explode → token-count aggregate (map-side partial combine) →
+    token equi-join (token dim is zipf-bounded, partial agg shrank it) →
+    per-doc aggregate → broadcast-join back to docs. No driver collect;
+    the corpus total rides along as a broadcast single-row cross join.
+
+    Output: (id_col, n_tokens, sum_bits, avg_bits, keep).
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").cast("long").alias("n_total"))
+    bits = (F.length(F.bin(F.expr("n_total DIV c"))) - 1).cast("long")
+    per_doc = (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(bits).cast("long").alias("sum_bits"),
+        )
+    )
+    avg = F.col("sum_bits").cast("double") / F.col("n_tokens").cast("double")
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("sum_bits"), F.lit(0)).cast("long").alias("sum_bits"),
+            avg.alias("avg_bits"),
+            F.coalesce(
+                avg.between(F.lit(float(keep_lo_bits)), F.lit(float(keep_hi_bits))),
+                F.lit(False),
+            ).alias("keep"),
+        )
+    )

@@ -95,3 +95,71 @@ def host_stats(parsed: DataFrame, id_col: str = "doc_id") -> DataFrame:
         (F.count(F.lit(1)) - F.countDistinct("url_norm")).alias("n_dup_docs"),
         F.min(id_col).alias("first_doc"),
     )
+
+
+def prefix_block_join(
+    parsed: DataFrame,
+    rules: DataFrame,
+    id_col: str = "doc_id",
+    max_depth: int = 8,
+    default_action: str = "allow",
+) -> DataFrame:
+    """Longest-prefix policy match (robots.txt / domain-blocklist shape):
+    each URL takes the action of the most specific matching rule
+    ``(host, path_prefix, action)``; no match → ``default_action``.
+
+    Scale design: NEVER a starts-with theta join (per-host quadratic).
+    The URL's path explodes into its ancestor prefixes (bounded by
+    ``max_depth``) and matches rules by plain equi-join on
+    ``(host, prefix)``; the winner is an algebraic max_by on prefix
+    length — so the big side costs one bounded explode + one equi-join,
+    and a small rule set broadcasts. Two same-length matches are
+    necessarily the same prefix, so the winner is unique; the full
+    (length, prefix) order key keeps replay deterministic anyway.
+
+    ``rules.path_prefix`` must be normalized like ``parsed.path``
+    (leading slash, no trailing slash; root = '/').
+
+    Output: parsed columns + (matched_prefix, action).
+    """
+    parts = F.split(F.col("path"), "/")  # '/a/b' → ['', 'a', 'b']
+    prefixes = F.array_union(
+        F.array(F.lit("/")),
+        F.filter(
+            F.transform(
+                # sequence() counts DOWN when stop < start — guard the
+                # degenerate empty-path case with an explicit empty array
+                F.when(
+                    F.size(parts) >= 2,
+                    F.sequence(
+                        F.lit(1),
+                        F.least(F.size(parts) - 1, F.lit(int(max_depth))),
+                    ),
+                ).otherwise(F.array().cast("array<int>")),
+                lambda i: F.array_join(F.slice(parts, 1, i + 1), "/"),
+            ),
+            lambda p: p != F.lit(""),
+        ),
+    )
+    ex = parsed.where(F.col("host") != "").select(
+        F.col(id_col), F.col("host"), F.explode(prefixes).alias("prefix")
+    )
+    hits = ex.join(
+        F.broadcast(
+            rules.select(
+                "host", F.col("path_prefix").alias("prefix"), "action"
+            )
+        ),
+        ["host", "prefix"],
+    )
+    win = hits.groupBy(id_col).agg(
+        F.max_by(
+            F.struct(F.col("prefix").alias("prefix"), F.col("action").alias("action")),
+            F.struct(F.length("prefix"), F.col("prefix")),
+        ).alias("_w")
+    )
+    return parsed.join(win, id_col, "left").select(
+        *[F.col(c) for c in parsed.columns],
+        F.col("_w.prefix").alias("matched_prefix"),
+        F.coalesce(F.col("_w.action"), F.lit(default_action)).alias("action"),
+    )

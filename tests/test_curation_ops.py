@@ -603,3 +603,29 @@ def test_deterministic_shuffle_replay(spark):
     again = {r["doc_id"]: (r["shard"], r["pos_in_shard"])
              for r in deterministic_shuffle(docs, n_shards=4).collect()}
     assert again == out
+
+
+def test_unigram_surprisal_fixed_point(spark):
+    """Rare tokens score high, common tokens low; whole-bit surprisal
+    matches an independent python replay; zero-token docs are kept as
+    rows with NULL avg and keep=False."""
+    from document_quality_assessment_ocr_spark.operators.textstats import (
+        unigram_surprisal,
+    )
+
+    docs = [
+        (1, "common common common common common common common"),
+        (2, "common rare1 rare2"),
+        (3, "   "),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in unigram_surprisal(df).collect()}
+    # corpus: common×8, rare1×1, rare2×1 → N=10
+    # bits(common) = floor(log2(10//8)) = 0; bits(rare) = floor(log2(10)) = 3
+    assert out[1]["sum_bits"] == 0 and out[1]["n_tokens"] == 7
+    assert out[2]["sum_bits"] == 0 + 3 + 3 and out[2]["n_tokens"] == 3
+    assert out[2]["avg_bits"] == 6 / 3
+    assert out[3]["n_tokens"] == 0 and out[3]["avg_bits"] is None
+    assert not out[3]["keep"]
+    assert not out[1]["keep"]  # avg 0 below the lo band
+    assert not out[2]["keep"]  # avg 2.0 is below the [3, 9] band

@@ -66,3 +66,49 @@ def test_host_stats_counts_dups(spark):
     assert rows["a.com"]["n_urls"] == 2
     assert rows["a.com"]["n_dup_docs"] == 1
     assert rows["a.com"]["first_doc"] == 1
+
+
+def test_prefix_block_longest_match_wins(spark):
+    from document_quality_assessment_ocr_spark.operators.urls import prefix_block_join
+
+    urls = [
+        (1, "https://a.com/private/x/y"),   # /private deny
+        (2, "https://a.com/private/ok/z"),  # /private/ok allow (longer wins)
+        (3, "https://a.com/public"),        # '/' allow rule
+        (4, "https://b.com/anything"),      # no rule for host → default
+        (5, "nonsense"),                    # unparseable → default, no match
+    ]
+    df = parse_urls(spark.createDataFrame(urls, "doc_id long, url string"))
+    rules = spark.createDataFrame(
+        [
+            ("a.com", "/", "allow"),
+            ("a.com", "/private", "deny"),
+            ("a.com", "/private/ok", "allow"),
+        ],
+        "host string, path_prefix string, action string",
+    )
+    out = {r["doc_id"]: r for r in prefix_block_join(df, rules).collect()}
+    assert out[1]["action"] == "deny" and out[1]["matched_prefix"] == "/private"
+    assert out[2]["action"] == "allow" and out[2]["matched_prefix"] == "/private/ok"
+    assert out[3]["action"] == "allow" and out[3]["matched_prefix"] == "/"
+    assert out[4]["action"] == "allow" and out[4]["matched_prefix"] is None
+    assert out[5]["action"] == "allow" and out[5]["matched_prefix"] is None
+
+
+def test_prefix_block_depth_cap(spark):
+    from document_quality_assessment_ocr_spark.operators.urls import prefix_block_join
+
+    df = parse_urls(
+        spark.createDataFrame(
+            [(1, "https://a.com/1/2/3/4")], "doc_id long, url string"
+        )
+    )
+    rules = spark.createDataFrame(
+        [("a.com", "/1/2/3/4", "deny")],
+        "host string, path_prefix string, action string",
+    )
+    # depth cap below the rule's specificity → rule cannot match
+    capped = prefix_block_join(df, rules, max_depth=2).collect()[0]
+    assert capped["action"] == "allow"
+    full = prefix_block_join(df, rules, max_depth=8).collect()[0]
+    assert full["action"] == "deny"
