@@ -1234,6 +1234,22 @@ def _q_prefix_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_block_join(parse_urls(_synth_urls(d)), rules)
 
 
+def _q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan over a manifest derived from documents
+    (file_id=doc_id, size=n_chars, 4 KiB target groups). The oracle is the
+    naive global running-sum window — the spec the distributed two-level
+    prefix sum must reproduce exactly."""
+    from document_quality_assessment_ocr_spark.operators.compaction import (
+        plan_compaction,
+    )
+
+    m = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("file_id"),
+        F.col("n_chars").cast("long").alias("size_bytes"),
+    )
+    return plan_compaction(m, target_bytes=4096)
+
+
 def _q_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-surprisal (KenLM-lite) quality filter — fixed-point whole-bit
     surprisal keeps both engines bit-identical."""
@@ -1316,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_host_stats": _q_host_stats,
         "q67_surprisal": _q_surprisal,
         "q68_prefix_block": _q_prefix_block,
+        "q69_compaction_plan": _q_compaction,
         "q57_phash_dedup": _q_phash_dedup,
         # flagship extraction — full oracle via seeded score literals
         "q90_extract_full": _q_extract_full,
@@ -3238,6 +3255,21 @@ def oracle_sql() -> dict[str, str]:
         "q65_url_normalize": _url_sqls()[0],
         "q66_host_stats": _url_sqls()[1],
         "q68_prefix_block": _url_sqls()[2],
+        "q69_compaction_plan": """
+            WITH m AS (
+                SELECT CAST(doc_id AS BIGINT) AS file_id,
+                       CAST(n_chars AS BIGINT) AS size_bytes
+                FROM documents
+            )
+            SELECT file_id, size_bytes,
+                   CAST(COALESCE(SUM(size_bytes) OVER (ORDER BY file_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS start_byte,
+                   CAST(COALESCE(SUM(size_bytes) OVER (ORDER BY file_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        // 4096 AS BIGINT) AS group_id
+            FROM m
+        """,
         "q67_surprisal": f"""
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id,

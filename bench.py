@@ -235,6 +235,9 @@ def main() -> None:
         "q45_curation_v2",
         "q46_pq_topk",
         "q49_sequence_packing",
+        "q63_html_main",
+        "q64_cdc_upsert",
+        "q67_surprisal",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

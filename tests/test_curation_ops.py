@@ -629,3 +629,33 @@ def test_unigram_surprisal_fixed_point(spark):
     assert not out[3]["keep"]
     assert not out[1]["keep"]  # avg 0 below the lo band
     assert not out[2]["keep"]  # avg 2.0 is below the [3, 9] band
+
+
+def test_compaction_plan_bounds_and_summary(spark):
+    """Groups are contiguous in manifest order, each overshoots the target
+    by less than one file, and the summary rollup reconciles."""
+    from document_quality_assessment_ocr_spark.operators.compaction import (
+        compaction_summary,
+        plan_compaction,
+    )
+
+    rows = [(i, 100 + (i * 37) % 400) for i in range(200)]
+    m = spark.createDataFrame(rows, "file_id long, size_bytes long")
+    plan = plan_compaction(m, target_bytes=1000, n_buckets=8)
+    got = sorted(
+        (r["file_id"], r["start_byte"], r["group_id"]) for r in plan.collect()
+    )
+    # spec: naive running sum
+    acc, exp = 0, []
+    for fid, sz in rows:
+        exp.append((fid, acc, acc // 1000))
+        acc += sz
+    assert got == exp
+    summ = {r["group_id"]: r for r in compaction_summary(plan).collect()}
+    sizes = dict(rows)
+    for gid, r in summ.items():
+        # group total < target + its largest member (one-file overshoot)
+        members = [sz for fid, sz in rows if exp[fid][2] == gid]
+        assert r["n_files"] == len(members)
+        assert r["total_bytes"] == sum(members)
+        assert r["total_bytes"] < 1000 + max(members)
