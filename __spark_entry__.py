@@ -1234,6 +1234,27 @@ def _q_prefix_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_block_join(parse_urls(_synth_urls(d)), rules)
 
 
+def _q_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-graph construction: per-document outlinks (href + normalized
+    anchor text) from the synthesized HTML."""
+    from document_quality_assessment_ocr_spark.operators.html import extract_links
+
+    return extract_links(_synth_html(_doc(spark, sf_dir)))
+
+
+def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index: (token, df, doc_id, tf) postings — retrieval /
+    decontamination lookup structure, two co-partitioned aggregates."""
+    from document_quality_assessment_ocr_spark.operators.textstats import (
+        inverted_index,
+    )
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return inverted_index(d, min_df=2)
+
+
 def _q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction plan over a manifest derived from documents
     (file_id=doc_id, size=n_chars, 4 KiB target groups). The oracle is the
@@ -1333,6 +1354,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_surprisal": _q_surprisal,
         "q68_prefix_block": _q_prefix_block,
         "q69_compaction_plan": _q_compaction,
+        "q70_outlinks": _q_outlinks,
+        "q71_inverted_index": _q_inverted_index,
         "q57_phash_dedup": _q_phash_dedup,
         # flagship extraction — full oracle via seeded score literals
         "q90_extract_full": _q_extract_full,
@@ -2563,39 +2586,23 @@ def _top_terms_sql() -> str:
     """
 
 
-def _html_sqls() -> tuple[str, str]:
-    """DuckDB twins of operators/html — the SAME pattern constants feed both
-    engines (Java regex ∩ RE2 subset); the HTML synthesis expression is the
-    byte-identical twin of `_synth_html`."""
-    from document_quality_assessment_ocr_spark.operators.html import (
-        ANCHOR,
-        BLOCK_TAG,
-        COMMENT,
-        ENTITIES,
-        HEADSEC,
-        HEAD_OPEN,
-        MARKER_CLASS,
-        MAX_LINK_DENSITY,
-        MIN_GOOD_WORDS,
-        MIN_STOP_DENSITY,
-        SCRIPT,
-        STOPWORDS,
-        STYLE,
-        TAG,
-    )
+def _vis_sql(x: str) -> str:
+    """DuckDB twin of operators/html._visible_text (tag-strip →
+    entity-decode → whitespace-collapse → trim)."""
+    from document_quality_assessment_ocr_spark.operators.html import ENTITIES, TAG
 
-    def vis(x: str) -> str:
-        inner = f"REGEXP_REPLACE({x}, '{TAG}', ' ', 'g')"
-        for ent, rep in ENTITIES:
-            inner = f"REPLACE({inner}, '{ent}', '{rep.replace(chr(39), chr(39) * 2)}')"
-        return f"TRIM(REGEXP_REPLACE({inner}, '{WS}+', ' ', 'g'))"
+    inner = f"REGEXP_REPLACE({x}, '{TAG}', ' ', 'g')"
+    for ent, rep in ENTITIES:
+        inner = f"REPLACE({inner}, '{ent}', '{rep.replace(chr(39), chr(39) * 2)}')"
+    return f"TRIM(REGEXP_REPLACE({inner}, '{WS}+', ' ', 'g'))"
 
-    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
-    prefix = f"""
+
+# DuckDB twin of `_synth_html` — the `d AS (...)` CTE shared by q62/q63/q70
+_HTML_SYNTH_CTE = """
         WITH d AS (
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    '<html><head><title>Doc ' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR)
-                   || '</title><style>p{{margin:0}}</style><script>var x=1;</script></head><body>'
+                   || '</title><style>p{margin:0}</style><script>var x=1;</script></head><body>'
                    || '<div class="nav"><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></div>'
                    || '<h2>' || SUBSTR(COALESCE(text,''), 1, 30) || ' &amp; more</h2><p>'
                    || REPLACE(COALESCE(text,''), ' data ', '</p><p>') || '</p>'
@@ -2606,7 +2613,31 @@ def _html_sqls() -> tuple[str, str]:
                    || '<div class="footer">Copyright <a href="/p">Privacy</a> <a href="/t">Terms</a></div></body></html>'
                        AS html
             FROM documents
-        ), prep AS (
+        )"""
+
+
+def _html_sqls() -> tuple[str, str]:
+    """DuckDB twins of operators/html — the SAME pattern constants feed both
+    engines (Java regex ∩ RE2 subset); the HTML synthesis expression is the
+    byte-identical twin of `_synth_html`."""
+    from document_quality_assessment_ocr_spark.operators.html import (
+        ANCHOR,
+        BLOCK_TAG,
+        COMMENT,
+        HEADSEC,
+        HEAD_OPEN,
+        MARKER_CLASS,
+        MAX_LINK_DENSITY,
+        MIN_GOOD_WORDS,
+        MIN_STOP_DENSITY,
+        SCRIPT,
+        STOPWORDS,
+        STYLE,
+    )
+
+    vis = _vis_sql
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    prefix = _HTML_SYNTH_CTE + f""", prep AS (
             SELECT doc_id,
                    REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
                    REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
@@ -2823,6 +2854,26 @@ _BLOCK_RULES = [
     ("news.site.net", "/a", "deny"),
     ("cdn.example.org", "/assets", "deny"),
 ]
+
+
+def _outlinks_sql() -> str:
+    """DuckDB twin of operators/html.extract_links over the synthesized
+    HTML corpus (shared ANCHOR_HREF pattern + visible-text chain)."""
+    from document_quality_assessment_ocr_spark.operators.html import ANCHOR_HREF
+
+    g2 = f"REGEXP_EXTRACT(ms[CAST(i AS INT)], '{ANCHOR_HREF}', 2)"
+    return _HTML_SYNTH_CTE + f""", mt AS (
+            SELECT doc_id,
+                   REGEXP_EXTRACT_ALL(COALESCE(html,''), '{ANCHOR_HREF}') AS ms
+            FROM d
+        ), ex AS (
+            SELECT doc_id, ms, UNNEST(RANGE(1, LEN(ms) + 1)) AS i FROM mt
+        )
+        SELECT doc_id, CAST(i - 1 AS INT) AS link_idx,
+               REGEXP_EXTRACT(ms[CAST(i AS INT)], '{ANCHOR_HREF}', 1) AS href,
+               {_vis_sql(g2)} AS anchor_text
+        FROM ex
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3255,6 +3306,26 @@ def oracle_sql() -> dict[str, str]:
         "q65_url_normalize": _url_sqls()[0],
         "q66_host_stats": _url_sqls()[1],
         "q68_prefix_block": _url_sqls()[2],
+        "q70_outlinks": _outlinks_sql(),
+        "q71_inverted_index": f"""
+            WITH d AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(
+                           TRIM(LOWER(COALESCE(text,''))), '{WS}+'),
+                           x -> x <> '') AS a
+                FROM documents
+            ), tk AS (
+                SELECT doc_id, UNNEST(a) AS token FROM d
+            ), tf AS (
+                SELECT token, doc_id, COUNT(*) AS tf
+                FROM tk GROUP BY token, doc_id
+            ), dfx AS (
+                SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+            )
+            SELECT tf.token, dfx.df, tf.doc_id, tf.tf
+            FROM tf JOIN dfx USING (token)
+            WHERE dfx.df >= 2
+        """,
         "q69_compaction_plan": """
             WITH m AS (
                 SELECT CAST(doc_id AS BIGINT) AS file_id,

@@ -253,3 +253,38 @@ def extract_main_html(
             F.sum(F.when(~is_content, F.col("n_chars"))), F.lit(0)
         ).alias("boiler_chars"),
     )
+
+
+# href-carrying anchors; double-quoted hrefs only (the dominant form —
+# unquoted/single-quoted hrefs are skipped, not mis-parsed)
+ANCHOR_HREF = (
+    f'(?is)<a{WS_CLASS}[^>]*?href{WS_CLASS}*={WS_CLASS}*"([^"]*)"[^>]*>'
+    f"(.*?)</a{WS_CLASS}*>"
+)
+
+
+def extract_links(
+    docs: DataFrame, id_col: str = "doc_id", html_col: str = "html"
+) -> DataFrame:
+    """HTML → one row per outlink: (id, link_idx, href, anchor_text) —
+    the web-graph construction pass (compose with
+    ``operators/urls.parse_urls`` to canonicalize absolute hrefs, and
+    ``operators/graph.pagerank_fixed`` for link-based ranking).
+
+    Map-side only: one regexp_extract_all + posexplode; anchor text goes
+    through the same visible-text normalization as block text.
+    """
+    matches = F.regexp_extract_all(
+        F.coalesce(F.col(html_col), F.lit("")), F.lit(ANCHOR_HREF), F.lit(0)
+    )
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(matches).alias("link_idx", "m"),
+    ).select(
+        F.col(id_col),
+        F.col("link_idx").cast("int").alias("link_idx"),
+        F.regexp_extract(F.col("m"), ANCHOR_HREF, 1).alias("href"),
+        _visible_text(F.regexp_extract(F.col("m"), ANCHOR_HREF, 2)).alias(
+            "anchor_text"
+        ),
+    )

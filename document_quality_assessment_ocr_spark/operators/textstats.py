@@ -271,3 +271,32 @@ def unigram_surprisal(
             ).alias("keep"),
         )
     )
+
+
+def inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+) -> DataFrame:
+    """Positional-free inverted index: one row per (token, document)
+    posting with term frequency and the token's document frequency —
+    the retrieval/decontamination lookup structure.
+
+    Plan: explode → ONE hash aggregate on (token, doc) for tf; the df
+    aggregate groups on token and REUSES the posting aggregate's hash
+    partitioning (token leads the key), so the join back is
+    co-partitioned — two aggregates, no extra exchange for the join.
+
+    Output: (token, df, id_col, tf).
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("token")
+    )
+    tf = toks.groupBy("token", id_col).agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        tf.join(df_, "token")
+        .where(F.col("df") >= F.lit(int(min_df)))
+        .select("token", "df", F.col(id_col), "tf")
+    )

@@ -659,3 +659,23 @@ def test_compaction_plan_bounds_and_summary(spark):
         assert r["n_files"] == len(members)
         assert r["total_bytes"] == sum(members)
         assert r["total_bytes"] < 1000 + max(members)
+
+
+def test_inverted_index(spark):
+    from document_quality_assessment_ocr_spark.operators.textstats import (
+        inverted_index,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "b c c"), (3, "c")], "doc_id long, text string"
+    )
+    rows = {
+        (r["token"], r["doc_id"]): (r["tf"], r["df"])
+        for r in inverted_index(df).collect()
+    }
+    assert rows[("a", 1)] == (2, 1)
+    assert rows[("b", 1)] == (1, 2) and rows[("b", 2)] == (1, 2)
+    assert rows[("c", 3)] == (1, 3) and rows[("c", 2)] == (2, 3)
+    # min_df prunes singleton terms
+    pruned = inverted_index(df, min_df=2).collect()
+    assert all(r["token"] != "a" for r in pruned)

@@ -137,3 +137,21 @@ def test_plan_shape(spark):
         extract_main_html(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_extract_links(spark):
+    from document_quality_assessment_ocr_spark.operators.html import extract_links
+
+    html = (
+        '<p><a href="/a">First <b>link</b></a> then '
+        "<a href='/sq'>single-quoted skipped</a> and "
+        '<a class="x" href="https://b.com/c?q=1">Second &amp; last</a>'
+        " and <a>no href skipped</a></p>"
+    )
+    df = spark.createDataFrame([(1, html), (2, None)], "doc_id long, html string")
+    rows = extract_links(df).orderBy("link_idx").collect()
+    assert [(r["href"], r["anchor_text"]) for r in rows] == [
+        ("/a", "First link"),
+        ("https://b.com/c?q=1", "Second & last"),
+    ]
+    assert all(r["doc_id"] == 1 for r in rows)
