@@ -1100,6 +1100,13 @@ def _synth_html(d: DataFrame) -> DataFrame:
         F.replace(t, F.lit(" data "), F.lit("</p><p>")),
         F.lit("</p>"),
         promo,
+        F.lit('<p>See <a href="http://Ref'),
+        (F.col("doc_id") % 3 + 1).cast("string"),
+        F.lit(".example.net/r/"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit('/">ref '),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit("</a></p>"),
         F.lit('<div class="footer">Copyright <a href="/p">Privacy</a> <a href="/t">Terms</a></div></body></html>'),
     )
     return d.select(F.col("doc_id").cast("long").alias("doc_id"), html.alias("html"))
@@ -1255,6 +1262,25 @@ def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(d, min_df=2)
 
 
+def _q_link_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph composite: extract_links ∘ parse_urls → per-target-host
+    rollup (relative hrefs parse to empty host and fall out — only the
+    absolute cross-site references build graph edges)."""
+    from document_quality_assessment_ocr_spark.operators.html import extract_links
+    from document_quality_assessment_ocr_spark.operators.urls import parse_urls
+
+    links = extract_links(_synth_html(_doc(spark, sf_dir)))
+    parsed = parse_urls(links.select("doc_id", F.col("href").alias("url")))
+    return (
+        parsed.where(F.col("host") != "")
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
 def _q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction plan over a manifest derived from documents
     (file_id=doc_id, size=n_chars, 4 KiB target groups). The oracle is the
@@ -1356,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_compaction_plan": _q_compaction,
         "q70_outlinks": _q_outlinks,
         "q71_inverted_index": _q_inverted_index,
+        "q72_link_hosts": _q_link_hosts,
         "q57_phash_dedup": _q_phash_dedup,
         # flagship extraction — full oracle via seeded score literals
         "q90_extract_full": _q_extract_full,
@@ -2610,6 +2637,12 @@ _HTML_SYNTH_CTE = """
                            THEN '<div><a href="/x">' || SUBSTR(COALESCE(text,''), 1, 40)
                                 || '</a></div>'
                            ELSE '' END
+                   || '<p>See <a href="http://Ref'
+                   || CAST(CAST(doc_id AS BIGINT) % 3 + 1 AS VARCHAR)
+                   || '.example.net/r/'
+                   || CAST(CAST(doc_id AS BIGINT) % 20 AS VARCHAR)
+                   || '/">ref ' || CAST(CAST(doc_id AS BIGINT) % 20 AS VARCHAR)
+                   || '</a></p>'
                    || '<div class="footer">Copyright <a href="/p">Privacy</a> <a href="/t">Terms</a></div></body></html>'
                        AS html
             FROM documents
@@ -2734,9 +2767,10 @@ def _html_sqls() -> tuple[str, str]:
     return blocks, main
 
 
-def _url_sqls() -> tuple[str, str]:
-    """DuckDB twins of operators/urls — shared pattern constants; URL
-    synthesis is the byte-identical twin of `_synth_urls`."""
+def _url_parse_ctes(src: str) -> str:
+    """DuckDB twin of operators/urls.parse_urls as a reusable CTE chain
+    over ``src(doc_id, url)``, ending at ``parsed`` — shared pattern
+    constants, used by q65/q66/q68 and the q72 link-graph composite."""
     from document_quality_assessment_ocr_spark.operators.urls import (
         QUERY_PART,
         TRACKING_PARAM,
@@ -2745,6 +2779,43 @@ def _url_sqls() -> tuple[str, str]:
         WWW_PREFIX,
     )
 
+    return f"""p0 AS (
+            SELECT doc_id, url,
+                   REGEXP_EXTRACT(LOWER(url), '{URL_PARTS}', 1) AS scheme,
+                   REGEXP_REPLACE(REGEXP_EXTRACT(LOWER(url), '{URL_PARTS}', 2),
+                                  '{WWW_PREFIX}', '') AS h0,
+                   REGEXP_REPLACE(REGEXP_EXTRACT(LOWER(url), '{URL_PARTS}', 3),
+                                  '{TRAILING_SLASH}', '') AS path0,
+                   COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(
+                       STR_SPLIT(REGEXP_EXTRACT(LOWER(url), '{QUERY_PART}', 1),
+                                 '&'),
+                       q -> q <> '' AND NOT REGEXP_MATCHES(q, '{TRACKING_PARAM}')
+                   )), '&'), '') AS query_clean
+            FROM {src}
+        ), p AS (
+            SELECT doc_id, url, scheme,
+                   CASE WHEN scheme = 'http' AND h0 LIKE '%:80'
+                        THEN SUBSTR(h0, 1, LENGTH(h0) - 3)
+                        WHEN scheme = 'https' AND h0 LIKE '%:443'
+                        THEN SUBSTR(h0, 1, LENGTH(h0) - 4)
+                        ELSE h0 END AS host,
+                   CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+                   query_clean
+            FROM p0
+        ), parsed AS (
+            SELECT doc_id, url, scheme, host, path, query_clean,
+                   CASE WHEN scheme = '' THEN NULL
+                        ELSE scheme || '://' || host || path
+                             || CASE WHEN query_clean = '' THEN ''
+                                     ELSE '?' || query_clean END
+                   END AS url_norm
+            FROM p
+        )"""
+
+
+def _url_sqls() -> tuple[str, str, str]:
+    """DuckDB twins of operators/urls — shared pattern constants; URL
+    synthesis is the byte-identical twin of `_synth_urls`."""
     prefix = f"""
         WITH d AS (
             SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source
@@ -2765,38 +2836,7 @@ def _url_sqls() -> tuple[str, str]:
                           || '?fbclid=xyz' || CAST(doc_id AS VARCHAR)
                    END AS url
             FROM d
-        ), p0 AS (
-            SELECT doc_id, url,
-                   REGEXP_EXTRACT(LOWER(url), '{URL_PARTS}', 1) AS scheme,
-                   REGEXP_REPLACE(REGEXP_EXTRACT(LOWER(url), '{URL_PARTS}', 2),
-                                  '{WWW_PREFIX}', '') AS h0,
-                   REGEXP_REPLACE(REGEXP_EXTRACT(LOWER(url), '{URL_PARTS}', 3),
-                                  '{TRAILING_SLASH}', '') AS path0,
-                   COALESCE(ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(
-                       STR_SPLIT(REGEXP_EXTRACT(LOWER(url), '{QUERY_PART}', 1),
-                                 '&'),
-                       q -> q <> '' AND NOT REGEXP_MATCHES(q, '{TRACKING_PARAM}')
-                   )), '&'), '') AS query_clean
-            FROM u
-        ), p AS (
-            SELECT doc_id, url, scheme,
-                   CASE WHEN scheme = 'http' AND h0 LIKE '%:80'
-                        THEN SUBSTR(h0, 1, LENGTH(h0) - 3)
-                        WHEN scheme = 'https' AND h0 LIKE '%:443'
-                        THEN SUBSTR(h0, 1, LENGTH(h0) - 4)
-                        ELSE h0 END AS host,
-                   CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
-                   query_clean
-            FROM p0
-        ), parsed AS (
-            SELECT doc_id, url, scheme, host, path, query_clean,
-                   CASE WHEN scheme = '' THEN NULL
-                        ELSE scheme || '://' || host || path
-                             || CASE WHEN query_clean = '' THEN ''
-                                     ELSE '?' || query_clean END
-                   END AS url_norm
-            FROM p
-        )
+        ), {_url_parse_ctes('u')}
     """
     parse = prefix + """
         SELECT doc_id, url, scheme, host, path, query_clean, url_norm
@@ -2873,6 +2913,28 @@ def _outlinks_sql() -> str:
                REGEXP_EXTRACT(ms[CAST(i AS INT)], '{ANCHOR_HREF}', 1) AS href,
                {_vis_sql(g2)} AS anchor_text
         FROM ex
+    """
+
+
+def _link_hosts_sql() -> str:
+    """DuckDB twin of the q72 composite: synthesized HTML → outlinks →
+    URL parse → host rollup (reuses the shared synth CTE, ANCHOR_HREF
+    pattern and the parse CTE chain)."""
+    from document_quality_assessment_ocr_spark.operators.html import ANCHOR_HREF
+
+    return _HTML_SYNTH_CTE + f""", mt AS (
+            SELECT doc_id,
+                   REGEXP_EXTRACT_ALL(COALESCE(html,''), '{ANCHOR_HREF}') AS ms
+            FROM d
+        ), ex AS (
+            SELECT doc_id, ms, UNNEST(RANGE(1, LEN(ms) + 1)) AS i FROM mt
+        ), lk AS (
+            SELECT doc_id,
+                   REGEXP_EXTRACT(ms[CAST(i AS INT)], '{ANCHOR_HREF}', 1) AS url
+            FROM ex
+        ), {_url_parse_ctes('lk')}
+        SELECT host, COUNT(*) AS n_links, COUNT(DISTINCT doc_id) AS n_docs
+        FROM parsed WHERE host <> '' GROUP BY host
     """
 
 
@@ -3307,6 +3369,7 @@ def oracle_sql() -> dict[str, str]:
         "q66_host_stats": _url_sqls()[1],
         "q68_prefix_block": _url_sqls()[2],
         "q70_outlinks": _outlinks_sql(),
+        "q72_link_hosts": _link_hosts_sql(),
         "q71_inverted_index": f"""
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id,
