@@ -1262,6 +1262,19 @@ def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(d, min_df=2)
 
 
+def _q_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr cross-document dedup (Lee et al. 2022) at an 8-token
+    window (the soup corpus's duplication grain)."""
+    from document_quality_assessment_ocr_spark.operators.dedup import (
+        exact_substring_dedup,
+    )
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return exact_substring_dedup(d, window=8)
+
+
 def _q_link_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-graph composite: extract_links ∘ parse_urls → per-target-host
     rollup (relative hrefs parse to empty host and fall out — only the
@@ -1383,6 +1396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_outlinks": _q_outlinks,
         "q71_inverted_index": _q_inverted_index,
         "q72_link_hosts": _q_link_hosts,
+        "q73_exact_substring": _q_exact_substring,
         "q57_phash_dedup": _q_phash_dedup,
         # flagship extraction — full oracle via seeded score literals
         "q90_extract_full": _q_extract_full,
@@ -3370,6 +3384,45 @@ def oracle_sql() -> dict[str, str]:
         "q68_prefix_block": _url_sqls()[2],
         "q70_outlinks": _outlinks_sql(),
         "q72_link_hosts": _link_hosts_sql(),
+        "q73_exact_substring": f"""
+            WITH d AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(
+                           TRIM(LOWER(COALESCE(text,''))), '{WS}+'),
+                           x -> x <> '') AS a
+                FROM documents
+            ), t AS (
+                SELECT doc_id, a, CAST(LEN(a) AS BIGINT) AS n FROM d
+            ), wi AS (
+                SELECT doc_id, i AS s,
+                       MD5(ARRAY_TO_STRING(LIST_SLICE(a, CAST(i AS INT) + 1,
+                           CAST(i AS INT) + 8), ' ')) AS h
+                FROM (SELECT doc_id, a,
+                             UNNEST(RANGE(0, GREATEST(n - 8 + 1, 0))) AS i
+                      FROM t)
+            ), dup AS (
+                SELECT h FROM wi GROUP BY h HAVING COUNT(*) > 1
+            ), ds AS (
+                SELECT doc_id, LIST_SORT(LIST(s)) AS dws
+                FROM wi JOIN dup USING (h) GROUP BY doc_id
+            ), j AS (
+                SELECT t.doc_id, a, n,
+                       COALESCE(ds.dws, []::BIGINT[]) AS dws
+                FROM t LEFT JOIN ds USING (doc_id)
+            ), k AS (
+                SELECT doc_id, n, CAST(LEN(dws) AS BIGINT) AS n_dup_windows,
+                       LIST_FILTER(LIST_TRANSFORM(RANGE(0, n),
+                           i -> CASE WHEN LEN(LIST_FILTER(dws,
+                                s -> s <= i AND i < s + 8)) = 0
+                                THEN a[CAST(i AS INT) + 1] END),
+                           x -> x IS NOT NULL) AS kept
+                FROM j
+            )
+            SELECT doc_id, n AS n_tokens, n_dup_windows,
+                   n - CAST(LEN(kept) AS BIGINT) AS n_removed,
+                   COALESCE(ARRAY_TO_STRING(kept, ' '), '') AS clean_text
+            FROM k
+        """,
         "q71_inverted_index": f"""
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -445,3 +445,75 @@ def dedup_keep_best(
             "n_members",
         )
     )
+
+
+def exact_substring_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 50,
+) -> DataFrame:
+    """Cross-document exact-substring removal (the ExactSubstr recipe of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", re-expressed relationally): every ``window``-token span that
+    occurs more than once ANYWHERE in the corpus is removed from every
+    document containing it; the surviving tokens reassemble in order.
+
+    Suffix arrays don't distribute; the relational equivalent does:
+
+    1. map-side: slide a ``window``-token hash over each document
+       (md5 of the space-joined span — engine-portable);
+    2. ONE hash aggregate finds globally duplicated window hashes
+       (map-side combine shrinks the shuffle to distinct hashes);
+    3. duplicated (doc, start) positions collect back per document —
+       reusing the doc-keyed partitioning — and coverage + reassembly
+       are array-local Column expressions (per-doc bounded, no UDF).
+
+    Documents shorter than ``window`` tokens are never touched. Output:
+    (id_col, n_tokens, n_dup_windows, n_removed, clean_text).
+    """
+    w = int(window)
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), WS_CLASS + "+"),
+        lambda x: x != F.lit(""),
+    )
+    base = docs.select(F.col(id_col), toks.alias("a")).withColumn(
+        "n", F.size("a").cast("long")
+    )
+    starts = F.when(
+        F.col("n") >= w, F.sequence(F.lit(0).cast("long"), F.col("n") - w)
+    ).otherwise(F.array().cast("array<long>"))
+    wins = base.select(
+        F.col(id_col),
+        F.explode(starts).alias("s"),
+        F.col("a"),
+    ).select(
+        F.col(id_col),
+        "s",
+        F.md5(
+            F.array_join(F.slice("a", F.col("s").cast("int") + 1, w), " ")
+        ).alias("h"),
+    )
+    dup = wins.groupBy("h").agg(F.count(F.lit(1)).alias("c")).where(F.col("c") > 1)
+    doc_starts = (
+        wins.join(dup.select("h"), "h")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("s")).alias("dws"))
+    )
+    j = base.join(doc_starts, id_col, "left").withColumn(
+        "dws", F.coalesce(F.col("dws"), F.array().cast("array<long>"))
+    )
+    covered = lambda i: F.exists(
+        "dws", lambda s: (s <= i) & (i < s + F.lit(w))
+    )
+    kept = F.filter(
+        F.transform("a", lambda x, i: F.when(~covered(i.cast("long")), x)),
+        lambda x: x.isNotNull(),
+    )
+    return j.select(
+        F.col(id_col),
+        F.col("n").alias("n_tokens"),
+        F.size("dws").cast("long").alias("n_dup_windows"),
+        (F.col("n") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )

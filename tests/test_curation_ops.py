@@ -679,3 +679,44 @@ def test_inverted_index(spark):
     # min_df prunes singleton terms
     pruned = inverted_index(df, min_df=2).collect()
     assert all(r["token"] != "a" for r in pruned)
+
+
+def test_exact_substring_dedup(spark):
+    """Cross-document duplicated windows are removed everywhere they occur;
+    unique text and short documents survive untouched."""
+    from document_quality_assessment_ocr_spark.operators.dedup import (
+        exact_substring_dedup,
+    )
+
+    shared = "w1 w2 w3 w4"  # duplicated 4-token run across docs 1 and 2
+    docs = [
+        (1, f"alpha beta {shared} gamma"),
+        (2, f"{shared} delta epsilon zeta"),
+        (3, "alpha beta gamma delta"),  # unique → untouched
+        (4, "tiny doc"),                # shorter than window → untouched
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in exact_substring_dedup(df, window=4).collect()}
+    assert out[1]["clean_text"] == "alpha beta gamma"
+    assert out[1]["n_removed"] == 4 and out[1]["n_dup_windows"] == 1
+    assert out[2]["clean_text"] == "delta epsilon zeta"
+    assert out[3]["clean_text"] == "alpha beta gamma delta"
+    assert out[3]["n_removed"] == 0
+    assert out[4]["clean_text"] == "tiny doc" and out[4]["n_dup_windows"] == 0
+
+
+def test_exact_substring_overlapping_windows_merge(spark):
+    """Two overlapping duplicated windows cover their union, not 2×window
+    tokens."""
+    from document_quality_assessment_ocr_spark.operators.dedup import (
+        exact_substring_dedup,
+    )
+
+    run = "a b c d e"  # 5 tokens → two overlapping 4-token dup windows
+    df = spark.createDataFrame(
+        [(1, f"x {run} y"), (2, f"p q {run}")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in exact_substring_dedup(df, window=4).collect()}
+    assert out[1]["clean_text"] == "x y"
+    assert out[1]["n_removed"] == 5 and out[1]["n_dup_windows"] == 2
+    assert out[2]["clean_text"] == "p q"
