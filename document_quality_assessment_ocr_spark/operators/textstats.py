@@ -283,10 +283,11 @@ def inverted_index(
     posting with term frequency and the token's document frequency —
     the retrieval/decontamination lookup structure.
 
-    Plan: explode → ONE hash aggregate on (token, doc) for tf; the df
-    aggregate groups on token and REUSES the posting aggregate's hash
-    partitioning (token leads the key), so the join back is
-    co-partitioned — two aggregates, no extra exchange for the join.
+    Plan: explode → hash aggregate on (token, doc) for tf → token-keyed
+    df aggregate over the (already shrunk) posting rows → equi-join back.
+    Three exchanges, each over data no bigger than the postings (df rows
+    ≤ distinct tokens — zipf-bounded); at broadcastable df sizes AQE
+    turns the join into a broadcast.
 
     Output: (token, df, id_col, tf).
     """
