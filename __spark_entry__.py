@@ -1262,6 +1262,21 @@ def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(d, min_df=2)
 
 
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE-merge training: 8 rounds over the word-type table.
+    Oracle recomputes the identical merge table in pure python
+    (operators/bpe.bpe_python — shared tie-breaks) as VALUES literals."""
+    from document_quality_assessment_ocr_spark.operators.bpe import (
+        train_bpe,
+        word_counts,
+    )
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return train_bpe(spark, word_counts(d), n_merges=8)
+
+
 def _q_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr cross-document dedup (Lee et al. 2022) at an 8-token
     window (the soup corpus's duplication grain)."""
@@ -1397,6 +1412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_inverted_index": _q_inverted_index,
         "q72_link_hosts": _q_link_hosts,
         "q73_exact_substring": _q_exact_substring,
+        "q74_bpe_merges": _q_bpe_merges,
         "q57_phash_dedup": _q_phash_dedup,
         # flagship extraction — full oracle via seeded score literals
         "q90_extract_full": _q_extract_full,
@@ -2930,6 +2946,50 @@ def _outlinks_sql() -> str:
     """
 
 
+def _bpe_sql(sf_dir: str | None = None, n_merges: int = 8) -> str:
+    """BPE-merge oracle (oracle-literal technique): the pure-python twin
+    trainer (operators/bpe.bpe_python — the SAME function the unit tests
+    compare the engine against) runs on word counts read from the parquet,
+    and its merge table embeds as VALUES."""
+    import os
+
+    import duckdb
+
+    from document_quality_assessment_ocr_spark.operators.bpe import bpe_python
+
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    wc = dict(
+        con.execute(
+            f"""
+            SELECT w, COUNT(*) FROM (
+                SELECT UNNEST(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(
+                    TRIM(LOWER(COALESCE(text,''))), '{WS}+'), x -> x <> '')) AS w
+                FROM '{sf_dir}/documents.parquet'
+            ) GROUP BY w
+            """
+        ).fetchall()
+    )
+    con.close()
+    merges = bpe_python(wc, n_merges)
+    if not merges:
+        return (
+            'SELECT CAST(NULL AS INT) AS step, CAST(NULL AS VARCHAR) AS "left",'
+            ' CAST(NULL AS VARCHAR) AS "right",'
+            " CAST(NULL AS BIGINT) AS pair_count WHERE FALSE"
+        )
+
+    def q(x: str) -> str:
+        return x.replace("'", "''")
+
+    rows = ", ".join(f"({s}, '{q(l)}', '{q(r)}', {c})" for s, l, r, c in merges)
+    return f"""
+        SELECT CAST(step AS INT) AS step, l AS "left", r AS "right",
+               CAST(pair_count AS BIGINT) AS pair_count
+        FROM (VALUES {rows}) AS t(step, l, r, pair_count)
+    """
+
+
 def _link_hosts_sql() -> str:
     """DuckDB twin of the q72 composite: synthesized HTML → outlinks →
     URL parse → host rollup (reuses the shared synth CTE, ANCHOR_HREF
@@ -3384,6 +3444,7 @@ def oracle_sql() -> dict[str, str]:
         "q68_prefix_block": _url_sqls()[2],
         "q70_outlinks": _outlinks_sql(),
         "q72_link_hosts": _link_hosts_sql(),
+        "q74_bpe_merges": _bpe_sql(),
         "q73_exact_substring": f"""
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id,

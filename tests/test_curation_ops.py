@@ -720,3 +720,44 @@ def test_exact_substring_overlapping_windows_merge(spark):
     assert out[1]["clean_text"] == "x y"
     assert out[1]["n_removed"] == 5 and out[1]["n_dup_windows"] == 2
     assert out[2]["clean_text"] == "p q"
+
+
+def test_bpe_trainer_matches_python_reference(spark):
+    """Distributed trainer reproduces the pure-python twin exactly —
+    same pair counts, argmax tie-breaks, and left-to-right merge
+    application across rounds (including a merged symbol re-merging in a
+    later round: lo+w after l+o)."""
+    from document_quality_assessment_ocr_spark.operators.bpe import (
+        bpe_python,
+        train_bpe,
+        word_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low lower lowest low low newer newest new"),
+            (2, "wider wide new lower low"),
+        ],
+        "doc_id long, text string",
+    )
+    wc = word_counts(docs)
+    wcd = {r["word"]: r["cnt"] for r in wc.collect()}
+    exp = bpe_python(wcd, 6)
+    got = [
+        (r["step"], r["left"], r["right"], r["pair_count"])
+        for r in train_bpe(spark, wc, 6).orderBy("step").collect()
+    ]
+    assert got == exp
+    assert got[0] == (0, "l", "o", 7) and got[1] == (1, "lo", "w", 7)
+
+
+def test_bpe_min_count_stops_early(spark):
+    from document_quality_assessment_ocr_spark.operators.bpe import (
+        train_bpe,
+        word_counts,
+    )
+
+    docs = spark.createDataFrame([(1, "ab ab cd")], "doc_id long, text string")
+    out = train_bpe(spark, word_counts(docs), n_merges=5, min_count=2).collect()
+    # only 'a b' (count 2) qualifies; 'c d' (count 1) is below min_count
+    assert [(r["left"], r["right"]) for r in out] == [("a", "b")]
