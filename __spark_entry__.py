@@ -1277,6 +1277,24 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_bpe(spark, word_counts(d), n_merges=8)
 
 
+def _q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-apply BPE composite: the engine trains 8 merges and
+    segments the corpus token stream with them (vocab segmented once,
+    broadcast-joined back). Oracle replays both stages in pure python and
+    joins a (word, seg_text) VALUES table to the SQL token stream."""
+    from document_quality_assessment_ocr_spark.operators.bpe import (
+        apply_bpe,
+        train_bpe,
+        word_counts,
+    )
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    mrows = train_bpe(spark, word_counts(d), n_merges=8).orderBy("step").collect()
+    return apply_bpe(d, [(r["left"], r["right"]) for r in mrows])
+
+
 def _q_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr cross-document dedup (Lee et al. 2022) at an 8-token
     window (the soup corpus's duplication grain)."""
@@ -1413,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_link_hosts": _q_link_hosts,
         "q73_exact_substring": _q_exact_substring,
         "q74_bpe_merges": _q_bpe_merges,
+        "q75_bpe_tokenize": _q_bpe_tokenize,
         "q57_phash_dedup": _q_phash_dedup,
         # flagship extraction — full oracle via seeded score literals
         "q90_extract_full": _q_extract_full,
@@ -2990,6 +3009,57 @@ def _bpe_sql(sf_dir: str | None = None, n_merges: int = 8) -> str:
     """
 
 
+def _bpe_tokenize_sql(sf_dir: str | None = None, n_merges: int = 8) -> str:
+    """q75 oracle: python twin trains the merges AND segments the (31-word)
+    vocabulary; the (word, seg_text) map embeds as VALUES and joins the
+    SQL token stream."""
+    import os
+
+    import duckdb
+
+    from document_quality_assessment_ocr_spark.operators.bpe import (
+        bpe_python,
+        segment_words,
+    )
+
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    wc = dict(
+        con.execute(
+            f"""
+            SELECT w, COUNT(*) FROM (
+                SELECT UNNEST(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(
+                    TRIM(LOWER(COALESCE(text,''))), '{WS}+'), x -> x <> '')) AS w
+                FROM '{sf_dir}/documents.parquet'
+            ) GROUP BY w
+            """
+        ).fetchall()
+    )
+    con.close()
+    merges = [(l, r) for _, l, r, _ in bpe_python(wc, n_merges)]
+    seg = segment_words(sorted(wc), merges)
+
+    def q(x: str) -> str:
+        return x.replace("'", "''")
+
+    rows = ", ".join(f"('{q(w)}', '{q(s)}')" for w, s in seg.items())
+    return f"""
+        WITH tk AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(
+                       TRIM(LOWER(COALESCE(text,''))), '{WS}+'),
+                       x -> x <> '') AS a
+            FROM documents
+        ), t AS (
+            SELECT doc_id, CAST(i AS INT) AS pos,
+                   a[CAST(i AS INT) + 1] AS word
+            FROM (SELECT doc_id, a, UNNEST(RANGE(0, LEN(a))) AS i FROM tk)
+        ), seg(word, seg_text) AS (VALUES {rows})
+        SELECT t.doc_id, t.pos, t.word, seg.seg_text
+        FROM t JOIN seg USING (word)
+    """
+
+
 def _link_hosts_sql() -> str:
     """DuckDB twin of the q72 composite: synthesized HTML → outlinks →
     URL parse → host rollup (reuses the shared synth CTE, ANCHOR_HREF
@@ -3445,6 +3515,7 @@ def oracle_sql() -> dict[str, str]:
         "q70_outlinks": _outlinks_sql(),
         "q72_link_hosts": _link_hosts_sql(),
         "q74_bpe_merges": _bpe_sql(),
+        "q75_bpe_tokenize": _bpe_tokenize_sql(),
         "q73_exact_substring": f"""
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id,

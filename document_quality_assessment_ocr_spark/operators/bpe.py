@@ -179,3 +179,63 @@ def bpe_python(wc: dict[str, int], n_merges: int = 8, min_count: int = 2):
                 out.append(pend)
             syms[w] = out
     return merges
+
+
+def segment_words(words, merges):
+    """Pure-python segmentation of each word under an ordered merge list —
+    the twin of `apply_bpe`'s fold chain (oracle generator + tests)."""
+    out = {}
+    for w in words:
+        s = list(w)
+        for l, r in merges:
+            merged, res, pend = l + r, [], None
+            for ch in s:
+                if pend is None:
+                    pend = ch
+                elif pend == l and ch == r:
+                    res.append(merged)
+                    pend = None
+                else:
+                    res.append(pend)
+                    pend = ch
+            if pend is not None:
+                res.append(pend)
+            s = res
+        out[w] = " ".join(s)
+    return out
+
+
+def apply_bpe(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize the corpus with a trained merge list: the VOCABULARY is
+    segmented once (distinct words → K chained array folds) and the
+    result broadcast-joins back to the positional token stream — the
+    corpus never pays per-token segmentation, only the zipf-bounded
+    word-type table does.
+
+    ``merges`` is the ordered (left, right) list (bounded — collect it
+    from ``train_bpe``'s output). Output: (id_col, pos, word, seg_text)
+    with ``seg_text`` the space-joined subword segments.
+    """
+    toks_arr = F.filter(
+        F.split(
+            F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), WS_CLASS + "+"
+        ),
+        lambda x: x != F.lit(""),
+    )
+    toks = docs.select(
+        F.col(id_col), F.posexplode(toks_arr).alias("pos", "word")
+    ).select(F.col(id_col), F.col("pos").cast("int").alias("pos"), "word")
+    syms = _chars(F.col("word"))
+    for l, r in merges:
+        syms = _apply_merge(syms, l, r)
+    seg = toks.select("word").distinct().select(
+        "word", F.array_join(syms, " ").alias("seg_text")
+    )
+    return toks.join(F.broadcast(seg), "word").select(
+        id_col, "pos", "word", "seg_text"
+    )

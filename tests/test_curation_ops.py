@@ -761,3 +761,27 @@ def test_bpe_min_count_stops_early(spark):
     out = train_bpe(spark, word_counts(docs), n_merges=5, min_count=2).collect()
     # only 'a b' (count 2) qualifies; 'c d' (count 1) is below min_count
     assert [(r["left"], r["right"]) for r in out] == [("a", "b")]
+
+
+def test_apply_bpe_matches_python_segmentation(spark):
+    from document_quality_assessment_ocr_spark.operators.bpe import (
+        apply_bpe,
+        bpe_python,
+        segment_words,
+        train_bpe,
+        word_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low lower low lowest"), (2, "newer new lower")],
+        "doc_id long, text string",
+    )
+    wc = word_counts(docs)
+    wcd = {r["word"]: r["cnt"] for r in wc.collect()}
+    merges = [(l, r) for _, l, r, _ in bpe_python(wcd, 5)]
+    seg = segment_words(wcd, merges)
+    out = apply_bpe(docs, merges).collect()
+    assert len(out) == 7  # one row per token position
+    for r in out:
+        assert r["seg_text"] == seg[r["word"]]
+        assert r["seg_text"].replace(" ", "") == r["word"]  # lossless
