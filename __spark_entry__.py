@@ -1262,6 +1262,34 @@ def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(d, min_df=2)
 
 
+def _q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-banded visual near-dup pairs over REAL perceptual hashes of
+    the payload catalog AND its 128-px thumbnails (same imagery, different
+    bytes/resolution — the genuine near-dup case: original↔thumbnail lands
+    at hamming 4–6 for several pages). 8×8-bit band LSH → per-nibble
+    popcount verify; recall is exact for hamming ≤ 7 < n_bands."""
+    from document_quality_assessment_ocr_spark.operators.multimodal import (
+        image_ahash,
+        image_thumbnails,
+        phash_near_dup_pairs,
+    )
+    from document_quality_assessment_ocr_spark.sources.derive import payloads_df
+
+    pay = payloads_df(spark)
+    orig = image_ahash(pay)
+    thumb = image_ahash(
+        image_thumbnails(pay)
+        .where(F.col("thumb_png").isNotNull())
+        .select(
+            F.concat(F.col("media_ref"), F.lit(":t")).alias("media_ref"),
+            F.col("thumb_png").alias("png"),
+        )
+    )
+    return phash_near_dup_pairs(
+        orig.unionByName(thumb), max_hamming=7, n_bands=8
+    )
+
+
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE-merge training: 8 rounds over the word-type table.
     Oracle recomputes the identical merge table in pure python
@@ -1432,6 +1460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_exact_substring": _q_exact_substring,
         "q74_bpe_merges": _q_bpe_merges,
         "q75_bpe_tokenize": _q_bpe_tokenize,
+        "q76_phash_near_dup": _q_phash_near_dup,
         "q57_phash_dedup": _q_phash_dedup,
         # flagship extraction — full oracle via seeded score literals
         "q90_extract_full": _q_extract_full,
@@ -2375,6 +2404,57 @@ def _phash_sql() -> str:
         )
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.phash
         FROM dp a JOIN dp b ON a.phash = b.phash AND a.doc_id < b.doc_id
+    """
+
+
+def _phash_near_dup_sql(max_hamming: int = 7, n_bands: int = 8) -> str:
+    """q76 oracle: aHash literals for the catalog AND its thumbnails
+    (computed by the same decode→thumbnail_fit→ahash chain the engine's
+    mapInPandas runs — q57 technique) + the SAME banded-candidate +
+    per-nibble-popcount arithmetic in SQL."""
+    from document_quality_assessment_ocr_spark import kernels as _kernels
+    from document_quality_assessment_ocr_spark import png as _png
+    from document_quality_assessment_ocr_spark.operators.multimodal import ahash_hex
+    from document_quality_assessment_ocr_spark.sources.fixtures import (
+        build_payloads,
+        payload_names,
+    )
+
+    pl = build_payloads(seed=42, size=(800, 1000))
+    vals = []
+    for n in sorted(payload_names()):
+        try:
+            arr, _ = _png.decode_gray(bytes(pl[n]["png"]))
+            vals.append(f"('{n}', '{ahash_hex(arr)}')")
+            th = _kernels.thumbnail_fit(arr, 128)
+            vals.append(f"('{n}:t', '{ahash_hex(th)}')")
+        except Exception:
+            pass
+    width = 16 // n_bands
+    nib_x = (
+        "BIT_COUNT(XOR(CAST(('0x' || SUBSTR(ha, CAST(i AS INT), 1)) AS BIGINT),"
+        " CAST(('0x' || SUBSTR(hb, CAST(i AS INT), 1)) AS BIGINT)))"
+    )
+    return f"""
+        WITH ph(media_ref, phash) AS (VALUES {", ".join(vals)}),
+        bands AS (
+            SELECT media_ref AS ref, phash AS h, k AS band,
+                   SUBSTR(phash, 1 + CAST(k AS INT) * {width}, {width}) AS bv
+            FROM (SELECT media_ref, phash, UNNEST(RANGE(0, {n_bands})) AS k
+                  FROM ph)
+        ), cand AS (
+            SELECT DISTINCT a.ref AS ref_a, b.ref AS ref_b,
+                   a.h AS ha, b.h AS hb
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bv = b.bv AND a.ref < b.ref
+        ), scored AS (
+            SELECT ref_a, ref_b,
+                   CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, 17),
+                        i -> {nib_x})) AS BIGINT) AS hamming
+            FROM cand
+        )
+        SELECT ref_a, ref_b, hamming FROM scored
+        WHERE hamming <= {max_hamming}
     """
 
 
@@ -3516,6 +3596,7 @@ def oracle_sql() -> dict[str, str]:
         "q72_link_hosts": _link_hosts_sql(),
         "q74_bpe_merges": _bpe_sql(),
         "q75_bpe_tokenize": _bpe_tokenize_sql(),
+        "q76_phash_near_dup": _phash_near_dup_sql(),
         "q73_exact_substring": f"""
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -253,3 +253,76 @@ def video_frame_sample(
             yield pd.DataFrame(rows, columns=names)
 
     return payloads.select("media_ref", "png").mapInPandas(gen, VIDEO_FRAME_SCHEMA)
+
+
+def phash_near_dup_pairs(
+    hashes: DataFrame,
+    ref_col: str = "media_ref",
+    hash_col: str = "phash",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-identical imagery: banded Hamming LSH over the 16-hex-char
+    (64-bit) perceptual hashes from ``image_ahash``.
+
+    Pigeonhole guarantee: a pair within Hamming distance d < ``n_bands``
+    differs in fewer bits than there are bands, so at least one band is
+    bit-identical — candidates come from an EQUI-join on
+    (band_idx, band_value), never an all-pairs scan, with recall exactly 1
+    for ``max_hamming < n_bands`` (raise ``n_bands`` to widen the exact
+    regime; beyond it this is the standard LSH recall trade).
+
+    The exact Hamming verify is per-nibble popcount (16 hex digits →
+    ``bit_count(xor(...))`` fold) — integer-only, cross-engine exact,
+    never a 64-bit signed parse of the full hash (the q57 2^53 lesson).
+
+    Output: (ref_a, ref_b, hamming).
+    """
+    assert 16 % int(n_bands) == 0, "n_bands must divide 16 hex chars"
+    width = 16 // int(n_bands)
+    h = hashes.where(F.col(hash_col).isNotNull()).select(
+        F.col(ref_col).alias("ref"), F.col(hash_col).alias("h")
+    )
+    bands = h.select(
+        "ref",
+        "h",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("h", 1 + k * width, width)
+                    for k in range(int(n_bands))
+                ]
+            )
+        ).alias("band", "bv"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.ref") < F.col("b.ref")),
+        )
+        .select(
+            F.col("a.ref").alias("ref_a"),
+            F.col("b.ref").alias("ref_b"),
+            F.col("a.h").alias("ha"),
+            F.col("b.h").alias("hb"),
+        )
+        .distinct()
+    )
+
+    def nib(col: str, i):
+        return F.conv(F.substring(F.col(col), i, 1), 16, 10).cast("int")
+
+    ham = F.aggregate(
+        F.sequence(F.lit(1), F.lit(16)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.bit_count(nib("ha", i).bitwiseXOR(nib("hb", i))).cast("int"),
+    ).cast("long")
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= F.lit(int(max_hamming)))
+        .select("ref_a", "ref_b", "hamming")
+    )

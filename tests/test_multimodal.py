@@ -109,3 +109,29 @@ def test_sessionize_gaps_and_islands(spark):
     assert out[(1, 2)]["n_events"] == 1 and out[(1, 2)]["sum_value"] == 4.0
     dur = out[(1, 1)]["session_end_us"] - out[(1, 1)]["session_start_us"]
     assert dur == 20 * 60 * 1_000_000
+
+
+def test_phash_near_dup_pairs_banding(spark):
+    """Pairs within the threshold are found even when every differing bit
+    lands in a different band (pigeonhole recall guarantee); pairs beyond
+    the threshold are excluded; NULL hashes (decode errors) are inert."""
+    from document_quality_assessment_ocr_spark.operators.multimodal import (
+        phash_near_dup_pairs,
+    )
+
+    base = "0000000000000000"
+    # 3 bits flipped in 3 DIFFERENT 16-bit bands: 0x1 in chars 4, 8, 12
+    spread = "0001000100010000"
+    far = "ffffffffffffffff"
+    df = spark.createDataFrame(
+        [("a", base), ("b", spread), ("c", far), ("d", base), ("e", None)],
+        "media_ref string, phash string",
+    )
+    out = {
+        (r["ref_a"], r["ref_b"]): r["hamming"]
+        for r in phash_near_dup_pairs(df, max_hamming=3, n_bands=4).collect()
+    }
+    assert out[("a", "b")] == 3
+    assert out[("a", "d")] == 0
+    assert out[("b", "d")] == 3
+    assert len(out) == 3  # 'far' and NULL rows pair with nobody
