@@ -1262,6 +1262,23 @@ def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(d, min_df=2)
 
 
+_MIXTURE_WEIGHTS = {"en": 0.4, "de": 0.3, "fr": 0.2, "es": 0.05, "zh": 0.05}
+
+
+def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing pass: down-sample each language to target mixture
+    proportions (binding stratum kept whole). Oracle recomputes the
+    identical rates via the shared mixture_rates() python arithmetic."""
+    from document_quality_assessment_ocr_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang"
+    )
+    return mixture_sample(d, "lang", _MIXTURE_WEIGHTS)
+
+
 def _q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming-banded visual near-dup pairs over REAL perceptual hashes of
     the payload catalog AND its 128-px thumbnails (same imagery, different
@@ -1461,6 +1478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_bpe_merges": _q_bpe_merges,
         "q75_bpe_tokenize": _q_bpe_tokenize,
         "q76_phash_near_dup": _q_phash_near_dup,
+        "q77_mixture_sample": _q_mixture_sample,
         "q57_phash_dedup": _q_phash_dedup,
         # flagship extraction — full oracle via seeded score literals
         "q90_extract_full": _q_extract_full,
@@ -2407,6 +2425,40 @@ def _phash_sql() -> str:
     """
 
 
+def _mixture_sql(sf_dir: str | None = None) -> str:
+    """q77 oracle: per-stratum counts read from the parquet, rates via the
+    SAME mixture_rates() arithmetic the engine runs, embedded as repr
+    literals (exact double round-trip) over the md5-uniform predicate."""
+    import os
+
+    import duckdb
+
+    from document_quality_assessment_ocr_spark.operators.sampling import mixture_rates
+
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    counts = dict(
+        con.execute(
+            f"SELECT lang, COUNT(*) FROM '{sf_dir}/documents.parquet' "
+            "WHERE lang IS NOT NULL GROUP BY lang"
+        ).fetchall()
+    )
+    con.close()
+    rates = mixture_rates(counts, _MIXTURE_WEIGHTS)
+    case = " ".join(
+        f"WHEN '{s}' THEN {rates[s]!r}" for s in sorted(rates)
+    )
+    return f"""
+        WITH d AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+                   {_md5_uniform_sql('CAST(doc_id AS BIGINT)')} AS sample_u
+            FROM documents
+        )
+        SELECT doc_id, lang, sample_u FROM d
+        WHERE sample_u < CASE lang {case} ELSE 0.0 END
+    """
+
+
 def _phash_near_dup_sql(max_hamming: int = 7, n_bands: int = 8) -> str:
     """q76 oracle: aHash literals for the catalog AND its thumbnails
     (computed by the same decode→thumbnail_fit→ahash chain the engine's
@@ -3045,7 +3097,7 @@ def _outlinks_sql() -> str:
     """
 
 
-def _bpe_sql(sf_dir: str | None = None, n_merges: int = 8) -> str:
+def _bpe_merges_sql(sf_dir: str | None = None, n_merges: int = 8) -> str:
     """BPE-merge oracle (oracle-literal technique): the pure-python twin
     trainer (operators/bpe.bpe_python — the SAME function the unit tests
     compare the engine against) runs on word counts read from the parquet,
@@ -3594,9 +3646,10 @@ def oracle_sql() -> dict[str, str]:
         "q68_prefix_block": _url_sqls()[2],
         "q70_outlinks": _outlinks_sql(),
         "q72_link_hosts": _link_hosts_sql(),
-        "q74_bpe_merges": _bpe_sql(),
+        "q74_bpe_merges": _bpe_merges_sql(),
         "q75_bpe_tokenize": _bpe_tokenize_sql(),
         "q76_phash_near_dup": _phash_near_dup_sql(),
+        "q77_mixture_sample": _mixture_sql(),
         "q73_exact_substring": f"""
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -119,3 +119,48 @@ def per_group_cap(
         .select(group_col, F.col("it.id").alias(id_col), F.col("it.u").alias("sample_u"))
     )
     return kept
+
+
+def mixture_rates(counts: Dict[str, int], weights: Dict[str, float]) -> Dict[str, float]:
+    """Training-mixture arithmetic (pure python — shared by the engine's
+    driver step AND the oracle generator, the oracle-literal technique):
+    given actual per-stratum counts and target mixture weights, the
+    largest feasible corpus keeps the binding stratum whole and
+    down-samples the rest to the target proportions.
+
+    p_s = w_s / Σw over strata that exist with positive weight;
+    N* = min_s n_s / p_s; rate_s = p_s · N* / n_s (absent-or-zero-weight
+    strata get 0). Requested strata with no rows renormalize away —
+    a mixture cannot invent data."""
+    present = {s: w for s, w in weights.items() if counts.get(s, 0) > 0 and w > 0}
+    if not present:
+        return {s: 0.0 for s in counts}
+    tw = sum(present[s] for s in sorted(present))
+    p = {s: present[s] / tw for s in present}
+    nstar = min(counts[s] / p[s] for s in sorted(present))
+    return {
+        s: (p[s] * nstar / counts[s] if s in present else 0.0) for s in counts
+    }
+
+
+def mixture_sample(
+    df: DataFrame,
+    stratum_col: str,
+    weights: Dict[str, float],
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Down-sample the corpus to target mixture proportions (the data-mixing
+    pass before training): one per-stratum count aggregate (bounded by the
+    number of strata), driver-side rate arithmetic, then the deterministic
+    md5-uniform accept predicate — retry-stable, and the accept pass adds
+    no shuffle. Expected composition hits the targets; the binding stratum
+    is kept whole."""
+    counts = {
+        r[stratum_col]: int(r["n"])
+        for r in df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n")).collect()
+        if r[stratum_col] is not None
+    }
+    return stratified_sample(
+        df, stratum_col, mixture_rates(counts, weights), id_col, 0.0, salt
+    )

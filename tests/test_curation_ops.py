@@ -785,3 +785,36 @@ def test_apply_bpe_matches_python_segmentation(spark):
     for r in out:
         assert r["seg_text"] == seg[r["word"]]
         assert r["seg_text"].replace(" ", "") == r["word"]  # lossless
+
+
+def test_mixture_rates_arithmetic():
+    from document_quality_assessment_ocr_spark.operators.sampling import (
+        mixture_rates,
+    )
+
+    counts = {"en": 800, "de": 100, "fr": 100}
+    # target 50/25/25: de binds (100 / 0.25 = 400 total) → de keeps all,
+    # en keeps 200 of 800, fr keeps all 100
+    r = mixture_rates(counts, {"en": 0.5, "de": 0.25, "fr": 0.25})
+    assert abs(r["en"] - 0.25) < 1e-12
+    assert abs(r["de"] - 1.0) < 1e-12
+    assert abs(r["fr"] - 1.0) < 1e-12
+    # absent stratum renormalizes away; zero-weight stratum gets 0
+    r = mixture_rates({"en": 10, "zz": 10}, {"en": 1.0, "missing": 5.0})
+    assert r == {"en": 1.0, "zz": 0.0}
+    assert mixture_rates({"en": 5}, {}) == {"en": 0.0}
+
+
+def test_mixture_sample_composition(spark):
+    from document_quality_assessment_ocr_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    rows = [(i, "big" if i % 10 else "small") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = mixture_sample(df, "lang", {"big": 0.5, "small": 0.5})
+    got = {r["lang"]: r["cnt"] for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    # small (200 rows) binds and is kept whole; big targets ~200 of 1800
+    assert got["small"] == 200
+    assert 150 < got["big"] < 250
