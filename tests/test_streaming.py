@@ -90,3 +90,48 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         .collect()
     }
     assert set(fps) == batch_fps
+
+
+@pytest.mark.slow
+def test_streaming_cdc_matches_batch_merge(spark, tmp_path):
+    """Micro-batched changelog application equals one batch MERGE of the
+    seq-ordered union; versions are immutable time-travel points."""
+    from document_quality_assessment_ocr_spark.operators.cdc import apply_changes
+    from document_quality_assessment_ocr_spark.streaming.cdc import (
+        current_snapshot,
+        read_snapshot_version,
+        stream_apply_changes,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"t{i}", "en") for i in range(20)],
+        "doc_id long, text string, lang string",
+    )
+    snap = str(tmp_path / "snap")
+    base.write.parquet(os.path.join(snap, "v0"))
+
+    ch_schema = "doc_id long, seq long, op string, text string, lang string"
+    batch1 = [(1, 1, "U", "one-v2", "en"), (2, 1, "D", None, None),
+              (50, 1, "I", "fifty", "de")]
+    batch2 = [(1, 2, "U", "one-v3", "en"), (50, 2, "D", None, None),
+              (3, 2, "U", "three-v2", "fr")]
+    ch_dir = str(tmp_path / "changes")
+    os.makedirs(ch_dir)
+    for i, rows in enumerate((batch1, batch2)):
+        spark.createDataFrame(rows, ch_schema).coalesce(1).write.parquet(
+            os.path.join(ch_dir, f"drop-{i}"),
+        )
+
+    stream_apply_changes(
+        spark, ch_dir + "/*", ch_schema, snap, str(tmp_path / "ckpt")
+    )
+
+    final = {r["doc_id"]: r for r in current_snapshot(spark, snap).collect()}
+    union = spark.createDataFrame(batch1 + batch2, ch_schema)
+    expect = {r["doc_id"]: r for r in apply_changes(base, union).collect()}
+    assert {k: (v["text"], v["lang"]) for k, v in final.items()} == {
+        k: (v["text"], v["lang"]) for k, v in expect.items()
+    }
+    assert final[1]["text"] == "one-v3" and 2 not in final and 50 not in final
+    # time travel: v0 is untouched
+    assert read_snapshot_version(spark, snap, 0).count() == 20
