@@ -1262,6 +1262,16 @@ def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(d, min_df=2)
 
 
+def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means cells bound the pair scope; within a cell, rows
+    with a lower-id neighbor at cosine ≥ 0.35 are dropped (keep-first;
+    the threshold sits at the synthetic embedding space's top percentile —
+    semantic-dedup taus are always space-calibrated)."""
+    from document_quality_assessment_ocr_spark.operators.similarity import semdedup
+
+    return semdedup(_emb(spark, sf_dir), tau=0.35)
+
+
 _MIXTURE_WEIGHTS = {"en": 0.4, "de": 0.3, "fr": 0.2, "es": 0.05, "zh": 0.05}
 
 
@@ -1479,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_bpe_tokenize": _q_bpe_tokenize,
         "q76_phash_near_dup": _q_phash_near_dup,
         "q77_mixture_sample": _q_mixture_sample,
+        "q78_semdedup": _q_semdedup,
         "q57_phash_dedup": _q_phash_dedup,
         # flagship extraction — full oracle via seeded score literals
         "q90_extract_full": _q_extract_full,
@@ -2422,6 +2433,54 @@ def _phash_sql() -> str:
         )
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.phash
         FROM dp a JOIN dp b ON a.phash = b.phash AND a.doc_id < b.doc_id
+    """
+
+
+def _semdedup_sql(
+    sf_dir: str | None = None,
+    tau: float = 0.99,
+    n_centroids: int = 16,
+    sample_rows: int = 512,
+    seed: int = 42,
+) -> str:
+    """q78 oracle: the SAME seeded centroids as literals (q17 technique),
+    identical argmin cell expression and rounded-cosine threshold."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from document_quality_assessment_ocr_spark.operators.similarity import _kmeans_lite
+
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.array(tbl.column("vec_id"))
+    vecs = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    cents = _kmeans_lite(vecs[order[:sample_rows]], n_centroids, seed=seed)
+    dists = ", ".join(
+        "(-2.0 * LIST_DOT_PRODUCT(v, ["
+        + ", ".join(repr(float(x)) for x in c)
+        + f"]) + {float((c * c).sum())!r})"
+        for c in cents
+    )
+    cell = f"(LIST_INDEXOF([{dists}], LIST_MIN([{dists}])) - 1)"
+    return f"""
+        WITH e AS (
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ), assigned AS (
+            SELECT vec_id, v, {cell} AS cell FROM e
+        ), dup AS (
+            SELECT DISTINCT x.vec_id
+            FROM assigned x JOIN assigned y
+              ON x.cell = y.cell AND y.vec_id < x.vec_id
+            WHERE ROUND(LIST_DOT_PRODUCT(x.v, y.v)
+                        / SQRT(LIST_DOT_PRODUCT(x.v, x.v)
+                               * LIST_DOT_PRODUCT(y.v, y.v)), 6) >= {tau!r}
+        )
+        SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
+               d.vec_id IS NULL AS kept
+        FROM assigned a LEFT JOIN dup d ON a.vec_id = d.vec_id
     """
 
 
@@ -3650,6 +3709,7 @@ def oracle_sql() -> dict[str, str]:
         "q75_bpe_tokenize": _bpe_tokenize_sql(),
         "q76_phash_near_dup": _phash_near_dup_sql(),
         "q77_mixture_sample": _mixture_sql(),
+        "q78_semdedup": _semdedup_sql(tau=0.35),
         "q73_exact_substring": f"""
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -142,6 +142,88 @@ def _kmeans_lite(sample: np.ndarray, k: int, iters: int = 10, seed: int = 42) ->
     return cents
 
 
+def _kmeans_cells(
+    emb: DataFrame,
+    n_centroids: int,
+    sample_rows: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+):
+    """Seeded driver-side k-means coarse quantizer + codegen cell
+    assignment — shared by ``ivf_topk`` and ``semdedup``. Returns
+    (centroids, assigned DF with a ``cell`` column)."""
+    sample = np.array(
+        [r[vec_col] for r in emb.orderBy(id_col).limit(sample_rows).collect()],
+        dtype=np.float64,
+    )
+    cents = _kmeans_lite(sample, n_centroids, seed=seed)
+
+    def cell_expr(v):
+        # argmin over ||x||² − 2c·x + ||c||² (||x||² constant per row → drop)
+        dists = [
+            -2.0 * _dot(F.array(*[F.lit(float(x)) for x in c]), v)
+            + float((c * c).sum())
+            for c in cents
+        ]
+        arr = F.array(*[d for d in dists])
+        return F.array_position(arr, F.array_min(arr)).cast("int") - 1
+
+    assigned = emb.select(
+        F.col(id_col), F.col(vec_col), cell_expr(F.col(vec_col)).alias("cell")
+    )
+    return cents, assigned
+
+
+def semdedup(
+    emb: DataFrame,
+    tau: float = 0.99,
+    n_centroids: int = 16,
+    sample_rows: int = 512,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup by cluster-then-prune —
+    k-means cells bound the comparison scope, and inside a cell a vector is
+    dropped when a LOWER-id member sits at cosine ≥ ``tau`` (keep-first,
+    deterministic; no connected components needed because every dropped
+    row names a kept lower-id witness... the minimum id per near-clique
+    always survives).
+
+    Scale shape: the pair join is WITHIN-cell only (hash-partitioned by
+    cell id) — quadratic in cell size, never in corpus size, which is the
+    published algorithm's own trade (cluster count tracks corpus size so
+    cells stay bounded). Cosine is rounded to 6 places before the
+    threshold — the cross-engine float contract.
+
+    Output: (id_col, cell, kept).
+    """
+    _, assigned = _kmeans_cells(
+        emb, n_centroids, sample_rows, seed, id_col, vec_col
+    )
+    x, y = assigned.alias("x"), assigned.alias("y")
+    dropped = (
+        x.join(
+            y,
+            (F.col("x.cell") == F.col("y.cell"))
+            & (F.col(f"y.{id_col}") < F.col(f"x.{id_col}")),
+        )
+        .where(
+            F.round(cosine(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}")), 6)
+            >= F.lit(float(tau))
+        )
+        .select(F.col(f"x.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("_drop", F.lit(True))
+    )
+    return assigned.join(dropped, id_col, "left").select(
+        F.col(id_col),
+        F.col("cell"),
+        F.col("_drop").isNull().alias("kept"),
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     probe_ids: list,
@@ -161,23 +243,9 @@ def ivf_topk(
     is tiny), cell assignment is a codegen projection, and the candidate join
     is hash-partitioned by cell id — candidate count drops by ~n_centroids/
     n_probe versus brute force."""
-    sample = np.array(
-        [r[vec_col] for r in emb.orderBy(id_col).limit(sample_rows).collect()],
-        dtype=np.float64,
+    cents, assigned = _kmeans_cells(
+        emb, n_centroids, sample_rows, seed, id_col, vec_col
     )
-    cents = _kmeans_lite(sample, n_centroids, seed=seed)
-
-    def cell_expr(v):
-        # argmin over ||x||² − 2c·x + ||c||² (||x||² constant per row → drop)
-        dists = [
-            -2.0 * _dot(F.array(*[F.lit(float(x)) for x in c]), v)
-            + float((c * c).sum())
-            for c in cents
-        ]
-        arr = F.array(*[d for d in dists])
-        return F.array_position(arr, F.array_min(arr)).cast("int") - 1
-
-    assigned = emb.select(F.col(id_col), F.col(vec_col), cell_expr(F.col(vec_col)).alias("cell"))
     probes = assigned.filter(F.col(id_col).isin(probe_ids)).collect()
     # n_probe nearest cells per probe, computed driver-side from centroids
     probe_cells = []

@@ -605,3 +605,28 @@ def test_length_bucketed_batches(spark):
     assert [(out[i]["batch_idx"], out[i]["pos_in_batch"]) for i in (1, 3, 7)] == [
         (0, 0), (0, 1), (1, 0)
     ]
+
+
+def test_semdedup_keep_first(spark):
+    """Near-identical vectors collapse to the lowest id; distant vectors
+    survive; determinism does not depend on cluster boundaries for exact
+    duplicates (same vector → same cell by construction)."""
+    import numpy as np
+
+    from document_quality_assessment_ocr_spark.operators.similarity import semdedup
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=8).tolist()
+    far = (-np.array(base)).tolist()
+    rows = [
+        (0, base),
+        (1, base),                                   # exact dup of 0 → dropped
+        (2, (np.array(base) * 1.001).tolist()),      # near dup of 0 → dropped
+        (3, far),                                    # anti-parallel → kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in
+           semdedup(df, tau=0.999, n_centroids=2, sample_rows=4).collect()}
+    assert out[0]["kept"] and out[3]["kept"]
+    assert not out[1]["kept"] and not out[2]["kept"]
+    assert out[0]["cell"] == out[1]["cell"]
