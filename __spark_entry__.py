@@ -1262,6 +1262,17 @@ def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(d, min_df=2)
 
 
+def _q_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation composite v3 — the full web pipeline over synthesized HTML:
+    DOM main-content extraction → normalization → gates → first-wins dedup,
+    one end-to-end SQL oracle."""
+    from document_quality_assessment_ocr_spark.plans.curation import (
+        curate_documents_v3,
+    )
+
+    return curate_documents_v3(_synth_html(_doc(spark, sf_dir)), min_tokens=40)
+
+
 def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: k-means cells bound the pair scope; within a cell, rows
     with a lower-id neighbor at cosine ≥ 0.35 are dropped (keep-first;
@@ -1490,6 +1501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_phash_near_dup": _q_phash_near_dup,
         "q77_mixture_sample": _q_mixture_sample,
         "q78_semdedup": _q_semdedup,
+        "q79_curation_v3": _q_curation_v3,
         "q57_phash_dedup": _q_phash_dedup,
         # flagship extraction — full oracle via seeded score literals
         "q90_extract_full": _q_extract_full,
@@ -2436,6 +2448,65 @@ def _phash_sql() -> str:
     """
 
 
+def _curation_v3_sql(max_boiler_frac: float = 0.7, min_tokens: int = 10) -> str:
+    """q79 oracle: the whole web pipeline in one SQL chain — shared HTML
+    block CTEs (q62/q63 twins) → scrub constants → token/boiler gates →
+    first-wins dedup among gate survivors."""
+    from document_quality_assessment_ocr_spark.operators.scrub import (
+        CONTROLS,
+        MULTI_SPACE,
+        ZERO_WIDTH,
+    )
+
+    return _html_blocks_ctes() + f""", main AS (
+            SELECT doc_id,
+                   COALESCE(STRING_AGG(text, CHR(10) ORDER BY block_idx)
+                            FILTER (WHERE label = 'content'), '') AS main_text,
+                   COUNT(*) FILTER (WHERE label = 'content') AS n_content,
+                   COALESCE(SUM(n_chars) FILTER (WHERE label = 'content'), 0)
+                       AS content_chars,
+                   COALESCE(SUM(n_chars) FILTER (WHERE label <> 'content'), 0)
+                       AS boiler_chars
+            FROM blk GROUP BY doc_id
+        ), cln AS (
+            SELECT doc_id, n_content, content_chars, boiler_chars,
+                   TRIM(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+                        main_text, '{ZERO_WIDTH}', '', 'g'),
+                        '{CONTROLS}', '', 'g'),
+                        '{MULTI_SPACE}', ' ', 'g')) AS clean_text
+            FROM main
+        ), sig0 AS (
+            SELECT doc_id, n_content, clean_text,
+                   CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(
+                        TRIM(COALESCE(clean_text,'')), '{WS}+'),
+                        x -> x <> '')) AS BIGINT) AS n_tokens,
+                   CASE WHEN content_chars + boiler_chars > 0
+                        THEN CAST(boiler_chars AS DOUBLE)
+                             / CAST(content_chars + boiler_chars AS DOUBLE)
+                        ELSE 0.0 END AS boiler_frac
+            FROM cln
+        ), sig AS (
+            SELECT doc_id, clean_text, n_tokens, boiler_frac,
+                   CASE WHEN n_content = 0 OR clean_text = '' THEN 'empty'
+                        WHEN boiler_frac > {max_boiler_frac!r}
+                             THEN 'boilerplate'
+                        WHEN n_tokens < {int(min_tokens)} THEN 'too_short'
+                   END AS pre_fate,
+                   MD5(clean_text) AS fp
+            FROM sig0
+        ), winners AS (
+            SELECT fp, MIN(doc_id) AS keep_id
+            FROM sig WHERE pre_fate IS NULL GROUP BY fp
+        )
+        SELECT s.doc_id,
+               COALESCE(s.pre_fate,
+                        CASE WHEN s.doc_id <> w.keep_id THEN 'duplicate'
+                             ELSE 'keep' END) AS fate,
+               s.n_tokens, s.boiler_frac, s.clean_text
+        FROM sig s LEFT JOIN winners w ON s.fp = w.fp
+    """
+
+
 def _semdedup_sql(
     sf_dir: str | None = None,
     tau: float = 0.99,
@@ -2889,10 +2960,11 @@ _HTML_SYNTH_CTE = """
         )"""
 
 
-def _html_sqls() -> tuple[str, str]:
-    """DuckDB twins of operators/html — the SAME pattern constants feed both
-    engines (Java regex ∩ RE2 subset); the HTML synthesis expression is the
-    byte-identical twin of `_synth_html`."""
+def _html_blocks_ctes() -> str:
+    """The WITH chain ending at ``blk`` (classified blocks) over the
+    synthesized HTML corpus — the SAME pattern constants feed both engines
+    (Java regex ∩ RE2 subset); the synthesis expression is the
+    byte-identical twin of `_synth_html`. Shared by q62/q63/q79."""
     from document_quality_assessment_ocr_spark.operators.html import (
         ANCHOR,
         BLOCK_TAG,
@@ -2986,6 +3058,13 @@ def _html_sqls() -> tuple[str, str]:
             FROM lab
         )
     """
+    return prefix
+
+
+def _html_sqls() -> tuple[str, str]:
+    """DuckDB twins of operators/html.html_blocks/classify_blocks (q62)
+    and extract_main_html (q63)."""
+    prefix = _html_blocks_ctes()
     blocks = prefix + """
         SELECT doc_id, block_idx, is_heading, text, n_chars, n_words,
                link_chars, link_density, stop_density, label
@@ -3710,6 +3789,7 @@ def oracle_sql() -> dict[str, str]:
         "q76_phash_near_dup": _phash_near_dup_sql(),
         "q77_mixture_sample": _mixture_sql(),
         "q78_semdedup": _semdedup_sql(tau=0.35),
+        "q79_curation_v3": _curation_v3_sql(min_tokens=40),
         "q73_exact_substring": f"""
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id,

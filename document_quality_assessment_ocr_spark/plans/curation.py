@@ -183,3 +183,73 @@ def curate_documents_v2(
         (reason == F.lit("")).alias("kept"),
         reason.alias("drop_reason"),
     )
+
+
+def curate_documents_v3(
+    docs_html: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    max_boiler_frac: float = 0.7,
+    min_tokens: int = 10,
+) -> DataFrame:
+    """Curation composite v3 — the WEB pipeline end-to-end: raw HTML →
+    DOM-heuristic main-content extraction → Unicode/whitespace
+    normalization → structural gates → exact first-occurrence-wins dedup
+    of the CLEANED main text. First matching reason wins::
+
+        empty → boilerplate → too_short → duplicate → keep
+
+    Dedup ranks only among documents that survived the earlier gates
+    (rejected docs must not shadow a clean duplicate), keyed on
+    md5(clean_text) with the lowest id winning — an algebraic min per
+    fingerprint, no window.
+
+    Plan shape: the HTML stage costs one doc_id exchange; normalization
+    and gating are map-side; dedup adds one fingerprint aggregate + a
+    co-partitioned join-back. Output:
+    (id_col, fate, n_tokens, boiler_frac, clean_text).
+    """
+    from ..functions.text import token_count
+    from ..operators.html import extract_main_html
+    from ..operators.scrub import normalize_text
+
+    main = extract_main_html(docs_html, id_col, html_col)
+    clean = normalize_text(main, id_col, "main_text").select(id_col, "clean_text")
+    m = main.join(clean, id_col)
+    n_toks = token_count(F.col("clean_text"))
+    total = (F.col("content_chars") + F.col("boiler_chars")).cast("double")
+    boiler_frac = F.when(
+        total > 0, F.col("boiler_chars").cast("double") / total
+    ).otherwise(F.lit(0.0))
+    pre = (
+        F.when(
+            (F.col("n_content") == 0) | (F.col("clean_text") == ""), "empty"
+        )
+        .when(boiler_frac > F.lit(float(max_boiler_frac)), "boilerplate")
+        .when(n_toks < F.lit(int(min_tokens)), "too_short")
+    )
+    sig = m.select(
+        F.col(id_col),
+        n_toks.alias("n_tokens"),
+        boiler_frac.alias("boiler_frac"),
+        F.col("clean_text"),
+        pre.alias("pre_fate"),
+        F.md5(F.col("clean_text")).alias("fp"),
+    )
+    winners = (
+        sig.where(F.col("pre_fate").isNull())
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"))
+    )
+    out = sig.join(winners, "fp", "left")
+    fate = F.coalesce(
+        F.col("pre_fate"),
+        F.when(F.col(id_col) != F.col("keep_id"), "duplicate").otherwise("keep"),
+    )
+    return out.select(
+        F.col(id_col),
+        fate.alias("fate"),
+        F.col("n_tokens"),
+        F.col("boiler_frac"),
+        F.col("clean_text"),
+    )

@@ -818,3 +818,56 @@ def test_mixture_sample_composition(spark):
     # small (200 rows) binds and is kept whole; big targets ~200 of 1800
     assert got["small"] == 200
     assert 150 < got["big"] < 250
+
+
+def test_curation_v3_fates(spark):
+    """Each fate rule fires in order: empty, boilerplate, too_short,
+    duplicate (only among gate survivors, lowest id wins), keep."""
+    from document_quality_assessment_ocr_spark.plans.curation import (
+        curate_documents_v3,
+    )
+
+    good_body = (
+        "<p>The quick brown fox is in the yard and it is that kind of day "
+        "for a walk in the park, it is fine and the sun is out for all of "
+        "us to see today.</p>"
+    )
+    linky = '<div><a href="/x">' + "the link farm " * 30 + "</a></div>"
+    docs = [
+        (1, f"<html><body>{good_body}</body></html>"),
+        (2, f"<html><body>{good_body}</body></html>"),  # duplicate of 1
+        (3, "<html><body><div></div></body></html>"),   # no text at all
+        (4, f"<html><body>{linky}</body></html>"),       # all boilerplate
+        (5, "<html><body>" + good_body + "<p>x</p></body></html>"),  # near-dup, distinct
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, html string")
+    out = {r["doc_id"]: r["fate"] for r in curate_documents_v3(df).collect()}
+    assert out[1] == "keep"
+    assert out[2] == "duplicate"
+    assert out[4] in ("empty", "boilerplate")  # zero content blocks → empty
+    assert out[5] == "keep"
+    assert 3 not in out or out[3] == "empty"  # tag-only doc has no blocks
+
+
+def test_curation_v3_rejected_doc_does_not_shadow_duplicate(spark):
+    from document_quality_assessment_ocr_spark.plans.curation import (
+        curate_documents_v3,
+    )
+
+    body = (
+        "<p>The quick brown fox is in the yard and it is that kind of day "
+        "for a walk in the park, it is fine.</p>"
+    )
+    # doc 1 fails too_short gate at a high threshold; doc 2 has identical
+    # clean text — it must be KEEP (doc 1 is not an eligible winner)
+    df = spark.createDataFrame(
+        [(1, f"<html><body>{body}</body></html>"),
+         (2, f"<html><body>{body}</body></html>")],
+        "doc_id long, html string",
+    )
+    out = {r["doc_id"]: r["fate"] for r in
+           curate_documents_v3(df, min_tokens=100).collect()}
+    assert out == {1: "too_short", 2: "too_short"}
+    out = {r["doc_id"]: r["fate"] for r in
+           curate_documents_v3(df, min_tokens=5).collect()}
+    assert out == {1: "keep", 2: "duplicate"}
