@@ -238,6 +238,8 @@ def main() -> None:
         "q63_html_main",
         "q64_cdc_upsert",
         "q67_surprisal",
+        "q73_exact_substring",
+        "q79_curation_v3",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"
