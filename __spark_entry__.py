@@ -1262,6 +1262,39 @@ def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(d, min_df=2)
 
 
+def _q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (subwords per word) by language — the metric
+    that decides whether a trained tokenizer under-serves a language.
+    Integer sums surface alongside an explicit exact-division ratio."""
+    from document_quality_assessment_ocr_spark.operators.bpe import (
+        apply_bpe,
+        train_bpe,
+        word_counts,
+    )
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "lang"
+    )
+    mrows = (
+        train_bpe(spark, word_counts(d), n_merges=8).orderBy("step").collect()
+    )
+    seg = apply_bpe(d, [(r["left"], r["right"]) for r in mrows])
+    n_sub = F.size(F.split(F.col("seg_text"), " ")).cast("long")
+    return (
+        seg.withColumn("n_sub", n_sub)
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_subwords"),
+        )
+        .withColumn(
+            "fertility",
+            F.col("n_subwords").cast("double") / F.col("n_words").cast("double"),
+        )
+    )
+
+
 def _q_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation composite v3 — the full web pipeline over synthesized HTML:
     DOM main-content extraction → normalization → gates → first-wins dedup,
@@ -1502,6 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q77_mixture_sample": _q_mixture_sample,
         "q78_semdedup": _q_semdedup,
         "q79_curation_v3": _q_curation_v3,
+        "q80_bpe_fertility": _q_bpe_fertility,
         "q57_phash_dedup": _q_phash_dedup,
         # flagship extraction — full oracle via seeded score literals
         "q90_extract_full": _q_extract_full,
@@ -3790,6 +3824,20 @@ def oracle_sql() -> dict[str, str]:
         "q77_mixture_sample": _mixture_sql(),
         "q78_semdedup": _semdedup_sql(tau=0.35),
         "q79_curation_v3": _curation_v3_sql(min_tokens=40),
+        "q80_bpe_fertility": f"""
+            WITH seg AS ({{Q75}}), agg AS (
+                SELECT d.lang, COUNT(*) AS n_words,
+                       CAST(SUM(LEN(STR_SPLIT(seg.seg_text, ' '))) AS BIGINT)
+                           AS n_subwords
+                FROM seg JOIN (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+                               FROM documents) d USING (doc_id)
+                GROUP BY d.lang
+            )
+            SELECT lang, n_words, n_subwords,
+                   CAST(n_subwords AS DOUBLE) / CAST(n_words AS DOUBLE)
+                       AS fertility
+            FROM agg
+        """.replace("{Q75}", _bpe_tokenize_sql()),
         "q73_exact_substring": f"""
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id,

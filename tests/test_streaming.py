@@ -135,3 +135,40 @@ def test_streaming_cdc_matches_batch_merge(spark, tmp_path):
     assert final[1]["text"] == "one-v3" and 2 not in final and 50 not in final
     # time travel: v0 is untouched
     assert read_snapshot_version(spark, snap, 0).count() == 20
+
+
+@pytest.mark.slow
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Native watermarked stream-stream join (append parquet sink) equals
+    the batch interval join over the same events."""
+    from datetime import datetime, timedelta
+
+    from document_quality_assessment_ocr_spark.streaming.joins import (
+        batch_interval_join,
+        stream_interval_join,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(6):
+        rows.append((eid, t0 + timedelta(minutes=u * 60), u, "signup", 0.0, "{}")); eid += 1
+        # one purchase inside the 30-min window, one outside
+        rows.append((eid, t0 + timedelta(minutes=u * 60 + 10), u, "purchase", 1.0, "{}")); eid += 1
+        rows.append((eid, t0 + timedelta(minutes=u * 60 + 50), u, "purchase", 2.0, "{}")); eid += 1
+    schema = ("event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string")
+    ev = spark.createDataFrame(rows, schema)
+    in_dir = str(tmp_path / "ev")
+    ev.coalesce(1).write.parquet(in_dir)
+
+    out_dir = str(tmp_path / "out")
+    stream_interval_join(
+        spark, in_dir, out_dir, str(tmp_path / "ckpt"), within_minutes=30
+    )
+    got = {(r["user_id"], r["l_id"], r["r_id"])
+           for r in spark.read.parquet(out_dir).collect()}
+    expect = {(r["user_id"], r["l_id"], r["r_id"])
+              for r in batch_interval_join(ev, within_minutes=30).collect()}
+    assert got == expect
+    assert len(got) == 6  # exactly the in-window purchase per user
