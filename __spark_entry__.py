@@ -1262,6 +1262,19 @@ def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(d, min_df=2)
 
 
+def _q_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing text vectors (hashing trick): md5 index + sign,
+    signed integer counts → bit-exact sparse embeddings."""
+    from document_quality_assessment_ocr_spark.operators.textstats import (
+        hash_embedding,
+    )
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return hash_embedding(d)
+
+
 def _q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility (subwords per word) by language — the metric
     that decides whether a trained tokenizer under-serves a language.
@@ -1536,6 +1549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_semdedup": _q_semdedup,
         "q79_curation_v3": _q_curation_v3,
         "q80_bpe_fertility": _q_bpe_fertility,
+        "q81_hash_embedding": _q_hash_embedding,
         "q57_phash_dedup": _q_phash_dedup,
         # flagship extraction — full oracle via seeded score literals
         "q90_extract_full": _q_extract_full,
@@ -3824,6 +3838,26 @@ def oracle_sql() -> dict[str, str]:
         "q77_mixture_sample": _mixture_sql(),
         "q78_semdedup": _semdedup_sql(tau=0.35),
         "q79_curation_v3": _curation_v3_sql(min_tokens=40),
+        "q81_hash_embedding": f"""
+            WITH d AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(
+                           TRIM(LOWER(COALESCE(text,''))), '{WS}+'),
+                           x -> x <> '') AS a
+                FROM documents
+            ), hx AS (
+                SELECT doc_id, MD5(UNNEST(a)) AS h FROM d
+            ), s AS (
+                SELECT doc_id,
+                       CAST(CAST(('0x' || SUBSTR(h, 1, 4)) AS BIGINT) % 64
+                            AS INT) AS dim_idx,
+                       CASE WHEN CAST(('0x' || SUBSTR(h, 5, 1)) AS BIGINT) % 2 = 0
+                            THEN 1 ELSE -1 END AS sg
+                FROM hx
+            )
+            SELECT doc_id, dim_idx, CAST(SUM(sg) AS BIGINT) AS weight
+            FROM s GROUP BY doc_id, dim_idx HAVING SUM(sg) <> 0
+        """,
         "q80_bpe_fertility": f"""
             WITH seg AS ({{Q75}}), agg AS (
                 SELECT d.lang, COUNT(*) AS n_words,

@@ -301,3 +301,38 @@ def inverted_index(
         .where(F.col("df") >= F.lit(int(min_df)))
         .select("token", "df", F.col(id_col), "tf")
     )
+
+
+def hash_embedding(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+) -> DataFrame:
+    """Feature-hashing ("hashing trick", Weinberger et al. 2009) text
+    vectors: each token lands in ``md5(token) mod dim`` with a ±1 sign
+    from the next md5 nibble; a document's coordinate is the SIGNED TOKEN
+    COUNT — integers, so the embedding is bit-exact and mergeable
+    (chunked documents sum transparently), and it feeds the similarity
+    family (cosine/LSH/IVF/PQ) without a model.
+
+    Exploded sparse form (one row per NONZERO coordinate —
+    cancellations drop out): (id_col, dim_idx, weight). One hash
+    aggregate on (doc, dim); map-side combine does the summing.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok")
+    )
+    h = F.md5(F.col("tok"))
+    idx = (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % F.lit(int(dim))).alias(
+        "dim_idx"
+    )
+    sign = F.when(
+        F.conv(F.substring(h, 5, 1), 16, 10).cast("int") % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    return (
+        toks.select(F.col(id_col), idx, sign.alias("s"))
+        .groupBy(id_col, "dim_idx")
+        .agg(F.sum("s").cast("long").alias("weight"))
+        .where(F.col("weight") != 0)
+    )
