@@ -1262,6 +1262,31 @@ def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(d, min_df=2)
 
 
+def _q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt parsing: one synthesized robots file per source host
+    (comment, a badbot group that must be ignored, the * group with
+    disallow/allow/empty/trailing-slash cases) → the rule table
+    prefix_block_join consumes."""
+    from document_quality_assessment_ocr_spark.operators.urls import parse_robots
+
+    s = _doc(spark, sf_dir).select("source").distinct()
+    nl = F.lit("\n")
+    txt = F.concat(
+        F.lit("# robots for "), F.col("source"), nl,
+        F.lit("User-agent: badbot"), nl, F.lit("Disallow: /"), nl,
+        F.lit("User-agent: *"), nl,
+        F.lit("Disallow: /private/"), F.col("source"), F.lit("/"), nl,
+        F.lit("Allow: /private/"), F.col("source"), F.lit("/ok"), nl,
+        F.lit("Disallow:"), nl,
+        F.lit("Disallow: /tmp/"),
+    )
+    df = s.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        txt.alias("robots_txt"),
+    )
+    return parse_robots(df)
+
+
 def _q_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing text vectors (hashing trick): md5 index + sign,
     signed integer counts → bit-exact sparse embeddings."""
@@ -1550,6 +1575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_curation_v3": _q_curation_v3,
         "q80_bpe_fertility": _q_bpe_fertility,
         "q81_hash_embedding": _q_hash_embedding,
+        "q82_robots_rules": _q_robots_rules,
         "q57_phash_dedup": _q_phash_dedup,
         # flagship extraction — full oracle via seeded score literals
         "q90_extract_full": _q_extract_full,
@@ -3378,6 +3404,61 @@ def _bpe_tokenize_sql(sf_dir: str | None = None, n_merges: int = 8) -> str:
     """
 
 
+def _robots_sql() -> str:
+    """q82 oracle: identical robots synthesis + the shared ROBOTS_LINE /
+    TRAILING_SLASH constants; group scoping via IGNORE-NULLS carry-forward."""
+    from document_quality_assessment_ocr_spark.operators.urls import (
+        ROBOTS_LINE,
+        TRAILING_SLASH,
+    )
+
+    norm = f"REGEXP_REPLACE(val, '{TRAILING_SLASH}', '')"
+    return f"""
+        WITH s AS (
+            SELECT DISTINCT source FROM documents
+        ), r AS (
+            SELECT source || '.example.com' AS host,
+                   '# robots for ' || source || CHR(10)
+                   || 'User-agent: badbot' || CHR(10) || 'Disallow: /' || CHR(10)
+                   || 'User-agent: *' || CHR(10)
+                   || 'Disallow: /private/' || source || '/' || CHR(10)
+                   || 'Allow: /private/' || source || '/ok' || CHR(10)
+                   || 'Disallow:' || CHR(10)
+                   || 'Disallow: /tmp/' AS t
+            FROM s
+        ), ln AS (
+            SELECT host, CAST(i - 1 AS INT) AS line_no,
+                   TRIM(parts[CAST(i AS INT)]) AS line
+            FROM (SELECT host, STR_SPLIT(t, CHR(10)) AS parts,
+                         UNNEST(RANGE(1, LEN(STR_SPLIT(t, CHR(10))) + 1)) AS i
+                  FROM r)
+        ), kv AS (
+            SELECT host, line_no,
+                   LOWER(REGEXP_EXTRACT(line, '{ROBOTS_LINE}', 1)) AS key,
+                   TRIM(REGEXP_EXTRACT(line, '{ROBOTS_LINE}', 2)) AS val
+            FROM ln
+        ), g AS (
+            SELECT *,
+                   LAST_VALUE(CASE WHEN key = 'user-agent' THEN val END
+                              IGNORE NULLS)
+                       OVER (PARTITION BY host ORDER BY line_no
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS grp
+            FROM kv
+        ), rules AS (
+            SELECT host,
+                   CASE WHEN {norm} = '' THEN '/' ELSE {norm} END
+                       AS path_prefix,
+                   CASE WHEN key = 'allow' THEN 'allow' ELSE 'deny' END
+                       AS action
+            FROM g
+            WHERE key IN ('allow', 'disallow') AND grp = '*' AND val <> ''
+        )
+        SELECT host, path_prefix, MIN(action) AS action
+        FROM rules GROUP BY host, path_prefix
+    """
+
+
 def _link_hosts_sql() -> str:
     """DuckDB twin of the q72 composite: synthesized HTML → outlinks →
     URL parse → host rollup (reuses the shared synth CTE, ANCHOR_HREF
@@ -3838,6 +3919,7 @@ def oracle_sql() -> dict[str, str]:
         "q77_mixture_sample": _mixture_sql(),
         "q78_semdedup": _semdedup_sql(tau=0.35),
         "q79_curation_v3": _curation_v3_sql(min_tokens=40),
+        "q82_robots_rules": _robots_sql(),
         "q81_hash_embedding": f"""
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.text import WS_CLASS
+
 # one pass: scheme://host path(until ? or #) — groups 1/2/3
 URL_PARTS = "^([a-z][a-z0-9+.-]*)://([^/?#]*)([^?#]*)"
 QUERY_PART = "\\?([^#]*)"  # group 1: query without the leading ?
@@ -162,4 +164,67 @@ def prefix_block_join(
         *[F.col(c) for c in parsed.columns],
         F.col("_w.prefix").alias("matched_prefix"),
         F.coalesce(F.col("_w.action"), F.lit(default_action)).alias("action"),
+    )
+
+
+ROBOTS_LINE = f"(?i)^(user-agent|allow|disallow){WS_CLASS}*:{WS_CLASS}*(.*)$"
+
+
+def parse_robots(
+    df: DataFrame, host_col: str = "host", txt_col: str = "robots_txt"
+) -> DataFrame:
+    """robots.txt → the ``(host, path_prefix, action)`` rule table
+    ``prefix_block_join`` consumes, honoring the wildcard agent group.
+
+    Grammar subset (the fetch-policy core): ``User-agent:`` opens a
+    group; ``Allow:``/``Disallow:`` lines bind to the MOST RECENT group
+    (carry-forward window per host — line order matters, so the parse
+    keys on line number); only the ``*`` group is kept; empty Disallow
+    (allow-all) and comment/blank lines drop; prefixes normalize like
+    ``parse_urls`` paths (no trailing slash, root = '/'); duplicate
+    (host, prefix) rules resolve least-restrictive (allow wins) so the
+    downstream longest-prefix winner stays total.
+
+    One exchange on host (bounded per-host line windows).
+    """
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(txt_col), F.lit("")), "\n")
+        ).alias("line_no", "line"),
+    ).select(
+        "host",
+        "line_no",
+        F.lower(F.regexp_extract(F.trim(F.col("line")), ROBOTS_LINE, 1)).alias("key"),
+        F.trim(F.regexp_extract(F.trim(F.col("line")), ROBOTS_LINE, 2)).alias("val"),
+    )
+    w = (
+        Window.partitionBy("host")
+        .orderBy("line_no")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grp = F.last(
+        F.when(F.col("key") == "user-agent", F.col("val")), ignorenulls=True
+    ).over(w)
+    rules = (
+        lines.withColumn("grp", grp)
+        .where(
+            F.col("key").isin("allow", "disallow")
+            & (F.col("grp") == "*")
+            & (F.col("val") != "")
+        )
+        .select(
+            "host",
+            F.when(
+                F.regexp_replace("val", TRAILING_SLASH, "") == "", F.lit("/")
+            )
+            .otherwise(F.regexp_replace("val", TRAILING_SLASH, ""))
+            .alias("path_prefix"),
+            F.when(F.col("key") == "allow", "allow").otherwise("deny").alias("action"),
+        )
+    )
+    return rules.groupBy("host", "path_prefix").agg(
+        F.min("action").alias("action")  # 'allow' < 'deny' → allow wins
     )

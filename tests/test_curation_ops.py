@@ -871,3 +871,54 @@ def test_curation_v3_rejected_doc_does_not_shadow_duplicate(spark):
     out = {r["doc_id"]: r["fate"] for r in
            curate_documents_v3(df, min_tokens=5).collect()}
     assert out == {1: "keep", 2: "duplicate"}
+
+
+def test_exact_substring_fuzz_vs_python(spark):
+    """Randomized corpora (seeded): the relational ExactSubstr equals a
+    direct python replay of the spec — every duplicated w-window's token
+    span removed everywhere."""
+    import random
+
+    from document_quality_assessment_ocr_spark.operators.dedup import (
+        exact_substring_dedup,
+    )
+
+    rng = random.Random(11)
+    W = 4
+    vocab = [f"w{i}" for i in range(12)]
+    docs = []
+    shared_runs = [
+        [rng.choice(vocab) for _ in range(rng.randint(W, W + 3))] for _ in range(3)
+    ]
+    for i in range(30):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(0, 14))]
+        if rng.random() < 0.5:
+            run = rng.choice(shared_runs)
+            pos = rng.randint(0, len(toks))
+            toks = toks[:pos] + run + toks[pos:]
+        docs.append((i, " ".join(toks)))
+
+    # python replay of the spec
+    tok = {i: t.lower().split() for i, t in docs}
+    from collections import Counter
+
+    wins = Counter()
+    for i, ts in tok.items():
+        for s in range(max(len(ts) - W + 1, 0)):
+            wins[tuple(ts[s : s + W])] += 1
+    expect = {}
+    for i, ts in tok.items():
+        covered = set()
+        for s in range(max(len(ts) - W + 1, 0)):
+            if wins[tuple(ts[s : s + W])] > 1:
+                covered.update(range(s, s + W))
+        kept = [t for j, t in enumerate(ts) if j not in covered]
+        expect[i] = (" ".join(kept), len(ts) - len(kept))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in exact_substring_dedup(df, window=W).collect()
+    }
+    assert got == expect
+    assert any(n > 0 for _, n in got.values())  # fuzz actually removed text

@@ -112,3 +112,52 @@ def test_prefix_block_depth_cap(spark):
     assert capped["action"] == "allow"
     full = prefix_block_join(df, rules, max_depth=8).collect()[0]
     assert full["action"] == "deny"
+
+
+def test_parse_robots(spark):
+    from document_quality_assessment_ocr_spark.operators.urls import parse_robots
+
+    txt = "\n".join([
+        "# policy",
+        "User-agent: badbot",
+        "Disallow: /",
+        "",
+        "User-agent: *",
+        "Disallow: /private/",
+        "Allow: /private/ok",
+        "Disallow:",              # empty → allow-all, ignored
+        "disallow: /tmp",          # case-insensitive key
+        "Allow: /dup",
+        "Disallow: /dup",          # same prefix both ways → allow wins
+        "not a rule line",
+    ])
+    df = spark.createDataFrame([("a.com", txt), ("b.com", None)],
+                               "host string, robots_txt string")
+    rules = {(r["host"], r["path_prefix"]): r["action"]
+             for r in parse_robots(df).collect()}
+    assert rules == {
+        ("a.com", "/private"): "deny",
+        ("a.com", "/private/ok"): "allow",
+        ("a.com", "/tmp"): "deny",
+        ("a.com", "/dup"): "allow",
+    }
+
+
+def test_parse_robots_feeds_prefix_join(spark):
+    from document_quality_assessment_ocr_spark.operators.urls import (
+        parse_robots,
+        prefix_block_join,
+    )
+
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /private/\nAllow: /private/ok")],
+        "host string, robots_txt string",
+    )
+    urls = parse_urls(spark.createDataFrame(
+        [(1, "https://a.com/private/x"), (2, "https://a.com/private/ok/y"),
+         (3, "https://a.com/public")],
+        "doc_id long, url string",
+    ))
+    out = {r["doc_id"]: r["action"]
+           for r in prefix_block_join(urls, parse_robots(robots)).collect()}
+    assert out == {1: "deny", 2: "allow", 3: "allow"}
