@@ -1262,6 +1262,20 @@ def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(d, min_df=2)
 
 
+def _q_host_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host fetch-policy report: the longest-prefix join's verdicts
+    rolled up per host (crawl-budget planning input)."""
+    j = _q_prefix_block(spark, sf_dir).where(F.col("host") != "")
+    denied = F.count(F.when(F.col("action") == "deny", 1))
+    return j.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        denied.alias("n_denied"),
+        (denied.cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "denied_frac"
+        ),
+    )
+
+
 def _q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt parsing: one synthesized robots file per source host
     (comment, a badbot group that must be ignored, the * group with
@@ -1576,6 +1590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_bpe_fertility": _q_bpe_fertility,
         "q81_hash_embedding": _q_hash_embedding,
         "q82_robots_rules": _q_robots_rules,
+        "q83_host_policy": _q_host_policy,
         "q57_phash_dedup": _q_phash_dedup,
         # flagship extraction — full oracle via seeded score literals
         "q90_extract_full": _q_extract_full,
@@ -3920,6 +3935,14 @@ def oracle_sql() -> dict[str, str]:
         "q78_semdedup": _semdedup_sql(tau=0.35),
         "q79_curation_v3": _curation_v3_sql(min_tokens=40),
         "q82_robots_rules": _robots_sql(),
+        "q83_host_policy": """
+            WITH j AS ({Q68})
+            SELECT host, COUNT(*) AS n_docs,
+                   COUNT(*) FILTER (WHERE action = 'deny') AS n_denied,
+                   CAST(COUNT(*) FILTER (WHERE action = 'deny') AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS denied_frac
+            FROM j WHERE host <> '' GROUP BY host
+        """.replace("{Q68}", _url_sqls()[2]),
         "q81_hash_embedding": f"""
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id,
