@@ -161,3 +161,28 @@ def test_parse_robots_feeds_prefix_join(spark):
     out = {r["doc_id"]: r["action"]
            for r in prefix_block_join(urls, parse_robots(robots)).collect()}
     assert out == {1: "deny", 2: "allow", 3: "allow"}
+
+
+def test_prefix_block_plan_shape(spark):
+    """Rules broadcast into the prefix equi-join (never a shuffled theta
+    join); the only hash exchanges serve the winner aggregate + re-attach."""
+    df = parse_urls(
+        spark.createDataFrame(
+            [(i, f"https://a.com/p{i % 7}/x") for i in range(50)],
+            "doc_id long, url string",
+        )
+    )
+    from document_quality_assessment_ocr_spark.operators.urls import (
+        prefix_block_join,
+    )
+
+    rules = spark.createDataFrame(
+        [("a.com", "/p1", "deny")], "host string, path_prefix string, action string"
+    )
+    plan = (
+        prefix_block_join(df, rules)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    # the (host, prefix) rules join must never be a shuffled join; the
+    # doc_id re-attach of the aggregated winners may shuffle
+    assert "SortMergeJoin [host" not in plan, plan
