@@ -219,11 +219,12 @@ def main() -> None:
     se = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(se)
     qs = se.queries()
-    # q25_lsh_jaccard is correctness-gated at sf0.01 but excluded here: its
-    # minhash pass over the full sf0.1 text is ~90 s — a real corpus runs it
-    # once per ingest, not per benchmark rep
+    # q25 rejoined the timed set in round 3: word-shingle minhash (5-10×
+    # fewer md5s) + 4×4 banding + 0.8 verify → ~3 s warm at sf0.1 (was 87 s
+    # in its r02 char/0.3 form)
     for name in (
         "q01_text_density",
+        "q25_lsh_jaccard",
         "q03_fingerprint_dedup",
         "q04_agg_modes",
         "q07_reassembly",

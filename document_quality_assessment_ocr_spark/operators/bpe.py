@@ -100,12 +100,36 @@ def train_bpe(
     wc: DataFrame,
     n_merges: int = 8,
     min_count: int = 2,
+    driver_side: bool = False,
 ) -> DataFrame:
     """Word-type table → merge table (step, left, right, pair_count).
 
-    Driver transfers are bounded: one 1-row collect per round. Rounds
-    materialize via persist so plans stay O(1)-deep.
+    Two execution modes with byte-identical output (equality-tested):
+
+    * distributed (default): one pair-count aggregate + 1-row argmax
+      collect per round — corpus-size-independent per round, but a real
+      32k-merge vocab pays 32k sequential Spark jobs of JVM latency;
+    * ``driver_side=True``: ONE Spark job collects the zipf-bounded
+      word-type table (the corpus-sized work is already done by
+      ``word_counts``; distinct word types grow ~O(corpus^0.7) and a
+      100 TB web corpus's type table is tens of millions of rows — it
+      fits the driver that already holds broadcast vocabularies), then
+      ``bpe_python`` — the SAME function the tests and the DuckDB
+      oracle generator call — runs every merge round in-process.
+      Preferred for production vocab sizes.
+
+    Driver transfers are bounded: one 1-row collect per round
+    (distributed) or one word-type-table collect total (driver-side).
+    Rounds materialize via persist so plans stay O(1)-deep.
     """
+    if driver_side:
+        counts = {
+            r["word"]: int(r["cnt"]) for r in wc.select("word", "cnt").collect()
+        }
+        return spark.createDataFrame(
+            bpe_python(counts, n_merges=n_merges, min_count=min_count),
+            MERGES_SCHEMA,
+        )
     df = wc.select("word", "cnt", _chars(F.col("word")).alias("syms")).persist()
     df.count()
     merges: list[tuple[int, str, str, int]] = []

@@ -31,6 +31,29 @@ def minhash_coeffs(n_hashes: int, seed: int = 1) -> list[tuple[int, int]]:
     ]
 
 
+#: polynomial window-hash bases for exact_substring_dedup — four independent
+#: 31-bit components give a ~124-bit combined key (collision-safe at corpus
+#: window counts where a single 62-bit key would not be). Shared verbatim by
+#: the Spark operator and the DuckDB oracle SQL builder.
+ROLL_BASES = (1000003, 1000033, 1000037, 1000039)
+
+
+def roll_pow_lists(window: int) -> list[list[int]]:
+    """Literal power vectors [B_j^k mod 2^31−1, k=0..w−1] for each base —
+    the dot-product weights both engines interpolate as constants."""
+    return [
+        [pow(b, k, MERSENNE31) for k in range(int(window))] for b in ROLL_BASES
+    ]
+
+
+def token_hash_expr(c):
+    """Token → 60-bit int mod 2^31−1 (Column-taking twin of
+    shingle_hash_expr; DuckDB: ``CAST('0x'||SUBSTR(MD5(t),1,15) AS
+    BIGINT) % (2^31−1)``)."""
+    h = F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+    return F.pmod(h, F.lit(MERSENNE31))
+
+
 def shingle_hash_expr(g_col: str = "g"):
     """Shingle → 60-bit integer: first 15 hex chars of ONE md5, parsed base-16
     (DuckDB twin: ``CAST('0x' || SUBSTR(MD5(g),1,15) AS BIGINT)``), reduced
@@ -50,6 +73,40 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def _shingle_df(
+    docs: DataFrame, id_col: str, text_col: str, ngram: int, shingle: str
+) -> DataFrame:
+    """(id, g) shingle stream — ``shingle='char'`` (character n-grams, the
+    fine-grained default) or ``'word'`` (space-joined word n-grams, the
+    RefinedWeb-style production mode: ~5-10× fewer shingles → ~5-10× fewer
+    md5s, the dominant cost of the minhash family on real text).
+
+    Word mode materializes the token array in its own projection so the
+    per-gram lambda only touches a column reference — split/lower run once
+    per document, not once per shingle."""
+    if shingle == "char":
+        return docs.select(
+            F.col(id_col), F.explode(char_ngrams(F.col(text_col), ngram)).alias("g")
+        )
+    if shingle != "word":
+        raise ValueError(f"shingle must be 'char' or 'word', got {shingle!r}")
+    toks = F.filter(
+        F.split(
+            F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), WS_CLASS + "+"
+        ),
+        lambda x: x != F.lit(""),
+    )
+    base = docs.select(F.col(id_col), toks.alias("tk"))
+    grams = F.when(
+        F.size("tk") >= ngram,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tk") - ngram + 1),
+            lambda i: F.array_join(F.slice(F.col("tk"), i, ngram), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return base.select(F.col(id_col), F.explode(grams).alias("g"))
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -57,6 +114,7 @@ def minhash_signatures(
     n_hashes: int = 16,
     ngram: int = 5,
     seed: int = 1,
+    shingle: str = "char",
 ) -> DataFrame:
     """MinHash signatures over character n-gram shingles.
 
@@ -72,9 +130,9 @@ def minhash_signatures(
     Shuffle profile: explode shingles → one groupBy(id) computing all
     n_hashes mins in a single HashAggregate (partial aggregation shrinks the
     shuffle to n_hashes ints per doc)."""
-    sh = docs.select(
-        F.col(id_col), F.explode(char_ngrams(F.col(text_col), ngram)).alias("g")
-    ).select(F.col(id_col), shingle_hash_expr("g").alias("hm"))
+    sh = _shingle_df(docs, id_col, text_col, ngram, shingle).select(
+        F.col(id_col), shingle_hash_expr("g").alias("hm")
+    )
     p = F.lit(MERSENNE31)
     aggs = [
         F.min((F.lit(a) * F.col("hm") + F.lit(b)) % p).alias(f"h{i:02d}")
@@ -90,6 +148,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 16,
     bands: int = 4,
     ngram: int = 5,
+    shingle: str = "char",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded LSH over MinHash signatures.
 
@@ -99,7 +158,7 @@ def minhash_lsh_pairs(
     """
     assert n_hashes % bands == 0
     rows = n_hashes // bands
-    sig = minhash_signatures(docs, id_col, text_col, n_hashes, ngram)
+    sig = minhash_signatures(docs, id_col, text_col, n_hashes, ngram, shingle=shingle)
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"h{b * rows + r:02d}") for r in range(rows)]
@@ -133,6 +192,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
     max_doc_freq: int | None = None,
+    shingle: str = "char",
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity.
 
@@ -156,9 +216,7 @@ def ngram_jaccard_pairs(
     INTERSECTION join (sizes stay exact, so jaccard becomes a lower bound).
     Bounds the posting-list blowup when LSH candidates are unavailable.
     """
-    sh = docs.select(
-        F.col(id_col), F.explode(char_ngrams(F.col(text_col), ngram)).alias("g")
-    ).distinct()
+    sh = _shingle_df(docs, id_col, text_col, ngram, shingle).distinct()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     if candidates is not None:
         cand = candidates.select("id_a", "id_b")
@@ -461,10 +519,15 @@ def exact_substring_dedup(
 
     Suffix arrays don't distribute; the relational equivalent does:
 
-    1. map-side: slide a ``window``-token hash over each document
-       (md5 of the space-joined span — engine-portable);
-    2. ONE hash aggregate finds globally duplicated window hashes
-       (map-side combine shrinks the shuffle to distinct hashes);
+    1. map-side: each TOKEN is hashed once (md5 → 60-bit int); the
+       window key is four 31-bit polynomial dot-products of the token
+       hashes against literal power vectors (``roll_pow_lists``),
+       packed into two BIGINTs (~124-bit effective — collision-safe at
+       corpus window counts). Integer multiply-adds per position replace
+       the round-1 md5-per-window over a ``w``-token ``array_join``
+       (O(w·n) map-side string bytes, ~50× the compute);
+    2. ONE hash aggregate finds globally duplicated window keys
+       (map-side combine shrinks the shuffle to distinct keys);
     3. duplicated (doc, start) positions collect back per document —
        reusing the doc-keyed partitioning — and coverage + reassembly
        are array-local Column expressions (per-doc bounded, no UDF).
@@ -483,20 +546,49 @@ def exact_substring_dedup(
     starts = F.when(
         F.col("n") >= w, F.sequence(F.lit(0).cast("long"), F.col("n") - w)
     ).otherwise(F.array().cast("array<long>"))
-    wins = base.select(
+    pows = roll_pow_lists(w)
+    m = F.lit(MERSENNE31)
+
+    def _comp(j):
+        # Σ_k ha[s+k]·B_j^k mod M — every product < 2^62, sum < w·M < 2^63
+        weights = F.array(*[F.lit(p) for p in pows[j]])
+        return (
+            F.aggregate(
+                F.zip_with(
+                    F.slice("ha", F.col("s").cast("int") + 1, w),
+                    weights,
+                    lambda h, p: (h * p) % m,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            % m
+        )
+
+    # token hashes materialize in a projection BELOW the explode — one md5
+    # per token per document, not per (document, start) row
+    hashed = base.select(
+        F.col(id_col),
+        F.col("n"),
+        F.transform("a", token_hash_expr).alias("ha"),
+    )
+    wins = hashed.select(
         F.col(id_col),
         F.explode(starts).alias("s"),
-        F.col("a"),
+        F.col("ha"),
     ).select(
         F.col(id_col),
         "s",
-        F.md5(
-            F.array_join(F.slice("a", F.col("s").cast("int") + 1, w), " ")
-        ).alias("h"),
+        (_comp(0) * F.lit(MERSENNE31 + 1) + _comp(1)).alias("h1"),
+        (_comp(2) * F.lit(MERSENNE31 + 1) + _comp(3)).alias("h2"),
     )
-    dup = wins.groupBy("h").agg(F.count(F.lit(1)).alias("c")).where(F.col("c") > 1)
+    dup = (
+        wins.groupBy("h1", "h2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+    )
     doc_starts = (
-        wins.join(dup.select("h"), "h")
+        wins.join(dup.select("h1", "h2"), ["h1", "h2"])
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_list("s")).alias("dws"))
     )

@@ -138,8 +138,12 @@ def mixture_rates(counts: Dict[str, int], weights: Dict[str, float]) -> Dict[str
     tw = sum(present[s] for s in sorted(present))
     p = {s: present[s] / tw for s in present}
     nstar = min(counts[s] / p[s] for s in sorted(present))
+    # clamp: p_s·N*/n_s can land marginally below 1.0 in float for the
+    # binding stratum, which would drop its docs with u in [rate, 1) —
+    # "binding stratum kept whole" must hold exactly, not up to rounding
     return {
-        s: (p[s] * nstar / counts[s] if s in present else 0.0) for s in counts
+        s: (min(1.0, p[s] * nstar / counts[s]) if s in present else 0.0)
+        for s in counts
     }
 
 

@@ -23,10 +23,12 @@ from pyspark.sql import functions as F
 
 from ..functions.text import WS_CLASS
 
-# one pass: scheme://host path(until ? or #) — groups 1/2/3
-URL_PARTS = "^([a-z][a-z0-9+.-]*)://([^/?#]*)([^?#]*)"
+# one pass: scheme://host path(until ? or #) — groups 1/2/3.  Matches the
+# ORIGINAL-case url (scheme letters either case); callers lowercase only
+# scheme/host afterwards — path/query case is significant on many servers.
+URL_PARTS = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)"
 QUERY_PART = "\\?([^#]*)"  # group 1: query without the leading ?
-TRACKING_PARAM = "^(utm_[a-z]+|fbclid|gclid|ref)="
+TRACKING_PARAM = "(?i)^(utm_[a-z]+|fbclid|gclid|ref)="
 WWW_PREFIX = "^www\\."
 TRAILING_SLASH = "/+$"
 
@@ -34,7 +36,9 @@ DEFAULT_PORTS = {"http": ":80", "https": ":443"}
 
 
 def _clean_query(url: Column) -> Column:
-    raw = F.regexp_extract(F.lower(url), QUERY_PART, 1)
+    # original case preserved — query values are case-significant; the
+    # tracking-param pattern carries its own (?i)
+    raw = F.regexp_extract(url, QUERY_PART, 1)
     kept = F.filter(
         F.split(raw, "&"),
         lambda p: (p != F.lit(""))
@@ -48,19 +52,22 @@ def parse_urls(
 ) -> DataFrame:
     """URL column → (id, url, scheme, host, path, query_clean, url_norm).
 
-    Unparseable URLs (no ``scheme://``) yield empty scheme/host and a NULL
-    ``url_norm`` — errors-as-data, never a dropped row.
+    Only scheme and host are lowercased (per the module contract); path
+    and query keep their original case — ``/About`` and ``/about`` stay
+    distinct canonical URLs.  Unparseable URLs (no ``scheme://``) yield
+    empty scheme/host and a NULL ``url_norm`` — errors-as-data, never a
+    dropped row.
     """
-    lurl = F.lower(F.col(url_col))
-    scheme = F.regexp_extract(lurl, URL_PARTS, 1)
-    host0 = F.regexp_replace(F.regexp_extract(lurl, URL_PARTS, 2), WWW_PREFIX, "")
+    url = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(url, URL_PARTS, 1))
+    host0 = F.regexp_replace(F.lower(F.regexp_extract(url, URL_PARTS, 2)), WWW_PREFIX, "")
     host = host0
     for sch, port in DEFAULT_PORTS.items():
         host = F.when(
             (scheme == F.lit(sch)) & F.endswith(host0, F.lit(port)),
             F.substring(host0, 1, F.length(host0) - len(port)),
         ).otherwise(host)
-    path0 = F.regexp_replace(F.regexp_extract(lurl, URL_PARTS, 3), TRAILING_SLASH, "")
+    path0 = F.regexp_replace(F.regexp_extract(url, URL_PARTS, 3), TRAILING_SLASH, "")
     path = F.when(path0 == "", F.lit("/")).otherwise(path0)
     qc = _clean_query(F.col(url_col))
     url_norm = F.when(
@@ -115,9 +122,11 @@ def prefix_block_join(
     ``max_depth``) and matches rules by plain equi-join on
     ``(host, prefix)``; the winner is an algebraic max_by on prefix
     length — so the big side costs one bounded explode + one equi-join,
-    and a small rule set broadcasts. Two same-length matches are
-    necessarily the same prefix, so the winner is unique; the full
-    (length, prefix) order key keeps replay deterministic anyway.
+    and a small rule set broadcasts. Rules are first deduped on
+    ``(host, path_prefix)`` least-restrictive (MIN(action) — allow wins,
+    matching ``parse_robots``), so two same-length matches are
+    necessarily the same (prefix, action) and the winner is unique; the
+    full (length, prefix) order key keeps replay deterministic anyway.
 
     ``rules.path_prefix`` must be normalized like ``parsed.path``
     (leading slash, no trailing slash; root = '/').
@@ -151,6 +160,11 @@ def prefix_block_join(
             rules.select(
                 "host", F.col("path_prefix").alias("prefix"), "action"
             )
+            # caller-supplied duplicate (host, prefix) rows with
+            # conflicting actions would make max_by nondeterministic —
+            # collapse least-restrictive first (allow < deny)
+            .groupBy("host", "prefix")
+            .agg(F.min("action").alias("action"))
         ),
         ["host", "prefix"],
     )

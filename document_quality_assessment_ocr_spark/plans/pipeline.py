@@ -91,6 +91,7 @@ def run_extraction(
     include_metrics_cols: bool = False,
     scored_payloads: Optional[DataFrame] = None,
     max_media_spans: Optional[int] = None,
+    broadcast_scores: bool = True,
 ) -> DataFrame:
     """The flagship plan: spans+payloads → per-document verdict + surviving
     ordered span sequence ``(kind, text, media_ref, order)``.
@@ -98,6 +99,15 @@ def run_extraction(
     ``scored_payloads`` lets callers inject a pre-scored (and e.g. persisted)
     payload table so multi-pass drivers (checkpointed group runs) pay the
     kernel cost once.
+
+    ``broadcast_scores`` (default True) puts an explicit broadcast hint on
+    the score join's payload side: after payload dedup the scored table is
+    one NUMERIC row per distinct rendered page — the bounded side — so
+    span rows never shuffle for the join even with AQE off (the static
+    plan a 1000-executor run compiles). Set False when scores are
+    genuinely corpus-sized (every doc its own pages, no shared panel);
+    the join then falls back to a media_ref-keyed shuffle join and AQE's
+    runtime size check decides.
 
     ``max_media_spans`` — the reference's page budget analog (≤3 PDF pages /
     ≤20 TIFF frames, ``pdf_handler.py:65``, ``tiff_handler.py:15``): only the
@@ -160,6 +170,8 @@ def run_extraction(
     )
 
     scored = scored_payloads if scored_payloads is not None else score_payload_table(payloads_df)
+    if broadcast_scores:
+        scored = F.broadcast(scored)
     ex = ex.join(scored, ex["s.media_ref"] == scored["media_ref"], "left").drop(
         scored["media_ref"]
     )

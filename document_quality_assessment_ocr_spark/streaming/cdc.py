@@ -85,6 +85,20 @@ def stream_apply_changes(
         # crashed-then-replayed batch reads the same base (v{batch_id})
         # and overwrites the same target (v{batch_id+1}) — idempotent —
         # where a directory-derived counter would double-apply.
+        #
+        # checkpoint_dir and snapshot_dir are a paired unit: a FRESH
+        # checkpoint pointed at a snapshot_dir with existing history
+        # beyond v{batch_id+1} would silently rewrite v1..vN and fork the
+        # version chain — fail fast instead of corrupting lineage.
+        ahead = [v for v in _versions(snapshot_dir) if v > batch_id + 1]
+        if ahead:
+            raise RuntimeError(
+                f"snapshot_dir {snapshot_dir!r} already holds versions "
+                f"{ahead} beyond v{batch_id + 1}: the stream checkpoint "
+                "is behind the snapshot history (new checkpoint against "
+                "an old snapshot?). Reset checkpoint_dir and snapshot_dir "
+                "together — they are a paired unit."
+            )
         base = spark.read.parquet(
             os.path.join(snapshot_dir, f"{_VER_PREFIX}{batch_id}")
         )

@@ -49,6 +49,16 @@ def main():
             assert s.shape == o.shape, f"shape {s.shape} vs {o.shape}"
             for c in cols:
                 a, b = s[c], o[c]
+                # The driver's value-hash is representation-sensitive: a
+                # DuckDB HUGEINT materializing as float64 against Spark's
+                # int64 hash-mismatches even when values are equal (q20/q41
+                # lesson).  Flag exactly that trap class — integer on one
+                # side, float on the other.  (Decimal-object vs float64 is
+                # known driver-green: q04.)
+                kinds = {a.dtype.kind, b.dtype.kind}
+                assert not (kinds & {"i", "u"} and "f" in kinds), (
+                    f"DTYPE drift in column {c}: spark {a.dtype} vs oracle {b.dtype}"
+                )
                 if a.dtype.kind == "f" or b.dtype.kind == "f":
                     ok = np.allclose(a.astype(float), b.astype(float), rtol=0, atol=0, equal_nan=True)
                 else:

@@ -200,3 +200,77 @@ def test_stream_binary_extraction_equals_batch(spark, tmp_path):
         assert got[k]["accepted"] == exp[k]["accepted"], k
         assert got[k]["reasons"] == exp[k]["reasons"], k
         assert got[k]["spans"] == exp[k]["spans"], k
+
+
+def _have(mod):
+    import importlib.util
+
+    return importlib.util.find_spec(mod) is not None
+
+
+def test_real_codec_shim_absent_libs_yield_error_rows(spark):
+    """Plugging a real-codec parser on a box WITHOUT the libs must follow
+    the errors-as-data contract: ImportError inside the parser becomes a
+    handler-level error ROW (criteria.py:39-41 shape), never a task crash."""
+    if _have("pymupdf"):
+        pytest.skip("pymupdf present — absent-lib contract not testable")
+    from document_quality_assessment_ocr_spark.sources import codecs
+
+    rows = _raster(
+        spark,
+        [("d1", "pdf", bytearray(b"%PDF-1.4 fake"), True)],
+        parser=codecs.pymupdf_pdf_parser(),
+    )
+    assert len(rows) == 1
+    assert rows[0]["error"].startswith("Failed to extract images from d1:")
+
+
+@pytest.mark.skipif(not _have("pymupdf"), reason="pymupdf not installed")
+def test_pymupdf_parser_rasterizes_real_pdf(spark):
+    """Integration (runs wherever pymupdf exists): a real PDF rasterizes
+    through the SAME front-end — caps, K9 arithmetic, span scoring all
+    downstream-identical to the test-double path."""
+    import pymupdf
+
+    from document_quality_assessment_ocr_spark.sources import codecs
+
+    doc = pymupdf.open()
+    for _ in range(5):
+        page = doc.new_page(width=612, height=792)
+        page.insert_text((72, 72), "hello extraction")
+    blob = doc.tobytes()
+    rows = _raster(
+        spark,
+        [("d1", "pdf", bytearray(blob), True)],
+        parser=codecs.pymupdf_pdf_parser(dpi=96),
+    )
+    assert sorted(r["page_idx"] for r in rows) == [0, 1, 2]  # 3-page cap
+    for r in rows:
+        assert r["error"] is None and r["dpi"] == 96
+        assert abs(r["page_width_pt"] - 612.0) < 1e-9
+        arr, pdpi = png.decode_gray(bytes(r["png"]))  # in-repo codec reads it
+        assert arr.shape == (r["height"], r["width"]) and pdpi == 96
+
+
+@pytest.mark.skipif(not _have("PIL"), reason="PIL not installed")
+def test_pil_parser_reads_multiframe_tiff(spark):
+    import io
+
+    import numpy as _np
+    from PIL import Image
+
+    from document_quality_assessment_ocr_spark.sources import codecs
+
+    frames = [
+        Image.fromarray(_np.full((40, 30), 60 * i, dtype=_np.uint8))
+        for i in range(1, 4)
+    ]
+    buf = io.BytesIO()
+    frames[0].save(buf, format="TIFF", save_all=True, append_images=frames[1:])
+    rows = _raster(
+        spark,
+        [("t1", "tiff", bytearray(buf.getvalue()), True)],
+        parser=codecs.pil_image_parser(),
+    )
+    assert sorted(r["page_idx"] for r in rows) == [0, 1, 2]
+    assert all(r["error"] is None for r in rows)

@@ -751,6 +751,34 @@ def test_bpe_trainer_matches_python_reference(spark):
     assert got[0] == (0, "l", "o", 7) and got[1] == (1, "lo", "w", 7)
 
 
+def test_bpe_driver_side_mode_is_byte_identical(spark):
+    """train_bpe(driver_side=True) — one word-count collect + bpe_python
+    in-process — yields the exact merge table of the distributed
+    per-round trainer (the production mode for 32k-merge vocabs, which
+    would otherwise pay 32k sequential Spark jobs)."""
+    from document_quality_assessment_ocr_spark.operators.bpe import (
+        train_bpe,
+        word_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low lower lowest low low newer newest new"),
+            (2, "wider wide new lower low"),
+        ],
+        "doc_id long, text string",
+    )
+    wc = word_counts(docs)
+    dist = [tuple(r) for r in train_bpe(spark, wc, 6).orderBy("step").collect()]
+    drv = [
+        tuple(r)
+        for r in train_bpe(spark, wc, 6, driver_side=True)
+        .orderBy("step")
+        .collect()
+    ]
+    assert drv == dist and len(drv) == 6
+
+
 def test_bpe_min_count_stops_early(spark):
     from document_quality_assessment_ocr_spark.operators.bpe import (
         train_bpe,
@@ -797,8 +825,10 @@ def test_mixture_rates_arithmetic():
     # en keeps 200 of 800, fr keeps all 100
     r = mixture_rates(counts, {"en": 0.5, "de": 0.25, "fr": 0.25})
     assert abs(r["en"] - 0.25) < 1e-12
-    assert abs(r["de"] - 1.0) < 1e-12
-    assert abs(r["fr"] - 1.0) < 1e-12
+    # the binding stratum's rate is EXACTLY 1.0 (clamped), not 1-ulp under:
+    # u in [rate, 1) would silently drop docs from a stratum promised whole
+    assert r["de"] == 1.0
+    assert r["fr"] == 1.0
     # absent stratum renormalizes away; zero-weight stratum gets 0
     r = mixture_rates({"en": 10, "zz": 10}, {"en": 1.0, "missing": 5.0})
     assert r == {"en": 1.0, "zz": 0.0}

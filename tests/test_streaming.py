@@ -137,6 +137,41 @@ def test_streaming_cdc_matches_batch_merge(spark, tmp_path):
     assert read_snapshot_version(spark, snap, 0).count() == 20
 
 
+def test_streaming_cdc_refuses_fresh_checkpoint_on_old_snapshot(spark, tmp_path):
+    """A NEW checkpoint pointed at a snapshot_dir that already carries
+    history beyond v{batch_id+1} must fail fast, not silently rewrite
+    v1..vN and fork the version chain (checkpoint_dir + snapshot_dir are
+    a paired unit)."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from document_quality_assessment_ocr_spark.streaming.cdc import (
+        stream_apply_changes,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", "en")], "doc_id long, text string, lang string"
+    )
+    snap = str(tmp_path / "snap")
+    for v in (0, 1, 2):  # pre-existing history: v0..v2
+        base.write.parquet(os.path.join(snap, f"v{v}"))
+
+    ch_schema = "doc_id long, seq long, op string, text string, lang string"
+    ch_dir = str(tmp_path / "changes")
+    os.makedirs(ch_dir)
+    spark.createDataFrame(
+        [(1, 1, "U", "a2", "en")], ch_schema
+    ).coalesce(1).write.parquet(os.path.join(ch_dir, "drop-0"))
+
+    with pytest.raises((StreamingQueryException, Py4JJavaError)) as ei:
+        stream_apply_changes(
+            spark, ch_dir + "/*", ch_schema, snap, str(tmp_path / "fresh-ckpt")
+        )
+    assert "paired unit" in str(ei.value)
+    # history is intact — nothing was overwritten
+    assert spark.read.parquet(os.path.join(snap, "v2")).count() == 1
+
+
 @pytest.mark.slow
 def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     """Native watermarked stream-stream join (append parquet sink) equals

@@ -25,9 +25,20 @@ def parsed(spark):
 
 def test_canonicalization(parsed):
     assert parsed[1]["host"] == "example.com"
-    assert parsed[1]["path"] == "/a/b"
+    # scheme/host lowercase; path keeps its original case (case-significant
+    # on many servers — lowercasing would over-merge /About with /about)
+    assert parsed[1]["path"] == "/A/B"
     assert parsed[1]["query_clean"] == "id=9"
-    assert parsed[1]["url_norm"] == "https://example.com/a/b?id=9"
+    assert parsed[1]["url_norm"] == "https://example.com/A/B?id=9"
+
+
+def test_path_case_is_preserved(spark):
+    df = spark.createDataFrame(
+        [(1, "https://a.com/About"), (2, "https://a.com/about")],
+        "doc_id long, url string",
+    )
+    rows = {r["doc_id"]: r for r in parse_urls(df).collect()}
+    assert rows[1]["url_norm"] != rows[2]["url_norm"]
 
 
 def test_default_port_is_scheme_aware(parsed):
