@@ -120,7 +120,14 @@ def train_bpe(
 
     Driver transfers are bounded: one 1-row collect per round
     (distributed) or one word-type-table collect total (driver-side).
-    Rounds materialize via persist so plans stay O(1)-deep.
+    Distributed rounds materialize via ``localCheckpoint`` — persist()
+    alone caches DATA but leaves the LOGICAL plan k folds deep after k
+    rounds, and Catalyst re-analysis of the nested fold expressions OOMs
+    the driver near ~30 merges; checkpointing truncates lineage so every
+    round plans against a flat scan.  (localCheckpoint is
+    non-fault-tolerant: a lost executor fails the round — acceptable for
+    the bounded word-type table; production vocab training should use
+    ``driver_side=True`` anyway.)
     """
     if driver_side:
         counts = {
@@ -130,8 +137,7 @@ def train_bpe(
             bpe_python(counts, n_merges=n_merges, min_count=min_count),
             MERGES_SCHEMA,
         )
-    df = wc.select("word", "cnt", _chars(F.col("word")).alias("syms")).persist()
-    df.count()
+    df = wc.select("word", "cnt", _chars(F.col("word")).alias("syms")).localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []
     try:
         for step_i in range(int(n_merges)):
@@ -159,8 +165,7 @@ def train_bpe(
             merges.append((step_i, l, r, c))
             nxt = df.select(
                 "word", "cnt", _apply_merge(F.col("syms"), l, r).alias("syms")
-            ).persist()
-            nxt.count()
+            ).localCheckpoint()
             df.unpersist()
             df = nxt
     finally:
