@@ -962,6 +962,59 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear quality classifier (fastText-filter shape): seeded
+    integer milli-unit weights folded into literal Columns, bucket = md5
+    mod D, integer left-to-right gram fold — map-side only, zero shuffle.
+    Oracle interpolates the SAME classifier_weights() vector."""
+    from document_quality_assessment_ocr_spark.operators.classify import quality_score
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return quality_score(d, n_buckets=64, seed=7)
+
+
+def _quality_classifier_sql() -> str:
+    """DuckDB twin of operators/classify.quality_score — shared weight
+    vector (classifier_weights) and gram/bucket arithmetic; integer fold
+    keeps the sum order-independent-exact, division order (sum → /n →
+    /1000) matches the engine."""
+    from document_quality_assessment_ocr_spark.operators.classify import (
+        classifier_weights,
+    )
+
+    w = classifier_weights(64, 7)
+    wl = "[" + ", ".join(str(x) for x in w) + "]::BIGINT[]"
+    bucket = f"CAST(CAST(('0x' || SUBSTR(MD5(g), 1, 15)) AS BIGINT) % 64 AS INT) + 1"
+    return f"""
+        WITH d AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(
+                       TRIM(LOWER(COALESCE(text,''))), '{WS}+'),
+                       x -> x <> '') AS tk
+            FROM documents
+        ), gr AS (
+            SELECT doc_id,
+                   tk || CASE WHEN LEN(tk) >= 2
+                         THEN LIST_TRANSFORM(RANGE(1, LEN(tk)),
+                              i -> tk[CAST(i AS INT)] || CHR(1)
+                                   || tk[CAST(i AS INT) + 1])
+                         ELSE []::VARCHAR[] END AS grams
+            FROM d
+        ), sc AS (
+            SELECT doc_id, CAST(LEN(grams) AS BIGINT) AS n_grams,
+                   CASE WHEN LEN(grams) > 0
+                        THEN ROUND(CAST(0 + LIST_SUM(LIST_TRANSFORM(grams,
+                                 g -> ({wl})[{bucket}])) AS DOUBLE)
+                             / LEN(grams) / 1000.0, 6)
+                        ELSE 0.0 END AS score
+            FROM gr
+        )
+        SELECT doc_id, n_grams, score, score >= 0.0 AS keep FROM sc
+    """
+
+
 def _q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Visual near-duplicate pairs: REAL image work (PNG decode → 8×8
     average-hash) over the payload catalog via mapInPandas, joined to the
@@ -1394,6 +1447,20 @@ def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_sample(d, "lang", _MIXTURE_WEIGHTS)
 
 
+def _q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q77 with temperature 2.0: weights flattened w^(1/T) before the
+    mixture arithmetic — tail languages (es/zh at 5%) get up-weighted
+    relative to en. Same shared-rate oracle technique."""
+    from document_quality_assessment_ocr_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang"
+    )
+    return mixture_sample(d, "lang", _MIXTURE_WEIGHTS, temperature=2.0)
+
+
 def _q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming-banded visual near-dup pairs over REAL perceptual hashes of
     the payload catalog AND its 128-px thumbnails (same imagery, different
@@ -1611,6 +1678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_bpe_fertility": _q_bpe_fertility,
         "q81_hash_embedding": _q_hash_embedding,
         "q57_phash_dedup": _q_phash_dedup,
+        "q84_quality_classifier": _q_quality_classifier,
+        "q85_temperature_mixture": _q_temperature_mixture,
     }
 
 
@@ -2680,15 +2749,19 @@ def _semdedup_sql(
     """
 
 
-def _mixture_sql(sf_dir: str | None = None) -> str:
-    """q77 oracle: per-stratum counts read from the parquet, rates via the
-    SAME mixture_rates() arithmetic the engine runs, embedded as repr
-    literals (exact double round-trip) over the md5-uniform predicate."""
+def _mixture_sql(sf_dir: str | None = None, temperature: float = 1.0) -> str:
+    """q77/q85 oracle: per-stratum counts read from the parquet, rates via
+    the SAME mixture_rates()/temper_weights() arithmetic the engine runs,
+    embedded as repr literals (exact double round-trip) over the
+    md5-uniform predicate."""
     import os
 
     import duckdb
 
-    from document_quality_assessment_ocr_spark.operators.sampling import mixture_rates
+    from document_quality_assessment_ocr_spark.operators.sampling import (
+        mixture_rates,
+        temper_weights,
+    )
 
     sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
     con = duckdb.connect()
@@ -2699,7 +2772,7 @@ def _mixture_sql(sf_dir: str | None = None) -> str:
         ).fetchall()
     )
     con.close()
-    rates = mixture_rates(counts, _MIXTURE_WEIGHTS)
+    rates = mixture_rates(counts, temper_weights(_MIXTURE_WEIGHTS, temperature))
     case = " ".join(
         f"WHEN '{s}' THEN {rates[s]!r}" for s in sorted(rates)
     )
@@ -3538,28 +3611,7 @@ def _link_hosts_sql() -> str:
     """
 
 
-def _roll_comp_sql(w: int, j: int) -> str:
-    """DuckDB twin of exact_substring_dedup's polynomial window component j:
-    dot product of the token-hash slice at start ``i`` (``ha``/``i`` from the
-    enclosing CTE) with the SAME literal power vector the Spark operator
-    uses (dedup.roll_pow_lists)."""
-    from document_quality_assessment_ocr_spark.operators.dedup import (
-        MERSENNE31,
-        roll_pow_lists,
-    )
-
-    pows = roll_pow_lists(w)[j]
-    lst = "[" + ", ".join(str(p) for p in pows) + "]::BIGINT[]"
-    return (
-        f"CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, {w}), "
-        f"k -> (ha[CAST(i + k AS INT) + 1] * ({lst})[CAST(k AS INT) + 1]) "
-        f"% {MERSENNE31})) % {MERSENNE31} AS BIGINT)"
-    )
-
-
 def oracle_sql() -> dict[str, str]:
-    from document_quality_assessment_ocr_spark.operators.dedup import MERSENNE31
-
     ink = f"LENGTH(REGEXP_REPLACE(COALESCE(text,''), '{WS}', '', 'g'))"
     ntoks = (
         f"LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(COALESCE(text,'')), '{WS}+'),"
@@ -4011,6 +4063,8 @@ def oracle_sql() -> dict[str, str]:
                        / CAST(COUNT(*) AS DOUBLE) AS denied_frac
             FROM j WHERE host <> '' GROUP BY host
         """.replace("{Q68}", _url_sqls()[2]),
+        "q84_quality_classifier": _quality_classifier_sql(),
+        "q85_temperature_mixture": _mixture_sql(temperature=2.0),
         "q81_hash_embedding": f"""
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -4054,28 +4108,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ), t AS (
                 SELECT doc_id, a, CAST(LEN(a) AS BIGINT) AS n FROM d
-            ), th AS (
-                -- twin of dedup.token_hash_expr: one md5 PER TOKEN, then
-                -- polynomial window combine (rolling-hash scheme)
-                SELECT doc_id, n,
-                       LIST_TRANSFORM(a,
-                           tk -> CAST(('0x' || SUBSTR(MD5(tk), 1, 15))
-                                      AS BIGINT) % {MERSENNE31}) AS ha
-                FROM t
             ), wi AS (
                 SELECT doc_id, i AS s,
-                       {_roll_comp_sql(8, 0)} * {MERSENNE31 + 1}
-                           + {_roll_comp_sql(8, 1)} AS h1,
-                       {_roll_comp_sql(8, 2)} * {MERSENNE31 + 1}
-                           + {_roll_comp_sql(8, 3)} AS h2
-                FROM (SELECT doc_id, ha,
+                       MD5(ARRAY_TO_STRING(LIST_SLICE(a, CAST(i AS INT) + 1,
+                           CAST(i AS INT) + 8), ' ')) AS h
+                FROM (SELECT doc_id, a,
                              UNNEST(RANGE(0, GREATEST(n - 8 + 1, 0))) AS i
-                      FROM th)
+                      FROM t)
             ), dup AS (
-                SELECT h1, h2 FROM wi GROUP BY h1, h2 HAVING COUNT(*) > 1
+                SELECT h FROM wi GROUP BY h HAVING COUNT(*) > 1
             ), ds AS (
                 SELECT doc_id, LIST_SORT(LIST(s)) AS dws
-                FROM wi JOIN dup USING (h1, h2) GROUP BY doc_id
+                FROM wi JOIN dup USING (h) GROUP BY doc_id
             ), j AS (
                 SELECT t.doc_id, a, n,
                        COALESCE(ds.dws, []::BIGINT[]) AS dws

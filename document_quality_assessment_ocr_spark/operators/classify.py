@@ -1,0 +1,112 @@
+"""Hashed linear text classification — the quality/toxicity FILTER stage of
+LLM data pipelines (the fastText-classifier shape CCNet/LLaMA-class corpora
+gate on), re-expressed as pure Column arithmetic.
+
+Model: bag of hashed token uni+bigrams → one weight per feature bucket →
+score = bias + Σ w[h(g) mod D].  The weight table is a seeded, driver-side
+vector folded into LITERAL Column expressions (the oracle-literal technique
+of similarity.random_projection), so scoring is a map-side projection —
+zero shuffle, zero UDF, broadcast-free (the weights live in the plan).
+
+Bit-exactness: weights are integer MILLI-units (int64) and the feature sum
+is an integer left-to-right array fold, so engine and oracle agree exactly
+(float gram sums are order-dependent and can never hash-match — the
+operators/graph.pagerank_fixed lesson); the surfaced ``score`` divides by
+1000 exactly once at the end.
+
+At 100 TB: a real trained model swaps its quantized weights into the same
+literal-vector seam (or, past ~10^5 buckets where literal plans get big, a
+broadcast map-join on bucket id); per-doc cost stays O(tokens), and the
+filter composes map-side with the curation chain (plans/curation.py) —
+no new exchange anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import WS_CLASS
+
+#: fixed-point scale of the weight units (milli-units)
+SCALE = 1000
+
+
+def classifier_weights(n_buckets: int = 64, seed: int = 7) -> list[int]:
+    """Seeded integer weight vector (milli-units in [-2000, 2000]) — shared
+    verbatim by the Spark operator AND the DuckDB oracle SQL builder."""
+    rng = np.random.default_rng(seed)
+    return [int(x) for x in rng.integers(-2 * SCALE, 2 * SCALE + 1, n_buckets)]
+
+
+def _grams(tk: Column) -> Column:
+    """Token array → uni+bigram string array (bigrams joined with '\\x01',
+    a byte that survives both engines' string handling)."""
+    bi = F.when(
+        F.size(tk) >= 2,
+        F.transform(
+            F.slice(tk, 1, F.size(tk) - 1),
+            lambda x, i: F.concat_ws("\x01", x, F.element_at(tk, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(tk, bi)
+
+
+def quality_score(
+    docs: DataFrame,
+    n_buckets: int = 64,
+    seed: int = 7,
+    bias_milli: int = 0,
+    threshold: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every document with the hashed linear model; output
+    ``(id_col, n_grams, score, keep)`` where ``score`` is the milli-unit
+    sum / 1000 averaged over grams (empty docs score 0 and are kept only
+    if ``threshold <= 0``).
+
+    One projection — the plan is scan → codegen fold; nothing shuffles.
+    """
+    w = classifier_weights(n_buckets, seed)
+    toks = F.filter(
+        F.split(
+            F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), WS_CLASS + "+"
+        ),
+        lambda x: x != F.lit(""),
+    )
+    base = docs.select(F.col(id_col), toks.alias("tk"))
+    grams = _grams(F.col("tk"))
+    warr = F.array(*[F.lit(int(x)).cast("long") for x in w])
+    # bucket = first 15 md5 hex chars mod D (engine-portable, see
+    # dedup.shingle_hash_expr); weight lookup is an array index into the
+    # literal vector — evaluated left-to-right in gram order (fold), so the
+    # integer sum is order-deterministic on both engines
+    gsum = F.aggregate(
+        F.transform(
+            grams,
+            lambda g: F.element_at(
+                warr,
+                (
+                    F.pmod(
+                        F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+                        F.lit(int(n_buckets)),
+                    )
+                    + 1
+                ).cast("int"),
+            ),
+        ),
+        F.lit(int(bias_milli)).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    ng = F.size(grams).cast("long")
+    score = F.when(ng > 0, gsum.cast("double") / ng / F.lit(float(SCALE))).otherwise(
+        F.lit(0.0)
+    )
+    return base.select(
+        F.col(id_col),
+        ng.alias("n_grams"),
+        F.round(score, 6).alias("score"),
+        (F.round(score, 6) >= F.lit(float(threshold))).alias("keep"),
+    )

@@ -31,29 +31,6 @@ def minhash_coeffs(n_hashes: int, seed: int = 1) -> list[tuple[int, int]]:
     ]
 
 
-#: polynomial window-hash bases for exact_substring_dedup — four independent
-#: 31-bit components give a ~124-bit combined key (collision-safe at corpus
-#: window counts where a single 62-bit key would not be). Shared verbatim by
-#: the Spark operator and the DuckDB oracle SQL builder.
-ROLL_BASES = (1000003, 1000033, 1000037, 1000039)
-
-
-def roll_pow_lists(window: int) -> list[list[int]]:
-    """Literal power vectors [B_j^k mod 2^31−1, k=0..w−1] for each base —
-    the dot-product weights both engines interpolate as constants."""
-    return [
-        [pow(b, k, MERSENNE31) for k in range(int(window))] for b in ROLL_BASES
-    ]
-
-
-def token_hash_expr(c):
-    """Token → 60-bit int mod 2^31−1 (Column-taking twin of
-    shingle_hash_expr; DuckDB: ``CAST('0x'||SUBSTR(MD5(t),1,15) AS
-    BIGINT) % (2^31−1)``)."""
-    h = F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
-    return F.pmod(h, F.lit(MERSENNE31))
-
-
 def shingle_hash_expr(g_col: str = "g"):
     """Shingle → 60-bit integer: first 15 hex chars of ONE md5, parsed base-16
     (DuckDB twin: ``CAST('0x' || SUBSTR(MD5(g),1,15) AS BIGINT)``), reduced
@@ -519,13 +496,16 @@ def exact_substring_dedup(
 
     Suffix arrays don't distribute; the relational equivalent does:
 
-    1. map-side: each TOKEN is hashed once (md5 → 60-bit int); the
-       window key is four 31-bit polynomial dot-products of the token
-       hashes against literal power vectors (``roll_pow_lists``),
-       packed into two BIGINTs (~124-bit effective — collision-safe at
-       corpus window counts). Integer multiply-adds per position replace
-       the round-1 md5-per-window over a ``w``-token ``array_join``
-       (O(w·n) map-side string bytes, ~50× the compute);
+    1. map-side: slide a ``window``-token hash over each document
+       (md5 of the space-joined span — engine-portable). The O(w·n)
+       map-side string build LOOKS like the cost center but is not on
+       the JVM: a rolling-polynomial alternative (one md5 per token +
+       per-window dot products over literal power vectors) measured
+       4× SLOWER at w=50 and 1.5× slower at w=8 — 200-term arithmetic
+       expression chains fall out of whole-stage codegen while md5 runs
+       intrinsic over one contiguous string (measurement in BENCH.md
+       round 3; the rejected variant also showed a two-BIGINT compound
+       join key costing 3× a single string key through the dup join);
     2. ONE hash aggregate finds globally duplicated window keys
        (map-side combine shrinks the shuffle to distinct keys);
     3. duplicated (doc, start) positions collect back per document —
@@ -546,49 +526,20 @@ def exact_substring_dedup(
     starts = F.when(
         F.col("n") >= w, F.sequence(F.lit(0).cast("long"), F.col("n") - w)
     ).otherwise(F.array().cast("array<long>"))
-    pows = roll_pow_lists(w)
-    m = F.lit(MERSENNE31)
-
-    def _comp(j):
-        # Σ_k ha[s+k]·B_j^k mod M — every product < 2^62, sum < w·M < 2^63
-        weights = F.array(*[F.lit(p) for p in pows[j]])
-        return (
-            F.aggregate(
-                F.zip_with(
-                    F.slice("ha", F.col("s").cast("int") + 1, w),
-                    weights,
-                    lambda h, p: (h * p) % m,
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            % m
-        )
-
-    # token hashes materialize in a projection BELOW the explode — one md5
-    # per token per document, not per (document, start) row
-    hashed = base.select(
-        F.col(id_col),
-        F.col("n"),
-        F.transform("a", token_hash_expr).alias("ha"),
-    )
-    wins = hashed.select(
+    wins = base.select(
         F.col(id_col),
         F.explode(starts).alias("s"),
-        F.col("ha"),
+        F.col("a"),
     ).select(
         F.col(id_col),
         "s",
-        (_comp(0) * F.lit(MERSENNE31 + 1) + _comp(1)).alias("h1"),
-        (_comp(2) * F.lit(MERSENNE31 + 1) + _comp(3)).alias("h2"),
+        F.md5(
+            F.array_join(F.slice("a", F.col("s").cast("int") + 1, w), " ")
+        ).alias("h"),
     )
-    dup = (
-        wins.groupBy("h1", "h2")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") > 1)
-    )
+    dup = wins.groupBy("h").agg(F.count(F.lit(1)).alias("c")).where(F.col("c") > 1)
     doc_starts = (
-        wins.join(dup.select("h1", "h2"), ["h1", "h2"])
+        wins.join(dup.select("h"), "h")
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_list("s")).alias("dws"))
     )

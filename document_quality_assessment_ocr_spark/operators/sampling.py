@@ -147,24 +147,39 @@ def mixture_rates(counts: Dict[str, int], weights: Dict[str, float]) -> Dict[str
     }
 
 
+def temper_weights(
+    weights: Dict[str, float], temperature: float = 1.0
+) -> Dict[str, float]:
+    """Temperature-scale mixture weights: w_s^(1/T) (renormalization happens
+    inside mixture_rates). T>1 flattens toward uniform (up-weights tail
+    languages/domains — the multilingual-sampling knob of mBERT/XLM-R-class
+    recipes); T=1 is identity; T<1 sharpens. Pure python, shared by the
+    engine's driver step AND the oracle generator."""
+    t = float(temperature)
+    if t == 1.0:
+        return dict(weights)
+    return {s: float(w) ** (1.0 / t) for s, w in weights.items()}
+
+
 def mixture_sample(
     df: DataFrame,
     stratum_col: str,
     weights: Dict[str, float],
     id_col: str = "doc_id",
     salt: int = 0,
+    temperature: float = 1.0,
 ) -> DataFrame:
     """Down-sample the corpus to target mixture proportions (the data-mixing
     pass before training): one per-stratum count aggregate (bounded by the
     number of strata), driver-side rate arithmetic, then the deterministic
     md5-uniform accept predicate — retry-stable, and the accept pass adds
     no shuffle. Expected composition hits the targets; the binding stratum
-    is kept whole."""
+    is kept whole. ``temperature`` flattens (T>1) or sharpens (T<1) the
+    target proportions via the shared ``temper_weights`` arithmetic."""
     counts = {
         r[stratum_col]: int(r["n"])
         for r in df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n")).collect()
         if r[stratum_col] is not None
     }
-    return stratified_sample(
-        df, stratum_col, mixture_rates(counts, weights), id_col, 0.0, salt
-    )
+    rates = mixture_rates(counts, temper_weights(weights, temperature))
+    return stratified_sample(df, stratum_col, rates, id_col, 0.0, salt)

@@ -952,3 +952,61 @@ def test_exact_substring_fuzz_vs_python(spark):
     }
     assert got == expect
     assert any(n > 0 for _, n in got.values())  # fuzz actually removed text
+
+
+def test_quality_classifier_semantics(spark):
+    """Hashed linear scorer: deterministic integer gram fold, empty doc
+    scores 0, identical texts score identically, and the plan is pure
+    map-side (no Exchange — the weights live in the plan as literals)."""
+    from document_quality_assessment_ocr_spark.operators.classify import (
+        SCALE,
+        classifier_weights,
+        quality_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in quality_score(docs).collect()}
+    # 3 unigrams + 2 bigrams
+    assert out[1]["n_grams"] == 5 and out[1]["score"] == out[2]["score"]
+    assert out[3]["n_grams"] == 0 and out[3]["score"] == 0.0 and out[3]["keep"]
+    assert out[4]["score"] == 0.0
+
+    # python replay of the spec for doc 1
+    import hashlib
+
+    w = classifier_weights(64, 7)
+    toks = ["alpha", "beta", "gamma"]
+    grams = toks + [a + "\x01" + b for a, b in zip(toks, toks[1:])]
+    s = sum(
+        w[int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % 64] for g in grams
+    )
+    assert abs(out[1]["score"] - round(s / len(grams) / SCALE, 6)) < 1e-12
+
+    plan = quality_score(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-side only
+
+
+def test_temper_weights_flattens_and_sharpens():
+    from document_quality_assessment_ocr_spark.operators.sampling import (
+        mixture_rates,
+        temper_weights,
+    )
+
+    w = {"en": 0.8, "zh": 0.2}
+    assert temper_weights(w, 1.0) == w
+    t2 = temper_weights(w, 2.0)
+    # T>1 flattens: ratio en/zh shrinks from 4 to 2
+    assert t2["en"] / t2["zh"] == pytest.approx(2.0)
+    th = temper_weights(w, 0.5)
+    assert th["en"] / th["zh"] == pytest.approx(16.0)  # T<1 sharpens
+    # downstream: counts match the T=1 proportions exactly (no down-sampling);
+    # flattening makes zh bind and down-samples the HEAD — the tail stratum
+    # stays whole, the corpus shifts toward uniform
+    counts = {"en": 800, "zh": 200}
+    r1 = mixture_rates(counts, w)
+    r2 = mixture_rates(counts, t2)
+    assert r1 == {"en": 1.0, "zh": 1.0}
+    assert r2["zh"] == 1.0 and r2["en"] == pytest.approx(0.5)
