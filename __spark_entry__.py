@@ -1192,6 +1192,31 @@ def _q_html_main(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_main_html(_synth_html(_doc(spark, sf_dir)))
 
 
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg table_changes analog (apply_changes' inverse): diff two
+    derived snapshot versions — v_old = documents, v_new with a deleted
+    slice (%7==0), an updated slice (%5==0, lang→'xx'), and an inserted
+    slice (doc_id+10^6 clones of %11==0). ONE full-outer equi-join;
+    unchanged rows drop. Oracle mirrors the derivation in SQL."""
+    from document_quality_assessment_ocr_spark.operators.cdc import snapshot_diff
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "source"
+    )
+    did = F.col("doc_id")
+    old = d
+    kept = d.where(did % 7 != 0).select(
+        did,
+        F.when(did % 5 == 0, F.lit("xx")).otherwise(F.col("lang")).alias("lang"),
+        "source",
+    )
+    ins = d.where(did % 11 == 0).select(
+        (did + 1000000).alias("doc_id"), "lang", F.lit("clone").alias("source")
+    )
+    new = kept.unionByName(ins)
+    return snapshot_diff(old, new)
+
+
 def _q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC MERGE: apply a synthesized changelog (updates, inserts of the
     held-out doc_id%10==9 slice, deletes, and a second-seq change that must
@@ -1680,6 +1705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_phash_dedup": _q_phash_dedup,
         "q84_quality_classifier": _q_quality_classifier,
         "q85_temperature_mixture": _q_temperature_mixture,
+        "q86_snapshot_diff": _q_snapshot_diff,
     }
 
 
@@ -4065,6 +4091,38 @@ def oracle_sql() -> dict[str, str]:
         """.replace("{Q68}", _url_sqls()[2]),
         "q84_quality_classifier": _quality_classifier_sql(),
         "q85_temperature_mixture": _mixture_sql(temperature=2.0),
+        "q86_snapshot_diff": """
+            WITH d AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source
+                FROM documents
+            ), oldv AS (
+                SELECT * FROM d
+            ), newv AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END AS lang,
+                       source
+                FROM d WHERE doc_id % 7 <> 0
+                UNION ALL
+                SELECT doc_id + 1000000, lang, 'clone' FROM d WHERE doc_id % 11 = 0
+            ), j AS (
+                SELECT o.doc_id AS okey, n.doc_id AS nkey,
+                       o.lang AS olang, o.source AS osrc,
+                       n.lang AS nlang, n.source AS nsrc
+                FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id
+            ), cls AS (
+                SELECT *,
+                       CASE WHEN nkey IS NOT NULL AND okey IS NULL THEN 'I'
+                            WHEN okey IS NOT NULL AND nkey IS NULL THEN 'D'
+                            WHEN olang IS DISTINCT FROM nlang
+                                 OR osrc IS DISTINCT FROM nsrc THEN 'U'
+                       END AS op
+                FROM j
+            )
+            SELECT COALESCE(nkey, okey) AS doc_id, op,
+                   CASE WHEN op = 'D' THEN olang ELSE nlang END AS lang,
+                   CASE WHEN op = 'D' THEN osrc ELSE nsrc END AS source
+            FROM cls WHERE op IS NOT NULL
+        """,
         "q81_hash_embedding": f"""
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id,

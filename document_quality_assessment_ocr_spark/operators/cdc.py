@@ -55,3 +55,51 @@ def apply_changes(
             for c in payload
         ],
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Changelog BETWEEN two snapshots (Iceberg ``table_changes`` /
+    Delta CDF analog, and ``apply_changes``'s inverse): rows only in
+    ``new`` → ``'I'``, only in ``old`` → ``'D'``, in both with any
+    payload column differing → ``'U'`` (new payload); unchanged rows are
+    dropped.
+
+    One full-outer equi-join on the key — the same single shape as
+    MERGE, with the same bucketing story (both snapshot versions of a
+    bucketed table co-locate, so the diff never shuffles the big side).
+    Payload equality is null-safe (``eqNullSafe`` per column), so a
+    NULL→value transition correctly reads as an update.
+
+    Output: key, op ('I'|'U'|'D'), payload columns (new side for I/U,
+    old side for D).
+    """
+    payload = [c for c in old.columns if c != key]
+    if [c for c in new.columns if c != key] != payload:
+        raise ValueError(
+            f"snapshot schemas differ: {old.columns} vs {new.columns}"
+        )
+    o = old.alias("o")
+    n = new.alias("n")
+    j = o.join(n, F.col(f"o.{key}").eqNullSafe(F.col(f"n.{key}")), "full_outer")
+    in_old = F.col(f"o.{key}").isNotNull()
+    in_new = F.col(f"n.{key}").isNotNull()
+    changed = F.lit(False)
+    for c in payload:
+        changed = changed | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    op_col = (
+        F.when(in_new & ~in_old, F.lit("I"))
+        .when(in_old & ~in_new, F.lit("D"))
+        .when(changed, F.lit("U"))
+    )
+    out_cols = [
+        F.coalesce(F.col(f"n.{key}"), F.col(f"o.{key}")).alias(key),
+        op_col.alias("op"),
+    ] + [
+        F.when(op_col == "D", F.col(f"o.{c}")).otherwise(F.col(f"n.{c}")).alias(c)
+        for c in payload
+    ]
+    return j.where(op_col.isNotNull()).select(*out_cols)

@@ -63,3 +63,47 @@ def test_plan_reuses_changelog_partitioning(spark):
         apply_changes(base, changes)._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_snapshot_diff_semantics(spark):
+    """table_changes analog: I/U/D classification with null-safe payload
+    compare; unchanged rows drop."""
+    from document_quality_assessment_ocr_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", "en"), (2, "b", "en"), (3, "c", None), (4, "d", "de")],
+        "doc_id long, text string, lang string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "en"), (2, "B2", "en"), (3, "c", "fr"), (5, "e", "es")],
+        "doc_id long, text string, lang string",
+    )
+    rows = {r["doc_id"]: r for r in snapshot_diff(old, new).collect()}
+    assert set(rows) == {2, 3, 4, 5}  # doc 1 unchanged → dropped
+    assert rows[2]["op"] == "U" and rows[2]["text"] == "B2"
+    assert rows[3]["op"] == "U" and rows[3]["lang"] == "fr"  # NULL→value = U
+    assert rows[4]["op"] == "D" and rows[4]["text"] == "d"
+    assert rows[5]["op"] == "I" and rows[5]["text"] == "e"
+
+
+def test_snapshot_diff_roundtrips_through_apply_changes(spark):
+    """diff is apply_changes' inverse: old ⊕ diff(old,new) == new."""
+    from document_quality_assessment_ocr_spark.operators.cdc import (
+        apply_changes,
+        snapshot_diff,
+    )
+    from pyspark.sql import functions as F
+
+    old = spark.createDataFrame(
+        [(i, f"t{i}", "en" if i % 2 else None) for i in range(30)],
+        "doc_id long, text string, lang string",
+    )
+    new = spark.createDataFrame(
+        [(i, f"t{i}" if i % 5 else f"mod{i}", "en" if i % 2 else "de")
+         for i in range(3, 33)],
+        "doc_id long, text string, lang string",
+    )
+    ch = snapshot_diff(old, new).withColumn("seq", F.lit(1))
+    rebuilt = apply_changes(old, ch).collect()
+    expect = {tuple(r) for r in new.collect()}
+    assert {tuple(r) for r in rebuilt} == expect
