@@ -241,6 +241,9 @@ def main() -> None:
         "q67_surprisal",
         "q73_exact_substring",
         "q79_curation_v3",
+        "q84_quality_classifier",
+        "q85_temperature_mixture",
+        "q86_snapshot_diff",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

@@ -71,3 +71,39 @@ def test_all_queries_match_duckdb(spark, entry_mod, ducks):
                 )
                 break
     assert not mismatches, mismatches
+
+
+def test_driver_window_carries_flagship_and_family_reps():
+    """The driver's CORRECTNESS gate reports only the FIRST 50 queries()
+    entries (dict order) — round-2 verdict item #1. Guard the ordering:
+    the flagship extraction queries and one representative per operator
+    family must sit inside positions 1-50, and every entry must have an
+    oracle twin."""
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py")
+    spec = importlib.util.spec_from_file_location("__spark_entry__", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    names = list(mod.queries())
+    window = set(names[:50])
+    must = {
+        # flagship
+        "q90_extract_full", "q91_extract_metrics", "q92_main_content",
+        # one per family (dedup, similarity, sketches, text, HTML, URLs,
+        # BPE, CDC, joins, sampling, packing, graph, curation, phash)
+        "q03_fingerprint_dedup", "q10_minhash_lsh_pairs", "q73_exact_substring",
+        "q13_cosine_topk", "q46_pq_topk", "q35_hll_distinct",
+        "q41_quantile_sketch", "q67_surprisal", "q63_html_main",
+        "q66_host_stats", "q83_host_policy", "q74_bpe_merges",
+        "q64_cdc_upsert", "q36_asof_join", "q77_mixture_sample",
+        "q49_sequence_packing", "q56_pagerank", "q79_curation_v3",
+        "q76_phash_near_dup",
+    }
+    missing = must - window
+    assert not missing, f"family reps fell out of the driver window: {missing}"
+    oracles = set(mod.oracle_sql())
+    assert set(names) == oracles, (
+        f"registry/oracle mismatch: {set(names) ^ oracles}"
+    )
