@@ -10,7 +10,7 @@ banding, never a full cross join).
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import WS_CLASS, char_ngrams, fingerprint
