@@ -1217,6 +1217,38 @@ def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new)
 
 
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc exact line dedup over a derived multi-line text (the sf
+    documents are single-line, so lines are synthesized by splitting on
+    sentence periods — deterministic, mirrored in the oracle)."""
+    from document_quality_assessment_ocr_spark.operators.quality import (
+        dedup_lines_within_doc,
+    )
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.replace(
+            F.coalesce(F.col("text"), F.lit("")), F.lit(". "), F.lit(".\n")
+        ).alias("text"),
+    )
+    return dedup_lines_within_doc(d)
+
+
+def _q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line rules over the same derived multi-line text."""
+    from document_quality_assessment_ocr_spark.operators.quality import (
+        c4_line_filter,
+    )
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.replace(
+            F.coalesce(F.col("text"), F.lit("")), F.lit(". "), F.lit(".\n")
+        ).alias("text"),
+    )
+    return c4_line_filter(d)
+
+
 def _q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC MERGE: apply a synthesized changelog (updates, inserts of the
     held-out doc_id%10==9 slice, deletes, and a second-seq change that must
@@ -1706,6 +1738,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_quality_classifier": _q_quality_classifier,
         "q85_temperature_mixture": _q_temperature_mixture,
         "q86_snapshot_diff": _q_snapshot_diff,
+        "q87_line_dedup": _q_line_dedup,
+        "q88_c4_filter": _q_c4_filter,
     }
 
 
@@ -3637,6 +3671,54 @@ def _link_hosts_sql() -> str:
     """
 
 
+
+def _c4_filter_sql() -> str:
+    """DuckDB twin of operators/quality.c4_line_filter over the same
+    derived multi-line text (shared C4_* constants)."""
+    from document_quality_assessment_ocr_spark.operators.quality import (
+        C4_MIN_SENTENCES,
+        C4_MIN_WORDS,
+        C4_TERMINALS,
+    )
+
+    terms = ", ".join("'" + t.replace("'", "''") + "'" for t in C4_TERMINALS)
+    return f"""
+        WITH d AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   REPLACE(COALESCE(text,''), '. ', '.' || CHR(10)) AS t
+            FROM documents
+        ), l AS (
+            SELECT doc_id,
+                   UNNEST(STR_SPLIT(t, CHR(10))) AS line,
+                   UNNEST(RANGE(1, LEN(STR_SPLIT(t, CHR(10))) + 1)) AS ln
+            FROM d
+        ), k AS (
+            SELECT doc_id, line, ln,
+                   (RIGHT(TRIM(line), 1) IN ({terms})
+                    AND LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(line),
+                            '{WS}+'), x -> x <> '')) >= {C4_MIN_WORDS}
+                    AND NOT CONTAINS(LOWER(TRIM(line)), 'javascript')) AS ok
+            FROM l
+        ), a AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(COUNT(*) FILTER (WHERE ok) AS BIGINT) AS n_kept,
+                   STRING_AGG(CASE WHEN ok THEN line END,
+                              CHR(10) ORDER BY ln) AS clean
+            FROM k GROUP BY doc_id
+        )
+        SELECT a.doc_id, a.n_lines, a.n_kept,
+               (a.n_kept >= {C4_MIN_SENTENCES}
+                AND NOT CONTAINS(LOWER(d.t), 'lorem ipsum')
+                AND NOT CONTAINS(d.t, '{{')) AS doc_keep,
+               CASE WHEN a.n_kept >= {C4_MIN_SENTENCES}
+                         AND NOT CONTAINS(LOWER(d.t), 'lorem ipsum')
+                         AND NOT CONTAINS(d.t, '{{')
+                    THEN COALESCE(a.clean, '') ELSE '' END AS clean_text
+        FROM a JOIN d ON a.doc_id = d.doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     ink = f"LENGTH(REGEXP_REPLACE(COALESCE(text,''), '{WS}', '', 'g'))"
     ntoks = (
@@ -4091,6 +4173,30 @@ def oracle_sql() -> dict[str, str]:
         """.replace("{Q68}", _url_sqls()[2]),
         "q84_quality_classifier": _quality_classifier_sql(),
         "q85_temperature_mixture": _mixture_sql(temperature=2.0),
+        "q87_line_dedup": """
+            WITH d AS (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       REPLACE(COALESCE(text,''), '. ', '.' || CHR(10)) AS t
+                FROM documents
+            ), l AS (
+                SELECT doc_id,
+                       UNNEST(STR_SPLIT(t, CHR(10))) AS line,
+                       UNNEST(RANGE(1, LEN(STR_SPLIT(t, CHR(10))) + 1)) AS ln
+                FROM d
+            ), k AS (
+                SELECT doc_id, line, ln,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id, line
+                                          ORDER BY ln) AS rn
+                FROM l
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(COUNT(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_removed,
+                   COALESCE(STRING_AGG(CASE WHEN rn = 1 THEN line END,
+                                       CHR(10) ORDER BY ln), '') AS clean_text
+            FROM k GROUP BY doc_id
+        """,
+        "q88_c4_filter": _c4_filter_sql(),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

@@ -244,6 +244,8 @@ def main() -> None:
         "q84_quality_classifier",
         "q85_temperature_mixture",
         "q86_snapshot_diff",
+        "q87_line_dedup",
+        "q88_c4_filter",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

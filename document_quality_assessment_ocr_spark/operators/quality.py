@@ -149,3 +149,88 @@ def repetition_report(
     lines = repetition_line_stats(docs, id_col, text_col)
     grams = top_ngram_stats(docs, n, id_col, text_col)
     return lines.join(grams, id_col, "inner")
+
+
+def dedup_lines_within_doc(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """WITHIN-document exact line dedup (the boilerplate-menu/footer case the
+    cross-doc chunk dedup cannot see): keep the FIRST occurrence of every
+    line, preserve order, reassemble with newlines. Exact spec (oracle
+    mirrors it): lines = split on '\\n', duplicate = byte-identical earlier
+    line in the SAME document; blank lines dedup like any other line.
+
+    Pure array-local Column work — zero shuffle, zero UDF; the per-doc
+    quadratic first-occurrence scan is bounded by line count (lines per
+    web doc are few; mega-docs are pre-split by operators/salting)."""
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    base = docs.select(F.col(id_col), lines.alias("ls"))
+    kept = F.filter(
+        F.col("ls"),
+        lambda x, i: F.array_position(F.slice(F.col("ls"), 1, i), x) == 0,
+    )
+    return base.select(
+        F.col(id_col),
+        F.size("ls").cast("long").alias("n_lines"),
+        (F.size("ls") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )
+
+
+#: C4 line-filter constants (Raffel et al. 2020 §2.2 "we retained lines that
+#: ended in a terminal punctuation mark … at least 5 words … removed any line
+#: with the word Javascript … any page containing lorem ipsum or a curly
+#: brace") — shared with the DuckDB oracle builder.
+C4_TERMINALS = (".", "!", "?", '"')
+C4_MIN_WORDS = 5
+C4_MIN_SENTENCES = 3
+
+
+def c4_line_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = C4_MIN_WORDS,
+    min_sentences: int = C4_MIN_SENTENCES,
+) -> DataFrame:
+    """The C4 cleaning rules as one map-side projection.
+
+    Line kept iff its trimmed form ends in a terminal punctuation mark,
+    has ≥ ``min_words`` whitespace words, and does not contain
+    'javascript' (case-insensitive). Document kept iff ≥ ``min_sentences``
+    kept lines ("sentences" = kept lines, the documented approximation)
+    and the full text contains neither 'lorem ipsum' (case-insensitive)
+    nor '{'. Output: (id, n_lines, n_kept, doc_keep, clean_text) with
+    clean_text the kept lines joined by '\\n' (empty when doc_keep is
+    false — dropped pages contribute no text downstream)."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    base = docs.select(F.col(id_col), txt.alias("_t"), F.split(txt, "\n").alias("ls"))
+
+    def line_ok(x):
+        t = F.trim(x)
+        ends = F.substring(t, -1, 1).isin(*C4_TERMINALS)
+        words = F.size(
+            F.filter(F.split(t, WS_CLASS + "+"), lambda w: w != F.lit(""))
+        )
+        return (
+            ends
+            & (words >= F.lit(int(min_words)))
+            & ~F.lower(t).contains("javascript")
+        )
+
+    kept = F.filter(F.col("ls"), line_ok)
+    low = F.lower(F.col("_t"))
+    doc_keep = (
+        (F.size(kept) >= F.lit(int(min_sentences)))
+        & ~low.contains("lorem ipsum")
+        & ~F.col("_t").contains("{")
+    )
+    return base.select(
+        F.col(id_col),
+        F.size("ls").cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        doc_keep.alias("doc_keep"),
+        F.when(doc_keep, F.array_join(kept, "\n")).otherwise(F.lit("")).alias(
+            "clean_text"
+        ),
+    )

@@ -1010,3 +1010,61 @@ def test_temper_weights_flattens_and_sharpens():
     r2 = mixture_rates(counts, t2)
     assert r1 == {"en": 1.0, "zh": 1.0}
     assert r2["zh"] == 1.0 and r2["en"] == pytest.approx(0.5)
+
+
+def test_dedup_lines_within_doc(spark):
+    """First occurrence wins in order; blanks dedup like any line; plan is
+    map-side only."""
+    from document_quality_assessment_ocr_spark.operators.quality import (
+        dedup_lines_within_doc,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "menu\nintro text\nmenu\nbody\n\nmore\n\nmenu"),
+            (2, "only line"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_lines_within_doc(docs).collect()}
+    assert out[1]["clean_text"] == "menu\nintro text\nbody\n\nmore"
+    assert out[1]["n_lines"] == 8 and out[1]["n_removed"] == 3
+    assert out[2]["clean_text"] == "only line" and out[2]["n_removed"] == 0
+    assert out[3]["n_lines"] == 1  # null → '' → one empty line
+    plan = dedup_lines_within_doc(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_c4_line_filter_rules(spark):
+    """C4 rules: terminal punctuation + >=5 words + no 'javascript' per
+    line; >=3 kept lines + no 'lorem ipsum'/'{' per doc."""
+    from document_quality_assessment_ocr_spark.operators.quality import (
+        c4_line_filter,
+    )
+
+    good = "\n".join(
+        [
+            "this is a good sentence one.",   # kept
+            "another perfectly fine sentence here!",  # kept
+            "is this a kept question line?",  # kept
+            "too short.",                     # <5 words
+            "no terminal punctuation in this line at all",  # no terminal
+            "enable JavaScript to view this content please.",  # javascript
+        ]
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, good + "\nbut sadly lorem ipsum appears somewhere."),
+            (3, good + "\nvar f = function() { return 1; }"),
+            (4, "one kept sentence is not enough here."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in c4_line_filter(docs).collect()}
+    assert out[1]["doc_keep"] and out[1]["n_kept"] == 3
+    assert out[1]["clean_text"].count("\n") == 2
+    assert not out[2]["doc_keep"] and out[2]["clean_text"] == ""  # lorem ipsum
+    assert not out[3]["doc_keep"]  # curly brace
+    assert not out[4]["doc_keep"] and out[4]["n_kept"] == 1  # <3 sentences
