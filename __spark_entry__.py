@@ -1249,6 +1249,20 @@ def _q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_line_filter(d)
 
 
+def _q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText document quality rules (Rae 2021 Table A1) over
+    the documents table — one map-side projection, shared constants with
+    the oracle."""
+    from document_quality_assessment_ocr_spark.operators.quality import (
+        gopher_quality_filter,
+    )
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return gopher_quality_filter(d)
+
+
 def _q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC MERGE: apply a synthesized changelog (updates, inserts of the
     held-out doc_id%10==9 slice, deletes, and a second-seq change that must
@@ -1740,6 +1754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_snapshot_diff": _q_snapshot_diff,
         "q87_line_dedup": _q_line_dedup,
         "q88_c4_filter": _q_c4_filter,
+        "q89_gopher_filter": _q_gopher_filter,
     }
 
 
@@ -3672,6 +3687,101 @@ def _link_hosts_sql() -> str:
 
 
 
+
+def _gopher_filter_sql() -> str:
+    """DuckDB twin of operators/quality.gopher_quality_filter (shared
+    GOPHER_* constants; identical ratio op order: sum -> /n -> round)."""
+    from document_quality_assessment_ocr_spark.operators.quality import (
+        GOPHER_BULLETS,
+        GOPHER_MAX_BULLET_LINE_FRAC,
+        GOPHER_MAX_ELLIPSIS_LINE_FRAC,
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_SYMBOL_WORD_RATIO,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_WORD_FRAC,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOPWORDS,
+    )
+
+    bullets = ", ".join("'" + b + "'" for b in GOPHER_BULLETS)
+    stops = ", ".join("'" + w + "'" for w in GOPHER_STOPWORDS)
+    return f"""
+        WITH d AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   COALESCE(text,'') AS t,
+                   LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(COALESCE(text,'')),
+                       '{WS}+'), x -> x <> '') AS tk
+            FROM documents
+        ), m AS (
+            SELECT doc_id,
+                   CAST(LEN(tk) AS BIGINT) AS n_words,
+                   GREATEST(CAST(LEN(tk) AS BIGINT), 1) AS sn,
+                   ROUND(CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(tk,
+                         w -> LENGTH(w))), 0) AS DOUBLE)
+                         / GREATEST(CAST(LEN(tk) AS BIGINT), 1), 6) AS mean_word_len,
+                   ROUND(CAST((LENGTH(t) - LENGTH(REPLACE(t, '#', '')))
+                         + (LENGTH(t) - LENGTH(REPLACE(t, '...', ''))) / 3
+                         AS DOUBLE) / GREATEST(CAST(LEN(tk) AS BIGINT), 1), 6)
+                       AS symbol_word_ratio,
+                   LIST_FILTER(STR_SPLIT(t, CHR(10)),
+                               l -> TRIM(l) <> '') AS ls,
+                   ROUND(CAST(LEN(LIST_FILTER(tk,
+                         w -> REGEXP_MATCHES(LOWER(w), '[a-z]'))) AS DOUBLE)
+                         / GREATEST(CAST(LEN(tk) AS BIGINT), 1), 6) AS alpha_word_frac,
+                   CAST(LEN(LIST_INTERSECT(
+                         LIST_DISTINCT(LIST_TRANSFORM(tk, w -> LOWER(w))),
+                         [{stops}])) AS BIGINT) AS n_stop_hits
+            FROM d
+        ), r AS (
+            SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+                   ROUND(CAST(LEN(LIST_FILTER(ls,
+                         l -> SUBSTR(TRIM(l), 1, 1) IN ({bullets}))) AS DOUBLE)
+                         / GREATEST(LEN(ls), 1), 6) AS bullet_line_frac,
+                   ROUND(CAST(LEN(LIST_FILTER(ls,
+                         l -> ENDS_WITH(TRIM(l), '...'))) AS DOUBLE)
+                         / GREATEST(LEN(ls), 1), 6) AS ellipsis_line_frac,
+                   alpha_word_frac, n_stop_hits
+            FROM m
+        )
+        SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+               bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+               n_stop_hits,
+               (CASE WHEN n_words < {GOPHER_MIN_WORDS}
+                          OR n_words > {GOPHER_MAX_WORDS} THEN 'word_count'
+                     WHEN mean_word_len < {GOPHER_MIN_MEAN_WORD_LEN!r}
+                          OR mean_word_len > {GOPHER_MAX_MEAN_WORD_LEN!r}
+                          THEN 'mean_word_length'
+                     WHEN symbol_word_ratio > {GOPHER_MAX_SYMBOL_WORD_RATIO!r}
+                          THEN 'symbol_ratio'
+                     WHEN bullet_line_frac > {GOPHER_MAX_BULLET_LINE_FRAC!r}
+                          THEN 'bullet_lines'
+                     WHEN ellipsis_line_frac > {GOPHER_MAX_ELLIPSIS_LINE_FRAC!r}
+                          THEN 'ellipsis_lines'
+                     WHEN alpha_word_frac < {GOPHER_MIN_ALPHA_WORD_FRAC!r}
+                          THEN 'alpha_words'
+                     WHEN n_stop_hits < {GOPHER_MIN_STOP_HITS} THEN 'stopwords'
+                END) IS NULL AS keep,
+               CASE WHEN n_words < {GOPHER_MIN_WORDS}
+                         OR n_words > {GOPHER_MAX_WORDS} THEN 'word_count'
+                    WHEN mean_word_len < {GOPHER_MIN_MEAN_WORD_LEN!r}
+                         OR mean_word_len > {GOPHER_MAX_MEAN_WORD_LEN!r}
+                         THEN 'mean_word_length'
+                    WHEN symbol_word_ratio > {GOPHER_MAX_SYMBOL_WORD_RATIO!r}
+                         THEN 'symbol_ratio'
+                    WHEN bullet_line_frac > {GOPHER_MAX_BULLET_LINE_FRAC!r}
+                         THEN 'bullet_lines'
+                    WHEN ellipsis_line_frac > {GOPHER_MAX_ELLIPSIS_LINE_FRAC!r}
+                         THEN 'ellipsis_lines'
+                    WHEN alpha_word_frac < {GOPHER_MIN_ALPHA_WORD_FRAC!r}
+                         THEN 'alpha_words'
+                    WHEN n_stop_hits < {GOPHER_MIN_STOP_HITS} THEN 'stopwords'
+               END AS reason
+        FROM r
+    """
+
+
 def _c4_filter_sql() -> str:
     """DuckDB twin of operators/quality.c4_line_filter over the same
     derived multi-line text (shared C4_* constants)."""
@@ -4197,6 +4307,7 @@ def oracle_sql() -> dict[str, str]:
             FROM k GROUP BY doc_id
         """,
         "q88_c4_filter": _c4_filter_sql(),
+        "q89_gopher_filter": _gopher_filter_sql(),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

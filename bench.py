@@ -246,6 +246,7 @@ def main() -> None:
         "q86_snapshot_diff",
         "q87_line_dedup",
         "q88_c4_filter",
+        "q89_gopher_filter",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

@@ -234,3 +234,113 @@ def c4_line_filter(
             "clean_text"
         ),
     )
+
+
+#: Gopher quality-filter constants (Rae et al. 2021, Table A1) — shared with
+#: the DuckDB oracle builder; rule names are the first-failing `reason`.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_WORD_RATIO = 0.1
+GOPHER_MAX_BULLET_LINE_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_LINE_FRAC = 0.3
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_BULLETS = ("•", "-", "*")
+
+
+def gopher_quality_filter(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The Gopher/MassiveText document quality rules as ONE map-side
+    projection (word-count band, mean word length band, #/… symbol-to-word
+    ratio, bullet-line and ellipsis-line fractions, alphabetic-word
+    fraction, minimum distinct stopword hits). ``reason`` is the FIRST
+    failing rule in the order above (NULL when kept) — the same
+    first-wins convention the extraction verdict fold uses.
+
+    All ratios are rounded to 6 dp with the identical operation order on
+    both engines (sum → /words → round); zero-word documents fail
+    ``word_count`` and emit 0.0 ratios rather than NULLs/NaNs."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.filter(F.split(F.trim(txt), WS_CLASS + "+"), lambda x: x != F.lit(""))
+    base = docs.select(F.col(id_col), txt.alias("_t"), toks.alias("tk"))
+    n_words = F.size("tk").cast("long")
+    safe_n = F.greatest(n_words, F.lit(1).cast("long"))
+    mean_len = F.round(
+        F.aggregate(
+            F.transform("tk", lambda w: F.length(w).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).cast("double")
+        / safe_n,
+        6,
+    )
+    n_hash = F.length("_t") - F.length(F.replace(F.col("_t"), F.lit("#"), F.lit("")))
+    n_ell = (
+        F.length("_t") - F.length(F.replace(F.col("_t"), F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    sym_ratio = F.round((n_hash + n_ell).cast("double") / safe_n, 6)
+    lines = F.filter(
+        F.split(F.col("_t"), "\n"), lambda l: F.trim(l) != F.lit("")
+    )
+    n_lines = F.size(lines)
+    safe_l = F.greatest(n_lines, F.lit(1))
+    bullet_frac = F.round(
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.substring(F.trim(l), 1, 1).isin(*GOPHER_BULLETS),
+            )
+        ).cast("double")
+        / safe_l,
+        6,
+    )
+    ell_frac = F.round(
+        F.size(F.filter(lines, lambda l: F.endswith(F.trim(l), F.lit("...")))).cast(
+            "double"
+        )
+        / safe_l,
+        6,
+    )
+    alpha_frac = F.round(
+        F.size(F.filter("tk", lambda w: F.lower(w).rlike("[a-z]"))).cast("double")
+        / safe_n,
+        6,
+    )
+    stops = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform("tk", F.lower)), stops
+        )
+    ).cast("long")
+    reason = (
+        F.when(
+            (n_words < GOPHER_MIN_WORDS) | (n_words > GOPHER_MAX_WORDS),
+            F.lit("word_count"),
+        )
+        .when(
+            (mean_len < GOPHER_MIN_MEAN_WORD_LEN)
+            | (mean_len > GOPHER_MAX_MEAN_WORD_LEN),
+            F.lit("mean_word_length"),
+        )
+        .when(sym_ratio > GOPHER_MAX_SYMBOL_WORD_RATIO, F.lit("symbol_ratio"))
+        .when(bullet_frac > GOPHER_MAX_BULLET_LINE_FRAC, F.lit("bullet_lines"))
+        .when(ell_frac > GOPHER_MAX_ELLIPSIS_LINE_FRAC, F.lit("ellipsis_lines"))
+        .when(alpha_frac < GOPHER_MIN_ALPHA_WORD_FRAC, F.lit("alpha_words"))
+        .when(stop_hits < GOPHER_MIN_STOP_HITS, F.lit("stopwords"))
+    )
+    return base.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        sym_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ell_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.alias("n_stop_hits"),
+        reason.isNull().alias("keep"),
+        reason.alias("reason"),
+    )

@@ -1068,3 +1068,42 @@ def test_c4_line_filter_rules(spark):
     assert not out[2]["doc_keep"] and out[2]["clean_text"] == ""  # lorem ipsum
     assert not out[3]["doc_keep"]  # curly brace
     assert not out[4]["doc_keep"] and out[4]["n_kept"] == 1  # <3 sentences
+
+
+def test_gopher_quality_filter_rules(spark):
+    """Each Gopher rule trips on a crafted doc; a plain passage passes;
+    reason is first-failing; plan is map-side only."""
+    from document_quality_assessment_ocr_spark.operators.quality import (
+        gopher_quality_filter,
+    )
+
+    good = (
+        "the quick brown fox jumps over that lazy dog and it went to be "
+        "near the river of calm waters with a friend that would have "
+        "stayed all day long because the weather was fine and the path "
+        "was dry so they walked on with a song to hum and a tale to tell "
+        "of days gone by and the roads that have led them here"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "too few words here."),                            # word_count
+            (3, " ".join(["a"] * 60)),                             # mean_word_length (len 1)
+            (4, " ".join(["####word"] * 60)),                      # symbol_ratio... see below
+            (5, "\n".join(["- heavy copper kettles whistle during evening storms"] * 10)
+                + "\nthe wind that evening would have been with anyone"),  # bullet_lines
+            (6, " ".join(["12345"] * 60)),                         # alpha_words (after the earlier gates)
+            (7, " ".join(["zzz"] * 60)),                           # stopwords
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_quality_filter(docs).collect()}
+    assert out[1]["keep"] and out[1]["reason"] is None
+    assert out[2]["reason"] == "word_count"
+    assert out[3]["reason"] == "mean_word_length"
+    assert out[4]["symbol_word_ratio"] > 0.1
+    assert out[5]["bullet_line_frac"] > 0.9 and out[5]["reason"] == "bullet_lines"
+    assert out[6]["alpha_word_frac"] == 0.0
+    assert out[7]["reason"] == "stopwords" and not out[7]["keep"]
+    plan = gopher_quality_filter(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
