@@ -1263,6 +1263,90 @@ def _q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality_filter(d)
 
 
+# q93 synthesis-twin constants: the sf documents are stopword-poor word
+# salad (everything dies at the Gopher gate), so the v4 wrapper plants one
+# branch per fate on doc_id%7 — template strings shared by the engine
+# expression (_v4_synth) and the SQL CTE (_v4_synth_sql) so both engines
+# build byte-identical text.
+_V4_P0 = "the data of run "
+_V4_P1 = " would have to be good and that is why we keep it number "
+_V4_WORDS = ("one", "two", "three")
+_V4_PII_A = " contact u"
+_V4_PII_B = "@example.com or +14155550123 at 10.0.0.1 now."
+_V4_C4 = " and the config is {x} ok."
+_V4_ES_A = "el valor "
+_V4_ES_B = " de los datos es una tabla y la fila es un grupo por que los datos son buenos."
+
+
+def _v4_synth(ids) -> "Column":
+    """Planted q93 text as a Column over ``doc_id`` (engine side of the
+    synthesis twin — keep in lockstep with _v4_synth_sql)."""
+
+    def good(idx):
+        s = idx.cast("string")
+        return F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit(_V4_P0), s, F.lit(_V4_P1 + w + " here."))
+                for w in _V4_WORDS
+            ],
+        )
+
+    mod = ids % 7
+    pii = F.concat(
+        good(ids), F.lit(_V4_PII_A), ids.cast("string"), F.lit(_V4_PII_B)
+    )
+    es = F.concat(F.lit(_V4_ES_A), ids.cast("string"), F.lit(_V4_ES_B))
+    return (
+        F.when(mod == 1, good(ids))
+        .when(mod == 2, good(ids - 1))
+        .when(mod == 3, pii)
+        .when(mod == 4, F.concat(good(ids), F.lit(_V4_C4)))
+        .when(mod == 5, es)
+        .otherwise(F.coalesce(F.col("text"), F.lit("")))
+    )
+
+
+def _v4_synth_sql() -> str:
+    """DuckDB twin of _v4_synth (expression over ``documents``)."""
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    def good(idx: str) -> str:
+        return " || ' ' || ".join(
+            f"{q(_V4_P0)} || CAST({idx} AS VARCHAR) || {q(_V4_P1 + w + ' here.')}"
+            for w in _V4_WORDS
+        )
+
+    i = "CAST(doc_id AS BIGINT)"
+    return f"""CASE {i} % 7
+            WHEN 1 THEN {good(i)}
+            WHEN 2 THEN {good(i + " - 1")}
+            WHEN 3 THEN {good(i)} || {q(_V4_PII_A)}
+                 || CAST({i} AS VARCHAR) || {q(_V4_PII_B)}
+            WHEN 4 THEN {good(i)} || {q(_V4_C4)}
+            WHEN 5 THEN {q(_V4_ES_A)} || CAST({i} AS VARCHAR) || {q(_V4_ES_B)}
+            ELSE COALESCE(text,'') END"""
+
+
+def _q_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation composite v4 — the FineWeb-shape recipe (language gate →
+    Gopher rules → C4 line cleaning → MinHash word-shingle near-dup
+    demotion of the clean text → PII scrub) over planted per-fate text
+    (_v4_synth) with the q87/q88 multi-line derivation."""
+    from document_quality_assessment_ocr_spark.plans.curation import (
+        curate_documents_v4,
+    )
+
+    ids = F.col("doc_id").cast("long")
+    d = _doc(spark, sf_dir).select(
+        ids.alias("doc_id"),
+        F.replace(_v4_synth(ids), F.lit(". "), F.lit(".\n")).alias("text"),
+    )
+    return curate_documents_v4(d)
+
+
 def _q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC MERGE: apply a synthesized changelog (updates, inserts of the
     held-out doc_id%10==9 slice, deletes, and a second-seq change that must
@@ -1755,18 +1839,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_line_dedup": _q_line_dedup,
         "q88_c4_filter": _q_c4_filter,
         "q89_gopher_filter": _q_gopher_filter,
+        "q93_curation_v4": _q_curation_v4,
     }
 
 
 def _minhash_sql(
-    n_hashes: int = 8, ngram: int = 5, seed: int = 1, shingle: str = "char"
+    n_hashes: int = 8,
+    ngram: int = 5,
+    seed: int = 1,
+    shingle: str = "char",
+    src: str = "documents",
 ) -> str:
     """Shared CTE: shingles + per-doc MinHash mins.
 
     Twin of operators/dedup.minhash_signatures: ONE md5 per shingle parsed to
     a 60-bit int, then seeded universal-hash permutations (a·h+b mod 2^31−1)
     with the SAME coefficients.  ``shingle='word'`` mirrors the word-n-gram
-    production mode (dedup._shingle_df)."""
+    production mode (dedup._shingle_df).  ``src`` names the (doc_id, text)
+    relation to shingle — a prior CTE when composing (curation v4)."""
     from document_quality_assessment_ocr_spark.operators.dedup import (
         MERSENNE31,
         minhash_coeffs,
@@ -1784,7 +1874,7 @@ def _minhash_sql(
                    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(
                        TRIM(LOWER(COALESCE(text,''))), '{WS}+'),
                        x -> x <> '') AS tk
-            FROM documents
+            FROM {src}
         ), sh AS (
             SELECT doc_id,
                    ARRAY_TO_STRING(LIST_SLICE(tk, CAST(i AS INT),
@@ -1798,7 +1888,7 @@ def _minhash_sql(
         WITH norm AS (
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    REGEXP_REPLACE(LOWER(COALESCE(text,'')), '{WS}+', ' ', 'g') AS t
-            FROM documents
+            FROM {src}
         ), sh AS (
             SELECT doc_id, SUBSTR(t, CAST(i AS INT), {ngram}) AS g
             FROM (SELECT doc_id, t,
@@ -3688,9 +3778,11 @@ def _link_hosts_sql() -> str:
 
 
 
-def _gopher_filter_sql() -> str:
+def _gopher_filter_sql(src: str = "documents") -> str:
     """DuckDB twin of operators/quality.gopher_quality_filter (shared
-    GOPHER_* constants; identical ratio op order: sum -> /n -> round)."""
+    GOPHER_* constants; identical ratio op order: sum -> /n -> round).
+    ``src`` names the (doc_id, text) relation — a prior CTE when
+    composing (curation v4)."""
     from document_quality_assessment_ocr_spark.operators.quality import (
         GOPHER_BULLETS,
         GOPHER_MAX_BULLET_LINE_FRAC,
@@ -3713,7 +3805,7 @@ def _gopher_filter_sql() -> str:
                    COALESCE(text,'') AS t,
                    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(COALESCE(text,'')),
                        '{WS}+'), x -> x <> '') AS tk
-            FROM documents
+            FROM {src}
         ), m AS (
             SELECT doc_id,
                    CAST(LEN(tk) AS BIGINT) AS n_words,
@@ -3782,9 +3874,81 @@ def _gopher_filter_sql() -> str:
     """
 
 
-def _c4_filter_sql() -> str:
+def _curation_v4_sql(languages: tuple[str, ...] = ("en",)) -> str:
+    """DuckDB twin of plans/curation.curate_documents_v4 — composed from
+    the SAME builders the per-stage oracles use (``_gopher_filter_sql``,
+    ``_c4_filter_sql``, ``_minhash_sql`` re-sourced via their ``src``
+    params, ``_text_exprs()['lang_case']``, operators/scrub pattern
+    constants), so the composite cannot drift from its stages."""
+    from document_quality_assessment_ocr_spark.operators.scrub import (
+        EMAIL,
+        IPV4,
+        PHONE,
+    )
+
+    e = _text_exprs()
+    langs = ", ".join("'" + l + "'" for l in languages)
+    mh = _minhash_sql(16, shingle="word", src="sv").replace("WITH ", ", ", 1)
+    return f"""
+        WITH v4src AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   REPLACE({_v4_synth_sql()}, '. ', '.' || CHR(10)) AS text
+            FROM documents
+        ), lg AS (
+            SELECT doc_id, {e["lang_case"]} AS lang FROM v4src
+        ), gop AS ({_gopher_filter_sql(src="v4src")}
+        ), c4x AS ({_c4_filter_sql(src="v4src", derive=False)}
+        ), st AS (
+            SELECT s.doc_id, lg.lang, c4x.clean_text,
+                   CASE WHEN lg.lang NOT IN ({langs}) THEN 'language'
+                        WHEN gop.reason IS NOT NULL
+                             THEN 'gopher:' || gop.reason
+                        WHEN NOT c4x.doc_keep THEN 'c4' END AS pre_fate
+            FROM v4src s
+            JOIN lg  ON lg.doc_id  = s.doc_id
+            JOIN gop ON gop.doc_id = s.doc_id
+            JOIN c4x ON c4x.doc_id = s.doc_id
+        ), sv AS (
+            SELECT doc_id, clean_text AS text FROM st WHERE pre_fate IS NULL
+        ){mh}, bands AS (
+            SELECT doc_id, 0 AS band,
+                   MD5(CONCAT_WS('#', h00, h01, h02, h03)) AS key FROM sig
+            UNION ALL SELECT doc_id, 1,
+                   MD5(CONCAT_WS('#', h04, h05, h06, h07)) FROM sig
+            UNION ALL SELECT doc_id, 2,
+                   MD5(CONCAT_WS('#', h08, h09, h10, h11)) FROM sig
+            UNION ALL SELECT doc_id, 3,
+                   MD5(CONCAT_WS('#', h12, h13, h14, h15)) FROM sig
+        ), demoted AS (
+            SELECT DISTINCT b.doc_id
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ), fin AS (
+            SELECT st.doc_id, st.lang, st.clean_text,
+                   COALESCE(st.pre_fate,
+                            CASE WHEN d.doc_id IS NOT NULL
+                                 THEN 'near_duplicate' ELSE 'keep' END) AS fate
+            FROM st LEFT JOIN demoted d ON d.doc_id = st.doc_id
+        )
+        SELECT doc_id, lang, fate, (fate = 'keep') AS kept,
+               CAST(LEN(REGEXP_EXTRACT_ALL(clean_text, '{EMAIL}'))
+                    + LEN(REGEXP_EXTRACT_ALL(clean_text, '{IPV4}'))
+                    + LEN(REGEXP_EXTRACT_ALL(clean_text, '{PHONE}'))
+                    AS BIGINT) AS n_pii,
+               CASE WHEN fate = 'keep'
+                    THEN REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+                         clean_text, '{EMAIL}', '<EMAIL>', 'g'),
+                         '{IPV4}', '<IP>', 'g'),
+                         '{PHONE}', '<PHONE>', 'g') END AS final_text
+        FROM fin
+    """
+
+
+def _c4_filter_sql(src: str = "documents", derive: bool = True) -> str:
     """DuckDB twin of operators/quality.c4_line_filter over the same
-    derived multi-line text (shared C4_* constants)."""
+    derived multi-line text (shared C4_* constants).  ``derive=False``
+    takes ``src``'s text column as already multi-line (curation v4, whose
+    outer CTE derives it once for every stage)."""
     from document_quality_assessment_ocr_spark.operators.quality import (
         C4_MIN_SENTENCES,
         C4_MIN_WORDS,
@@ -3795,8 +3959,9 @@ def _c4_filter_sql() -> str:
     return f"""
         WITH d AS (
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
-                   REPLACE(COALESCE(text,''), '. ', '.' || CHR(10)) AS t
-            FROM documents
+                   {("REPLACE(COALESCE(text,''), '. ', '.' || CHR(10))"
+                     if derive else "COALESCE(text,'')")} AS t
+            FROM {src}
         ), l AS (
             SELECT doc_id,
                    UNNEST(STR_SPLIT(t, CHR(10))) AS line,
@@ -4308,6 +4473,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q88_c4_filter": _c4_filter_sql(),
         "q89_gopher_filter": _gopher_filter_sql(),
+        "q93_curation_v4": _curation_v4_sql(),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

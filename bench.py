@@ -247,6 +247,7 @@ def main() -> None:
         "q87_line_dedup",
         "q88_c4_filter",
         "q89_gopher_filter",
+        "q93_curation_v4",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

@@ -205,6 +205,17 @@ def c4_line_filter(
     false — dropped pages contribute no text downstream)."""
     txt = F.coalesce(F.col(text_col), F.lit(""))
     base = docs.select(F.col(id_col), txt.alias("_t"), F.split(txt, "\n").alias("ls"))
+    cols = c4_cols(min_words, min_sentences)
+    return base.select(F.col(id_col), *[c.alias(n) for n, c in cols.items()])
+
+
+def c4_cols(
+    min_words: int = C4_MIN_WORDS, min_sentences: int = C4_MIN_SENTENCES
+) -> dict[str, "Column"]:
+    """The C4 gate columns over a pre-projected frame carrying ``_t``
+    (coalesced text) and ``ls`` (line array) — shared by
+    :func:`c4_line_filter` and the curation-v4 composite so both build the
+    byte-identical expressions."""
 
     def line_ok(x):
         t = F.trim(x)
@@ -225,15 +236,14 @@ def c4_line_filter(
         & ~low.contains("lorem ipsum")
         & ~F.col("_t").contains("{")
     )
-    return base.select(
-        F.col(id_col),
-        F.size("ls").cast("long").alias("n_lines"),
-        F.size(kept).cast("long").alias("n_kept"),
-        doc_keep.alias("doc_keep"),
-        F.when(doc_keep, F.array_join(kept, "\n")).otherwise(F.lit("")).alias(
-            "clean_text"
+    return {
+        "n_lines": F.size("ls").cast("long"),
+        "n_kept": F.size(kept).cast("long"),
+        "doc_keep": doc_keep,
+        "clean_text": F.when(doc_keep, F.array_join(kept, "\n")).otherwise(
+            F.lit("")
         ),
-    )
+    }
 
 
 #: Gopher quality-filter constants (Rae et al. 2021, Table A1) — shared with
@@ -267,6 +277,15 @@ def gopher_quality_filter(
     txt = F.coalesce(F.col(text_col), F.lit(""))
     toks = F.filter(F.split(F.trim(txt), WS_CLASS + "+"), lambda x: x != F.lit(""))
     base = docs.select(F.col(id_col), txt.alias("_t"), toks.alias("tk"))
+    cols = gopher_cols()
+    return base.select(F.col(id_col), *[c.alias(n) for n, c in cols.items()])
+
+
+def gopher_cols() -> dict[str, Column]:
+    """The Gopher rule columns over a pre-projected frame carrying ``_t``
+    (coalesced text) and ``tk`` (token array) — shared by
+    :func:`gopher_quality_filter` and the curation-v4 composite. Keys:
+    the eight metrics plus ``keep``/``reason``."""
     n_words = F.size("tk").cast("long")
     safe_n = F.greatest(n_words, F.lit(1).cast("long"))
     mean_len = F.round(
@@ -332,15 +351,14 @@ def gopher_quality_filter(
         .when(alpha_frac < GOPHER_MIN_ALPHA_WORD_FRAC, F.lit("alpha_words"))
         .when(stop_hits < GOPHER_MIN_STOP_HITS, F.lit("stopwords"))
     )
-    return base.select(
-        F.col(id_col),
-        n_words.alias("n_words"),
-        mean_len.alias("mean_word_len"),
-        sym_ratio.alias("symbol_word_ratio"),
-        bullet_frac.alias("bullet_line_frac"),
-        ell_frac.alias("ellipsis_line_frac"),
-        alpha_frac.alias("alpha_word_frac"),
-        stop_hits.alias("n_stop_hits"),
-        reason.isNull().alias("keep"),
-        reason.alias("reason"),
-    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_len,
+        "symbol_word_ratio": sym_ratio,
+        "bullet_line_frac": bullet_frac,
+        "ellipsis_line_frac": ell_frac,
+        "alpha_word_frac": alpha_frac,
+        "n_stop_hits": stop_hits,
+        "keep": reason.isNull(),
+        "reason": reason,
+    }

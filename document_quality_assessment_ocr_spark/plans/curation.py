@@ -185,6 +185,115 @@ def curate_documents_v2(
     )
 
 
+def curate_documents_v4(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    languages: tuple[str, ...] = ("en",),
+    lsh_hashes: int = 16,
+    lsh_bands: int = 4,
+    shingle_ngram: int = 5,
+) -> DataFrame:
+    """Curation composite v4 — the FineWeb-shape recipe (Penedo et al.
+    2024) over already-extracted text, chaining the full quality family::
+
+        language gate (stopword-profile lang-ID)
+          → Gopher document rules (Rae 2021 Table A1; reason 'gopher:<rule>')
+          → C4 line cleaning + page gates (Raffel 2020; kept lines become
+            the document's clean_text)
+          → MinHash-LSH word-shingle near-dup demotion of the CLEAN text,
+            ranked only among gate survivors (a rejected doc must not
+            shadow a clean duplicate)
+          → PII scrub (email/IP/phone placeholders) of what ships
+
+    First matching reason wins; every doc appears once with its fate.
+
+    Plan shape: stages 1–3 fuse into ONE map-side projection (the quality
+    operators share column builders — ``gopher_cols``/``c4_cols`` — so no
+    per-stage join-backs exist); the dedup stage is the standard MinHash
+    pipeline (one shingle exchange + the banded self-join) over the
+    survivor subset only; the demotion set (near-dup ids, tiny by
+    construction) comes back via one left join that AQE turns into a
+    broadcast. PII scrubbing and the fate fold are map-side. At 100 TB
+    nothing here shuffles payload text except the survivors' shingle
+    stream, which word-shingling already shrinks 5–10×.
+
+    Output: (id, lang, fate, kept, n_pii, final_text) — final_text is the
+    scrubbed clean text for kept docs, NULL otherwise.
+    """
+    from ..functions.text import WS_CLASS
+    from ..operators.dedup import minhash_lsh_pairs
+    from ..operators.quality import c4_cols, gopher_cols
+    from ..operators.scrub import EMAIL, IPV4, PHONE
+    from ..operators.textstats import lang_id
+
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.filter(
+        F.split(F.trim(txt), WS_CLASS + "+"), lambda x: x != F.lit("")
+    )
+    base = docs.select(
+        F.col(id_col),
+        txt.alias("_t"),
+        toks.alias("tk"),
+        F.split(txt, "\n").alias("ls"),
+        lang_id(F.col(text_col)).alias("lang"),
+    )
+    g = gopher_cols()
+    c4 = c4_cols()
+    pre_fate = (
+        F.when(~F.col("lang").isin(*languages), F.lit("language"))
+        .when(g["reason"].isNotNull(), F.concat(F.lit("gopher:"), g["reason"]))
+        .when(~c4["doc_keep"], F.lit("c4"))
+    )
+    st = base.select(
+        F.col(id_col),
+        F.col("lang"),
+        pre_fate.alias("pre_fate"),
+        c4["clean_text"].alias("clean_text"),
+    )
+    survivors = st.where(F.col("pre_fate").isNull()).select(
+        F.col(id_col), F.col("clean_text").alias(text_col)
+    )
+    pairs = minhash_lsh_pairs(
+        survivors,
+        id_col=id_col,
+        text_col=text_col,
+        n_hashes=lsh_hashes,
+        bands=lsh_bands,
+        ngram=shingle_ngram,
+        shingle="word",
+    )
+    demoted = (
+        pairs.select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("near_dup", F.lit(True))
+    )
+    out = st.join(demoted, id_col, "left")
+    fate = F.coalesce(
+        F.col("pre_fate"),
+        F.when(F.col("near_dup"), F.lit("near_duplicate")).otherwise(F.lit("keep")),
+    )
+    ct = F.col("clean_text")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(ct, EMAIL, "<EMAIL>"), IPV4, "<IP>"),
+        PHONE,
+        "<PHONE>",
+    )
+    n_pii = (
+        F.size(F.regexp_extract_all(ct, F.lit(EMAIL), F.lit(0)))
+        + F.size(F.regexp_extract_all(ct, F.lit(IPV4), F.lit(0)))
+        + F.size(F.regexp_extract_all(ct, F.lit(PHONE), F.lit(0)))
+    ).cast("long")
+    return out.select(
+        F.col(id_col),
+        F.col("lang"),
+        fate.alias("fate"),
+        (fate == F.lit("keep")).alias("kept"),
+        n_pii.alias("n_pii"),
+        F.when(fate == F.lit("keep"), scrubbed).alias("final_text"),
+    )
+
+
 def curate_documents_v3(
     docs_html: DataFrame,
     id_col: str = "doc_id",

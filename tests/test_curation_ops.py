@@ -1107,3 +1107,37 @@ def test_gopher_quality_filter_rules(spark):
     assert out[7]["reason"] == "stopwords" and not out[7]["keep"]
     plan = gopher_quality_filter(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_curation_v4_fates(spark):
+    """Each v4 stage claims its fate in precedence order; the kept doc's
+    final_text is PII-scrubbed; dedup ranks only among gate survivors."""
+    from document_quality_assessment_ocr_spark.plans.curation import (
+        curate_documents_v4,
+    )
+
+    good = "\n".join(
+        f"the data of run {w} would have to be good and that is why we keep it number {w} here."
+        for w in ("one", "two", "three")
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good + "\ncontact bob@example.com at 10.0.0.1 for sure ok."),
+            (2, "el valor de los datos es una tabla y la fila es un grupo."),
+            (3, "the text is far too short."),
+            (4, good + "\nand the config is {x} ok."),
+            (5, good),  # shares the good shingles with 1 -> near-dup, demoted
+            (6, good),  # same clean text as 5 -> also demoted
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in curate_documents_v4(docs).collect()}
+    assert out[1]["fate"] == "keep" and out[1]["kept"]
+    assert out[1]["n_pii"] == 2
+    assert "<EMAIL>" in out[1]["final_text"] and "<IP>" in out[1]["final_text"]
+    assert "bob@example.com" not in out[1]["final_text"]
+    assert out[2]["fate"] == "language" and out[2]["final_text"] is None
+    assert out[3]["fate"].startswith("gopher:")
+    assert out[4]["fate"] == "c4"
+    assert out[5]["fate"] == "near_duplicate"
+    assert out[6]["fate"] == "near_duplicate" and not out[6]["kept"]
