@@ -1347,6 +1347,199 @@ def _q_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_documents_v4(d)
 
 
+def _q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie 2023): hashed word-bigram bucket
+    counts over the corpus (one tiny-output agg) combine with seeded
+    target pseudo-counts into fixed-point nano log-ratios, folded as a
+    literal vector into a zero-shuffle integer scoring pass. The oracle
+    computes the SAME raw counts in DuckDB at build time and embeds the
+    SAME dsir_log_ratios_nano ints."""
+    from document_quality_assessment_ocr_spark.operators.importance import (
+        dsir_resample,
+    )
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return dsir_resample(d, n_buckets=64, seed=11)
+
+
+def _dsir_sql(n_buckets: int = 64, seed: int = 11, sf_dir: str | None = None) -> str:
+    """DuckDB twin of operators/importance.dsir_resample — the raw bucket
+    counts are computed HERE at SQL-build time with the same tokenize/
+    bigram/bucket expressions the final query uses, then the shared
+    dsir_log_ratios_nano/dsir_target_weights produce the literal int64
+    vector both engines fold (oracle-literal technique)."""
+    import duckdb
+
+    from document_quality_assessment_ocr_spark.operators.importance import (
+        dsir_log_ratios_nano,
+        dsir_target_weights,
+    )
+
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    tk = (
+        "LIST_FILTER(REGEXP_SPLIT_TO_ARRAY("
+        f"TRIM(LOWER(COALESCE(text,''))), '{WS}+'), x -> x <> '')"
+    )
+    grams = (
+        "CASE WHEN LEN(tk) >= 2 THEN LIST_TRANSFORM(RANGE(1, LEN(tk)), "
+        "i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1]) "
+        "ELSE []::VARCHAR[] END"
+    )
+    bucket0 = (
+        f"CAST(CAST(('0x' || SUBSTR(MD5(g), 1, 15)) AS BIGINT) % {n_buckets} AS INT)"
+    )
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT {bucket0} AS b, COUNT(*) AS c
+            FROM (SELECT UNNEST(grams) AS g FROM
+                  (SELECT {grams} AS grams FROM
+                   (SELECT {tk} AS tk
+                    FROM '{sf_dir}/documents.parquet')))
+            GROUP BY 1"""
+    ).fetchall()
+    con.close()
+    raw = [0] * n_buckets
+    for b, c in rows:
+        raw[int(b)] = int(c)
+    lr = dsir_log_ratios_nano(raw, dsir_target_weights(n_buckets, seed))
+    lrl = "[" + ", ".join(str(x) for x in lr) + "]::BIGINT[]"
+    return f"""
+        WITH d AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, {tk} AS tk
+            FROM documents
+        ), gr AS (
+            SELECT doc_id, {grams} AS grams FROM d
+        ), sc AS (
+            SELECT doc_id, CAST(LEN(grams) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(grams,
+                        g -> ({lrl})[{bucket0} + 1])), 0) AS BIGINT)
+                       AS score_nano
+            FROM gr
+        )
+        SELECT doc_id, n_grams, score_nano, score_nano > 0 AS keep FROM sc
+    """
+
+
+def _q_ccnet_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet LM filter (Wenzek 2020): hashed-bigram LM log-probs (shared
+    fixed-point literals) folded zero-shuffle per doc, then head/middle/
+    tail buckets by threshold-times-count integer compare (no division —
+    Spark DIV and DuckDB // disagree on negatives)."""
+    from document_quality_assessment_ocr_spark.operators.importance import (
+        ccnet_perplexity,
+    )
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return ccnet_perplexity(d, n_buckets=64, seed=11)
+
+
+def _ccnet_sql(n_buckets: int = 64, seed: int = 11) -> str:
+    """DuckDB twin of operators/importance.ccnet_perplexity — the literal
+    log-prob vector comes from the SAME lm_logprobs_nano/dsir_target_weights
+    call the engine makes (oracle-literal technique); the bucket CASE uses
+    the SAME module-level CCNET_*_NANO thresholds."""
+    from document_quality_assessment_ocr_spark.operators.importance import (
+        CCNET_HEAD_NANO,
+        CCNET_TAIL_NANO,
+        dsir_target_weights,
+        lm_logprobs_nano,
+    )
+
+    lp = lm_logprobs_nano(dsir_target_weights(n_buckets, seed))
+    lpl = "[" + ", ".join(str(x) for x in lp) + "]::BIGINT[]"
+    tk = (
+        "LIST_FILTER(REGEXP_SPLIT_TO_ARRAY("
+        f"TRIM(LOWER(COALESCE(text,''))), '{WS}+'), x -> x <> '')"
+    )
+    grams = (
+        "CASE WHEN LEN(tk) >= 2 THEN LIST_TRANSFORM(RANGE(1, LEN(tk)), "
+        "i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1]) "
+        "ELSE []::VARCHAR[] END"
+    )
+    bucket0 = (
+        f"CAST(CAST(('0x' || SUBSTR(MD5(g), 1, 15)) AS BIGINT) % {n_buckets} AS INT)"
+    )
+    return f"""
+        WITH d AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, {tk} AS tk
+            FROM documents
+        ), gr AS (
+            SELECT doc_id, {grams} AS grams FROM d
+        ), sc AS (
+            SELECT doc_id, CAST(LEN(grams) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(grams,
+                        g -> ({lpl})[{bucket0} + 1])), 0) AS BIGINT)
+                       AS lp_nano
+            FROM gr
+        )
+        SELECT doc_id, n_grams, lp_nano,
+               CASE WHEN n_grams = 0 THEN 'tail'
+                    WHEN lp_nano >= {CCNET_HEAD_NANO} * n_grams THEN 'head'
+                    WHEN lp_nano >= {CCNET_TAIL_NANO} * n_grams THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM sc
+    """
+
+
+def _q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split: zero-shuffle pure
+    projection, stable under re-runs and corpus growth (unlike
+    randomSplit); same md5-uniform arithmetic as every sampler."""
+    from document_quality_assessment_ocr_spark.operators.sampling import (
+        assign_splits,
+    )
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang"
+    )
+    return assign_splits(d, (("train", 0.9), ("val", 0.95)), "test", salt=97)
+
+
+def _split_assign_sql() -> str:
+    u = _md5_uniform_sql("CAST(doc_id AS BIGINT)", 97)
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+               CASE WHEN {u} < 0.9 THEN 'train'
+                    WHEN {u} < 0.95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """
+
+
+def _q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) dataset-card rollup — one hash aggregate, all
+    integer SUM/COUNT surfaces (float AVG is order-dependent; means are
+    derived downstream from the sums)."""
+    from document_quality_assessment_ocr_spark.operators.textstats import (
+        corpus_card,
+    )
+
+    return corpus_card(_doc(spark, sf_dir))
+
+
+def _corpus_card_sql() -> str:
+    n = "LENGTH(COALESCE(text,''))"
+    ntoks = (
+        f"LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(COALESCE(text,'')), '{WS}+'),"
+        " x -> x <> ''))"
+    )
+    return f"""
+        SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM({n}) AS BIGINT) AS n_chars,
+               CAST(SUM({ntoks}) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN {n} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+               CAST(SUM(CASE WHEN {n} > 0 AND {n} < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+               CAST(SUM(CASE WHEN {n} > 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_long
+        FROM documents
+        GROUP BY 1, 2
+    """
+
+
 def _q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC MERGE: apply a synthesized changelog (updates, inserts of the
     held-out doc_id%10==9 slice, deletes, and a second-seq change that must
@@ -1757,7 +1950,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q06_dedup_last_wins": _q_dedup_last_wins,
         "q07_reassembly": _q_reassembly,
         "q08_metrics_rollup": _q_metrics_rollup,
-        "q09_minhash_signatures": _q_minhash,
         "q10_minhash_lsh_pairs": _q_lsh_pairs,
         "q11_ngram_jaccard": _q_ngram_jaccard,
         "q12_simhash": _q_simhash,
@@ -1782,14 +1974,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_surprisal": _q_surprisal,
         "q71_inverted_index": _q_inverted_index,
         "q63_html_main": _q_html_main,
-        "q65_url_normalize": _q_url_normalize,
         "q66_host_stats": _q_host_stats,
         "q70_outlinks": _q_outlinks,
-        "q82_robots_rules": _q_robots_rules,
         "q83_host_policy": _q_host_policy,
         "q74_bpe_merges": _q_bpe_merges,
-        "q75_bpe_tokenize": _q_bpe_tokenize,
         "q64_cdc_upsert": _q_cdc_upsert,
+        "q84_quality_classifier": _q_quality_classifier,
+        "q89_gopher_filter": _q_gopher_filter,
+        "q93_curation_v4": _q_curation_v4,
+        "q94_dsir_resample": _q_dsir_resample,
         "q27_sessionize": _q_sessionize,
         "q36_asof_join": _q_asof_join,
         "q49_sequence_packing": _q_sequence_packing,
@@ -1797,6 +1990,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_pagerank": _q_pagerank,
         "q79_curation_v3": _q_curation_v3,
         # -- positions 51+: narrow variants, audited via CHECKS.md --
+        "q09_minhash_signatures": _q_minhash,
+        "q65_url_normalize": _q_url_normalize,
+        "q75_bpe_tokenize": _q_bpe_tokenize,
+        "q82_robots_rules": _q_robots_rules,
         "q25_lsh_jaccard": _q_lsh_jaccard,
         "q14_doc_stats": _q_doc_stats,
         "q15_rolling_fingerprint": _q_rolling_fp,
@@ -1833,13 +2030,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_bpe_fertility": _q_bpe_fertility,
         "q81_hash_embedding": _q_hash_embedding,
         "q57_phash_dedup": _q_phash_dedup,
-        "q84_quality_classifier": _q_quality_classifier,
         "q85_temperature_mixture": _q_temperature_mixture,
         "q86_snapshot_diff": _q_snapshot_diff,
         "q87_line_dedup": _q_line_dedup,
         "q88_c4_filter": _q_c4_filter,
-        "q89_gopher_filter": _q_gopher_filter,
-        "q93_curation_v4": _q_curation_v4,
+        "q95_ccnet_perplexity": _q_ccnet_perplexity,
+        "q96_split_assign": _q_split_assign,
+        "q97_corpus_card": _q_corpus_card,
     }
 
 
@@ -4474,6 +4671,10 @@ def oracle_sql() -> dict[str, str]:
         "q88_c4_filter": _c4_filter_sql(),
         "q89_gopher_filter": _gopher_filter_sql(),
         "q93_curation_v4": _curation_v4_sql(),
+        "q94_dsir_resample": _dsir_sql(),
+        "q95_ccnet_perplexity": _ccnet_sql(),
+        "q96_split_assign": _split_assign_sql(),
+        "q97_corpus_card": _corpus_card_sql(),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

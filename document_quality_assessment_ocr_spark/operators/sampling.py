@@ -25,7 +25,7 @@ on a single reducer.
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Sequence, Tuple
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -183,3 +183,31 @@ def mixture_sample(
     }
     rates = mixture_rates(counts, temper_weights(weights, temperature))
     return stratified_sample(df, stratum_col, rates, id_col, 0.0, salt)
+
+
+def assign_splits(
+    df: DataFrame,
+    boundaries: Sequence[Tuple[str, float]] = (("train", 0.9), ("val", 0.95)),
+    default_split: str = "test",
+    id_col: str = "doc_id",
+    salt: int = 97,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: split = first interval of
+    [0,1) that u(id) falls in (``boundaries`` are ascending (name, upper)
+    pairs; u >= the last upper -> ``default_split``).
+
+    Hash-based assignment is the only split that survives a 100 TB
+    pipeline: it needs NO global sort or count (zero shuffle, pure
+    projection), it is stable under re-runs/retries/appended shards
+    (a doc's split never changes when the corpus grows, unlike
+    randomSplit), and expected proportions converge per-stratum
+    automatically. The same md5 arithmetic as every sampler here, so the
+    DuckDB oracle matches bitwise.
+    """
+    bounds = list(boundaries)
+    assert all(b1[1] < b2[1] for b1, b2 in zip(bounds, bounds[1:]))
+    u = md5_uniform(F.col(id_col), salt)
+    expr = F.lit(default_split)
+    for name, upper in reversed(bounds):
+        expr = F.when(u < F.lit(float(upper)), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)

@@ -336,3 +336,37 @@ def hash_embedding(
         .agg(F.sum("s").cast("long").alias("weight"))
         .where(F.col("weight") != 0)
     )
+
+
+def corpus_card(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-(lang, source) corpus datasheet — the rollup behind a dataset
+    card (Gebru 2021 "Datasheets for Datasets"): doc/char/token tallies
+    plus empty/short/long composition counts.
+
+    ONE hash aggregate over the scan (map-side combine collapses each
+    partition to |lang|x|source| rows, so the shuffle is a few hundred
+    rows at any corpus size). All surfaced aggregates are integer SUM/
+    COUNTs cast to BIGINT -- a float AVG is order-dependent and can never
+    hash-match across engines; callers derive means downstream from the
+    sums (the q41 HUGEINT lesson applies: the oracle casts too)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(t)
+    return (
+        docs.groupBy(
+            F.coalesce(F.col(lang_col), F.lit("")).alias("lang"),
+            F.coalesce(F.col(source_col), F.lit("")).alias("source"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(n.cast("long")).cast("long").alias("n_chars"),
+            F.sum(token_count(t)).cast("long").alias("n_tokens"),
+            F.sum(F.when(n == 0, 1).otherwise(0)).cast("long").alias("n_empty"),
+            F.sum(F.when((n > 0) & (n < 100), 1).otherwise(0)).cast("long").alias("n_short"),
+            F.sum(F.when(n > 10000, 1).otherwise(0)).cast("long").alias("n_long"),
+        )
+    )

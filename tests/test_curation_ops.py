@@ -1141,3 +1141,171 @@ def test_curation_v4_fates(spark):
     assert out[4]["fate"] == "c4"
     assert out[5]["fate"] == "near_duplicate"
     assert out[6]["fate"] == "near_duplicate" and not out[6]["kept"]
+
+
+def test_dsir_resample(spark):
+    """DSIR scores match a pure-python recomputation (md5 buckets, shared
+    fixed-point log-ratios); empty docs score 0; the scoring pass itself
+    is exchange-free (the raw-counts job already ran at build time)."""
+    from document_quality_assessment_ocr_spark.operators.importance import (
+        dsir_log_ratios_nano,
+        dsir_raw_counts,
+        dsir_resample,
+        dsir_target_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox"),
+            (3, "one"),
+            (4, None),
+            (5, "data data data data"),
+        ],
+        "doc_id long, text string",
+    )
+    D, seed = 16, 11
+    out = {r["doc_id"]: r for r in dsir_resample(docs, n_buckets=D, seed=seed).collect()}
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % D
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox",
+        5: "data data data data",
+    }
+    raw = [0] * D
+    grams_by_doc = {}
+    for d, t in texts.items():
+        tk = t.lower().split()
+        grams = [f"{a} {b}" for a, b in zip(tk, tk[1:])]
+        grams_by_doc[d] = grams
+        for g in grams:
+            raw[bucket(g)] += 1
+    assert raw == dsir_raw_counts(docs, n_buckets=D)
+    lr = dsir_log_ratios_nano(raw, dsir_target_weights(D, seed))
+    for d, grams in grams_by_doc.items():
+        want = sum(lr[bucket(g)] for g in grams)
+        assert out[d]["score_nano"] == want
+        assert out[d]["n_grams"] == len(grams)
+        assert out[d]["keep"] == (want > 0)
+    for d in (3, 4):
+        assert out[d]["score_nano"] == 0 and out[d]["n_grams"] == 0
+        assert not out[d]["keep"]
+    plan = (
+        dsir_resample(docs, n_buckets=D, seed=seed)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_ccnet_perplexity_buckets(spark):
+    """lp_nano matches a pure-python recomputation over the shared LM
+    literals; bucket boundaries use the multiply-compare (no division);
+    <2-token docs are tail with 0 grams; the scoring pass is exchange-free."""
+    from document_quality_assessment_ocr_spark.operators.importance import (
+        ccnet_perplexity,
+        dsir_target_weights,
+        lm_logprobs_nano,
+    )
+
+    D, seed = 16, 11
+    lp = lm_logprobs_nano(dsir_target_weights(D, seed))
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % D
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "alpha beta gamma delta",
+        5: "data data data data data data",
+    }
+    docs = spark.createDataFrame(
+        [(1, texts[1]), (2, texts[2]), (3, "one"), (4, None), (5, texts[5])],
+        "doc_id long, text string",
+    )
+    # pick thresholds straddling doc 1's average so all three buckets appear
+    avgs = {}
+    for d, t in texts.items():
+        tk = t.lower().split()
+        grams = [f"{a} {b}" for a, b in zip(tk, tk[1:])]
+        avgs[d] = (sum(lp[bucket(g)] for g in grams), len(grams))
+    per = sorted(s // n for s, n in avgs.values())
+    head_thr, tail_thr = per[-1], per[0] + 1
+    q = ccnet_perplexity(docs, n_buckets=D, seed=seed,
+                         head_nano=head_thr, tail_nano=tail_thr)
+    out = {r["doc_id"]: r for r in q.collect()}
+    for d, (s, n) in avgs.items():
+        assert out[d]["lp_nano"] == s and out[d]["n_grams"] == n
+        want = ("head" if s >= head_thr * n
+                else "middle" if s >= tail_thr * n else "tail")
+        assert out[d]["bucket"] == want
+    assert {out[d]["bucket"] for d in avgs} == {"head", "middle", "tail"}
+    for d in (3, 4):
+        assert out[d]["bucket"] == "tail" and out[d]["n_grams"] == 0
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_assign_splits(spark):
+    """Split matches the md5-uniform arithmetic exactly; proportions are
+    sane at n=2000; assignment is append-stable (adding rows never moves an
+    existing doc); the plan is a pure projection (no exchange)."""
+    from document_quality_assessment_ocr_spark.operators.sampling import (
+        assign_splits,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    q = assign_splits(docs, (("train", 0.9), ("val", 0.95)), "test", salt=97)
+    out = {r["doc_id"]: r["split"] for r in q.collect()}
+
+    def u(i):
+        h = hashlib.md5(f"{i}|97".encode()).hexdigest()
+        return int(h[:8], 16) / 4294967296.0
+
+    for i in range(2000):
+        want = "train" if u(i) < 0.9 else "val" if u(i) < 0.95 else "test"
+        assert out[i] == want
+    n_train = sum(1 for s in out.values() if s == "train")
+    assert 0.85 * 2000 < n_train < 0.95 * 2000
+    # append-stability: the first 500 docs get identical splits alone
+    sub = assign_splits(
+        spark.createDataFrame([(i,) for i in range(500)], "doc_id long"),
+        (("train", 0.9), ("val", 0.95)), "test", salt=97,
+    )
+    assert {r["doc_id"]: r["split"] for r in sub.collect()} == {
+        i: out[i] for i in range(500)
+    }
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_corpus_card(spark):
+    """Tallies match hand counts per (lang, source); NULL text counts as
+    empty; NULL lang/source coalesce to ''; single hash aggregate."""
+    from document_quality_assessment_ocr_spark.operators.textstats import (
+        corpus_card,
+    )
+
+    long_txt = "w " * 6000  # 12000 chars > 10000
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "web", "hello world"),
+            (2, "en", "web", ""),
+            (3, "en", "web", None),
+            (4, "en", "web", long_txt),
+            (5, "fr", None, "bonjour"),
+        ],
+        "doc_id long, lang string, source string, text string",
+    )
+    out = {(r["lang"], r["source"]): r for r in corpus_card(docs).collect()}
+    en = out[("en", "web")]
+    assert en["n_docs"] == 4
+    assert en["n_chars"] == len("hello world") + len(long_txt)
+    assert en["n_tokens"] == 2 + 6000
+    assert en["n_empty"] == 2 and en["n_short"] == 1 and en["n_long"] == 1
+    fr = out[("fr", "")]
+    assert fr["n_docs"] == 1 and fr["n_short"] == 1 and fr["n_tokens"] == 1
+    plan = corpus_card(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") <= 2  # partial + final, one pair

@@ -100,6 +100,9 @@ def test_driver_window_carries_flagship_and_family_reps():
         "q64_cdc_upsert", "q36_asof_join", "q77_mixture_sample",
         "q49_sequence_packing", "q56_pagerank", "q79_curation_v3",
         "q76_phash_near_dup",
+        # quality/classification/importance families (round 3)
+        "q84_quality_classifier", "q89_gopher_filter", "q93_curation_v4",
+        "q94_dsir_resample",
     }
     missing = must - window
     assert not missing, f"family reps fell out of the driver window: {missing}"
