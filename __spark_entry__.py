@@ -1540,6 +1540,197 @@ def _corpus_card_sql() -> str:
     """
 
 
+def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point BM25 top-10 per query over a deterministic 3×3-term
+    panel (the 9 highest-df non-everywhere tokens, both engines derive the
+    same panel from the same tokenization): RSJ milli-idf × exact
+    integer-rational tf-norm in micro units; two-level top-k."""
+    from document_quality_assessment_ocr_spark.operators.retrieval import (
+        bm25_search,
+        bm25_top_terms,
+    )
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    terms = bm25_top_terms(d, 9)
+    return bm25_search(
+        d, {1: terms[0:3], 2: terms[3:6], 3: terms[6:9]}, k=10
+    )
+
+
+def _bm25_sql(sf_dir: str | None = None) -> str:
+    """DuckDB twin of operators/retrieval.bm25_search — the query panel is
+    re-derived HERE at build time with the SAME (df DESC, token ASC)
+    total order; the integer-rational BM25 constants are interpolated from
+    the shared module constants (never forked)."""
+    import duckdb
+
+    from document_quality_assessment_ocr_spark.operators.retrieval import (
+        BM25_DEN_DL,
+        BM25_DEN_TF,
+        BM25_DEN_TOTAL,
+        BM25_NUM_C,
+        IDF_MILLI,
+        MICRO,
+    )
+
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    ltoks = (
+        "LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(COALESCE(text,''))),"
+        f" '{WS}+'), x -> x <> '')"
+    )
+    con = duckdb.connect()
+    terms = [
+        r[0]
+        for r in con.execute(
+            f"""SELECT t FROM (
+                    SELECT UNNEST(LIST_DISTINCT({ltoks})) AS t
+                    FROM '{sf_dir}/documents.parquet')
+                GROUP BY t
+                HAVING COUNT(*) < (
+                    SELECT COUNT(*) FROM '{sf_dir}/documents.parquet')
+                ORDER BY COUNT(*) DESC, t ASC LIMIT 9"""
+        ).fetchall()
+    ]
+    con.close()
+    panel = ", ".join(
+        f"({q + 1}, '{t}')" for q in range(3) for t in terms[3 * q : 3 * q + 3]
+    )
+    in_list = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+        WITH d AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, {ltoks} AS tk
+            FROM documents
+        ), dl AS (
+            SELECT doc_id, CAST(LEN(tk) AS BIGINT) AS dl FROM d
+        ), stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(dl) AS BIGINT) AS total FROM dl
+        ), tf AS (
+            SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, UNNEST(tk) AS token FROM d)
+            WHERE token IN ({in_list})
+            GROUP BY 1, 2
+        ), dfx AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        ), panel(query_id, token) AS (VALUES {panel}), sc AS (
+            SELECT p.query_id, tf.doc_id,
+                   (((n_docs - df) * {IDF_MILLI}) // df)
+                   * (({BM25_NUM_C} * tf * total * {MICRO})
+                      // ({BM25_DEN_TF} * tf * total + {BM25_DEN_TOTAL} * total
+                          + {BM25_DEN_DL} * dl.dl * n_docs)) AS s
+            FROM tf JOIN panel p USING (token) JOIN dfx USING (token)
+                 JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+        ), agg AS (
+            SELECT query_id, doc_id, CAST(SUM(s) AS BIGINT) AS score_fx
+            FROM sc GROUP BY 1, 2
+        )
+        SELECT CAST(query_id AS INT) AS query_id, doc_id, score_fx,
+               CAST(rank AS INT) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY query_id
+                  ORDER BY score_fx DESC, doc_id ASC) AS rank
+              FROM agg)
+        WHERE rank <= 10
+    """
+
+
+def _q_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-writer manifest: every 512-token training sequence mapped to
+    the document slices composing it (pack_offsets' two-level prefix sum +
+    a guarded bounded explode)."""
+    from document_quality_assessment_ocr_spark.functions.text import token_count
+    from document_quality_assessment_ocr_spark.operators.packing import (
+        chunk_manifest,
+    )
+
+    docs = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    return chunk_manifest(docs, seq_len=512, n_buckets=16)
+
+
+def _chunk_manifest_sql() -> str:
+    ntoks = (
+        f"LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(COALESCE(text,'')), '{WS}+'),"
+        " x -> x <> ''))"
+    )
+    return f"""
+        WITH d AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST({ntoks} AS BIGINT) AS n_tokens
+            FROM documents
+        ), o AS (
+            SELECT doc_id, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS start_token
+            FROM d
+        ), f AS (
+            SELECT doc_id, start_token,
+                   start_token + n_tokens AS end_token,
+                   start_token // 512 AS first_seq,
+                   (start_token + n_tokens - 1) // 512 AS last_seq
+            FROM o WHERE n_tokens > 0
+        ), e AS (
+            SELECT doc_id, start_token, end_token,
+                   UNNEST(RANGE(first_seq, last_seq + 1)) AS seq_id
+            FROM f
+        )
+        SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+               CAST(GREATEST(start_token, seq_id * 512) - start_token
+                    AS BIGINT) AS doc_offset,
+               CAST(GREATEST(start_token, seq_id * 512) - seq_id * 512
+                    AS BIGINT) AS seq_offset,
+               CAST(LEAST(end_token, (seq_id + 1) * 512)
+                    - GREATEST(start_token, seq_id * 512)
+                    AS BIGINT) AS n_slice
+        FROM e
+    """
+
+
+def _q_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup weighting: near-dup clusters (q31 parameters) down-weight
+    members by 1e9 DIV |cluster| instead of dropping them."""
+    from document_quality_assessment_ocr_spark.operators.dedup import (
+        soft_dedup_weights,
+    )
+
+    return soft_dedup_weights(
+        _doc(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        ),
+        n_hashes=8,
+        bands=4,
+    )
+
+
+def _soft_dedup_sql() -> str:
+    """DuckDB twin of operators/dedup.soft_dedup_weights: the q31 component
+    chain (shared _clusters_comp_sql) + cluster sizes + ``1e9 // size`` —
+    integer division of non-negative operands is identical on both engines
+    (the CLAUDE.md DIV invariant), so weights hash-match bitwise."""
+    return (
+        _clusters_comp_sql()
+        + """
+            , mem AS (
+                SELECT d.doc_id, COALESCE(comp.cid, d.doc_id) AS cluster_id
+                FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d
+                LEFT JOIN comp ON comp.did = d.doc_id
+            ), sizes AS (
+                SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+                FROM mem GROUP BY cluster_id
+            )
+            SELECT mem.doc_id, mem.cluster_id, sizes.cluster_size,
+                   CAST(1000000000 // sizes.cluster_size AS BIGINT) AS weight_nano
+            FROM mem JOIN sizes USING (cluster_id)
+        """
+    )
+
+
 def _q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC MERGE: apply a synthesized changelog (updates, inserts of the
     held-out doc_id%10==9 slice, deletes, and a second-seq change that must
@@ -1988,8 +2179,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_sequence_packing": _q_sequence_packing,
         "q77_mixture_sample": _q_mixture_sample,
         "q56_pagerank": _q_pagerank,
-        "q79_curation_v3": _q_curation_v3,
+        "q98_bm25_search": _q_bm25_search,
         # -- positions 51+: narrow variants, audited via CHECKS.md --
+        "q79_curation_v3": _q_curation_v3,
         "q09_minhash_signatures": _q_minhash,
         "q65_url_normalize": _q_url_normalize,
         "q75_bpe_tokenize": _q_bpe_tokenize,
@@ -2037,6 +2229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_ccnet_perplexity": _q_ccnet_perplexity,
         "q96_split_assign": _q_split_assign,
         "q97_corpus_card": _q_corpus_card,
+        "q99_chunk_manifest": _q_chunk_manifest,
+        "q100_soft_dedup": _q_soft_dedup,
     }
 
 
@@ -4675,6 +4869,9 @@ def oracle_sql() -> dict[str, str]:
         "q95_ccnet_perplexity": _ccnet_sql(),
         "q96_split_assign": _split_assign_sql(),
         "q97_corpus_card": _corpus_card_sql(),
+        "q98_bm25_search": _bm25_sql(),
+        "q99_chunk_manifest": _chunk_manifest_sql(),
+        "q100_soft_dedup": _soft_dedup_sql(),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

@@ -560,3 +560,42 @@ def exact_substring_dedup(
         (F.col("n") - F.size(kept)).cast("long").alias("n_removed"),
         F.array_join(kept, " ").alias("clean_text"),
     )
+
+
+def soft_dedup_weights(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    bands: int = 4,
+    ngram: int = 5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Soft deduplication (the SoftDeDup idea — down-weight duplicates in
+    the training mix instead of dropping them): every document keeps
+    ``weight_nano = 1e9 DIV |cluster|`` so each near-duplicate CLUSTER
+    contributes ~one document's worth of gradient mass, preserving
+    diversity inside the cluster that hard dedup would throw away.
+
+    Pure composition over :func:`duplicate_clusters` plus one cluster-size
+    aggregate and a cluster-keyed equi-join (cluster ids are a shrunken
+    key space; AQE broadcasts the size side when small). Integer division
+    of non-negative operands is exact and identical on both engines (the
+    CLAUDE.md DIV invariant) — no float weights, so the oracle
+    hash-matches bitwise; consumers renormalize downstream with the
+    mixture machinery (operators/sampling.py).
+
+    Output: (id_col, cluster_id, cluster_size, weight_nano).
+    """
+    clusters = duplicate_clusters(
+        docs, id_col, text_col, n_hashes, bands, ngram, candidates
+    )
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return clusters.join(sizes, "cluster_id").select(
+        F.col(id_col),
+        "cluster_id",
+        "cluster_size",
+        F.expr("1000000000 DIV cluster_size").cast("long").alias("weight_nano"),
+    )

@@ -128,3 +128,46 @@ def pack_offsets(
         last_seq.alias("last_seq"),
         (last_seq > first_seq).alias("straddles"),
     )
+
+
+def chunk_manifest(
+    docs: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Shard-writer view of the packed token stream: one row per
+    (training sequence, document slice) — the manifest a tokenize-and-pack
+    job hands to the shard writer so each fixed-``seq_len`` training
+    sequence knows exactly which document byte-ranges compose it (and,
+    inverted, where every document's tokens ended up: full lineage).
+
+    Built on :func:`pack_offsets` (same two-level prefix sum; no new
+    all-to-all). Each non-empty document explodes into its
+    ``first_seq..last_seq`` windows — ~``n_tokens/seq_len`` rows per doc,
+    linear in the corpus, never quadratic. ``F.sequence`` is guarded by
+    construction here (``last_seq >= first_seq`` whenever ``n_tokens >
+    0`` — the CLAUDE.md counts-DOWN trap can't fire).
+
+    Output: (seq_id, id_col, doc_offset, seq_offset, n_slice) where the
+    slice is tokens ``[doc_offset, doc_offset+n_slice)`` of the document
+    landing at position ``seq_offset`` of training sequence ``seq_id``.
+    """
+    off = pack_offsets(docs, seq_len, id_col, tokens_col, n_buckets)
+    exploded = off.where(F.col("n_tokens") > 0).select(
+        F.col(id_col),
+        "start_token",
+        "end_token",
+        F.explode(F.sequence("first_seq", "last_seq")).alias("seq_id"),
+    )
+    s0 = F.col("seq_id") * F.lit(int(seq_len))
+    lo = F.greatest(F.col("start_token"), s0)
+    hi = F.least(F.col("end_token"), s0 + F.lit(int(seq_len)))
+    return exploded.select(
+        "seq_id",
+        F.col(id_col),
+        (lo - F.col("start_token")).cast("long").alias("doc_offset"),
+        (lo - s0).cast("long").alias("seq_offset"),
+        (hi - lo).cast("long").alias("n_slice"),
+    )

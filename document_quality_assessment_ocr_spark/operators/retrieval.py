@@ -1,0 +1,160 @@
+"""BM25 ranked retrieval over the corpus — the lookup side of a curation
+stack (decontamination forensics, "find training docs like this eval
+prompt", quality-by-retrievability audits).
+
+Everything is FIXED-POINT integer arithmetic so the engine and the DuckDB
+oracle hash-match bitwise:
+
+- **idf** uses the Robertson–Spärck-Jones odds surrogate in milli units,
+  ``idf_milli = (N − df)·1000 DIV df`` — exact-integer, monotone in 1/df,
+  and (unlike the floor-log2 whole-bits form, which floors to 0 for any
+  df > N/2) still discriminates on dense vocabularies where every term
+  appears in most documents.
+- **tf normalization** with the standard k1=6/5, b=3/4 becomes an exact
+  integer rational: multiplying numerator and denominator of
+  ``tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))`` by ``20·total`` (where
+  ``avgdl = total/N``) gives
+
+      num = 44·tf·total          den = 20·tf·total + 6·total + 18·dl·N
+
+  and the per-term score is ``idf_milli · (num·1e6 DIV den)`` in
+  milli·micro fixed-point units (``score_fx``) — integer division is
+  exact and identical on both engines for non-negative operands (the
+  CLAUDE.md DIV invariant).
+- Summing int64 fixed-point scores over query terms is order-independent.
+
+int64 headroom: ``num·1e6 = 44·tf·total·1e6`` caps total ≈ 2·10¹¹ tokens
+per scoring scope before overflow, and ``idf_milli·ratio ≈ 2.2e6·(N−df)
+·1000/df`` stays under 2^63 for df ≥ N/4·10⁶ — at 100 TB compute BM25 per
+shard/partition-group (df/total are mergeable integer stats) or widen to
+DECIMAL; the plan shape is unchanged.
+
+Plan at scale: one tf aggregate restricted to the (tiny, broadcast) query
+panel — the token IN (...) predicate pushes into the scan, so postings are
+built for panel terms only, never the whole vocabulary; df for those terms
+derives from the already-shrunk tf rows; N/total ride along as a broadcast
+single-row cross join (no driver collect); top-k per query is the
+two-level pattern (salted partial top-k → final top-k), never a global
+sort.
+
+Reference parity note: the reference engine has no retrieval stage; this
+extends the LLM-pipeline family (inverted index q71 is the generalist
+structure; BM25 is the ranked query on top).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import WS_CLASS
+
+#: tf-normalization constants k1=6/5, b=3/4 folded into exact integers
+#: (see module docstring): num = 44·tf·total, den = 20·tf·total + 6·total
+#: + 18·dl·N. Shared with the oracle builder — never fork.
+BM25_NUM_C = 44
+BM25_DEN_TF = 20
+BM25_DEN_TOTAL = 6
+BM25_DEN_DL = 18
+MICRO = 1_000_000
+#: RSJ idf scale: idf_milli = (N - df) * IDF_MILLI DIV df
+IDF_MILLI = 1_000
+
+
+def _tokens(text):
+    return F.filter(
+        F.split(F.trim(F.lower(F.coalesce(text, F.lit("")))), WS_CLASS + "+"),
+        lambda x: x != F.lit(""),
+    )
+
+
+def bm25_top_terms(
+    docs: DataFrame, n: int, text_col: str = "text"
+) -> list:
+    """Deterministic query-panel seed: the ``n`` highest-document-frequency
+    tokens with df < N (the RSJ idf of an everywhere-term is 0, so it's
+    excluded), total-ordered by (df DESC, token ASC). One zipf-bounded
+    aggregate + a bounded ``n``-row collect; the oracle builder computes
+    the SAME list in DuckDB — identical tokenization, cap and order."""
+    n_docs = docs.count()
+    rows = (
+        docs.select(F.explode(F.array_distinct(_tokens(F.col(text_col)))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") < F.lit(int(n_docs)))
+        .orderBy(F.col("df").desc(), F.col("t").asc())
+        .limit(int(n))
+        .collect()
+    )
+    return [r["t"] for r in rows]
+
+
+def bm25_search(
+    docs: DataFrame,
+    queries: Dict[int, Sequence[str]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Top-``k`` documents per query by fixed-point BM25.
+
+    ``queries`` maps query_id → term list (a tiny driver-side panel —
+    literal rows, broadcast). Output ``(query_id, doc_id, score_fx,
+    rank)`` with rank 1-based by (score_fx DESC, doc_id ASC) — the
+    deterministic tie-break both engines share.
+    """
+    spark = docs.sparkSession
+    panel = spark.createDataFrame(
+        [(int(q), str(t)) for q, terms in queries.items() for t in terms],
+        "query_id int, token string",
+    )
+    all_terms = sorted({str(t) for terms in queries.values() for t in terms})
+
+    base = docs.select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("tk")
+    )
+    dl = base.select(F.col(id_col), F.size("tk").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total"),
+    )
+
+    toks = base.select(F.col(id_col), F.explode("tk").alias("token")).where(
+        F.col("token").isin(all_terms)  # literal IN — pushes into the scan
+    )
+    tf = toks.groupBy("token", id_col).agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+
+    idf_milli = F.expr(f"((n_docs - df) * {IDF_MILLI}) DIV df")
+    term_score = idf_milli * F.expr(
+        f"(({BM25_NUM_C} * tf * total) * {MICRO}) DIV "
+        f"({BM25_DEN_TF} * tf * total + {BM25_DEN_TOTAL} * total"
+        f" + {BM25_DEN_DL} * dl * n_docs)"
+    )
+
+    scored = (
+        tf.join(F.broadcast(panel), "token")
+        .join(df_, "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", F.col(id_col), term_score.alias("s"))
+        .groupBy("query_id", id_col)
+        .agg(F.sum("s").cast("long").alias("score_fx"))
+    )
+
+    # two-level top-k: salted partial winners, then the final k per query
+    order = [F.col("score_fx").desc(), F.col(id_col).asc()]
+    w1 = Window.partitionBy(
+        "query_id", F.pmod(F.col(id_col), F.lit(int(salt_buckets)))
+    ).orderBy(*order)
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        scored.withColumn("_r", F.row_number().over(w1))
+        .where(F.col("_r") <= k)
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "score_fx", "rank")
+    )

@@ -98,11 +98,13 @@ def test_driver_window_carries_flagship_and_family_reps():
         "q41_quantile_sketch", "q67_surprisal", "q63_html_main",
         "q66_host_stats", "q83_host_policy", "q74_bpe_merges",
         "q64_cdc_upsert", "q36_asof_join", "q77_mixture_sample",
-        "q49_sequence_packing", "q56_pagerank", "q79_curation_v3",
+        "q49_sequence_packing", "q56_pagerank",
         "q76_phash_near_dup",
-        # quality/classification/importance families (round 3)
+        # quality/classification/importance families (round 3);
+        # q93 (curation v4) supersedes q79 (v3) as the curation rep —
+        # v3 rides positions 51+ under the CHECKS.md audit
         "q84_quality_classifier", "q89_gopher_filter", "q93_curation_v4",
-        "q94_dsir_resample",
+        "q94_dsir_resample", "q98_bm25_search",
     }
     missing = must - window
     assert not missing, f"family reps fell out of the driver window: {missing}"

@@ -630,3 +630,265 @@ def test_semdedup_keep_first(spark):
     assert out[0]["kept"] and out[3]["kept"]
     assert not out[1]["kept"] and not out[2]["kept"]
     assert out[0]["cell"] == out[1]["cell"]
+
+
+def test_chunk_manifest_full_lineage(spark):
+    """Every document's tokens land somewhere (per-doc slices sum to
+    n_tokens, contiguous from offset 0); every training sequence is tiled
+    exactly [0, seq_len) by its slices except the ragged last one; empty
+    docs never appear."""
+    from document_quality_assessment_ocr_spark.operators.packing import (
+        chunk_manifest,
+    )
+
+    rows = [(1, 3), (2, 0), (5, 10), (9, 4), (10, 0), (40, 7), (41, 1)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = chunk_manifest(df, seq_len=8, n_buckets=3).collect()
+
+    by_doc, by_seq = {}, {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+        by_seq.setdefault(r["seq_id"], []).append(r)
+
+    total = sum(n for _, n in rows)
+    assert 2 not in by_doc and 10 not in by_doc  # empty docs absent
+    for did, n in rows:
+        if n == 0:
+            continue
+        slices = sorted(by_doc[did], key=lambda r: r["doc_offset"])
+        assert slices[0]["doc_offset"] == 0
+        acc = 0
+        for s in slices:  # contiguous, no gaps or overlaps
+            assert s["doc_offset"] == acc and s["n_slice"] >= 1
+            acc += s["n_slice"]
+        assert acc == n
+
+    last_seq = (total - 1) // 8
+    assert set(by_seq) == set(range(last_seq + 1))  # no empty sequences
+    for sid, slices in by_seq.items():
+        slices.sort(key=lambda r: r["seq_offset"])
+        assert slices[0]["seq_offset"] == 0
+        acc = 0
+        for s in slices:  # sequence tiled without gaps
+            assert s["seq_offset"] == acc
+            acc += s["n_slice"]
+        assert acc == (8 if sid < last_seq else total - 8 * last_seq)
+
+
+def test_bm25_fixed_point_matches_python(spark):
+    """Engine scores equal a pure-python evaluation of the same integer
+    rational (RSJ milli-idf × micro-unit tf norm), and ranking breaks
+    ties by doc_id ascending."""
+    from document_quality_assessment_ocr_spark.operators.retrieval import (
+        BM25_DEN_DL,
+        BM25_DEN_TF,
+        BM25_DEN_TOTAL,
+        BM25_NUM_C,
+        IDF_MILLI,
+        MICRO,
+        bm25_search,
+    )
+
+    corpus = {
+        1: "spark shuffles data across the cluster",
+        2: "spark spark spark everywhere in the logs",
+        3: "the cluster runs a big spark job on data",
+        4: "completely unrelated prose about gardens",
+        5: "data data data and more data in the cluster",
+    }
+    df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    queries = {7: ["shuffles", "gardens"], 8: ["spark", "prose"]}
+    out = bm25_search(df, queries, k=3, salt_buckets=2).collect()
+
+    toks = {d: t.split() for d, t in corpus.items()}
+    n_docs = len(toks)
+    total = sum(len(t) for t in toks.values())
+    exp = {}
+    for qid, terms in queries.items():
+        scores = {}
+        for d, tk in toks.items():
+            s, hit = 0, False
+            for term in terms:
+                tf = tk.count(term)
+                if tf == 0:
+                    continue
+                hit = True
+                dfx = sum(term in t for t in toks.values())
+                idf = (n_docs - dfx) * IDF_MILLI // dfx
+                den = (BM25_DEN_TF * tf * total + BM25_DEN_TOTAL * total
+                       + BM25_DEN_DL * len(tk) * n_docs)
+                s += idf * ((BM25_NUM_C * tf * total * MICRO) // den)
+            if hit:  # engine emits a row for any doc containing a panel term
+                scores[d] = s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        for rank, (d, s) in enumerate(ranked, 1):
+            exp[(qid, d)] = (s, rank)
+
+    got = {(r["query_id"], r["doc_id"]): (r["score_fx"], r["rank"]) for r in out}
+    assert got == exp
+    assert any(s for s, _ in exp.values())  # panel is not score-degenerate
+
+
+def test_soft_dedup_weights_split_cluster_mass(docs):
+    """Docs 1/2/3 form one near-dup cluster → each keeps 1e9 DIV 3;
+    singletons keep the full 1e9; cluster mass is preserved (±rounding)."""
+    from document_quality_assessment_ocr_spark.operators.dedup import (
+        soft_dedup_weights,
+    )
+
+    out = {r["doc_id"]: r for r in
+           soft_dedup_weights(docs, n_hashes=8, bands=4).collect()}
+    assert len(out) == 6
+    cluster = {out[d]["cluster_id"] for d in (1, 2, 3)}
+    assert cluster == {out[1]["cluster_id"]}  # one shared cluster
+    for d in (1, 2, 3):
+        assert out[d]["cluster_size"] == 3
+        assert out[d]["weight_nano"] == 1_000_000_000 // 3
+    for d in (4, 5, 6):
+        assert out[d]["cluster_size"] == 1
+        assert out[d]["weight_nano"] == 1_000_000_000
+
+
+def _py_winnow(text, k=5, w=4):
+    import hashlib
+
+    tk = text.lower().split()
+    grams = [
+        hashlib.md5(" ".join(tk[i : i + k]).encode()).hexdigest()
+        for i in range(max(len(tk) - k + 1, 0))
+    ]
+    if not grams:
+        return set()
+    wins = max(len(grams) - w + 1, 1)
+    return {min(grams[j : j + w]) for j in range(wins)}
+
+
+def test_winnow_fingerprints_match_python(spark):
+    """Engine fingerprint sets equal the pure-python winnowing replay,
+    including the short-doc degenerations (< k tokens → none; < k+w-1
+    tokens → min over the few grams present)."""
+    from document_quality_assessment_ocr_spark.operators.winnow import (
+        winnow_fingerprints,
+    )
+
+    corpus = {
+        1: "the quick brown fox jumps over the lazy dog again and again",
+        2: "too short",
+        3: "",
+        4: "one two three four five",  # exactly k tokens → 1 gram
+        5: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+    }
+    df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    out = winnow_fingerprints(df, k=5, w=4).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    exp = {d: _py_winnow(t) for d, t in corpus.items() if _py_winnow(t)}
+    assert got == exp
+
+
+def test_winnow_overlap_guarantee_and_cap(spark):
+    """A shared run of >= k+w-1 tokens is always witnessed by >= 1 shared
+    fingerprint regardless of position (the winnowing guarantee); a
+    boilerplate fingerprint in > max_df docs emits no pairs by itself."""
+    from document_quality_assessment_ocr_spark.operators.winnow import (
+        winnow_overlap_pairs,
+    )
+
+    shared = "zebra yonder xylophone wombat vulture unicorn tapir salmon"  # 8 = k+w-1
+    rows = [
+        (1, "intro words here first " + shared + " tail one"),
+        (2, "completely different opening prose " + shared),
+        (3, "unrelated text about gardens and ponds and fountains flowing"),
+    ]
+    # 5 docs sharing ONLY a boilerplate phrase, capped out by max_df=3
+    boiler = "subscribe to our newsletter for updates every single week"
+    rows += [(10 + i, f"filler{i} " + boiler) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in winnow_overlap_pairs(
+            df, k=5, w=4, min_shared=1, max_df=3
+        ).collect()
+    }
+    assert any(p == (1, 2) for p in out)  # guarantee: insertion-shifted match
+    assert all({a, b} <= {1, 2} for a, b in out)  # boiler capped, no 10+ pairs
+
+
+def _py_chunks(text, divisor=16):
+    import hashlib
+
+    tk = text.lower().split()
+    if not tk:
+        return []
+    starts = [0] + [
+        i
+        for i in range(1, len(tk))
+        if int(hashlib.md5(tk[i].encode()).hexdigest()[:4], 16) % divisor == 0
+    ]
+    out = []
+    for j, s in enumerate(starts):
+        e = starts[j + 1] if j + 1 < len(starts) else len(tk)
+        out.append(
+            (j, e - s, hashlib.md5(" ".join(tk[s:e]).encode()).hexdigest())
+        )
+    return out
+
+
+def test_content_chunks_match_python_and_resync(spark):
+    """Engine chunks equal the pure-python CDC replay; inserting tokens
+    mid-document preserves every chunk hash outside the edited chunk
+    (the re-synchronization property fixed grids lack)."""
+    from document_quality_assessment_ocr_spark.operators.chunking import (
+        content_chunks,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(200))
+    edited = " ".join(
+        ["tok%d" % i for i in range(100)]
+        + ["INSERTED", "WORDS", "HERE"]
+        + ["tok%d" % i for i in range(100, 200)]
+    )
+    corpus = {1: base, 2: edited, 3: "", 4: "single"}
+    df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    got = {}
+    for r in content_chunks(df).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["n_tokens"], r["chunk_hash"])
+        )
+    for d in got:
+        got[d].sort()
+    exp = {d: _py_chunks(t) for d, t in corpus.items() if t.split()}
+    assert got == exp
+    h1 = {h for _, _, h in exp[1]}
+    h2 = {h for _, _, h in exp[2]}
+    assert len(h1) > 4
+    assert len(h1 - h2) <= 1  # only the edited chunk's hash changed
+    assert len(h2 - h1) <= 2  # its replacement(s)
+
+
+def test_chunk_dup_profile_counts(spark):
+    """n_occ counts occurrences across AND within docs; n_docs is
+    distinct; singletons drop under min_occ=2."""
+    from document_quality_assessment_ocr_spark.operators.chunking import (
+        chunk_dup_profile,
+        content_chunks,
+    )
+
+    a = " ".join(f"w{i}" for i in range(60))
+    corpus = {1: a, 2: a + " unique tail of doc two only", 3: a + " " + a}
+    df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    prof = {r["chunk_hash"]: r for r in chunk_dup_profile(df).collect()}
+    ch = content_chunks(df).collect()
+    from collections import Counter
+
+    occ = Counter(r["chunk_hash"] for r in ch)
+    docs = {}
+    for r in ch:
+        docs.setdefault(r["chunk_hash"], set()).add(r["doc_id"])
+    for h, c in occ.items():
+        if c >= 2:
+            assert prof[h]["n_occ"] == c and prof[h]["n_docs"] == len(docs[h])
+        else:
+            assert h not in prof
+    assert prof  # the shared prefix chunks repeat
