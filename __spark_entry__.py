@@ -1576,24 +1576,11 @@ def _bm25_sql(sf_dir: str | None = None) -> str:
     )
 
     sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    terms = _bm25_panel_terms(sf_dir)
     ltoks = (
         "LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(COALESCE(text,''))),"
         f" '{WS}+'), x -> x <> '')"
     )
-    con = duckdb.connect()
-    terms = [
-        r[0]
-        for r in con.execute(
-            f"""SELECT t FROM (
-                    SELECT UNNEST(LIST_DISTINCT({ltoks})) AS t
-                    FROM '{sf_dir}/documents.parquet')
-                GROUP BY t
-                HAVING COUNT(*) < (
-                    SELECT COUNT(*) FROM '{sf_dir}/documents.parquet')
-                ORDER BY COUNT(*) DESC, t ASC LIMIT 9"""
-        ).fetchall()
-    ]
-    con.close()
     panel = ", ".join(
         f"({q + 1}, '{t}')" for q in range(3) for t in terms[3 * q : 3 * q + 3]
     )
@@ -1633,6 +1620,280 @@ def _bm25_sql(sf_dir: str | None = None) -> str:
                   ORDER BY score_fx DESC, doc_id ASC) AS rank
               FROM agg)
         WHERE rank <= 10
+    """
+
+
+def _bm25_panel_terms(sf_dir: str | None = None) -> list:
+    """The 3×3-term query panel, derived in DuckDB with the SAME
+    tokenization, everywhere-term exclusion, and (df DESC, token ASC)
+    total order as ``retrieval.bm25_top_terms`` — the shared seed for the
+    q98 and q102 oracles."""
+    import duckdb
+
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    ltoks = (
+        "LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(COALESCE(text,''))),"
+        f" '{WS}+'), x -> x <> '')"
+    )
+    con = duckdb.connect()
+    terms = [
+        r[0]
+        for r in con.execute(
+            f"""SELECT t FROM (
+                    SELECT UNNEST(LIST_DISTINCT({ltoks})) AS t
+                    FROM '{sf_dir}/documents.parquet')
+                GROUP BY t
+                HAVING COUNT(*) < (
+                    SELECT COUNT(*) FROM '{sf_dir}/documents.parquet')
+                ORDER BY COUNT(*) DESC, t ASC LIMIT 9"""
+        ).fetchall()
+    ]
+    con.close()
+    return terms
+
+
+def _q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: RRF fusion (Cormack & Clarke 2009, k=60, micro
+    fixed-point) of BM25 top-20 and feature-hash integer-dot top-20 for
+    the same q98 query panel."""
+    from document_quality_assessment_ocr_spark.operators.retrieval import (
+        bm25_search,
+        bm25_top_terms,
+        hash_dot_topk,
+        rrf_fuse,
+    )
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    terms = bm25_top_terms(d, 9)
+    qs = {1: terms[0:3], 2: terms[3:6], 3: terms[6:9]}
+    return rrf_fuse(
+        [bm25_search(d, qs, k=20), hash_dot_topk(d, qs, dim=64, k=20)], k=10
+    )
+
+
+def _rrf_sql(sf_dir: str | None = None) -> str:
+    """DuckDB twin of q102: the q98 BM25 CTE chain at k=20, the q81
+    hash-embedding arithmetic dotted with the panel's own hashed vector at
+    k=20, fused with ``1e6 // (60 + rank)`` integer contributions. All
+    constants interpolated from operators/retrieval — never forked."""
+    from document_quality_assessment_ocr_spark.operators.retrieval import (
+        BM25_DEN_DL,
+        BM25_DEN_TF,
+        BM25_DEN_TOTAL,
+        BM25_NUM_C,
+        IDF_MILLI,
+        MICRO,
+        RRF_K,
+    )
+
+    terms = _bm25_panel_terms(sf_dir)
+    ltoks = (
+        "LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(COALESCE(text,''))),"
+        f" '{WS}+'), x -> x <> '')"
+    )
+    panel = ", ".join(
+        f"({q + 1}, '{t}')" for q in range(3) for t in terms[3 * q : 3 * q + 3]
+    )
+    in_list = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+        WITH d AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, {ltoks} AS tk
+            FROM documents
+        ), dl AS (
+            SELECT doc_id, CAST(LEN(tk) AS BIGINT) AS dl FROM d
+        ), stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(dl) AS BIGINT) AS total FROM dl
+        ), tf AS (
+            SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, UNNEST(tk) AS token FROM d)
+            WHERE token IN ({in_list})
+            GROUP BY 1, 2
+        ), dfx AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        ), qp(query_id, token) AS (VALUES {panel}), bsc AS (
+            SELECT p.query_id, tf.doc_id,
+                   (((n_docs - df) * {IDF_MILLI}) // df)
+                   * (({BM25_NUM_C} * tf * total * {MICRO})
+                      // ({BM25_DEN_TF} * tf * total + {BM25_DEN_TOTAL} * total
+                          + {BM25_DEN_DL} * dl.dl * n_docs)) AS s
+            FROM tf JOIN qp p USING (token) JOIN dfx USING (token)
+                 JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+        ), brank AS (
+            SELECT query_id, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY score_fx DESC, doc_id ASC) AS rank
+            FROM (SELECT query_id, doc_id, CAST(SUM(s) AS BIGINT) AS score_fx
+                  FROM bsc GROUP BY 1, 2)
+            QUALIFY rank <= 20
+        ), hx AS (
+            SELECT doc_id, MD5(UNNEST(tk)) AS h FROM d
+        ), dvec AS (
+            SELECT doc_id,
+                   CAST(CAST(('0x' || SUBSTR(h, 1, 4)) AS BIGINT) % 64
+                        AS INT) AS dim_idx,
+                   CAST(SUM(CASE WHEN CAST(('0x' || SUBSTR(h, 5, 1)) AS BIGINT)
+                                      % 2 = 0 THEN 1 ELSE -1 END)
+                        AS BIGINT) AS weight
+            FROM hx GROUP BY 1, 2 HAVING weight <> 0
+        ), qvec AS (
+            SELECT query_id,
+                   CAST(CAST(('0x' || SUBSTR(h, 1, 4)) AS BIGINT) % 64
+                        AS INT) AS dim_idx,
+                   CAST(SUM(CASE WHEN CAST(('0x' || SUBSTR(h, 5, 1)) AS BIGINT)
+                                      % 2 = 0 THEN 1 ELSE -1 END)
+                        AS BIGINT) AS qw
+            FROM (SELECT query_id, MD5(token) AS h FROM qp)
+            GROUP BY 1, 2 HAVING qw <> 0
+        ), hrank AS (
+            SELECT query_id, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY score_fx DESC, doc_id ASC) AS rank
+            FROM (SELECT query_id, doc_id,
+                         CAST(SUM(weight * qw) AS BIGINT) AS score_fx
+                  FROM dvec JOIN qvec USING (dim_idx) GROUP BY 1, 2)
+            QUALIFY rank <= 20
+        ), u AS (
+            SELECT query_id, doc_id, {MICRO} // ({RRF_K} + rank) AS c
+            FROM brank
+            UNION ALL
+            SELECT query_id, doc_id, {MICRO} // ({RRF_K} + rank) AS c
+            FROM hrank
+        ), fused AS (
+            SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_fx
+            FROM u GROUP BY 1, 2
+        )
+        SELECT CAST(query_id AS INT) AS query_id, doc_id, rrf_fx,
+               CAST(rank AS INT) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY rrf_fx DESC, doc_id ASC) AS rank
+              FROM fused)
+        WHERE rank <= 10
+    """
+
+
+def _q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) overlap pairs: k=5 token grams, w=4 windows,
+    posting cap max_df=64, >=2 shared selected fingerprints."""
+    from document_quality_assessment_ocr_spark.operators.winnow import (
+        winnow_overlap_pairs,
+    )
+
+    return winnow_overlap_pairs(
+        _doc(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        ),
+        k=5,
+        w=4,
+        min_shared=2,
+        max_df=64,
+    )
+
+
+def _winnow_sql() -> str:
+    """DuckDB twin of operators/winnow.winnow_overlap_pairs: per-gram md5
+    over token 5-grams, the w=4 local min via a bounded ROWS window (the
+    engine's array slice expressed relationally), DISTINCT selection,
+    df-capped fingerprint-bucketed self-join."""
+    ltoks = (
+        "LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(COALESCE(text,''))),"
+        f" '{WS}+'), x -> x <> '')"
+    )
+    return f"""
+        WITH d AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, {ltoks} AS tk
+            FROM documents
+        ), g AS (
+            SELECT doc_id, CAST(LEN(tk) AS BIGINT) - 4 AS n_grams,
+                   UNNEST(RANGE(1, CAST(LEN(tk) AS BIGINT) - 3)) AS i, tk
+            FROM d WHERE LEN(tk) >= 5
+        ), gh AS (
+            SELECT doc_id, n_grams, i,
+                   MD5(ARRAY_TO_STRING(tk[i:i+4], ' ')) AS h
+            FROM g
+        ), wmin AS (
+            SELECT doc_id, i, n_grams,
+                   MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+            FROM gh
+        ), f AS (
+            SELECT DISTINCT doc_id, fp FROM wmin
+            WHERE i <= GREATEST(n_grams - 3, 1)
+        ), dfx AS (
+            SELECT fp, COUNT(*) AS c FROM f GROUP BY fp
+        ), kept AS (
+            SELECT f.doc_id, f.fp FROM f JOIN dfx USING (fp)
+            WHERE c BETWEEN 2 AND 64
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """
+
+
+def _q_chunk_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking duplication profile: token-granularity
+    Gear-style cuts (md5-nibble % 16), chunk-hash occurrence stats for
+    hashes seen >= 2 times."""
+    from document_quality_assessment_ocr_spark.operators.chunking import (
+        chunk_dup_profile,
+    )
+
+    return chunk_dup_profile(
+        _doc(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+
+
+def _chunk_profile_sql() -> str:
+    """DuckDB twin of operators/chunking.chunk_dup_profile: identical
+    md5-nibble cut predicate (CDC_DIVISOR interpolated from the shared
+    module constant), LEAD-based chunk extents, one aggregate."""
+    from document_quality_assessment_ocr_spark.operators.chunking import (
+        CDC_DIVISOR,
+    )
+
+    ltoks = (
+        "LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(COALESCE(text,''))),"
+        f" '{WS}+'), x -> x <> '')"
+    )
+    return f"""
+        WITH d AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, {ltoks} AS tk
+            FROM documents WHERE LEN({ltoks}) > 0
+        ), pos AS (
+            SELECT doc_id, UNNEST(RANGE(2, CAST(LEN(tk) AS BIGINT) + 1)) AS i,
+                   tk
+            FROM d WHERE LEN(tk) >= 2
+        ), cuts AS (
+            SELECT doc_id, i FROM pos
+            WHERE CAST(('0x' || SUBSTR(MD5(tk[i]), 1, 4)) AS BIGINT)
+                  % {CDC_DIVISOR} = 0
+        ), starts AS (
+            SELECT doc_id, 1 AS s FROM d
+            UNION ALL
+            SELECT doc_id, i AS s FROM cuts
+        ), o AS (
+            SELECT doc_id, s,
+                   LEAD(s) OVER (PARTITION BY doc_id ORDER BY s) AS nxt
+            FROM starts
+        ), c AS (
+            SELECT o.doc_id,
+                   CAST(COALESCE(o.nxt, LEN(d.tk) + 1) - o.s AS BIGINT)
+                       AS n_tokens,
+                   MD5(ARRAY_TO_STRING(
+                       d.tk[o.s:COALESCE(o.nxt, LEN(d.tk) + 1) - 1], ' '))
+                       AS chunk_hash
+            FROM o JOIN d USING (doc_id)
+        )
+        SELECT chunk_hash, CAST(COUNT(*) AS BIGINT) AS n_occ,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(MAX(n_tokens) AS BIGINT) AS n_tokens
+        FROM c GROUP BY 1 HAVING COUNT(*) >= 2
     """
 
 
@@ -2231,6 +2492,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_corpus_card": _q_corpus_card,
         "q99_chunk_manifest": _q_chunk_manifest,
         "q100_soft_dedup": _q_soft_dedup,
+        "q101_winnow_overlap": _q_winnow_overlap,
+        "q102_rrf_hybrid": _q_rrf_hybrid,
+        "q103_chunk_profile": _q_chunk_profile,
     }
 
 
@@ -4872,6 +5136,9 @@ def oracle_sql() -> dict[str, str]:
         "q98_bm25_search": _bm25_sql(),
         "q99_chunk_manifest": _chunk_manifest_sql(),
         "q100_soft_dedup": _soft_dedup_sql(),
+        "q101_winnow_overlap": _winnow_sql(),
+        "q102_rrf_hybrid": _rrf_sql(),
+        "q103_chunk_profile": _chunk_profile_sql(),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

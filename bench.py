@@ -248,6 +248,10 @@ def main() -> None:
         "q88_c4_filter",
         "q89_gopher_filter",
         "q93_curation_v4",
+        "q94_dsir_resample",
+        "q98_bm25_search",
+        "q102_rrf_hybrid",
+        "q103_chunk_profile",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

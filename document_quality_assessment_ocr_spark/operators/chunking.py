@@ -1,0 +1,144 @@
+"""Content-defined chunking (CDC) at token granularity and the chunk-hash
+duplication profile on top — the insertion-robust alternative to
+fixed-window chunk dedup (q40): a FIXED 100-token grid shifts every
+window after an edit, so one inserted sentence invalidates the whole
+tail; content-defined cut points (cut where a token's own hash satisfies
+a predicate — the Gear/FastCDC idea at token granularity) re-synchronize
+immediately after the edit, so all untouched chunks keep their hashes.
+
+Spark shape: chunk assembly is ARRAY-LOCAL — boundary positions are a
+filtered index sequence over the token array, chunks are slices between
+consecutive boundaries, all inside one projection (zero shuffle, no
+per-doc window, no posexplode+window prefix sum). The only exchange is
+the final chunk-hash aggregate, which map-side combines.
+
+Determinism/cross-engine: the cut predicate is md5-NIBBLE arithmetic
+(first 4 hex chars as an integer, mod ``divisor`` — the repo-standard
+md5-pick idiom, NOT F.hash), identical in DuckDB. Expected chunk length =
+``divisor`` tokens. (FastCDC's min/max chunk-size clamps are a boundary-
+list post-filter if ever needed; the token-granularity cut already bounds
+chunk size distribution tightly enough for a dedup profile.)
+
+Reference parity note: the reference has no chunk store; this extends the
+dedup family (SURVEY.md §2 LLM-pipeline additions) beside q40's fixed
+grid and q73's ExactSubstr.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import WS_CLASS
+
+#: md5-nibble cut predicate: int(md5(token)[:4], 16) % CDC_DIVISOR == 0.
+#: Expected chunk length == CDC_DIVISOR tokens. Shared with the oracle
+#: builder — never fork.
+CDC_DIVISOR = 16
+
+
+def _token_array(text):
+    return F.filter(
+        F.split(F.trim(F.lower(F.coalesce(text, F.lit("")))), WS_CLASS + "+"),
+        lambda x: x != F.lit(""),
+    )
+
+
+def content_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    divisor: int = CDC_DIVISOR,
+) -> DataFrame:
+    """Exploded content-defined chunks: ``(id_col, chunk_idx, n_tokens,
+    chunk_hash)`` — one row per chunk, ``chunk_idx`` 0-based in document
+    order, ``chunk_hash`` = md5 of the space-joined chunk tokens.
+
+    A cut is placed BEFORE token i (i ≥ 1, 0-based) when
+    ``int(md5(token_i)[:4], 16) % divisor == 0``; chunk 0 always starts at
+    token 0. Empty documents emit no rows.
+    """
+    tk = _token_array(F.col(text_col))
+    n = F.size(F.col("_tk"))
+    # boundary starts: position 1 plus every 1-based i>1 whose token cuts
+    cuts = F.filter(
+        F.sequence(F.lit(2), F.greatest(n, F.lit(2))),
+        lambda i: (i <= n)
+        & (
+            F.conv(
+                F.substring(F.md5(F.element_at(F.col("_tk"), i)), 1, 4), 16, 10
+            ).cast("long")
+            % F.lit(int(divisor))
+            == 0
+        ),
+    )
+    starts = F.concat(F.array(F.lit(1)), cuts)
+    chunks = F.transform(
+        F.col("_st"),
+        lambda s, j: F.struct(
+            j.cast("long").alias("chunk_idx"),
+            (
+                F.coalesce(
+                    F.try_element_at(F.col("_st"), j + 2),
+                    F.size(F.col("_tk")) + 1,
+                )
+                - s
+            )
+            .cast("long")
+            .alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.slice(
+                        F.col("_tk"),
+                        s,
+                        F.coalesce(
+                            F.try_element_at(F.col("_st"), j + 2),
+                            F.size(F.col("_tk")) + 1,
+                        )
+                        - s,
+                    ),
+                    " ",
+                )
+            ).alias("chunk_hash"),
+        ),
+    )
+    return (
+        docs.select(F.col(id_col), tk.alias("_tk"))
+        .where(F.size("_tk") > 0)
+        .select(F.col(id_col), F.col("_tk"), starts.alias("_st"))
+        .select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(
+            F.col(id_col),
+            F.col("c.chunk_idx"),
+            F.col("c.n_tokens"),
+            F.col("c.chunk_hash"),
+        )
+    )
+
+
+def chunk_dup_profile(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    divisor: int = CDC_DIVISOR,
+    min_occ: int = 2,
+) -> DataFrame:
+    """Corpus-level duplication profile over content-defined chunks:
+    ``(chunk_hash, n_occ, n_docs, n_tokens)`` for every chunk hash seen at
+    least ``min_occ`` times — the boilerplate/shingle mass a storage-level
+    or RefinedWeb-style chunk dedup pass would reclaim, robust to
+    insertions (see module docstring).
+
+    One hash aggregate (map-side combined); n_tokens is the per-occurrence
+    token count (identical for identical hashes, surfaced via max).
+    """
+    ch = content_chunks(docs, id_col, text_col, divisor)
+    return (
+        ch.groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+            F.countDistinct(id_col).cast("long").alias("n_docs"),
+            F.max("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .where(F.col("n_occ") >= int(min_occ))
+    )

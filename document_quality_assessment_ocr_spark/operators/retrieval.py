@@ -158,3 +158,120 @@ def bm25_search(
         .where(F.col("rank") <= k)
         .select("query_id", id_col, "score_fx", "rank")
     )
+
+
+def hash_dot_topk(
+    docs: DataFrame,
+    queries: Dict[int, Sequence[str]],
+    dim: int = 64,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Dense-side retrieval twin of :func:`bm25_search`: rank documents by
+    the INTEGER dot product between feature-hashed text vectors
+    (textstats.hash_embedding arithmetic: md5 index + ±1 sign, signed
+    token counts) and the query panel hashed the same way — model-free
+    "dense" retrieval that is bit-exact on both engines.
+
+    Query vectors are built IN the plan from the literal panel (no driver
+    collect); the panel side is tiny (≤ |terms| coordinate rows) and
+    broadcast, so the dim_idx join is map-side. A small ``dim`` makes this
+    a near-brute-force scan by design (every doc with mass in a query
+    dimension scores) — the candidate-bounded path at scale is IVF/LSH
+    (operators/similarity); this operator exists as the hybrid-fusion
+    baseline that :func:`rrf_fuse` combines with BM25.
+
+    Output ``(query_id, doc_id, score_fx, rank)``, rank 1-based by
+    (score_fx DESC, doc_id ASC); docs sharing no dimension with the query
+    are absent (their dot product is an empty sum, not 0 — matching the
+    sparse join on both engines).
+    """
+    from .textstats import hash_embedding
+
+    spark = docs.sparkSession
+    panel = spark.createDataFrame(
+        [(int(q), str(t)) for q, terms in queries.items() for t in terms],
+        "query_id int, token string",
+    )
+    h = F.md5(F.col("token"))
+    idx = (F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % F.lit(int(dim))).alias(
+        "dim_idx"
+    )
+    sign = F.when(
+        F.conv(F.substring(h, 5, 1), 16, 10).cast("int") % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    qvec = (
+        panel.select("query_id", idx, sign.alias("s"))
+        .groupBy("query_id", "dim_idx")
+        .agg(F.sum("s").cast("long").alias("qw"))
+        .where(F.col("qw") != 0)
+    )
+    dvec = hash_embedding(docs, id_col=id_col, text_col=text_col, dim=dim)
+    scored = (
+        dvec.join(F.broadcast(qvec), "dim_idx")
+        .groupBy("query_id", id_col)
+        .agg(F.sum(F.col("weight") * F.col("qw")).cast("long").alias("score_fx"))
+    )
+    order = [F.col("score_fx").desc(), F.col(id_col).asc()]
+    w1 = Window.partitionBy(
+        "query_id", F.pmod(F.col(id_col), F.lit(int(salt_buckets)))
+    ).orderBy(*order)
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        scored.withColumn("_r", F.row_number().over(w1))
+        .where(F.col("_r") <= k)
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "score_fx", "rank")
+    )
+
+
+#: RRF constant (Cormack & Clarke 2009's k=60) and the fixed-point scale:
+#: each system contributes MICRO DIV (RRF_K + rank). Shared with the
+#: oracle builder — never fork.
+RRF_K = 60
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    k: int = 10,
+    id_col: str = "doc_id",
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack & Clarke 2009) of per-query rank
+    lists: ``rrf_fx = Σ_systems MICRO DIV (60 + rank)`` — integer, so the
+    fused score is order-independent and bit-exact cross-engine. Systems
+    only contribute for documents they returned (standard RRF).
+
+    Each input needs columns ``(query_id, id_col, rank)``. The union is
+    rows = Σ per-system top-k — tiny relative to the corpus — and the
+    fuse is one aggregate + the two-level top-k.
+
+    Output ``(query_id, doc_id, rrf_fx, rank)`` with the (rrf_fx DESC,
+    doc_id ASC) total order.
+    """
+    contrib = None
+    for r in rankings:
+        c = r.select(
+            "query_id",
+            F.col(id_col),
+            F.expr(f"{MICRO} DIV ({RRF_K} + rank)").cast("long").alias("c"),
+        )
+        contrib = c if contrib is None else contrib.unionByName(c)
+    fused = contrib.groupBy("query_id", id_col).agg(
+        F.sum("c").cast("long").alias("rrf_fx")
+    )
+    order = [F.col("rrf_fx").desc(), F.col(id_col).asc()]
+    w1 = Window.partitionBy(
+        "query_id", F.pmod(F.col(id_col), F.lit(int(salt_buckets)))
+    ).orderBy(*order)
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        fused.withColumn("_r", F.row_number().over(w1))
+        .where(F.col("_r") <= k)
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "rrf_fx", "rank")
+    )

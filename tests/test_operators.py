@@ -892,3 +892,47 @@ def test_chunk_dup_profile_counts(spark):
         else:
             assert h not in prof
     assert prof  # the shared prefix chunks repeat
+
+
+def test_rrf_fuse_matches_python(spark):
+    """Fused scores equal the hand-computed 1e6 // (60 + rank) sum over
+    both systems; single-system docs still surface; ties break by doc_id."""
+    from document_quality_assessment_ocr_spark.operators.retrieval import (
+        MICRO,
+        RRF_K,
+        bm25_search,
+        hash_dot_topk,
+        rrf_fuse,
+    )
+
+    corpus = {
+        1: "spark shuffles data across the cluster nodes quickly",
+        2: "spark spark spark everywhere in the execution logs",
+        3: "the cluster runs a big spark job on shared data",
+        4: "completely unrelated prose about gardens and fountains",
+        5: "data data data and more data in the warehouse",
+    }
+    df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    qs = {7: ["spark", "data"], 8: ["gardens", "cluster"]}
+    a = bm25_search(df, qs, k=4, salt_buckets=2)
+    b = hash_dot_topk(df, qs, dim=16, k=4, salt_buckets=2)
+    ra = {(r["query_id"], r["doc_id"]): r["rank"] for r in a.collect()}
+    rb = {(r["query_id"], r["doc_id"]): r["rank"] for r in b.collect()}
+    exp_fx = {}
+    for key, rank in list(ra.items()) + list(rb.items()):
+        exp_fx[key] = exp_fx.get(key, 0) + MICRO // (RRF_K + rank)
+    out = rrf_fuse([a, b], k=10, salt_buckets=2).collect()
+    got_fx = {(r["query_id"], r["doc_id"]): r["rrf_fx"] for r in out}
+    assert got_fx == exp_fx
+    for qid in (7, 8):  # rank is the (rrf_fx DESC, doc_id ASC) total order
+        rows = sorted(
+            (r for r in out if r["query_id"] == qid), key=lambda r: r["rank"]
+        )
+        assert [
+            (r["doc_id"]) for r in rows
+        ] == [
+            d
+            for _, d in sorted(
+                ((-(got_fx[(qid, d)]), d) for q, d in got_fx if q == qid)
+            )
+        ]
