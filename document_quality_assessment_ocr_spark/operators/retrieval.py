@@ -148,7 +148,7 @@ def bm25_search(
     # two-level top-k: salted partial winners, then the final k per query
     order = [F.col("score_fx").desc(), F.col(id_col).asc()]
     w1 = Window.partitionBy(
-        "query_id", F.pmod(F.col(id_col), F.lit(int(salt_buckets)))
+        "query_id", F.pmod(F.hash(F.col(id_col)), F.lit(int(salt_buckets)))
     ).orderBy(*order)
     w2 = Window.partitionBy("query_id").orderBy(*order)
     return (
@@ -216,7 +216,7 @@ def hash_dot_topk(
     )
     order = [F.col("score_fx").desc(), F.col(id_col).asc()]
     w1 = Window.partitionBy(
-        "query_id", F.pmod(F.col(id_col), F.lit(int(salt_buckets)))
+        "query_id", F.pmod(F.hash(F.col(id_col)), F.lit(int(salt_buckets)))
     ).orderBy(*order)
     w2 = Window.partitionBy("query_id").orderBy(*order)
     return (
@@ -265,7 +265,7 @@ def rrf_fuse(
     )
     order = [F.col("rrf_fx").desc(), F.col(id_col).asc()]
     w1 = Window.partitionBy(
-        "query_id", F.pmod(F.col(id_col), F.lit(int(salt_buckets)))
+        "query_id", F.pmod(F.hash(F.col(id_col)), F.lit(int(salt_buckets)))
     ).orderBy(*order)
     w2 = Window.partitionBy("query_id").orderBy(*order)
     return (
