@@ -252,6 +252,9 @@ def main() -> None:
         "q98_bm25_search",
         "q102_rrf_hybrid",
         "q103_chunk_profile",
+        "q104_corpus_line_dedup",
+        "q105_simhash_pairs",
+        "q106_unimax_sample",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

@@ -599,3 +599,133 @@ def soft_dedup_weights(
         "cluster_size",
         F.expr("1000000000 DIV cluster_size").cast("long").alias("weight_nano"),
     )
+
+
+def corpus_line_dedup(
+    docs: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CORPUS-level exact line dedup (CCNet's shard-paragraph dedup /
+    RefinedWeb's line-frequency filter): drop every line whose exact bytes
+    occur in >= ``min_docs`` DISTINCT documents — navigation menus, cookie
+    banners, footers — the boilerplate a within-document pass
+    (:func:`quality.dedup_lines_within_doc`) cannot see. Blank or
+    whitespace-only lines are document structure, never dropped.
+
+    Exact spec (the oracle mirrors it): lines = split on ``\\n``; a line is
+    boilerplate iff ``trim(line) != ''`` and its md5 appears under >=
+    ``min_docs`` distinct ids; every instance of a boilerplate line drops
+    (including repeats inside one document); kept lines reassemble in
+    original order joined by ``\\n``.
+
+    Scale shape: one line-hash aggregate (map-side combined; the HAVING
+    keeps only hashes seen in >= min_docs docs, so the surviving table is
+    the corpus's boilerplate mass — tiny relative to 100 TB and the
+    natural broadcast side of the tag join, which AQE picks), then one
+    doc-keyed aggregate for reassembly. Never a window over the corpus;
+    cost is linear in total lines.
+
+    Output: (id_col, n_lines, n_removed, clean_text).
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+            "ln0", "line"
+        ),
+    ).select(F.col(id_col), (F.col("ln0") + 1).alias("ln"), "line")
+    boiler = (
+        lines.where(F.trim(F.col("line")) != F.lit(""))
+        .groupBy(F.md5("line").alias("lh"))
+        .agg(F.countDistinct(id_col).alias("df"))
+        .where(F.col("df") >= F.lit(int(min_docs)))
+        .select("lh")
+    )
+    tagged = lines.join(
+        boiler, F.md5(F.col("line")) == boiler["lh"], "left"
+    ).select(
+        F.col(id_col),
+        "ln",
+        "line",
+        F.col("lh").isNotNull().alias("drop"),
+    )
+    kept = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    ~F.col("drop"), F.struct(F.col("ln"), F.col("line"))
+                )
+            )
+        ),
+        lambda x: x["line"],
+    )
+    return tagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("drop"), 1).otherwise(0)).cast("long").alias("n_removed"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    bits: int = 48,
+    bands: int = 4,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate TEXT pairs via banded SimHash — the Hamming-space
+    analog of MinHash-LSH and the text twin of multimodal's pHash band
+    join. Signatures from :func:`simhash64` (non-negative, < 2^bits, so
+    integer div/mod band extraction is exact on both engines); a pair is a
+    candidate iff ANY of the ``bands`` equal-width bit-slices matches
+    (pigeonhole: every pair with Hamming distance <= bands-1 shares at
+    least one slice, so recall is EXACT for ``max_hamming <= bands-1``);
+    candidates verify with one integer popcount.
+
+    Scale shape: candidate generation is a bucket equi-join on (band,
+    slice-value) — never all-pairs; the verify is a codegen
+    bit_count(xor) on the joined longs, no arrays, no UDF. One exchange
+    for the band join, one aggregate for pair dedup. Slice width governs
+    the random-collision rate (expected n²/2^(bits/bands) stray
+    candidates per band — hence the 12-bit default slices, not 8); run
+    AFTER exact dedup so identical-doc clusters don't make one slice
+    value hot, the same discipline as LSH bands.
+
+    Output: (doc_a, doc_b, hamming), doc_a < doc_b.
+    """
+    assert bits % bands == 0
+    band_bits = bits // bands
+    sig = simhash64(docs, id_col, text_col, bits)
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("band"),
+                F.expr(f"simhash DIV {1 << (k * band_bits)}")
+                .cast("long")
+                .__mod__(F.lit(1 << band_bits).cast("long"))
+                .alias("bv"),
+            )
+            for k in range(bands)
+        ]
+    )
+    b = sig.select(
+        F.col(id_col).alias("_id"), F.col("simhash").alias("_h"), F.explode(slices).alias("s")
+    ).select("_id", "_h", F.col("s.band").alias("band"), F.col("s.bv").alias("bv"))
+    left = b.select(
+        F.col("_id").alias("doc_a"), F.col("_h").alias("ha"), "band", "bv"
+    )
+    right = b.select(
+        F.col("_id").alias("doc_b"), F.col("_h").alias("hb"), "band", "bv"
+    )
+    cand = (
+        left.join(right, ["band", "bv"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
+    return cand.select("doc_a", "doc_b", ham.alias("hamming")).where(
+        F.col("hamming") <= F.lit(int(max_hamming))
+    )

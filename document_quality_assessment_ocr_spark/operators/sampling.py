@@ -211,3 +211,87 @@ def assign_splits(
     for name, upper in reversed(bounds):
         expr = F.when(u < F.lit(float(upper)), F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def unimax_budgets(
+    token_counts: Dict[str, int], budget: int, max_epochs: int = 4
+) -> Dict[str, int]:
+    """UniMax language-budget allocation (Chung et al. 2023, "UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining"): walk languages in ASCENDING available-token
+    order (ties by name), give each the uniform share of the remaining
+    budget capped at ``max_epochs`` passes over its data; capped languages
+    return their unused share to the pool for larger languages.
+
+    Pure integer arithmetic (shares by floor division) — shared verbatim by
+    the engine's driver step and the oracle generator, so the budgets are
+    bit-exact across engines (the oracle-literal technique)."""
+    langs = sorted(token_counts, key=lambda s: (int(token_counts[s]), s))
+    out: Dict[str, int] = {}
+    remaining = int(budget)
+    for i, s in enumerate(langs):
+        share = remaining // (len(langs) - i)
+        b = min(share, int(token_counts[s]) * int(max_epochs))
+        out[s] = b
+        remaining -= b
+    return out
+
+
+def unimax_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    max_epochs: int = 4,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    tokens_col: str = "n_tokens",
+    salt: int = 7,
+    token_counts: Dict[str, int] | None = None,
+) -> DataFrame:
+    """UniMax corpus sampling: allocate a global token budget across
+    languages with :func:`unimax_budgets`, then keep each document with
+    its language's rate via the md5-uniform predicate.
+
+    Two-pass global-statistic shape: pass 1 is ONE per-language token-sum
+    aggregate whose output is bounded by the number of languages (the same
+    bounded-collect contract as mixture_rates); pass 2 is a pure codegen
+    predicate — zero shuffle, composing map-side with the curation chain.
+
+    ``weight_nano`` = 1e9 x (language budget / language tokens), floor
+    integer division of non-negatives (exact on both engines): values
+    above 1_000_000_000 mean the language repeats for multiple epochs
+    (UniMax's whole point — the keep rate caps at 1.0, the weight records
+    the epoch count for the data loader).
+
+    Output (kept rows only): (id_col, lang_col, tokens_col, weight_nano,
+    sample_u).
+    """
+    counts = (
+        {s: int(c) for s, c in token_counts.items() if int(c) > 0}
+        if token_counts is not None
+        else {
+            r[0]: int(r[1])
+            for r in df.groupBy(lang_col).agg(F.sum(tokens_col)).collect()
+            if r[0] is not None and r[1] is not None and int(r[1]) > 0
+        }
+    )
+    budgets = unimax_budgets(counts, budget_tokens, max_epochs)
+    w_nano = {s: (budgets[s] * 1_000_000_000) // counts[s] for s in counts}
+    # rate literal: python double from the integer nano-weight — both
+    # engines compare against the SAME repr-round-tripped literal
+    rates = {s: min(1.0, w_nano[s] / 1e9) for s in counts}
+    rate = F.lit(0.0)
+    wn = F.lit(0).cast("long")
+    for s in sorted(counts, reverse=True):
+        rate = F.when(F.col(lang_col) == F.lit(s), F.lit(float(rates[s]))).otherwise(rate)
+        wn = F.when(F.col(lang_col) == F.lit(s), F.lit(int(w_nano[s])).cast("long")).otherwise(wn)
+    u = md5_uniform(F.col(id_col), salt)
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(lang_col),
+            F.col(tokens_col),
+            wn.alias("weight_nano"),
+            u.alias("sample_u"),
+        )
+        .where(F.col("sample_u") < rate)
+    )

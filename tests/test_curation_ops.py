@@ -1309,3 +1309,111 @@ def test_corpus_card(spark):
     assert fr["n_docs"] == 1 and fr["n_short"] == 1 and fr["n_tokens"] == 1
     plan = corpus_card(docs)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("HashAggregate") <= 2  # partial + final, one pair
+
+
+def test_corpus_line_dedup(spark):
+    """Lines in >= min_docs distinct docs drop EVERYWHERE (incl. repeats
+    within one doc); rarer lines and blank/whitespace-only lines stay;
+    order-preserving reassembly."""
+    from document_quality_assessment_ocr_spark.operators.dedup import (
+        corpus_line_dedup,
+    )
+
+    footer = "(c) example corp - all rights reserved"
+    rare = "this line appears in only two docs"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha body one\n{footer}\n{rare}"),
+            (2, f"beta body two\n{footer}\n{rare}\n{footer}"),
+            (3, f"gamma body three\n\n{footer}"),
+            (4, "   \ndelta body four"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in corpus_line_dedup(docs, min_docs=3).collect()}
+    assert out[1]["clean_text"] == f"alpha body one\n{rare}"
+    assert out[1]["n_lines"] == 3 and out[1]["n_removed"] == 1
+    # doc 2: BOTH footer instances drop, rare line (df=2 < 3) stays
+    assert out[2]["clean_text"] == f"beta body two\n{rare}"
+    assert out[2]["n_removed"] == 2
+    # blank line is structure — kept even though it appears everywhere
+    assert out[3]["clean_text"] == "gamma body three\n"
+    # whitespace-only line never a candidate
+    assert out[4]["clean_text"] == "   \ndelta body four"
+    assert out[4]["n_removed"] == 0
+
+
+def test_simhash_near_dup_pairs_pigeonhole_exact(spark):
+    """Operator output == brute-force all-pairs Hamming <= 3 over the same
+    signatures (the pigeonhole guarantee: bands=4 catches every pair with
+    distance <= 3), including an exact-dup pair at distance 0."""
+    from document_quality_assessment_ocr_spark.operators.dedup import (
+        simhash64,
+        simhash_near_dup_pairs,
+    )
+
+    rows = [(1, "the quick brown fox jumps over the lazy dog")]
+    rows.append((2, rows[0][1]))  # exact dup -> hamming 0
+    rows.append((3, rows[0][1] + " tonight"))  # near dup
+    for i in range(4, 24):
+        rows.append((i, f"totally different text number {i} " * 3 + f"w{i}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = {r["doc_id"]: r["simhash"] for r in simhash64(docs, bits=48).collect()}
+    brute = {
+        (a, b, bin(sig[a] ^ sig[b]).count("1"))
+        for a in sig
+        for b in sig
+        if a < b and bin(sig[a] ^ sig[b]).count("1") <= 3
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_near_dup_pairs(
+            docs, bits=48, bands=4, max_hamming=3
+        ).collect()
+    }
+    assert got == brute
+    assert (1, 2, 0) in got
+
+
+def test_unimax_budgets_arithmetic():
+    """Ascending walk, epoch caps return budget to the pool, exact integer
+    shares; full budget consumed when no cap binds at the end."""
+    from document_quality_assessment_ocr_spark.operators.sampling import (
+        unimax_budgets,
+    )
+
+    out = unimax_budgets({"a": 100, "b": 1000}, budget=600, max_epochs=2)
+    # a first (smaller): share 300 capped at 200; b gets the freed 100 back
+    assert out == {"a": 200, "b": 400}
+    # all capped: leftover budget is simply unspent
+    out2 = unimax_budgets({"a": 10, "b": 20}, budget=1000, max_epochs=3)
+    assert out2 == {"a": 30, "b": 60}
+    # deterministic tie-break by name at equal counts
+    out3 = unimax_budgets({"y": 50, "x": 50}, budget=100, max_epochs=9)
+    assert out3 == {"x": 50, "y": 50}
+
+
+def test_unimax_sample(spark):
+    """Capped language keeps ALL docs at weight 2e9 (2 epochs); the
+    subsampled language keeps a strict, md5-deterministic subset with
+    weight < 1e9; zero-shuffle predicate after the bounded count agg."""
+    from document_quality_assessment_ocr_spark.operators.sampling import (
+        unimax_sample,
+    )
+
+    rows = [(i, "tiny", 10) for i in range(5)]
+    rows += [(100 + i, "big", 10) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    # budget 500: tiny (50 toks) capped at 2 epochs = 100 ... share 250 -> 100;
+    # big (2000 toks) gets 400 of its 2000 -> rate 0.2
+    out = unimax_sample(df, budget_tokens=500, max_epochs=2)
+    got = out.collect()
+    tiny = [r for r in got if r["lang"] == "tiny"]
+    big = [r for r in got if r["lang"] == "big"]
+    assert len(tiny) == 5 and all(r["weight_nano"] == 2_000_000_000 for r in tiny)
+    assert 0 < len(big) < 200
+    assert all(r["weight_nano"] == 200_000_000 for r in big)
+    assert all(r["sample_u"] < 0.2 for r in big)
+    # deterministic replay
+    again = {r["doc_id"] for r in unimax_sample(df, 500, 2).collect()}
+    assert again == {r["doc_id"] for r in got}
