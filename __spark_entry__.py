@@ -2546,6 +2546,206 @@ def _unimax_sql(max_epochs: int = 2, salt: int = 7, sf_dir: str | None = None) -
     """
 
 
+def _q_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototype pruning (Sorscher 2022): rank by cosine to the k-means
+    cell prototype, keep the hardest 60% per cell (easy/prototypical mass
+    drops). Same seeded centroids as q17/q78."""
+    from document_quality_assessment_ocr_spark.operators.similarity import (
+        prototype_prune,
+    )
+
+    return prototype_prune(_emb(spark, sf_dir), keep_pct=60)
+
+
+def _prototype_prune_sql(
+    sf_dir: str | None = None,
+    keep_pct: int = 60,
+    n_centroids: int = 16,
+    sample_rows: int = 512,
+    seed: int = 42,
+) -> str:
+    """q107 oracle: the SAME seeded centroids as literals (q17/q78
+    technique); prototype lookup via a nested-list literal indexed by the
+    argmin cell; ROW_NUMBER over (rounded cosine, id) per cell; integer
+    keep count GREATEST(1, n*pct // 100)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from document_quality_assessment_ocr_spark.operators.similarity import _kmeans_lite
+
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.array(tbl.column("vec_id"))
+    vecs = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    cents = _kmeans_lite(vecs[order[:sample_rows]], n_centroids, seed=seed)
+    dists = ", ".join(
+        "(-2.0 * LIST_DOT_PRODUCT(v, ["
+        + ", ".join(repr(float(x)) for x in c)
+        + f"]) + {float((c * c).sum())!r})"
+        for c in cents
+    )
+    cell = f"(LIST_INDEXOF([{dists}], LIST_MIN([{dists}])) - 1)"
+    protos = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(float(x)) for x in c) + "]" for c in cents
+        )
+        + "]"
+    )
+    return f"""
+        WITH e AS (
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ), assigned AS (
+            SELECT vec_id, v, {cell} AS cell FROM e
+        ), scored AS (
+            SELECT vec_id, cell,
+                   ROUND(LIST_DOT_PRODUCT(v, ({protos})[cell + 1])
+                         / SQRT(LIST_DOT_PRODUCT(v, v)
+                                * LIST_DOT_PRODUCT(({protos})[cell + 1],
+                                                   ({protos})[cell + 1])), 6)
+                       AS cos_proto
+            FROM assigned
+        ), ranked AS (
+            SELECT vec_id, cell, cos_proto,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY cell
+                                           ORDER BY cos_proto, vec_id)
+                        AS BIGINT) AS rank,
+                   COUNT(*) OVER (PARTITION BY cell) AS n
+            FROM scored
+        )
+        SELECT vec_id, CAST(cell AS INT) AS cell, cos_proto, rank,
+               rank <= GREATEST(1, (n * {int(keep_pct)}) // 100) AS kept
+        FROM ranked
+    """
+
+
+def _q_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes domain quality: per-source mean classifier score
+    shrunk toward the prior by 20 pseudo-docs — all fixed-point nano
+    arithmetic with a +2000-milli shift so every DIV is non-negative
+    (the only cross-engine-exact integer division)."""
+    from document_quality_assessment_ocr_spark.operators.classify import (
+        domain_quality_shrunk,
+    )
+
+    d = _doc(spark, sf_dir).select("source", "text")
+    return domain_quality_shrunk(d, prior_docs=20)
+
+
+def _domain_quality_sql(prior_docs: int = 20) -> str:
+    """q108 oracle: the q84 gram/bucket CTEs (shared classifier_weights)
+    summed to integer milli, the SAME shifted-nano per-doc division and
+    domain shrinkage via `//` on non-negative BIGINTs; the surfaced double
+    is one exact division of the integer result (CAST-to-BIGINT on every
+    SUM per the HUGEINT dtype invariant)."""
+    from document_quality_assessment_ocr_spark.operators.classify import (
+        OFFSET_MILLI,
+        PRIOR_NANO,
+        classifier_weights,
+    )
+
+    w = classifier_weights(64, 7)
+    wl = "[" + ", ".join(str(x) for x in w) + "]::BIGINT[]"
+    bucket = "CAST(CAST(('0x' || SUBSTR(MD5(g), 1, 15)) AS BIGINT) % 64 AS INT) + 1"
+    return f"""
+        WITH d AS (
+            SELECT COALESCE(source, '') AS source,
+                   LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(
+                       TRIM(LOWER(COALESCE(text,''))), '{WS}+'),
+                       x -> x <> '') AS tk
+            FROM documents
+        ), gr AS (
+            SELECT source,
+                   tk || CASE WHEN LEN(tk) >= 2
+                         THEN LIST_TRANSFORM(RANGE(1, LEN(tk)),
+                              i -> tk[CAST(i AS INT)] || CHR(1)
+                                   || tk[CAST(i AS INT) + 1])
+                         ELSE []::VARCHAR[] END AS grams
+            FROM d
+        ), sc AS (
+            SELECT source, CAST(LEN(grams) AS BIGINT) AS ng,
+                   CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(grams,
+                        g -> ({wl})[{bucket}])), 0) AS BIGINT) AS gs
+            FROM gr
+        ), pd AS (
+            SELECT source,
+                   CASE WHEN ng > 0
+                        THEN ((gs + {OFFSET_MILLI} * ng) * 1000000) // ng
+                        ELSE {PRIOR_NANO} END AS shifted_nano
+            FROM sc
+        ), agg AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(shifted_nano) AS BIGINT) AS sum_nano
+            FROM pd GROUP BY source
+        )
+        SELECT source, n_docs,
+               CAST((sum_nano + {int(prior_docs)}::BIGINT * {PRIOR_NANO}::BIGINT)
+                    // (n_docs + {int(prior_docs)}) AS BIGINT) AS shrunk_nano,
+               CAST((sum_nano + {int(prior_docs)}::BIGINT * {PRIOR_NANO}::BIGINT)
+                    // (n_docs + {int(prior_docs)}) - {PRIOR_NANO} AS BIGINT)
+                   / 1e9 AS shrunk_score,
+               CAST((sum_nano + {int(prior_docs)}::BIGINT * {PRIOR_NANO}::BIGINT)
+                    // (n_docs + {int(prior_docs)}) - {PRIOR_NANO} AS BIGINT)
+                   / 1e9 >= 0.0 AS keep
+        FROM agg
+    """
+
+
+def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 3-gram novelty: fraction of distinct word trigrams that are
+    corpus-unique (df=1) — the memorization-risk / residual-template
+    profile. One gram-hash exchange (df agg + join co-partitioned), one
+    doc rollup."""
+    from document_quality_assessment_ocr_spark.operators.textstats import (
+        ngram_novelty,
+    )
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return ngram_novelty(d, n=3)
+
+
+def _ngram_novelty_sql(n: int = 3) -> str:
+    """q109 oracle: DISTINCT (doc, md5(gram)) pairs → df counts → per-doc
+    unique fraction; the novelty double is one exact int64 division on
+    both engines (counts CAST BIGINT per the HUGEINT invariant)."""
+    gram = " || ' ' || ".join(f"a[CAST(i AS INT) + {j}]" for j in range(n))
+    return f"""
+        WITH d AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, COALESCE(text,'') AS t
+            FROM documents
+        ), tk AS (
+            SELECT doc_id,
+                   LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(t)), '{WS}+'),
+                               x -> x <> '') AS a
+            FROM d
+        ), g AS (
+            SELECT DISTINCT doc_id, MD5({gram}) AS gh
+            FROM (SELECT doc_id, a,
+                         UNNEST(RANGE(1, GREATEST(LEN(a) - {n - 1}, 0) + 1)) AS i
+                  FROM tk)
+        ), dfq AS (
+            SELECT gh, COUNT(*) AS df FROM g GROUP BY gh
+        ), per AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                   CAST(COUNT(*) FILTER (WHERE df = 1) AS BIGINT) AS n_unique
+            FROM g JOIN dfq USING (gh) GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(n_distinct, 0) AS n_distinct,
+               COALESCE(n_unique, 0) AS n_unique,
+               CASE WHEN COALESCE(n_distinct, 0) > 0
+                    THEN CAST(n_unique AS DOUBLE) / n_distinct
+                    ELSE 0.0 END AS novelty
+        FROM d LEFT JOIN per USING (doc_id)
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's CORRECTNESS gate checks
     the FIRST 50 entries in dict order.  Positions 1-50 therefore carry the
@@ -2661,6 +2861,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_corpus_line_dedup": _q_corpus_line_dedup,
         "q105_simhash_pairs": _q_simhash_pairs,
         "q106_unimax_sample": _q_unimax_sample,
+        "q107_prototype_prune": _q_prototype_prune,
+        "q108_domain_quality": _q_domain_quality,
+        "q109_ngram_novelty": _q_ngram_novelty,
     }
 
 
@@ -5308,6 +5511,9 @@ def oracle_sql() -> dict[str, str]:
         "q104_corpus_line_dedup": _corpus_line_dedup_sql(),
         "q105_simhash_pairs": _simhash_pairs_sql(),
         "q106_unimax_sample": _unimax_sql(),
+        "q107_prototype_prune": _prototype_prune_sql(),
+        "q108_domain_quality": _domain_quality_sql(),
+        "q109_ngram_novelty": _ngram_novelty_sql(),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

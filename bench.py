@@ -255,6 +255,8 @@ def main() -> None:
         "q104_corpus_line_dedup",
         "q105_simhash_pairs",
         "q106_unimax_sample",
+        "q107_prototype_prune",
+        "q109_ngram_novelty",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

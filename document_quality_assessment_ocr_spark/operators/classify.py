@@ -53,30 +53,13 @@ def _grams(tk: Column) -> Column:
     return F.concat(tk, bi)
 
 
-def quality_score(
-    docs: DataFrame,
-    n_buckets: int = 64,
-    seed: int = 7,
-    bias_milli: int = 0,
-    threshold: float = 0.0,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Score every document with the hashed linear model; output
-    ``(id_col, n_grams, score, keep)`` where ``score`` is the milli-unit
-    sum / 1000 averaged over grams (empty docs score 0 and are kept only
-    if ``threshold <= 0``).
-
-    One projection — the plan is scan → codegen fold; nothing shuffles.
-    """
+def _gram_milli_cols(
+    n_buckets: int, seed: int, bias_milli: int
+) -> tuple[Column, Column]:
+    """(n_grams, integer milli-unit gram sum) Column pair over a token
+    array column ``tk`` — the shared core of :func:`quality_score` and
+    :func:`domain_quality_shrunk`."""
     w = classifier_weights(n_buckets, seed)
-    toks = F.filter(
-        F.split(
-            F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), WS_CLASS + "+"
-        ),
-        lambda x: x != F.lit(""),
-    )
-    base = docs.select(F.col(id_col), toks.alias("tk"))
     grams = _grams(F.col("tk"))
     warr = F.array(*[F.lit(int(x)).cast("long") for x in w])
     # bucket = first 15 md5 hex chars mod D (engine-portable, see
@@ -101,6 +84,36 @@ def quality_score(
         lambda acc, x: acc + x,
     )
     ng = F.size(grams).cast("long")
+    return ng, gsum
+
+
+def _tokens_col(text_col: str) -> Column:
+    return F.filter(
+        F.split(
+            F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), WS_CLASS + "+"
+        ),
+        lambda x: x != F.lit(""),
+    )
+
+
+def quality_score(
+    docs: DataFrame,
+    n_buckets: int = 64,
+    seed: int = 7,
+    bias_milli: int = 0,
+    threshold: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every document with the hashed linear model; output
+    ``(id_col, n_grams, score, keep)`` where ``score`` is the milli-unit
+    sum / 1000 averaged over grams (empty docs score 0 and are kept only
+    if ``threshold <= 0``).
+
+    One projection — the plan is scan → codegen fold; nothing shuffles.
+    """
+    base = docs.select(F.col(id_col), _tokens_col(text_col).alias("tk"))
+    ng, gsum = _gram_milli_cols(n_buckets, seed, bias_milli)
     score = F.when(ng > 0, gsum.cast("double") / ng / F.lit(float(SCALE))).otherwise(
         F.lit(0.0)
     )
@@ -109,4 +122,77 @@ def quality_score(
         ng.alias("n_grams"),
         F.round(score, 6).alias("score"),
         (F.round(score, 6) >= F.lit(float(threshold))).alias("keep"),
+    )
+
+
+#: shift making per-gram milli sums non-negative (|weight| bound), so every
+#: fixed-point division below is a NON-NEGATIVE DIV — the only integer
+#: division that is exact across Spark ``DIV`` and DuckDB ``//``
+OFFSET_MILLI = 2 * SCALE
+PRIOR_NANO = OFFSET_MILLI * 1_000_000  # shifted nano-score of a raw 0.0
+
+
+def domain_quality_shrunk(
+    docs: DataFrame,
+    n_buckets: int = 64,
+    seed: int = 7,
+    prior_docs: int = 20,
+    threshold: float = 0.0,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Domain-level quality with empirical-Bayes (additive) shrinkage — the
+    "judge the domain, not the page" signal web-curation pipelines gate on
+    (a domain with 3 pages and a perfect mean should NOT outrank one with
+    30k pages and a good mean): the per-domain mean classifier score is
+    pulled toward the prior (raw 0.0) by ``prior_docs`` pseudo-documents.
+
+    Fixed-point contract: per-doc mean score in SHIFTED nano-units
+    ``((gsum + OFFSET_MILLI·ng) · 1e6) DIV ng`` (the +2000-milli shift
+    makes every operand non-negative, where Spark ``DIV`` == DuckDB ``//``
+    exactly); domain shrinkage is
+    ``(Σ shifted + prior_docs·PRIOR_NANO) DIV (n_docs + prior_docs)``.
+    The surfaced double divides the integer result exactly once. int64
+    headroom: shifted ≤ 4e9 nano per doc → safe to ~2.3e9 docs/domain.
+
+    Scale shape: one codegen projection (the gram fold) + ONE map-side-
+    combined aggregate keyed by domain — output is |domains| rows, the
+    natural broadcast side for gating the corpus by its domain verdict.
+
+    Output: (group_col, n_docs, shrunk_nano, shrunk_score, keep).
+    """
+    base = docs.select(
+        F.coalesce(F.col(group_col), F.lit("")).alias(group_col),
+        _tokens_col(text_col).alias("tk"),
+    )
+    ng, gsum = _gram_milli_cols(n_buckets, seed, 0)
+    per_doc = base.select(
+        group_col, ng.alias("_ng"), gsum.alias("_gs")
+    ).select(
+        group_col,
+        F.expr(
+            f"CASE WHEN _ng > 0 THEN ((_gs + {OFFSET_MILLI}L * _ng) * 1000000L)"
+            f" DIV _ng ELSE {PRIOR_NANO}L END"
+        ).cast("long").alias("_shifted_nano"),
+    )
+    agg = per_doc.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_shifted_nano").cast("long").alias("_sum_nano"),
+    )
+    shrunk = agg.select(
+        group_col,
+        "n_docs",
+        F.expr(
+            f"(_sum_nano + {int(prior_docs)}L * {PRIOR_NANO}L)"
+            f" DIV (n_docs + {int(prior_docs)}L)"
+        ).cast("long").alias("shrunk_nano"),
+    )
+    score = (F.col("shrunk_nano") - F.lit(PRIOR_NANO)).cast("double") / F.lit(1e9)
+    return shrunk.select(
+        group_col,
+        "n_docs",
+        "shrunk_nano",
+        score.alias("shrunk_score"),
+        (score >= F.lit(float(threshold))).alias("keep"),
     )

@@ -613,3 +613,63 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "cos", "rank")
     )
+
+
+def prototype_prune(
+    emb: DataFrame,
+    keep_pct: int = 60,
+    n_centroids: int = 16,
+    sample_rows: int = 512,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SSL-prototype pruning (Sorscher et al. 2022, "Beyond neural scaling
+    laws"): rank every vector by cosine to its k-means cell centroid (the
+    cell's "prototype") and keep only the HARDEST ``keep_pct`` percent per
+    cell — the examples farthest from the prototype, which the paper shows
+    beat random pruning when data is abundant. The easy/prototypical mass
+    near each centroid is what gets dropped.
+
+    Determinism contract: the same seeded driver-side k-means as
+    ``ivf_topk``/``semdedup`` (:func:`_kmeans_cells` — centroids become
+    Column literals), cosine rounded to 6 places before ranking, ties by
+    id ascending; per-cell keep count is integer arithmetic
+    ``greatest(1, n*keep_pct DIV 100)`` (non-negative DIV — exact on both
+    engines).
+
+    Scale shape: centroid assignment and the prototype cosine are pure
+    codegen projections (zero shuffle); the rank is a window PARTITIONED
+    BY cell — one hash exchange, parallel across cells, never a global
+    sort. Cell sizes stay bounded because cluster count tracks corpus
+    size (the SemDeDup/IVF trade); a hot cell is a centroid-count tuning
+    problem, not a plan problem.
+
+    Output: (id_col, cell, cos_proto, rank, kept).
+    """
+    cents, assigned = _kmeans_cells(
+        emb, n_centroids, sample_rows, seed, id_col, vec_col
+    )
+    protos = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+    )
+    scored = assigned.select(
+        F.col(id_col),
+        "cell",
+        F.round(
+            cosine(F.col(vec_col), F.element_at(protos, F.col("cell") + 1)), 6
+        ).alias("cos_proto"),
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.col("cos_proto").asc(), F.col(id_col).asc()
+    )
+    n = F.count(F.lit(1)).over(Window.partitionBy("cell")).cast("long")
+    n_keep = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor((n * F.lit(int(keep_pct))) / F.lit(100)).cast("long"),
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("kept", F.col("rank") <= n_keep)
+        .select(id_col, "cell", "cos_proto", "rank", "kept")
+    )

