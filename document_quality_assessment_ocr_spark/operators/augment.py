@@ -1,0 +1,88 @@
+"""Training-example augmentation transforms.
+
+Fill-in-the-middle (FIM) splitting (Bavarian et al. 2022, "Efficient
+Training of Language Models to Fill in the Middle"): a deterministic
+fraction of documents is split at two random token positions into
+(prefix, middle, suffix) so the data loader can emit PSM/SPM-ordered
+training sequences; the rest pass through untouched. Everything is
+md5-derived from the document id, so the split is replay-stable and has a
+bit-exact DuckDB oracle — the md5-uniform/md5-nibble discipline of
+operators/sampling and sources/derive.
+
+At 100 TB: a pure codegen projection — zero shuffle, zero UDF; composes
+map-side with tokenize/pack stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import WS_CLASS
+from .sampling import md5_uniform
+
+
+def _md5_mod(id_col: Column, tag: str, modulus: Column) -> Column:
+    """Deterministic non-negative integer in [0, modulus) from the id —
+    first 15 md5 hex chars (60 bits, < 2^63) mod the column modulus.
+    Non-negative pmod == DuckDB % — exact cross-engine."""
+    h = F.md5(F.concat(id_col.cast("string"), F.lit(f"|{tag}")))
+    return F.pmod(F.conv(F.substring(h, 1, 15), 16, 10).cast("long"), modulus)
+
+
+def fim_split(
+    docs: DataFrame,
+    fim_rate: float = 0.5,
+    salt: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """FIM document splitting: with probability ``fim_rate`` (md5-uniform
+    on id — deterministic, replay-stable) cut the token sequence at two
+    md5-derived positions ``lo <= hi`` and emit (prefix, middle, suffix);
+    otherwise the whole document rides in ``prefix`` with empty
+    middle/suffix (``fim = false``). Documents with fewer than 2 tokens
+    are never split.
+
+    Token-level contract: pieces are space-joined lowercase-preserving
+    whitespace tokens, so ``prefix || ' ' || middle || ' ' || suffix``
+    reconstructs the WHITESPACE-NORMALIZED document (the same
+    normalization every tokenize stage here applies), not raw bytes.
+
+    Cut points: ``c = H(id|fim{salt}|{a,b}) % (n_tokens+1)`` —
+    non-negative 60-bit md5 ints mod (n+1), lo/hi by min/max, so both cut
+    distributions are uniform over token boundaries including the ends.
+
+    Scale shape: one codegen projection, zero shuffle.
+
+    Output: (id_col, fim, n_tokens, prefix, middle, suffix).
+    """
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), WS_CLASS + "+"),
+        lambda x: x != F.lit(""),
+    )
+    base = docs.select(F.col(id_col), toks.alias("tk"))
+    n = F.size(F.col("tk")).cast("long")
+    u = md5_uniform(F.col(id_col), salt)
+    c1 = _md5_mod(F.col(id_col), f"fim{salt}|a", n + 1)
+    c2 = _md5_mod(F.col(id_col), f"fim{salt}|b", n + 1)
+    lo = F.least(c1, c2).cast("int")
+    hi = F.greatest(c1, c2).cast("int")
+    do_fim = (u < F.lit(float(fim_rate))) & (n >= 2)
+    join = lambda arr: F.array_join(arr, " ")
+    full = join(F.col("tk"))
+    prefix = F.when(do_fim, join(F.slice(F.col("tk"), 1, lo))).otherwise(full)
+    middle = F.when(do_fim, join(F.slice(F.col("tk"), lo + 1, hi - lo))).otherwise(
+        F.lit("")
+    )
+    suffix = F.when(
+        do_fim, join(F.slice(F.col("tk"), hi + 1, F.size(F.col("tk")) - hi))
+    ).otherwise(F.lit(""))
+    return base.select(
+        F.col(id_col),
+        do_fim.alias("fim"),
+        n.alias("n_tokens"),
+        prefix.alias("prefix"),
+        middle.alias("middle"),
+        suffix.alias("suffix"),
+    )

@@ -1058,3 +1058,222 @@ def test_ngram_novelty(spark):
     # doc5's within-doc repeats of the shared trigrams count once; its
     # bridging grams ('fox the quick', ...) are its own
     assert out[5]["n_distinct"] == 8 and out[5]["n_unique"] == 2
+
+
+def test_fim_split(spark):
+    """Reconstruction: prefix/middle/suffix tokens re-join to the
+    whitespace-normalized doc for EVERY row; <2-token docs never split;
+    rate=0 passthrough; deterministic replay."""
+    from document_quality_assessment_ocr_spark.operators.augment import fim_split
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"tok{i} alpha beta gamma delta epsilon zeta " * 2)
+            for i in range(20)
+        ]
+        + [(100, "single"), (101, "  "), (102, None)],
+        "doc_id long, text string",
+    )
+    out = fim_split(docs, fim_rate=1.0, salt=13).collect()
+    texts = {r["doc_id"]: (r[1] or "") for r in docs.collect()}
+    for r in out:
+        norm = " ".join((texts[r["doc_id"]] or "").split())
+        parts = [p for p in (r["prefix"], r["middle"], r["suffix"]) if p]
+        assert " ".join(parts) == norm, r["doc_id"]
+        if r["n_tokens"] >= 2:
+            assert r["fim"]
+        else:
+            assert not r["fim"] and r["middle"] == "" and r["suffix"] == ""
+    # at rate=1 with random cuts, SOME doc must have a non-empty middle
+    assert any(r["middle"] for r in out)
+    # rate=0: untouched passthrough
+    none = fim_split(docs, fim_rate=0.0, salt=13).collect()
+    assert all(not r["fim"] and r["middle"] == "" == r["suffix"] for r in none)
+    # replay-stable
+    again = fim_split(docs, fim_rate=1.0, salt=13).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_d4_prune(spark):
+    """Stage-1 == semdedup keep set; stage-2 ranks run 1..n per cell over
+    survivors only; keep count is max(1, n*pct//100) hardest-first."""
+    from document_quality_assessment_ocr_spark.operators.similarity import (
+        d4_prune,
+        semdedup,
+    )
+
+    # cluster A: 6 near-identical directions (mutual cos >= .99) → only the
+    # min id survives dedup; cluster B: 4 spread directions (cos < .99)
+    rows = [(i, [10.0 + i * 0.001, 0.1 * (i % 2)]) for i in range(6)]
+    rows += [
+        (10, [0.0, 1.0]),
+        (11, [0.5, 1.0]),
+        (12, [1.0, 1.0]),
+        (13, [1.0, 0.45]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(tau=0.99, n_centroids=2, sample_rows=512, seed=42)
+    out = d4_prune(emb, keep_pct=50, **kw).collect()
+    sd = {r["vec_id"] for r in semdedup(emb, **kw).collect() if r["kept"]}
+    assert {r["vec_id"] for r in out} == sd
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r["cell"], []).append(r)
+    for cell, rs in by_cell.items():
+        n = len(rs)
+        assert sorted(r["rank"] for r in rs) == list(range(1, n + 1))
+        n_keep = max(1, n * 50 // 100)
+        # hardest (lowest cos_proto, id tiebreak) are the kept ones
+        srt = sorted(rs, key=lambda r: (r["cos_proto"], r["vec_id"]))
+        assert [r["kept"] for r in srt] == [True] * n_keep + [False] * (n - n_keep)
+    # the 6-clone cluster collapsed to one survivor, which must be kept
+    a_cell = [r for r in out if r["vec_id"] < 6]
+    assert len(a_cell) == 1 and a_cell[0]["kept"]
+
+
+def test_k_anonymize(spark):
+    """Cohorts below k get every quasi value redacted; group_size is the
+    true cohort size; NULL merges with '' per the COALESCE contract."""
+    from document_quality_assessment_ocr_spark.operators.privacy import k_anonymize
+
+    rows = (
+        [(i, "en", "web") for i in range(5)]
+        + [(10, "de", "web"), (11, "de", "web")]
+        + [(20, None, "pdf"), (21, "", "pdf"), (22, "", "pdf")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+    out = {r["doc_id"]: r for r in k_anonymize(df, ["lang", "source"], k=3).collect()}
+    assert all(
+        out[i]["lang"] == "en" and not out[i]["suppressed"] and out[i]["group_size"] == 5
+        for i in range(5)
+    )
+    assert out[10]["lang"] == "<redacted>" == out[10]["source"] and out[10]["suppressed"]
+    # NULL lang coalesces into the ''-lang cohort → size 3 → NOT suppressed
+    assert out[20]["group_size"] == 3 and not out[20]["suppressed"] and out[20]["lang"] == ""
+
+
+def test_hard_negative_mine(spark):
+    """Python brute-force replay: per anchor, top-k different-label
+    neighbors by (cos desc, id), after dropping cos >= dup_tau."""
+    import numpy as np
+
+    from document_quality_assessment_ocr_spark.operators.similarity import (
+        hard_negative_mine,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(30, 4))
+    labels = [i % 3 for i in range(30)]
+    # a cross-label near-duplicate of anchor 0 → must be tau-guarded out
+    vecs[29] = vecs[0] * 1.0001
+    labels[29] = 1
+    rows = [(i, [float(x) for x in vecs[i]], labels[i]) for i in range(30)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = hard_negative_mine(emb, anchor_ids=[0, 4], k=3, dup_tau=0.99).collect()
+    got = {
+        (r["anchor_id"], r["rank"]): (r["neighbor_id"], r["neg_label"], r["cos"])
+        for r in out
+    }
+    for a in (0, 4):
+        cand = []
+        for j in range(30):
+            if labels[j] == labels[a]:
+                continue
+            c = round(
+                float(
+                    vecs[a] @ vecs[j]
+                    / np.sqrt((vecs[a] @ vecs[a]) * (vecs[j] @ vecs[j]))
+                ),
+                6,
+            )
+            if c < 0.99:
+                cand.append((-c, j, labels[j], c))
+        cand.sort()
+        for rk, (_, j, lab, c) in enumerate(cand[:3], start=1):
+            assert got[(a, rk)] == (j, lab, c), (a, rk)
+    assert all(r["neighbor_id"] != 29 for r in out if r["anchor_id"] == 0)
+
+
+def test_fuzzy_decontam(spark):
+    """A near-duplicate train/eval pair (one token changed out of many)
+    is flagged with high agreement; an unrelated doc is not; est_jaccard
+    is exactly n_match/n_hashes."""
+    from document_quality_assessment_ocr_spark.operators.decontam import (
+        fuzzy_contamination_report,
+    )
+
+    base = " ".join(f"w{i}" for i in range(60))
+    near = " ".join(("CHANGED" if i == 30 else f"w{i}") for i in range(60))
+    other = " ".join(f"z{i}" for i in range(60))
+    train = spark.createDataFrame(
+        [(1, near), (2, other), (3, base)], "doc_id long, text string"
+    )
+    eval_set = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in fuzzy_contamination_report(
+            train, eval_set, n_hashes=16, bands=4, ngram=5, min_match=8
+        ).collect()
+    }
+    assert 3 in out and out[3]["n_match"] == 16 and out[3]["est_jaccard"] == 1.0
+    assert 1 in out and 8 <= out[1]["n_match"] < 16
+    assert out[1]["est_jaccard"] == out[1]["n_match"] / 16.0
+    assert 2 not in out
+
+
+def test_cluster_holdout_split(spark):
+    """All members of a cell share one split (the leakage guarantee);
+    splits come from the boundary names; assignment is replay-stable."""
+    import numpy as np
+
+    from document_quality_assessment_ocr_spark.operators.similarity import (
+        cluster_holdout_split,
+    )
+
+    rng = np.random.default_rng(3)
+    centers = np.array([[5.0, 0.0], [0.0, 5.0], [-5.0, -5.0], [5.0, 5.0]])
+    rows = [
+        (i, [float(x) for x in centers[i % 4] + rng.normal(scale=0.1, size=2)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cluster_holdout_split(emb, n_centroids=4, salt=101).collect()
+    per_cell = {}
+    for r in out:
+        per_cell.setdefault(r["cell"], set()).add(r["split"])
+        assert r["split"] in {"train", "val", "test"}
+    assert all(len(s) == 1 for s in per_cell.values())
+    again = cluster_holdout_split(emb, n_centroids=4, salt=101).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_flesch_readability(spark):
+    """Hand-computed fixed-point scores; clamps for empty/zero-sentence
+    docs; all-int64 output."""
+    from document_quality_assessment_ocr_spark.operators.textstats import (
+        flesch_readability,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran!"),
+            (2, "no sentence marks here"),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in flesch_readability(docs).collect()}
+    # doc 1: words=6, sents=2 ('.', '!'), syllables: e,a,a,e,o,a = 6
+    r = out[1]
+    assert (r["n_words"], r["n_sents"], r["n_syll"]) == (6, 2, 6)
+    assert r["flesch_milli"] == 206835 - (1015 * 6) // 2 - (84600 * 6) // 6
+    # doc 2: 4 words, 0 sents -> S clamps to 1; syll: o,e,e,e,e,e,e = vowel groups
+    r2 = out[2]
+    assert r2["n_sents"] == 0
+    assert r2["flesch_milli"] == 206835 - (1015 * 4) // 1 - (84600 * r2["n_syll"]) // 4
+    # empty/null: W clamps to 1, zero syllables
+    for d in (3, 4):
+        assert out[d]["flesch_milli"] == 206835 - 1015
