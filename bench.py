@@ -257,6 +257,12 @@ def main() -> None:
         "q106_unimax_sample",
         "q107_prototype_prune",
         "q109_ngram_novelty",
+        "q110_fim_split",
+        "q111_d4_prune",
+        "q112_k_anonymize",
+        "q113_hard_negatives",
+        "q114_fuzzy_decontam",
+        "q116_readability",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

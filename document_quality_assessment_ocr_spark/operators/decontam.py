@@ -67,3 +67,84 @@ def contamination_report(
     return matched.groupBy(id_col).agg(
         F.count("shingle").alias("n_shared_shingles")
     )
+
+
+def fuzzy_contamination_report(
+    train: DataFrame,
+    eval_set: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    ngram: int = 5,
+    min_match: int = 8,
+    shingle: str = "word",
+    seed: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """FUZZY decontamination — near-duplicate (not exact-n-gram) overlap
+    between training corpus and eval set, the MinHash analog of
+    :func:`contamination_report` (the Dolma / NemoCurator "fuzzy dedup
+    against eval" hygiene pass).  A training doc is flagged when its
+    MinHash signature agrees with an eval doc's on at least ``min_match``
+    of ``n_hashes`` permutations — an unbiased Jaccard estimate
+    ``n_match/n_hashes`` — with candidates found by banded LSH, never by
+    scoring the cross product.
+
+    Scale shape: both signature passes are the one-md5-per-shingle
+    aggregate of :func:`minhash_signatures`; the eval side (band keys AND
+    signatures) is tiny and broadcast twice, so the training corpus never
+    shuffles for either the candidate join or the agreement join — the
+    only corpus exchange is the signature groupBy itself.
+
+    Output: (doc_id, eval_id, n_match, est_jaccard) for candidates with
+    ``n_match >= min_match``.
+    """
+    from .dedup import minhash_signatures
+
+    assert n_hashes % bands == 0
+    rows = n_hashes // bands
+    ts = minhash_signatures(
+        train, id_col, text_col, n_hashes, ngram, seed=seed, shingle=shingle
+    )
+    es = minhash_signatures(
+        eval_set, id_col, text_col, n_hashes, ngram, seed=seed, shingle=shingle
+    )
+
+    def bucketize(sig: DataFrame, out_id: str) -> DataFrame:
+        band_cols = []
+        for b in range(bands):
+            parts = [F.col(f"h{b * rows + r:02d}") for r in range(rows)]
+            band_cols.append(
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(F.concat_ws("#", *parts)).alias("key"),
+                )
+            )
+        return sig.select(
+            F.col(id_col).alias(out_id), F.explode(F.array(*band_cols)).alias("bk")
+        ).select(out_id, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    cand = (
+        bucketize(ts, "doc_id")
+        .join(F.broadcast(bucketize(es, "eval_id")), ["band", "key"])
+        .select("doc_id", "eval_id")
+        .distinct()
+    )
+    hcols = [f"h{i:02d}" for i in range(n_hashes)]
+    t = ts.select(F.col(id_col).alias("doc_id"), *[F.col(h).alias(f"t_{h}") for h in hcols])
+    e = es.select(F.col(id_col).alias("eval_id"), *[F.col(h).alias(f"e_{h}") for h in hcols])
+    n_match = sum(
+        (F.col(f"t_{h}") == F.col(f"e_{h}")).cast("long") for h in hcols
+    ).alias("n_match")
+    return (
+        cand.join(t, "doc_id")
+        .join(F.broadcast(e), "eval_id")
+        .select("doc_id", "eval_id", n_match)
+        .where(F.col("n_match") >= F.lit(int(min_match)))
+        .select(
+            "doc_id",
+            "eval_id",
+            "n_match",
+            (F.col("n_match") / F.lit(float(n_hashes))).alias("est_jaccard"),
+        )
+    )

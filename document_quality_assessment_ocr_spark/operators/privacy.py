@@ -1,0 +1,61 @@
+"""Privacy transforms over document metadata.
+
+k-anonymity by suppression (Sweeney 2002): every combination of
+quasi-identifier columns shared by fewer than ``k`` rows is suppressed —
+the quasi values are replaced by a redaction token so no released row's
+quasi tuple isolates fewer than ``k`` individuals.  Complements
+operators/scrub.py (content-level PII masking) with the dataset-level
+guarantee.
+
+At 100 TB: one hash aggregate over the PROJECTED quasi columns (map-side
+combine shrinks it to the distinct-combination table, which is tiny —
+languages × sources, not documents) broadcast back onto the fact table.
+The document rows themselves never shuffle and text/payload bytes never
+leave their partitions.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+REDACTED = "<redacted>"
+
+
+def k_anonymize(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int = 5,
+    id_col: str = "doc_id",
+    redact: str = REDACTED,
+) -> DataFrame:
+    """Suppress quasi-identifier combinations rarer than ``k``.
+
+    NULL contract: quasi values are coalesced to '' BEFORE grouping, so a
+    NULL and an empty string are the same (small, anonymity-safe merge)
+    and the group join needs no null-safe equality on either engine.
+
+    Output: (id_col, <quasi cols — original or ``redact``>, group_size,
+    suppressed).  ``group_size`` is the true pre-suppression cohort size
+    (safe to release: suppressed rows all report their real rarity merged
+    under the redaction token is NOT done — auditors need the real k).
+    """
+    qs = [F.coalesce(F.col(c), F.lit("")).alias(c) for c in quasi_cols]
+    base = df.select(F.col(id_col), *qs)
+    sizes = base.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    joined = base.join(F.broadcast(sizes), list(quasi_cols), "left")
+    suppressed = F.col("group_size") < F.lit(int(k))
+    out_cols = [
+        F.when(suppressed, F.lit(redact)).otherwise(F.col(c)).alias(c)
+        for c in quasi_cols
+    ]
+    return joined.select(
+        F.col(id_col),
+        *out_cols,
+        F.col("group_size"),
+        suppressed.alias("suppressed"),
+    )

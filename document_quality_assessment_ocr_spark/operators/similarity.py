@@ -673,3 +673,201 @@ def prototype_prune(
         .withColumn("kept", F.col("rank") <= n_keep)
         .select(id_col, "cell", "cos_proto", "rank", "kept")
     )
+
+
+def d4_prune(
+    emb: DataFrame,
+    tau: float = 0.99,
+    keep_pct: int = 60,
+    n_centroids: int = 16,
+    sample_rows: int = 512,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """D4 (Tirumala et al. 2023, "D4: Improving LLM Pretraining via Document
+    De-Duplication and Diversification"): SemDeDup first (drop near-exact
+    semantic duplicates at cosine >= ``tau``), then SSL-prototype pruning
+    over the SURVIVORS (drop the most prototypical ``100-keep_pct`` percent
+    per cluster).  Documented deviation from the paper: both stages share
+    ONE clustering (the paper re-clusters the deduped set) — re-clustering
+    would make the stage-2 centroids depend on the stage-1 output, forcing
+    the oracle builder to replay stage 1 driver-side; sharing the cells
+    keeps both stages bit-exact against literal centroids and is the same
+    trade SemDeDup itself makes on cluster reuse.
+
+    Determinism contract: the shared seeded k-means of
+    :func:`_kmeans_cells`; cosine rounded to 6 places before the threshold
+    and before ranking; ties by id ascending; per-cell keep count
+    ``greatest(1, n_survivors*keep_pct DIV 100)`` on non-negative ints.
+
+    Scale shape: stage 1 is the SemDeDup within-cell pair join (quadratic
+    in cell size only); stage 2 adds one window partitioned by cell over
+    the survivor rows — both hash-partition on the cell id, so AQE can
+    reuse the exchange.  Centroids and prototypes are broadcast literals.
+
+    Output (survivors of stage 1 only): (id_col, cell, cos_proto, rank,
+    kept) — ``kept`` is the final D4 keep set.
+    """
+    cents, assigned = _kmeans_cells(
+        emb, n_centroids, sample_rows, seed, id_col, vec_col
+    )
+    x, y = assigned.alias("x"), assigned.alias("y")
+    dropped = (
+        x.join(
+            y,
+            (F.col("x.cell") == F.col("y.cell"))
+            & (F.col(f"y.{id_col}") < F.col(f"x.{id_col}")),
+        )
+        .where(
+            F.round(cosine(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}")), 6)
+            >= F.lit(float(tau))
+        )
+        .select(F.col(f"x.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    protos = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+    )
+    survivors = (
+        assigned.join(dropped, id_col, "left")
+        .where(F.col("_dup").isNull())
+        .select(
+            F.col(id_col),
+            "cell",
+            F.round(
+                cosine(F.col(vec_col), F.element_at(protos, F.col("cell") + 1)),
+                6,
+            ).alias("cos_proto"),
+        )
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.col("cos_proto").asc(), F.col(id_col).asc()
+    )
+    n = F.count(F.lit(1)).over(Window.partitionBy("cell")).cast("long")
+    n_keep = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor((n * F.lit(int(keep_pct))) / F.lit(100)).cast("long"),
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("kept", F.col("rank") <= n_keep)
+        .select(id_col, "cell", "cos_proto", "rank", "kept")
+    )
+
+
+def hard_negative_mine(
+    emb: DataFrame,
+    anchor_ids: list,
+    k: int = 5,
+    dup_tau: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    fanout: int = 32,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the in-batch-negatives
+    refinement of Karpukhin 2020 DPR / SimCSE practice): for each anchor,
+    the top-``k`` highest-cosine corpus rows whose ``label_col`` DIFFERS
+    from the anchor's — the negatives the model is most likely to confuse —
+    excluding rows at cosine >= ``dup_tau`` (near-identical vectors across
+    labels are presumed mislabeled duplicates, the classic false-negative
+    trap in mined triplets).
+
+    Determinism: cosine rounded to 6 places, ties by neighbor id via the
+    shared (−cos, id) struct order.
+
+    Scale shape: the anchor panel broadcasts, the corpus is scanned ONCE
+    with the label predicate fused into the join, and the merge is the
+    same two-level top-k as :func:`cosine_topk_bruteforce` — per-bucket
+    top-k then a ≤ fanout·k merge, never a single-reducer sort.
+
+    Output: (anchor_id, neighbor_id, neg_label, cos, rank).
+    """
+    anchors = emb.filter(F.col(id_col).isin(anchor_ids)).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("anchor_vec"),
+        F.col(label_col).alias("anchor_label"),
+    )
+    cos6 = F.round(cosine(F.col("anchor_vec"), F.col(f"c.{vec_col}")), 6)
+    scored = (
+        emb.alias("c")
+        .join(
+            F.broadcast(anchors),
+            F.col("anchor_label") != F.col(f"c.{label_col}"),
+        )
+        .select(
+            "anchor_id",
+            F.col(f"c.{id_col}").alias("neighbor_id"),
+            F.col(f"c.{label_col}").alias("neg_label"),
+            cos6.alias("cos"),
+        )
+        .where(F.col("cos") < F.lit(float(dup_tau)))
+    )
+    item = F.struct(
+        (-F.col("cos")).alias("nc"),
+        F.col("neighbor_id").alias("neighbor_id"),
+        F.col("neg_label").alias("neg_label"),
+        F.col("cos").alias("cos"),
+    )
+    topk = lambda c: F.slice(F.sort_array(F.collect_list(c)), 1, k)
+    lvl1 = scored.groupBy(
+        "anchor_id", F.pmod(F.hash("neighbor_id"), F.lit(fanout)).alias("b")
+    ).agg(topk(item).alias("top"))
+    merged = (
+        lvl1.select("anchor_id", F.explode("top").alias("t"))
+        .groupBy("anchor_id")
+        .agg(topk(F.col("t")).alias("top"))
+    )
+    return merged.select("anchor_id", F.posexplode("top").alias("r", "t")).select(
+        "anchor_id",
+        F.col("t.neighbor_id").alias("neighbor_id"),
+        F.col("t.neg_label").alias("neg_label"),
+        F.col("t.cos").alias("cos"),
+        (F.col("r") + 1).cast("int").alias("rank"),
+    )
+
+
+def cluster_holdout_split(
+    emb: DataFrame,
+    boundaries=(("train", 0.9), ("val", 0.95)),
+    default_split: str = "test",
+    n_centroids: int = 16,
+    sample_rows: int = 512,
+    seed: int = 42,
+    salt: int = 101,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Leakage-safe train/val/test splits by CLUSTER holdout: near-duplicate
+    and paraphrase mass concentrates inside k-means cells (the SemDeDup
+    premise), so hashing the CELL id — not the row id — into the split
+    intervals guarantees no near-dup pair ever straddles train and eval,
+    the contamination mode row-hash splits (q96) cannot prevent.
+
+    Honest trade: proportions are lumpy at small cluster counts (a 16-cell
+    corpus quantizes the 90/5/5 target to multiples of whole cells); at
+    corpus scale cluster count grows with the data and the md5-uniform
+    proportions converge, which is exactly the regime that needs the
+    guarantee.  Same seeded centroids/argmin as IVF/SemDeDup, same
+    md5-uniform as every sampler here — fully oracle-checkable.
+
+    Scale shape: centroid assignment is a codegen projection (literal
+    centroids) and the split is a pure predicate on md5(cell) — zero
+    shuffle end to end.
+
+    Output: (id_col, cell, split).
+    """
+    from .sampling import assign_splits
+
+    _, assigned = _kmeans_cells(
+        emb, n_centroids, sample_rows, seed, id_col, vec_col
+    )
+    return assign_splits(
+        assigned.select(F.col(id_col), "cell"),
+        boundaries,
+        default_split,
+        id_col="cell",
+        salt=salt,
+    ).select(id_col, "cell", "split")

@@ -432,3 +432,58 @@ def ngram_novelty(
             .alias("novelty"),
         )
     )
+
+
+def flesch_readability(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Fixed-point Flesch reading-ease (Flesch 1948; the Kincaid 1975 Navy
+    recalibration's sibling, still a standard cheap readability gate):
+
+        score = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+
+    computed entirely in MILLI units with non-negative integer floor
+    divisions — the only division exact across Spark (`DIV`) and DuckDB
+    (`//`) — so the oracle matches bit-for-bit where a float pipeline
+    could differ in the last ulp:
+
+        flesch_milli = 206835 − (1015·W) DIV S − (84600·Y) DIV W
+
+    with W = max(words, 1), S = max(sentences, 1).  Heuristics (documented
+    approximations, identical on both engines): a sentence is a maximal
+    ``[.!?]+`` run; a syllable is a maximal ``[aeiouy]+`` run in the
+    lowercased text — the classic vowel-group counter, applied to the
+    whole text rather than per-word (identical totals, one regex pass).
+
+    Scale shape: three regex counters + integer arithmetic fused into one
+    codegen projection — zero shuffle, zero UDF.
+
+    Output: (id_col, n_words, n_sents, n_syll, flesch_milli) — all int64.
+    """
+    t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    counted = docs.select(
+        F.col(id_col),
+        F.size(
+            F.filter(
+                F.split(F.trim(t), WS_CLASS + "+"), lambda x: x != F.lit("")
+            )
+        )
+        .cast("long")
+        .alias("n_words"),
+        F.size(F.regexp_extract_all(t, F.lit("[.!?]+"), F.lit(0)))
+        .cast("long")
+        .alias("n_sents"),
+        F.size(F.regexp_extract_all(t, F.lit("[aeiouy]+"), F.lit(0)))
+        .cast("long")
+        .alias("n_syll"),
+    )
+    return counted.select(
+        F.col(id_col),
+        "n_words",
+        "n_sents",
+        "n_syll",
+        F.expr(
+            "206835 - ((1015 * GREATEST(n_words, 1)) DIV GREATEST(n_sents, 1))"
+            " - ((84600 * n_syll) DIV GREATEST(n_words, 1))"
+        ).alias("flesch_milli"),
+    )
