@@ -263,6 +263,8 @@ def main() -> None:
         "q113_hard_negatives",
         "q114_fuzzy_decontam",
         "q116_readability",
+        "q118_window_chunks",
+        "q119_ann_recall",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

@@ -142,3 +142,58 @@ def chunk_dup_profile(
         )
         .where(F.col("n_occ") >= int(min_occ))
     )
+
+
+def window_chunks(
+    docs: DataFrame,
+    window: int = 128,
+    stride: int = 96,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-stride sliding-window chunking — the standard long-document
+    prep for context-window training (split each doc into ``window``-token
+    pieces advancing ``stride`` tokens, so consecutive chunks overlap by
+    ``window − stride`` tokens of context).  Complements
+    :func:`content_chunks` (CDC, dedup-oriented) with the
+    training-oriented grid: every token lands in ≥1 chunk, the final
+    chunk may be short, zero-token docs emit NO chunks.
+
+    Chunk count is pure integer arithmetic shared with the oracle:
+    ``n_chunks = 1 + (max(0, n − window) + stride − 1) DIV stride`` —
+    non-negative operands only.
+
+    Scale shape: one projection builds the token array, one posexplode of
+    the bounded index sequence fans out chunks — no shuffle at all until
+    whatever consumes the chunks aggregates them; lineage (doc id, chunk
+    index, start token) rides along for re-assembly.
+
+    Output: (id_col, chunk_idx, start_tok, n_chunk_tokens, chunk_text).
+    """
+    assert window >= 1 and 1 <= stride <= window
+    toks = _token_array(F.col(text_col))
+    base = docs.select(F.col(id_col), toks.alias("tk")).where(F.size("tk") >= 1)
+    n = F.size("tk").cast("long")
+    n_chunks = (
+        F.lit(1).cast("long")
+        + F.expr(
+            f"(GREATEST(size(tk) - {int(window)}, 0) + {int(stride)} - 1)"
+            f" DIV {int(stride)}"
+        ).cast("long")
+    )
+    fanned = base.select(
+        F.col(id_col),
+        F.col("tk"),
+        F.posexplode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+            "chunk_idx", "_i"
+        ),
+    )
+    start = (F.col("_i") * F.lit(int(stride))).cast("int") + 1
+    piece = F.slice(F.col("tk"), start, F.lit(int(window)))
+    return fanned.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        start.cast("long").alias("start_tok"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

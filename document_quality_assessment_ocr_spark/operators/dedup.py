@@ -729,3 +729,50 @@ def simhash_near_dup_pairs(
     return cand.select("doc_a", "doc_b", ham.alias("hamming")).where(
         F.col("hamming") <= F.lit(int(max_hamming))
     )
+
+
+def dedup_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    bands: int = 4,
+    ngram: int = 5,
+    candidates: DataFrame | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Dedup AUDIT rollup — the cluster-size histogram every curation run
+    publishes next to its keep/drop decision (how much of the corpus is
+    duplicated, and in what clump sizes): one row per observed cluster
+    size with the cluster count, total docs riding in clusters of that
+    size, and the docs dedup would remove (all but each cluster's head).
+
+    ``n_docs``/``n_removed`` are products of two grouped counts — integer
+    multiplication, never a surfaced SUM (the HUGEINT dtype trap class).
+
+    Scale shape: two tiny aggregates stacked on
+    :func:`duplicate_clusters`'s component output — the first keyed by
+    cluster id (bounded by doc count, map-side combined), the second by
+    size (bounded by the largest clump). The corpus itself does no new
+    work beyond the clustering it already paid for.
+
+    Output: (cluster_size, n_clusters, n_docs, n_removed).
+    """
+    comp = duplicate_clusters(
+        docs, id_col, text_col, n_hashes, bands, ngram, candidates, max_iter
+    )
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+            ((F.col("cluster_size") - F.lit(1)) * F.col("n_clusters")).alias(
+                "n_removed"
+            ),
+        )
+    )

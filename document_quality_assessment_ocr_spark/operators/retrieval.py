@@ -275,3 +275,46 @@ def rrf_fuse(
         .where(F.col("rank") <= k)
         .select("query_id", id_col, "rrf_fx", "rank")
     )
+
+
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int = 5,
+    probe_col: str = "probe_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Index-health audit: per-probe recall@k of an approximate ranking
+    against the exact one — the number every ANN deployment watches when
+    tuning n_probe / bands / code size.  Generic over any two (probe,
+    neighbor, rank) rankings: IVF vs brute force, LSH vs brute force,
+    PQ vs re-ranked, truncated-dim vs full.
+
+    ``recall`` is one IEEE division of two exact integer counts —
+    deterministic and identical on both engines.  Probes the approximate
+    index missed entirely still get a row (recall 0), and the
+    denominator is the EXACT side's row count (< k when the corpus
+    itself has fewer than k eligible neighbors), so the metric never
+    flatters truncation.
+
+    Scale shape: rank filters are map-side; both group-bys are keyed by
+    the bounded probe panel, so every aggregate and the final join are
+    broadcast-sized.
+
+    Output: (probe_col, n_hit, n_exact, recall).
+    """
+    a = approx.where(F.col("rank") <= k).select(probe_col, neighbor_col)
+    e = exact.where(F.col("rank") <= k).select(probe_col, neighbor_col)
+    hit = a.join(e, [probe_col, neighbor_col]).groupBy(probe_col).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    ex = e.groupBy(probe_col).agg(F.count(F.lit(1)).alias("n_exact"))
+    return ex.join(hit, probe_col, "left").select(
+        probe_col,
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+            / F.col("n_exact").cast("double")
+        ).alias("recall"),
+    )

@@ -1277,3 +1277,67 @@ def test_flesch_readability(spark):
     # empty/null: W clamps to 1, zero syllables
     for d in (3, 4):
         assert out[d]["flesch_milli"] == 206835 - 1015
+
+
+def test_dedup_report(spark):
+    """Histogram accounts for every doc exactly once; a known duplicate
+    pair and triple land in the right size buckets; n_removed is the
+    all-but-head count."""
+    from document_quality_assessment_ocr_spark.operators.dedup import dedup_report
+
+    txt = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different words that share nothing with the fox"
+    docs = spark.createDataFrame(
+        [(1, txt), (2, txt), (3, txt), (10, other), (11, other), (20, "lone wolf page unseen")],
+        "doc_id long, text string",
+    )
+    out = {r["cluster_size"]: r for r in dedup_report(docs, n_hashes=8, bands=4).collect()}
+    assert out[3]["n_clusters"] == 1 and out[3]["n_docs"] == 3 and out[3]["n_removed"] == 2
+    assert out[2]["n_clusters"] == 1 and out[2]["n_removed"] == 1
+    assert out[1]["n_clusters"] == 1 and out[1]["n_removed"] == 0
+    assert sum(r["n_docs"] for r in out.values()) == 6
+
+
+def test_window_chunks(spark):
+    """Every token covered, overlap = window - stride, last chunk short,
+    empty docs emit nothing; reconstruction via stride-prefixes."""
+    from document_quality_assessment_ocr_spark.operators.chunking import window_chunks
+
+    text = " ".join(f"t{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [(1, text), (2, "a b c"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = [r for r in window_chunks(docs, window=10, stride=7).collect()]
+    d1 = sorted((r for r in out if r["doc_id"] == 1), key=lambda r: r["chunk_idx"])
+    # n=25, w=10, s=7 -> n_chunks = 1 + ceil(15/7) = 1 + 3 = 4
+    assert [r["start_tok"] for r in d1] == [1, 8, 15, 22]
+    assert [r["n_chunk_tokens"] for r in d1] == [10, 10, 10, 4]
+    assert d1[0]["chunk_text"].split() == [f"t{i}" for i in range(10)]
+    assert d1[3]["chunk_text"].split() == [f"t{i}" for i in range(21, 25)]
+    # doc 2: 3 tokens < window -> exactly one whole-doc chunk
+    d2 = [r for r in out if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["chunk_text"] == "a b c"
+    assert not [r for r in out if r["doc_id"] in (3, 4)]
+
+
+def test_recall_at_k(spark):
+    """Hand-built rankings: full overlap -> 1.0; partial -> n/k; a probe
+    the approx index missed entirely still rows out at 0.0; denominator
+    follows the exact side when it has < k rows."""
+    from document_quality_assessment_ocr_spark.operators.retrieval import recall_at_k
+
+    exact = spark.createDataFrame(
+        [(1, n, r) for r, n in enumerate([10, 11, 12], 1)]
+        + [(2, n, r) for r, n in enumerate([20, 21], 1)]
+        + [(3, n, r) for r, n in enumerate([30, 31, 32], 1)],
+        "probe_id long, neighbor_id long, rank int",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10, 1), (1, 12, 2), (1, 99, 3), (2, 20, 1), (2, 21, 2)],
+        "probe_id long, neighbor_id long, rank int",
+    )
+    out = {r["probe_id"]: r for r in recall_at_k(approx, exact, k=3).collect()}
+    assert out[1]["n_hit"] == 2 and out[1]["n_exact"] == 3 and out[1]["recall"] == 2 / 3
+    assert out[2]["n_hit"] == 2 and out[2]["n_exact"] == 2 and out[2]["recall"] == 1.0
+    assert out[3]["n_hit"] == 0 and out[3]["recall"] == 0.0
