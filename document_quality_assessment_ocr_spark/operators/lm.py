@@ -1,0 +1,131 @@
+"""Fixed-point interpolated bigram language model (Jelinek–Mercer), the
+KenLM/CCNet-shaped step up from unigram surprisal (textstats.unigram_surprisal):
+train bigram statistics on the corpus itself, score every document's mean
+per-bigram surprisal in whole bits, and bracket the healthy band.
+
+Model (Chen & Goodman 1998, interpolated form, all-integer micro-probs):
+
+    p_micro(w2|w1) = (lam * ((c12 * 1e6) DIV c1)
+                      + (1000 - lam) * ((c2 * 1e6) DIV N)) DIV 1000
+
+where c12 = bigram count, c1 = count of w1 as a left context, c2 = count
+of w2 as a right continuation, N = total bigram tokens, lam in milli.
+Integer division keeps both engines bit-identical (the fixed-point-oracle
+invariant: float log-sums are order-dependent and can never hash-match);
+surprisal is whole-bit ``floor(log2(1e6 / p_micro))`` via the binary-length
+trick shared with q67.
+
+Plan shape (and why it scales):
+- bigrams form MAP-SIDE from the token array (slice + zip_with — no
+  posexplode self-join);
+- ONE hash aggregate builds the c12 table; c1/c2/N all derive from that
+  already-Zipf-shrunk table (two tiny aggregates + a 1-row total that
+  rides along as a broadcast cross join);
+- scoring joins the per-token bigram stream to the model on the bigram
+  key (the same Zipf-bounded dimension as q67's token join) and ends in
+  one per-doc aggregate.
+No driver collect anywhere; the model stays distributed (it is only
+vocab² bounded, and in practice Zipf-sparse).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import _tokens
+
+
+def _bigrams(text_col) -> F.Column:
+    """Array of 'w1 w2' bigram strings from the shared tokenizer."""
+    tk = _tokens(text_col)
+    return F.when(
+        F.size(tk) >= 2,
+        F.zip_with(
+            F.slice(tk, F.lit(1), F.size(tk) - 1),
+            F.slice(tk, F.lit(2), F.size(tk) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def bigram_lm_bits(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam_milli: int = 700,
+    keep_lo_bits: float = 3.0,
+    keep_hi_bits: float = 8.0,
+) -> DataFrame:
+    """Per-document mean bigram surprisal under the corpus's own
+    interpolated bigram LM.
+
+    Output: (id_col, n_bigrams, sum_bits, avg_bits, keep) — avg_bits is
+    one exact BIGINT/BIGINT double division (NULL for docs with <2
+    tokens), keep = avg in [keep_lo_bits, keep_hi_bits] (false for NULL).
+    """
+    lam = int(lam_milli)
+    big = docs.select(
+        F.col(id_col), F.explode(_bigrams(F.col(text_col))).alias("bg")
+    )
+    c12 = big.groupBy("bg").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    w1 = F.split(F.col("bg"), " ").getItem(0)
+    w2 = F.split(F.col("bg"), " ").getItem(1)
+    c1 = c12.groupBy(w1.alias("w1")).agg(F.sum("c12").cast("long").alias("c1"))
+    c2 = c12.groupBy(w2.alias("w2")).agg(F.sum("c12").cast("long").alias("c2"))
+    tot = c12.agg(F.sum("c12").cast("long").alias("nb"))
+
+    model = (
+        c12.select("bg", "c12", w1.alias("w1"), w2.alias("w2"))
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bg",
+            F.expr(
+                f"({lam} * ((c12 * 1000000L) DIV c1)"
+                f" + {1000 - lam} * ((c2 * 1000000L) DIV nb)) DIV 1000"
+            ).alias("p_micro"),
+        )
+        .select(
+            "bg",
+            (
+                F.length(F.bin(F.expr("1000000L DIV GREATEST(p_micro, 1L)"))) - 1
+            )
+            .cast("long")
+            .alias("bits"),
+        )
+    )
+
+    per_doc = (
+        big.join(model, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("bits").cast("long").alias("sum_bits"),
+        )
+        .select(
+            F.col(id_col),
+            "n_bigrams",
+            "sum_bits",
+            (
+                F.col("sum_bits").cast("double") / F.col("n_bigrams").cast("double")
+            ).alias("avg_bits"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(F.col("sum_bits"), F.lit(0)).cast("long").alias("sum_bits"),
+            F.col("avg_bits"),
+            F.coalesce(
+                F.col("avg_bits").between(
+                    F.lit(float(keep_lo_bits)), F.lit(float(keep_hi_bits))
+                ),
+                F.lit(False),
+            ).alias("keep"),
+        )
+    )

@@ -1417,3 +1417,79 @@ def test_unimax_sample(spark):
     # deterministic replay
     again = {r["doc_id"] for r in unimax_sample(df, 500, 2).collect()}
     assert again == {r["doc_id"] for r in got}
+
+
+def test_phrase_search(spark):
+    """Anchors at every occurrence (doc 4: 'table table table' has TWO),
+    repeated phrase terms share one position array, first_pos 0-based,
+    non-matching docs absent."""
+    from document_quality_assessment_ocr_spark.operators.phrase import phrase_search
+
+    d = spark.createDataFrame(
+        [
+            (1, "a table table key"),
+            (2, "table x table table"),
+            (3, "no match here"),
+            (4, "table table table"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["n_matches"], r["first_pos"])
+           for r in phrase_search(d, ["table", "table"]).collect()}
+    assert out == {1: (1, 1), 2: (1, 2), 4: (2, 0)}
+    out3 = {r["doc_id"]: (r["n_matches"], r["first_pos"])
+            for r in phrase_search(d, ["table", "table", "key"]).collect()}
+    assert out3 == {1: (1, 1)}
+
+
+def test_bigram_lm_bits(spark):
+    """Fixed-point interpolated bigram surprisal: repetitive docs score
+    LOW bits, a rare continuation scores HIGH; short docs get zero
+    counts, NULL avg, keep=False."""
+    from document_quality_assessment_ocr_spark.operators.lm import bigram_lm_bits
+
+    d = spark.createDataFrame(
+        [
+            (1, "a a a a a a a a a a a a"),
+            (2, "a b c d e f g h i j k l"),
+            (3, "one"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_lm_bits(d).collect()}
+    assert out[1]["n_bigrams"] == 11 and out[2]["n_bigrams"] == 11
+    # 'a a' is the dominant bigram -> far fewer bits than the 11 singletons
+    assert out[1]["avg_bits"] < out[2]["avg_bits"]
+    assert out[3]["n_bigrams"] == 0 and out[3]["avg_bits"] is None
+    assert out[3]["keep"] is False and out[4]["keep"] is False
+    # all-integer model: replay is bit-identical
+    again = {r["doc_id"]: r["sum_bits"] for r in bigram_lm_bits(d).collect()}
+    assert again == {k: v["sum_bits"] for k, v in out.items()}
+
+
+def test_edit_verified_pairs(spark):
+    """LSH proposes, prefix Levenshtein disposes: near-identical texts
+    confirm with sim_milli >= threshold; integer milli-similarity."""
+    from document_quality_assessment_ocr_spark.operators.editsim import (
+        edit_verified_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    d = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("lazy", "hazy", 1)),
+            (3, "completely different words entirely unrelated " * 4),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r["id_a"], r["id_b"]): r
+           for r in edit_verified_pairs(
+               d, n_hashes=8, bands=4, ngram=3, prefix_chars=100,
+               keep_sim_milli=900).collect()}
+    assert (1, 2) in out
+    r = out[(1, 2)]
+    assert r["dist"] == 1 and r["is_dup"] and r["sim_milli"] >= 900
+    assert not any(3 in k for k in out)
