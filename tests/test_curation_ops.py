@@ -1493,3 +1493,28 @@ def test_edit_verified_pairs(spark):
     r = out[(1, 2)]
     assert r["dist"] == 1 and r["is_dup"] and r["sim_milli"] >= 900
     assert not any(3 in k for k in out)
+
+
+def test_incremental_dedup_flags(spark):
+    """New-shard-vs-index verdicts: a new doc duplicating a base doc
+    flags is_dup with the right best match; a fresh doc rows out with
+    zero candidates and no flag; ties break to the smallest base id."""
+    from document_quality_assessment_ocr_spark.operators.dedup import (
+        incremental_dedup_flags,
+    )
+
+    base_text = "alpha beta gamma delta epsilon zeta eta theta " * 5
+    base = spark.createDataFrame(
+        [(10, base_text), (11, base_text), (12, "totally different corpus words " * 6)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, base_text), (2, "nothing like anything in the base at all " * 6)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in incremental_dedup_flags(
+        new, base, n_hashes=8, bands=4, ngram=3, min_match=6).collect()}
+    assert out[1]["is_dup"] and out[1]["best_match_id"] == 10  # tie -> min id
+    assert out[1]["best_agree_milli"] == 1000 and out[1]["n_candidates"] == 2
+    assert not out[2]["is_dup"] and out[2]["n_candidates"] == 0
+    assert out[2]["best_match_id"] is None
