@@ -3528,6 +3528,62 @@ def _incremental_dedup_sql(
     )
 
 
+def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS-propose / exact-verify heavy hitters over the token stream:
+    the sketch rides back as a literal map so the candidate filter is
+    map-side and the exact aggregate shuffles only heavy candidates —
+    est >= exact always (CMS never undercounts)."""
+    from document_quality_assessment_ocr_spark.operators.sketches import (
+        heavy_hitters_verified,
+    )
+
+    toks = _doc(spark, sf_dir).select(
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))),
+                        WS + "+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("term")
+    )
+    return heavy_hitters_verified(toks, "term", threshold=700)
+
+
+def _heavy_hitters_sql(threshold: int = 700, width: int = 256, depth: int = 4) -> str:
+    """q124 oracle: the q43 cell expression, per-DISTINCT-term min over
+    sketch cells (single-node formulation of the engine's map-side
+    literal lookup — identical integers), exact counts joined back,
+    candidates filtered on the ESTIMATE."""
+    toks = (
+        f"LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(COALESCE(text,''))), '{WS}+'),"
+        " x -> x <> '')"
+    )
+    js = ", ".join(str(j) for j in range(depth))
+    pos = f"CAST('0x' || SUBSTR(MD5(term), 1 + 8 * j, 8) AS BIGINT) % {width}"
+    pos_jj = f"CAST('0x' || SUBSTR(MD5(t.term), 1 + 8 * jj.j, 8) AS BIGINT) % {width}"
+    return f"""
+        WITH tok AS (
+            SELECT UNNEST({toks}) AS term FROM documents
+        ), cells AS (
+            SELECT j, {pos} AS pos FROM tok, (SELECT UNNEST([{js}]) AS j)
+        ), cms AS (
+            SELECT j, pos, COUNT(*) AS c FROM cells GROUP BY 1, 2
+        ), est AS (
+            SELECT t.term, CAST(MIN(COALESCE(c, 0)) AS BIGINT) AS est
+            FROM (SELECT DISTINCT term FROM tok) t
+            CROSS JOIN (SELECT UNNEST([{js}]) AS j) jj
+            LEFT JOIN cms ON cms.j = jj.j AND cms.pos = ({pos_jj})
+            GROUP BY t.term
+        ), exact AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS exact
+            FROM tok GROUP BY 1
+        )
+        SELECT e.term, e.est, x.exact, (x.exact >= {int(threshold)}) AS is_true_heavy
+        FROM est e JOIN exact x USING (term)
+        WHERE e.est >= {int(threshold)}
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's CORRECTNESS gate checks
     the FIRST 50 entries in dict order.  Positions 1-50 therefore carry the
@@ -3660,6 +3716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_bigram_lm": _q_bigram_lm,
         "q122_edit_pairs": _q_edit_pairs,
         "q123_incremental_dedup": _q_incremental_dedup,
+        "q124_heavy_hitters": _q_heavy_hitters,
     }
 
 
@@ -6324,6 +6381,7 @@ def oracle_sql() -> dict[str, str]:
         "q121_bigram_lm": _bigram_lm_sql(700, 3.0, 8.0),
         "q122_edit_pairs": _edit_pairs_sql(200, 800),
         "q123_incremental_dedup": _incremental_dedup_sql(16, 4, 5, 12),
+        "q124_heavy_hitters": _heavy_hitters_sql(700),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

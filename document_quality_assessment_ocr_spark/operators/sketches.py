@@ -247,3 +247,78 @@ def count_min_estimate(
     return est.join(exact, "term", "left").select(
         "term", "est", F.coalesce("exact", F.lit(0)).alias("exact")
     )
+
+
+def heavy_hitters_verified(
+    df: DataFrame,
+    item_col: str,
+    threshold: int,
+    width: int = 256,
+    depth: int = 4,
+) -> DataFrame:
+    """Heavy hitters by CMS-propose / exact-verify (the Misra-Gries-era
+    two-pass recipe in sketch form): pass 1 builds the Count-Min sketch
+    (ONE hash aggregate, ≤ depth·width rows); the sketch then rides back
+    as a LITERAL lookup map so pass 2 filters occurrences MAP-SIDE to
+    those whose estimate clears ``threshold`` — no false negatives, since
+    CMS only over-counts — and the exact verify aggregate shuffles ONLY
+    heavy-candidate occurrences (map-side combine shrinks them to one row
+    per candidate per task).
+
+    This is the pattern that makes exact heavy-hitter counting viable
+    when the full item cardinality can't be aggregated: the shuffle is
+    bounded by candidates, not by distinct items. The driver collect is
+    sketch-bounded (≤ depth·width cells, independent of corpus size) —
+    the same justification as the k-means sample panels.
+
+    Output: (term, est, exact, is_true_heavy) for every term whose
+    ESTIMATE clears threshold; ``is_true_heavy`` is the exact verdict,
+    and ``est >= exact`` always.
+    """
+    if not 1 <= depth <= 4:
+        raise ValueError("depth must be in 1..4 (md5 yields four 32-bit slices)")
+    term = F.col(item_col).cast("string")
+    toks = df.select(term.alias("term"))
+
+    def _cells(col: Column) -> list[Column]:
+        h = F.md5(col)
+        return [
+            F.pmod(
+                F.conv(F.substring(h, 1 + 8 * j, 8), 16, 10).cast("long"),
+                F.lit(width),
+            )
+            for j in range(depth)
+        ]
+
+    cells = toks.select(F.posexplode(F.array(*_cells(F.col("term")))).alias("j", "pos"))
+    cms = cells.groupBy("j", "pos").agg(F.count(F.lit(1)).alias("c"))
+    # sketch-bounded collect: ≤ depth·width rows no matter the corpus
+    lut = {
+        int(r["j"]) * width + int(r["pos"]): int(r["c"]) for r in cms.collect()
+    }
+    mexpr = F.create_map(
+        *[F.lit(x) for kv in sorted(lut.items()) for x in kv]
+    )
+
+    def _est(col: Column) -> Column:
+        return F.least(
+            *[
+                F.coalesce(
+                    F.element_at(mexpr, (F.lit(j * width) + c).cast("int")),
+                    F.lit(0),
+                )
+                for j, c in enumerate(_cells(col))
+            ]
+        ).cast("long")
+
+    heavy_occ = toks.where(_est(F.col("term")) >= F.lit(int(threshold)))
+    return (
+        heavy_occ.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact"))
+        .select(
+            "term",
+            _est(F.col("term")).alias("est"),
+            "exact",
+            (F.col("exact") >= F.lit(int(threshold))).alias("is_true_heavy"),
+        )
+    )

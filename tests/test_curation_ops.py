@@ -1518,3 +1518,20 @@ def test_incremental_dedup_flags(spark):
     assert out[1]["best_agree_milli"] == 1000 and out[1]["n_candidates"] == 2
     assert not out[2]["is_dup"] and out[2]["n_candidates"] == 0
     assert out[2]["best_match_id"] is None
+
+
+def test_heavy_hitters_verified(spark):
+    """CMS proposes a superset (est >= exact, never a false negative);
+    exact verify settles it; light terms with clean cells don't appear."""
+    from document_quality_assessment_ocr_spark.operators.sketches import (
+        heavy_hitters_verified,
+    )
+
+    rows = [("hot",)] * 50 + [("warm",)] * 10 + [(f"cold{i}",) for i in range(20)]
+    df = spark.createDataFrame(rows, "term string")
+    out = {r["term"]: r for r in
+           heavy_hitters_verified(df, "term", threshold=40).collect()}
+    assert "hot" in out  # no false negatives possible
+    assert out["hot"]["is_true_heavy"] and out["hot"]["exact"] == 50
+    assert all(r["est"] >= r["exact"] for r in out.values())
+    assert all(not r["is_true_heavy"] for t, r in out.items() if t != "hot")
