@@ -3584,6 +3584,99 @@ def _heavy_hitters_sql(threshold: int = 700, width: int = 256, depth: int = 4) -
     """
 
 
+def _q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth profile: new token types per
+    equal-width doc_id slice + running vocab size — one min-aggregate
+    (first occurrence per type), bucket counts, driver prefix over a
+    FIXED n_buckets relation."""
+    from document_quality_assessment_ocr_spark.operators.textstats import (
+        vocab_growth,
+    )
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return vocab_growth(d, n_buckets=10, ngram=3)
+
+
+def _vocab_growth_sql(n_buckets: int = 10, ngram: int = 3) -> str:
+    """q125 oracle: same first-occurrence min over word-{ngram}-gram
+    types (LIST_SLICE grams — the _minhash_sql word-mode twin of
+    quality.ngrams_from_tokens), same integer span arithmetic from
+    MIN/MAX bounds, cumulative via window SUM (the single-node
+    formulation) CAST back to BIGINT."""
+    return f"""
+        WITH d AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(
+                       TRIM(LOWER(COALESCE(text, ''))), '{WS}+'),
+                       x -> x <> '') AS tk
+            FROM documents
+        ), bounds AS (
+            SELECT MIN(doc_id) AS lo,
+                   (MAX(doc_id) - MIN(doc_id)) // {int(n_buckets)} + 1 AS span
+            FROM d
+        ), t AS (
+            SELECT doc_id,
+                   ARRAY_TO_STRING(LIST_SLICE(tk, CAST(i AS INT),
+                       CAST(i AS INT) + {int(ngram) - 1}), ' ') AS tok
+            FROM (SELECT doc_id, tk,
+                         UNNEST(RANGE(1, GREATEST(LEN(tk) - {int(ngram) - 1}, 0)
+                                         + 1)) AS i
+                  FROM d)
+        ), f AS (
+            SELECT tok, CAST(MIN(doc_id) AS BIGINT) AS fd FROM t GROUP BY tok
+        ), per AS (
+            SELECT CAST((f.fd - b.lo) // b.span AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS new_types
+            FROM f, bounds b GROUP BY 1
+        )
+        SELECT bucket, new_types,
+               CAST(SUM(new_types) OVER (ORDER BY bucket) AS BIGINT)
+                   AS cum_types
+        FROM per
+    """
+
+
+def _q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: global (clamped-Flesch DESC, doc_id ASC)
+    rank WITHOUT a global window — bounded score-bucket offsets + a
+    bucket-partitioned row_number — then rank%4 stride epochs."""
+    from document_quality_assessment_ocr_spark.operators.curriculum import (
+        curriculum_order,
+    )
+    from document_quality_assessment_ocr_spark.operators.textstats import (
+        flesch_readability,
+    )
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    scored = flesch_readability(d).select(
+        "doc_id",
+        F.expr("LEAST(GREATEST(flesch_milli, 0L), 206835L)").alias("cscore"),
+    )
+    return curriculum_order(scored, "cscore", n_epochs=4, bucket_width=1000)
+
+
+def _curriculum_sql(n_epochs: int = 4) -> str:
+    """q126 oracle: the q116 readability SQL nested as a subquery,
+    clamped to the conventional non-negative scale, then the
+    single-reducer ROW_NUMBER the engine deliberately avoids."""
+    return f"""
+        SELECT doc_id, cscore,
+               CAST(ROW_NUMBER() OVER (ORDER BY cscore DESC, doc_id ASC) - 1
+                    AS BIGINT) AS rank,
+               CAST((ROW_NUMBER() OVER (ORDER BY cscore DESC, doc_id ASC) - 1)
+                    % {int(n_epochs)} AS BIGINT) AS epoch
+        FROM (
+            SELECT doc_id,
+                   LEAST(GREATEST(flesch_milli, 0), 206835) AS cscore
+            FROM ({_READABILITY_SQL}) r
+        )
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's CORRECTNESS gate checks
     the FIRST 50 entries in dict order.  Positions 1-50 therefore carry the
@@ -3717,6 +3810,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_edit_pairs": _q_edit_pairs,
         "q123_incremental_dedup": _q_incremental_dedup,
         "q124_heavy_hitters": _q_heavy_hitters,
+        "q125_vocab_growth": _q_vocab_growth,
+        "q126_curriculum": _q_curriculum,
     }
 
 
@@ -6382,6 +6477,8 @@ def oracle_sql() -> dict[str, str]:
         "q122_edit_pairs": _edit_pairs_sql(200, 800),
         "q123_incremental_dedup": _incremental_dedup_sql(16, 4, 5, 12),
         "q124_heavy_hitters": _heavy_hitters_sql(700),
+        "q125_vocab_growth": _vocab_growth_sql(10),
+        "q126_curriculum": _curriculum_sql(4),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

@@ -1,0 +1,69 @@
+"""Curriculum ordering: a GLOBAL rank over a quality score, computed
+without a global window — the data-ordering step of curriculum learning
+(Bengio et al. 2009) at corpus scale, where `ROW_NUMBER() OVER (ORDER BY
+score)` is the single-reducer anti-pattern (the whole corpus through one
+task; cf. the q49 oracle's deliberate modeling of it).
+
+The trick is that a FIXED-POINT score has a bounded domain: bucket the
+score by a constant width, count per bucket (one tiny aggregate, at most
+``domain/width`` rows — a constant, not a function of corpus size),
+prefix-sum the bucket counts on the driver, and rank within each bucket
+with a window PARTITIONED BY BUCKET (each task sees one bucket's rows).
+Global rank = bucket offset + within-bucket row_number. Same result as
+the global window, none of the funneling.
+
+Epochs interleave by ``rank % n_epochs`` — the stride ordering that
+gives every epoch the same difficulty profile instead of feeding epoch
+0 all the easy documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def curriculum_order(
+    scored: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    n_epochs: int = 4,
+    bucket_width: int = 1000,
+) -> DataFrame:
+    """Global (score DESC, id ASC) rank + interleaved epoch assignment.
+
+    ``score_col`` must be a NON-NEGATIVE integer (fixed-point milli
+    score; negative values would hit the Spark-DIV-vs-DuckDB-floor
+    divergence and unbound the bucket domain — clamp first).
+
+    Output: (id_col, score_col, rank, epoch); rank is 0-based and dense
+    across the corpus, epoch = rank % n_epochs.
+    """
+    b = F.expr(f"{score_col} DIV {int(bucket_width)}L").cast("long")
+    d = scored.select(F.col(id_col), F.col(score_col), b.alias("_b"))
+    # bounded collect: <= score_domain / bucket_width rows by construction
+    counts = {
+        int(r["_b"]): int(r["c"])
+        for r in d.groupBy("_b").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    offset, acc = {}, 0
+    for k in sorted(counts, reverse=True):  # higher score bucket ranks first
+        offset[k] = acc
+        acc += counts[k]
+    omap = F.create_map(
+        *[F.lit(x) for kv in sorted(offset.items()) for x in kv]
+    )
+    w = Window.partitionBy("_b").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    rank = (
+        F.element_at(omap, F.col("_b").cast("int")).cast("long")
+        + F.row_number().over(w).cast("long")
+        - 1
+    )
+    return d.select(
+        F.col(id_col),
+        F.col(score_col),
+        rank.alias("rank"),
+        F.pmod(rank, F.lit(int(n_epochs))).cast("long").alias("epoch"),
+    )

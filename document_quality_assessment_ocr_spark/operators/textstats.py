@@ -487,3 +487,67 @@ def flesch_readability(
             " - ((84600 * n_syll) DIV GREATEST(n_words, 1))"
         ).alias("flesch_milli"),
     )
+
+
+def vocab_growth(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10,
+    ngram: int = 1,
+) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) profile: how many NEW token types
+    each successive slice of the corpus (in ``id_col`` order) introduces,
+    plus the running vocabulary size — the curve a corpus datasheet plots
+    to show lexical saturation (Heaps 1978).
+
+    A token type belongs to the slice where it FIRST appears, so the
+    whole curve reduces to ONE min-aggregate (first_doc per type) over
+    the exploded token stream plus a bucket count; the cumulative sum
+    runs on the driver over ``n_buckets`` rows (the two-level-prefix-sum
+    rule: never a global window, and here the bucketed relation is
+    FIXED-SIZE by construction — n_buckets is a constant, not a function
+    of corpus size).
+
+    Output: (bucket, new_types, cum_types), bucket = equal-width id
+    ranges 0..n_buckets-1 (empty buckets emit nothing). ``ngram > 1``
+    profiles word-n-gram types (the shared quality.ngrams_from_tokens
+    grams) — unigram vocabularies saturate fast; n-gram type growth is
+    the curve that stays informative.
+    """
+    bounds = docs.select(
+        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+    ).first()
+    lo = int(bounds["lo"] or 0)
+    hi = int(bounds["hi"] or 0)
+    span = (hi - lo) // int(n_buckets) + 1
+    tk = docs.select(F.col(id_col), _tokens(F.col(text_col)).alias("_tk"))
+    if int(ngram) <= 1:
+        toks = tk.select(F.col(id_col), F.explode("_tk").alias("tok"))
+    else:
+        from .quality import ngrams_from_tokens
+
+        toks = tk.select(
+            F.col(id_col),
+            F.explode(ngrams_from_tokens(F.col("_tk"), int(ngram))).alias("tok"),
+        )
+    first = toks.groupBy("tok").agg(F.min(id_col).cast("long").alias("fd"))
+    per = (
+        first.groupBy(
+            F.expr(f"(fd - {lo}L) DIV {span}L").cast("long").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("new_types"))
+    )
+    totals = {int(r["bucket"]): int(r["new_types"]) for r in per.collect()}
+    cum, acc = {}, 0
+    for k in sorted(totals):
+        acc += totals[k]
+        cum[k] = acc
+    cmap = F.create_map(*[F.lit(x) for kv in sorted(cum.items()) for x in kv])
+    return per.select(
+        "bucket",
+        "new_types",
+        F.element_at(cmap, F.col("bucket").cast("int")).cast("long").alias(
+            "cum_types"
+        ),
+    )

@@ -1535,3 +1535,41 @@ def test_heavy_hitters_verified(spark):
     assert out["hot"]["is_true_heavy"] and out["hot"]["exact"] == 50
     assert all(r["est"] >= r["exact"] for r in out.values())
     assert all(not r["is_true_heavy"] for t, r in out.items() if t != "hot")
+
+
+def test_vocab_growth(spark):
+    """First-occurrence attribution: a type repeated later never counts
+    again; cum_types is the running total; empty buckets emit nothing."""
+    from document_quality_assessment_ocr_spark.operators.textstats import (
+        vocab_growth,
+    )
+
+    d = spark.createDataFrame(
+        [(0, "a b"), (1, "a b"), (2, "c"), (3, "a c d"), (9, "a")],
+        "doc_id long, text string",
+    )
+    # lo=0 hi=9 n_buckets=5 -> span=2: buckets 0:[0,1] 1:[2,3] 4:[8,9]
+    out = {r["bucket"]: (r["new_types"], r["cum_types"])
+           for r in vocab_growth(d, n_buckets=5).collect()}
+    assert out == {0: (2, 2), 1: (2, 4)}  # bucket 4 adds nothing, absent
+    # trigram mode: doc 3 has exactly one trigram type
+    out3 = {r["bucket"]: r["new_types"]
+            for r in vocab_growth(d, n_buckets=5, ngram=3).collect()}
+    assert out3 == {1: 1}
+
+
+def test_curriculum_order(spark):
+    """Global rank equals the single-window formulation (score DESC,
+    id ASC), ranks are dense 0..n-1, epochs stride rank%n_epochs."""
+    from document_quality_assessment_ocr_spark.operators.curriculum import (
+        curriculum_order,
+    )
+
+    rows = [(i, (i * 37) % 7 * 1000 + (i % 3) * 100) for i in range(40)]
+    d = spark.createDataFrame(rows, "doc_id long, score long")
+    out = curriculum_order(d, "score", n_epochs=4, bucket_width=1000).collect()
+    got = {r["doc_id"]: (r["rank"], r["epoch"]) for r in out}
+    expected = sorted(rows, key=lambda t: (-t[1], t[0]))
+    for rk, (did, sc) in enumerate(expected):
+        assert got[did] == (rk, rk % 4), (did, sc, got[did], rk)
+    assert sorted(r["rank"] for r in out) == list(range(40))
