@@ -3677,6 +3677,58 @@ def _curriculum_sql(n_epochs: int = 4) -> str:
     """
 
 
+def _q_anchor_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text index: top-3 anchor texts per target host — the
+    link-based topicality signal; outlinks → URL parse (anchor_text
+    passed through) → one (host, anchor) aggregate → Zipf-bounded
+    per-host rank."""
+    from document_quality_assessment_ocr_spark.operators.html import (
+        anchor_index,
+        extract_links,
+    )
+    from document_quality_assessment_ocr_spark.operators.urls import parse_urls
+
+    links = extract_links(_synth_html(_doc(spark, sf_dir)))
+    parsed = parse_urls(
+        links.select("doc_id", F.col("href").alias("url"), "anchor_text"),
+        keep=("anchor_text",),
+    )
+    return anchor_index(parsed, k=3)
+
+
+def _anchor_index_sql(k: int = 3) -> str:
+    """q127 oracle: the q72 chain with anchor_text threaded through the
+    parse CTEs (extra param — the twin of parse_urls' keep), then the
+    same (host, anchor) count and (n DESC, anchor ASC) ROW_NUMBER."""
+    from document_quality_assessment_ocr_spark.operators.html import ANCHOR_HREF
+
+    g2 = f"REGEXP_EXTRACT(ms[CAST(i AS INT)], '{ANCHOR_HREF}', 2)"
+    return _HTML_SYNTH_CTE + f""", mt AS (
+            SELECT doc_id,
+                   REGEXP_EXTRACT_ALL(COALESCE(html,''), '{ANCHOR_HREF}') AS ms
+            FROM d
+        ), ex AS (
+            SELECT doc_id, ms, UNNEST(RANGE(1, LEN(ms) + 1)) AS i FROM mt
+        ), lk AS (
+            SELECT doc_id,
+                   REGEXP_EXTRACT(ms[CAST(i AS INT)], '{ANCHOR_HREF}', 1) AS url,
+                   {_vis_sql(g2)} AS anchor_text
+            FROM ex
+        ), {_url_parse_ctes('lk', extra=', anchor_text')}, cnt AS (
+            SELECT host, anchor_text, CAST(COUNT(*) AS BIGINT) AS n_links
+            FROM parsed WHERE host <> '' AND anchor_text <> ''
+            GROUP BY host, anchor_text
+        )
+        SELECT host, anchor_text, n_links, CAST(rn AS INT) AS rank
+        FROM (SELECT host, anchor_text, n_links,
+                     ROW_NUMBER() OVER (PARTITION BY host
+                                        ORDER BY n_links DESC,
+                                                 anchor_text ASC) AS rn
+              FROM cnt)
+        WHERE rn <= {int(k)}
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's CORRECTNESS gate checks
     the FIRST 50 entries in dict order.  Positions 1-50 therefore carry the
@@ -3812,6 +3864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q124_heavy_hitters": _q_heavy_hitters,
         "q125_vocab_growth": _q_vocab_growth,
         "q126_curriculum": _q_curriculum,
+        "q127_anchor_index": _q_anchor_index,
     }
 
 
@@ -5423,10 +5476,13 @@ def _html_sqls() -> tuple[str, str]:
     return blocks, main
 
 
-def _url_parse_ctes(src: str) -> str:
+def _url_parse_ctes(src: str, extra: str = "") -> str:
     """DuckDB twin of operators/urls.parse_urls as a reusable CTE chain
     over ``src(doc_id, url)``, ending at ``parsed`` — shared pattern
-    constants, used by q65/q66/q68 and the q72 link-graph composite."""
+    constants, used by q65/q66/q68 and the q72/q127 link-graph
+    composites. ``extra`` passes additional ``src`` columns through the
+    chain (e.g. ``", anchor_text"``) — the twin of parse_urls' ``keep``;
+    the default renders byte-identically to the pre-``extra`` form."""
     from document_quality_assessment_ocr_spark.operators.urls import (
         QUERY_PART,
         TRACKING_PARAM,
@@ -5436,7 +5492,7 @@ def _url_parse_ctes(src: str) -> str:
     )
 
     return f"""p0 AS (
-            SELECT doc_id, url,
+            SELECT doc_id, url{extra},
                    LOWER(REGEXP_EXTRACT(url, '{URL_PARTS}', 1)) AS scheme,
                    REGEXP_REPLACE(LOWER(REGEXP_EXTRACT(url, '{URL_PARTS}', 2)),
                                   '{WWW_PREFIX}', '') AS h0,
@@ -5449,7 +5505,7 @@ def _url_parse_ctes(src: str) -> str:
                    )), '&'), '') AS query_clean
             FROM {src}
         ), p AS (
-            SELECT doc_id, url, scheme,
+            SELECT doc_id, url{extra}, scheme,
                    CASE WHEN scheme = 'http' AND h0 LIKE '%:80'
                         THEN SUBSTR(h0, 1, LENGTH(h0) - 3)
                         WHEN scheme = 'https' AND h0 LIKE '%:443'
@@ -5459,7 +5515,7 @@ def _url_parse_ctes(src: str) -> str:
                    query_clean
             FROM p0
         ), parsed AS (
-            SELECT doc_id, url, scheme, host, path, query_clean,
+            SELECT doc_id, url{extra}, scheme, host, path, query_clean,
                    CASE WHEN scheme = '' THEN NULL
                         ELSE scheme || '://' || host || path
                              || CASE WHEN query_clean = '' THEN ''
@@ -6479,6 +6535,7 @@ def oracle_sql() -> dict[str, str]:
         "q124_heavy_hitters": _heavy_hitters_sql(700),
         "q125_vocab_growth": _vocab_growth_sql(10),
         "q126_curriculum": _curriculum_sql(4),
+        "q127_anchor_index": _anchor_index_sql(3),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

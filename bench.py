@@ -265,6 +265,13 @@ def main() -> None:
         "q116_readability",
         "q118_window_chunks",
         "q119_ann_recall",
+        "q120_phrase_search",
+        "q121_bigram_lm",
+        "q122_edit_pairs",
+        "q123_incremental_dedup",
+        "q124_heavy_hitters",
+        "q125_vocab_growth",
+        "q126_curriculum",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

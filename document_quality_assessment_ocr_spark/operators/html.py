@@ -288,3 +288,42 @@ def extract_links(
             "anchor_text"
         ),
     )
+
+
+def anchor_index(
+    parsed_links: DataFrame,
+    k: int = 3,
+    host_col: str = "host",
+    anchor_col: str = "anchor_text",
+) -> DataFrame:
+    """Anchor-text index: the top-``k`` anchor texts pointing at each
+    host, by link count — the classic link-based topicality/spam signal
+    (what the web calls a site, independent of what the site calls
+    itself). Input is :func:`extract_links` output joined with its
+    parsed hosts (``operators/urls.parse_urls(..., keep=('anchor_text',))``).
+
+    Plan: one (host, anchor) hash aggregate — map-side combine shrinks
+    the exchange to distinct pairs — then a row_number window
+    PARTITIONED BY HOST over the already-aggregated rows (per-host
+    distinct anchors are Zipf-bounded, the same justification as the
+    per-doc window in textstats.top_terms). Ties break (count DESC,
+    anchor ASC) so the rank is total and replayable.
+
+    Output: (host, anchor_text, n_links, rank), rank 1-based ≤ k.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        parsed_links.where(
+            (F.col(host_col) != "") & (F.col(anchor_col) != "")
+        )
+        .groupBy(F.col(host_col).alias("host"), F.col(anchor_col).alias("anchor_text"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_links"))
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("n_links").desc(), F.col("anchor_text").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= F.lit(int(k)))
+    )

@@ -48,9 +48,14 @@ def _clean_query(url: Column) -> Column:
 
 
 def parse_urls(
-    docs: DataFrame, id_col: str = "doc_id", url_col: str = "url"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
-    """URL column → (id, url, scheme, host, path, query_clean, url_norm).
+    """URL column → (id, url, scheme, host, path, query_clean, url_norm)
+    (+ any ``keep`` columns passed through untouched — parse_urls is a
+    pure projection, one output row per input row).
 
     Only scheme and host are lowercased (per the module contract); path
     and query keep their original case — ``/About`` and ``/about`` stay
@@ -90,6 +95,7 @@ def parse_urls(
         path.alias("path"),
         qc.alias("query_clean"),
         url_norm.alias("url_norm"),
+        *[F.col(c) for c in keep],
     )
 
 

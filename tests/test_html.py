@@ -155,3 +155,31 @@ def test_extract_links(spark):
         ("https://b.com/c?q=1", "Second & last"),
     ]
     assert all(r["doc_id"] == 1 for r in rows)
+
+
+def test_anchor_index(spark):
+    """Top-k anchors per host by link count; empty hosts/anchors drop;
+    ties break (count DESC, anchor ASC); rank never exceeds k."""
+    import pyspark.sql.functions as F
+
+    from document_quality_assessment_ocr_spark.operators.html import (
+        anchor_index,
+        extract_links,
+    )
+    from document_quality_assessment_ocr_spark.operators.urls import parse_urls
+
+    html = (
+        '<a href="https://a.com/x">Home</a><a href="https://a.com/y">Home</a>'
+        '<a href="https://a.com/z">Docs</a><a href="https://b.com/">B</a>'
+        '<a href="/relative">Rel</a><a href="https://a.com/e"></a>'
+    )
+    d = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    links = extract_links(d)
+    parsed = parse_urls(
+        links.select("doc_id", F.col("href").alias("url"), "anchor_text"),
+        keep=("anchor_text",),
+    )
+    out = {(r["host"], r["anchor_text"]): (r["n_links"], r["rank"])
+           for r in anchor_index(parsed, k=2).collect()}
+    assert out == {("a.com", "Home"): (2, 1), ("a.com", "Docs"): (1, 2),
+                   ("b.com", "B"): (1, 1)}
