@@ -272,6 +272,7 @@ def main() -> None:
         "q124_heavy_hitters",
         "q125_vocab_growth",
         "q126_curriculum",
+        "q127_anchor_index",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

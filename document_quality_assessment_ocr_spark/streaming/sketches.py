@@ -1,0 +1,134 @@
+"""Streaming sketch maintenance — the incremental twin of
+``operators/sketches``: every sketch in that module (HLL registers,
+Count-Min cells, Bloom words) is an ALGEBRAIC aggregate (cell-wise
+add / bitwise max / bit_or), so a continuously-ingesting corpus keeps
+them fresh by MERGING each micro-batch's partial sketch into a persisted
+state — never by recomputing over history.
+
+``foreachBatch`` is the right tool (not a stateful operator): the state
+is a tiny fixed-size table (≤ depth·width cells), each micro-batch's
+contribution is one hash aggregate over just that batch, and the merge
+is a unioned re-aggregate of two sketch-sized tables — versioned like
+``plans/checkpoint`` snapshots so a crashed ingest resumes from the last
+committed sketch. At 10¹²-doc scale the per-batch cost is the batch's
+own token scan; history costs nothing.
+
+The equality contract (proved by tests/test_streaming.py): after
+consuming the whole input as a stream, the persisted sketch is
+CELL-FOR-CELL equal to the batch operator's sketch over the same data —
+the mergeability property the batch module claims, exercised end to end.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DOC_STREAM_SCHEMA = "doc_id long, ts timestamp, text string"
+
+
+def _versions(sketch_dir: str) -> list[int]:
+    if not os.path.isdir(sketch_dir):
+        return []
+    return sorted(
+        int(d[1:]) for d in os.listdir(sketch_dir)
+        if d.startswith("v") and d[1:].isdigit()
+    )
+
+
+def _cms_partial(batch: DataFrame, text_col: str, width: int, depth: int) -> DataFrame:
+    """One micro-batch's Count-Min contribution: (j, pos, c) cells from
+    the whitespace token stream — the same md5-slice cells as
+    operators/sketches.count_min_estimate."""
+    toks = batch.select(
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
+                        "[ \\t\\n\\r\\f\\x0b]+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("term")
+    )
+    h = F.md5(F.col("term"))
+    cells = toks.select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.conv(F.substring(h, 1 + 8 * j, 8), 16, 10).cast("long"),
+                        F.lit(width),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("j", "pos")
+    )
+    return cells.groupBy("j", "pos").agg(F.count(F.lit(1)).alias("c"))
+
+
+def stream_count_min(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    sketch_dir: str,
+    text_col: str = "text",
+    width: int = 256,
+    depth: int = 4,
+):
+    """readStream (doc_id, ts, text) → per-batch CMS partial → cell-wise
+    merge into the persisted sketch at ``sketch_dir`` (versioned
+    ``v{n}`` directories; highest version is current). availableNow;
+    returns the StreamingQuery."""
+    stream = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        # version = batch_id + 1, NOT "latest dir + 1" (the streaming/cdc
+        # idempotence rule): batch ids are monotone from the checkpoint
+        # and REUSED on replay, so a crashed-then-replayed batch merges
+        # the same base (v{batch_id}) and overwrites the same target —
+        # a latest-dir counter would double-count the replayed batch.
+        vs = _versions(sketch_dir)
+        ahead = [v for v in vs if v > batch_id + 1]
+        if ahead:
+            raise RuntimeError(
+                f"sketch_dir {sketch_dir!r} already holds versions "
+                f"{ahead} beyond v{batch_id + 1}: fresh checkpoint "
+                "against old sketch history — reset checkpoint_dir and "
+                "sketch_dir together (paired unit)."
+            )
+        part = _cms_partial(batch, text_col, width, depth)
+        if batch_id > 0:
+            prev = batch.sparkSession.read.parquet(
+                os.path.join(sketch_dir, f"v{batch_id}")
+            )
+            part = (
+                prev.unionByName(part)
+                .groupBy("j", "pos")
+                .agg(F.sum("c").cast("long").alias("c"))
+            )
+        part.write.mode("overwrite").parquet(
+            os.path.join(sketch_dir, f"v{batch_id + 1}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def read_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
+    """Current (highest-version) persisted sketch."""
+    vs = _versions(sketch_dir)
+    if not vs:
+        raise FileNotFoundError(f"no sketch versions in {sketch_dir}")
+    return spark.read.parquet(os.path.join(sketch_dir, f"v{vs[-1]}"))

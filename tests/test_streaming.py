@@ -207,3 +207,46 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
               for r in batch_interval_join(ev, within_minutes=30).collect()}
     assert got == expect
     assert len(got) == 6  # exactly the in-window purchase per user
+
+
+def test_stream_count_min_matches_batch(spark, tmp_path):
+    """Incremental CMS maintenance: after two micro-batches the persisted
+    sketch is CELL-FOR-CELL the batch sketch over the union — the
+    mergeability contract, exercised through foreachBatch; version chain
+    is v1..v{n_batches}."""
+    import time
+    from datetime import datetime
+
+    import pyspark.sql.functions as F
+
+    from document_quality_assessment_ocr_spark.streaming.sketches import (
+        _cms_partial,
+        read_sketch,
+        stream_count_min,
+    )
+
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    b1 = [(1, t0, "a b a c"), (2, t0, "b b d")]
+    b2 = [(3, t0, "a e"), (4, t0, "")]
+    in_dir = str(tmp_path / "cin")
+    os.makedirs(in_dir)
+    for i, rows in enumerate((b1, b2)):
+        spark.createDataFrame(
+            rows, "doc_id long, ts timestamp, text string"
+        ).coalesce(1).write.parquet(os.path.join(in_dir, f"drop-{i}"))
+        time.sleep(1.1)
+
+    sketch_dir = str(tmp_path / "sketch")
+    stream_count_min(
+        spark, in_dir + "/*", str(tmp_path / "cckpt"), sketch_dir,
+        width=32, depth=4,
+    )
+    got = {(r["j"], r["pos"]): r["c"]
+           for r in read_sketch(spark, sketch_dir).collect()}
+    full = spark.read.parquet(in_dir + "/*")
+    want = {(r["j"], r["pos"]): r["c"]
+            for r in _cms_partial(full, "text", 32, 4).collect()}
+    assert got == want
+    assert sum(got.values()) == 9 * 4  # 9 tokens x depth cells
+    import os as _os
+    assert sorted(_os.listdir(sketch_dir)) == ["v1", "v2"]
