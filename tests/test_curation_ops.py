@@ -1573,3 +1573,71 @@ def test_curriculum_order(spark):
     for rk, (did, sc) in enumerate(expected):
         assert got[did] == (rk, rk % 4), (did, sc, got[did], rk)
     assert sorted(r["rank"] for r in out) == list(range(40))
+
+
+def test_phrase_search_fuzz_vs_python(spark):
+    """Seeded random corpus: engine phrase hits equal a pure-python
+    sliding-window scan (count + first position), including docs where
+    the phrase's repeated term overlaps itself."""
+    import random
+
+    from document_quality_assessment_ocr_spark.operators.phrase import phrase_search
+
+    rng = random.Random(1234)
+    vocab = ["a", "b", "c", "d"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+        for i in range(80)
+    ]
+    phrase = ["a", "a", "b"]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_matches"], r["first_pos"])
+           for r in phrase_search(d, phrase).collect()}
+    want = {}
+    for i, text in rows:
+        toks = text.split()
+        hits = [p for p in range(len(toks) - len(phrase) + 1)
+                if toks[p:p + len(phrase)] == phrase]
+        if hits:
+            want[i] = (len(hits), hits[0])
+    assert got == want
+
+
+def test_bigram_lm_fuzz_vs_python(spark):
+    """Seeded random corpus: engine sum_bits equals an independent
+    pure-python evaluation of the same integer interpolation (floor
+    divisions, binary-length log2) — a second check beside DuckDB."""
+    import random
+
+    from document_quality_assessment_ocr_spark.operators.lm import bigram_lm_bits
+
+    rng = random.Random(99)
+    vocab = ["x", "y", "z", "w", "v"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 20))))
+        for i in range(60)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["sum_bits"])
+           for r in bigram_lm_bits(d, lam_milli=700).collect()}
+
+    c12, c1, c2 = {}, {}, {}
+    streams = {}
+    for i, text in rows:
+        toks = text.split()
+        bgs = [(toks[j], toks[j + 1]) for j in range(len(toks) - 1)]
+        streams[i] = bgs
+        for bg in bgs:
+            c12[bg] = c12.get(bg, 0) + 1
+            c1[bg[0]] = c1.get(bg[0], 0) + 1
+            c2[bg[1]] = c2.get(bg[1], 0) + 1
+    nb = sum(c12.values())
+
+    def bits(bg):
+        p = (700 * ((c12[bg] * 1_000_000) // c1[bg[0]])
+             + 300 * ((c2[bg[1]] * 1_000_000) // nb)) // 1000
+        return (1_000_000 // max(p, 1)).bit_length() - 1
+
+    want = {i: (len(bgs), sum(bits(bg) for bg in bgs))
+            for i, bgs in streams.items()}
+    assert got == want
