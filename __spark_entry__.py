@@ -3729,6 +3729,38 @@ def _anchor_index_sql(k: int = 3) -> str:
     """
 
 
+def _q_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k deterministic uniform sample: the 25 smallest
+    md5(salt#id) draws via the two-level top-k merge — reservoir
+    semantics, no reservoir state, retry-stable."""
+    from document_quality_assessment_ocr_spark.operators.sampling import (
+        exact_k_sample,
+    )
+
+    d = _doc(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"))
+    return exact_k_sample(d, k=25)
+
+
+def _exact_k_sample_sql(k: int = 25, salt: str = "sample1") -> str:
+    """q128 oracle: the single-node ORDER BY md5 LIMIT k formulation the
+    two-level merge must reproduce exactly (tie-break (u, doc_id) —
+    the engine's struct order)."""
+    return f"""
+        WITH u AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   MD5('{salt}#' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR))
+                       AS sample_u
+            FROM documents
+        )
+        SELECT doc_id, sample_u, CAST(rn AS INT) AS rank
+        FROM (SELECT doc_id, sample_u,
+                     ROW_NUMBER() OVER (ORDER BY sample_u ASC, doc_id ASC)
+                         AS rn
+              FROM u)
+        WHERE rn <= {int(k)}
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's CORRECTNESS gate checks
     the FIRST 50 entries in dict order.  Positions 1-50 therefore carry the
@@ -3865,6 +3897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q125_vocab_growth": _q_vocab_growth,
         "q126_curriculum": _q_curriculum,
         "q127_anchor_index": _q_anchor_index,
+        "q128_exact_k_sample": _q_exact_k_sample,
     }
 
 
@@ -6536,6 +6569,7 @@ def oracle_sql() -> dict[str, str]:
         "q125_vocab_growth": _vocab_growth_sql(10),
         "q126_curriculum": _curriculum_sql(4),
         "q127_anchor_index": _anchor_index_sql(3),
+        "q128_exact_k_sample": _exact_k_sample_sql(25),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

@@ -295,3 +295,44 @@ def unimax_sample(
         )
         .where(F.col("sample_u") < rate)
     )
+
+
+def exact_k_sample(
+    docs: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "sample1",
+    fanout: int = 32,
+) -> DataFrame:
+    """EXACTLY-k deterministic uniform sample: keep the k smallest
+    ``md5(salt#id)`` draws — reservoir-sampling semantics (uniform
+    without replacement, exact size) with none of the reservoir's
+    sequential state, so it is retry/speculation-stable and replayable
+    like every md5-uniform sampler in this module. Rate-based sampling
+    (`stratified_sample`) gives k only in expectation; audits and
+    fixed-budget eval sets need exactly k.
+
+    Two-level top-k (the cosine_topk merge shape): level 1 keeps each of
+    ``fanout`` hash buckets' k smallest draws — no task ever sorts the
+    corpus — and level 2 merges ≤ fanout·k survivors in one bounded
+    single-group aggregate. Exact by construction: the global k smallest
+    is a subset of the per-bucket k smallest.
+
+    Output: (id_col, sample_u, rank) — rank 1..k in draw order.
+    """
+    u = F.md5(
+        F.concat_ws("#", F.lit(salt), F.col(id_col).cast("string"))
+    )
+    item = F.struct(u.alias("u"), F.col(id_col).alias("kid"))
+    topk = lambda c: F.slice(F.sort_array(F.collect_list(c)), 1, int(k))
+    lvl1 = docs.groupBy(
+        F.pmod(F.hash(id_col), F.lit(int(fanout))).alias("_b")
+    ).agg(topk(item).alias("top"))
+    merged = lvl1.select(F.explode("top").alias("t")).agg(
+        topk(F.col("t")).alias("top")
+    )
+    return merged.select(F.posexplode("top").alias("r", "t")).select(
+        F.col("t.kid").alias(id_col),
+        F.col("t.u").alias("sample_u"),
+        (F.col("r") + 1).cast("int").alias("rank"),
+    )

@@ -1641,3 +1641,27 @@ def test_bigram_lm_fuzz_vs_python(spark):
     want = {i: (len(bgs), sum(bits(bg) for bg in bgs))
             for i, bgs in streams.items()}
     assert got == want
+
+
+def test_exact_k_sample(spark):
+    """Exactly k rows, equal to the k smallest md5 draws computed in
+    python; replay-identical; k > n returns all n."""
+    import hashlib
+
+    from document_quality_assessment_ocr_spark.operators.sampling import (
+        exact_k_sample,
+    )
+
+    ids = list(range(200))
+    d = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = exact_k_sample(d, k=10, salt="s").collect()
+    assert len(out) == 10
+    draws = sorted(
+        (hashlib.md5(f"s#{i}".encode()).hexdigest(), i) for i in ids
+    )[:10]
+    assert [(r["sample_u"], r["doc_id"]) for r in
+            sorted(out, key=lambda r: r["rank"])] == draws
+    again = exact_k_sample(d, k=10, salt="s").collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    small = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    assert len(exact_k_sample(small, k=10).collect()) == 2
