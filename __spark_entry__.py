@@ -3761,6 +3761,36 @@ def _exact_k_sample_sql(k: int = 25, salt: str = "sample1") -> str:
     """
 
 
+def _q_shard_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard order-sensitive content checksums (100-doc shards):
+    the ingest-integrity manifest — one hash aggregate, per-shard state
+    bounded by shard_width digests."""
+    from document_quality_assessment_ocr_spark.operators.profile import (
+        shard_checksums,
+    )
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return shard_checksums(d, shard_width=100)
+
+
+def _shard_checksums_sql(shard_width: int = 100) -> str:
+    """q129 oracle: STRING_AGG(h, '' ORDER BY doc_id) — DuckDB's ordered
+    aggregate is the single-node twin of sort_array(collect_list)."""
+    return f"""
+        WITH d AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   MD5(COALESCE(text, '')) AS h
+            FROM documents
+        )
+        SELECT doc_id // {int(shard_width)} AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MD5(STRING_AGG(h, '' ORDER BY doc_id)) AS checksum
+        FROM d GROUP BY 1
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's CORRECTNESS gate checks
     the FIRST 50 entries in dict order.  Positions 1-50 therefore carry the
@@ -3898,6 +3928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q126_curriculum": _q_curriculum,
         "q127_anchor_index": _q_anchor_index,
         "q128_exact_k_sample": _q_exact_k_sample,
+        "q129_shard_checksums": _q_shard_checksums,
     }
 
 
@@ -6570,6 +6601,7 @@ def oracle_sql() -> dict[str, str]:
         "q126_curriculum": _curriculum_sql(4),
         "q127_anchor_index": _anchor_index_sql(3),
         "q128_exact_k_sample": _exact_k_sample_sql(25),
+        "q129_shard_checksums": _shard_checksums_sql(100),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

@@ -210,6 +210,23 @@ def main() -> None:
     timed("extract_cold", run_extract, reps=1)
     timed("extract", run_extract, reps=2)
 
+    # scaling sweeps only consume the extract throughput — let them skip
+    # the (now 50+ query) per-operator timing tail (SPARK_GRAFT_SKIP_QUERIES=1)
+    if os.environ.get("SPARK_GRAFT_SKIP_QUERIES") == "1":
+        docs_per_sec = round(n_docs / timings["extract"], 2)
+        print(json.dumps({
+            "metric": "docs_per_sec_extraction",
+            "value": docs_per_sec,
+            "unit": "docs/sec",
+            "queries": timings,
+            "sf": sf_dir,
+            "cpus": cpus,
+            "master": master,
+            "n_docs": n_docs,
+        }), flush=True)
+        spark.stop()
+        return
+
     # driver-contract headliners on the raw sf tables
     import importlib.util
 
@@ -273,6 +290,8 @@ def main() -> None:
         "q125_vocab_growth",
         "q126_curriculum",
         "q127_anchor_index",
+        "q128_exact_k_sample",
+        "q129_shard_checksums",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

@@ -21,7 +21,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_bench(cpus: int, master: str | None = None) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    # scaling consumes ONLY the extract throughput — skip bench.py's 50+
+    # per-operator timings (they'd quadruple the sweep's wall time)
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SKIP_QUERIES="1")
     if master:
         env["SPARK_GRAFT_MASTER"] = master
     t0 = time.time()

@@ -1665,3 +1665,32 @@ def test_exact_k_sample(spark):
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
     small = spark.createDataFrame([(1,), (2,)], "doc_id long")
     assert len(exact_k_sample(small, k=10).collect()) == 2
+
+
+def test_shard_checksums(spark):
+    """Digest equals the python md5 chain in id order regardless of
+    input row order (sort_array inside the aggregate); one row per
+    non-empty shard."""
+    import hashlib
+
+    from document_quality_assessment_ocr_spark.operators.profile import (
+        shard_checksums,
+    )
+
+    rows = [(i, f"text {i}") for i in range(7)] + [(103, "late"), (101, "mid")]
+    shuffled = rows[::-1]
+    d = spark.createDataFrame(shuffled, "doc_id long, text string").repartition(4)
+    out = {r["shard"]: (r["n_docs"], r["checksum"])
+           for r in shard_checksums(d, shard_width=100).collect()}
+
+    def chain(pairs):
+        cat = "".join(
+            hashlib.md5(t.encode()).hexdigest()
+            for _, t in sorted(pairs)
+        )
+        return hashlib.md5(cat.encode()).hexdigest()
+
+    assert out == {
+        0: (7, chain([(i, f"text {i}") for i in range(7)])),
+        1: (2, chain([(101, "mid"), (103, "late")])),
+    }
