@@ -3791,6 +3791,49 @@ def _shard_checksums_sql(shard_width: int = 100) -> str:
     """
 
 
+def _q_stopgram_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate trigram blocklist: grams in >= 1% of documents — the
+    stop-shingle list builder feeding ngram-jaccard's max_doc_freq cap
+    and boilerplate strippers."""
+    from document_quality_assessment_ocr_spark.operators.quality import (
+        stopgram_blocklist,
+    )
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return stopgram_blocklist(d, n=3, min_df_permille=10)
+
+
+def _stopgram_sql(n: int = 3, min_df_permille: int = 10) -> str:
+    """q130 oracle: per-doc DISTINCT LIST_SLICE grams, one df aggregate,
+    integer permille via //, every surfaced count CAST to BIGINT."""
+    return f"""
+        WITH d AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(
+                       TRIM(LOWER(COALESCE(text, ''))), '{WS}+'),
+                       x -> x <> '') AS tk
+            FROM documents
+        ), g AS (
+            SELECT DISTINCT doc_id,
+                   ARRAY_TO_STRING(LIST_SLICE(tk, CAST(i AS INT),
+                       CAST(i AS INT) + {int(n) - 1}), ' ') AS gram
+            FROM (SELECT doc_id, tk,
+                         UNNEST(RANGE(1, GREATEST(LEN(tk) - {int(n) - 1}, 0)
+                                         + 1)) AS i
+                  FROM d)
+        ), df AS (
+            SELECT gram, CAST(COUNT(*) AS BIGINT) AS df FROM g GROUP BY gram
+        ), tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+        )
+        SELECT gram, df, (1000 * df) // n_docs AS df_permille
+        FROM df, tot
+        WHERE (1000 * df) // n_docs >= {int(min_df_permille)}
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's CORRECTNESS gate checks
     the FIRST 50 entries in dict order.  Positions 1-50 therefore carry the
@@ -3929,6 +3972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q127_anchor_index": _q_anchor_index,
         "q128_exact_k_sample": _q_exact_k_sample,
         "q129_shard_checksums": _q_shard_checksums,
+        "q130_stopgram_blocklist": _q_stopgram_blocklist,
     }
 
 
@@ -6602,6 +6646,7 @@ def oracle_sql() -> dict[str, str]:
         "q127_anchor_index": _anchor_index_sql(3),
         "q128_exact_k_sample": _exact_k_sample_sql(25),
         "q129_shard_checksums": _shard_checksums_sql(100),
+        "q130_stopgram_blocklist": _stopgram_sql(3, 10),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

@@ -292,6 +292,7 @@ def main() -> None:
         "q127_anchor_index",
         "q128_exact_k_sample",
         "q129_shard_checksums",
+        "q130_stopgram_blocklist",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

@@ -362,3 +362,47 @@ def gopher_cols() -> dict[str, Column]:
         "keep": reason.isNull(),
         "reason": reason,
     }
+
+
+def stopgram_blocklist(
+    docs: DataFrame,
+    n: int = 3,
+    min_df_permille: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Boilerplate n-gram blocklist miner: word n-grams whose DOCUMENT
+    frequency exceeds ``min_df_permille`` of the corpus — the corpus-level
+    "common lines" detector (the CCNet shard-common-paragraph idea at gram
+    granularity) whose output feeds ``ngram_jaccard_pairs(max_doc_freq=)``
+    as a stop-shingle list and boilerplate strippers as a phrase
+    blocklist.
+
+    All integer: ``df_permille = (1000·df) DIV n_docs`` (the shared
+    non-negative DIV). Plan: per-doc DISTINCT grams map-side (array_
+    distinct before the explode), ONE gram hash aggregate for df, and the
+    corpus doc count rides along as a broadcast single-row cross join —
+    the gram dimension is Zipf-bounded, nothing else shuffles.
+
+    Output: (gram, df, df_permille) for grams at/above the threshold.
+    """
+    from .textstats import _tokens
+
+    tk = docs.select(F.col(id_col), _tokens(F.col(text_col)).alias("_tk"))
+    grams = tk.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(ngrams_from_tokens(F.col("_tk"), int(n)))
+        ).alias("gram"),
+    )
+    total = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    df_ = grams.groupBy("gram").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    return (
+        df_.crossJoin(F.broadcast(total))
+        .select(
+            "gram",
+            "df",
+            F.expr("(1000L * df) DIV n_docs").alias("df_permille"),
+        )
+        .where(F.col("df_permille") >= F.lit(int(min_df_permille)))
+    )

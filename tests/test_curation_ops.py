@@ -1694,3 +1694,25 @@ def test_shard_checksums(spark):
         0: (7, chain([(i, f"text {i}") for i in range(7)])),
         1: (2, chain([(101, "mid"), (103, "late")])),
     }
+
+
+def test_stopgram_blocklist(spark):
+    """Document frequency counts each doc once (array_distinct): a gram
+    repeated within one doc doesn't inflate df; permille is floor
+    integer; below-threshold grams drop."""
+    from document_quality_assessment_ocr_spark.operators.quality import (
+        stopgram_blocklist,
+    )
+
+    rows = [
+        (1, "click here now click here now"),   # gram repeats in-doc
+        (2, "click here now something else entirely"),
+        (3, "click here now more words go here"),
+        (4, "unrelated text with no shared grams at all"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["gram"]: (r["df"], r["df_permille"])
+           for r in stopgram_blocklist(d, n=3, min_df_permille=700).collect()}
+    assert out["click here now"] == (3, 750)  # 3 docs, not 4 occurrences
+    assert all(v[1] >= 700 for v in out.values())
+    assert "here now click" not in out  # df=1 -> 250 permille, dropped
