@@ -3854,7 +3854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q07_reassembly": _q_reassembly,
         "q08_metrics_rollup": _q_metrics_rollup,
         "q10_minhash_lsh_pairs": _q_lsh_pairs,
-        "q11_ngram_jaccard": _q_ngram_jaccard,
+        "q121_bigram_lm": _q_bigram_lm,
         "q12_simhash": _q_simhash,
         "q31_dup_clusters": _q_dup_clusters,
         "q40_chunk_dedup": _q_chunk_dedup,
@@ -3863,7 +3863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_cosine_topk": _q_cosine_topk,
         "q17_ivf_topk": _q_ivf_topk,
         "q46_pq_topk": _q_pq_topk,
-        "q58_filtered_topk": _q_filtered_topk,
+        "q124_heavy_hitters": _q_heavy_hitters,
         "q78_semdedup": _q_semdedup,
         "q76_phash_near_dup": _q_phash_near_dup,
         "q33_repetition": _q_repetition,
@@ -3878,7 +3878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_inverted_index": _q_inverted_index,
         "q63_html_main": _q_html_main,
         "q66_host_stats": _q_host_stats,
-        "q70_outlinks": _q_outlinks,
+        "q126_curriculum": _q_curriculum,
         "q83_host_policy": _q_host_policy,
         "q74_bpe_merges": _q_bpe_merges,
         "q64_cdc_upsert": _q_cdc_upsert,
@@ -3963,16 +3963,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q118_window_chunks": _q_window_chunks,
         "q119_ann_recall": _q_ann_recall,
         "q120_phrase_search": _q_phrase_search,
-        "q121_bigram_lm": _q_bigram_lm,
         "q122_edit_pairs": _q_edit_pairs,
         "q123_incremental_dedup": _q_incremental_dedup,
-        "q124_heavy_hitters": _q_heavy_hitters,
         "q125_vocab_growth": _q_vocab_growth,
-        "q126_curriculum": _q_curriculum,
         "q127_anchor_index": _q_anchor_index,
         "q128_exact_k_sample": _q_exact_k_sample,
         "q129_shard_checksums": _q_shard_checksums,
         "q130_stopgram_blocklist": _q_stopgram_blocklist,
+        "q11_ngram_jaccard": _q_ngram_jaccard,
+        "q58_filtered_topk": _q_filtered_topk,
+        "q70_outlinks": _q_outlinks,
     }
 
 

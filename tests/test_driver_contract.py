@@ -105,6 +105,10 @@ def test_driver_window_carries_flagship_and_family_reps():
         # v3 rides positions 51+ under the CHECKS.md audit
         "q84_quality_classifier", "q89_gopher_filter", "q93_curation_v4",
         "q94_dsir_resample", "q98_bm25_search",
+        # round-3 third-session families: bigram LM, sketch-verify
+        # composite, curriculum ordering (q11/q58/q70 — whose families
+        # stay repped by q10/q73, q13/q46/q78, q66/q83 — ride 51+)
+        "q121_bigram_lm", "q124_heavy_hitters", "q126_curriculum",
     }
     missing = must - window
     assert not missing, f"family reps fell out of the driver window: {missing}"
