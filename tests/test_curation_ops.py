@@ -1716,3 +1716,23 @@ def test_stopgram_blocklist(spark):
     assert out["click here now"] == (3, 750)  # 3 docs, not 4 occurrences
     assert all(v[1] >= 700 for v in out.values())
     assert "here now click" not in out  # df=1 -> 250 permille, dropped
+
+
+def test_host_pagerank_shape(spark):
+    """Host-graph PageRank composite: a hub pointed at by two hosts
+    outranks leaves; self-loops dropped; fixed-point ranks replay
+    bit-identically."""
+    from document_quality_assessment_ocr_spark.operators.graph import (
+        pagerank_fixed,
+    )
+
+    edges = spark.createDataFrame(
+        [("a.com", "hub.com"), ("b.com", "hub.com"), ("hub.com", "a.com")],
+        "src string, dst string",
+    )
+    nodes = (edges.select(edges.src.alias("id"))
+             .union(edges.select(edges.dst.alias("id"))).distinct())
+    out = {r["id"]: r["pr"] for r in pagerank_fixed(nodes, edges, iters=3).collect()}
+    assert out["hub.com"] > out["a.com"] > out["b.com"]
+    again = {r["id"]: r["pr"] for r in pagerank_fixed(nodes, edges, iters=3).collect()}
+    assert again == out
