@@ -3916,6 +3916,137 @@ def _host_pagerank_sql(iters: int = 3) -> str:
     """
 
 
+def _q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: keep the best-scored documents
+    (clamped Flesch milli, the q126 score) while the running token total
+    stays within budget — global prefix sum WITHOUT a global window
+    (score-bucket token offsets + bucket-partitioned running SUM)."""
+    from document_quality_assessment_ocr_spark.operators.curriculum import (
+        budget_select,
+    )
+    from document_quality_assessment_ocr_spark.operators.textstats import (
+        flesch_readability,
+    )
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    scored = flesch_readability(d).select(
+        "doc_id",
+        F.expr("LEAST(GREATEST(flesch_milli, 0L), 206835L)").alias("cscore"),
+        "n_words",
+    )
+    return budget_select(
+        scored, token_budget=15_000, score_col="cscore", tokens_col="n_words"
+    )
+
+
+def _budget_select_sql(token_budget: int = 15_000) -> str:
+    """q132 oracle: the q126 clamped-readability score + the
+    single-reducer running-SUM window the engine deliberately avoids;
+    CAST AS BIGINT on the windowed SUM (HUGEINT trap)."""
+    return f"""
+        SELECT doc_id, cscore, n_words,
+               CAST(SUM(n_words) OVER w AS BIGINT) AS cum_tokens,
+               CAST(SUM(n_words) OVER w AS BIGINT)
+                   <= {int(token_budget)} AS kept
+        FROM (
+            SELECT doc_id,
+                   LEAST(GREATEST(flesch_milli, 0), 206835) AS cscore,
+                   n_words
+            FROM ({_READABILITY_SQL}) r
+        )
+        WINDOW w AS (ORDER BY cscore DESC, doc_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+
+
+def _q_chat_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT chat-template render + loss-mask spans: alternating
+    user/assistant turns synthesized as 10-word groups of the document
+    text (the sf docs are single-line word streams), one row per
+    assistant turn with the 0-based char span of its content in the
+    rendered string plus the md5 of the full render."""
+    from document_quality_assessment_ocr_spark.functions.text import WS_CLASS
+    from document_quality_assessment_ocr_spark.operators.sft import (
+        chat_render_spans,
+    )
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.filter(
+            F.split(
+                F.trim(F.coalesce(F.col("text"), F.lit(""))), WS_CLASS + "+"
+            ),
+            lambda x: x != F.lit(""),
+        ).alias("tk"),
+    ).where(F.size("tk") > 0)
+    # F.sequence counts DOWN when the bound is < 1 — the size guard above
+    # keeps (size+9) DIV 10 >= 1
+    turns = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, CAST((size(tk) + 9) DIV 10 AS INT)),"
+                " t1 -> array_join(slice(tk, (t1 - 1) * 10 + 1, 10), ' '))"
+            )
+        ).alias("p", "content"),
+    ).select(
+        "doc_id",
+        (F.col("p") + 1).cast("long").alias("turn"),
+        F.when(F.pmod(F.col("p") + 1, F.lit(2)) == 1, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        "content",
+    )
+    return chat_render_spans(turns)
+
+
+_CHAT_SPANS_SQL = f"""
+    WITH d AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(
+                   TRIM(COALESCE(text,'')), '{WS}+'), x -> x <> '') AS a
+        FROM documents
+    ), ex AS (
+        SELECT doc_id, a,
+               UNNEST(RANGE(1, (LEN(a) + 9) // 10 + 1)) AS i
+        FROM d WHERE LEN(a) > 0
+    ), tn AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS turn,
+               ARRAY_TO_STRING(
+                   a[CAST((i - 1) * 10 + 1 AS INT) : CAST(i * 10 AS INT)],
+                   ' ') AS content
+        FROM ex
+    ), ch AS (
+        SELECT doc_id, turn,
+               CASE WHEN turn % 2 = 1 THEN 'user' ELSE 'assistant' END AS role,
+               content,
+               '<|' || CASE WHEN turn % 2 = 1
+                            THEN 'user' ELSE 'assistant' END
+                    || '|>' || content || '<|end|>' || CHR(10) AS chunk
+        FROM tn
+    ), cs AS (
+        SELECT doc_id, turn, role, content, chunk,
+               CAST(SUM(LENGTH(chunk)) OVER (
+                    PARTITION BY doc_id ORDER BY turn
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+        FROM ch
+    ), r AS (
+        SELECT doc_id, MD5(STRING_AGG(chunk, '' ORDER BY turn)) AS render_md5
+        FROM ch GROUP BY doc_id
+    )
+    SELECT cs.doc_id, turn,
+           cum - LENGTH(chunk) + LENGTH('<|assistant|>') AS span_start,
+           cum - LENGTH(chunk) + LENGTH('<|assistant|>') + LENGTH(content)
+               AS span_end,
+           render_md5
+    FROM cs JOIN r ON cs.doc_id = r.doc_id
+    WHERE role = 'assistant'
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's CORRECTNESS gate checks
     the FIRST 50 entries in dict order.  Positions 1-50 therefore carry the
@@ -4053,6 +4184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q129_shard_checksums": _q_shard_checksums,
         "q130_stopgram_blocklist": _q_stopgram_blocklist,
         "q131_host_pagerank": _q_host_pagerank,
+        "q132_budget_select": _q_budget_select,
+        "q133_chat_spans": _q_chat_spans,
         "q11_ngram_jaccard": _q_ngram_jaccard,
         "q58_filtered_topk": _q_filtered_topk,
         "q70_outlinks": _q_outlinks,
@@ -6742,6 +6875,8 @@ def oracle_sql() -> dict[str, str]:
         "q129_shard_checksums": _shard_checksums_sql(100),
         "q130_stopgram_blocklist": _stopgram_sql(3, 10),
         "q131_host_pagerank": _host_pagerank_sql(3),
+        "q132_budget_select": _budget_select_sql(15_000),
+        "q133_chat_spans": _CHAT_SPANS_SQL,
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

@@ -67,3 +67,65 @@ def curriculum_order(
         rank.alias("rank"),
         F.pmod(rank, F.lit(int(n_epochs))).cast("long").alias("epoch"),
     )
+
+
+def budget_select(
+    scored: DataFrame,
+    token_budget: int,
+    score_col: str,
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    bucket_width: int = 1000,
+) -> DataFrame:
+    """Token-budget corpus selection: walk the corpus in global
+    (``score_col`` DESC, ``id_col`` ASC) order and keep documents while
+    the running token total stays within ``token_budget`` — the "best
+    data first, stop at N tokens" step every pretraining mix ends with.
+
+    A doc is kept iff its INCLUSIVE prefix token sum <= budget (greedy
+    whole-document selection; no partial documents).
+
+    Same two-level shape as :func:`curriculum_order` — the global prefix
+    sum is bucket token offsets (bounded collect, <= score_domain /
+    bucket_width rows) + a bucket-partitioned running SUM window — never
+    a global ORDER BY window. ``score_col`` and ``tokens_col`` must be
+    non-negative integers.
+
+    Output: (id_col, score_col, tokens_col, cum_tokens, kept);
+    cum_tokens is the inclusive global prefix sum in selection order.
+    """
+    b = F.expr(f"{score_col} DIV {int(bucket_width)}L").cast("long")
+    d = scored.select(
+        F.col(id_col),
+        F.col(score_col),
+        F.col(tokens_col).cast("long").alias(tokens_col),
+        b.alias("_b"),
+    )
+    # bounded collect: <= score_domain / bucket_width rows by construction
+    totals = {
+        int(r["_b"]): int(r["t"])
+        for r in d.groupBy("_b").agg(F.sum(tokens_col).alias("t")).collect()
+    }
+    offset, acc = {}, 0
+    for k in sorted(totals, reverse=True):  # higher score bucket first
+        offset[k] = acc
+        acc += totals[k]
+    omap = F.create_map(
+        *[F.lit(x) for kv in sorted(offset.items()) for x in kv]
+    )
+    w = (
+        Window.partitionBy("_b")
+        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        F.element_at(omap, F.col("_b").cast("int")).cast("long")
+        + F.sum(F.col(tokens_col)).over(w).cast("long")
+    )
+    return d.select(
+        F.col(id_col),
+        F.col(score_col),
+        F.col(tokens_col),
+        cum.alias("cum_tokens"),
+        (cum <= F.lit(int(token_budget))).alias("kept"),
+    )

@@ -1736,3 +1736,53 @@ def test_host_pagerank_shape(spark):
     assert out["hub.com"] > out["a.com"] > out["b.com"]
     again = {r["id"]: r["pr"] for r in pagerank_fixed(nodes, edges, iters=3).collect()}
     assert again == out
+
+
+def test_budget_select_greedy_prefix(spark):
+    """Whole-document greedy selection in (score DESC, id ASC) order:
+    kept iff the INCLUSIVE running token total fits the budget — across
+    score buckets (width 1000) so the two-level offsets are exercised."""
+    from document_quality_assessment_ocr_spark.operators.curriculum import (
+        budget_select,
+    )
+
+    docs = spark.createDataFrame(
+        [  # (doc_id, score, n_tokens); buckets: 5xxx, 3xxx, 0xxx
+            (1, 5500, 40), (2, 5500, 30), (3, 3200, 50),
+            (4, 3100, 25), (5, 900, 10),
+        ],
+        "doc_id long, s long, n_tokens long",
+    )
+    out = {r["doc_id"]: r for r in
+           budget_select(docs, 120, score_col="s").collect()}
+    # order: 1 (40), 2 (70), 3 (120), 4 (145), 5 (155)
+    assert [out[i]["cum_tokens"] for i in (1, 2, 3, 4, 5)] == [40, 70, 120, 145, 155]
+    assert [out[i]["kept"] for i in (1, 2, 3, 4, 5)] == [True, True, True, False, False]
+
+
+def test_chat_render_spans_offsets(spark):
+    """Assistant-content spans index into the rendered template exactly;
+    render_md5 witnesses the full rendered bytes."""
+    from document_quality_assessment_ocr_spark.operators.sft import (
+        chat_render_spans,
+        turns_from_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [(7, "hello there\n\nhi back\nmore?\n ok!")], "doc_id long, text string"
+    )
+    turns = turns_from_lines(docs)
+    got = {r["turn"]: r for r in turns.collect()}
+    assert [(got[i]["role"], got[i]["content"]) for i in (1, 2, 3, 4)] == [
+        ("user", "hello there"), ("assistant", "hi back"),
+        ("user", "more?"), ("assistant", " ok!"),
+    ]
+    rendered = "".join(
+        f"<|{got[i]['role']}|>{got[i]['content']}<|end|>\n" for i in (1, 2, 3, 4)
+    )
+    spans = {r["turn"]: r for r in chat_render_spans(turns).collect()}
+    assert sorted(spans) == [2, 4]
+    for t in (2, 4):
+        s, e = spans[t]["span_start"], spans[t]["span_end"]
+        assert rendered[s:e] == got[t]["content"]
+        assert spans[t]["render_md5"] == hashlib.md5(rendered.encode()).hexdigest()
