@@ -38,11 +38,10 @@ def _versions(sketch_dir: str) -> list[int]:
     )
 
 
-def _cms_partial(batch: DataFrame, text_col: str, width: int, depth: int) -> DataFrame:
-    """One micro-batch's Count-Min contribution: (j, pos, c) cells from
-    the whitespace token stream — the same md5-slice cells as
-    operators/sketches.count_min_estimate."""
-    toks = batch.select(
+def _stream_tokens(batch: DataFrame, text_col: str) -> DataFrame:
+    """Whitespace token stream of one micro-batch — shared by the CMS and
+    HLL partials (same tokenization as operators/sketches' callers)."""
+    return batch.select(
         F.explode(
             F.filter(
                 F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
@@ -51,6 +50,13 @@ def _cms_partial(batch: DataFrame, text_col: str, width: int, depth: int) -> Dat
             )
         ).alias("term")
     )
+
+
+def _cms_partial(batch: DataFrame, text_col: str, width: int, depth: int) -> DataFrame:
+    """One micro-batch's Count-Min contribution: (j, pos, c) cells from
+    the whitespace token stream — the same md5-slice cells as
+    operators/sketches.count_min_estimate."""
+    toks = _stream_tokens(batch, text_col)
     h = F.md5(F.col("term"))
     cells = toks.select(
         F.posexplode(
@@ -111,6 +117,67 @@ def stream_count_min(
                 prev.unionByName(part)
                 .groupBy("j", "pos")
                 .agg(F.sum("c").cast("long").alias("c"))
+            )
+        part.write.mode("overwrite").parquet(
+            os.path.join(sketch_dir, f"v{batch_id + 1}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def stream_hll(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    sketch_dir: str,
+    text_col: str = "text",
+):
+    """Incremental HLL distinct-token maintenance: readStream → per-batch
+    (reg, max_rho) partial over the whitespace token stream — the same
+    md5 registers as operators/sketches.hll_register_rho — merged into
+    the persisted registers with bitwise-max (HLL's defining algebraic
+    merge). State is ≤ 256 rows regardless of history; versioning and
+    replay idempotence follow stream_count_min exactly."""
+    from ..operators.sketches import hll_register_rho
+
+    stream = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        vs = _versions(sketch_dir)
+        ahead = [v for v in vs if v > batch_id + 1]
+        if ahead:
+            raise RuntimeError(
+                f"sketch_dir {sketch_dir!r} already holds versions "
+                f"{ahead} beyond v{batch_id + 1}: fresh checkpoint "
+                "against old sketch history — reset checkpoint_dir and "
+                "sketch_dir together (paired unit)."
+            )
+        reg, rho = hll_register_rho(F.col("term"))
+        part = (
+            _stream_tokens(batch, text_col)
+            .select(reg.alias("reg"), rho.alias("rho"))
+            .groupBy("reg")
+            .agg(F.max("rho").alias("max_rho"))
+        )
+        if batch_id > 0:
+            prev = batch.sparkSession.read.parquet(
+                os.path.join(sketch_dir, f"v{batch_id}")
+            )
+            part = (
+                prev.unionByName(part)
+                .groupBy("reg")
+                .agg(F.max("max_rho").alias("max_rho"))
             )
         part.write.mode("overwrite").parquet(
             os.path.join(sketch_dir, f"v{batch_id + 1}")

@@ -250,3 +250,46 @@ def test_stream_count_min_matches_batch(spark, tmp_path):
     assert sum(got.values()) == 9 * 4  # 9 tokens x depth cells
     import os as _os
     assert sorted(_os.listdir(sketch_dir)) == ["v1", "v2"]
+
+
+def test_stream_hll_matches_batch(spark, tmp_path):
+    """Incremental HLL maintenance: after two micro-batches the persisted
+    registers are REGISTER-FOR-REGISTER the batch registers over the
+    union — bitwise-max mergeability through foreachBatch."""
+    import time
+    from datetime import datetime
+
+    import pyspark.sql.functions as F
+
+    from document_quality_assessment_ocr_spark.operators.sketches import (
+        hll_register_rho,
+    )
+    from document_quality_assessment_ocr_spark.streaming.sketches import (
+        _stream_tokens,
+        read_sketch,
+        stream_hll,
+    )
+
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    b1 = [(1, t0, "a b a c"), (2, t0, "b b d")]
+    b2 = [(3, t0, "a e f g"), (4, t0, None)]
+    in_dir = str(tmp_path / "hin")
+    os.makedirs(in_dir)
+    for i, rows in enumerate((b1, b2)):
+        spark.createDataFrame(
+            rows, "doc_id long, ts timestamp, text string"
+        ).coalesce(1).write.parquet(os.path.join(in_dir, f"drop-{i}"))
+        time.sleep(1.1)
+
+    sketch_dir = str(tmp_path / "hsketch")
+    stream_hll(spark, in_dir + "/*", str(tmp_path / "hckpt"), sketch_dir)
+    got = {r["reg"]: r["max_rho"]
+           for r in read_sketch(spark, sketch_dir).collect()}
+    reg, rho = hll_register_rho(F.col("term"))
+    want = {r["reg"]: r["max_rho"]
+            for r in _stream_tokens(spark.read.parquet(in_dir + "/*"), "text")
+            .select(reg.alias("reg"), rho.alias("rho"))
+            .groupBy("reg").agg(F.max("rho").alias("max_rho")).collect()}
+    assert got == want
+    assert 1 <= len(got) <= 7  # 7 distinct tokens, md5 registers may collide
+    assert sorted(os.listdir(sketch_dir)) == ["v1", "v2"]
