@@ -4047,6 +4047,70 @@ _CHAT_SPANS_SQL = f"""
 """
 
 
+def _q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO-style preference pairs from near-dup clusters: within each
+    q31 component of ≥2 docs, chosen = best clamped-Flesch member,
+    rejected = worst (deterministic tie-breaks); equal-score clusters
+    emit nothing."""
+    from document_quality_assessment_ocr_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+    from document_quality_assessment_ocr_spark.operators.sft import (
+        preference_pairs,
+    )
+    from document_quality_assessment_ocr_spark.operators.textstats import (
+        flesch_readability,
+    )
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    clustered = duplicate_clusters(d, n_hashes=8, bands=4)
+    scored = flesch_readability(d).select(
+        "doc_id",
+        F.expr("LEAST(GREATEST(flesch_milli, 0L), 206835L)").alias("cscore"),
+    )
+    return preference_pairs(clustered, scored, score_col="cscore")
+
+
+def _preference_pairs_sql() -> str:
+    """q134 oracle: the shared q31 recursive-CTE components + the q126
+    clamped readability score, best/worst member per cluster via the
+    two ROW_NUMBER orderings the engine's min/max-struct replaces."""
+    return (
+        _clusters_comp_sql()
+        + f"""
+            , alldoc AS (
+                SELECT CAST(doc_id AS BIGINT) AS did FROM documents
+            ), asg AS (
+                SELECT d.did, COALESCE(comp.cid, d.did) AS cid
+                FROM alldoc d LEFT JOIN comp ON comp.did = d.did
+            ), sc AS (
+                SELECT doc_id,
+                       LEAST(GREATEST(flesch_milli, 0), 206835) AS cscore
+                FROM ({_READABILITY_SQL}) r
+            ), jj AS (
+                SELECT asg.cid, asg.did, sc.cscore
+                FROM asg JOIN sc ON sc.doc_id = asg.did
+            ), rk AS (
+                SELECT cid, did, cscore,
+                       ROW_NUMBER() OVER (PARTITION BY cid
+                           ORDER BY cscore DESC, did ASC) AS rb,
+                       ROW_NUMBER() OVER (PARTITION BY cid
+                           ORDER BY cscore ASC, did DESC) AS rw,
+                       COUNT(*) OVER (PARTITION BY cid) AS n
+                FROM jj
+            )
+            SELECT b.cid AS cluster_id, CAST(b.n AS BIGINT) AS n_docs,
+                   b.did AS chosen_id, b.cscore AS chosen_score,
+                   w.did AS rejected_id, w.cscore AS rejected_score
+            FROM (SELECT * FROM rk WHERE rb = 1) b
+            JOIN (SELECT * FROM rk WHERE rw = 1) w ON b.cid = w.cid
+            WHERE b.n >= 2 AND b.cscore > w.cscore
+        """
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's CORRECTNESS gate checks
     the FIRST 50 entries in dict order.  Positions 1-50 therefore carry the
@@ -4186,6 +4250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q131_host_pagerank": _q_host_pagerank,
         "q132_budget_select": _q_budget_select,
         "q133_chat_spans": _q_chat_spans,
+        "q134_preference_pairs": _q_preference_pairs,
         "q11_ngram_jaccard": _q_ngram_jaccard,
         "q58_filtered_topk": _q_filtered_topk,
         "q70_outlinks": _q_outlinks,
@@ -6877,6 +6942,7 @@ def oracle_sql() -> dict[str, str]:
         "q131_host_pagerank": _host_pagerank_sql(3),
         "q132_budget_select": _budget_select_sql(15_000),
         "q133_chat_spans": _CHAT_SPANS_SQL,
+        "q134_preference_pairs": _preference_pairs_sql(),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

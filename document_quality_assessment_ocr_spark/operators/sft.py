@@ -101,6 +101,58 @@ def chat_render_spans(
     )
 
 
+def preference_pairs(
+    clustered: DataFrame,
+    scored: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Preference-pair mining from near-duplicate clusters: within each
+    cluster of ≥2 documents, (chosen, rejected) = the best- and
+    worst-quality members — the cheap preference signal near-dup groups
+    carry (same content, different quality), the DPO-style pair
+    construction a curation pipeline feeds to preference training.
+
+    Ties break deterministically: chosen = highest score then SMALLEST
+    id; rejected = lowest score then LARGEST id. Clusters whose members
+    all share one score carry no signal and emit nothing; chosen and
+    rejected are therefore always distinct documents.
+
+    Scale shape: one join on ``id_col`` (cluster assignment × scores)
+    and ONE cluster-keyed aggregate whose state is two fixed structs +
+    a count per cluster — never a per-cluster window or collect.
+
+    Output: (cluster_col, n_docs, chosen_id, chosen_score, rejected_id,
+    rejected_score).
+    """
+    j = clustered.select(F.col(id_col), F.col(cluster_col)).join(
+        scored.select(F.col(id_col), F.col(score_col)), id_col
+    )
+    # struct ordering: (score, -id) — max → best score then smallest id,
+    # min → worst score then largest id
+    st = F.struct(
+        F.col(score_col).alias("s"),
+        (-F.col(id_col)).alias("nid"),
+        F.col(id_col).alias("i"),
+    )
+    agg = j.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.max(st).alias("ch"),
+        F.min(st).alias("rj"),
+    )
+    return agg.where(
+        (F.col("n_docs") >= 2) & (F.col("ch.s") > F.col("rj.s"))
+    ).select(
+        F.col(cluster_col),
+        F.col("n_docs"),
+        F.col("ch.i").alias("chosen_id"),
+        F.col("ch.s").alias("chosen_score"),
+        F.col("rj.i").alias("rejected_id"),
+        F.col("rj.s").alias("rejected_score"),
+    )
+
+
 def turns_from_lines(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

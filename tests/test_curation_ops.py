@@ -1786,3 +1786,29 @@ def test_chat_render_spans_offsets(spark):
         s, e = spans[t]["span_start"], spans[t]["span_end"]
         assert rendered[s:e] == got[t]["content"]
         assert spans[t]["render_md5"] == hashlib.md5(rendered.encode()).hexdigest()
+
+
+def test_preference_pairs(spark):
+    """Chosen/rejected per multi-doc cluster with deterministic tie-breaks;
+    equal-score clusters and singletons emit nothing."""
+    from document_quality_assessment_ocr_spark.operators.sft import (
+        preference_pairs,
+    )
+
+    clustered = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5)],
+        "doc_id long, cluster_id long",
+    )
+    scored = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 10), (4, 99), (5, 7), (6, 7)],
+        "doc_id long, cscore long",
+    )
+    out = {r["cluster_id"]: r
+           for r in preference_pairs(clustered, scored, "cscore").collect()}
+    # cluster 4: singleton; cluster 5: all-equal scores -> no signal
+    assert sorted(out) == [1]
+    r = out[1]
+    assert (r["chosen_id"], r["chosen_score"]) == (2, 30)
+    # rejected: lowest score 10 shared by docs 1 and 3 -> LARGEST id wins
+    assert (r["rejected_id"], r["rejected_score"]) == (3, 10)
+    assert r["n_docs"] == 3
