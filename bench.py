@@ -293,6 +293,11 @@ def main() -> None:
         "q128_exact_k_sample",
         "q129_shard_checksums",
         "q130_stopgram_blocklist",
+        "q131_host_pagerank",
+        "q132_budget_select",
+        "q133_chat_spans",
+        "q134_preference_pairs",
+        "q135_trim_repeats",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

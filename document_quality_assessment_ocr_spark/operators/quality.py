@@ -406,3 +406,86 @@ def stopgram_blocklist(
         )
         .where(F.col("df_permille") >= F.lit(int(min_df_permille)))
     )
+
+
+def trim_repeated_windows(
+    docs: DataFrame,
+    w: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """WITHIN-document self-repetition trim: every non-first occurrence of
+    a ``w``-token window is removed — the looped-generation / template-echo
+    pathology (a doc repeating its own paragraphs) that corpus-level dedup
+    never sees and Gopher's stats only SCORE; this operator produces the
+    cleaned token stream.
+
+    Exact spec (oracle-mirrored): tokens = whitespace split (original
+    case); window at 1-based position i covers tokens [i, i+w); position
+    i is a REPEAT iff an equal window (md5 of the space-joined w tokens)
+    starts at some j < i in the same document; a token is removed iff any
+    repeat window covers it; kept tokens rejoin with single spaces.
+
+    Scale shape: windows hash map-side (slice + md5 per position); one
+    (doc, window-hash) aggregate finds first occurrences (map-side combine
+    collapses within-doc repeats), one doc-keyed aggregate collects the
+    repeat-start list (bounded by doc length), and the cover test is
+    array-local arithmetic. Cost is linear in corpus tokens; per-doc state
+    is the doc's own repeat list — mega-docs are the q39 justification.
+
+    Output: (id_col, n_tokens, n_repeat_windows, n_tokens_removed,
+    clean_md5) — clean_md5 is md5 of the cleaned text (witness of the
+    cleaned bytes without shipping them through the result compare).
+    """
+    w = int(w)
+    tk = F.filter(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), WS_CLASS + "+"),
+        lambda x: x != F.lit(""),
+    )
+    d = docs.select(F.col(id_col), tk.alias("_tk"))
+    # 1-based window starts; sequence() counts DOWN for an upper bound
+    # < 1, so guard short docs to an empty array
+    starts = F.when(
+        F.size("_tk") >= w,
+        F.expr(f"sequence(1, size(_tk) - {w} + 1)"),
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    grams = d.select(
+        F.col(id_col),
+        F.explode(starts).alias("i"),
+        F.col("_tk"),
+    ).select(
+        F.col(id_col),
+        F.col("i").cast("long").alias("i"),
+        F.md5(F.expr(f"array_join(slice(_tk, i, {w}), ' ')")).alias("h"),
+    )
+    firsts = grams.groupBy(id_col, "h").agg(
+        F.min("i").alias("f"), F.collect_list("i").alias("ii")
+    )
+    rep = firsts.select(
+        F.col(id_col),
+        F.explode(F.filter("ii", lambda x: x > F.col("f"))).alias("r"),
+    )
+    rs = rep.groupBy(id_col).agg(F.sort_array(F.collect_list("r")).alias("_rs"))
+    joined = d.join(rs, id_col, "left").select(
+        F.col(id_col),
+        "_tk",
+        F.coalesce(F.col("_rs"), F.expr("CAST(array() AS array<bigint>)")).alias(
+            "_rs"
+        ),
+    )
+    kept = F.expr(
+        f"""transform(filter(
+                transform(_tk, (t135, i135) -> named_struct(
+                    'tok', t135,
+                    'keep', NOT exists(_rs,
+                        r135 -> i135 + 1 >= r135 AND i135 + 1 < r135 + {w}))),
+                s135 -> s135.keep),
+            k135 -> k135.tok)"""
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("_tk").cast("long").alias("n_tokens"),
+        F.size("_rs").cast("long").alias("n_repeat_windows"),
+        (F.size("_tk") - F.size(kept)).cast("long").alias("n_tokens_removed"),
+        F.md5(F.array_join(kept, " ")).alias("clean_md5"),
+    )

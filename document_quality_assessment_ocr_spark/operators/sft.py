@@ -53,10 +53,18 @@ def chat_render_spans(
         F.col(content_col),
         F.lit(TURN_END),
     )
+    # both windows share (partition, order): one exchange + one sort in
+    # the physical plan — the render md5 rides the cumsum's shuffle
+    # instead of a second aggregate branch + join-back
     w = (
         Window.partitionBy(id_col)
         .orderBy(F.col(turn_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wfull = (
+        Window.partitionBy(id_col)
+        .orderBy(F.col(turn_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     ch = turns.select(
         F.col(id_col),
@@ -67,37 +75,21 @@ def chat_render_spans(
     )
     cs = ch.withColumn(
         "_cum", F.sum(F.length("_chunk")).over(w).cast("long")
-    )
-    rendered = ch.groupBy(id_col).agg(
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col(turn_col), "_chunk"))
-                    ),
-                    lambda x: x["_chunk"],
-                ),
-                "",
-            )
-        ).alias("render_md5")
+    ).withColumn(
+        "render_md5",
+        F.md5(F.array_join(F.collect_list("_chunk").over(wfull), "")),
     )
     start = (
         F.col("_cum")
         - F.length("_chunk")
         + F.length(F.concat(F.lit("<|"), F.col(role_col), F.lit("|>")))
     ).cast("long")
-    return (
-        cs.where(F.col(role_col) == F.lit("assistant"))
-        .join(rendered, id_col)
-        .select(
-            F.col(id_col),
-            F.col(turn_col),
-            start.alias("span_start"),
-            (start + F.length(F.col(content_col)).cast("long")).alias(
-                "span_end"
-            ),
-            "render_md5",
-        )
+    return cs.where(F.col(role_col) == F.lit("assistant")).select(
+        F.col(id_col),
+        F.col(turn_col),
+        start.alias("span_start"),
+        (start + F.length(F.col(content_col)).cast("long")).alias("span_end"),
+        "render_md5",
     )
 
 

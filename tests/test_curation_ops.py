@@ -1812,3 +1812,31 @@ def test_preference_pairs(spark):
     # rejected: lowest score 10 shared by docs 1 and 3 -> LARGEST id wins
     assert (r["rejected_id"], r["rejected_score"]) == (3, 10)
     assert r["n_docs"] == 3
+
+
+def test_trim_repeated_windows(spark):
+    """Non-first w-token windows are removed token-wise; short and
+    repetition-free docs pass through untouched."""
+    from document_quality_assessment_ocr_spark.operators.quality import (
+        trim_repeated_windows,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e a b c d e f"),   # window repeat at pos 6
+            (2, "x y z"),                    # shorter than w
+            (3, "p q r s t u v"),            # no repeats
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in trim_repeated_windows(docs, w=5).collect()}
+    assert out[1]["n_tokens"] == 11
+    assert out[1]["n_repeat_windows"] == 1
+    assert out[1]["n_tokens_removed"] == 5
+    assert out[1]["clean_md5"] == hashlib.md5(b"a b c d e f").hexdigest()
+    assert out[2]["n_tokens_removed"] == 0
+    assert out[3]["n_tokens_removed"] == 0
+    assert out[3]["clean_md5"] == hashlib.md5(b"p q r s t u v").hexdigest()
+    assert out[4]["n_tokens"] == 0
+    assert out[4]["clean_md5"] == hashlib.md5(b"").hexdigest()
