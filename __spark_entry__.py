@@ -4199,8 +4199,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_bigram_lm": _q_bigram_lm,
         "q12_simhash": _q_simhash,
         "q31_dup_clusters": _q_dup_clusters,
-        "q40_chunk_dedup": _q_chunk_dedup,
-        "q44_dedup_keep_best": _q_dedup_keep_best,
+        # SFT/preference construction families (fourth session) — in-window
+        # representatives; two of the six dedup reps (q40/q44) ride 51+
+        "q133_chat_spans": _q_chat_spans,
+        "q134_preference_pairs": _q_preference_pairs,
         "q73_exact_substring": _q_exact_substring,
         "q13_cosine_topk": _q_cosine_topk,
         "q17_ivf_topk": _q_ivf_topk,
@@ -4314,8 +4316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q130_stopgram_blocklist": _q_stopgram_blocklist,
         "q131_host_pagerank": _q_host_pagerank,
         "q132_budget_select": _q_budget_select,
-        "q133_chat_spans": _q_chat_spans,
-        "q134_preference_pairs": _q_preference_pairs,
+        "q40_chunk_dedup": _q_chunk_dedup,
+        "q44_dedup_keep_best": _q_dedup_keep_best,
         "q135_trim_repeats": _q_trim_repeats,
         "q11_ngram_jaccard": _q_ngram_jaccard,
         "q58_filtered_topk": _q_filtered_topk,

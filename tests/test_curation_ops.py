@@ -1840,3 +1840,68 @@ def test_trim_repeated_windows(spark):
     assert out[3]["clean_md5"] == hashlib.md5(b"p q r s t u v").hexdigest()
     assert out[4]["n_tokens"] == 0
     assert out[4]["clean_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_trim_repeated_windows_fuzz_vs_python(spark):
+    """Seeded random low-vocab corpus (forces plenty of window repeats):
+    engine counts + cleaned-text md5 equal a pure-python scan."""
+    import random
+
+    from document_quality_assessment_ocr_spark.operators.quality import (
+        trim_repeated_windows,
+    )
+
+    rng = random.Random(4242)
+    vocab = ["a", "b", "c"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25))))
+        for i in range(60)
+    ]
+    w = 3
+    got = {r["doc_id"]: (r["n_tokens"], r["n_repeat_windows"],
+                         r["n_tokens_removed"], r["clean_md5"])
+           for r in trim_repeated_windows(
+               spark.createDataFrame(rows, "doc_id long, text string"), w=w
+           ).collect()}
+    want = {}
+    for i, text in rows:
+        toks = text.split()
+        seen, reps = {}, []
+        for p in range(len(toks) - w + 1):
+            g = " ".join(toks[p:p + w])
+            if g in seen:
+                reps.append(p + 1)  # 1-based
+            else:
+                seen[g] = p + 1
+        covered = {j for r in reps for j in range(r, r + w)}
+        kept = [t for j, t in enumerate(toks, 1) if j not in covered]
+        want[i] = (len(toks), len(reps), len(toks) - len(kept),
+                   hashlib.md5(" ".join(kept).encode()).hexdigest())
+    assert got == want
+    assert any(v[2] > 0 for v in want.values())  # fuzz actually trimmed
+
+
+def test_budget_select_fuzz_vs_python(spark):
+    """Seeded random scores/tokens across many score buckets: engine
+    cum_tokens/kept equal a pure-python sort + prefix sum."""
+    import random
+
+    from document_quality_assessment_ocr_spark.operators.curriculum import (
+        budget_select,
+    )
+
+    rng = random.Random(99)
+    rows = [(i, rng.randint(0, 9999), rng.randint(0, 50)) for i in range(200)]
+    budget = 2000
+    got = {r["doc_id"]: (r["cum_tokens"], r["kept"])
+           for r in budget_select(
+               spark.createDataFrame(rows, "doc_id long, s long, n_tokens long"),
+               budget, score_col="s", bucket_width=1000,
+           ).collect()}
+    want, acc = {}, 0
+    for i, s, t in sorted(rows, key=lambda x: (-x[1], x[0])):
+        acc += t
+        want[i] = (acc, acc <= budget)
+    assert got == want
+    ks = [v[1] for v in want.values()]
+    assert any(ks) and not all(ks)  # boundary genuinely exercised
