@@ -4176,6 +4176,53 @@ def _trim_repeats_sql(w: int = 3) -> str:
     """
 
 
+def _q_ict_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICT query/context pretext pairs: md5-picked 10-token group vs the
+    rest of the document — one codegen projection, zero shuffle."""
+    from document_quality_assessment_ocr_spark.operators.augment import (
+        ict_pairs,
+    )
+
+    return ict_pairs(
+        _doc(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        ),
+        span_tokens=10,
+    )
+
+
+def _ict_pairs_sql(s: int = 10) -> str:
+    """q136 oracle: the q110 md5-cut idiom with group tiling — 60-bit md5
+    mod n_groups pick, DuckDB inclusive slices + list concat, COALESCE'd
+    ARRAY_TO_STRING."""
+    return f"""
+        WITH d AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(
+                       TRIM(COALESCE(text,'')), '{WS}+'), x -> x <> '') AS a
+            FROM documents
+        ), c AS (
+            SELECT doc_id, a, CAST(LEN(a) AS BIGINT) AS n,
+                   (CAST(LEN(a) AS BIGINT) + {s} - 1) // {s} AS n_groups
+            FROM d
+        ), p AS (
+            SELECT doc_id, a, n, n_groups,
+                   CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)
+                        || '|ict{s}'), 1, 15)) AS BIGINT) % n_groups AS pick
+            FROM c WHERE n_groups >= 2
+        )
+        SELECT doc_id, n AS n_tokens, n_groups, pick,
+               COALESCE(ARRAY_TO_STRING(
+                   a[CAST(pick * {s} + 1 AS INT)
+                     : CAST(pick * {s} + {s} AS INT)], ' '), '') AS query,
+               COALESCE(ARRAY_TO_STRING(
+                   a[1 : CAST(pick * {s} AS INT)]
+                   || a[CAST(pick * {s} + {s} + 1 AS INT) : CAST(n AS INT)],
+                   ' '), '') AS context
+        FROM p
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's CORRECTNESS gate checks
     the FIRST 50 entries in dict order.  Positions 1-50 therefore carry the
@@ -4319,6 +4366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_chunk_dedup": _q_chunk_dedup,
         "q44_dedup_keep_best": _q_dedup_keep_best,
         "q135_trim_repeats": _q_trim_repeats,
+        "q136_ict_pairs": _q_ict_pairs,
         "q11_ngram_jaccard": _q_ngram_jaccard,
         "q58_filtered_topk": _q_filtered_topk,
         "q70_outlinks": _q_outlinks,
@@ -7012,6 +7060,7 @@ def oracle_sql() -> dict[str, str]:
         "q133_chat_spans": _CHAT_SPANS_SQL,
         "q134_preference_pairs": _preference_pairs_sql(),
         "q135_trim_repeats": _trim_repeats_sql(3),
+        "q136_ict_pairs": _ict_pairs_sql(10),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

@@ -298,6 +298,7 @@ def main() -> None:
         "q133_chat_spans",
         "q134_preference_pairs",
         "q135_trim_repeats",
+        "q136_ict_pairs",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

@@ -86,3 +86,54 @@ def fim_split(
         middle.alias("middle"),
         suffix.alias("suffix"),
     )
+
+
+def ict_pairs(
+    docs: DataFrame,
+    span_tokens: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Inverse-Cloze-Task pairs (Lee et al. 2019, ORQA §3.1): the
+    self-supervised retrieval pretext — ``query`` = one
+    ``span_tokens``-token group of the document picked deterministically
+    (60-bit md5 of the id mod the group count, replay/retry-stable), and
+    ``context`` = the document with that group removed. Documents with
+    fewer than two groups emit nothing (no non-empty context exists).
+
+    Groups tile the token stream: group g covers tokens
+    [g·span+1, (g+1)·span] 1-based, the last group possibly short —
+    the same tiling as the q133 chat-turn synthesis.
+
+    Scale shape: one codegen projection, zero shuffle (the FIM contract).
+
+    Output: (id_col, n_tokens, n_groups, pick, query, context).
+    """
+    s = int(span_tokens)
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), WS_CLASS + "+"),
+        lambda x: x != F.lit(""),
+    )
+    base = docs.select(F.col(id_col), toks.alias("tk"))
+    n = F.size(F.col("tk")).cast("long")
+    n_groups = F.expr(f"(size(tk) + {s} - 1) DIV {s}").cast("long")
+    pick = _md5_mod(F.col(id_col), f"ict{s}", n_groups)
+    q = F.slice(F.col("tk"), (pick * s + 1).cast("int"), s)
+    tail_len = F.greatest(n - (pick * s + s), F.lit(0).cast("long"))
+    ctx = F.concat(
+        F.slice(F.col("tk"), 1, (pick * s).cast("int")),
+        F.slice(
+            F.col("tk"), (pick * s + s + 1).cast("int"), tail_len.cast("int")
+        ),
+    )
+    return (
+        base.where(n_groups >= 2)
+        .select(
+            F.col(id_col),
+            n.alias("n_tokens"),
+            n_groups.alias("n_groups"),
+            pick.alias("pick"),
+            F.array_join(q, " ").alias("query"),
+            F.array_join(ctx, " ").alias("context"),
+        )
+    )

@@ -1905,3 +1905,30 @@ def test_budget_select_fuzz_vs_python(spark):
     assert got == want
     ks = [v[1] for v in want.values()]
     assert any(ks) and not all(ks)  # boundary genuinely exercised
+
+
+def test_ict_pairs(spark):
+    """ICT pick is md5-deterministic; query+context partition the token
+    stream; sub-2-group docs emit nothing."""
+    from document_quality_assessment_ocr_spark.operators.augment import (
+        ict_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(25))),   # 3 groups (last short)
+         (2, "a b c"),                                  # 1 group -> dropped
+         (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ict_pairs(docs, span_tokens=10).collect()}
+    assert sorted(out) == [1]
+    r = out[1]
+    assert r["n_tokens"] == 25 and r["n_groups"] == 3
+    toks = [f"t{i}" for i in range(25)]
+    g = int(r["pick"])
+    assert r["query"] == " ".join(toks[g * 10:(g + 1) * 10])
+    assert r["context"] == " ".join(toks[:g * 10] + toks[(g + 1) * 10:])
+    # query tokens + context tokens == the document, order preserved
+    assert sorted(r["query"].split() + r["context"].split()) == sorted(toks)
+    again = ict_pairs(docs, span_tokens=10).collect()[0]
+    assert again["pick"] == r["pick"]
