@@ -193,6 +193,67 @@ def stream_hll(
     return q
 
 
+def stream_bloom(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    sketch_dir: str,
+    text_col: str = "text",
+    n_words: int = 64,
+    k: int = 3,
+):
+    """Incremental Bloom-filter maintenance: per-batch word bitmap over the
+    whitespace token stream — the same md5 bit positions as
+    operators/bloom.bloom_build — merged into the persisted filter with
+    bit_or (Bloom's defining algebraic merge). State is ≤ ``n_words``
+    rows regardless of history; versioning and replay idempotence follow
+    stream_count_min exactly. Completes the module contract: every sketch
+    in operators/sketches+bloom (CMS cells, HLL registers, Bloom words)
+    has an incremental twin."""
+    from ..operators.bloom import bloom_build
+
+    stream = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        vs = _versions(sketch_dir)
+        ahead = [v for v in vs if v > batch_id + 1]
+        if ahead:
+            raise RuntimeError(
+                f"sketch_dir {sketch_dir!r} already holds versions "
+                f"{ahead} beyond v{batch_id + 1}: fresh checkpoint "
+                "against old sketch history — reset checkpoint_dir and "
+                "sketch_dir together (paired unit)."
+            )
+        part = bloom_build(
+            _stream_tokens(batch, text_col), "term", n_words=n_words, k=k
+        )
+        if batch_id > 0:
+            prev = batch.sparkSession.read.parquet(
+                os.path.join(sketch_dir, f"v{batch_id}")
+            )
+            part = (
+                prev.unionByName(part)
+                .groupBy("word_idx")
+                .agg(F.bit_or("bits").alias("bits"))
+            )
+        part.write.mode("overwrite").parquet(
+            os.path.join(sketch_dir, f"v{batch_id + 1}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def read_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
     """Current (highest-version) persisted sketch."""
     vs = _versions(sketch_dir)

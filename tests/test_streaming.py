@@ -293,3 +293,51 @@ def test_stream_hll_matches_batch(spark, tmp_path):
     assert got == want
     assert 1 <= len(got) <= 7  # 7 distinct tokens, md5 registers may collide
     assert sorted(os.listdir(sketch_dir)) == ["v1", "v2"]
+
+
+def test_stream_bloom_matches_batch(spark, tmp_path):
+    """Incremental Bloom maintenance: after two micro-batches the persisted
+    word bitmap is WORD-FOR-WORD the batch bitmap over the union —
+    bit_or mergeability through foreachBatch — and probing it yields no
+    false negatives."""
+    import time
+    from datetime import datetime
+
+    from document_quality_assessment_ocr_spark.operators.bloom import (
+        bloom_build, bloom_probe,
+    )
+    from document_quality_assessment_ocr_spark.streaming.sketches import (
+        _stream_tokens,
+        read_sketch,
+        stream_bloom,
+    )
+
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    b1 = [(1, t0, "a b a c"), (2, t0, "b b d")]
+    b2 = [(3, t0, "a e f"), (4, t0, "")]
+    in_dir = str(tmp_path / "bin")
+    os.makedirs(in_dir)
+    for i, rows in enumerate((b1, b2)):
+        spark.createDataFrame(
+            rows, "doc_id long, ts timestamp, text string"
+        ).coalesce(1).write.parquet(os.path.join(in_dir, f"drop-{i}"))
+        time.sleep(1.1)
+
+    sketch_dir = str(tmp_path / "bsketch")
+    stream_bloom(spark, in_dir + "/*", str(tmp_path / "bckpt"), sketch_dir,
+                 n_words=8, k=3)
+    got = {r["word_idx"]: r["bits"]
+           for r in read_sketch(spark, sketch_dir).collect()}
+    want = {r["word_idx"]: r["bits"]
+            for r in bloom_build(
+                _stream_tokens(spark.read.parquet(in_dir + "/*"), "text"),
+                "term", n_words=8, k=3).collect()}
+    assert got == want
+    probes = spark.createDataFrame(
+        [("a",), ("e",), ("zz_unseen",)], "term string")
+    verdicts = {r["term"]: r["bloom_maybe"]
+                for r in bloom_probe(probes, "term",
+                                     read_sketch(spark, sketch_dir),
+                                     n_words=8, k=3).collect()}
+    assert verdicts["a"] and verdicts["e"]  # members: never a false negative
+    assert sorted(os.listdir(sketch_dir)) == ["v1", "v2"]
