@@ -23,6 +23,17 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _check_bucket_ids(counts: dict) -> None:
+    """The literal-map lookup casts the bucket id to int32 — ids outside
+    [0, 2^31) would silently miss the map. Fail loudly instead."""
+    for k in counts:
+        if not 0 <= k < 2**31:
+            raise ValueError(
+                f"bucket id {k} outside int32 range — score_col must be a "
+                "non-negative fixed-point integer (clamp/scale first)"
+            )
+
+
 def curriculum_order(
     scored: DataFrame,
     score_col: str,
@@ -36,6 +47,13 @@ def curriculum_order(
     score; negative values would hit the Spark-DIV-vs-DuckDB-floor
     divergence and unbound the bucket domain — clamp first).
 
+    ``scored`` must be DETERMINISTIC across jobs: bucket counts are
+    collected in one job and the window pass recomputes the input in a
+    second — a non-deterministic upstream (an unpersisted sample, a
+    rand() column) would make the offsets inconsistent with the ranks.
+    Persist such inputs first (same contract as the literal-map queries,
+    q124/q126).
+
     Output: (id_col, score_col, rank, epoch); rank is 0-based and dense
     across the corpus, epoch = rank % n_epochs.
     """
@@ -46,6 +64,7 @@ def curriculum_order(
         int(r["_b"]): int(r["c"])
         for r in d.groupBy("_b").agg(F.count(F.lit(1)).alias("c")).collect()
     }
+    _check_bucket_ids(counts)
     offset, acc = {}, 0
     for k in sorted(counts, reverse=True):  # higher score bucket ranks first
         offset[k] = acc
@@ -89,7 +108,8 @@ def budget_select(
     sum is bucket token offsets (bounded collect, <= score_domain /
     bucket_width rows) + a bucket-partitioned running SUM window — never
     a global ORDER BY window. ``score_col`` and ``tokens_col`` must be
-    non-negative integers.
+    non-negative integers, and ``scored`` deterministic across jobs
+    (see :func:`curriculum_order`).
 
     Output: (id_col, score_col, tokens_col, cum_tokens, kept);
     cum_tokens is the inclusive global prefix sum in selection order.
@@ -106,6 +126,7 @@ def budget_select(
         int(r["_b"]): int(r["t"])
         for r in d.groupBy("_b").agg(F.sum(tokens_col).alias("t")).collect()
     }
+    _check_bucket_ids(totals)
     offset, acc = {}, 0
     for k in sorted(totals, reverse=True):  # higher score bucket first
         offset[k] = acc

@@ -807,6 +807,11 @@ def incremental_dedup_flags(
     Output: one row per new doc — (id_col, n_candidates, best_match_id,
     best_agree_milli, is_dup); docs with no candidates row out with
     zeros/NULL and is_dup = false.
+
+    ``id_col`` contract: ids must be castable to BIGINT — the winner's
+    ``best_match_id`` surfaces as a long (the q123 oracle twin hashes an
+    integer column). String-keyed corpora should pre-map ids to a dense
+    integer surrogate (or md5-fold them) before calling.
     """
     assert n_hashes % bands == 0
     rows = n_hashes // bands

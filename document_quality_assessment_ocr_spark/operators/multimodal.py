@@ -153,9 +153,49 @@ def image_thumbnails(payloads: DataFrame, max_size: int = 128) -> DataFrame:
 
 
 def decode_audio(payload: bytes) -> np.ndarray:
-    """STUB: no audio codec ships in this container. A real deployment plugs
-    soundfile/ffmpeg here; the Spark-side contract is `bytes → float32 PCM`."""
-    raise NotImplementedError("audio decoding requires a codec library (not in container)")
+    """REAL decode for PCM WAV containers (RIFF/WAVE) — the most common
+    raw-capture format needs no codec library: stdlib ``wave`` parses the
+    container, numpy dequantizes. Returns mono float32 PCM in [-1, 1)
+    (multi-channel inputs downmix by per-sample mean in float64 before the
+    float32 cast, so the downmix is order-exact). Supports 8-bit unsigned,
+    16/32-bit signed little-endian, and 24-bit packed PCM. Compressed
+    formats (mp3/ogg/flac) still need a codec library — a real deployment
+    swaps in soundfile/ffmpeg; the Spark-side contract stays
+    `bytes → float32 PCM`."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        nch = w.getnchannels()
+        sw = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if sw == 1:
+        arr = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif sw == 2:
+        arr = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+    elif sw == 3:
+        b = np.frombuffer(raw, np.uint8).reshape(-1, 3).astype(np.int32)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        arr = v.astype(np.float32) / 8388608.0
+    elif sw == 4:
+        arr = np.frombuffer(raw, "<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported PCM sample width: {sw}")
+    if nch > 1:
+        arr = arr.reshape(-1, nch).astype(np.float64).mean(axis=1).astype(np.float32)
+    return arr
+
+
+def wav_frame_rms_values(payload: bytes, frame: int, decoder=None) -> list[float]:
+    """Per-frame RMS of a decoded payload — the SHARED pure function: the
+    engine's ``audio_frame_rms`` mapInPandas UDF and the q137 oracle-literal
+    builder both call THIS (the oracle-literal invariant: engine and
+    generator must run identical float operations)."""
+    pcm = (decoder or decode_audio)(payload)
+    n_frames = len(pcm) // frame
+    fr = pcm[: n_frames * frame].reshape(n_frames, frame)
+    return [float(x) for x in np.sqrt((fr * fr).mean(axis=1))]
 
 
 def _fake_pcm(payload: bytes, n: int = 4096) -> np.ndarray:
@@ -167,20 +207,23 @@ def _fake_pcm(payload: bytes, n: int = 4096) -> np.ndarray:
 
 def audio_frame_rms(payloads: DataFrame, frame: int = 512, use_fake_decoder: bool = True) -> DataFrame:
     """Frame-sample an audio payload and emit per-frame RMS — the canonical
-    'decode → window → feature' audio shape, exercised with the deterministic
-    fake decoder (real decoder: swap ``decode_audio`` in)."""
+    'decode → window → feature' audio shape. ``use_fake_decoder=False`` is
+    the REAL path (stdlib-``wave`` PCM WAV decode); the deterministic fake
+    remains as the test seam for non-WAV payload fixtures. Undecodable
+    payloads emit no rows (same exclusion semantics as q57's error rows)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dec = _fake_pcm if use_fake_decoder else decode_audio
         for pdf in batches:
             refs, idxs, rmss = [], [], []
             for ref, data in zip(pdf["media_ref"], pdf["png"]):
-                pcm = _fake_pcm(bytes(data)) if use_fake_decoder else decode_audio(bytes(data))
-                n_frames = len(pcm) // frame
-                fr = pcm[: n_frames * frame].reshape(n_frames, frame)
-                rms = np.sqrt((fr * fr).mean(axis=1))
-                refs += [ref] * n_frames
-                idxs += list(range(n_frames))
-                rmss += [float(x) for x in rms]
+                try:
+                    rms = wav_frame_rms_values(bytes(data), frame, decoder=dec)
+                except Exception:
+                    continue  # undecodable payload → no rows
+                refs += [ref] * len(rms)
+                idxs += list(range(len(rms)))
+                rmss += rms
             yield pd.DataFrame({"media_ref": refs, "frame_idx": idxs, "rms": rmss})
 
     return payloads.select("media_ref", "png").mapInPandas(gen, AUDIO_FRAME_SCHEMA)

@@ -301,15 +301,15 @@ def heavy_hitters_verified(
     )
 
     def _est(col: Column) -> Column:
-        return F.least(
-            *[
-                F.coalesce(
-                    F.element_at(mexpr, (F.lit(j * width) + c).cast("int")),
-                    F.lit(0),
-                )
-                for j, c in enumerate(_cells(col))
-            ]
-        ).cast("long")
+        ests = [
+            F.coalesce(
+                F.element_at(mexpr, (F.lit(j * width) + c).cast("int")),
+                F.lit(0),
+            )
+            for j, c in enumerate(_cells(col))
+        ]
+        # F.least requires >= 2 columns; depth=1 is the single-cell estimate
+        return (ests[0] if len(ests) == 1 else F.least(*ests)).cast("long")
 
     heavy_occ = toks.where(_est(F.col("term")) >= F.lit(int(threshold)))
     return (

@@ -256,6 +256,69 @@ def payload_names() -> list[str]:
     return _OK_PAYLOADS + _BAD_PAYLOADS + ["corrupt"]
 
 
+def build_wav_payloads(seed: int = 42, n_samples: int = 4096, rate: int = 8000) -> dict:
+    """name → PCM WAV bytes: the seeded AUDIO payload catalog (the audio
+    analog of :func:`build_payloads`). One payload per decode/feature mode:
+    sine tones at two levels, seeded white noise, silence, a linear ramp, a
+    stereo pair (downmix path), an 8-bit payload (dequant path), and one
+    deliberately corrupt container (error-row path). All synthesis is
+    integer-quantized before encode, so decode→RMS is bit-deterministic —
+    the q137 oracle builder embeds values computed by the SAME
+    ``wav_frame_rms_values`` the engine's mapInPandas calls."""
+    import io
+    import wave
+
+    def enc(samples: np.ndarray, nch: int = 1, sampwidth: int = 2) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(sampwidth)
+            w.setframerate(rate)
+            w.writeframes(samples.tobytes())
+        return buf.getvalue()
+
+    rng = np.random.default_rng(seed)
+    t = np.arange(n_samples, dtype=np.float64)
+
+    def sine16(freq: float, amp: float) -> np.ndarray:
+        return np.clip(
+            np.round(np.sin(2 * np.pi * freq * t / rate) * amp * 32767.0),
+            -32768, 32767,
+        ).astype("<i2")
+
+    cat: dict[str, bytes] = {}
+    cat["tone_440"] = enc(sine16(440.0, 0.8))
+    cat["tone_1k_quiet"] = enc(sine16(1000.0, 0.05))
+    cat["noise_white"] = enc(
+        np.clip(np.round(rng.standard_normal(n_samples) * 0.2 * 32767.0),
+                -32768, 32767).astype("<i2")
+    )
+    cat["silence"] = enc(np.zeros(n_samples, dtype="<i2"))
+    cat["ramp"] = enc(
+        np.round(np.linspace(-0.9, 0.9, n_samples) * 32767.0).astype("<i2")
+    )
+    stereo = np.empty(n_samples * 2, dtype="<i2")
+    stereo[0::2] = sine16(440.0, 0.6)
+    stereo[1::2] = sine16(660.0, 0.3)
+    cat["stereo_tones"] = enc(stereo, nch=2)
+    cat["tone_8bit"] = enc(
+        np.clip(np.round(np.sin(2 * np.pi * 220.0 * t / rate) * 0.5 * 127.0)
+                + 128, 0, 255).astype(np.uint8),
+        sampwidth=1,
+    )
+    cat["corrupt_wav"] = b"RIFF....WAVEnot-actually-a-wav"
+    return cat
+
+
+def wav_payload_names() -> list[str]:
+    """WAV catalog keys without synthesizing any samples (same contract as
+    :func:`payload_names`; lockstep-tested)."""
+    return [
+        "tone_440", "tone_1k_quiet", "noise_white", "silence", "ramp",
+        "stereo_tones", "tone_8bit", "corrupt_wav",
+    ]
+
+
 def build_corpus(
     n_docs: int = 60,
     seed: int = 42,

@@ -49,9 +49,55 @@ def test_audio_frame_rms_fake_decoder(payloads):
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
 
 
-def test_real_audio_decode_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        mm.decode_audio(b"RIFF....WAVE")
+def test_real_wav_decode_roundtrip():
+    """decode_audio is REAL for PCM WAV: 16-bit roundtrip is exact to 1 LSB,
+    stereo downmixes by mean, 8-bit dequantizes around 128, corrupt raises."""
+    from document_quality_assessment_ocr_spark.sources.fixtures import (
+        build_wav_payloads,
+        wav_payload_names,
+    )
+
+    cat = build_wav_payloads()
+    assert sorted(cat) == sorted(wav_payload_names())  # lockstep contract
+    pcm = mm.decode_audio(cat["ramp"])
+    assert pcm.dtype == np.float32 and len(pcm) == 4096
+    assert abs(pcm[0] - (-0.9)) < 1e-3 and abs(pcm[-1] - 0.9) < 1e-3
+    assert float(np.abs(mm.decode_audio(cat["silence"])).max()) == 0.0
+    # stereo downmix = mean of a 0.6-amp and 0.3-amp tone → RMS between them
+    st = mm.decode_audio(cat["stereo_tones"])
+    assert len(st) == 4096
+    # 8-bit path: 220 Hz half-amp tone, RMS ≈ 0.5/sqrt(2)
+    a8 = mm.decode_audio(cat["tone_8bit"])
+    assert abs(float(np.sqrt((a8.astype(np.float64) ** 2).mean())) - 0.3536) < 0.02
+    with pytest.raises(Exception):
+        mm.decode_audio(cat["corrupt_wav"])
+
+
+def test_audio_frame_rms_real_decoder(spark):
+    """The real path end-to-end: WAV catalog → mapInPandas decode → per-frame
+    RMS; values match the shared pure function exactly; corrupt payload
+    contributes no rows."""
+    from document_quality_assessment_ocr_spark.sources.fixtures import build_wav_payloads
+
+    cat = build_wav_payloads()
+    df = spark.createDataFrame(
+        [(n, bytearray(b)) for n, b in sorted(cat.items())],
+        "media_ref string, png binary",
+    )
+    out = mm.audio_frame_rms(df, frame=512, use_fake_decoder=False).collect()
+    by_ref = {}
+    for r in out:
+        by_ref.setdefault(r["media_ref"], {})[r["frame_idx"]] = r["rms"]
+    assert "corrupt_wav" not in by_ref
+    assert set(by_ref) == set(cat) - {"corrupt_wav"}
+    for name in by_ref:
+        expected = mm.wav_frame_rms_values(cat[name], 512)
+        assert len(by_ref[name]) == len(expected) == 8
+        for i, v in enumerate(expected):
+            assert by_ref[name][i] == v  # bit-exact: same shared function
+    # sanity on magnitudes: full-scale tone ≈ 0.8/sqrt(2), silence = 0
+    assert abs(by_ref["tone_440"][0] - 0.8 / np.sqrt(2)) < 0.01
+    assert by_ref["silence"][0] == 0.0
 
 
 def test_video_frame_sample_stride_and_errors(spark):
