@@ -305,6 +305,16 @@ def duplicate_clusters(
     round is two hash joins + one min-aggregate on the vertex id.
     ``max_iter`` is a backstop only.
 
+    Each round ``localCheckpoint(eager=True)``s the new labels — the other
+    half of the iterative idiom: without it the composed round plans grow
+    linearly deep and the ANALYZER cost (not execution — blocks were fully
+    cached) is re-paid by every downstream action (measured: ~9 s to plan a
+    count over 500 cached rows after ~10 rounds; flat after truncation).
+    One eager job per round was already being paid by the convergence
+    aggregate, so truncation is free. On clusters with executor churn,
+    swap in reliable ``checkpoint()`` with a checkpoint dir — localCheckpoint
+    blocks die with their executor.
+
     ``candidates`` defaults to :func:`minhash_lsh_pairs` on the same
     parameters. Singleton documents cluster to themselves."""
     pairs = (
@@ -317,7 +327,9 @@ def duplicate_clusters(
         .unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .persist()
     )
-    labels = docs.select(F.col(id_col).alias("id"), F.col(id_col).alias("label")).persist()
+    labels = docs.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
     prev_sum = None
     try:
         for _ in range(max_iter):
@@ -332,16 +344,18 @@ def duplicate_clusters(
             jump = stepped.select(
                 F.col("id").alias("_jid"), F.col("label").alias("_jlabel")
             )
+            # eager localCheckpoint: materializes this round AND truncates
+            # the logical plan so analyzer cost stays O(1) per round (see
+            # docstring); old round blocks are freed by the ContextCleaner
             new_labels = (
                 stepped.join(jump, stepped["label"] == jump["_jid"])
                 .select("id", F.least("label", "_jlabel").alias("label"))
-            ).persist()
+            ).localCheckpoint(eager=True)
             # labels only decrease, so an unchanged sum ⇔ a fixpoint — one
             # aggregate action per round instead of a join + count
             cur_sum = new_labels.agg(
                 F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
             ).collect()[0]["s"]
-            labels.unpersist()
             labels = new_labels
             if cur_sum == prev_sum:
                 break
