@@ -4281,48 +4281,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the FIRST 50 entries in dict order.  Positions 1-50 therefore carry the
     flagship extraction queries plus one representative of every operator
     family; redundant narrow variants ride positions 51+ and are audited by
-    scripts/check_queries.py → CHECKS.md instead (round-2 verdict item #1)."""
+    scripts/check_queries.py → CHECKS.md instead (round-2 verdict item #1).
+
+    ROTATION POLICY (round-4 verdict item #6): each round, ~15 window seats
+    swap with their positions-51+ family siblings (q90-q92 stay pinned;
+    every family keeps >= 1 in-window rep) so every registry entry cycles
+    through the driver's hard gate across rounds. Round 4 rotated IN:
+    q52/q59/q75/q100/q105/q110/q111/q114/q116/q119/q120/q123/q130/q132/q135,
+    rotating their siblings q01/q02/q06/q12/q17/q27/q31/q33/q34/q39/q54/
+    q71/q78/q126/q133 to the CHECKS.md audit path."""
     return {
         # -- driver window (first 50): flagship + family representatives --
         "q90_extract_full": _q_extract_full,
         "q91_extract_metrics": _q_extract_metrics,
         "q92_main_content": _q_main_content,
-        "q01_text_density": _q_text_density,
-        "q02_token_count": _q_token_count,
+        "q52_normalize_text": _q_normalize_text,
+        "q116_readability": _q_readability,
         "q03_fingerprint_dedup": _q_fingerprint_dedup,
         "q04_agg_modes": _q_agg_modes,
         "q05_verdict_fold": _q_verdict_fold,
-        "q06_dedup_last_wins": _q_dedup_last_wins,
+        "q123_incremental_dedup": _q_incremental_dedup,
         "q07_reassembly": _q_reassembly,
         "q08_metrics_rollup": _q_metrics_rollup,
         "q10_minhash_lsh_pairs": _q_lsh_pairs,
         "q121_bigram_lm": _q_bigram_lm,
-        "q12_simhash": _q_simhash,
-        "q31_dup_clusters": _q_dup_clusters,
-        # SFT/preference construction families (fourth session) — in-window
-        # representatives; two of the six dedup reps (q40/q44) ride 51+
-        "q133_chat_spans": _q_chat_spans,
+        "q105_simhash_pairs": _q_simhash_pairs,
+        "q100_soft_dedup": _q_soft_dedup,
+        # SFT/preference construction families — q110 (FIM) took the SFT
+        # seat from q133 in the round-4 rotation; q134 stays (the heaviest
+        # composite deserves the hard gate)
+        "q110_fim_split": _q_fim_split,
         "q134_preference_pairs": _q_preference_pairs,
         "q73_exact_substring": _q_exact_substring,
         "q13_cosine_topk": _q_cosine_topk,
-        "q17_ivf_topk": _q_ivf_topk,
+        "q119_ann_recall": _q_ann_recall,
         "q46_pq_topk": _q_pq_topk,
         "q124_heavy_hitters": _q_heavy_hitters,
-        "q78_semdedup": _q_semdedup,
+        "q111_d4_prune": _q_d4_prune,
         "q76_phash_near_dup": _q_phash_near_dup,
-        "q33_repetition": _q_repetition,
-        "q34_decontam": _q_decontam,
+        "q135_trim_repeats": _q_trim_repeats,
+        "q114_fuzzy_decontam": _q_fuzzy_decontam,
         "q35_hll_distinct": _q_hll,
-        "q39_top_terms": _q_top_terms,
+        "q130_stopgram_blocklist": _q_stopgram_blocklist,
         "q41_quantile_sketch": _q_quantile_sketch,
         "q42_bloom_decontam": _q_bloom_decontam,
         "q43_count_min": _q_count_min,
-        "q54_tokenize_ids": _q_tokenize_ids,
+        "q75_bpe_tokenize": _q_bpe_tokenize,
         "q67_surprisal": _q_surprisal,
-        "q71_inverted_index": _q_inverted_index,
+        "q120_phrase_search": _q_phrase_search,
         "q63_html_main": _q_html_main,
         "q66_host_stats": _q_host_stats,
-        "q126_curriculum": _q_curriculum,
+        "q132_budget_select": _q_budget_select,
         "q83_host_policy": _q_host_policy,
         "q74_bpe_merges": _q_bpe_merges,
         "q64_cdc_upsert": _q_cdc_upsert,
@@ -4330,7 +4339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_gopher_filter": _q_gopher_filter,
         "q93_curation_v4": _q_curation_v4,
         "q94_dsir_resample": _q_dsir_resample,
-        "q27_sessionize": _q_sessionize,
+        "q59_session_attribution": _q_session_attribution,
         "q36_asof_join": _q_asof_join,
         "q49_sequence_packing": _q_sequence_packing,
         "q77_mixture_sample": _q_mixture_sample,
@@ -4340,7 +4349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_curation_v3": _q_curation_v3,
         "q09_minhash_signatures": _q_minhash,
         "q65_url_normalize": _q_url_normalize,
-        "q75_bpe_tokenize": _q_bpe_tokenize,
+        "q54_tokenize_ids": _q_tokenize_ids,
         "q82_robots_rules": _q_robots_rules,
         "q25_lsh_jaccard": _q_lsh_jaccard,
         "q14_doc_stats": _q_doc_stats,
@@ -4365,10 +4374,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_sq_int8": _q_sq_int8,
         "q50_regional_revenue": _q_regional_revenue,
         "q51_pq_refined": _q_pq_refined,
-        "q52_normalize_text": _q_normalize_text,
+        "q01_text_density": _q_text_density,
         "q53_pii_scrub": _q_pii_scrub,
         "q55_profile_table": _q_profile_table,
-        "q59_session_attribution": _q_session_attribution,
+        "q27_sessionize": _q_sessionize,
         "q60_deterministic_shuffle": _q_deterministic_shuffle,
         "q61_length_batches": _q_length_batches,
         "q62_html_blocks": _q_html_blocks,
@@ -4386,39 +4395,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_split_assign": _q_split_assign,
         "q97_corpus_card": _q_corpus_card,
         "q99_chunk_manifest": _q_chunk_manifest,
-        "q100_soft_dedup": _q_soft_dedup,
+        "q31_dup_clusters": _q_dup_clusters,
         "q101_winnow_overlap": _q_winnow_overlap,
         "q102_rrf_hybrid": _q_rrf_hybrid,
         "q103_chunk_profile": _q_chunk_profile,
         "q104_corpus_line_dedup": _q_corpus_line_dedup,
-        "q105_simhash_pairs": _q_simhash_pairs,
+        "q12_simhash": _q_simhash,
         "q106_unimax_sample": _q_unimax_sample,
         "q107_prototype_prune": _q_prototype_prune,
         "q108_domain_quality": _q_domain_quality,
         "q109_ngram_novelty": _q_ngram_novelty,
-        "q110_fim_split": _q_fim_split,
-        "q111_d4_prune": _q_d4_prune,
+        "q133_chat_spans": _q_chat_spans,
+        "q78_semdedup": _q_semdedup,
         "q112_k_anonymize": _q_k_anonymize,
         "q113_hard_negatives": _q_hard_negatives,
-        "q114_fuzzy_decontam": _q_fuzzy_decontam,
+        "q34_decontam": _q_decontam,
         "q115_cluster_holdout": _q_cluster_holdout,
-        "q116_readability": _q_readability,
+        "q02_token_count": _q_token_count,
         "q117_dedup_report": _q_dedup_report,
         "q118_window_chunks": _q_window_chunks,
-        "q119_ann_recall": _q_ann_recall,
-        "q120_phrase_search": _q_phrase_search,
+        "q17_ivf_topk": _q_ivf_topk,
+        "q71_inverted_index": _q_inverted_index,
         "q122_edit_pairs": _q_edit_pairs,
-        "q123_incremental_dedup": _q_incremental_dedup,
+        "q06_dedup_last_wins": _q_dedup_last_wins,
         "q125_vocab_growth": _q_vocab_growth,
         "q127_anchor_index": _q_anchor_index,
         "q128_exact_k_sample": _q_exact_k_sample,
         "q129_shard_checksums": _q_shard_checksums,
-        "q130_stopgram_blocklist": _q_stopgram_blocklist,
+        "q39_top_terms": _q_top_terms,
         "q131_host_pagerank": _q_host_pagerank,
-        "q132_budget_select": _q_budget_select,
+        "q126_curriculum": _q_curriculum,
         "q40_chunk_dedup": _q_chunk_dedup,
         "q44_dedup_keep_best": _q_dedup_keep_best,
-        "q135_trim_repeats": _q_trim_repeats,
+        "q33_repetition": _q_repetition,
         "q136_ict_pairs": _q_ict_pairs,
         "q11_ngram_jaccard": _q_ngram_jaccard,
         "q58_filtered_topk": _q_filtered_topk,
