@@ -236,6 +236,63 @@ def main() -> None:
     se = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(se)
     qs = se.queries()
+
+    # persist-once cluster artifact (round-3 verdict #4): the q31 iterative
+    # CC loop is shared by the clustering composites (q100/q111/q117/q134);
+    # time the loop ONCE as its own line, then time q134's consumer stage
+    # against the persisted assignment — each line now reads as its own cost
+    # (a real deployment persists the assignment table exactly like this)
+    from pyspark.sql import functions as F2
+
+    from document_quality_assessment_ocr_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    docs_tbl = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        F2.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+
+    def run_cluster_loop():
+        duplicate_clusters(docs_tbl, n_hashes=8, bands=4).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
+    timed("q31_cluster_loop", run_cluster_loop)
+    clustered = duplicate_clusters(docs_tbl, n_hashes=8, bands=4).persist()
+    clustered.count()  # materialize the artifact outside any timed line
+
+    def run_q134():
+        se._q_preference_pairs(spark, sf_dir, clustered=clustered).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
+    timed("q134_preference_pairs", run_q134)
+    clustered.unpersist()
+
+    # streaming sketch throughput (round-3 verdict #8): the CMS incremental
+    # twin over the sf corpus split into 8 micro-batch files — per-batch
+    # partial + merge into the versioned sketch state, availableNow
+    from document_quality_assessment_ocr_spark.streaming.sketches import (
+        stream_count_min,
+    )
+
+    stream_in = os.path.join(cache_root, "bench_stream_in")
+    if not os.path.exists(os.path.join(stream_in, "_SUCCESS")):
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+            F2.col("doc_id").cast("long").alias("doc_id"),
+            F2.lit("2026-01-01").cast("timestamp").alias("ts"),
+            "text",
+        ).repartition(8).write.mode("overwrite").parquet(stream_in)
+
+    def run_stream_cms():
+        ck = os.path.join(cache_root, "bench_stream_ckpt")
+        sk = os.path.join(cache_root, "bench_stream_sketch")
+        shutil.rmtree(ck, ignore_errors=True)
+        shutil.rmtree(sk, ignore_errors=True)
+        stream_count_min(spark, stream_in + "/*.parquet", ck, sk)
+
+    timed("stream_cms_sketch", run_stream_cms)
+
     # q25 rejoined the timed set in round 3: word-shingle minhash (5-10×
     # fewer md5s) + 4×4 banding + 0.8 verify → ~3 s warm at sf0.1 (was 87 s
     # in its r02 char/0.3 form)
@@ -296,9 +353,9 @@ def main() -> None:
         "q131_host_pagerank",
         "q132_budget_select",
         "q133_chat_spans",
-        "q134_preference_pairs",
         "q135_trim_repeats",
         "q136_ict_pairs",
+        "q137_audio_rms",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"
