@@ -22,6 +22,15 @@ reproduced bit-exactly without those libraries):
   * connected components for DPI estimation use run-based 8-connectivity
     labeling instead of cv2.findContours external contours
     (``criteria.py:52-60``) — identical bounding boxes for solid glyphs.
+
+Deviation bounds are a tested CONTRACT where the real libraries exist
+(tests/test_kernel_deviations.py, skipif-gated — PIL/cv2 don't ship in this
+container): watermark gating agrees at the shipped max_overlap=10 threshold
+with the comb fixture ranking above every clean page in both; skew within
+±1° everywhere and exact on the planted-skew fixture; median3x3 equals PIL
+MedianFilter on the interior with noise_pct within 1.0pp (full-res) + 1.5pp
+(production 2× row subsample); CC box sets equal to cv2 external-contour
+rects on text pages with DPI within 5%.
 """
 
 from __future__ import annotations
