@@ -1107,6 +1107,55 @@ def _q_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-sampled video frame stats over derived media picks: REAL Y4M
+    (YUV4MPEG2) raw-planar decode (operators/multimodal.decode_video_frames
+    — no codec library needed) over the seeded video catalog via
+    mapInPandas, joined to md5-nibble per-document picks (salts 3/4; the
+    q137 shape). The operator surfaces decoder failures as errors-as-data
+    rows (tests/test_multimodal.py); the QUERY keeps the q137 convention —
+    undecodable payloads contribute no rows, so numeric columns stay
+    NULL-free (int-with-NULL materializes as float64 in BOTH pandas
+    bridges, a dtype trap the driver compare flags). The oracle embeds
+    per-frame (idx, w, h, mean_gray) literals computed by the SAME
+    video_frame_stats_values the engine's UDF calls."""
+    from document_quality_assessment_ocr_spark.operators.multimodal import (
+        video_frame_sample,
+    )
+    from document_quality_assessment_ocr_spark.sources.derive import _md5_pick_index
+    from document_quality_assessment_ocr_spark.sources.fixtures import (
+        build_y4m_payloads,
+        y4m_payload_names,
+    )
+
+    names = sorted(y4m_payload_names())
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|3"))).alias("_h1"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|4"))).alias("_h2"),
+    )
+    arr = F.array(*[F.lit(x) for x in names])
+    picks = d.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.element_at(arr, _md5_pick_index("_h1", len(names)) + 1),
+                F.element_at(arr, _md5_pick_index("_h2", len(names)) + 1),
+            )
+        ).alias("media_ref"),
+    ).distinct()
+    cat = build_y4m_payloads()
+    pay = spark.createDataFrame(
+        [(n, bytearray(cat[n])) for n in names], "media_ref string, png binary"
+    )
+    fr = video_frame_sample(
+        pay, every_k=5, max_frames=8, use_container_double=False
+    ).where(F.col("error").isNull())
+    return picks.join(F.broadcast(fr), "media_ref").select(
+        "doc_id", "media_ref", "frame_idx", "width", "height", "mean_gray"
+    )
+
+
 def _q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-level profile of the documents table (nulls, distincts,
     extrema, lengths) — ONE aggregation pass, no row shuffle; the standard
@@ -4433,6 +4482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_filtered_topk": _q_filtered_topk,
         "q70_outlinks": _q_outlinks,
         "q137_audio_rms": _q_audio_rms,
+        "q138_video_frames": _q_video_frames,
     }
 
 
@@ -5450,6 +5500,49 @@ def _audio_rms_sql(frame: int = 512) -> str:
                 FROM documents)
         )
         SELECT p.doc_id, p.media_ref, fr.frame_idx, fr.rms
+        FROM picks p JOIN fr USING (media_ref)
+    """
+
+
+def _video_frames_sql(every_k: int = 5, max_frames: int = 8) -> str:
+    """q138 oracle: the seeded Y4M catalog's stride-sampled frame stats as
+    literals (computed by the SAME video_frame_stats_values the engine's
+    mapInPandas calls — float ops identical by construction), derived media
+    picks via the md5-nibble twin at salts 3/4. The corrupt container has
+    no rows — matching the q137 undecodable-payload convention."""
+    from document_quality_assessment_ocr_spark.operators.multimodal import (
+        video_frame_stats_values,
+    )
+    from document_quality_assessment_ocr_spark.sources.fixtures import (
+        build_y4m_payloads,
+        y4m_payload_names,
+    )
+
+    cat = build_y4m_payloads()
+    names = sorted(y4m_payload_names())
+    vals = []
+    for n in names:
+        try:
+            stats = video_frame_stats_values(cat[n], every_k, max_frames)
+        except Exception:
+            continue  # engine query filters error rows (no-rows convention)
+        for i, w, h, mg in stats:
+            # exponent form for the double literal (DuckDB DECIMAL-lexing trap)
+            vals.append(f"('{n}', {i}, {w}, {h}, {mg:.17e})")
+    names_lit = "[" + ", ".join(f"'{n}'" for n in names) + "]"
+    return f"""
+        WITH fr(media_ref, frame_idx, width, height, mean_gray) AS (VALUES {", ".join(vals)}),
+        picks AS (
+            SELECT DISTINCT doc_id, media_ref FROM (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       LIST_EXTRACT({names_lit}, {_md5_pick_sql(3, len(names))} + 1) AS media_ref
+                FROM documents
+                UNION ALL
+                SELECT CAST(doc_id AS BIGINT),
+                       LIST_EXTRACT({names_lit}, {_md5_pick_sql(4, len(names))} + 1)
+                FROM documents)
+        )
+        SELECT p.doc_id, p.media_ref, fr.frame_idx, fr.width, fr.height, fr.mean_gray
         FROM picks p JOIN fr USING (media_ref)
     """
 
@@ -7170,6 +7263,7 @@ def oracle_sql() -> dict[str, str]:
         "q135_trim_repeats": _trim_repeats_sql(3),
         "q136_ict_pairs": _ict_pairs_sql(10),
         "q137_audio_rms": _audio_rms_sql(512),
+        "q138_video_frames": _video_frames_sql(),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

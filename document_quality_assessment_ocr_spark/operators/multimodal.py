@@ -1,11 +1,12 @@
 """Multimodal payload plumbing: typed metadata + decode/feature/resize/frame
 stages as Arrow-batched ``mapInPandas`` transforms.
 
-Images are real (the in-repo PNG codec); audio/video decoding libraries do
-not ship in this container, so those decode steps are STUBBED behind
-``NotImplementedError`` / deterministic fakes — the Spark-side contract
-(schemas, batch iteration, partitioning) is real and tested
-(tests/test_multimodal.py)."""
+Every decode path is REAL for the codec-free member of its family: images
+via the in-repo PNG codec, audio via stdlib-``wave`` PCM WAV, video via the
+Y4M (YUV4MPEG2) raw-planar parser. Compressed formats (jpeg/mp3/mp4) still
+need external codec libraries that don't ship in this container — a real
+deployment swaps those decoders in behind the same `bytes → arrays`
+contracts; deterministic fakes remain as test seams (tests/test_multimodal.py)."""
 
 from __future__ import annotations
 
@@ -241,11 +242,95 @@ VIDEO_FRAME_SCHEMA = T.StructType(
 )
 
 
+# bytes-per-pixel numerators for the chroma planes that FOLLOW the Y plane
+# (Y4M stores planar YUV: w*h luma bytes, then subsampled U and V planes)
+_Y4M_CHROMA_FRACTION = {
+    "420": 0.5,   # U + V at (w/2)x(h/2) each
+    "422": 1.0,   # U + V at (w/2)xh each
+    "444": 2.0,   # U + V at full resolution each
+    "mono": 0.0,  # no chroma planes
+}
+
+
+def _parse_y4m_header(payload: bytes) -> tuple[int, int, str, int]:
+    """Parse a YUV4MPEG2 stream header → (width, height, chroma_mode,
+    header_end_offset). Raises ``ValueError`` on anything that is not a
+    well-formed Y4M container."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("unsupported video container (Y4M/YUV4MPEG2 supported; "
+                         "compressed formats need a codec library)")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("truncated Y4M header")
+    width = height = 0
+    chroma = "420"  # Y4M default is C420jpeg
+    for tok in payload[9:nl].split(b" "):
+        if not tok:
+            continue
+        key, val = tok[:1], tok[1:]
+        if key == b"W":
+            width = int(val)
+        elif key == b"H":
+            height = int(val)
+        elif key == b"C":
+            c = val.decode("ascii", "replace")
+            if c == "mono":
+                chroma = "mono"
+            else:
+                chroma = c[:3]
+            if chroma not in _Y4M_CHROMA_FRACTION:
+                raise ValueError(f"unsupported Y4M colorspace: {c}")
+    if width <= 0 or height <= 0:
+        raise ValueError("Y4M header missing W/H")
+    return width, height, chroma, nl + 1
+
+
 def decode_video_frames(payload: bytes):
-    """STUB: no video codec ships in this container. A real deployment plugs
-    ffmpeg/pyav here; the Spark-side contract is `bytes → iterator of frame
-    arrays` (and ``video_frame_sample`` is the only consumer)."""
-    raise NotImplementedError("video decoding requires a codec library (not in container)")
+    """REAL decode for Y4M (YUV4MPEG2) containers — raw planar YUV behind a
+    plain-text header needs no codec library (the video analog of
+    :func:`decode_audio`'s PCM-WAV path). Yields each frame's LUMA plane as
+    an ``(h, w)`` uint8 array (the grayscale contract every consumer here
+    uses); chroma planes are skipped by offset arithmetic, never copied.
+
+    Generator semantics are the scale contract: frames materialize lazily
+    as zero-copy buffer views, so a stride-sampling consumer that breaks
+    early pays O(frames kept), not O(video length). Compressed containers
+    (mp4/webm/mkv) still need a demuxer library — a real deployment swaps
+    in ffmpeg/pyav; the Spark-side contract stays `bytes → iterator of
+    frame arrays`."""
+    width, height, chroma, pos = _parse_y4m_header(payload)
+    y_size = width * height
+    frame_size = y_size + int(y_size * _Y4M_CHROMA_FRACTION[chroma])
+    while pos < len(payload):
+        nl = payload.find(b"\n", pos)
+        if nl < 0 or payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"bad Y4M FRAME marker at offset {pos}")
+        start = nl + 1
+        if start + frame_size > len(payload):
+            raise ValueError("truncated Y4M frame payload")
+        yield np.frombuffer(payload, np.uint8, y_size, start).reshape(height, width)
+        pos = start + frame_size
+
+
+def video_frame_stats_values(
+    payload: bytes, every_k: int = 5, max_frames: int = 8, decoder=None
+) -> list[tuple[int, int, int, float]]:
+    """Stride-sampled per-frame stats ``(frame_idx, width, height,
+    mean_gray)`` — the SHARED pure function: the engine's
+    ``video_frame_sample`` mapInPandas UDF and the q138 oracle-literal
+    builder both call THIS (same invariant as :func:`wav_frame_rms_values`:
+    engine and generator run identical float operations). Breaks out of the
+    frame iterator once the budget is spent, so with the lazy Y4M decoder
+    the cost is O(frames kept)."""
+    rows: list[tuple[int, int, int, float]] = []
+    ek = max(every_k, 1)
+    for i, arr in enumerate((decoder or decode_video_frames)(payload)):
+        if i % ek:
+            continue
+        rows.append((i, int(arr.shape[1]), int(arr.shape[0]), float(arr.mean())))
+        if len(rows) >= max_frames:
+            break
+    return rows
 
 
 def video_frame_sample(
@@ -262,10 +347,11 @@ def video_frame_sample(
     caps).
 
     ``use_container_double=True`` reads the deterministic multi-page
-    container of PNG frames (``sources.binary_docs.encode_page_container``)
-    as the in-container stand-in for a real demuxer; a real deployment swaps
-    :func:`decode_video_frames` in. Per-payload failures are error rows,
-    never task crashes."""
+    container of PNG frames (``sources.binary_docs.encode_page_container``);
+    ``use_container_double=False`` is the REAL path — lazy Y4M decode via
+    :func:`decode_video_frames` through the shared
+    :func:`video_frame_stats_values` (the q138 oracle calls the same
+    function). Per-payload failures are error rows, never task crashes."""
     from ..sources.binary_docs import parse_page_container
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -284,13 +370,10 @@ def video_frame_sample(
                                  int(arr.shape[0]), float(arr.mean()), None)
                             )
                     else:
-                        for i, arr in enumerate(decode_video_frames(bytes(data))):
-                            if i % every_k or i // every_k >= max_frames:
-                                continue
-                            rows.append(
-                                (ref, i, int(arr.shape[1]), int(arr.shape[0]),
-                                 float(arr.mean()), None)
-                            )
+                        for i, w, h, mg in video_frame_stats_values(
+                            bytes(data), every_k, max_frames
+                        ):
+                            rows.append((ref, i, w, h, mg, None))
                 except Exception as e:
                     rows.append((ref, None, None, None, None, str(e)))
             yield pd.DataFrame(rows, columns=names)

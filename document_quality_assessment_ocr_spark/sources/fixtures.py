@@ -319,6 +319,70 @@ def wav_payload_names() -> list[str]:
     ]
 
 
+def build_y4m_payloads(
+    seed: int = 42, width: int = 64, height: int = 48, n_frames: int = 24
+) -> dict:
+    """name → Y4M (YUV4MPEG2) bytes: the seeded VIDEO payload catalog (the
+    video analog of :func:`build_wav_payloads`). One payload per decode/
+    sample mode: a drifting gradient, a per-frame-flipping checkerboard,
+    seeded uint8 noise, a constant-luma fade (clean mean_gray ramp), a C422
+    colorspace variant, a chroma-free Cmono stream, a 3-frame short clip
+    (max_frames edge), and one deliberately corrupt container (error-row
+    path). All frames are integer uint8 planes, so decode→mean is
+    bit-deterministic — the q138 oracle builder embeds values computed by
+    the SAME ``video_frame_stats_values`` the engine's mapInPandas calls."""
+
+    def enc(frames: list[np.ndarray], chroma: str = "420jpeg") -> bytes:
+        h, w = frames[0].shape
+        parts = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C{chroma}\n".encode()]
+        for y in frames:
+            parts.append(b"FRAME\n")
+            parts.append(y.astype(np.uint8).tobytes())
+            if chroma.startswith("420"):
+                parts.append(np.full((h // 2) * (w // 2) * 2, 128, np.uint8).tobytes())
+            elif chroma.startswith("422"):
+                parts.append(np.full((w // 2) * h * 2, 128, np.uint8).tobytes())
+            elif chroma.startswith("444"):
+                parts.append(np.full(w * h * 2, 128, np.uint8).tobytes())
+        return b"".join(parts)
+
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:height, 0:width]
+    cat: dict[str, bytes] = {}
+    cat["gradient_pan"] = enc(
+        [((xx * 4 + yy * 2 + 7 * i) % 256).astype(np.uint8) for i in range(n_frames)]
+    )
+    cat["checker_flip"] = enc(
+        [(((xx // 8 + yy // 8 + i) % 2) * 255).astype(np.uint8) for i in range(n_frames)]
+    )
+    cat["noise_frames"] = enc(
+        [rng.integers(0, 256, (height, width), dtype=np.uint8) for _ in range(n_frames)]
+    )
+    cat["fade_up"] = enc(
+        [np.full((height, width), min(255, 11 * i), np.uint8) for i in range(n_frames)]
+    )
+    cat["tone_c422"] = enc(
+        [((yy * 5 + 3 * i) % 256).astype(np.uint8) for i in range(n_frames)], "422"
+    )
+    cat["mono_ramp"] = enc(
+        [((xx + 13 * i) % 256).astype(np.uint8) for i in range(n_frames)], "mono"
+    )
+    cat["short_clip"] = enc(
+        [np.full((height, width), 40 * (i + 1), np.uint8) for i in range(3)]
+    )
+    cat["corrupt_y4m"] = b"YUV4MPEG2 W64 H48 F25:1\nFRAMEnot-actual-planes"
+    return cat
+
+
+def y4m_payload_names() -> list[str]:
+    """Y4M catalog keys without synthesizing any frames (same contract as
+    :func:`wav_payload_names`; lockstep-tested)."""
+    return [
+        "gradient_pan", "checker_flip", "noise_frames", "fade_up",
+        "tone_c422", "mono_ramp", "short_clip", "corrupt_y4m",
+    ]
+
+
 def build_corpus(
     n_docs: int = 60,
     seed: int = 42,

@@ -126,8 +126,63 @@ def test_video_frame_sample_stride_and_errors(spark):
     assert got == [(0, 0.0), (5, 50.0), (10, 100.0)]
     assert by_ref["junk"][0]["error"] is not None
 
-    with pytest.raises(NotImplementedError):
-        mm.decode_video_frames(b"anything")
+    # non-Y4M bytes are a clean ValueError (error row, never a task crash)
+    with pytest.raises(ValueError):
+        next(mm.decode_video_frames(b"anything"))
+
+
+def test_real_y4m_decode_roundtrip():
+    """decode_video_frames is REAL for Y4M: luma planes roundtrip exactly,
+    C422/Cmono colorspaces skip their chroma planes correctly, corrupt
+    containers raise, and the catalog stays lockstep with its names fn."""
+    from document_quality_assessment_ocr_spark.sources.fixtures import (
+        build_y4m_payloads,
+        y4m_payload_names,
+    )
+
+    cat = build_y4m_payloads()
+    assert sorted(cat) == sorted(y4m_payload_names())  # lockstep contract
+    yy, xx = np.mgrid[0:48, 0:64]
+    frames = list(mm.decode_video_frames(cat["gradient_pan"]))
+    assert len(frames) == 24 and frames[0].shape == (48, 64)
+    for i in (0, 7, 23):
+        assert np.array_equal(frames[i], ((xx * 4 + yy * 2 + 7 * i) % 256).astype(np.uint8))
+    # chroma-plane offset arithmetic: C422 and Cmono land on the same luma
+    f422 = list(mm.decode_video_frames(cat["tone_c422"]))
+    assert np.array_equal(f422[3], ((yy * 5 + 9) % 256).astype(np.uint8))
+    fmono = list(mm.decode_video_frames(cat["mono_ramp"]))
+    assert np.array_equal(fmono[2], ((xx + 26) % 256).astype(np.uint8))
+    with pytest.raises(ValueError):
+        list(mm.decode_video_frames(cat["corrupt_y4m"]))
+    # stats contract: stride + budget + exact means; short clip under-fills
+    stats = mm.video_frame_stats_values(cat["fade_up"], every_k=5, max_frames=8)
+    assert [s[0] for s in stats] == [0, 5, 10, 15, 20]
+    assert stats[1] == (5, 64, 48, 55.0)
+    assert len(mm.video_frame_stats_values(cat["short_clip"], 5, 8)) == 1
+
+
+def test_video_frame_sample_real_decoder(spark):
+    """The real Y4M path through the mapInPandas UDF matches the shared
+    pure function bit-for-bit and error-rows the corrupt container."""
+    from document_quality_assessment_ocr_spark.sources.fixtures import build_y4m_payloads
+
+    cat = build_y4m_payloads()
+    df = spark.createDataFrame(
+        [(n, bytearray(b)) for n, b in cat.items()], "media_ref string, png binary"
+    )
+    rows = mm.video_frame_sample(
+        df, every_k=5, max_frames=8, use_container_double=False
+    ).collect()
+    by_ref = {}
+    for r in rows:
+        by_ref.setdefault(r["media_ref"], []).append(r)
+    assert by_ref["corrupt_y4m"][0]["error"] is not None
+    for name in set(cat) - {"corrupt_y4m"}:
+        got = sorted(
+            (r["frame_idx"], r["width"], r["height"], r["mean_gray"])
+            for r in by_ref[name]
+        )
+        assert got == mm.video_frame_stats_values(cat[name], 5, 8), name
 
 
 def test_sessionize_gaps_and_islands(spark):
