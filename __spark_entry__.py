@@ -2317,10 +2317,19 @@ def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: k-means cells bound the pair scope; within a cell, rows
     with a lower-id neighbor at cosine ≥ 0.35 are dropped (keep-first;
     the threshold sits at the synthetic embedding space's top percentile —
-    semantic-dedup taus are always space-calibrated)."""
-    from document_quality_assessment_ocr_spark.operators.similarity import semdedup
+    semantic-dedup taus are always space-calibrated). Cluster count tracks
+    corpus size via the shared scaled_n_centroids rule (one metadata-cheap
+    count job; the oracle builder applies the same rule to the same row
+    count) — fixed k is quadratic in N, the round-4 sf1 lesson."""
+    from document_quality_assessment_ocr_spark.operators.similarity import (
+        scaled_n_centroids,
+        scaled_sample_rows,
+        semdedup,
+    )
 
-    return semdedup(_emb(spark, sf_dir), tau=0.35)
+    emb = _emb(spark, sf_dir)
+    k = scaled_n_centroids(emb.count())
+    return semdedup(emb, tau=0.35, n_centroids=k, sample_rows=scaled_sample_rows(k))
 
 
 _MIXTURE_WEIGHTS = {"en": 0.4, "de": 0.3, "fr": 0.2, "es": 0.05, "zh": 0.05}
@@ -2642,19 +2651,26 @@ def _unimax_sql(max_epochs: int = 2, salt: int = 7, sf_dir: str | None = None) -
 def _q_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SSL-prototype pruning (Sorscher 2022): rank by cosine to the k-means
     cell prototype, keep the hardest 60% per cell (easy/prototypical mass
-    drops). Same seeded centroids as q17/q78."""
+    drops). Same seeded centroids as q78; cluster count tracks corpus size
+    (shared scaled_n_centroids rule, see q78)."""
     from document_quality_assessment_ocr_spark.operators.similarity import (
         prototype_prune,
+        scaled_n_centroids,
+        scaled_sample_rows,
     )
 
-    return prototype_prune(_emb(spark, sf_dir), keep_pct=60)
+    emb = _emb(spark, sf_dir)
+    k = scaled_n_centroids(emb.count())
+    return prototype_prune(
+        emb, keep_pct=60, n_centroids=k, sample_rows=scaled_sample_rows(k)
+    )
 
 
 def _prototype_prune_sql(
     sf_dir: str | None = None,
     keep_pct: int = 60,
-    n_centroids: int = 16,
-    sample_rows: int = 512,
+    n_centroids: int | None = None,
+    sample_rows: int | None = None,
     seed: int = 42,
 ) -> str:
     """q107 oracle: the SAME seeded centroids as literals (q17/q78
@@ -2664,13 +2680,20 @@ def _prototype_prune_sql(
     import numpy as np
     import pyarrow.parquet as pq
 
-    from document_quality_assessment_ocr_spark.operators.similarity import _kmeans_lite
+    from document_quality_assessment_ocr_spark.operators.similarity import (
+        _kmeans_lite,
+        scaled_n_centroids,
+        scaled_sample_rows,
+    )
 
     sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ids = np.array(tbl.column("vec_id"))
     vecs = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
     order = np.argsort(ids)
+    # shared corpus-size rule — must mirror the engine query (q78 note)
+    n_centroids = n_centroids or scaled_n_centroids(len(ids))
+    sample_rows = sample_rows or scaled_sample_rows(n_centroids)
     cents = _kmeans_lite(vecs[order[:sample_rows]], n_centroids, seed=seed)
     dists = ", ".join(
         "(-2.0 * LIST_DOT_PRODUCT(v, ["
@@ -2895,18 +2918,28 @@ def _q_d4_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4 (Tirumala 2023): SemDeDup at tau=0.35 (space-calibrated, as q78)
     then prototype-prune the survivors to the hardest 60% per cell — one
     shared clustering for both stages (documented deviation, see the
-    operator docstring)."""
-    from document_quality_assessment_ocr_spark.operators.similarity import d4_prune
+    operator docstring). Cluster count tracks corpus size (shared
+    scaled_n_centroids rule, see q78) — the fixed-k form measured 41× wall
+    at 10× rows in the round-4 sf1 probe; the scaled form is linear."""
+    from document_quality_assessment_ocr_spark.operators.similarity import (
+        d4_prune,
+        scaled_n_centroids,
+        scaled_sample_rows,
+    )
 
-    return d4_prune(_emb(spark, sf_dir), tau=0.35, keep_pct=60)
+    emb = _emb(spark, sf_dir)
+    k = scaled_n_centroids(emb.count())
+    return d4_prune(
+        emb, tau=0.35, keep_pct=60, n_centroids=k, sample_rows=scaled_sample_rows(k)
+    )
 
 
 def _d4_prune_sql(
     sf_dir: str | None = None,
     tau: float = 0.35,
     keep_pct: int = 60,
-    n_centroids: int = 16,
-    sample_rows: int = 512,
+    n_centroids: int | None = None,
+    sample_rows: int | None = None,
     seed: int = 42,
 ) -> str:
     """q111 oracle: the q78 dup CTE (same centroid literals, same rounded
@@ -2915,13 +2948,20 @@ def _d4_prune_sql(
     import numpy as np
     import pyarrow.parquet as pq
 
-    from document_quality_assessment_ocr_spark.operators.similarity import _kmeans_lite
+    from document_quality_assessment_ocr_spark.operators.similarity import (
+        _kmeans_lite,
+        scaled_n_centroids,
+        scaled_sample_rows,
+    )
 
     sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ids = np.array(tbl.column("vec_id"))
     vecs = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
     order = np.argsort(ids)
+    # shared corpus-size rule — must mirror the engine query (q78 note)
+    n_centroids = n_centroids or scaled_n_centroids(len(ids))
+    sample_rows = sample_rows or scaled_sample_rows(n_centroids)
     cents = _kmeans_lite(vecs[order[:sample_rows]], n_centroids, seed=seed)
     dists = ", ".join(
         "(-2.0 * LIST_DOT_PRODUCT(v, ["
@@ -5609,8 +5649,8 @@ def _curation_v3_sql(max_boiler_frac: float = 0.7, min_tokens: int = 10) -> str:
 def _semdedup_sql(
     sf_dir: str | None = None,
     tau: float = 0.99,
-    n_centroids: int = 16,
-    sample_rows: int = 512,
+    n_centroids: int | None = None,
+    sample_rows: int | None = None,
     seed: int = 42,
 ) -> str:
     """q78 oracle: the SAME seeded centroids as literals (q17 technique),
@@ -5618,13 +5658,20 @@ def _semdedup_sql(
     import numpy as np
     import pyarrow.parquet as pq
 
-    from document_quality_assessment_ocr_spark.operators.similarity import _kmeans_lite
+    from document_quality_assessment_ocr_spark.operators.similarity import (
+        _kmeans_lite,
+        scaled_n_centroids,
+        scaled_sample_rows,
+    )
 
     sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ids = np.array(tbl.column("vec_id"))
     vecs = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
     order = np.argsort(ids)
+    # shared corpus-size rule — must mirror the engine query (q78 note)
+    n_centroids = n_centroids or scaled_n_centroids(len(ids))
+    sample_rows = sample_rows or scaled_sample_rows(n_centroids)
     cents = _kmeans_lite(vecs[order[:sample_rows]], n_centroids, seed=seed)
     dists = ", ".join(
         "(-2.0 * LIST_DOT_PRODUCT(v, ["

@@ -9,6 +9,7 @@ path is random-hyperplane LSH bucketing, which cuts the candidate set from
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -19,6 +20,44 @@ def _dot(a, b):
         F.lit(0.0).cast("double"),
         lambda acc, v: acc + v,
     )
+
+
+def _seq_fold_dot(A: "np.ndarray", B: "np.ndarray") -> "np.ndarray":
+    """Row-wise dot product with the SAME left-to-right float64 fold order
+    as the :func:`_dot` Column HOF — ``((0 + a0·b0) + a1·b1) + …`` —
+    vectorized ACROSS rows, sequential ACROSS dims. IEEE-754 double ops are
+    deterministic given the order, so values are bit-identical to the
+    Column form and to the DuckDB oracle's LIST_DOT_PRODUCT (np.dot/BLAS
+    would pairwise-sum and drift a ulp on near-ties — the argmin/threshold
+    killers)."""
+    acc = np.zeros(A.shape[0], dtype=np.float64)
+    for d in range(A.shape[1]):
+        acc += A[:, d] * B[:, d]
+    return acc
+
+
+def pair_cosine_udf():
+    """Arrow-vectorized pair cosine — bit-identical to
+    ``_dot(a,b)/sqrt(_dot(a,a)*_dot(b,b))`` (same fold order via
+    :func:`_seq_fold_dot`, same single sqrt/divide) but ~50× faster than
+    the interpreted HOF on the quadratic pair-join paths: Spark HOFs are
+    CodegenFallback, so every zip_with+aggregate pays per-element boxing;
+    at the SemDeDup/D4 scale contract (cells ~128 rows, pairs linear in N)
+    the pair join evaluates millions of cosines and the HOF was the wall
+    (round-4 sf1 probe). Rounding stays JVM-side (``F.round`` is HALF_UP;
+    ``np.round`` is banker's — never round inside the UDF)."""
+
+    @F.pandas_udf("double")
+    def _pc(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.array(a.tolist(), dtype=np.float64)
+        B = np.array(b.tolist(), dtype=np.float64)
+        if A.size == 0:
+            return pd.Series(np.zeros(0, dtype=np.float64))
+        num = _seq_fold_dot(A, B)
+        den = np.sqrt(_seq_fold_dot(A, A) * _seq_fold_dot(B, B))
+        return pd.Series(num / den)
+
+    return _pc
 
 
 def cosine(a, b):
@@ -128,6 +167,38 @@ def embedding_near_dups(
     return pairs.filter(F.col("cos") >= F.lit(float(threshold)))
 
 
+def scaled_n_centroids(
+    n_rows: int, target_cell: int = 128, floor: int = 16, cap: int = 256
+) -> int:
+    """Cluster count that TRACKS corpus size — the SemDeDup/D4/prototype
+    scale contract made executable. A fixed k makes the within-cell pair
+    join O(N²/k), i.e. quadratic in corpus size: the round-4 sf1 probe
+    measured q111 at 41× wall for 10× rows with k=16 frozen. Holding the
+    target cell occupancy constant (``n_rows // target_cell``) keeps the
+    quadratic bounded per cell and the total pair count linear in N.
+
+    The SHARED deterministic rule: the engine queries and the DuckDB
+    oracle builders both call THIS on their own row count, so the seeded
+    centroid literals stay twins. ``floor`` preserves the historical k=16
+    at every gated SF (≤ 2176 rows ⇒ 16 — sf0.001/0.01/0.1 results are
+    byte-identical to the fixed-k era). ``cap`` bounds the driver-side
+    k-means sample, the prototype-lookup literal, and the DuckDB oracle's
+    k unrolled distance terms (the engine's Arrow-vectorized assignment
+    itself is O(k·dim) numpy per batch and doesn't care); past the cap a
+    real deployment raises it with a broadcast centroid table — the cap is
+    a literal-size guard, not an algorithmic limit."""
+    return int(min(cap, max(floor, n_rows // target_cell)))
+
+
+def scaled_sample_rows(n_centroids: int, per_centroid: int = 8, floor: int = 512) -> int:
+    """k-means sample size paired with :func:`scaled_n_centroids` — at
+    least ``per_centroid`` sample vectors per centroid, never below the
+    historical 512 (so the floor-k regime samples identically to the
+    fixed-k era). Driver-side cost is the sample's numpy k-means: bounded
+    by ``8 * cap`` rows regardless of corpus size."""
+    return int(max(floor, per_centroid * n_centroids))
+
+
 def _kmeans_lite(sample: np.ndarray, k: int, iters: int = 10, seed: int = 42) -> np.ndarray:
     """Tiny driver-side k-means (numpy) for the IVF coarse quantizer."""
     rng = np.random.default_rng(seed)
@@ -150,27 +221,39 @@ def _kmeans_cells(
     id_col: str,
     vec_col: str,
 ):
-    """Seeded driver-side k-means coarse quantizer + codegen cell
-    assignment — shared by ``ivf_topk`` and ``semdedup``. Returns
-    (centroids, assigned DF with a ``cell`` column)."""
+    """Seeded driver-side k-means coarse quantizer + Arrow-vectorized cell
+    assignment — shared by ``ivf_topk``/``semdedup``/``prototype_prune``/
+    ``d4_prune``/``cluster_holdout_split``. Returns (centroids, assigned DF
+    with a ``cell`` column)."""
     sample = np.array(
         [r[vec_col] for r in emb.orderBy(id_col).limit(sample_rows).collect()],
         dtype=np.float64,
     )
     cents = _kmeans_lite(sample, n_centroids, seed=seed)
 
-    def cell_expr(v):
-        # argmin over ||x||² − 2c·x + ||c||² (||x||² constant per row → drop)
-        dists = [
-            -2.0 * _dot(F.array(*[F.lit(float(x)) for x in c]), v)
-            + float((c * c).sum())
-            for c in cents
-        ]
-        arr = F.array(*[d for d in dists])
-        return F.array_position(arr, F.array_min(arr)).cast("int") - 1
+    # Arrow-vectorized assignment: K unrolled Column aggregate trees stall
+    # the analyzer for minutes at the scaled K≈150, and Spark HOFs are
+    # CodegenFallback anyway (per-element boxing measured ~22 s per pass at
+    # 20k×156×64 in the round-4 sf1 probe — and the D4 plan evaluates
+    # `assigned` three times). The pandas UDF computes the identical
+    # argmin over ||x||² − 2c·x + ||c||² (||x||² constant per row → drop):
+    # _seq_fold_dot keeps the HOF's exact float64 fold order, ||c||² is the
+    # same np (c·c).sum() the oracle builders embed as literals, and
+    # np.argmin's first-occurrence tie rule is LIST_INDEXOF(LIST_MIN)'s.
+    c2 = np.array([float((c * c).sum()) for c in cents], dtype=np.float64)
+
+    @F.pandas_udf("int")
+    def _cell(vs: pd.Series) -> pd.Series:
+        X = np.array(vs.tolist(), dtype=np.float64)
+        if X.size == 0:
+            return pd.Series(np.zeros(0, dtype=np.int32))
+        D = np.empty((X.shape[0], len(cents)), dtype=np.float64)
+        for j in range(len(cents)):
+            D[:, j] = -2.0 * _seq_fold_dot(X, np.broadcast_to(cents[j], X.shape)) + c2[j]
+        return pd.Series(np.argmin(D, axis=1).astype(np.int32))
 
     assigned = emb.select(
-        F.col(id_col), F.col(vec_col), cell_expr(F.col(vec_col)).alias("cell")
+        F.col(id_col), F.col(vec_col), _cell(F.col(vec_col)).alias("cell")
     )
     return cents, assigned
 
@@ -210,7 +293,11 @@ def semdedup(
             & (F.col(f"y.{id_col}") < F.col(f"x.{id_col}")),
         )
         .where(
-            F.round(cosine(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}")), 6)
+            # Arrow-vectorized pair cosine (bit-identical values — see
+            # pair_cosine_udf); rounding stays JVM-side HALF_UP
+            F.round(
+                pair_cosine_udf()(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}")), 6
+            )
             >= F.lit(float(tau))
         )
         .select(F.col(f"x.{id_col}").alias(id_col))
@@ -720,7 +807,11 @@ def d4_prune(
             & (F.col(f"y.{id_col}") < F.col(f"x.{id_col}")),
         )
         .where(
-            F.round(cosine(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}")), 6)
+            # Arrow-vectorized pair cosine (bit-identical values — see
+            # pair_cosine_udf); rounding stays JVM-side HALF_UP
+            F.round(
+                pair_cosine_udf()(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}")), 6
+            )
             >= F.lit(float(tau))
         )
         .select(F.col(f"x.{id_col}").alias(id_col))
