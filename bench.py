@@ -356,6 +356,7 @@ def main() -> None:
         "q135_trim_repeats",
         "q136_ict_pairs",
         "q137_audio_rms",
+        "q138_video_frames",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"
