@@ -489,3 +489,53 @@ def trim_repeated_windows(
         (F.size("_tk") - F.size(kept)).cast("long").alias("n_tokens_removed"),
         F.md5(F.array_join(kept, " ")).alias("clean_md5"),
     )
+
+
+def blocklist_gate(
+    docs: DataFrame,
+    words: list[str],
+    min_bad_tokens: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bad-word blocklist document gate — the C4 / UT1-blocklist stage
+    (Raffel et al. 2020 §2.2 "List of Dirty, Naughty ... Words";
+    FineWeb/CCNet run the same shape against the UT1 adult list).
+
+    Token-exact matching over the shared lowercase whitespace tokens
+    (`_words`) — never a substring regex, which flags innocent words
+    (the classic "Scunthorpe" false positive). A document is ``blocked``
+    when it contains at least ``min_bad_tokens`` blocklisted token
+    occurrences; ``bad_permille`` (integer, ``1000·bad DIV tokens``) is
+    surfaced so callers can run density policies instead.
+
+    Scale shape (100 TB): ZERO shuffle — one codegen projection. The
+    blocklist rides as a literal IN-set (Catalyst compiles >10 literals
+    to an O(1) hash-set `InSet`), so even the ~10^5-word UT1 list stays a
+    broadcast-free map-side filter; the corpus never explodes to token
+    rows.
+
+    Output: (id_col, n_tokens, n_bad_tokens, bad_permille, blocked).
+    """
+    if not words:
+        raise ValueError("blocklist_gate needs a non-empty word list")
+    qs = ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(set(words)))
+    d = docs.select(
+        F.col(id_col), _words(F.col(text_col)).alias("_tk")
+    ).select(
+        F.col(id_col),
+        F.size("_tk").cast("long").alias("n_tokens"),
+        F.expr(f"size(filter(_tk, t139 -> t139 IN ({qs})))")
+        .cast("long")
+        .alias("n_bad_tokens"),
+    )
+    permille = F.when(F.col("n_tokens") == 0, F.lit(0).cast("long")).otherwise(
+        F.expr("(1000L * n_bad_tokens) DIV n_tokens")
+    )
+    return d.select(
+        id_col,
+        "n_tokens",
+        "n_bad_tokens",
+        permille.alias("bad_permille"),
+        (F.col("n_bad_tokens") >= F.lit(int(min_bad_tokens))).alias("blocked"),
+    )

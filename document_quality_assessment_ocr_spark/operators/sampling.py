@@ -336,3 +336,70 @@ def exact_k_sample(
         F.col("t.u").alias("sample_u"),
         (F.col("r") + 1).cast("int").alias("rank"),
     )
+
+
+def weighted_priority_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample1",
+    fanout: int = 32,
+) -> DataFrame:
+    """EXACTLY-k deterministic WEIGHTED sample — priority sampling
+    (Duffield, Lund & Thorup 2007, "Priority sampling for estimation of
+    arbitrary subset sums"): each row draws a uniform ``u`` and gets
+    priority ``u / w``; the k smallest priorities win, so selection
+    probability grows with weight and the chosen subset supports
+    near-optimal subset-sum estimates. The token-weighted variant of
+    :func:`exact_k_sample` for "sample documents proportional to their
+    token mass" eval-set builds.
+
+    Fixed-point cross-engine determinism: ``u`` is the first 15 md5 hex
+    chars of ``salt#id`` (60 bits, < 2^63) and the priority is the
+    integer ``u DIV max(w, 1)`` — non-negative integer division is exact
+    on both engines, so the oracle's single-node ``ORDER BY priority, id
+    LIMIT k`` reproduces the winner set bit-for-bit. Ties break on id via
+    the struct sort order.
+
+    Same two-level top-k merge as :func:`exact_k_sample`: no task ever
+    sorts the corpus; level 2 folds ≤ fanout·k survivors.
+
+    Output: (id_col, weight, priority, rank) — rank 1..k by priority.
+    """
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("#", F.lit(salt), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.greatest(F.col(weight_col).cast("long"), F.lit(1).cast("long"))
+    prio = F.expr("_u DIV _w")
+    base = docs.select(
+        F.col(id_col), u.alias("_u"), w.alias("_w")
+    ).select(
+        F.col(id_col),
+        F.col("_w").alias("weight"),
+        prio.alias("priority"),
+    )
+    it = F.struct(
+        F.col("priority").alias("p"),
+        F.col(id_col).alias("kid"),
+        F.col("weight").alias("wt"),
+    )
+    topk = lambda c: F.slice(F.sort_array(F.collect_list(c)), 1, int(k))
+    lvl1 = base.groupBy(
+        F.pmod(F.hash(id_col), F.lit(int(fanout))).alias("_b")
+    ).agg(topk(it).alias("top"))
+    merged = lvl1.select(F.explode("top").alias("t")).agg(
+        topk(F.col("t")).alias("top")
+    )
+    return merged.select(F.posexplode("top").alias("r", "t")).select(
+        F.col("t.kid").alias(id_col),
+        F.col("t.wt").alias("weight"),
+        F.col("t.p").alias("priority"),
+        (F.col("r") + 1).cast("int").alias("rank"),
+    )

@@ -322,3 +322,88 @@ def heavy_hitters_verified(
             (F.col("exact") >= F.lit(int(threshold))).alias("is_true_heavy"),
         )
     )
+
+
+def hll_overlap(
+    df: DataFrame,
+    side_col: str,
+    item_col: str,
+    a_label: str,
+    b_label: str,
+    with_exact: bool = False,
+) -> DataFrame:
+    """Corpus-overlap estimate between two item sets from ONE pass of HLL
+    registers — inclusion–exclusion over the mergeable sketch:
+    ``|A∩B| ≈ est(A) + est(B) − est(A∪B)``, where the union sketch is the
+    register-wise MAX of the two sides (the defining algebraic property
+    of HLL). The corpus-vs-corpus contamination / shared-vocabulary audit
+    ("how much of shard B's vocabulary is already in corpus A?") at a
+    cost of 2·m register rows, however large either side is.
+
+    Same md5 register/rho arithmetic as :func:`hll_distinct` (m=256,
+    engine-portable, exact-in-any-order harmonic sums — see module doc),
+    so the DuckDB oracle reproduces every derived double bit-for-bit.
+
+    ``with_exact`` (audit mode, validation scale only) adds the true
+    distinct counts and true intersection via a per-item two-flag
+    aggregate — the corpus-scale pass the sketch exists to avoid.
+
+    Output: one row — n_hit_a/b/union (int), harmonic_a/b/union,
+    est_a/b/union, overlap_est (double); audit adds exact_a, exact_b,
+    exact_overlap (bigint).
+    """
+    reg, rho = hll_register_rho(F.col(item_col))
+    side = F.col(side_col)
+    base = df.where(side.isin(a_label, b_label)).select(
+        side.alias("_s"), reg.alias("reg"), rho.alias("rho"),
+        F.col(item_col).alias("item"),
+    )
+    per_reg = base.groupBy("reg").agg(
+        F.max(F.when(F.col("_s") == a_label, F.col("rho"))).alias("ra"),
+        F.max(F.when(F.col("_s") == b_label, F.col("rho"))).alias("rb"),
+    )
+    hs = lambda c: F.sum(F.when(c.isNotNull(), F.pow(F.lit(2.0), -c)))
+    nh = lambda c: F.count(c)
+    folded = per_reg.agg(
+        nh(F.col("ra")).cast("int").alias("n_hit_a"),
+        nh(F.col("rb")).cast("int").alias("n_hit_b"),
+        nh(F.greatest("ra", "rb")).cast("int").alias("n_hit_union"),
+        hs(F.col("ra")).alias("ha"),
+        hs(F.col("rb")).alias("hb"),
+        hs(F.greatest("ra", "rb")).alias("hu"),
+    )
+    est = lambda h, n: F.lit(ALPHA_M * M * M) / (
+        F.coalesce(h, F.lit(0.0)) + (F.lit(M) - n).cast("double")
+    )
+    out = folded.select(
+        "n_hit_a",
+        "n_hit_b",
+        "n_hit_union",
+        (F.coalesce("ha", F.lit(0.0))
+         + (F.lit(M) - F.col("n_hit_a")).cast("double")).alias("harmonic_a"),
+        (F.coalesce("hb", F.lit(0.0))
+         + (F.lit(M) - F.col("n_hit_b")).cast("double")).alias("harmonic_b"),
+        (F.coalesce("hu", F.lit(0.0))
+         + (F.lit(M) - F.col("n_hit_union")).cast("double")).alias(
+            "harmonic_union"),
+        est(F.col("ha"), F.col("n_hit_a")).alias("est_a"),
+        est(F.col("hb"), F.col("n_hit_b")).alias("est_b"),
+        est(F.col("hu"), F.col("n_hit_union")).alias("est_union"),
+    ).withColumn(
+        "overlap_est",
+        F.col("est_a") + F.col("est_b") - F.col("est_union"),
+    )
+    if not with_exact:
+        return out
+    flags = df.where(side.isin(a_label, b_label)).groupBy(
+        F.col(item_col).alias("item")
+    ).agg(
+        F.max(F.when(side == a_label, 1).otherwise(0)).alias("ia"),
+        F.max(F.when(side == b_label, 1).otherwise(0)).alias("ib"),
+    )
+    exact = flags.agg(
+        F.sum("ia").cast("long").alias("exact_a"),
+        F.sum("ib").cast("long").alias("exact_b"),
+        F.sum(F.col("ia") * F.col("ib")).cast("long").alias("exact_overlap"),
+    )
+    return out.crossJoin(exact)

@@ -1932,3 +1932,106 @@ def test_ict_pairs(spark):
     assert sorted(r["query"].split() + r["context"].split()) == sorted(toks)
     again = ict_pairs(docs, span_tokens=10).collect()[0]
     assert again["pick"] == r["pick"]
+
+
+# ---------------------------------------------------------- blocklist gate
+def test_blocklist_gate(spark):
+    """Token-exact counts (occurrences, not distinct), integer permille,
+    any-hit threshold, empty/None text → 0s and unblocked."""
+    from document_quality_assessment_ocr_spark.operators.quality import (
+        blocklist_gate,
+    )
+
+    d = spark.createDataFrame(
+        [
+            (1, "bad BAD word word word"),   # 2 hits of 5 (case-folded)
+            (2, "worse word"),               # 1 hit of 2
+            (3, "clean words only here"),    # 0 hits
+            (4, ""),                         # empty
+            (5, None),                       # null
+            (6, "badly bad-word embedded"),  # substrings never match
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in blocklist_gate(
+            d, ["bad", "worse"], min_bad_tokens=2
+        ).collect()
+    }
+    assert (out[1]["n_tokens"], out[1]["n_bad_tokens"]) == (5, 2)
+    assert out[1]["bad_permille"] == 2000 // 5 and out[1]["blocked"]
+    assert (out[2]["n_bad_tokens"], out[2]["blocked"]) == (1, False)
+    assert (out[3]["n_bad_tokens"], out[3]["blocked"]) == (0, False)
+    for i in (4, 5):
+        assert (out[i]["n_tokens"], out[i]["bad_permille"]) == (0, 0)
+        assert not out[i]["blocked"]
+    assert out[6]["n_bad_tokens"] == 0  # 'badly'/'bad-word' are not 'bad'
+
+
+def test_weighted_priority_sample(spark):
+    """Winners equal the python k-smallest (u DIV w, id) replay; heavier
+    rows beat lighter rows holding the draw fixed; replay-stable;
+    k > n returns all n."""
+    from document_quality_assessment_ocr_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+
+    rows = [(i, (i * 7) % 50 + 1) for i in range(200)]
+    d = spark.createDataFrame(rows, "doc_id long, w long")
+    out = weighted_priority_sample(d, k=12, weight_col="w", salt="s").collect()
+    assert len(out) == 12
+    prios = sorted(
+        (int(hashlib.md5(f"s#{i}".encode()).hexdigest()[:15], 16) // w, i, w)
+        for i, w in rows
+    )[:12]
+    assert [
+        (r["priority"], r["doc_id"], r["weight"])
+        for r in sorted(out, key=lambda r: r["rank"])
+    ] == prios
+    again = weighted_priority_sample(d, k=12, weight_col="w", salt="s").collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    # weight monotonicity: same id (same draw u), bigger w → smaller priority
+    u0 = int(hashlib.md5(b"s#0").hexdigest()[:15], 16)
+    assert u0 // 50 < u0 // 1
+    small = spark.createDataFrame([(1, 5), (2, 9)], "doc_id long, w long")
+    assert len(weighted_priority_sample(small, k=10, weight_col="w").collect()) == 2
+
+
+def test_hll_overlap_matches_python_and_exact(spark):
+    """Register-level python replay (per-side max-rho, union = max), exact
+    powers-of-two harmonic equality, inclusion-exclusion identity, and the
+    audit intersection is the true one."""
+    from document_quality_assessment_ocr_spark.operators.sketches import (
+        hll_overlap,
+    )
+
+    a_items = [f"w{i}" for i in range(300)]
+    b_items = [f"w{i}" for i in range(200, 450)]  # true overlap = 100
+    df = spark.createDataFrame(
+        [("a", w) for w in a_items] + [("b", w) for w in b_items],
+        "side string, item string",
+    )
+    out = hll_overlap(df, "side", "item", "a", "b", with_exact=True).collect()[0]
+
+    def regs(items):
+        rr = {}
+        for w in items:
+            h = hashlib.md5(w.encode()).hexdigest()
+            reg, v = int(h[:2], 16), int(h[2:10], 16)
+            rho = 33 if v == 0 else 33 - len(bin(v)[2:])
+            rr[reg] = max(rr.get(reg, 0), rho)
+        return rr
+
+    ra, rb = regs(a_items), regs(b_items)
+    ru = {r: max(ra.get(r, 0), rb.get(r, 0)) for r in set(ra) | set(rb)}
+    for name, rr in (("a", ra), ("b", rb), ("union", ru)):
+        assert out[f"n_hit_{name}"] == len(rr)
+        assert out[f"harmonic_{name}"] == sum(
+            2.0 ** -x for x in rr.values()
+        ) + (256 - len(rr))
+    assert out["overlap_est"] == out["est_a"] + out["est_b"] - out["est_union"]
+    assert (out["exact_a"], out["exact_b"], out["exact_overlap"]) == (300, 250, 100)
+    # m=256 → 6.5% standard error per estimate; the difference compounds,
+    # so just require the estimate lands in a generous truth neighbourhood
+    assert abs(out["overlap_est"] - 100) < 120
