@@ -357,6 +357,9 @@ def main() -> None:
         "q136_ict_pairs",
         "q137_audio_rms",
         "q138_video_frames",
+        "q139_blocklist_gate",
+        "q140_weighted_sample",
+        "q141_hll_overlap",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"
