@@ -4365,6 +4365,176 @@ def _ict_pairs_sql(s: int = 10) -> str:
     """
 
 
+def _q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2 span-corruption examples: one md5-placed 3-token span
+    masked per 20-token tile (15% noise), sentinels in place, targets
+    carry the hidden tokens — one codegen projection, zero shuffle."""
+    from document_quality_assessment_ocr_spark.operators.augment import (
+        span_corruption,
+    )
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return span_corruption(d, tile_tokens=20, span_tokens=3)
+
+
+def _span_corruption_sql(T: int = 20, L: int = 3) -> str:
+    """q142 oracle: the q136 tiling idiom per tile — UNNEST(RANGE) tiles,
+    60-bit md5 offsets, inclusive list slices assembled in g order via
+    FLATTEN(LIST(.. ORDER BY g)), ragged tail appended unmasked."""
+    sent = "'<extra_id_' || CAST(g AS VARCHAR) || '>'"
+    return f"""
+        WITH d AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(
+                       TRIM(COALESCE(text,'')), '{WS}+'), x -> x <> '') AS a
+            FROM documents
+        ), c AS (
+            SELECT doc_id, a, CAST(LEN(a) AS BIGINT) AS n,
+                   CAST(LEN(a) AS BIGINT) // {T} AS nt
+            FROM d
+        ), tiles AS (
+            SELECT doc_id, a, UNNEST(RANGE(0, nt)) AS g
+            FROM c WHERE nt >= 1
+        ), sp AS (
+            SELECT doc_id, a, g,
+                   ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '|sc{L}|'
+                        || CAST(g AS VARCHAR)), 1, 15))::BIGINT
+                       % {T - L + 1} AS o
+            FROM tiles
+        ), parts AS (
+            SELECT doc_id, g,
+                   a[CAST(g * {T} + 1 AS INT) : CAST(g * {T} + o AS INT)]
+                     || [{sent}]
+                     || a[CAST(g * {T} + o + {L} + 1 AS INT)
+                          : CAST((g + 1) * {T} AS INT)] AS ip,
+                   [{sent}]
+                     || a[CAST(g * {T} + o + 1 AS INT)
+                          : CAST(g * {T} + o + {L} AS INT)] AS tp
+            FROM sp
+        ), agg AS (
+            SELECT doc_id, FLATTEN(LIST(ip ORDER BY g)) AS inp,
+                   FLATTEN(LIST(tp ORDER BY g)) AS tgt
+            FROM parts GROUP BY doc_id
+        )
+        SELECT c.doc_id, c.n AS n_tokens, c.nt AS n_spans,
+               c.nt * {L} AS n_masked,
+               CASE WHEN agg.doc_id IS NULL
+                    THEN COALESCE(ARRAY_TO_STRING(c.a, ' '), '')
+                    ELSE COALESCE(ARRAY_TO_STRING(
+                        agg.inp || c.a[CAST(c.nt * {T} + 1 AS INT)
+                                       : CAST(c.n AS INT)], ' '), '')
+                    END AS inputs,
+               COALESCE(ARRAY_TO_STRING(agg.tgt, ' '), '') AS targets
+        FROM c LEFT JOIN agg ON c.doc_id = agg.doc_id
+    """
+
+
+def _q_bt_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strengths over synthesized preference pairs:
+    consecutive docs within md5-free %50 buckets battle, more tokens
+    wins (tie → smaller id) — then 3 fixed-point MM rounds
+    (graph.bt_strength, the pagerank_fixed integer idiom)."""
+    from pyspark.sql import Window
+
+    from document_quality_assessment_ocr_spark.operators.graph import bt_strength
+    from document_quality_assessment_ocr_spark.operators.textstats import _tokens
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(_tokens(F.col("text"))).cast("long").alias("n"),
+    )
+    win = Window.partitionBy(F.expr("doc_id % 50")).orderBy("doc_id")
+    p = d.select(
+        "doc_id",
+        "n",
+        F.lead("doc_id").over(win).alias("nid"),
+        F.lead("n").over(win).alias("nn"),
+    ).where(F.col("nid").isNotNull())
+    won = (F.col("n") > F.col("nn")) | (
+        (F.col("n") == F.col("nn")) & (F.col("doc_id") < F.col("nid"))
+    )
+    pairs = p.select(
+        F.when(won, F.col("doc_id")).otherwise(F.col("nid")).alias("winner_id"),
+        F.when(won, F.col("nid")).otherwise(F.col("doc_id")).alias("loser_id"),
+    )
+    return bt_strength(pairs, iters=3)
+
+
+def _bt_strength_sql(iters: int = 3) -> str:
+    """q143 oracle: same LEAD-pair synthesis, then the MM rounds UNROLLED
+    (the q56 fixed-point-iteration technique) — every division a
+    non-negative // with the shared BT_NUM/BT_SCALE constants, every
+    SUM cast to BIGINT before reuse."""
+    from document_quality_assessment_ocr_spark.operators.graph import BT_NUM, BT_SCALE
+
+    rounds = []
+    prev = "s0"
+    for r in range(1, int(iters) + 1):
+        rounds.append(f"""
+        d{r} AS (
+            SELECT a AS item_id,
+                   CAST(SUM((n_ij * {BT_NUM}) //
+                            GREATEST(sa.s + sb.s, 1)) AS BIGINT) AS d
+            FROM dir
+            JOIN {prev} sa ON dir.a = sa.item_id
+            JOIN {prev} sb ON dir.b = sb.item_id
+            GROUP BY a
+        ), s{r} AS (
+            SELECT it.item_id,
+                   CAST((n_wins * {BT_NUM}) //
+                        GREATEST(COALESCE(d, 0), 1) AS BIGINT) AS s
+            FROM it LEFT JOIN d{r} USING (item_id)
+        )""")
+        prev = f"s{r}"
+    return f"""
+        WITH doc AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(
+                       TRIM(LOWER(COALESCE(text, ''))), '{WS}+'),
+                       x -> x <> '')) AS BIGINT) AS n
+            FROM documents
+        ), p AS (
+            SELECT doc_id, n,
+                   LEAD(doc_id) OVER (PARTITION BY doc_id % 50
+                                      ORDER BY doc_id) AS nid,
+                   LEAD(n) OVER (PARTITION BY doc_id % 50
+                                 ORDER BY doc_id) AS nn
+            FROM doc
+        ), pr AS (
+            SELECT CASE WHEN n > nn OR (n = nn AND doc_id < nid)
+                        THEN doc_id ELSE nid END AS winner_id,
+                   CASE WHEN n > nn OR (n = nn AND doc_id < nid)
+                        THEN nid ELSE doc_id END AS loser_id
+            FROM p WHERE nid IS NOT NULL
+        ), edges AS (
+            SELECT LEAST(winner_id, loser_id) AS i,
+                   GREATEST(winner_id, loser_id) AS j,
+                   CAST(COUNT(*) AS BIGINT) AS n_ij
+            FROM pr GROUP BY 1, 2
+        ), wins AS (
+            SELECT winner_id AS item_id, CAST(COUNT(*) AS BIGINT) AS n_wins
+            FROM pr GROUP BY 1
+        ), it AS (
+            SELECT g.item_id, CAST(COALESCE(n_wins, 0) AS BIGINT) AS n_wins,
+                   g.n_games
+            FROM (SELECT item_id, CAST(COUNT(*) AS BIGINT) AS n_games
+                  FROM (SELECT winner_id AS item_id FROM pr
+                        UNION ALL SELECT loser_id FROM pr)
+                  GROUP BY 1) g
+            LEFT JOIN wins USING (item_id)
+        ), dir AS (
+            SELECT i AS a, j AS b, n_ij FROM edges
+            UNION ALL SELECT j, i, n_ij FROM edges
+        ), s0 AS (
+            SELECT item_id, CAST({BT_SCALE} AS BIGINT) AS s FROM it
+        ),{",".join(rounds)}
+        SELECT it.item_id, it.n_wins, it.n_games, {prev}.s AS strength_micro
+        FROM it JOIN {prev} USING (item_id)
+    """
+
+
 # Shared by _q_blocklist_gate AND _blocklist_gate_sql (twin contract):
 # a corpus-common word, a rare word, and an absent word so the gate's
 # blocked/permille surface exercises every branch.
@@ -4717,6 +4887,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q139_blocklist_gate": _q_blocklist_gate,
         "q140_weighted_sample": _q_weighted_sample,
         "q141_hll_overlap": _q_hll_overlap,
+        "q142_span_corruption": _q_span_corruption,
+        "q143_bt_strength": _q_bt_strength,
     }
 
 
@@ -7508,6 +7680,8 @@ def oracle_sql() -> dict[str, str]:
         "q139_blocklist_gate": _blocklist_gate_sql(2),
         "q140_weighted_sample": _weighted_sample_sql(25),
         "q141_hll_overlap": _hll_overlap_sql(),
+        "q142_span_corruption": _span_corruption_sql(20, 3),
+        "q143_bt_strength": _bt_strength_sql(3),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

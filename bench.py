@@ -360,6 +360,8 @@ def main() -> None:
         "q139_blocklist_gate",
         "q140_weighted_sample",
         "q141_hll_overlap",
+        "q142_span_corruption",
+        "q143_bt_strength",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

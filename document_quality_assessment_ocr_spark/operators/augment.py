@@ -137,3 +137,81 @@ def ict_pairs(
             F.array_join(ctx, " ").alias("context"),
         )
     )
+
+
+def span_corruption(
+    docs: DataFrame,
+    tile_tokens: int = 20,
+    span_tokens: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """T5/UL2 span-corruption example builder (Raffel et al. 2020 §3.1.4,
+    Tay et al. 2022 UL2 R-denoiser): mask one ``span_tokens``-token span
+    per ``tile_tokens``-token tile — noise density span/tile (the T5
+    default 15% at 3/20) — emitting ``inputs`` (spans replaced by
+    ``<extra_id_g>`` sentinels in place) and ``targets`` (each sentinel
+    followed by the tokens it hid).
+
+    Spans never overlap BY CONSTRUCTION: tile g owns tokens
+    [g·T+1, (g+1)·T] (1-based) and its span starts at a 60-bit-md5
+    offset in [0, T−L] — the q136 group-tiling idiom, so placement is
+    deterministic, replay/retry-stable, and cross-engine exact (no
+    greedy overlap resolution to replicate). The ragged tail past the
+    last full tile stays unmasked; docs shorter than one tile pass
+    through whole (n_spans = 0, empty targets) — the FIM passthrough
+    contract.
+
+    Scale shape: ONE whole-stage-codegen projection, zero shuffle, one
+    md5 per tile (~n_tokens/T per doc).
+
+    Output: (id_col, n_tokens, n_spans, n_masked, inputs, targets).
+    """
+    T, L = int(tile_tokens), int(span_tokens)
+    if not (0 < L < T):
+        raise ValueError("need 0 < span_tokens < tile_tokens")
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), WS_CLASS + "+"),
+        lambda x: x != F.lit(""),
+    )
+    base = docs.select(F.col(id_col), toks.alias("tk")).select(
+        F.col(id_col),
+        "tk",
+        F.expr(f"size(tk) DIV {T}").cast("long").alias("_nt"),
+    )
+    off = (
+        f"pmod(cast(conv(substring(md5(concat(cast({id_col} as string),"
+        f" '|sc{L}|', cast(g142 as string))), 1, 15), 16, 10) as bigint),"
+        f" {T - L + 1})"
+    )
+    spans = (
+        "transform(CASE WHEN _nt >= 1 THEN sequence(0L, _nt - 1)"
+        " ELSE array() END,"
+        f" g142 -> named_struct('g', g142, 'o', {off}))"
+    )
+    sent = "concat('<extra_id_', cast(s142.g as string), '>')"
+    inputs_arr = (
+        "concat(flatten(transform(_sp, s142 -> concat("
+        f" slice(tk, cast(s142.g * {T} + 1 as int), cast(s142.o as int)),"
+        f" array({sent}),"
+        f" slice(tk, cast(s142.g * {T} + s142.o + {L} + 1 as int),"
+        f"       cast({T} - s142.o - {L} as int))))),"
+        f" slice(tk, cast(_nt * {T} + 1 as int),"
+        f"       cast(size(tk) - _nt * {T} as int)))"
+    )
+    targets_arr = (
+        "flatten(transform(_sp, s142 -> concat("
+        f" array({sent}),"
+        f" slice(tk, cast(s142.g * {T} + s142.o + 1 as int), {L}))))"
+    )
+    return (
+        base.withColumn("_sp", F.expr(spans))
+        .select(
+            F.col(id_col),
+            F.size("tk").cast("long").alias("n_tokens"),
+            F.col("_nt").alias("n_spans"),
+            (F.col("_nt") * L).cast("long").alias("n_masked"),
+            F.array_join(F.expr(inputs_arr), " ").alias("inputs"),
+            F.array_join(F.expr(targets_arr), " ").alias("targets"),
+        )
+    )

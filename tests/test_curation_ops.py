@@ -2035,3 +2035,97 @@ def test_hll_overlap_matches_python_and_exact(spark):
     # m=256 → 6.5% standard error per estimate; the difference compounds,
     # so just require the estimate lands in a generous truth neighbourhood
     assert abs(out["overlap_est"] - 100) < 120
+
+
+def test_span_corruption(spark):
+    """Python replay of the md5 tile offsets: sentinels replace exactly
+    the masked spans in place; targets carry sentinel+span; passthrough
+    for sub-tile docs; reconstruction recovers the document."""
+    from document_quality_assessment_ocr_spark.operators.augment import (
+        span_corruption,
+    )
+
+    toks = [f"t{i}" for i in range(47)]  # 2 full tiles of 20 + tail 7
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "a b c"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in span_corruption(docs, tile_tokens=20, span_tokens=3).collect()
+    }
+    r = out[1]
+    assert (r["n_tokens"], r["n_spans"], r["n_masked"]) == (47, 2, 6)
+
+    def off(doc_id, g):
+        h = hashlib.md5(f"{doc_id}|sc3|{g}".encode()).hexdigest()
+        return int(h[:15], 16) % (20 - 3 + 1)
+
+    inp, tgt = [], []
+    for g in range(2):
+        o = off(1, g)
+        tile = toks[g * 20 : (g + 1) * 20]
+        inp += tile[:o] + [f"<extra_id_{g}>"] + tile[o + 3 :]
+        tgt += [f"<extra_id_{g}>"] + tile[o : o + 3]
+    inp += toks[40:]
+    assert r["inputs"] == " ".join(inp)
+    assert r["targets"] == " ".join(tgt)
+    # reconstruction: substituting each sentinel's target span back into
+    # inputs yields the original document
+    rec = r["inputs"]
+    parts = r["targets"].split()
+    spans = {}
+    cur = None
+    for t in parts:
+        if t.startswith("<extra_id_"):
+            cur = t
+            spans[cur] = []
+        else:
+            spans[cur].append(t)
+    for s_tok, body in spans.items():
+        rec = rec.replace(s_tok, " ".join(body))
+    assert rec == " ".join(toks)
+    # passthrough: shorter than one tile
+    assert (out[2]["n_spans"], out[2]["targets"]) == (0, "")
+    assert out[2]["inputs"] == "a b c"
+    assert (out[3]["n_tokens"], out[3]["inputs"]) == (0, "")
+
+
+def test_bt_strength_matches_python_replay(spark):
+    """The fixed-point MM update replayed in python ints equals the
+    engine bit-for-bit; more wins against the same field → higher
+    strength; zero-win items fix at 0."""
+    from document_quality_assessment_ocr_spark.operators.graph import (
+        BT_NUM,
+        BT_SCALE,
+        bt_strength,
+    )
+
+    raw = [(1, 2)] * 3 + [(2, 3)] * 2 + [(1, 3), (3, 1), (1, 4)]
+    pairs = spark.createDataFrame(raw, "winner_id long, loser_id long")
+    out = {r["item_id"]: r for r in bt_strength(pairs, iters=3).collect()}
+
+    edges, wins, games = {}, {}, {}
+    for w, l in raw:
+        edges[(min(w, l), max(w, l))] = edges.get((min(w, l), max(w, l)), 0) + 1
+        wins[w] = wins.get(w, 0) + 1
+        games[w] = games.get(w, 0) + 1
+        games[l] = games.get(l, 0) + 1
+    s = {i: BT_SCALE for i in games}
+    for _ in range(3):
+        d = {}
+        for (i, j), n in edges.items():
+            t_ij = (n * BT_NUM) // max(s[i] + s[j], 1)
+            d[i] = d.get(i, 0) + t_ij
+            d[j] = d.get(j, 0) + t_ij
+        s = {
+            i: (wins.get(i, 0) * BT_NUM) // max(d.get(i, 0), 1)
+            for i in games
+        }
+    for i in games:
+        assert out[i]["strength_micro"] == s[i], i
+        assert out[i]["n_wins"] == wins.get(i, 0)
+        assert out[i]["n_games"] == games[i]
+    # item 1 won 5 of 6; item 4 never won
+    assert out[1]["strength_micro"] > out[2]["strength_micro"]
+    assert out[4]["strength_micro"] == 0
