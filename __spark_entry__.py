@@ -4535,6 +4535,86 @@ def _bt_strength_sql(iters: int = 3) -> str:
     """
 
 
+def _q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram surprisal (distinct-continuation
+    counts, D=0.75 fixed-point) — the q121 plan shape with the KenLM
+    default smoother."""
+    from document_quality_assessment_ocr_spark.operators.lm import kneser_ney_bits
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return kneser_ney_bits(d, discount_milli=750)
+
+
+def _kneser_ney_sql(
+    d_milli: int = 750, lo_bits: float = 3.0, hi_bits: float = 8.0
+) -> str:
+    """q144 oracle: the q121 twin with KN statistics — N1L/N1R/N1T are
+    row counts over the same c12 table, the micro-prob recipe is the
+    docstring's integer arithmetic verbatim (// == Spark DIV,
+    non-negative everywhere), surfaced integers CAST to BIGINT."""
+    D = int(d_milli)
+    return f"""
+        WITH d AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(
+                       TRIM(LOWER(COALESCE(text, ''))), '{WS}+'),
+                       x -> x <> '') AS tk
+            FROM documents
+        ), bg AS (
+            SELECT doc_id,
+                   tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1] AS bg
+            FROM (SELECT doc_id, tk,
+                         UNNEST(RANGE(1, GREATEST(LEN(tk) - 1, 0) + 1)) AS i
+                  FROM d)
+        ), c12 AS (
+            SELECT bg, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY bg
+        ), c1 AS (
+            SELECT STR_SPLIT(bg, ' ')[1] AS w1,
+                   CAST(SUM(c12) AS BIGINT) AS c1,
+                   CAST(COUNT(*) AS BIGINT) AS n1l
+            FROM c12 GROUP BY 1
+        ), nr AS (
+            SELECT STR_SPLIT(bg, ' ')[2] AS w2,
+                   CAST(COUNT(*) AS BIGINT) AS n1r
+            FROM c12 GROUP BY 1
+        ), nt AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n1t FROM c12
+        ), model AS (
+            SELECT c12.bg,
+                   CAST(LENGTH(BIN(1000000 // GREATEST(
+                       (GREATEST(c12.c12 * 1000 - {D}, 0) * 1000) // c1.c1
+                       + ((({D} * 1000 * c1.n1l) // c1.c1)
+                          * ((nr.n1r * 1000000) // nt.n1t)) // 1000000,
+                       1))) - 1 AS BIGINT) AS bits
+            FROM c12
+            JOIN c1 ON c1.w1 = STR_SPLIT(c12.bg, ' ')[1]
+            JOIN nr ON nr.w2 = STR_SPLIT(c12.bg, ' ')[2]
+            CROSS JOIN nt
+        ), per_doc AS (
+            SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(m.bits) AS BIGINT) AS sum_bits
+            FROM bg JOIN model m ON m.bg = bg.bg
+            GROUP BY bg.doc_id
+        ), pd AS (
+            SELECT doc_id, n_bigrams, sum_bits,
+                   CAST(sum_bits AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+                       AS avg_bits
+            FROM per_doc
+        )
+        SELECT dd.doc_id,
+               CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               CAST(COALESCE(p.sum_bits, 0) AS BIGINT) AS sum_bits,
+               p.avg_bits,
+               COALESCE(p.avg_bits BETWEEN CAST({lo_bits!r} AS DOUBLE)
+                                       AND CAST({hi_bits!r} AS DOUBLE),
+                        FALSE) AS keep
+        FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents) dd
+        LEFT JOIN pd p ON p.doc_id = dd.doc_id
+    """
+
+
 # Shared by _q_blocklist_gate AND _blocklist_gate_sql (twin contract):
 # a corpus-common word, a rare word, and an absent word so the gate's
 # blocked/permille surface exercises every branch.
@@ -4889,6 +4969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q141_hll_overlap": _q_hll_overlap,
         "q142_span_corruption": _q_span_corruption,
         "q143_bt_strength": _q_bt_strength,
+        "q144_kneser_ney": _q_kneser_ney,
     }
 
 
@@ -7682,6 +7763,7 @@ def oracle_sql() -> dict[str, str]:
         "q141_hll_overlap": _hll_overlap_sql(),
         "q142_span_corruption": _span_corruption_sql(20, 3),
         "q143_bt_strength": _bt_strength_sql(3),
+        "q144_kneser_ney": _kneser_ney_sql(750, 3.0, 8.0),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

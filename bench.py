@@ -362,6 +362,7 @@ def main() -> None:
         "q141_hll_overlap",
         "q142_span_corruption",
         "q143_bt_strength",
+        "q144_kneser_ney",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

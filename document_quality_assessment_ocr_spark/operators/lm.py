@@ -129,3 +129,110 @@ def bigram_lm_bits(
             ).alias("keep"),
         )
     )
+
+
+def kneser_ney_bits(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount_milli: int = 750,
+    keep_lo_bits: float = 3.0,
+    keep_hi_bits: float = 8.0,
+) -> DataFrame:
+    """Per-document mean bigram surprisal under an interpolated
+    KNESER–NEY bigram LM (Chen & Goodman 1998 §4.1.6 — the smoother
+    KenLM defaults to, and the step up from :func:`bigram_lm_bits`'
+    Jelinek–Mercer mix): the continuation distribution counts DISTINCT
+    left contexts, not raw frequency, so boilerplate bigrams whose w2
+    only ever follows one w1 stop looking cheap.
+
+    All-integer micro-prob recipe (D = ``discount_milli``/1000):
+
+        main_micro = (max(c12·1000 − D_milli, 0) · 1000) DIV c1
+        lam_micro  = (D_milli · 1000 · N1L(w1)) DIV c1
+        pcont_micro= (N1R(w2) · 1e6) DIV N1T
+        p_micro    = main_micro + (lam_micro · pcont_micro) DIV 1e6
+
+    where N1L(w1) = distinct continuations of w1, N1R(w2) = distinct
+    left contexts of w2, N1T = distinct bigrams — ALL three are row
+    counts over the already-built c12 table. Whole-bit surprisal via the
+    shared binary-length floor-log2; magnitudes ≤ ~7.5·10^11, far
+    inside BIGINT.
+
+    Plan shape = q121's exactly: bigrams map-side, ONE c12 hash
+    aggregate, every model statistic derived from that Zipf-shrunk
+    table, scoring via one bigram-keyed join + one per-doc aggregate.
+
+    Output: (id_col, n_bigrams, sum_bits, avg_bits, keep).
+    """
+    D = int(discount_milli)
+    big = docs.select(
+        F.col(id_col), F.explode(_bigrams(F.col(text_col))).alias("bg")
+    )
+    c12 = big.groupBy("bg").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    w1 = F.split(F.col("bg"), " ").getItem(0)
+    w2 = F.split(F.col("bg"), " ").getItem(1)
+    c1 = c12.groupBy(w1.alias("w1")).agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1l"),
+    )
+    n1r = c12.groupBy(w2.alias("w2")).agg(
+        F.count(F.lit(1)).cast("long").alias("n1r")
+    )
+    n1t = c12.agg(F.count(F.lit(1)).cast("long").alias("n1t"))
+
+    model = (
+        c12.select("bg", "c12", w1.alias("w1"), w2.alias("w2"))
+        .join(c1, "w1")
+        .join(n1r, "w2")
+        .crossJoin(F.broadcast(n1t))
+        .select(
+            "bg",
+            F.expr(
+                f"(greatest(c12 * 1000 - {D}, 0L) * 1000) DIV c1"
+                f" + ((({D} * 1000 * n1l) DIV c1)"
+                f"    * ((n1r * 1000000L) DIV n1t)) DIV 1000000"
+            ).alias("p_micro"),
+        )
+        .select(
+            "bg",
+            (
+                F.length(F.bin(F.expr("1000000L DIV GREATEST(p_micro, 1L)"))) - 1
+            )
+            .cast("long")
+            .alias("bits"),
+        )
+    )
+
+    per_doc = (
+        big.join(model, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("bits").cast("long").alias("sum_bits"),
+        )
+        .select(
+            F.col(id_col),
+            "n_bigrams",
+            "sum_bits",
+            (
+                F.col("sum_bits").cast("double") / F.col("n_bigrams").cast("double")
+            ).alias("avg_bits"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(F.col("sum_bits"), F.lit(0)).cast("long").alias("sum_bits"),
+            F.col("avg_bits"),
+            F.coalesce(
+                F.col("avg_bits").between(
+                    F.lit(float(keep_lo_bits)), F.lit(float(keep_hi_bits))
+                ),
+                F.lit(False),
+            ).alias("keep"),
+        )
+    )

@@ -2129,3 +2129,61 @@ def test_bt_strength_matches_python_replay(spark):
     # item 1 won 5 of 6; item 4 never won
     assert out[1]["strength_micro"] > out[2]["strength_micro"]
     assert out[4]["strength_micro"] == 0
+
+
+def test_kneser_ney_bits_python_replay(spark):
+    """Full integer-recipe replay on a tiny corpus; KN property: a w2
+    with more DISTINCT left contexts earns a larger continuation prob
+    than an equally frequent w2 glued to one context."""
+    from document_quality_assessment_ocr_spark.operators.lm import (
+        kneser_ney_bits,
+    )
+
+    texts = {
+        1: "a x b x c x d x",      # x follows 4 distinct contexts
+        2: "e y e y e y e y",      # y always follows e
+        3: "a x c x",
+        4: "solo",                  # <2 tokens → NULL avg, keep false
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in kneser_ney_bits(docs).collect()}
+
+    bigs = {}
+    per_doc = {}
+    for i, t in texts.items():
+        tk = t.split()
+        bgs = [f"{a} {b}" for a, b in zip(tk, tk[1:])]
+        per_doc[i] = bgs
+        for b in bgs:
+            bigs[b] = bigs.get(b, 0) + 1
+    c1, n1l, n1r = {}, {}, {}
+    for b, c in bigs.items():
+        w1, w2 = b.split(" ")
+        c1[w1] = c1.get(w1, 0) + c
+        n1l[w1] = n1l.get(w1, 0) + 1
+        n1r[w2] = n1r.get(w2, 0) + 1
+    n1t = len(bigs)
+
+    def p_micro(b):
+        w1, w2 = b.split(" ")
+        main = (max(bigs[b] * 1000 - 750, 0) * 1000) // c1[w1]
+        lam = (750 * 1000 * n1l[w1]) // c1[w1]
+        pc = (n1r[w2] * 1000000) // n1t
+        return main + (lam * pc) // 1000000
+
+    def bits(b):
+        return len(bin(1000000 // max(p_micro(b), 1))[2:]) - 1
+
+    for i, bgs in per_doc.items():
+        if len(bgs) == 0:
+            assert out[i]["n_bigrams"] == 0 and out[i]["avg_bits"] is None
+            assert out[i]["keep"] is False
+            continue
+        assert out[i]["n_bigrams"] == len(bgs)
+        assert out[i]["sum_bits"] == sum(bits(b) for b in bgs)
+        assert out[i]["avg_bits"] == sum(bits(b) for b in bgs) / len(bgs)
+    # continuation property: P_cont(x) > P_cont(y) because x follows 4
+    # distinct contexts while y follows 1 (equal total frequency 6 vs 4)
+    assert (n1r["x"] * 1000000) // n1t > (n1r["y"] * 1000000) // n1t
