@@ -121,10 +121,21 @@ def bt_strength(
             "n_games",
         )
     )
+    # Lineage truncation (the q31 CC-loop invariant): edges/items are
+    # item/pair-cardinality — tiny next to the comparison stream — so an
+    # eager localCheckpoint materializes them ONCE; without it every MM
+    # round re-derives the full upstream pair synthesis and the plan
+    # grows O(iters) deep (19 exchanges at iters=3, measured in PLANS.md
+    # before this cut).
+    items = items.localCheckpoint(eager=True)
+    directed = (
+        edges.select(F.col("i").alias("a"), F.col("j").alias("b"), "n_ij")
+        .union(
+            edges.select(F.col("j").alias("a"), F.col("i").alias("b"), "n_ij")
+        )
+        .localCheckpoint(eager=True)
+    )
     s = items.select("item_id", F.lit(BT_SCALE).cast("long").alias("s"))
-    directed = edges.select(
-        F.col("i").alias("a"), F.col("j").alias("b"), "n_ij"
-    ).union(edges.select(F.col("j").alias("a"), F.col("i").alias("b"), "n_ij"))
     for _ in range(int(iters)):
         si = s.select(F.col("item_id").alias("a"), F.col("s").alias("sa"))
         sj = s.select(F.col("item_id").alias("b"), F.col("s").alias("sb"))
@@ -148,6 +159,7 @@ def bt_strength(
                     f"(n_wins * {BT_NUM}L) DIV greatest(coalesce(d, 0L), 1L)"
                 ).alias("s"),
             )
+            .localCheckpoint(eager=True)
         )
     return items.join(s, "item_id").select(
         "item_id", "n_wins", "n_games", F.col("s").alias("strength_micro")
