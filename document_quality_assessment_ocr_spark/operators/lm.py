@@ -236,3 +236,105 @@ def kneser_ney_bits(
             ).alias("keep"),
         )
     )
+
+
+def rho1_excess_select(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rho_milli: int = 300,
+) -> DataFrame:
+    """RHO-1-style selective-token scoring (Lin et al. 2024, "Rho-1: Not
+    All Tokens Are What You Need"): score every token position by its
+    EXCESS surprisal -- reference-model bits minus training-model bits --
+    and select the per-document top ``rho_milli``/1000 fraction. Here the
+    reference model is the corpus unigram-continuation LM and the
+    training model is the corpus MLE bigram LM (both trained on the input
+    itself, both in the shared all-integer micro-prob recipe), so a high
+    excess marks a token the context makes much cheaper than its raw
+    frequency suggests -- exactly the structured, learnable positions
+    RHO-1 keeps.
+
+    All-integer recipe (bits via the shared binary-length floor-log2):
+
+        p_big_micro = (c12 * 1e6) DIV c1      (MLE bigram)
+        p_uni_micro = (c2  * 1e6) DIV N       (unigram continuation)
+        excess      = bits(p_uni) - bits(p_big)   (may be negative)
+        k           = (rho_milli * n + 999) DIV 1000   (ceil, >=1 when n>=1)
+
+    selected = the k positions with the highest excess (ties broken by
+    earliest position) -- a per-document row_number window, bounded by
+    document length, never a global window.
+
+    Plan shape: q121's exactly -- bigrams map-side via posexplode, ONE c12
+    hash aggregate, c1/c2/N derived from that Zipf-shrunk table, scoring
+    one bigram-keyed join, then ONE (partition=doc) window exchange and
+    one per-doc aggregate. No collect, nothing quadratic.
+
+    Output: (id_col, n_bigrams, n_selected, sum_excess_sel, top_pos) --
+    top_pos is the 1-based bigram position of the single highest-excess
+    token (NULL for docs with <2 tokens).
+    """
+    from pyspark.sql import Window
+
+    rho = int(rho_milli)
+    big = docs.select(
+        F.col(id_col),
+        F.posexplode(_bigrams(F.col(text_col))).alias("pos0", "bg"),
+    ).select(F.col(id_col), (F.col("pos0") + 1).cast("long").alias("pos"), "bg")
+    c12 = big.groupBy("bg").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    w1 = F.split(F.col("bg"), " ").getItem(0)
+    w2 = F.split(F.col("bg"), " ").getItem(1)
+    c1 = c12.groupBy(w1.alias("w1")).agg(F.sum("c12").cast("long").alias("c1"))
+    c2 = c12.groupBy(w2.alias("w2")).agg(F.sum("c12").cast("long").alias("c2"))
+    tot = c12.agg(F.sum("c12").cast("long").alias("nb"))
+
+    bits_of = lambda p_expr: (  # noqa: E731
+        F.length(F.bin(F.expr(f"1000000L DIV GREATEST({p_expr}, 1L)"))) - 1
+    ).cast("long")
+    model = (
+        c12.select("bg", "c12", w1.alias("w1"), w2.alias("w2"))
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bg",
+            (
+                bits_of("(c2 * 1000000L) DIV nb")
+                - bits_of("(c12 * 1000000L) DIV c1")
+            ).alias("excess"),
+        )
+    )
+
+    part = Window.partitionBy(id_col)
+    order = part.orderBy(F.col("excess").desc(), F.col("pos").asc())
+    tok = (
+        big.join(model, "bg")
+        .select(F.col(id_col), "pos", "excess")
+        .withColumn("n", F.count(F.lit(1)).over(part).cast("long"))
+        .withColumn("rnk", F.row_number().over(order).cast("long"))
+    )
+    sel = F.col("rnk") <= F.expr(f"({rho} * n + 999) DIV 1000")
+    per_doc = tok.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum(sel.cast("long")).cast("long").alias("n_selected"),
+        F.sum(F.when(sel, F.col("excess")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("sum_excess_sel"),
+        F.min(F.when(F.col("rnk") == 1, F.col("pos")))
+        .cast("long")
+        .alias("top_pos"),
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(F.col("n_selected"), F.lit(0)).cast("long").alias("n_selected"),
+            F.coalesce(F.col("sum_excess_sel"), F.lit(0))
+            .cast("long")
+            .alias("sum_excess_sel"),
+            F.col("top_pos"),
+        )
+    )

@@ -962,3 +962,96 @@ def cluster_holdout_split(
         id_col="cell",
         salt=salt,
     ).select(id_col, "cell", "split")
+
+
+def binary_sig_topk(
+    emb: DataFrame,
+    probe_ids: list,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 48,
+    rerank: int = 24,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fanout: int = 32,
+) -> DataFrame:
+    """Binary sign-sketch retrieval: rank by Hamming distance over packed
+    sign-bit signatures, exact-cosine rerank of the survivors -- the
+    64x-compression ANN path (one BIGINT per vector instead of ``dim``
+    floats) used when even int8 vectors are too big to shuffle.
+
+    Stage 1 reuses :func:`hyperplane_lsh_buckets`'s seeded plane matrix
+    (``n_planes`` <= 62 keeps the packed signature non-negative, dodging
+    the engines' two's-complement ``bit_count`` ambiguity); the Hamming
+    distance ``bit_count(sig XOR probe_sig)`` is an unbiased monotone
+    estimator of the angular distance (Charikar 2002 SimHash). Stage 2
+    keeps each probe's ``rerank`` Hamming-nearest survivors via the
+    q13-style TWO-LEVEL top-k merge (per-bucket top-m, then merge <=
+    fanout*m -- no task ever sorts a probe's whole scored corpus), joins
+    the <= |probes|*rerank survivors back for their full vectors, and
+    ranks by exact cosine inside a window bounded by ``rerank`` rows.
+
+    At 100 TB the corpus never moves: signatures are one codegen
+    projection riding the scan, the probe panel broadcasts, and only
+    survivor ids (a few KB) are joined back for vectors.
+
+    Output: (probe_id, neighbor_id, hd, cos, rank) -- hd BIGINT, cos
+    rounded to 6dp, rank 1..k by (cos DESC, neighbor_id ASC).
+    """
+    assert 1 <= n_planes <= 62
+    sigs = hyperplane_lsh_buckets(
+        emb, dim, n_planes, seed, id_col, vec_col
+    ).withColumnRenamed("bucket", "sig")
+    probes = sigs.filter(F.col(id_col).isin(probe_ids)).select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("probe_vec"),
+        F.col("sig").alias("psig"),
+    )
+    scored = (
+        sigs.alias("c")
+        .join(
+            F.broadcast(probes.select("probe_id", "psig")),
+            F.col("probe_id") != F.col(f"c.{id_col}"),
+        )
+        .select(
+            "probe_id",
+            F.col(f"c.{id_col}").alias("neighbor_id"),
+            F.bit_count(F.col("c.sig").bitwiseXOR(F.col("psig")))
+            .cast("long")
+            .alias("hd"),
+        )
+    )
+    item = F.struct(
+        F.col("hd").alias("hd"), F.col("neighbor_id").alias("neighbor_id")
+    )
+    topm = lambda c: F.slice(F.sort_array(F.collect_list(c)), 1, rerank)  # noqa: E731
+    lvl1 = scored.groupBy(
+        "probe_id", F.pmod(F.hash("neighbor_id"), F.lit(fanout)).alias("b")
+    ).agg(topm(item).alias("top"))
+    survivors = (
+        lvl1.select("probe_id", F.explode("top").alias("t"))
+        .groupBy("probe_id")
+        .agg(topm(F.col("t")).alias("top"))
+        .select("probe_id", F.explode("top").alias("t"))
+        .select("probe_id", F.col("t.neighbor_id").alias("neighbor_id"), F.col("t.hd").alias("hd"))
+    )
+    reranked = (
+        emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+        .join(F.broadcast(survivors), "neighbor_id")
+        .join(F.broadcast(probes.select("probe_id", "probe_vec")), "probe_id")
+        .select(
+            "probe_id",
+            "neighbor_id",
+            "hd",
+            F.round(cosine(F.col("probe_vec"), F.col("nv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "hd", "cos", "rank")
+    )

@@ -2187,3 +2187,118 @@ def test_kneser_ney_bits_python_replay(spark):
     # continuation property: P_cont(x) > P_cont(y) because x follows 4
     # distinct contexts while y follows 1 (equal total frequency 6 vs 4)
     assert (n1r["x"] * 1000000) // n1t > (n1r["y"] * 1000000) // n1t
+
+
+def test_rho1_excess_select_python_replay(spark):
+    """Full integer-recipe replay: excess = unigram-continuation bits
+    minus MLE-bigram bits, per-doc ceil(rho*n/1000) top-excess pick with
+    (excess DESC, pos ASC) ties."""
+    from document_quality_assessment_ocr_spark.operators.lm import (
+        rho1_excess_select,
+    )
+
+    texts = {
+        1: "the cat sat on the mat the cat ran",
+        2: "alpha beta alpha beta alpha beta",
+        3: "unique words only here now",
+        4: "solo",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in rho1_excess_select(docs, rho_milli=300).collect()}
+
+    bigs, per_doc = {}, {}
+    for i, t in texts.items():
+        tk = t.split()
+        bgs = [f"{a} {b}" for a, b in zip(tk, tk[1:])]
+        per_doc[i] = bgs
+        for b in bgs:
+            bigs[b] = bigs.get(b, 0) + 1
+    c1, c2 = {}, {}
+    for b, c in bigs.items():
+        w1, w2 = b.split(" ")
+        c1[w1] = c1.get(w1, 0) + c
+        c2[w2] = c2.get(w2, 0) + c
+    nb = sum(bigs.values())
+
+    def bits(p):
+        return len(bin(1000000 // max(p, 1))[2:]) - 1
+
+    def excess(b):
+        w1, w2 = b.split(" ")
+        return bits((c2[w2] * 1000000) // nb) - bits((bigs[b] * 1000000) // c1[w1])
+
+    for i, bgs in per_doc.items():
+        if not bgs:
+            assert out[i]["n_bigrams"] == 0 and out[i]["top_pos"] is None
+            continue
+        ranked = sorted(
+            [(excess(b), pos + 1) for pos, b in enumerate(bgs)],
+            key=lambda e: (-e[0], e[1]),
+        )
+        n = len(bgs)
+        k = (300 * n + 999) // 1000
+        assert out[i]["n_bigrams"] == n
+        assert out[i]["n_selected"] == k
+        assert out[i]["sum_excess_sel"] == sum(e for e, _ in ranked[:k])
+        assert out[i]["top_pos"] == ranked[0][1]
+
+
+def test_binary_sig_topk_full_rerank_equals_bruteforce(spark):
+    """With rerank >= corpus-1 the Hamming prefilter admits everyone, so
+    the final ranking must equal exact brute-force cosine top-k."""
+    import numpy as np
+
+    from document_quality_assessment_ocr_spark.operators.similarity import (
+        binary_sig_topk,
+        cosine_topk_bruteforce,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bt = binary_sig_topk(
+        emb, probe_ids=[0, 1, 2], dim=16, k=4, n_planes=24, rerank=39
+    )
+    bf = cosine_topk_bruteforce(emb, probe_ids=[0, 1, 2], k=4)
+    got = {(r["probe_id"], r["rank"]): (r["neighbor_id"], r["cos"]) for r in bt.collect()}
+    want = {(r["probe_id"], r["rank"]): (r["neighbor_id"], r["cos"]) for r in bf.collect()}
+    assert got == want
+
+
+def test_binary_sig_topk_prefilter_properties(spark):
+    """Tight rerank: survivors are the Hamming-nearest; probe never its
+    own neighbour; hd is symmetric-consistent with the packed signatures;
+    ranks dense 1..k."""
+    import numpy as np
+
+    from document_quality_assessment_ocr_spark.operators.similarity import (
+        binary_sig_topk,
+        hyperplane_lsh_buckets,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = binary_sig_topk(
+        emb, probe_ids=[3, 4], dim=16, k=3, n_planes=20, rerank=8
+    ).collect()
+    sigs = {
+        r["vec_id"]: r["bucket"]
+        for r in hyperplane_lsh_buckets(emb, 16, 20, 42).collect()
+    }
+    by_probe = {}
+    for r in out:
+        assert r["neighbor_id"] != r["probe_id"]
+        assert r["hd"] == bin(sigs[r["probe_id"]] ^ sigs[r["neighbor_id"]]).count("1")
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    for pid, rs in by_probe.items():
+        assert sorted(x["rank"] for x in rs) == list(range(1, len(rs) + 1))
+        # every reported neighbour is inside the true Hamming top-8
+        hams = sorted(
+            (bin(sigs[pid] ^ s).count("1"), vid)
+            for vid, s in sigs.items() if vid != pid
+        )
+        allowed = {vid for _, vid in hams[:8]}
+        assert {x["neighbor_id"] for x in rs} <= allowed
