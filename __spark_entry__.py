@@ -3967,12 +3967,10 @@ def _stopgram_sql(n: int = 3, min_df_permille: int = 10) -> str:
     """
 
 
-def _q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Host-graph PageRank — domain-level authority for quality
-    weighting: edges (doc's own host → outlink target host, self-loops
-    dropped, multiplicity = weight), ranks via the shared fixed-point
-    integer PageRank (bit-exact iterative numerics)."""
-    from document_quality_assessment_ocr_spark.operators.graph import pagerank_fixed
+def _host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host→host link edges shared by q131 (PageRank) and q149 (HITS):
+    doc's own host → outlink target host, self-loops dropped,
+    multiplicity kept as weight."""
     from document_quality_assessment_ocr_spark.operators.html import extract_links
     from document_quality_assessment_ocr_spark.operators.urls import parse_urls
 
@@ -3991,11 +3989,21 @@ def _q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("host") != "")
         .select("doc_id", F.col("host").alias("dst"))
     )
-    edges = (
+    return (
         src.join(dst, "doc_id")
         .where(F.col("src") != F.col("dst"))
         .select("src", "dst")
     )
+
+
+def _q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph PageRank — domain-level authority for quality
+    weighting: edges (doc's own host → outlink target host, self-loops
+    dropped, multiplicity = weight), ranks via the shared fixed-point
+    integer PageRank (bit-exact iterative numerics)."""
+    from document_quality_assessment_ocr_spark.operators.graph import pagerank_fixed
+
+    edges = _host_edges(spark, sf_dir)
     nodes = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
@@ -4007,13 +4015,12 @@ def _q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _host_pagerank_sql(iters: int = 3) -> str:
-    """q131 oracle: TWO url-parse chains in one query (prefix s/t — the
-    parse twin's prefix param), host→host edges with self-loops dropped,
-    then the shared q56 fixed-point PageRank unroll."""
+def _host_graph_ctes() -> str:
+    """Shared q131/q149 oracle prefix: TWO url-parse chains in one query
+    (prefix s/t — the parse twin's prefix param), host→host edges with
+    self-loops dropped, through the `nodes` CTE."""
     from document_quality_assessment_ocr_spark.operators.html import ANCHOR_HREF
 
-    its, prev = _pr_unrolled_ctes(iters)
     # single-source the URL synthesis: lift the exact `u AS (...)` text out
     # of the shared q65/q66/q68 prefix (the byte-identical _synth_urls twin)
     # and point it at `du` (this query's `d` is the HTML-synth CTE)
@@ -4040,7 +4047,14 @@ def _host_pagerank_sql(iters: int = 3) -> str:
         ), nodes AS (
             SELECT DISTINCT src AS id FROM edges
             UNION SELECT DISTINCT dst FROM edges
-        ), deg AS (
+        )"""
+
+
+def _host_pagerank_sql(iters: int = 3) -> str:
+    """q131 oracle: the shared host-graph prefix, then the q56 fixed-point
+    PageRank unroll."""
+    its, prev = _pr_unrolled_ctes(iters)
+    return _host_graph_ctes() + f""", deg AS (
             SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1
         ), r0 AS (
             SELECT id, CAST(1000000000 AS BIGINT) AS pr FROM nodes
@@ -4942,6 +4956,258 @@ def _binary_topk_sql(
     """
 
 
+def _q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout assignment: Morton-interleave the word-count bucket
+    with an md5-mod-256 spread bucket into a 16-bit key + target file id
+    — the Delta/Iceberg OPTIMIZE ZORDER BY technique as a pure codegen
+    projection (the morton16_sql expression TEXT is the cross-engine
+    twin)."""
+    from document_quality_assessment_ocr_spark.functions.text import WS_CLASS
+    from document_quality_assessment_ocr_spark.operators.augment import _md5_mod
+    from document_quality_assessment_ocr_spark.operators.layout import zorder_layout
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    tk = F.filter(
+        F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), WS_CLASS + "+"),
+        lambda x: x != F.lit(""),
+    )
+    feat = d.select(
+        "doc_id",
+        F.least(F.size(tk).cast("long"), F.lit(255).cast("long")).alias("xb"),
+        _md5_mod(F.col("doc_id"), "zb", F.lit(256)).alias("yb"),
+    )
+    return zorder_layout(feat, "xb", "yb", cells_per_file=64)
+
+
+def _zorder_sql(cells_per_file: int = 64) -> str:
+    """q147 oracle: the SAME morton16_sql expression text (built only
+    from `&`/`*`/`+`, the operator subset both engines parse identically)
+    over the same clamped word-count / md5-mod-256 buckets; `//` ==
+    Spark DIV on the non-negative zkey."""
+    from document_quality_assessment_ocr_spark.operators.layout import morton16_sql
+
+    z = morton16_sql("xb", "yb")
+    return f"""
+        WITH d AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   LEAST(CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(
+                       TRIM(COALESCE(text, '')), '{WS}+'),
+                       x -> x <> '')) AS BIGINT), 255) AS xb,
+                   CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '|zb'),
+                        1, 15))::BIGINT % 256 AS BIGINT) AS yb
+            FROM documents
+        )
+        SELECT doc_id, xb, yb, zkey,
+               CAST(zkey // {int(cells_per_file)} AS BIGINT) AS file_id
+        FROM (SELECT doc_id, xb, yb, CAST({z} AS BIGINT) AS zkey FROM d)
+    """
+
+
+def _q_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka two-stage ANN: coarse cosine over the first 16 dims,
+    two-level top-m merge, exact full-dim rerank."""
+    from document_quality_assessment_ocr_spark.operators.similarity import (
+        matryoshka_topk,
+    )
+
+    return matryoshka_topk(
+        _emb(spark, sf_dir), probe_ids=[0, 1, 2, 3, 4], dim=64, d_pre=16,
+        k=5, rerank=24,
+    )
+
+
+def _matryoshka_sql(
+    d_pre: int = 16, k: int = 5, rerank: int = 24
+) -> str:
+    """q148 oracle: prefix-slice coarse cosine with the SAME float op
+    order as the engine's sequential-fold dot (LIST_DOT_PRODUCT /
+    SQRT(da*db)), ROUND(·,6)+0e0 on both scores (-0.0 normalization),
+    rank windows standing in for the two-level merge (top-m-of-buckets
+    == global top-m)."""
+    dp = int(d_pre)
+    coarse = (
+        f"ROUND(LIST_DOT_PRODUCT(pv[1:{dp}], v[1:{dp}])"
+        f" / SQRT(LIST_DOT_PRODUCT(pv[1:{dp}], pv[1:{dp}])"
+        f" * LIST_DOT_PRODUCT(v[1:{dp}], v[1:{dp}])), 6) + 0e0"
+    )
+    return f"""
+        WITH e AS (
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ), p AS (
+            SELECT vec_id AS probe_id, v AS pv
+            FROM e WHERE vec_id IN (0,1,2,3,4)
+        ), s AS (
+            SELECT probe_id, e.vec_id AS neighbor_id,
+                   {coarse} AS ccos, pv, v
+            FROM p, e WHERE e.vec_id <> probe_id
+        ), surv AS (
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                              ORDER BY ccos DESC, neighbor_id ASC) AS cr
+                FROM s)
+            WHERE cr <= {int(rerank)}
+        ), rr AS (
+            SELECT probe_id, neighbor_id, ccos,
+                   ROUND(LIST_DOT_PRODUCT(pv, v)
+                         / SQRT(LIST_DOT_PRODUCT(pv, pv)
+                                * LIST_DOT_PRODUCT(v, v)), 6) + 0e0 AS cos
+            FROM surv
+        )
+        SELECT probe_id, neighbor_id, ccos, cos, CAST(rank AS INT) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM rr)
+        WHERE rank <= {int(k)}
+    """
+
+
+def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the q131 host link graph — fixed-point
+    integer with per-round max-normalization (bit-exact iterative
+    numerics, the pagerank discipline)."""
+    from document_quality_assessment_ocr_spark.operators.graph import hits_fixed
+
+    return hits_fixed(_host_edges(spark, sf_dir), iters=3).select(
+        F.col("id").alias("host"), "hub_micro", "auth_micro"
+    )
+
+
+def _hits_sql(iters: int = 3) -> str:
+    """q149 oracle: the shared q131 host-graph prefix, then HITS unrolled
+    — per round an authority sum (h over in-edges), max-normalize,
+    a hub sum (NEW a over out-edges), max-normalize; `//` == Spark DIV
+    on non-negatives; BIGINT casts on every surfaced SUM (HUGEINT
+    trap). The max is MAX(raw) OVER () in the SAME CTE, not a separate
+    1-row CTE: DuckDB INLINES plain CTEs at every reference, so a CTE
+    that reads its predecessor twice doubles the whole upstream subtree
+    per round (4^iters expansions of the URL-parse chain — measured as a
+    multi-minute hang at sf0.001); the window form keeps the chain
+    linear, the q131 cost class."""
+    from document_quality_assessment_ocr_spark.operators.graph import HITS_SCALE
+
+    its = []
+    prev_h = "h0"
+    for i in range(1, int(iters) + 1):
+        its.append(f"""
+            a{i}r AS (
+                SELECT e.dst AS id, CAST(SUM(h.h) AS BIGINT) AS raw
+                FROM edges e JOIN {prev_h} h ON h.id = e.src
+                GROUP BY 1
+            ), a{i} AS (
+                SELECT id,
+                       (raw * {HITS_SCALE}) // GREATEST(MAX(raw) OVER (), 1)
+                           AS a
+                FROM a{i}r
+            ), h{i}r AS (
+                SELECT e.src AS id, CAST(SUM(a.a) AS BIGINT) AS raw
+                FROM edges e JOIN a{i} a ON a.id = e.dst
+                GROUP BY 1
+            ), h{i} AS (
+                SELECT id,
+                       (raw * {HITS_SCALE}) // GREATEST(MAX(raw) OVER (), 1)
+                           AS h
+                FROM h{i}r
+            )""")
+        prev_h = f"h{i}"
+    n = int(iters)
+    return _host_graph_ctes() + f""", h0 AS (
+            SELECT id, CAST({HITS_SCALE} AS BIGINT) AS h FROM nodes
+        ), {", ".join(its)}
+        SELECT n.id AS host,
+               CAST(COALESCE(h{n}.h, 0) AS BIGINT) AS hub_micro,
+               CAST(COALESCE(a{n}.a, 0) AS BIGINT) AS auth_micro
+        FROM nodes n
+        LEFT JOIN h{n} ON h{n}.id = n.id
+        LEFT JOIN a{n} ON a{n}.id = n.id
+    """
+
+
+def _q_borda_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borda rank fusion of three integer quality signals (clamped word
+    count, clamped distinct-word vocabulary, clamped Flesch milli) —
+    per-signal global ranks via the bounded score-bucket construction,
+    Borda sum, fixed-width tiers."""
+    from document_quality_assessment_ocr_spark.functions.text import WS_CLASS
+    from document_quality_assessment_ocr_spark.operators.curriculum import borda_fuse
+    from document_quality_assessment_ocr_spark.operators.textstats import (
+        flesch_readability,
+    )
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    tk = F.filter(
+        F.split(
+            F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))),
+            WS_CLASS + "+",
+        ),
+        lambda x: x != F.lit(""),
+    )
+    v = d.select(
+        "doc_id", F.size(F.array_distinct(tk)).cast("long").alias("n_vocab")
+    )
+    scored = (
+        flesch_readability(d)
+        .select("doc_id", "n_words", "flesch_milli")
+        .join(v, "doc_id")
+        .select(
+            "doc_id",
+            F.expr("LEAST(n_words, 65535L)").alias("wclamp"),
+            F.expr("LEAST(n_vocab, 65535L)").alias("vclamp"),
+            F.expr("LEAST(GREATEST(flesch_milli, 0L), 206835L)").alias(
+                "cscore"
+            ),
+        )
+    )
+    return borda_fuse(
+        scored, ["wclamp", "vclamp", "cscore"], bucket_width=1000,
+        tier_width=1000,
+    )
+
+
+def _borda_sql(tier_width: int = 1000) -> str:
+    """q150 oracle: the q116 readability SQL joined with a
+    distinct-token count, the three single-reducer ROW_NUMBER ranks the
+    engine deliberately avoids, Borda sum + `//` tiers — BIGINT casts
+    on every surfaced integer."""
+    return f"""
+        WITH v AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(LEN(LIST_DISTINCT(LIST_FILTER(
+                        REGEXP_SPLIT_TO_ARRAY(
+                            TRIM(LOWER(COALESCE(text, ''))), '{WS}+'),
+                        x -> x <> ''))) AS BIGINT) AS n_vocab
+            FROM documents
+        ), s AS (
+            SELECT r.doc_id,
+                   CAST(LEAST(r.n_words, 65535) AS BIGINT) AS wclamp,
+                   CAST(LEAST(v.n_vocab, 65535) AS BIGINT) AS vclamp,
+                   CAST(LEAST(GREATEST(r.flesch_milli, 0), 206835)
+                        AS BIGINT) AS cscore
+            FROM ({_READABILITY_SQL}) r JOIN v ON v.doc_id = r.doc_id
+        ), rk AS (
+            SELECT doc_id, wclamp, vclamp, cscore,
+                   CAST(ROW_NUMBER() OVER (ORDER BY wclamp DESC, doc_id ASC)
+                        - 1 AS BIGINT) AS r_wclamp,
+                   CAST(ROW_NUMBER() OVER (ORDER BY vclamp DESC, doc_id ASC)
+                        - 1 AS BIGINT) AS r_vclamp,
+                   CAST(ROW_NUMBER() OVER (ORDER BY cscore DESC, doc_id ASC)
+                        - 1 AS BIGINT) AS r_cscore
+            FROM s
+        )
+        SELECT doc_id, wclamp, vclamp, cscore,
+               r_wclamp, r_vclamp, r_cscore,
+               CAST(r_wclamp + r_vclamp + r_cscore AS BIGINT) AS borda,
+               CAST((r_wclamp + r_vclamp + r_cscore) // {int(tier_width)}
+                    AS BIGINT) AS tier
+        FROM rk
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's CORRECTNESS gate checks
     the FIRST 50 entries in dict order.  Positions 1-50 therefore carry the
@@ -5108,6 +5374,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q144_kneser_ney": _q_kneser_ney,
         "q145_rho1_select": _q_rho1_select,
         "q146_binary_topk": _q_binary_topk,
+        "q147_zorder_layout": _q_zorder,
+        "q148_matryoshka_topk": _q_matryoshka_topk,
+        "q149_hits": _q_hits,
+        "q150_borda_ensemble": _q_borda_ensemble,
     }
 
 
@@ -7904,6 +8174,10 @@ def oracle_sql() -> dict[str, str]:
         "q144_kneser_ney": _kneser_ney_sql(750, 3.0, 8.0),
         "q145_rho1_select": _rho1_select_sql(300),
         "q146_binary_topk": _binary_topk_sql(48, 64, 5, 24),
+        "q147_zorder_layout": _zorder_sql(64),
+        "q148_matryoshka_topk": _matryoshka_sql(16, 5, 24),
+        "q149_hits": _hits_sql(3),
+        "q150_borda_ensemble": _borda_sql(1000),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

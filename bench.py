@@ -363,6 +363,8 @@ def main() -> None:
         "q142_span_corruption",
         "q143_bt_strength",
         "q144_kneser_ney",
+        "q145_rho1_select",
+        "q146_binary_topk",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

@@ -150,3 +150,67 @@ def budget_select(
         cum.alias("cum_tokens"),
         (cum <= F.lit(int(token_budget))).alias("kept"),
     )
+
+
+def borda_fuse(
+    scored: DataFrame,
+    signal_cols: list,
+    id_col: str = "doc_id",
+    bucket_width: int = 1000,
+    tier_width: int = 1000,
+) -> DataFrame:
+    """Borda rank fusion of several quality signals (de Borda 1781; the
+    rank-fusion alternative to z-score ensembling used when signals live
+    on incommensurable scales): each signal gets a GLOBAL 0-based rank
+    (signal DESC, id ASC — rank 0 is best), the Borda score is the SUM
+    of ranks (lower = better on every judge), and documents land in
+    fixed-width tiers ``borda DIV tier_width`` for downstream mixing.
+
+    Rank fusion instead of z-scores is what keeps this bit-exact across
+    engines: ranks are integers, while a z-score needs an IEEE mean/std
+    whose corpus sum is order-dependent (the same reason the graph ops
+    are fixed-point).
+
+    Every signal must be a NON-NEGATIVE bounded integer (clamp first),
+    and ``scored`` deterministic across jobs — each signal's rank is the
+    :func:`curriculum_order` bounded-bucket construction (a <=
+    domain/bucket_width offset collect + a bucket-partitioned window),
+    never a global ORDER BY window, so the plan is one bounded exchange
+    per signal and nothing funnels through a single task.
+
+    Output: (id_col, *signal_cols, r_<signal>..., borda, tier) — all
+    BIGINT.
+    """
+    out = scored.select(F.col(id_col), *[F.col(c) for c in signal_cols])
+    for sc in signal_cols:
+        b = F.expr(f"{sc} DIV {int(bucket_width)}L").cast("long")
+        d = out.withColumn("_b", b)
+        # bounded collect: <= signal_domain / bucket_width rows
+        counts = {
+            int(r["_b"]): int(r["c"])
+            for r in d.groupBy("_b").agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+        _check_bucket_ids(counts)
+        offset, acc = {}, 0
+        for k in sorted(counts, reverse=True):  # higher bucket ranks first
+            offset[k] = acc
+            acc += counts[k]
+        omap = F.create_map(
+            *[F.lit(x) for kv in sorted(offset.items()) for x in kv]
+        )
+        w = Window.partitionBy("_b").orderBy(
+            F.col(sc).desc(), F.col(id_col).asc()
+        )
+        rank = (
+            F.element_at(omap, F.col("_b").cast("int")).cast("long")
+            + F.row_number().over(w).cast("long")
+            - 1
+        )
+        out = d.withColumn(f"r_{sc}", rank).drop("_b")
+    borda = None
+    for sc in signal_cols:
+        r = F.col(f"r_{sc}")
+        borda = r if borda is None else borda + r
+    return out.withColumn("borda", borda.cast("long")).withColumn(
+        "tier", F.expr(f"borda DIV {int(tier_width)}L").cast("long")
+    )

@@ -164,3 +164,89 @@ def bt_strength(
     return items.join(s, "item_id").select(
         "item_id", "n_wins", "n_games", F.col("s").alias("strength_micro")
     )
+
+
+HITS_SCALE = 1_000_000  # hub/auth scores in micro-units
+
+
+def hits_fixed(
+    edges: DataFrame,
+    iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999, "Authoritative sources
+    in a hyperlinked environment") in FIXED-POINT integer arithmetic —
+    the companion signal to :func:`pagerank_fixed` for link-graph
+    quality weighting: a page's hub score measures how well it points at
+    authorities, its authority score how well hubs point at it.
+
+    Per round, in classic order: ``a_j = sum over i->j of h_i`` then
+    ``h_i = sum over i->j of NEW a_j``, with each side MAX-normalized to
+    HITS_SCALE micro-units after its update (``(x*SCALE) DIV max`` —
+    classic HITS L2-normalizes, but a square root has no exact integer
+    form, and max-normalization preserves the ranking fixpoint while
+    keeping every op associative/exact for the bit-identical cross-engine
+    gate; the deviation is documented here like kernels.py's). Edge
+    multiplicity counts as weight (same convention as the q131 PageRank
+    edges). Integer magnitudes: post-normalization scores are <= SCALE,
+    so a raw sum is <= degree*SCALE — with micro-units that's inside
+    BIGINT for any degree < 2^43.
+
+    Scale shape: the raw edge stream collapses ONCE to weighted unique
+    edges (n_ij·h is exactly the duplicate-edge sum in integers, so the
+    collapse is a free algebraic rewrite — the q143 BT discipline), and
+    that collapsed table is eagerly ``localCheckpoint``-ed so no round
+    re-derives the upstream edge synthesis. Each round is then two
+    (edges >< scores) equi-joins + two hash aggregates + two 1-row max
+    aggregates broadcast back — O(unique edges) per round, a fixed small
+    round count, no convergence collect; per-round ``localCheckpoint``
+    truncates the iteration lineage (the q31/q143 discipline). Nodes
+    that never receive mass surface 0.
+
+    Output: (id, hub_micro, auth_micro) — BIGINTs.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    h = nodes.select("id", F.lit(HITS_SCALE).cast("long").alias("h"))
+    a = None
+    for _ in range(int(iters)):
+        ar = (
+            e.join(h.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("w") * F.col("h")).cast("long").alias("raw"))
+        )
+        amax = ar.agg(F.max("raw").alias("mx"))
+        a = ar.crossJoin(F.broadcast(amax)).select(
+            F.col("dst").alias("id"),
+            F.expr(f"(raw * {HITS_SCALE}L) DIV greatest(mx, 1L)").alias("a"),
+        ).localCheckpoint(eager=True)
+        hr = (
+            e.join(a.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum(F.col("w") * F.col("a")).cast("long").alias("raw"))
+        )
+        hmax = hr.agg(F.max("raw").alias("mx"))
+        h = hr.crossJoin(F.broadcast(hmax)).select(
+            F.col("src").alias("id"),
+            F.expr(f"(raw * {HITS_SCALE}L) DIV greatest(mx, 1L)").alias("h"),
+        ).localCheckpoint(eager=True)
+    return (
+        nodes.join(h, "id", "left")
+        .join(a, "id", "left")
+        .select(
+            "id",
+            F.coalesce("h", F.lit(0)).cast("long").alias("hub_micro"),
+            F.coalesce("a", F.lit(0)).cast("long").alias("auth_micro"),
+        )
+    )

@@ -1055,3 +1055,108 @@ def binary_sig_topk(
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "hd", "cos", "rank")
     )
+
+
+def matryoshka_topk(
+    emb: DataFrame,
+    probe_ids: list,
+    dim: int,
+    d_pre: int = 16,
+    k: int = 5,
+    rerank: int = 24,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fanout: int = 32,
+) -> DataFrame:
+    """Matryoshka two-stage retrieval (Kusupati et al. 2022, "Matryoshka
+    Representation Learning"): rank candidates by cosine over the FIRST
+    ``d_pre`` dimensions only (MRL-trained embeddings front-load the
+    information, so a short prefix is a cheap coarse scorer), then
+    exact-cosine rerank of each probe's ``rerank`` survivors at full
+    dimension.
+
+    Same harness as :func:`binary_sig_topk`: the coarse stage keeps
+    survivors via the q13-style TWO-LEVEL top-m merge (per-bucket top-m
+    by (ccos DESC, id ASC) encoded as a descending struct sort, then
+    merge <= fanout*rerank) — no task ever sorts a probe's whole scored
+    corpus — and only survivor ids join back for full vectors. Coarse
+    scores are ROUND(·, 6) + 0e0 on BOTH engines (the +0.0 collapses any
+    -0.0 from rounding a tiny negative cosine — IEEE -0.0 + 0.0 = +0.0 —
+    so the surfaced doubles hash identically).
+
+    At 100 TB the full vectors are read once-narrow for the prefix slice
+    (column pruning cannot split an array, but the slice happens at scan
+    time in the same projection) and shuffled never: probes broadcast,
+    survivors (KBs) broadcast back.
+
+    Output: (probe_id, neighbor_id, ccos, cos, rank) — rank 1..k by
+    (cos DESC, neighbor_id ASC).
+    """
+    assert 1 <= d_pre <= dim
+    corpus = emb.select(
+        F.col(id_col),
+        F.slice(F.col(vec_col), 1, d_pre).alias("pv"),
+    )
+    probes = emb.filter(F.col(id_col).isin(probe_ids)).select(
+        F.col(id_col).alias("probe_id"),
+        F.slice(F.col(vec_col), 1, d_pre).alias("ppv"),
+        F.col(vec_col).alias("pfull"),
+    )
+    scored = (
+        corpus.alias("c")
+        .join(
+            F.broadcast(probes.select("probe_id", "ppv")),
+            F.col("probe_id") != F.col(f"c.{id_col}"),
+        )
+        .select(
+            "probe_id",
+            F.col(f"c.{id_col}").alias("neighbor_id"),
+            (F.round(cosine(F.col("ppv"), F.col("pv")), 6) + F.lit(0.0)).alias(
+                "ccos"
+            ),
+        )
+    )
+    # descending struct sort: (ccos DESC, id ASC) == (ccos, -id) sorted DESC
+    item = F.struct(
+        F.col("ccos").alias("ccos"),
+        (-F.col("neighbor_id")).alias("nid"),
+        F.col("neighbor_id").alias("neighbor_id"),
+    )
+    topm = lambda c: F.slice(  # noqa: E731
+        F.sort_array(F.collect_list(c), asc=False), 1, rerank
+    )
+    lvl1 = scored.groupBy(
+        "probe_id", F.pmod(F.hash("neighbor_id"), F.lit(fanout)).alias("b")
+    ).agg(topm(item).alias("top"))
+    survivors = (
+        lvl1.select("probe_id", F.explode("top").alias("t"))
+        .groupBy("probe_id")
+        .agg(topm(F.col("t")).alias("top"))
+        .select("probe_id", F.explode("top").alias("t"))
+        .select(
+            "probe_id",
+            F.col("t.neighbor_id").alias("neighbor_id"),
+            F.col("t.ccos").alias("ccos"),
+        )
+    )
+    reranked = (
+        emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+        .join(F.broadcast(survivors), "neighbor_id")
+        .join(F.broadcast(probes.select("probe_id", "pfull")), "probe_id")
+        .select(
+            "probe_id",
+            "neighbor_id",
+            "ccos",
+            (F.round(cosine(F.col("pfull"), F.col("nv")), 6) + F.lit(0.0)).alias(
+                "cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "ccos", "cos", "rank")
+    )

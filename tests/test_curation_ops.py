@@ -2302,3 +2302,171 @@ def test_binary_sig_topk_prefilter_properties(spark):
         )
         allowed = {vid for _, vid in hams[:8]}
         assert {x["neighbor_id"] for x in rs} <= allowed
+
+
+def test_morton16_matches_python_and_tiles():
+    """The shared morton16_sql expression text replayed in python: exact
+    bit interleave, bounded to 16 bits, and z-cells of 64 form aligned
+    (x, y) tiles (the zone-map selectivity property)."""
+    from document_quality_assessment_ocr_spark.operators.layout import (
+        morton16_py,
+        morton16_sql,
+    )
+
+    def interleave(x, y):
+        z = 0
+        for i in range(8):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for x in (0, 1, 2, 3, 17, 128, 200, 255):
+        for y in (0, 1, 5, 64, 255):
+            assert morton16_py(x, y) == interleave(x, y)
+    assert morton16_py(255, 255) == 65535
+    # the SQL text uses only the shared operator subset
+    s = morton16_sql("xb", "yb")
+    assert "<<" not in s and "DIV" not in s and "//" not in s
+    # 64 consecutive z-cells cover an 8x8 (x, y) tile
+    cells = {(x, y) for x in range(256) for y in range(256)
+             if morton16_py(x, y) // 64 == 3}
+    xs, ys = {x for x, _ in cells}, {y for _, y in cells}
+    assert len(cells) == 64 and len(xs) == 8 and len(ys) == 8
+
+
+def test_zorder_layout_spark_matches_python(spark):
+    """Engine z-keys equal the python replay; file_id = zkey DIV 64."""
+    from document_quality_assessment_ocr_spark.operators.layout import (
+        morton16_py,
+        zorder_layout,
+    )
+
+    rows = [(i, (i * 37) % 256, (i * 91) % 256) for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, xb long, yb long")
+    out = {r["doc_id"]: r for r in zorder_layout(df, "xb", "yb").collect()}
+    for i, x, y in rows:
+        z = morton16_py(x, y)
+        assert out[i]["zkey"] == z
+        assert out[i]["file_id"] == z // 64
+
+
+def test_matryoshka_full_rerank_equals_bruteforce(spark):
+    """With rerank >= corpus-1 the coarse stage admits everyone, so the
+    full-dim rerank must equal exact brute-force cosine top-k."""
+    import numpy as np
+
+    from document_quality_assessment_ocr_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        matryoshka_topk,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    mt = matryoshka_topk(
+        emb, probe_ids=[0, 1, 2], dim=16, d_pre=4, k=4, rerank=39
+    )
+    bf = cosine_topk_bruteforce(emb, probe_ids=[0, 1, 2], k=4)
+    got = {(r["probe_id"], r["rank"]): (r["neighbor_id"], r["cos"]) for r in mt.collect()}
+    want = {(r["probe_id"], r["rank"]): (r["neighbor_id"], r["cos"]) for r in bf.collect()}
+    assert got == want
+
+
+def test_matryoshka_prefilter_properties(spark):
+    """Tight rerank: every survivor is inside the true coarse top-m; the
+    coarse score is the prefix-slice cosine; ranks dense 1..k."""
+    import numpy as np
+
+    from document_quality_assessment_ocr_spark.operators.similarity import (
+        matryoshka_topk,
+    )
+
+    rng = np.random.default_rng(9)
+    vecs = {i: rng.standard_normal(12) for i in range(50)}
+    rows = [(i, [float(x) for x in v]) for i, v in vecs.items()]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = matryoshka_topk(
+        emb, probe_ids=[7, 8], dim=12, d_pre=4, k=3, rerank=6
+    ).collect()
+
+    def cos(a, b):
+        return float(np.dot(a, b) / np.sqrt(np.dot(a, a) * np.dot(b, b)))
+
+    by_probe = {}
+    for r in out:
+        assert r["neighbor_id"] != r["probe_id"]
+        pc = round(cos(vecs[r["probe_id"]][:4], vecs[r["neighbor_id"]][:4]), 6)
+        assert abs(r["ccos"] - pc) < 1e-9
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    for pid, rs in by_probe.items():
+        assert sorted(x["rank"] for x in rs) == list(range(1, len(rs) + 1))
+        coarse = sorted(
+            (-round(cos(vecs[pid][:4], vecs[j][:4]), 6), j)
+            for j in vecs if j != pid
+        )[:6]
+        admitted = {j for _, j in coarse}
+        assert all(r["neighbor_id"] in admitted for r in rs)
+
+
+def test_hits_fixed_python_replay(spark):
+    """Fixed-point HITS replayed in python ints equals the engine
+    bit-for-bit; the most-pointed-at node tops authority, the
+    best-pointing node tops hubs."""
+    from document_quality_assessment_ocr_spark.operators.graph import (
+        HITS_SCALE,
+        hits_fixed,
+    )
+
+    raw = [(1, 3), (1, 4), (2, 3), (2, 4), (5, 3), (1, 3), (4, 5)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    out = {r["id"]: r for r in hits_fixed(edges, iters=3).collect()}
+
+    nodes = {n for e in raw for n in e}
+    h = {n: HITS_SCALE for n in nodes}
+    a = {}
+    for _ in range(3):
+        ar = {}
+        for s, d in raw:
+            ar[d] = ar.get(d, 0) + h.get(s, 0)
+        mx = max(ar.values())
+        a = {d: (v * HITS_SCALE) // max(mx, 1) for d, v in ar.items()}
+        hr = {}
+        for s, d in raw:
+            hr[s] = hr.get(s, 0) + a.get(d, 0)
+        mx = max(hr.values())
+        h = {s: (v * HITS_SCALE) // max(mx, 1) for s, v in hr.items()}
+    for n in nodes:
+        assert out[n]["hub_micro"] == h.get(n, 0), n
+        assert out[n]["auth_micro"] == a.get(n, 0), n
+    # node 3 is cited by 1 (twice), 2, 5 -> top authority; node 1 points
+    # at both strong authorities -> top hub
+    assert out[3]["auth_micro"] == max(r["auth_micro"] for r in out.values())
+    assert out[1]["hub_micro"] == max(r["hub_micro"] for r in out.values())
+
+
+def test_borda_fuse_matches_naive(spark):
+    """Bucket-offset ranks equal the naive global sort per signal; borda
+    is their sum; tier = borda DIV tier_width."""
+    from document_quality_assessment_ocr_spark.operators.curriculum import (
+        borda_fuse,
+    )
+
+    rows = [
+        (i, (i * 13) % 2500, (i * 7 + 3) % 1800, ((i * i) % 3000))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, s1 long, s2 long, s3 long")
+    out = {
+        r["doc_id"]: r
+        for r in borda_fuse(
+            df, ["s1", "s2", "s3"], bucket_width=100, tier_width=50
+        ).collect()
+    }
+    for idx, col in enumerate(["s1", "s2", "s3"], start=1):
+        order = sorted(rows, key=lambda r: (-r[idx], r[0]))
+        for rank, r in enumerate(order):
+            assert out[r[0]][f"r_{col}"] == rank, (col, r)
+    for r in rows:
+        o = out[r[0]]
+        b = o["r_s1"] + o["r_s2"] + o["r_s3"]
+        assert o["borda"] == b and o["tier"] == b // 50
