@@ -365,6 +365,10 @@ def main() -> None:
         "q144_kneser_ney",
         "q145_rho1_select",
         "q146_binary_topk",
+        "q147_zorder_layout",
+        "q148_matryoshka_topk",
+        "q149_hits",
+        "q150_borda_ensemble",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"
