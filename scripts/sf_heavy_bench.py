@@ -38,6 +38,12 @@ HEAVY = [
     "q107_prototype_prune",
     "q131_host_pagerank",
     "q25_lsh_jaccard",
+    # sixth/seventh-session family reps (documents/embeddings-backed)
+    "q146_binary_topk",
+    "q147_zorder_layout",
+    "q148_matryoshka_topk",
+    "q149_hits",
+    "q150_borda_ensemble",
 ]
 
 
