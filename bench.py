@@ -369,6 +369,9 @@ def main() -> None:
         "q148_matryoshka_topk",
         "q149_hits",
         "q150_borda_ensemble",
+        "q151_fragment_stitch",
+        "q152_template_expand",
+        "q153_group_percentile",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

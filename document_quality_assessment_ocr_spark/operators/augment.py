@@ -215,3 +215,73 @@ def span_corruption(
             F.array_join(F.expr(targets_arr), " ").alias("targets"),
         )
     )
+
+
+# Shared engine/oracle constant (oracle-literal technique): the q152 SQL
+# builder interpolates these EXACT strings — single-line ASCII, no quotes,
+# rendered as prefix || head || suffix so neither engine parses a
+# placeholder. Never fork.
+INSTRUCTION_TEMPLATES = (
+    ("Summarize the following document: ", " Summary:"),
+    ("Read the passage and continue it. Passage: ", " Continuation:"),
+    ("Answer using only the context. Context: ", " Answer:"),
+    ("Rewrite the text in simpler words. Text: ", " Rewrite:"),
+)
+
+
+def template_expand(
+    docs: DataFrame,
+    n_head: int = 30,
+    n_target: int = 20,
+    salt: int = 7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """FLAN-style instruction-template expansion (Wei 2022, "Finetuned
+    Language Models Are Zero-Shot Learners" §2.1: each example rendered
+    through one of several natural-language instruction templates):
+    every document gets ONE md5-chosen template (deterministic,
+    replay-stable — the fim/ict tag discipline), its first ``n_head``
+    tokens rendered into the template as the model input, and the next
+    ``n_target`` tokens as the supervision target.
+
+    Scale shape: one codegen projection — the template table is a
+    CASE/WHEN over :data:`INSTRUCTION_TEMPLATES` literals, the head and
+    target are array slices; zero shuffle, zero UDF, rides any scan that
+    already reads ``text``. Short documents degrade gracefully: an empty
+    slice renders as an empty string (never NULL).
+
+    Output: (id_col, tpl_id, n_tokens, input, target).
+    """
+    from ..functions.text import WS_CLASS
+
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), WS_CLASS + "+"),
+        lambda x: x != F.lit(""),
+    )
+    d = docs.select(F.col(id_col), toks.alias("tk"))
+    tpl = _md5_mod(
+        F.col(id_col), f"tpl{int(salt)}", F.lit(len(INSTRUCTION_TEMPLATES))
+    )
+    head = F.array_join(F.slice("tk", 1, int(n_head)), " ")
+    target = F.array_join(
+        F.slice("tk", int(n_head) + 1, int(n_target)), " "
+    )
+    rendered = None
+    for i, (pre, suf) in enumerate(INSTRUCTION_TEMPLATES):
+        branch = F.concat(F.lit(pre), head, F.lit(suf))
+        rendered = (
+            F.when(F.col("tpl_id") == i, branch)
+            if rendered is None
+            else rendered.when(F.col("tpl_id") == i, branch)
+        )
+    return (
+        d.withColumn("tpl_id", tpl)
+        .select(
+            F.col(id_col),
+            F.col("tpl_id"),
+            F.size("tk").cast("long").alias("n_tokens"),
+            rendered.otherwise(F.lit("")).alias("input"),
+            target.alias("target"),
+        )
+    )

@@ -214,3 +214,93 @@ def borda_fuse(
     return out.withColumn("borda", borda.cast("long")).withColumn(
         "tier", F.expr(f"borda DIV {int(tier_width)}L").cast("long")
     )
+
+
+def group_percentile(
+    scored: DataFrame,
+    score_col: str,
+    group_col: str,
+    id_col: str = "doc_id",
+    bucket_width: int = 1000,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group score calibration: each row's 0-based rank and
+    percentile (micro-units, ``(rank·scale) DIV max(n_group-1, 1)``)
+    within its group, ascending by (score, id) — the per-source/
+    per-domain normalization step that makes quality scores comparable
+    across sources whose raw scales differ (CCNet buckets its perplexity
+    per language the same way).
+
+    A group can be most of the corpus, so ``ROW_NUMBER() OVER
+    (PARTITION BY group ORDER BY score)`` is still the single-reducer
+    anti-pattern — one task per giant group. Same cure as
+    :func:`curriculum_order`, keyed by (group, bucket): counts per
+    (group, score-bucket) collect driver-side (bounded by n_groups ·
+    score_domain/bucket_width — group count and score domain are both
+    corpus-size-independent), offsets prefix-sum per group ASCENDING,
+    and the window partitions by (group, bucket) so no task ever sees
+    more than one bucket of one group. ``score_col`` must be a
+    non-negative bounded integer and ``scored`` deterministic across
+    jobs (the shared contract of this module).
+
+    Output: (id_col, group_col, score_col, rank_in_group, n_group,
+    pctl_micro) — all rank/count columns BIGINT.
+    """
+    b = F.expr(f"{score_col} DIV {int(bucket_width)}L").cast("long")
+    d = scored.select(
+        F.col(id_col), F.col(group_col), F.col(score_col), b.alias("_b")
+    )
+    # bounded collect: <= n_groups * score_domain / bucket_width rows
+    counts = {}
+    for r in (
+        d.groupBy(group_col, "_b").agg(F.count(F.lit(1)).alias("c")).collect()
+    ):
+        counts[(r[group_col], int(r["_b"]))] = int(r["c"])
+    _check_bucket_ids({b for _, b in counts})
+    offset, totals = {}, {}
+    for g, bk in sorted(counts, key=lambda x: (str(x[0]), x[1])):
+        offset[(g, bk)] = totals.get(g, 0)
+        totals[g] = totals.get(g, 0) + counts[(g, bk)]
+    okey = F.concat_ws(
+        "|", F.col(group_col).cast("string"), F.col("_b").cast("string")
+    )
+    omap = F.create_map(
+        *[
+            F.lit(x)
+            for (g, bk), off in sorted(
+                offset.items(), key=lambda x: (str(x[0][0]), x[0][1])
+            )
+            for x in (f"{g}|{bk}", off)
+        ]
+    )
+    nmap = F.create_map(
+        *[
+            F.lit(x)
+            for g, n in sorted(totals.items(), key=lambda x: str(x[0]))
+            for x in (str(g), n)
+        ]
+    )
+    w = Window.partitionBy(group_col, "_b").orderBy(
+        F.col(score_col).asc(), F.col(id_col).asc()
+    )
+    rank = (
+        F.element_at(omap, okey).cast("long")
+        + F.row_number().over(w).cast("long")
+        - 1
+    )
+    n = F.element_at(nmap, F.col(group_col).cast("string")).cast("long")
+    return (
+        d.withColumn("rank_in_group", rank)
+        .withColumn("n_group", n)
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col(score_col),
+            "rank_in_group",
+            "n_group",
+            F.expr(
+                f"(rank_in_group * {int(scale)}L)"
+                " DIV greatest(n_group - 1L, 1L)"
+            ).alias("pctl_micro"),
+        )
+    )

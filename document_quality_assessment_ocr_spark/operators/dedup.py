@@ -901,3 +901,75 @@ def incremental_dedup_flags(
             ),
         )
     )
+
+
+def fragment_stitch(
+    frags: DataFrame,
+    k: int = 8,
+    key_cap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Crawl-fragment stitching: find ordered pairs (A, B) where A's LAST
+    ``k`` tokens equal B's FIRST ``k`` tokens — the overlapping-fragment
+    shape that chunked crawls, pagination, and truncated re-fetches leave
+    behind, where the fix is to splice fragments back into one document
+    rather than near-dup-drop one of them.
+
+    Candidates come from an equi-join of tail-boundary md5 keys against
+    head-boundary md5 keys (one md5 per side per fragment — row-local).
+    Boundary keys occurring more than ``key_cap`` times on their side are
+    dropped ENTIRELY before the join (both sides): a high-frequency
+    boundary is boilerplate (cookie banners, footers), not a stitch
+    seam, and capping it bounds the join's per-key fanout at
+    ``key_cap²`` — the same skew discipline as the stop-gram handling.
+    Fragments shorter than ``k`` tokens carry no boundary and drop out.
+
+    Scale shape: two row-local projections, two key-frequency hash
+    aggregates (each ≤ one row per distinct boundary), one equi-join on
+    md5 keys with capped fanout. No windows, no collect, nothing
+    quadratic in corpus size.
+
+    Output: (left_id, right_id, boundary_md5) — left's tail == right's
+    head; self-pairs excluded.
+    """
+    from ..functions.text import WS_CLASS
+
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), WS_CLASS + "+"),
+        lambda x: x != F.lit(""),
+    )
+    g = frags.select(F.col(id_col), toks.alias("tk")).where(
+        F.size("tk") >= int(k)
+    )
+    heads = g.select(
+        F.col(id_col).alias("right_id"),
+        F.md5(F.array_join(F.slice("tk", 1, int(k)), " ")).alias("bkey"),
+    )
+    tails = g.select(
+        F.col(id_col).alias("left_id"),
+        F.md5(
+            F.array_join(
+                F.expr(f"slice(tk, size(tk) - {int(k)} + 1, {int(k)})"), " "
+            )
+        ).alias("bkey"),
+    )
+    hc = (
+        heads.groupBy("bkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") <= int(key_cap))
+        .select("bkey")
+    )
+    tc = (
+        tails.groupBy("bkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") <= int(key_cap))
+        .select("bkey")
+    )
+    return (
+        tails.join(heads, "bkey")
+        .join(hc, "bkey")
+        .join(tc, "bkey")
+        .where(F.col("left_id") != F.col("right_id"))
+        .select("left_id", "right_id", F.col("bkey").alias("boundary_md5"))
+    )

@@ -2470,3 +2470,96 @@ def test_borda_fuse_matches_naive(spark):
         o = out[r[0]]
         b = o["r_s1"] + o["r_s2"] + o["r_s3"]
         assert o["borda"] == b and o["tier"] == b // 50
+
+
+def test_fragment_stitch_finds_seams_and_caps_boilerplate(spark):
+    """Planted overlapping fragments stitch left->right; a boundary
+    occurring more than key_cap times drops entirely; short fragments
+    carry no boundary."""
+    from document_quality_assessment_ocr_spark.operators.dedup import (
+        fragment_stitch,
+    )
+
+    seam = " ".join(f"s{i}" for i in range(4))
+    rows = [
+        (1, "a1 a2 a3 " + seam),        # tail == seam
+        (2, seam + " b1 b2 b3"),        # head == seam -> (1, 2)
+        (3, "c1 c2 " + seam + " c3"),   # seam inside, not boundary
+        (4, "short frag"),              # < k tokens, drops
+    ]
+    # boilerplate boundary repeated 3x on each side (cap 2 drops it)
+    bp = " ".join(f"x{i}" for i in range(4))
+    for j in range(3):
+        rows.append((10 + j, f"l{j} " + bp))
+        rows.append((20 + j, bp + f" r{j}"))
+    frags = spark.createDataFrame(rows, "doc_id long, text string")
+    out = fragment_stitch(frags, k=4, key_cap=2).collect()
+    pairs = {(r["left_id"], r["right_id"]) for r in out}
+    assert pairs == {(1, 2)}
+    # with a looser cap the boilerplate pairs appear (3x3 minus none)
+    out2 = fragment_stitch(frags, k=4, key_cap=3).collect()
+    pairs2 = {(r["left_id"], r["right_id"]) for r in out2}
+    assert pairs2 == {(1, 2)} | {(10 + a, 20 + b) for a in range(3) for b in range(3)}
+
+
+def test_template_expand_renders_and_replays(spark):
+    """Template pick replays the md5 recipe; input is prefix||head||suffix
+    of the chosen template; target is the next n_target tokens; short and
+    empty docs render empty strings, never NULL."""
+    import hashlib
+
+    from document_quality_assessment_ocr_spark.operators.augment import (
+        INSTRUCTION_TEMPLATES,
+        template_expand,
+    )
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(60))),
+        (2, "only three words"),
+        (3, ""),
+        (4, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in template_expand(docs, n_head=5, n_target=4, salt=7).collect()
+    }
+    for i, text in rows:
+        tid = int(hashlib.md5(f"{i}|tpl7".encode()).hexdigest()[:15], 16) % len(
+            INSTRUCTION_TEMPLATES
+        )
+        toks = (text or "").split()
+        pre, suf = INSTRUCTION_TEMPLATES[tid]
+        assert out[i]["tpl_id"] == tid
+        assert out[i]["n_tokens"] == len(toks)
+        assert out[i]["input"] == pre + " ".join(toks[:5]) + suf
+        assert out[i]["target"] == " ".join(toks[5:9])
+        assert out[i]["input"] is not None and out[i]["target"] is not None
+
+
+def test_group_percentile_matches_naive(spark):
+    """Bucket-offset per-group ranks equal the naive per-group sort;
+    percentile endpoints are 0 and scale; singleton groups get 0."""
+    from document_quality_assessment_ocr_spark.operators.curriculum import (
+        group_percentile,
+    )
+
+    rows = [(i, f"s{i % 3}", (i * 17) % 2500) for i in range(90)]
+    rows.append((1000, "lone", 42))
+    df = spark.createDataFrame(rows, "doc_id long, source string, sc long")
+    out = {
+        r["doc_id"]: r
+        for r in group_percentile(df, "sc", "source", bucket_width=100).collect()
+    }
+    groups = {}
+    for i, g, s in rows:
+        groups.setdefault(g, []).append((s, i))
+    for g, members in groups.items():
+        members.sort()
+        n = len(members)
+        for rank, (s, i) in enumerate(members):
+            o = out[i]
+            assert o["rank_in_group"] == rank, (g, i)
+            assert o["n_group"] == n
+            assert o["pctl_micro"] == (rank * 1_000_000) // max(n - 1, 1)
+    assert out[1000]["pctl_micro"] == 0 and out[1000]["n_group"] == 1
