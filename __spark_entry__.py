@@ -5403,6 +5403,192 @@ def _group_percentile_sql(scale: int = 1_000_000) -> str:
     """
 
 
+def _q_png_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural PNG container profiles over derived media picks: REAL
+    chunk-table walk (length-prefixed chunks, IHDR fields, IDAT byte
+    total — no pixel decode) via mapInPandas over the seeded image
+    catalog, joined to the SAME md5-nibble picks as q57 (salts 1/2: a
+    document's images are the same in every query). Malformed containers
+    emit no rows (the q137 undecodable-payload convention). The oracle
+    embeds per-payload profiles computed by the SAME
+    png_chunk_profile_values the UDF calls."""
+    from document_quality_assessment_ocr_spark.operators.multimodal import (
+        png_chunk_stats,
+    )
+    from document_quality_assessment_ocr_spark.sources.derive import (
+        _md5_pick_index,
+        payloads_df,
+    )
+    from document_quality_assessment_ocr_spark.sources.fixtures import payload_names
+
+    names = sorted(payload_names())
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|1"))).alias("_h1"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|2"))).alias("_h2"),
+    )
+    arr = F.array(*[F.lit(x) for x in names])
+    picks = d.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.element_at(arr, _md5_pick_index("_h1", len(names)) + 1),
+                F.element_at(arr, _md5_pick_index("_h2", len(names)) + 1),
+            )
+        ).alias("media_ref"),
+    ).distinct()
+    st = png_chunk_stats(payloads_df(spark)).where(F.col("error").isNull())
+    return picks.join(F.broadcast(st), "media_ref").select(
+        "doc_id", "media_ref", "n_chunks", "idat_bytes", "width", "height",
+        "bit_depth", "color_type", "chunk_types",
+    )
+
+
+def _png_chunks_sql() -> str:
+    """q154 oracle: the seeded image catalog's chunk profiles as literals
+    (computed by the SAME png_chunk_profile_values the engine's
+    mapInPandas calls), derived media picks via the md5-nibble twin at
+    salts 1/2; malformed containers contribute no VALUES row. BIGINT
+    casts on every integer (VALUES literals lex as INTEGER)."""
+    from document_quality_assessment_ocr_spark.operators.multimodal import (
+        png_chunk_profile_values,
+    )
+    from document_quality_assessment_ocr_spark.sources.fixtures import (
+        build_payloads,
+        payload_names,
+    )
+
+    cat = build_payloads(seed=42)
+    names = sorted(payload_names())
+    vals = []
+    for n in names:
+        try:
+            v = png_chunk_profile_values(cat[n]["png"])
+        except Exception:
+            continue  # engine emits no rows for malformed containers
+        vals.append(
+            f"('{n}', {v[0]}, {v[1]}, {v[2]}, {v[3]}, {v[4]}, {v[5]}, "
+            f"'{v[6]}')"
+        )
+    names_lit = "[" + ", ".join(f"'{n}'" for n in names) + "]"
+    return f"""
+        WITH st(media_ref, n_chunks, idat_bytes, width, height, bit_depth,
+                color_type, chunk_types) AS (VALUES {", ".join(vals)}),
+        picks AS (
+            SELECT DISTINCT doc_id, media_ref FROM (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       LIST_EXTRACT({names_lit}, {_md5_pick_sql(1, len(names))} + 1) AS media_ref
+                FROM documents
+                UNION ALL
+                SELECT CAST(doc_id AS BIGINT),
+                       LIST_EXTRACT({names_lit}, {_md5_pick_sql(2, len(names))} + 1)
+                FROM documents)
+        )
+        SELECT p.doc_id, p.media_ref,
+               CAST(st.n_chunks AS BIGINT) AS n_chunks,
+               CAST(st.idat_bytes AS BIGINT) AS idat_bytes,
+               CAST(st.width AS BIGINT) AS width,
+               CAST(st.height AS BIGINT) AS height,
+               CAST(st.bit_depth AS BIGINT) AS bit_depth,
+               CAST(st.color_type AS BIGINT) AS color_type,
+               st.chunk_types
+        FROM picks p JOIN st USING (media_ref)
+    """
+
+
+def _q_mw_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicative-weights domain reweighting (DoReMi-shaped
+    allocator): per-source token-weighted mean unigram surprisal (the
+    q67 fixed-point bits), excess over the best source, 3 MW rounds with
+    renormalization — all integer arithmetic."""
+    from document_quality_assessment_ocr_spark.operators.sampling import (
+        mw_domain_weights,
+    )
+    from document_quality_assessment_ocr_spark.operators.textstats import (
+        unigram_surprisal,
+    )
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "source"
+    )
+    per_doc = unigram_surprisal(d.select("doc_id", "text")).join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    return mw_domain_weights(per_doc, "source", iters=3, eta_milli=200)
+
+
+def _mw_weights_sql(iters: int = 3, eta_milli: int = 200) -> str:
+    """q155 oracle: the q67 surprisal CTE chain (same LOWER tokenization,
+    same whole-bit recipe) collapsed per source, then the MW rounds
+    unrolled with single-reference CTEs (the q149 DuckDB-inlining
+    lesson) — `SUM(wr) OVER ()` for the renormalizer, `//` == Spark DIV
+    on the non-negative-by-construction operands."""
+    from document_quality_assessment_ocr_spark.operators.sampling import MW_SCALE
+
+    eta = int(eta_milli)
+    its = []
+    prev = "w0"
+    for i in range(1, int(iters) + 1):
+        its.append(f"""
+            w{i}r AS (
+                SELECT source, m_micro, excess_micro,
+                       (w * ({MW_SCALE} + ({eta} * excess_micro) // 1000))
+                           // {MW_SCALE} AS wr
+                FROM {prev}
+            ), w{i} AS (
+                SELECT source, m_micro, excess_micro,
+                       (wr * {MW_SCALE})
+                           // GREATEST(SUM(wr) OVER (), 1) AS w
+                FROM w{i}r
+            )""")
+        prev = f"w{i}"
+    return f"""
+        WITH d AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+                   LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(
+                       TRIM(LOWER(COALESCE(text,''))), '{WS}+'),
+                       x -> x <> '') AS a
+            FROM documents
+        ), tk AS (
+            SELECT doc_id, UNNEST(a) AS tok FROM d
+        ), c AS (
+            SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok
+        ), n AS (
+            SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM c
+        ), s AS (
+            SELECT tk.doc_id,
+                   CAST(LENGTH(BIN(n.n_total // c.c)) - 1 AS BIGINT) AS bits
+            FROM tk JOIN c USING (tok) CROSS JOIN n
+        ), a AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(bits) AS BIGINT) AS sum_bits
+            FROM s GROUP BY doc_id
+        ), pd AS (
+            SELECT d.doc_id, d.source,
+                   COALESCE(a.n_tokens, 0) AS n_tokens,
+                   COALESCE(a.sum_bits, 0) AS sum_bits
+            FROM d LEFT JOIN a USING (doc_id)
+        ), g AS (
+            SELECT source,
+                   CAST((SUM(sum_bits) * {MW_SCALE})
+                        // GREATEST(SUM(n_tokens), 1) AS BIGINT) AS m_micro
+            FROM pd GROUP BY source
+        ), e AS (
+            SELECT source, m_micro,
+                   CAST(m_micro - MIN(m_micro) OVER () AS BIGINT)
+                       AS excess_micro
+            FROM g
+        ), w0 AS (
+            SELECT source, m_micro, excess_micro,
+                   CAST({MW_SCALE} AS BIGINT) AS w
+            FROM e
+        ), {", ".join(its)}
+        SELECT source, m_micro, excess_micro,
+               CAST(w AS BIGINT) AS weight_micro
+        FROM {prev}
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's CORRECTNESS gate checks
     the FIRST 50 entries in dict order.  Positions 1-50 therefore carry the
@@ -5576,6 +5762,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q151_fragment_stitch": _q_fragment_stitch,
         "q152_template_expand": _q_template_expand,
         "q153_group_percentile": _q_group_percentile,
+        "q154_png_chunks": _q_png_chunks,
+        "q155_mw_weights": _q_mw_weights,
     }
 
 
@@ -8379,6 +8567,8 @@ def oracle_sql() -> dict[str, str]:
         "q151_fragment_stitch": _fragment_stitch_sql(8, 16),
         "q152_template_expand": _template_expand_sql(30, 20, 7),
         "q153_group_percentile": _group_percentile_sql(1_000_000),
+        "q154_png_chunks": _png_chunks_sql(),
+        "q155_mw_weights": _mw_weights_sql(3, 200),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

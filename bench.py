@@ -372,6 +372,8 @@ def main() -> None:
         "q151_fragment_stitch",
         "q152_template_expand",
         "q153_group_percentile",
+        "q154_png_chunks",
+        "q155_mw_weights",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

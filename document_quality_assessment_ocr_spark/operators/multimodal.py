@@ -452,3 +452,78 @@ def phash_near_dup_pairs(
         .where(F.col("hamming") <= F.lit(int(max_hamming)))
         .select("ref_a", "ref_b", "hamming")
     )
+
+
+def png_chunk_profile_values(data: bytes) -> tuple:
+    """Structural PNG container profile — a walk of the length-prefixed
+    chunk table (no pixel decode): (n_chunks, idat_bytes, width, height,
+    bit_depth, color_type, chunk_types-CSV). SHARED by the engine's
+    :func:`png_chunk_stats` UDF and the q154 oracle-literal builder (the
+    q137 wav_frame_rms_values contract) — never fork. Raises ValueError
+    on malformed containers (bad signature, truncated chunk, missing
+    IHDR/IEND, trailing bytes); CRCs are not validated (the profile is
+    structural, and both engines share this exact rule set)."""
+    if len(data) < 8 or bytes(data[:8]) != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG container")
+    data = bytes(data)
+    pos, n, idat = 8, 0, 0
+    width = height = bit_depth = color_type = None
+    types = []
+    while pos + 8 <= len(data):
+        ln = int.from_bytes(data[pos : pos + 4], "big")
+        typ = data[pos + 4 : pos + 8].decode("latin-1")
+        if pos + 12 + ln > len(data):
+            raise ValueError("truncated chunk")
+        types.append(typ)
+        n += 1
+        if typ == "IHDR":
+            if ln < 13:
+                raise ValueError("short IHDR")
+            width = int.from_bytes(data[pos + 8 : pos + 12], "big")
+            height = int.from_bytes(data[pos + 12 : pos + 16], "big")
+            bit_depth = data[pos + 16]
+            color_type = data[pos + 17]
+        elif typ == "IDAT":
+            idat += ln
+        pos += 12 + ln
+        if typ == "IEND":
+            break
+    if pos != len(data) or not types or types[-1] != "IEND" or width is None:
+        raise ValueError("malformed chunk table")
+    return (n, idat, width, height, bit_depth, color_type, ",".join(types))
+
+
+def png_chunk_stats(payloads: DataFrame) -> DataFrame:
+    """PNG payloads → structural chunk-table stats via one Arrow-batched
+    ``mapInPandas`` pass (the :func:`image_ahash` shape); errors are data
+    (NULL stats, message in ``error``). Container metadata without pixel
+    decode — the cheap first gate of an image-quality pipeline (declared
+    dimensions, bit depth, compressed-payload size)."""
+    schema = T.StructType(
+        [
+            T.StructField("media_ref", T.StringType()),
+            T.StructField("n_chunks", T.LongType()),
+            T.StructField("idat_bytes", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("bit_depth", T.LongType()),
+            T.StructField("color_type", T.LongType()),
+            T.StructField("chunk_types", T.StringType()),
+            T.StructField("error", T.StringType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, data in zip(pdf["media_ref"], pdf["png"]):
+                try:
+                    v = png_chunk_profile_values(bytes(data))
+                    rows.append((ref, *v, None))
+                except Exception as e:
+                    rows.append(
+                        (ref, None, None, None, None, None, None, None, str(e))
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return payloads.select("media_ref", "png").mapInPandas(gen, schema)

@@ -403,3 +403,80 @@ def weighted_priority_sample(
         F.col("t.p").alias("priority"),
         (F.col("r") + 1).cast("int").alias("rank"),
     )
+
+
+MW_SCALE = 1_000_000  # domain weights in micro-units
+
+
+def mw_domain_weights(
+    per_doc: DataFrame,
+    group_col: str = "source",
+    bits_col: str = "sum_bits",
+    tokens_col: str = "n_tokens",
+    iters: int = 3,
+    eta_milli: int = 200,
+) -> DataFrame:
+    """Multiplicative-weights domain reweighting — the DoReMi-shaped
+    allocator step (Xie 2023 "DoReMi" trains domain weights by excess
+    loss; the update here is the classic linearized multiplicative-
+    weights rule, Arora-Hazan-Kale 2012 §2): domains whose token-weighted
+    mean LM loss EXCEEDS the best domain's get upweighted round by round,
+    then weights renormalize to sum ~MW_SCALE.
+
+    FIXED-POINT throughout, and the excess is measured against the
+    MINIMUM domain mean rather than the corpus mean — both choices are
+    the integer-safe formulation: IEEE exp/softmax cannot hash-match
+    across engines, and Spark ``DIV`` (truncate) disagrees with DuckDB
+    ``//`` (floor) on NEGATIVE operands, so every division here has a
+    non-negative numerator by construction. One round is
+    ``w ← (w · (SCALE + (eta_milli·excess) DIV 1000)) DIV SCALE`` then
+    ``w ← (w·SCALE) DIV sum(w)``.
+
+    Scale shape: ONE hash aggregate over the per-doc loss table collapses
+    the corpus to n_domains rows; every round after that is arithmetic on
+    that domain-cardinality table (a broadcast 1-row sum each round) —
+    O(domains) per round, corpus touched once. ``per_doc`` rows carry
+    integer loss numerators/denominators (the q67 fixed-point bits).
+
+    Output: (group_col, m_micro, excess_micro, weight_micro) — BIGINTs;
+    m_micro is the domain's token-weighted mean loss in micro-bits.
+    """
+    g = per_doc.groupBy(group_col).agg(
+        F.sum(bits_col).cast("long").alias("_sb"),
+        F.sum(tokens_col).cast("long").alias("_st"),
+    ).select(
+        F.col(group_col),
+        F.expr(f"(_sb * {MW_SCALE}L) DIV greatest(_st, 1L)").alias("m_micro"),
+    )
+    gmin = g.agg(F.min("m_micro").alias("_mn"))
+    base = (
+        g.crossJoin(F.broadcast(gmin))
+        .select(
+            F.col(group_col),
+            "m_micro",
+            (F.col("m_micro") - F.col("_mn")).cast("long").alias(
+                "excess_micro"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w = base.select(
+        F.col(group_col), F.lit(MW_SCALE).cast("long").alias("w")
+    )
+    factor = (
+        f"(w * ({MW_SCALE}L + ({int(eta_milli)}L * excess_micro) DIV 1000L))"
+        f" DIV {MW_SCALE}L"
+    )
+    for _ in range(int(iters)):
+        wr = base.join(w, group_col).select(
+            F.col(group_col), F.expr(factor).alias("wr")
+        )
+        tot = wr.agg(F.sum("wr").cast("long").alias("_tot"))
+        w = wr.crossJoin(F.broadcast(tot)).select(
+            F.col(group_col),
+            F.expr(f"(wr * {MW_SCALE}L) DIV greatest(_tot, 1L)").alias("w"),
+        )
+    return base.join(w, group_col).select(
+        F.col(group_col), "m_micro", "excess_micro",
+        F.col("w").alias("weight_micro"),
+    )

@@ -2563,3 +2563,92 @@ def test_group_percentile_matches_naive(spark):
             assert o["n_group"] == n
             assert o["pctl_micro"] == (rank * 1_000_000) // max(n - 1, 1)
     assert out[1000]["pctl_micro"] == 0 and out[1000]["n_group"] == 1
+
+
+def test_png_chunk_profile_and_stats(spark):
+    """The shared chunk-table walk reads back what png.encode_gray wrote;
+    malformed containers raise in the shared fn and surface as error rows
+    (not crashes) in the mapInPandas operator."""
+    import numpy as np
+
+    from document_quality_assessment_ocr_spark import png
+    from document_quality_assessment_ocr_spark.operators.multimodal import (
+        png_chunk_profile_values,
+        png_chunk_stats,
+    )
+
+    arr = np.arange(120, dtype=np.uint8).reshape(10, 12)
+    with_dpi = png.encode_gray(arr, dpi=300)
+    no_dpi = png.encode_gray(arr, dpi=0)
+    v = png_chunk_profile_values(with_dpi)
+    assert v[2] == 12 and v[3] == 10 and v[4] == 8 and v[5] == 0
+    assert v[6] == "IHDR,pHYs,IDAT,IEND" and v[0] == 4
+    assert v[1] == len(with_dpi) - 8 - 4 * 12 - 13 - 9  # idat payload bytes
+    v2 = png_chunk_profile_values(no_dpi)
+    assert v2[6] == "IHDR,IDAT,IEND" and v2[0] == 3
+    import pytest as _pt
+
+    for bad in (b"", b"nope", with_dpi[:20], with_dpi + b"trailing"):
+        with _pt.raises(ValueError):
+            png_chunk_profile_values(bad)
+
+    rows = [
+        ("good", bytearray(with_dpi)),
+        ("trunc", bytearray(with_dpi[:20])),
+        ("junk", bytearray(b"not a png at all")),
+    ]
+    pay = spark.createDataFrame(rows, "media_ref string, png binary")
+    out = {r["media_ref"]: r for r in png_chunk_stats(pay).collect()}
+    assert out["good"]["error"] is None and out["good"]["width"] == 12
+    assert out["good"]["chunk_types"] == "IHDR,pHYs,IDAT,IEND"
+    assert out["trunc"]["error"] is not None and out["trunc"]["width"] is None
+    assert out["junk"]["error"] is not None
+
+
+def test_mw_domain_weights_python_replay(spark):
+    """Fixed-point MW rounds replayed in python ints equal the engine
+    bit-for-bit; the best (lowest-loss) domain ends with the smallest
+    weight, the worst with the largest; weights renormalize to ~SCALE."""
+    from document_quality_assessment_ocr_spark.operators.sampling import (
+        MW_SCALE,
+        mw_domain_weights,
+    )
+
+    rows = [
+        (1, "web", 50, 10), (2, "web", 70, 10),
+        (3, "code", 20, 10), (4, "code", 22, 10),
+        (5, "wiki", 40, 10), (6, "wiki", 44, 12),
+    ]
+    per_doc = spark.createDataFrame(
+        rows, "doc_id long, source string, sum_bits long, n_tokens long"
+    )
+    out = {
+        r["source"]: r
+        for r in mw_domain_weights(
+            per_doc, "source", iters=3, eta_milli=200
+        ).collect()
+    }
+
+    agg = {}
+    for _, g, sb, nt in rows:
+        a = agg.setdefault(g, [0, 0])
+        a[0] += sb
+        a[1] += nt
+    m = {g: (sb * MW_SCALE) // max(nt, 1) for g, (sb, nt) in agg.items()}
+    mn = min(m.values())
+    ex = {g: v - mn for g, v in m.items()}
+    w = {g: MW_SCALE for g in m}
+    for _ in range(3):
+        wr = {
+            g: (w[g] * (MW_SCALE + (200 * ex[g]) // 1000)) // MW_SCALE
+            for g in m
+        }
+        tot = sum(wr.values())
+        w = {g: (wr[g] * MW_SCALE) // max(tot, 1) for g in m}
+    for g in m:
+        assert out[g]["m_micro"] == m[g], g
+        assert out[g]["excess_micro"] == ex[g]
+        assert out[g]["weight_micro"] == w[g]
+    assert out["web"]["weight_micro"] == max(r["weight_micro"] for r in out.values())
+    assert out["code"]["weight_micro"] == min(r["weight_micro"] for r in out.values())
+    assert abs(sum(r["weight_micro"] for r in out.values()) - MW_SCALE) <= len(m)
