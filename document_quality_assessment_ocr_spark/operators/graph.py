@@ -206,6 +206,8 @@ def hits_fixed(
 
     Output: (id, hub_micro, auth_micro) — BIGINTs.
     """
+    if int(iters) < 1:
+        raise ValueError("iters must be >= 1 (authority needs one pass)")
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .groupBy("src", "dst")
