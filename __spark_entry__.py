@@ -5589,6 +5589,298 @@ def _mw_weights_sql(iters: int = 3, eta_milli: int = 200) -> str:
     """
 
 
+def _q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitor between the even- and odd-id halves of the
+    corpus (the deterministic two-snapshot stand-in): fixed-point
+    total-variation distance over unigram micro-probabilities + the
+    top-20 drifting tokens via the two-level merge."""
+    from document_quality_assessment_ocr_spark.operators.textstats import (
+        token_drift,
+    )
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return token_drift(
+        d.where(F.expr("doc_id % 2 = 0")),
+        d.where(F.expr("doc_id % 2 = 1")),
+        k=20,
+    )
+
+
+def _token_drift_sql(k: int = 20) -> str:
+    """q156 oracle: per-side token counts over the same LOWER
+    tokenization, FULL OUTER merge (USING coalesces tok), window-total
+    micro-probs (single-reference CTEs — the q149 inlining lesson),
+    integer L1 and `// 2` TVD, rank window standing in for the two-level
+    merge."""
+    from document_quality_assessment_ocr_spark.operators.textstats import (
+        DRIFT_SCALE,
+    )
+
+    return f"""
+        WITH d AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(
+                       TRIM(LOWER(COALESCE(text,''))), '{WS}+'),
+                       x -> x <> '') AS a
+            FROM documents
+        ), ca AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS ca
+            FROM (SELECT UNNEST(a) AS tok FROM d WHERE doc_id % 2 = 0)
+            GROUP BY tok
+        ), cb AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS cb
+            FROM (SELECT UNNEST(a) AS tok FROM d WHERE doc_id % 2 = 1)
+            GROUP BY tok
+        ), m AS (
+            SELECT tok,
+                   COALESCE(ca, 0) AS ca,
+                   COALESCE(cb, 0) AS cb
+            FROM ca FULL OUTER JOIN cb USING (tok)
+        ), p AS (
+            SELECT tok, ca, cb,
+                   (ca * {DRIFT_SCALE}) // GREATEST(SUM(ca) OVER (), 1)
+                       AS pa_micro,
+                   (cb * {DRIFT_SCALE}) // GREATEST(SUM(cb) OVER (), 1)
+                       AS pb_micro
+            FROM m
+        ), l AS (
+            SELECT tok, ca, cb, pa_micro, pb_micro,
+                   ABS(pa_micro - pb_micro) AS l1_micro,
+                   CAST(SUM(ABS(pa_micro - pb_micro)) OVER () // 2
+                        AS BIGINT) AS tv_micro
+            FROM p
+        )
+        SELECT tok AS token, ca, cb,
+               CAST(pa_micro AS BIGINT) AS pa_micro,
+               CAST(pb_micro AS BIGINT) AS pb_micro,
+               CAST(l1_micro AS BIGINT) AS l1_micro,
+               tv_micro,
+               CAST(rank AS INT) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY l1_micro DESC, tok ASC)
+                  AS rank
+              FROM l)
+        WHERE rank <= {int(k)}
+    """
+
+
+def _q_video_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal scene profile over derived video picks: REAL Y4M decode →
+    sampled per-frame aHash (mapInPandas, pixels never leave the task) →
+    consecutive-frame Hamming lag window → per-video scene-cut/static
+    counts (the shot-boundary + static-slideshow curation signal).
+    md5-nibble picks at salts 5/6 (the q137/q138 shape); the corrupt
+    container contributes no rows (q137 convention, so every numeric stays
+    NULL-free)."""
+    from document_quality_assessment_ocr_spark.operators.multimodal import (
+        video_frame_hashes,
+        video_scene_profile,
+    )
+    from document_quality_assessment_ocr_spark.sources.derive import _md5_pick_index
+    from document_quality_assessment_ocr_spark.sources.fixtures import (
+        build_y4m_payloads,
+        y4m_payload_names,
+    )
+
+    names = sorted(y4m_payload_names())
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|5"))).alias("_h1"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|6"))).alias("_h2"),
+    )
+    arr = F.array(*[F.lit(x) for x in names])
+    picks = d.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.element_at(arr, _md5_pick_index("_h1", len(names)) + 1),
+                F.element_at(arr, _md5_pick_index("_h2", len(names)) + 1),
+            )
+        ).alias("media_ref"),
+    ).distinct()
+    cat = build_y4m_payloads()
+    pay = spark.createDataFrame(
+        [(n, bytearray(cat[n])) for n in names], "media_ref string, png binary"
+    )
+    prof = video_scene_profile(
+        video_frame_hashes(pay, every_k=1, max_frames=12), cut_threshold=16
+    )
+    return picks.join(F.broadcast(prof), "media_ref").select(
+        "doc_id", "media_ref", "n_frames", "n_scenes", "n_cuts", "n_static",
+        "max_ham",
+    )
+
+
+def _video_scenes_sql(cut_threshold: int = 16) -> str:
+    """q157 oracle: per-frame aHash literals computed by the SAME
+    video_frame_ahash_values the engine's mapInPandas calls, then the
+    lag-window + per-nibble-popcount + scene aggregate replicated in SQL
+    (an INDEPENDENT implementation of the temporal logic — only the
+    hashes are shared); md5-nibble picks at salts 5/6. The corrupt
+    container has no literals, matching the engine's no-rows convention."""
+    from document_quality_assessment_ocr_spark.operators.multimodal import (
+        video_frame_ahash_values,
+    )
+    from document_quality_assessment_ocr_spark.sources.fixtures import (
+        build_y4m_payloads,
+        y4m_payload_names,
+    )
+
+    cat = build_y4m_payloads()
+    names = sorted(y4m_payload_names())
+    vals = []
+    for n in names:
+        try:
+            for i, hx in video_frame_ahash_values(cat[n], 1, 12):
+                vals.append(f"('{n}', {i}, '{hx}')")
+        except Exception:
+            continue
+    names_lit = "[" + ", ".join(f"'{n}'" for n in names) + "]"
+    nib_x = (
+        "BIT_COUNT(XOR(CAST(('0x' || SUBSTR(fhash, CAST(i AS INT), 1)) AS BIGINT),"
+        " CAST(('0x' || SUBSTR(prev, CAST(i AS INT), 1)) AS BIGINT)))"
+    )
+    thr = int(cut_threshold)
+    return f"""
+        WITH fh(media_ref, frame_idx, fhash) AS (VALUES {", ".join(vals)}),
+        lagged AS (
+            SELECT media_ref, fhash,
+                   LAG(fhash) OVER (PARTITION BY media_ref ORDER BY frame_idx)
+                       AS prev
+            FROM fh
+        ), ham AS (
+            SELECT media_ref,
+                   CASE WHEN prev IS NULL THEN NULL
+                        ELSE CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, 17),
+                             i -> {nib_x})) AS BIGINT) END AS ham
+            FROM lagged
+        ), prof AS (
+            SELECT media_ref,
+                   CAST(COUNT(*) AS BIGINT) AS n_frames,
+                   CAST(COALESCE(SUM(CASE WHEN ham > {thr} THEN 1 ELSE 0 END), 0)
+                        + 1 AS BIGINT) AS n_scenes,
+                   CAST(COALESCE(SUM(CASE WHEN ham > {thr} THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS n_cuts,
+                   CAST(COALESCE(SUM(CASE WHEN ham = 0 THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS n_static,
+                   CAST(COALESCE(MAX(ham), 0) AS BIGINT) AS max_ham
+            FROM ham GROUP BY media_ref
+        ), picks AS (
+            SELECT DISTINCT doc_id, media_ref FROM (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       LIST_EXTRACT({names_lit}, {_md5_pick_sql(5, len(names))} + 1) AS media_ref
+                FROM documents
+                UNION ALL
+                SELECT CAST(doc_id AS BIGINT),
+                       LIST_EXTRACT({names_lit}, {_md5_pick_sql(6, len(names))} + 1)
+                FROM documents)
+        )
+        SELECT p.doc_id, p.media_ref, prof.n_frames, prof.n_scenes,
+               prof.n_cuts, prof.n_static, prof.max_ham
+        FROM picks p JOIN prof USING (media_ref)
+    """
+
+
+def _q_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map / file-skipping audit over doc_id-range buckets (file /
+    row-group stand-ins): for each candidate ``n_chars >= T`` predicate,
+    buckets fully prunable vs fully selected from (min, max) bounds alone
+    — the Iceberg manifest-stats evaluation that decides whether the
+    current layout serves a predicate class before paying for a
+    re-cluster."""
+    from document_quality_assessment_ocr_spark.operators.profile import (
+        zone_map_audit,
+    )
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "n_chars"
+    )
+    return zone_map_audit(
+        d, "n_chars", thresholds=[100, 200, 400, 600], bucket_size=16
+    )
+
+
+def _zone_map_sql(bucket_size: int = 16) -> str:
+    """q158 oracle: per-bucket min/max/count then the threshold-grid
+    rollup; `//` == Spark DIV on the non-negative ids and counts."""
+    return f"""
+        WITH stats AS (
+            SELECT CAST(doc_id AS BIGINT) // {int(bucket_size)} AS bucket,
+                   MIN(CAST(n_chars AS BIGINT)) AS vmin,
+                   MAX(CAST(n_chars AS BIGINT)) AS vmax,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1
+        ), fanned AS (
+            SELECT s.*, CAST(t.threshold AS BIGINT) AS threshold
+            FROM stats s, (SELECT UNNEST([100, 200, 400, 600]) AS threshold) t
+        )
+        SELECT threshold,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(COALESCE(SUM(CASE WHEN vmax < threshold THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_pruned,
+               CAST(COALESCE(SUM(CASE WHEN vmin >= threshold THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_full,
+               CAST(SUM(n) AS BIGINT) AS rows_total,
+               CAST(COALESCE(SUM(CASE WHEN vmax < threshold THEN n ELSE 0 END), 0)
+                    AS BIGINT) AS rows_skipped,
+               CAST((COALESCE(SUM(CASE WHEN vmax < threshold THEN n ELSE 0 END), 0)
+                     * 1000000) // GREATEST(SUM(n), 1) AS BIGINT) AS skip_micro
+        FROM fanned GROUP BY threshold
+    """
+
+
+def _q_distinct_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-n diversity dashboard (distinct-1/2/3 in
+    micro-units) — the corpus-health number a mixture run watches as
+    sources swap in and out."""
+    from document_quality_assessment_ocr_spark.operators.textstats import (
+        distinct_ngram_diversity,
+    )
+
+    d = _doc(spark, sf_dir).select("source", "text")
+    return distinct_ngram_diversity(d, ns=(1, 2, 3))
+
+
+def _distinct_n_sql() -> str:
+    """q159 oracle: one tokenized CTE, per-n LIST_SLICE gram branches
+    UNION ALL'd (the q130 gram idiom), Zipf-shrunk (grp, n, gram) counts,
+    `//` micro ratio."""
+    from document_quality_assessment_ocr_spark.operators.textstats import (
+        DIVERSITY_SCALE,
+    )
+
+    branches = []
+    for n in (1, 2, 3):
+        branches.append(f"""
+            SELECT grp, {n} AS n,
+                   ARRAY_TO_STRING(LIST_SLICE(tk, CAST(i AS INT),
+                       CAST(i AS INT) + {n - 1}), ' ') AS gram
+            FROM (SELECT grp, tk,
+                         UNNEST(RANGE(1, GREATEST(LEN(tk) - {n - 1}, 0) + 1))
+                             AS i
+                  FROM d)""")
+    return f"""
+        WITH d AS (
+            SELECT source AS grp,
+                   LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(
+                       TRIM(LOWER(COALESCE(text, ''))), '{WS}+'),
+                       x -> x <> '') AS tk
+            FROM documents
+        ), g AS ({" UNION ALL ".join(branches)}),
+        counts AS (
+            SELECT grp, n, gram, CAST(COUNT(*) AS BIGINT) AS c
+            FROM g GROUP BY grp, n, gram
+        )
+        SELECT grp AS source, CAST(n AS INT) AS n,
+               CAST(SUM(c) AS BIGINT) AS total_ngrams,
+               CAST(COUNT(*) AS BIGINT) AS distinct_ngrams,
+               CAST((COUNT(*) * {DIVERSITY_SCALE}) // GREATEST(SUM(c), 1)
+                    AS BIGINT) AS distinct_micro
+        FROM counts GROUP BY grp, n
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's CORRECTNESS gate checks
     the FIRST 50 entries in dict order.  Positions 1-50 therefore carry the
@@ -5764,6 +6056,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q153_group_percentile": _q_group_percentile,
         "q154_png_chunks": _q_png_chunks,
         "q155_mw_weights": _q_mw_weights,
+        "q156_token_drift": _q_token_drift,
+        "q157_video_scenes": _q_video_scenes,
+        "q158_zone_map": _q_zone_map,
+        "q159_distinct_n": _q_distinct_n,
     }
 
 
@@ -8569,6 +8865,10 @@ def oracle_sql() -> dict[str, str]:
         "q153_group_percentile": _group_percentile_sql(1_000_000),
         "q154_png_chunks": _png_chunks_sql(),
         "q155_mw_weights": _mw_weights_sql(3, 200),
+        "q156_token_drift": _token_drift_sql(20),
+        "q157_video_scenes": _video_scenes_sql(16),
+        "q158_zone_map": _zone_map_sql(16),
+        "q159_distinct_n": _distinct_n_sql(),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

@@ -374,6 +374,7 @@ def main() -> None:
         "q153_group_percentile",
         "q154_png_chunks",
         "q155_mw_weights",
+        "q156_token_drift",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

@@ -527,3 +527,135 @@ def png_chunk_stats(payloads: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return payloads.select("media_ref", "png").mapInPandas(gen, schema)
+
+
+def video_frame_ahash_values(
+    payload: bytes, every_k: int = 1, max_frames: int = 12, decoder=None
+) -> list[tuple[int, str]]:
+    """Per-sampled-frame aHash hex of a video payload — the SHARED pure
+    function: the engine's :func:`video_frame_hashes` mapInPandas UDF and
+    the q157 oracle-literal builder both call THIS (the
+    :func:`wav_frame_rms_values` invariant: engine and generator run
+    identical operations on identical decoded planes). Lazy decode +
+    early break keep the cost O(frames kept)."""
+    rows: list[tuple[int, str]] = []
+    ek = max(every_k, 1)
+    for i, arr in enumerate((decoder or decode_video_frames)(payload)):
+        if i % ek:
+            continue
+        rows.append((i, ahash_hex(arr)))
+        if len(rows) >= max_frames:
+            break
+    return rows
+
+
+VIDEO_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("fhash", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def video_frame_hashes(
+    payloads: DataFrame, every_k: int = 1, max_frames: int = 12
+) -> DataFrame:
+    """Sampled per-frame perceptual hashes over REAL Y4M payloads (lazy
+    raw-planar decode, :func:`decode_video_frames`) via one Arrow-batched
+    ``mapInPandas`` pass; undecodable payloads are error rows (the
+    errors-as-data convention of :func:`video_frame_sample`)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        names = [f.name for f in VIDEO_HASH_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for ref, data in zip(pdf["media_ref"], pdf["png"]):
+                try:
+                    for i, hx in video_frame_ahash_values(
+                        bytes(data), every_k, max_frames
+                    ):
+                        rows.append((ref, i, hx, None))
+                except Exception as e:
+                    rows.append((ref, None, None, str(e)))
+            yield pd.DataFrame(rows, columns=names)
+
+    return payloads.select("media_ref", "png").mapInPandas(gen, VIDEO_HASH_SCHEMA)
+
+
+def hex_hamming(col_a, col_b):
+    """Hamming distance between two 16-hex-char 64-bit hashes as a
+    per-nibble popcount fold — integer-only, cross-engine exact, never a
+    signed 64-bit parse of the whole hash (the q57 2^53 lesson; same
+    arithmetic as :func:`phash_near_dup_pairs`'s verify)."""
+
+    def nib(c, i):
+        return F.conv(F.substring(c, i, 1), 16, 10).cast("int")
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(16)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.bit_count(nib(col_a, i).bitwiseXOR(nib(col_b, i))).cast("int"),
+    ).cast("long")
+
+
+def video_scene_profile(
+    frame_hashes: DataFrame, cut_threshold: int = 16
+) -> DataFrame:
+    """Temporal scene profile per video from a per-frame hash table
+    (:func:`video_frame_hashes` output): consecutive-sampled-frame Hamming
+    distance → scene-cut count (``hamming > cut_threshold``), static-frame
+    count (``hamming == 0`` — the within-video temporal dedup signal), and
+    the max inter-frame jump. The shot-boundary-detection shape of a video
+    curation pipeline (static slideshows vs. rapid-cut content), run
+    entirely on hashes — pixels never shuffle.
+
+    Scale shape: the per-video window partition is bounded by the sampling
+    budget (``max_frames`` rows per video, never video length), so the lag
+    window can never straggle; the aggregate is one hash groupBy with
+    map-side combine on the same key. Single-sampled-frame videos have no
+    consecutive pair: counts 0, ``max_ham`` coalesces to 0, ``n_scenes``
+    stays 1.
+
+    Output: (media_ref, n_frames, n_scenes, n_cuts, n_static, max_ham).
+    """
+    from pyspark.sql import Window
+
+    ok = frame_hashes.where(F.col("fhash").isNotNull()).select(
+        "media_ref", "frame_idx", "fhash"
+    )
+    w = Window.partitionBy("media_ref").orderBy("frame_idx")
+    scored = ok.withColumn("prev", F.lag("fhash").over(w)).withColumn(
+        "ham",
+        F.when(
+            F.col("prev").isNotNull(), hex_hamming(F.col("fhash"), F.col("prev"))
+        ),
+    )
+    return scored.groupBy("media_ref").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        (
+            F.coalesce(
+                F.sum(
+                    (F.col("ham") > F.lit(int(cut_threshold))).cast("long")
+                ),
+                F.lit(0),
+            )
+            + F.lit(1)
+        )
+        .cast("long")
+        .alias("n_scenes"),
+        F.coalesce(
+            F.sum((F.col("ham") > F.lit(int(cut_threshold))).cast("long")),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_cuts"),
+        F.coalesce(
+            F.sum((F.col("ham") == F.lit(0)).cast("long")), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_static"),
+        F.coalesce(F.max("ham"), F.lit(0)).cast("long").alias("max_ham"),
+    )

@@ -104,3 +104,75 @@ def shard_checksums(
         ).alias("checksum"),
     )
     return per.select("shard", "n_docs", "checksum")
+
+
+def zone_map_audit(
+    df: DataFrame,
+    value_col: str,
+    thresholds: list[int],
+    id_col: str = "doc_id",
+    bucket_size: int = 16,
+) -> DataFrame:
+    """Zone-map / file-skipping audit — the scan-planning statistic an
+    Iceberg/parquet lakehouse evaluates from manifest column bounds: for
+    each candidate predicate ``value_col >= T``, how many id-range buckets
+    (stand-ins for files/row-groups in an id-clustered write) could be
+    SKIPPED outright (``max < T``), and how many are FULLY selected
+    (``min >= T`` — scanned without per-row filter evaluation). Quantifies
+    whether the current layout serves the predicate class, before anyone
+    pays for a re-cluster (`compaction.py` is the rewrite planner this
+    feeds).
+
+    INTEGER-exact throughout: bucket = ``id DIV bucket_size`` (ids
+    non-negative — the DIV/floor cross-engine trap never applies),
+    ``skip_micro = rows_skipped·10⁶ DIV rows_total``.
+
+    Scale shape: ONE pass computes per-bucket (min, max, count) — the
+    bucket key is monotone in the id, so a range-partitioned layout makes
+    the aggregate effectively map-side; everything after lives on the
+    bucket dimension (rows/bucket_size), fanned out over the threshold
+    grid by an explode, never a join. Output: one row per threshold —
+    (threshold, n_buckets, n_pruned, n_full, rows_total, rows_skipped,
+    skip_micro), ordered by threshold.
+    """
+    stats = (
+        df.select(
+            F.expr(f"{id_col} DIV {int(bucket_size)}").alias("bucket"),
+            F.col(value_col).cast("long").alias("v"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.min("v").alias("vmin"),
+            F.max("v").alias("vmax"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    fanned = stats.withColumn(
+        "threshold",
+        F.explode(F.array(*[F.lit(int(t)).cast("long") for t in thresholds])),
+    )
+    return (
+        fanned.groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.sum((F.col("vmax") < F.col("threshold")).cast("long"))
+            .cast("long")
+            .alias("n_pruned"),
+            F.sum((F.col("vmin") >= F.col("threshold")).cast("long"))
+            .cast("long")
+            .alias("n_full"),
+            F.sum("n").cast("long").alias("rows_total"),
+            F.sum(
+                F.when(F.col("vmax") < F.col("threshold"), F.col("n")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("rows_skipped"),
+        )
+        .withColumn(
+            "skip_micro",
+            F.expr("(rows_skipped * 1000000L) DIV greatest(rows_total, 1L)"),
+        )
+        .orderBy("threshold")
+    )

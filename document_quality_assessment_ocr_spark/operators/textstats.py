@@ -551,3 +551,182 @@ def vocab_growth(
             "cum_types"
         ),
     )
+
+
+DRIFT_SCALE = 1_000_000  # unigram probabilities in micro-units
+
+
+def token_drift(
+    a_docs: DataFrame,
+    b_docs: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fanout: int = 32,
+) -> DataFrame:
+    """Corpus drift monitor: total-variation distance between two
+    corpora's unigram token distributions, plus the top-``k`` drifting
+    tokens — the crawl-over-crawl / shard-over-shard distribution check a
+    production pipeline runs before mixing a new snapshot in (the
+    drift-detection shape of Rabanser 2019, "Failing Loudly").
+
+    FIXED-POINT: per-side micro-probabilities ``(c·SCALE) DIV N`` and the
+    L1 contribution ``ABS(pa − pb)`` are exact integers (TVD needs no
+    logarithm — unlike KL it has an integer-exact form, which is why it
+    is the drift statistic here; the subtraction feeds only ABS, so the
+    negative-operand DIV trap never applies). ``tv_micro = ΣL1 / 2`` in
+    micro-units rides every row.
+
+    Scale shape: ONE pass over each corpus (explode → per-side token
+    count with map-side combine), a token-dimension full-outer merge
+    (Zipf-bounded — partial aggs already shrank it), two broadcast 1-row
+    totals, then the q13 two-level top-k merge for the drifted-token
+    panel (no task ever sorts the whole vocabulary).
+
+    Output: top-k rows (token, ca, cb, pa_micro, pb_micro, l1_micro,
+    tv_micro, rank) ordered by (l1_micro DESC, token ASC).
+    """
+    ca = (
+        a_docs.select(F.explode(_tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("ca"))
+    )
+    cb = (
+        b_docs.select(F.explode(_tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    )
+    m = (
+        ca.join(cb, "tok", "full_outer")
+        .select(
+            "tok",
+            F.coalesce("ca", F.lit(0)).cast("long").alias("ca"),
+            F.coalesce("cb", F.lit(0)).cast("long").alias("cb"),
+        )
+    )
+    na = m.agg(F.sum("ca").cast("long").alias("na"))
+    nb = m.agg(F.sum("cb").cast("long").alias("nb"))
+    probs = (
+        m.crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "tok",
+            "ca",
+            "cb",
+            F.expr(f"(ca * {DRIFT_SCALE}L) DIV greatest(na, 1L)").alias(
+                "pa_micro"
+            ),
+            F.expr(f"(cb * {DRIFT_SCALE}L) DIV greatest(nb, 1L)").alias(
+                "pb_micro"
+            ),
+        )
+        .withColumn("l1_micro", F.abs(F.col("pa_micro") - F.col("pb_micro")))
+    )
+    tv = probs.agg(
+        F.expr("sum(l1_micro) DIV 2").cast("long").alias("tv_micro")
+    )
+    item = F.struct(
+        (-F.col("l1_micro")).alias("nl1"),
+        F.col("tok").alias("tok"),
+        F.col("ca").alias("ca"),
+        F.col("cb").alias("cb"),
+        F.col("pa_micro").alias("pa_micro"),
+        F.col("pb_micro").alias("pb_micro"),
+        F.col("l1_micro").alias("l1_micro"),
+    )
+    topk = lambda c: F.slice(F.sort_array(F.collect_list(c)), 1, int(k))  # noqa: E731
+    lvl1 = probs.groupBy(
+        F.pmod(F.hash("tok"), F.lit(int(fanout))).alias("b")
+    ).agg(topk(item).alias("top"))
+    merged = (
+        lvl1.select(F.explode("top").alias("t"))
+        .groupBy()
+        .agg(topk(F.col("t")).alias("top"))
+        .select(F.posexplode("top").alias("i", "t"))
+    )
+    return merged.crossJoin(F.broadcast(tv)).select(
+        F.col("t.tok").alias("token"),
+        F.col("t.ca").alias("ca"),
+        F.col("t.cb").alias("cb"),
+        F.col("t.pa_micro").alias("pa_micro"),
+        F.col("t.pb_micro").alias("pb_micro"),
+        F.col("t.l1_micro").alias("l1_micro"),
+        F.col("tv_micro"),
+        (F.col("i") + 1).cast("int").alias("rank"),
+    )
+
+
+DIVERSITY_SCALE = 1_000_000  # distinct-n ratios in micro-units
+
+
+def distinct_ngram_diversity(
+    docs: DataFrame,
+    ns: tuple[int, ...] = (1, 2, 3),
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group distinct-n diversity (Li et al. 2016): for each n in
+    ``ns``, the number of DISTINCT word n-grams over the TOTAL n-gram
+    occurrences in the group, in integer micro-units — the corpus-health
+    dual of :func:`ngram_novelty` (that one profiles each document against
+    the corpus; this one scores whole sources/slices, the
+    mixture-dashboard number a curation run watches as it swaps sources in
+    and out). Low distinct-2/3 flags templated or looping text.
+
+    FIXED-POINT: ``distinct_micro = distinct·10⁶ DIV total`` — both
+    operands are non-negative int64 counts, so Spark ``DIV`` == DuckDB
+    ``//`` exactly.
+
+    Scale shape: ONE token-array projection feeds every n (the n-gram
+    arrays are built per-row and concatenated as (n, gram) structs — one
+    explode, one scan, no per-n re-tokenization); grams travel as md5
+    hashes, never text; the (group, n, gram-hash) partial aggregate
+    shrinks Zipf-style before the per-(group, n) rollup. Output is
+    |groups|·|ns| rows: (group, n, total_ngrams, distinct_ngrams,
+    distinct_micro).
+    """
+    from .quality import ngrams_from_tokens
+
+    toks = docs.select(
+        F.col(group_col).alias("grp"), _tokens(F.col(text_col)).alias("tk")
+    )
+    def _tag(n: int):
+        # one-arg lambda ONLY: a second lambda arg would make F.transform
+        # pass the element index into it (positional (x, i) contract)
+        return lambda g: F.struct(
+            F.lit(int(n)).cast("int").alias("n"), g.alias("g")
+        )
+
+    tagged = F.concat(
+        *[
+            F.transform(ngrams_from_tokens(F.col("tk"), n), _tag(n))
+            for n in ns
+        ]
+    )
+    pairs = toks.select(
+        "grp", F.explode(tagged).alias("t")
+    ).select("grp", F.col("t.n").alias("n"), F.md5(F.col("t.g")).alias("gh"))
+    counts = pairs.groupBy("grp", "n", "gh").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return (
+        counts.groupBy("grp", "n")
+        .agg(
+            F.sum("c").cast("long").alias("total_ngrams"),
+            F.count(F.lit(1)).cast("long").alias("distinct_ngrams"),
+        )
+        .withColumn(
+            "distinct_micro",
+            F.expr(
+                f"(distinct_ngrams * {DIVERSITY_SCALE}L)"
+                " DIV greatest(total_ngrams, 1L)"
+            ),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n",
+            "total_ngrams",
+            "distinct_ngrams",
+            "distinct_micro",
+        )
+    )

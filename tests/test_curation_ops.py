@@ -2652,3 +2652,128 @@ def test_mw_domain_weights_python_replay(spark):
     assert out["web"]["weight_micro"] == max(r["weight_micro"] for r in out.values())
     assert out["code"]["weight_micro"] == min(r["weight_micro"] for r in out.values())
     assert abs(sum(r["weight_micro"] for r in out.values()) - MW_SCALE) <= len(m)
+
+
+def test_token_drift_python_replay(spark):
+    """Fixed-point TVD + top-k drift panel replayed in python ints; a
+    token present only on one side drifts hardest; identical corpora
+    drift zero."""
+    from document_quality_assessment_ocr_spark.operators.textstats import (
+        DRIFT_SCALE,
+        token_drift,
+    )
+
+    a_rows = [(1, "apple banana apple cherry"), (2, "apple date")]
+    b_rows = [(3, "banana banana fig apple"), (4, "fig fig date")]
+    a = spark.createDataFrame(a_rows, "doc_id long, text string")
+    b = spark.createDataFrame(b_rows, "doc_id long, text string")
+    out = token_drift(a, b, k=10).collect()
+
+    def counts(rows):
+        c = {}
+        for _, t in rows:
+            for w in t.lower().split():
+                c[w] = c.get(w, 0) + 1
+        return c
+
+    ca, cb = counts(a_rows), counts(b_rows)
+    na, nb = sum(ca.values()), sum(cb.values())
+    toks = set(ca) | set(cb)
+    stats = {}
+    for t in toks:
+        pa = (ca.get(t, 0) * DRIFT_SCALE) // max(na, 1)
+        pb = (cb.get(t, 0) * DRIFT_SCALE) // max(nb, 1)
+        stats[t] = (ca.get(t, 0), cb.get(t, 0), pa, pb, abs(pa - pb))
+    tv = sum(v[4] for v in stats.values()) // 2
+    order = sorted(stats, key=lambda t: (-stats[t][4], t))
+    assert [r["token"] for r in out] == order
+    for r in out:
+        t = r["token"]
+        assert (r["ca"], r["cb"], r["pa_micro"], r["pb_micro"], r["l1_micro"]) == stats[t]
+        assert r["tv_micro"] == tv
+    assert [r["rank"] for r in out] == list(range(1, len(order) + 1))
+    # cherry (a-only) and fig (b-only, heavier) top the panel family-wise
+    assert out[0]["token"] in ("fig", "cherry", "banana", "apple")
+    # identical corpora -> zero TVD
+    out2 = token_drift(a, a, k=5).collect()
+    assert all(r["tv_micro"] == 0 and r["l1_micro"] == 0 for r in out2)
+
+
+def test_zone_map_audit_python_replay(spark):
+    """Bucketed min/max pruning audit replayed in python; a value-sorted
+    id layout prunes strictly more than a shuffled one at the same
+    threshold (the re-cluster motivation the audit exists to quantify)."""
+    from document_quality_assessment_ocr_spark.operators.profile import zone_map_audit
+
+    import random
+
+    rnd = random.Random(7)
+    vals = [rnd.randrange(0, 1000) for _ in range(200)]
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "doc_id long, v long")
+    thresholds = [10, 500, 990, 2000]
+    out = {r["threshold"]: r for r in zone_map_audit(
+        df, "v", thresholds=thresholds, bucket_size=16
+    ).collect()}
+
+    buckets = {}
+    for i, v in rows:
+        buckets.setdefault(i // 16, []).append(v)
+    for t in thresholds:
+        pruned = [b for b in buckets.values() if max(b) < t]
+        full = [b for b in buckets.values() if min(b) >= t]
+        skipped = sum(len(b) for b in pruned)
+        r = out[t]
+        assert r["n_buckets"] == len(buckets)
+        assert r["n_pruned"] == len(pruned)
+        assert r["n_full"] == len(full)
+        assert r["rows_total"] == 200
+        assert r["rows_skipped"] == skipped
+        assert r["skip_micro"] == skipped * 1_000_000 // 200
+    assert out[2000]["skip_micro"] == 1_000_000  # everything prunable
+    assert out[10]["n_pruned"] == 0  # nothing below the floor-ish threshold
+
+    # sorted layout: ids assigned by value rank → contiguous value ranges
+    srt = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(sorted(vals))], "doc_id long, v long"
+    )
+    out_s = {r["threshold"]: r for r in zone_map_audit(
+        srt, "v", thresholds=[500], bucket_size=16
+    ).collect()}
+    assert out_s[500]["n_pruned"] >= out[500]["n_pruned"]
+    assert out_s[500]["n_pruned"] + out_s[500]["n_full"] >= 11  # ~all decided
+
+
+def test_distinct_ngram_diversity_python_replay(spark):
+    """Fixed-point distinct-n replayed in python; a looping source scores
+    far below a novel one on distinct-2/3."""
+    from document_quality_assessment_ocr_spark.operators.textstats import (
+        DIVERSITY_SCALE,
+        distinct_ngram_diversity,
+    )
+
+    rows = [
+        ("loop", "spam spam spam spam spam spam"),
+        ("loop", "spam spam spam spam"),
+        ("novel", "one two three four five six"),
+        ("novel", "seven eight nine ten"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {(r["source"], r["n"]): r for r in distinct_ngram_diversity(
+        df, ns=(1, 2, 3)
+    ).collect()}
+
+    def grams(text, n):
+        tk = text.lower().split()
+        return [" ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)]
+
+    for src in ("loop", "novel"):
+        texts = [t for s, t in rows if s == src]
+        for n in (1, 2, 3):
+            g = [x for t in texts for x in grams(t, n)]
+            r = out[(src, n)]
+            assert r["total_ngrams"] == len(g)
+            assert r["distinct_ngrams"] == len(set(g))
+            assert r["distinct_micro"] == len(set(g)) * DIVERSITY_SCALE // max(len(g), 1)
+    assert out[("loop", 2)]["distinct_micro"] < out[("novel", 2)]["distinct_micro"] // 3
+    assert out[("novel", 3)]["distinct_micro"] == DIVERSITY_SCALE  # all unique

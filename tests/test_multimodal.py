@@ -236,3 +236,46 @@ def test_phash_near_dup_pairs_banding(spark):
     assert out[("a", "d")] == 0
     assert out[("b", "d")] == 3
     assert len(out) == 3  # 'far' and NULL rows pair with nobody
+
+
+def test_video_scene_profile_python_replay(spark):
+    """video_frame_hashes → video_scene_profile over the real Y4M catalog
+    matches a python replay of the SAME shared per-frame hashes (lag
+    hamming, cut/static counts); corrupt payload error-rows and is
+    excluded; a single-frame table keeps n_scenes=1, max_ham=0."""
+    from document_quality_assessment_ocr_spark.sources.fixtures import (
+        build_y4m_payloads,
+    )
+
+    cat = build_y4m_payloads()
+    df = spark.createDataFrame(
+        [(n, bytearray(b)) for n, b in cat.items()], "media_ref string, png binary"
+    )
+    fh = mm.video_frame_hashes(df, every_k=1, max_frames=12)
+    errs = {r["media_ref"] for r in fh.where("error IS NOT NULL").collect()}
+    assert errs == {"corrupt_y4m"}
+    out = {r["media_ref"]: r for r in mm.video_scene_profile(fh, 16).collect()}
+    assert "corrupt_y4m" not in out
+
+    thr = 16
+    for name in set(cat) - {"corrupt_y4m"}:
+        vals = mm.video_frame_ahash_values(cat[name], 1, 12)
+        hams = [
+            bin(int(a, 16) ^ int(b, 16)).count("1")
+            for (_, a), (_, b) in zip(vals, vals[1:])
+        ]
+        r = out[name]
+        assert r["n_frames"] == len(vals), name
+        assert r["n_cuts"] == sum(h > thr for h in hams), name
+        assert r["n_scenes"] == r["n_cuts"] + 1, name
+        assert r["n_static"] == sum(h == 0 for h in hams), name
+        assert r["max_ham"] == (max(hams) if hams else 0), name
+    # sanity anchors from the catalog's designed temporal shapes
+    assert out["checker_flip"]["n_scenes"] == 12  # every frame a hard cut
+    assert out["fade_up"]["n_static"] == 11 and out["fade_up"]["n_scenes"] == 1
+    assert out["gradient_pan"]["n_cuts"] == 0 and out["gradient_pan"]["n_static"] == 0
+    # single-sampled-frame video: no consecutive pair
+    one = mm.video_scene_profile(
+        fh.where("media_ref = 'short_clip' AND frame_idx = 0"), 16
+    ).collect()[0]
+    assert (one["n_frames"], one["n_scenes"], one["max_ham"]) == (1, 1, 0)
