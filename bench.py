@@ -375,6 +375,9 @@ def main() -> None:
         "q154_png_chunks",
         "q155_mw_weights",
         "q156_token_drift",
+        "q157_video_scenes",
+        "q158_zone_map",
+        "q159_distinct_n",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"
