@@ -894,7 +894,9 @@ def incremental_dedup_flags(
             F.coalesce(F.col("n_candidates"), F.lit(0)).cast("long").alias(
                 "n_candidates"
             ),
-            F.col("_w.bid").cast("long").alias("best_match_id"),
+            # surfaced AS-IS: the id_col contract is type-agnostic (string
+            # doc ids are common); a long cast here NULLed non-numeric ids
+            F.col("_w.bid").alias("best_match_id"),
             (-F.col("_w.nega")).cast("long").alias("best_agree_milli"),
             F.coalesce(-F.col("_w.nega") >= F.lit(thr), F.lit(False)).alias(
                 "is_dup"

@@ -89,6 +89,23 @@ def hll_distinct(
     return folded.select(*out)
 
 
+def histogram_bin(v, lo: int, hi: int, n_bins: int):
+    """Clamped fixed-grid bin index of a value column — the SHARED bin
+    arithmetic of :func:`histogram_quantiles` and the streaming histogram
+    maintainer (``streaming/sketches.stream_histogram``): both sides must
+    bin identically or their merge contract breaks. Integer division via
+    floor over exact small-int float division (|operands| ≪ 2^53 so the
+    double quotient floors exactly; Column has no native ``//``)."""
+    v = v.cast("long")
+    return F.least(
+        F.greatest(
+            F.floor((v - F.lit(lo)) * n_bins / F.lit(hi - lo)).cast("long"),
+            F.lit(0),
+        ),
+        F.lit(n_bins - 1),
+    )
+
+
 def histogram_quantiles(
     df: DataFrame,
     key_col: str,
@@ -122,16 +139,7 @@ def histogram_quantiles(
     runs/partitions combine losslessly (the checkpoint-resume property).
     """
     width = (hi - lo) // n_bins
-    v = F.col(value_col).cast("long")
-    # integer division via floor over exact small-int float division
-    # (|operands| ≪ 2^53 so the double quotient floors exactly; Column has
-    # no native `//`)
-    bin_idx = F.least(
-        F.greatest(
-            F.floor((v - F.lit(lo)) * n_bins / F.lit(hi - lo)).cast("long"), F.lit(0)
-        ),
-        F.lit(n_bins - 1),
-    )
+    bin_idx = histogram_bin(F.col(value_col), lo, hi, n_bins)
     hist = (
         df.select(F.col(key_col), bin_idx.alias("bin"))
         .groupBy(key_col, "bin")

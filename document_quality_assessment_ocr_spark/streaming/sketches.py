@@ -260,3 +260,83 @@ def read_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
     if not vs:
         raise FileNotFoundError(f"no sketch versions in {sketch_dir}")
     return spark.read.parquet(os.path.join(sketch_dir, f"v{vs[-1]}"))
+
+
+def _hist_partial(
+    batch: DataFrame, value_expr: str, key_expr: str,
+    lo: int, hi: int, n_bins: int,
+) -> DataFrame:
+    """One micro-batch's histogram contribution: (k, bin, c) cells binned
+    by the SAME shared arithmetic as operators/sketches.histogram_quantiles
+    (sketches.histogram_bin — the merge contract requires identical
+    binning on every producer)."""
+    from ..operators.sketches import histogram_bin
+
+    return (
+        batch.select(
+            F.expr(key_expr).alias("k"),
+            histogram_bin(F.expr(value_expr), lo, hi, n_bins).alias("bin"),
+        )
+        .groupBy("k", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def stream_histogram(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    sketch_dir: str,
+    value_expr: str = "length(text)",
+    key_expr: str = "'doc_len'",
+    lo: int = 0,
+    hi: int = 4096,
+    n_bins: int = 64,
+):
+    """Incremental fixed-grid histogram maintenance — the fourth algebraic
+    sketch in the module, same foreachBatch merge shape as
+    ``stream_count_min``: per-batch (k, bin, c) partial summed cell-wise
+    into the persisted state (histograms merge by ADDING counts — the
+    mergeability ``operators/sketches.histogram_quantiles`` claims,
+    exercised incrementally). State is ≤ ``keys·n_bins`` rows regardless
+    of history; quantile estimates read the persisted histogram at any
+    time (the sketch IS the distribution monitor a curation run watches).
+    Versioning and replay idempotence follow stream_count_min exactly."""
+    stream = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        vs = _versions(sketch_dir)
+        ahead = [v for v in vs if v > batch_id + 1]
+        if ahead:
+            raise RuntimeError(
+                f"sketch_dir {sketch_dir!r} already holds versions "
+                f"{ahead} beyond v{batch_id + 1}: fresh checkpoint "
+                "against old sketch history — reset checkpoint_dir and "
+                "sketch_dir together (paired unit)."
+            )
+        part = _hist_partial(batch, value_expr, key_expr, lo, hi, n_bins)
+        if batch_id > 0:
+            prev = batch.sparkSession.read.parquet(
+                os.path.join(sketch_dir, f"v{batch_id}")
+            )
+            part = (
+                prev.unionByName(part)
+                .groupBy("k", "bin")
+                .agg(F.sum("c").cast("long").alias("c"))
+            )
+        part.write.mode("overwrite").parquet(
+            os.path.join(sketch_dir, f"v{batch_id + 1}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

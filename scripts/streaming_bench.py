@@ -33,6 +33,7 @@ def main() -> None:
     from document_quality_assessment_ocr_spark.streaming.sketches import (
         stream_bloom,
         stream_count_min,
+        stream_histogram,
         stream_hll,
     )
 
@@ -56,6 +57,9 @@ def main() -> None:
         ),
         "hll": lambda ck, sk: stream_hll(spark, in_dir + "/*.parquet", ck, sk),
         "bloom": lambda ck, sk: stream_bloom(
+            spark, in_dir + "/*.parquet", ck, sk
+        ),
+        "hist": lambda ck, sk: stream_histogram(
             spark, in_dir + "/*.parquet", ck, sk
         ),
     }

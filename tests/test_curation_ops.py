@@ -1519,6 +1519,18 @@ def test_incremental_dedup_flags(spark):
     assert not out[2]["is_dup"] and out[2]["n_candidates"] == 0
     assert out[2]["best_match_id"] is None
 
+    # id-type-agnostic contract: STRING doc ids surface their best match
+    # as-is (a long cast here used to NULL them)
+    sbase = spark.createDataFrame(
+        [("b-10", base_text)], "doc_id string, text string"
+    )
+    snew = spark.createDataFrame(
+        [("n-1", base_text)], "doc_id string, text string"
+    )
+    sout = {r["doc_id"]: r for r in incremental_dedup_flags(
+        snew, sbase, n_hashes=8, bands=4, ngram=3, min_match=6).collect()}
+    assert sout["n-1"]["is_dup"] and sout["n-1"]["best_match_id"] == "b-10"
+
 
 def test_heavy_hitters_verified(spark):
     """CMS proposes a superset (est >= exact, never a false negative);

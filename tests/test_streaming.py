@@ -341,3 +341,82 @@ def test_stream_bloom_matches_batch(spark, tmp_path):
                                      n_words=8, k=3).collect()}
     assert verdicts["a"] and verdicts["e"]  # members: never a false negative
     assert sorted(os.listdir(sketch_dir)) == ["v1", "v2"]
+
+
+def test_stream_histogram_matches_batch(spark, tmp_path):
+    """Incremental histogram maintenance: after two micro-batches the
+    persisted (k, bin, c) state is CELL-FOR-CELL the batch partial over
+    the union (count-sum mergeability), and quantile estimates off the
+    persisted sketch equal histogram_quantiles over the full data."""
+    import time
+    from datetime import datetime
+
+    from document_quality_assessment_ocr_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+    from document_quality_assessment_ocr_spark.streaming.sketches import (
+        _hist_partial,
+        read_sketch,
+        stream_histogram,
+    )
+
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    b1 = [(1, t0, "x" * 10), (2, t0, "y" * 300)]
+    b2 = [(3, t0, "z" * 301), (4, t0, ""), (5, t0, "w" * 4999)]
+    in_dir = str(tmp_path / "hin")
+    os.makedirs(in_dir)
+    for i, rows in enumerate((b1, b2)):
+        spark.createDataFrame(
+            rows, "doc_id long, ts timestamp, text string"
+        ).coalesce(1).write.parquet(os.path.join(in_dir, f"drop-{i}"))
+        time.sleep(1.1)
+
+    sketch_dir = str(tmp_path / "hsketch")
+    stream_histogram(
+        spark, in_dir + "/*", str(tmp_path / "hckpt"), sketch_dir,
+        lo=0, hi=4096, n_bins=16,
+    )
+    got = {(r["k"], r["bin"]): r["c"]
+           for r in read_sketch(spark, sketch_dir).collect()}
+    full = spark.read.parquet(in_dir + "/*")
+    want = {(r["k"], r["bin"]): r["c"]
+            for r in _hist_partial(full, "length(text)", "'doc_len'",
+                                   0, 4096, 16).collect()}
+    assert got == want and sum(got.values()) == 5
+    assert got[("doc_len", 15)] == 1  # 4999 clamps into the top bin
+    assert sorted(os.listdir(sketch_dir)) == ["v1", "v2"]
+
+    # quantiles off the persisted sketch == batch quantiles on raw data
+    hist = read_sketch(spark, sketch_dir)
+    est_stream = {
+        (r["k"], r["p"]): (r["est_bin"], r["est_lo"], r["est_hi"])
+        for r in _quantiles_from_hist(spark, hist, 0, 4096, 16, [50, 90]).collect()
+    }
+    est_batch = {
+        (r["k"], r["p"]): (r["est_bin"], r["est_lo"], r["est_hi"])
+        for r in histogram_quantiles(
+            full.selectExpr("'doc_len' AS k", "length(text) AS v"),
+            "k", "v", 0, 4096, 16, [50, 90],
+        ).collect()
+    }
+    assert est_stream == est_batch
+
+
+def _quantiles_from_hist(spark, hist, lo, hi, n_bins, percents):
+    """Fold histogram_quantiles' estimate over an already-binned sketch by
+    re-expanding cells to per-bin representative values (exact: every row
+    in a cell shares the bin, and binning a bin's lower edge returns the
+    same bin)."""
+    import pyspark.sql.functions as F
+
+    from document_quality_assessment_ocr_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+
+    width = (hi - lo) // n_bins
+    rows = hist.select(
+        "k",
+        F.explode(F.expr("sequence(1, c)")).alias("_i"),
+        (F.lit(lo) + F.col("bin") * width).alias("v"),
+    ).select("k", "v")
+    return histogram_quantiles(rows, "k", "v", lo, hi, n_bins, percents)
