@@ -5881,6 +5881,243 @@ def _distinct_n_sql() -> str:
     """
 
 
+def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host triangle counts over the q131/q149 host link graph via
+    degree-oriented wedge joins — the link-farm-clique signal (farms are
+    triangle-dense for their degree); orientation bounds wedge fan-out
+    by O(sqrt(m)) so hub hosts never explode."""
+    from document_quality_assessment_ocr_spark.operators.graph import triangle_count
+
+    return triangle_count(_host_edges(spark, sf_dir)).select(
+        F.col("id").alias("host"), "degree", "tri"
+    )
+
+
+def _triangles_sql() -> str:
+    """q160 oracle: the shared q131/q149 host-graph prefix, then the SAME
+    degree orientation (LPAD degree-20 || '|' || id sortable key) and
+    wedge/closing-edge joins in SQL. The multi-referenced CTEs (und 2×,
+    keyed 3×, ork 3×, tri 3×) are ``AS MATERIALIZED`` — DuckDB 1.0
+    inlines PLAIN CTEs at every reference (the q149 4^iters lesson), but
+    a MATERIALIZED CTE runs its subtree ONCE, so the URL-parse chain is
+    evaluated a single time instead of ~47×."""
+    return _host_graph_ctes() + """, und AS MATERIALIZED (
+            SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+            FROM edges WHERE src <> dst
+        ), dg AS (
+            SELECT id, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM (SELECT u AS id FROM und UNION ALL SELECT v FROM und)
+            GROUP BY id
+        ), keyed AS MATERIALIZED (
+            SELECT id, degree,
+                   LPAD(CAST(degree AS VARCHAR), 20, '0') || '|' || id AS k
+            FROM dg
+        ), ork AS MATERIALIZED (
+            SELECT CASE WHEN ku.k < kv.k THEN ku.k ELSE kv.k END AS ks,
+                   CASE WHEN ku.k < kv.k THEN kv.k ELSE ku.k END AS kd
+            FROM und
+            JOIN keyed ku ON ku.id = und.u
+            JOIN keyed kv ON kv.id = und.v
+        ), tri AS MATERIALIZED (
+            SELECT w1.ks AS a, w1.kd AS b, w2.kd AS c
+            FROM ork w1
+            JOIN ork w2 ON w1.ks = w2.ks AND w1.kd < w2.kd
+            JOIN ork e ON e.ks = w1.kd AND e.kd = w2.kd
+        ), corners AS (
+            SELECT k, CAST(COUNT(*) AS BIGINT) AS tri
+            FROM (SELECT a AS k FROM tri
+                  UNION ALL SELECT b FROM tri
+                  UNION ALL SELECT c FROM tri)
+            GROUP BY k
+        )
+        SELECT keyed.id AS host, keyed.degree,
+               CAST(COALESCE(corners.tri, 0) AS BIGINT) AS tri
+        FROM keyed LEFT JOIN corners ON corners.k = keyed.k
+    """
+
+
+def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs (small-doc-in-big-doc, the
+    quote/excerpt detector Jaccard misses): q25's banded word-shingle
+    MinHash candidates, then exact containment of the smaller shingle
+    set via pair-keyed intersection joins."""
+    from document_quality_assessment_ocr_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return containment_pairs(
+        d, n_hashes=16, bands=4, ngram=5, shingle="word",
+        min_cont_micro=600_000,
+    )
+
+
+def _containment_sql(min_cont_micro: int = 600_000) -> str:
+    """q161 oracle: the q122 candidate chain (16 word-shingle perms, 4×4
+    bands), DISTINCT shingle sets + sizes from the SAME sh CTE, pair
+    intersection counts, `//` == Spark DIV on the non-negative
+    (inter·10⁶, min-size) operands."""
+    return _minhash_sql(16, shingle="word") + f"""
+            , bands AS (
+                SELECT doc_id, 0 AS band,
+                       MD5(CONCAT_WS('#', h00, h01, h02, h03)) AS key FROM sig
+                UNION ALL SELECT doc_id, 1,
+                       MD5(CONCAT_WS('#', h04, h05, h06, h07)) FROM sig
+                UNION ALL SELECT doc_id, 2,
+                       MD5(CONCAT_WS('#', h08, h09, h10, h11)) FROM sig
+                UNION ALL SELECT doc_id, 3,
+                       MD5(CONCAT_WS('#', h12, h13, h14, h15)) FROM sig
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.key = b.key
+                 AND a.doc_id < b.doc_id
+            ), shd AS MATERIALIZED (
+                SELECT DISTINCT doc_id, g FROM sh
+            ), sizes AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+                FROM shd GROUP BY doc_id
+            ), inter AS (
+                SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS inter
+                FROM cand c
+                JOIN shd a ON a.doc_id = c.id_a
+                JOIN shd b ON b.doc_id = c.id_b AND b.g = a.g
+                GROUP BY c.id_a, c.id_b
+            ), scored AS (
+                SELECT i.id_a, i.id_b, sa.sz AS sz_a, sb.sz AS sz_b, i.inter,
+                       CAST((i.inter * 1000000)
+                            // GREATEST(LEAST(sa.sz, sb.sz), 1) AS BIGINT)
+                           AS cont_micro,
+                       CASE WHEN sa.sz <= sb.sz THEN 'a' ELSE 'b' END
+                           AS small_side
+                FROM inter i
+                JOIN sizes sa ON sa.doc_id = i.id_a
+                JOIN sizes sb ON sb.doc_id = i.id_b
+            )
+            SELECT id_a, id_b, sz_a, sz_b, inter, cont_micro, small_side
+            FROM scored WHERE cont_micro >= {int(min_cont_micro)}
+    """
+
+
+def _q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew audit for the (lang|source) partitioning key at
+    candidate partition counts 8/32/128 — the pre-flight straggler /
+    empty-partition / salt-this-key check before keying a big join on
+    the column (md5-nibble placement, the derive.py registry
+    discipline, so the oracle reproduces it byte-for-byte)."""
+    from document_quality_assessment_ocr_spark.operators.profile import (
+        partition_skew_audit,
+    )
+
+    d = _doc(spark, sf_dir).select(
+        F.concat(
+            F.coalesce(F.col("lang").cast("string"), F.lit("")),
+            F.lit("|"),
+            F.coalesce(F.col("source").cast("string"), F.lit("")),
+        ).alias("mix_key")
+    )
+    return partition_skew_audit(d, "mix_key", partition_grid=(8, 32, 128))
+
+
+def _skew_audit_sql(partition_grid: tuple[int, ...] = (8, 32, 128)) -> str:
+    """q162 oracle: per-key counts, the md5 60-bit placement
+    (`('0x'||SUBSTR(MD5(k),1,15))::BIGINT % p`, the shingle_hash_expr
+    twin), explode over the P grid, per-(p, pid) rollup; `//` == Spark
+    DIV on the non-negative count operands."""
+    grid = ", ".join(str(int(p)) for p in partition_grid)
+    return f"""
+        WITH keys AS (
+            SELECT COALESCE(CAST(lang AS VARCHAR), '') || '|'
+                   || COALESCE(CAST(source AS VARCHAR), '') AS k,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1
+        ), fanned AS (
+            SELECT CAST(p AS BIGINT) AS p,
+                   CAST(('0x' || SUBSTR(MD5(k), 1, 15)) AS BIGINT)
+                       % CAST(p AS BIGINT) AS pid,
+                   k, n
+            FROM keys, (SELECT UNNEST([{grid}]) AS p)
+        ), parts AS (
+            SELECT p, pid,
+                   CAST(SUM(n) AS BIGINT) AS nrows,
+                   CAST(COUNT(*) AS BIGINT) AS nk,
+                   CAST(MAX(n) AS BIGINT) AS mk
+            FROM fanned GROUP BY p, pid
+        )
+        SELECT p,
+               CAST(SUM(nk) AS BIGINT) AS n_keys,
+               CAST(COUNT(*) AS BIGINT) AS n_nonempty,
+               CAST(SUM(nrows) AS BIGINT) AS rows_total,
+               CAST(MAX(nrows) AS BIGINT) AS max_rows,
+               CAST(MAX(mk) AS BIGINT) AS top_key_rows,
+               CAST((MAX(nrows) * p * 1000000)
+                    // GREATEST(SUM(nrows), 1) AS BIGINT) AS skew_micro,
+               CAST((MAX(mk) * 1000000)
+                    // GREATEST(SUM(nrows), 1) AS BIGINT) AS top_key_micro
+        FROM parts GROUP BY p
+    """
+
+
+def _q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 PMI collocations over adjacent word pairs — whole-bit
+    fixed-point log2 (the q67 floor-log2 idiom, sum-of-floors form so no
+    operand leaves int64 at any corpus size), min-count 5, two-level
+    top-k merge."""
+    from document_quality_assessment_ocr_spark.operators.textstats import (
+        pmi_collocations,
+    )
+
+    d = _doc(spark, sf_dir).select("text")
+    return pmi_collocations(d, min_count=5, k=30)
+
+
+def _pmi_sql(min_count: int = 5, k: int = 30) -> str:
+    """q163 oracle: one tokenized CTE feeds the unigram counts and the
+    LIST_SLICE adjacent bigrams (the n=2 gram idiom), window-total N in
+    the same CTE (single-reference discipline), LENGTH(BIN(c))-1
+    whole-bit log2, rank window standing in for the two-level merge.
+    pmi_bits may be negative — surfaced/ordered only, never divided."""
+    return f"""
+        WITH d AS MATERIALIZED (
+            SELECT LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(
+                       TRIM(LOWER(COALESCE(text, ''))), '{WS}+'),
+                       x -> x <> '') AS tk
+            FROM documents
+        ), uni AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT UNNEST(tk) AS w FROM d)
+            GROUP BY w
+        ), unin AS MATERIALIZED (
+            SELECT w, c, CAST(SUM(c) OVER () AS BIGINT) AS n_tok FROM uni
+        ), big AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS c_xy
+            FROM (SELECT ARRAY_TO_STRING(LIST_SLICE(tk, CAST(i AS INT),
+                             CAST(i AS INT) + 1), ' ') AS g
+                  FROM (SELECT tk,
+                               UNNEST(RANGE(1, GREATEST(LEN(tk) - 1, 0) + 1))
+                                   AS i
+                        FROM d))
+            GROUP BY g
+            HAVING COUNT(*) >= {int(min_count)}
+        ), scored AS (
+            SELECT b.g AS bigram, b.c_xy, x.c AS c_x, y.c AS c_y,
+                   CAST((LENGTH(BIN(b.c_xy)) - 1) + (LENGTH(BIN(x.n_tok)) - 1)
+                        - (LENGTH(BIN(x.c)) - 1) - (LENGTH(BIN(y.c)) - 1)
+                        AS BIGINT) AS pmi_bits
+            FROM big b
+            JOIN unin x ON x.w = SPLIT_PART(b.g, ' ', 1)
+            JOIN unin y ON y.w = SPLIT_PART(b.g, ' ', 2)
+        )
+        SELECT bigram, c_xy, c_x, c_y, pmi_bits, CAST(rank AS INT) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY pmi_bits DESC,
+                  c_xy DESC, bigram ASC) AS rank
+              FROM scored)
+        WHERE rank <= {int(k)}
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's CORRECTNESS gate checks
     the FIRST 50 entries in dict order.  Positions 1-50 therefore carry the
@@ -6060,6 +6297,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q157_video_scenes": _q_video_scenes,
         "q158_zone_map": _q_zone_map,
         "q159_distinct_n": _q_distinct_n,
+        "q160_triangles": _q_triangles,
+        "q161_containment": _q_containment,
+        "q162_skew_audit": _q_skew_audit,
+        "q163_pmi": _q_pmi,
     }
 
 
@@ -8869,6 +9110,10 @@ def oracle_sql() -> dict[str, str]:
         "q157_video_scenes": _video_scenes_sql(16),
         "q158_zone_map": _zone_map_sql(16),
         "q159_distinct_n": _distinct_n_sql(),
+        "q160_triangles": _triangles_sql(),
+        "q161_containment": _containment_sql(600_000),
+        "q162_skew_audit": _skew_audit_sql((8, 32, 128)),
+        "q163_pmi": _pmi_sql(5, 30),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

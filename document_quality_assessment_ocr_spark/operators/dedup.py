@@ -975,3 +975,74 @@ def fragment_stitch(
         .where(F.col("left_id") != F.col("right_id"))
         .select("left_id", "right_id", F.col("bkey").alias("boundary_md5"))
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    ngram: int = 5,
+    shingle: str = "word",
+    min_cont_micro: int = 600_000,
+) -> DataFrame:
+    """ASYMMETRIC containment near-dup pairs — the quote/excerpt/boilerplate
+    detector Jaccard misses: a 200-word doc fully embedded in a 5000-word
+    doc has Jaccard |A|/|B| ≈ 0.04 (invisible to q10/q25) but containment
+    |A∩B|/|A| = 1.0 (Broder 1997's second resemblance measure; the
+    "small-in-big" dedup pass of news-wire and forum-quote corpora).
+
+    Candidates come from the SAME banded MinHash LSH as the Jaccard
+    family (:func:`minhash_lsh_pairs` — containment-specific LSH needs
+    asymmetric sketches; banding at low-ish band width is the standard
+    recall floor and keeps ONE signature pipeline for both measures),
+    then the EXACT containment of the smaller shingle set in the larger
+    is computed per candidate pair via the pair-keyed intersection joins
+    of :func:`ngram_jaccard_pairs` (work ∝ candidate shingle mass, never
+    a posting-list self-join).
+
+    FIXED-POINT: ``cont_micro = (inter·10⁶) DIV min(|A|,|B|)`` — all
+    operands non-negative int64, so Spark ``DIV`` == DuckDB ``//``.
+
+    Output: (id_a, id_b, sz_a, sz_b, inter, cont_micro, small_side)
+    with id_a < id_b, filtered to ``cont_micro >= min_cont_micro``;
+    ``small_side`` names the contained document ('a' on size ties — the
+    deterministic tie-break).
+    """
+    cand = minhash_lsh_pairs(
+        docs, id_col, text_col, n_hashes, bands, ngram, shingle=shingle
+    )
+    sh = _shingle_df(docs, id_col, text_col, ngram, shingle).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    a_sh = cand.join(sh, cand["id_a"] == sh[id_col]).select("id_a", "id_b", "g")
+    b_sh = sh.select(F.col(id_col).alias("_idb"), F.col("g").alias("_gb"))
+    inter = (
+        a_sh.join(b_sh, (a_sh["id_b"] == b_sh["_idb"]) & (a_sh["g"] == b_sh["_gb"]))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    out = (
+        inter.join(
+            sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "sz_a",
+            "sz_b",
+            "inter",
+            F.expr("(inter * 1000000L) DIV greatest(least(sz_a, sz_b), 1L)")
+            .cast("long")
+            .alias("cont_micro"),
+            F.when(F.col("sz_a") <= F.col("sz_b"), F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("small_side"),
+        )
+    )
+    return out.where(F.col("cont_micro") >= F.lit(int(min_cont_micro)))

@@ -252,3 +252,84 @@ def hits_fixed(
             F.coalesce("a", F.lit(0)).cast("long").alias("auth_micro"),
         )
     )
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts via DEGREE ORIENTATION (the node-iterator
+    of Schank & Wagner 2005 / Suri & Vassilvitskii 2011's MapReduce
+    variant) — the local clustering signal link-graph curation uses to
+    separate organically-linked hosts from link-farm cliques (farms are
+    triangle-dense for their degree).
+
+    Edges are undirected-ized (LEAST/GREATEST canonical form, direction
+    and multiplicity dropped), then every edge is ORIENTED from its
+    lower-(degree, id) endpoint to the higher one. Each wedge (a→b, a→c,
+    key(b) < key(c)) is checked against the oriented edge set for the
+    closing edge b→c. Orientation bounds per-node wedge fan-out by
+    O(sqrt(m)) regardless of raw degree — the hub that breaks the naive
+    node-iterator (a 10⁶-degree host would emit 10¹² wedges) emits none
+    here, because hubs are wedge TARGETS, never wedge centers.
+
+    The (degree, id) order travels as a zero-padded sortable string key
+    (``LPAD(degree, 20, '0') || '|' || id`` — identical lexicographic
+    semantics cross-engine for non-negative degrees), so the wedge
+    inequality and the closing-edge equi-join use ONE key column.
+
+    Scale shape: one distinct on canonical edges, one degree aggregate
+    broadcast-joined back (host-graph degree table is node-bounded), one
+    self-join on wedge centers (skew-bounded by orientation), one
+    equi-join against oriented edges, then a corner-union count. All
+    integers; no iteration.
+
+    Output: (id, degree, tri) — one row per node of the undirected
+    graph, ``tri`` = triangles the node participates in (0 included).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .union(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    key = F.concat(
+        F.lpad(F.col("degree").cast("string"), 20, "0"), F.lit("|"), F.col("id")
+    )
+    keyed = deg.select("id", "degree", key.alias("k"))
+    ku = keyed.select(F.col("id").alias("u"), F.col("k").alias("ku"))
+    kv = keyed.select(F.col("id").alias("v"), F.col("k").alias("kv"))
+    oriented = (
+        und.join(ku, "u")
+        .join(kv, "v")
+        .select(
+            F.when(F.col("ku") < F.col("kv"), F.col("ku")).otherwise(F.col("kv")).alias("ks"),
+            F.when(F.col("ku") < F.col("kv"), F.col("kv")).otherwise(F.col("ku")).alias("kd"),
+        )
+    )
+    w1 = oriented.select(F.col("ks").alias("a"), F.col("kd").alias("b"))
+    w2 = oriented.select(F.col("ks").alias("a"), F.col("kd").alias("c"))
+    wedges = w1.join(w2, "a").where(F.col("b") < F.col("c"))
+    closing = oriented.select(F.col("ks").alias("b"), F.col("kd").alias("c"))
+    tri = wedges.join(closing, ["b", "c"])
+    corners = (
+        tri.select(F.col("a").alias("k"))
+        .union(tri.select(F.col("b").alias("k")))
+        .union(tri.select(F.col("c").alias("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("tri"))
+    )
+    return keyed.join(corners, "k", "left").select(
+        "id",
+        "degree",
+        F.coalesce("tri", F.lit(0)).cast("long").alias("tri"),
+    )

@@ -176,3 +176,79 @@ def zone_map_audit(
         )
         .orderBy("threshold")
     )
+
+
+def partition_skew_audit(
+    df: DataFrame,
+    key_col: str,
+    partition_grid: tuple[int, ...] = (8, 32, 128),
+) -> DataFrame:
+    """Shuffle-skew audit for a candidate partitioning key — the
+    pre-flight check before keying a 100 TB join/agg on a column: at each
+    candidate partition count P, how unevenly would rows land? Surfaces
+    the max-partition-over-ideal-mean ratio (the straggler multiplier:
+    skew_micro = 2·10⁶ means the slowest task carries 2× its fair share),
+    the empty-partition count (wasted parallelism when |keys| << P), and
+    the single heaviest key's share (the part no repartitioning fixes —
+    the signal that says "salt this key", feeding `salting.py`).
+
+    Partition assignment is md5-nibble arithmetic (15 hex chars → 60-bit
+    int, mod P) — NOT F.hash, so the DuckDB oracle reproduces placement
+    byte-for-byte (the derive.py registry discipline). That also matches
+    how a production run would bucket by a stable external hash rather
+    than Spark's internal murmur (which varies by type and version).
+
+    FIXED-POINT: ``skew_micro = (max_rows·P·10⁶) DIV rows_total``,
+    ``top_key_micro = top_key_rows·10⁶ DIV rows_total`` — all operands
+    non-negative int64.
+
+    Scale shape: ONE groupBy(key) pass over the data (map-side combine
+    shrinks to |keys| rows); everything after lives on the key dimension
+    — the P-grid fans by explode (never a join), per-(P, pid) rollups and
+    the final per-P aggregate are |keys|·|grid|-bounded. Output: one row
+    per grid value — (p, n_keys, n_nonempty, rows_total, max_rows,
+    top_key_rows, skew_micro, top_key_micro).
+    """
+    keys = (
+        df.select(F.coalesce(F.col(key_col).cast("string"), F.lit("")).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    h60 = F.conv(F.substring(F.md5(F.col("k")), 1, 15), 16, 10).cast("long")
+    fanned = keys.select(
+        "k",
+        "n",
+        h60.alias("h"),
+        F.explode(
+            F.array(*[F.lit(int(p)).cast("long") for p in partition_grid])
+        ).alias("p"),
+    ).select("p", F.pmod(F.col("h"), F.col("p")).alias("pid"), "k", "n")
+    parts = fanned.groupBy("p", "pid").agg(
+        F.sum("n").cast("long").alias("rows"),
+        F.count(F.lit(1)).cast("long").alias("nk"),
+        F.max("n").cast("long").alias("mk"),
+    )
+    return (
+        parts.groupBy("p")
+        .agg(
+            F.sum("nk").cast("long").alias("n_keys"),
+            F.count(F.lit(1)).cast("long").alias("n_nonempty"),
+            F.sum("rows").cast("long").alias("rows_total"),
+            F.max("rows").cast("long").alias("max_rows"),
+            F.max("mk").cast("long").alias("top_key_rows"),
+        )
+        .select(
+            "p",
+            "n_keys",
+            "n_nonempty",
+            "rows_total",
+            "max_rows",
+            "top_key_rows",
+            F.expr("(max_rows * p * 1000000L) DIV greatest(rows_total, 1L)")
+            .cast("long")
+            .alias("skew_micro"),
+            F.expr("(top_key_rows * 1000000L) DIV greatest(rows_total, 1L)")
+            .cast("long")
+            .alias("top_key_micro"),
+        )
+    )

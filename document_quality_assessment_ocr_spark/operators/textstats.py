@@ -730,3 +730,100 @@ def distinct_ngram_diversity(
             "distinct_micro",
         )
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 30,
+    fanout: int = 32,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information over adjacent
+    word pairs (Church & Hanks 1990) — the phrase-mining signal a
+    tokenizer-vocab or synthetic-data run uses to find multi-word units
+    ("new york", "machine learning") worth treating as atoms. High PMI +
+    decent count = a true collocation; high count alone = function-word
+    noise (PMI's denominator kills it).
+
+    FIXED-POINT: whole-bit log2 via the floor-log2 idiom
+    (``bits(x) = LENGTH(BIN(x)) − 1``, the q67 surprisal trick):
+    ``pmi_bits = bits(c_xy) + bits(N) − bits(c_x) − bits(c_y)`` — the
+    sum-of-floors form (each floor taken BEFORE the subtraction) keeps
+    every operand inside int64 at any corpus size, where the textbook
+    ``bits(c_xy·N)`` product overflows at web scale (c_xy·N can reach
+    10²⁴ at 10¹² tokens); within ±3 bits of true PMI, monotone enough
+    for a ranking panel (deviation documented here like kernels.py's).
+    The result may be NEGATIVE — it is only surfaced and max'd, never
+    divided, so the negative-DIV cross-engine trap never applies.
+
+    Scale shape: one token projection feeds both the unigram and the
+    adjacent-bigram counts (map-side combine shrinks each Zipf-style);
+    the bigram→unigram joins run on the Zipf-shrunk count tables, never
+    on token occurrences; ``min_count`` prunes the long tail BEFORE the
+    joins; the final panel is the q13 two-level top-k merge (no task
+    sorts the whole bigram vocabulary). Output: k rows —
+    (bigram, c_xy, c_x, c_y, pmi_bits, rank) ordered by
+    (pmi_bits DESC, c_xy DESC, bigram ASC).
+    """
+    from .quality import ngrams_from_tokens
+
+    toks = docs.select(_tokens(F.col(text_col)).alias("tk"))
+    uni = (
+        toks.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    big = (
+        toks.select(F.explode(ngrams_from_tokens(F.col("tk"), 2)).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+        .where(F.col("c_xy") >= F.lit(int(min_count)))
+    )
+    n_tot = uni.agg(F.sum("c").cast("long").alias("n_tok"))
+    bits = lambda c: (F.length(F.bin(c)) - F.lit(1)).cast("long")  # noqa: E731
+    first = F.element_at(F.split(F.col("g"), " ", 2), 1)
+    second = F.element_at(F.split(F.col("g"), " ", 2), 2)
+    cx = uni.select(F.col("w").alias("_x"), F.col("c").alias("c_x"))
+    cy = uni.select(F.col("w").alias("_y"), F.col("c").alias("c_y"))
+    scored = (
+        big.select("g", "c_xy", first.alias("_x"), second.alias("_y"))
+        .join(cx, "_x")
+        .join(cy, "_y")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            F.col("g").alias("bigram"),
+            "c_xy",
+            "c_x",
+            "c_y",
+            (bits(F.col("c_xy")) + bits(F.col("n_tok"))
+             - bits(F.col("c_x")) - bits(F.col("c_y"))).alias("pmi_bits"),
+        )
+    )
+    item = F.struct(
+        (-F.col("pmi_bits")).alias("np"),
+        (-F.col("c_xy")).alias("nc"),
+        F.col("bigram").alias("bigram"),
+        F.col("c_xy").alias("c_xy"),
+        F.col("c_x").alias("c_x"),
+        F.col("c_y").alias("c_y"),
+        F.col("pmi_bits").alias("pmi_bits"),
+    )
+    topk = lambda c: F.slice(F.sort_array(F.collect_list(c)), 1, int(k))  # noqa: E731
+    lvl1 = scored.groupBy(
+        F.pmod(F.hash("bigram"), F.lit(int(fanout))).alias("b")
+    ).agg(topk(item).alias("top"))
+    merged = (
+        lvl1.select(F.explode("top").alias("t"))
+        .groupBy()
+        .agg(topk(F.col("t")).alias("top"))
+        .select(F.posexplode("top").alias("i", "t"))
+    )
+    return merged.select(
+        F.col("t.bigram").alias("bigram"),
+        F.col("t.c_xy").alias("c_xy"),
+        F.col("t.c_x").alias("c_x"),
+        F.col("t.c_y").alias("c_y"),
+        F.col("t.pmi_bits").alias("pmi_bits"),
+        (F.col("i") + 1).cast("int").alias("rank"),
+    )

@@ -2789,3 +2789,164 @@ def test_distinct_ngram_diversity_python_replay(spark):
             assert r["distinct_micro"] == len(set(g)) * DIVERSITY_SCALE // max(len(g), 1)
     assert out[("loop", 2)]["distinct_micro"] < out[("novel", 2)]["distinct_micro"] // 3
     assert out[("novel", 3)]["distinct_micro"] == DIVERSITY_SCALE  # all unique
+
+
+def test_triangle_count_python_replay(spark):
+    """Degree-oriented triangle counting replayed by brute force on a
+    known graph; direction, multiplicity, and self-loops are ignored;
+    triangle-free nodes surface 0."""
+    from document_quality_assessment_ocr_spark.operators.graph import triangle_count
+
+    # two triangles sharing edge b-c, a pendant e, a self-loop, dup edges
+    raw = [
+        ("a", "b"), ("b", "c"), ("c", "a"),
+        ("b", "d"), ("d", "c"),
+        ("d", "e"),
+        ("c", "b"), ("a", "b"),  # reverse + duplicate
+        ("e", "e"),              # self-loop
+    ]
+    df = spark.createDataFrame(raw, "src string, dst string")
+    out = {r["id"]: r for r in triangle_count(df).collect()}
+
+    und = {tuple(sorted(e)) for e in raw if e[0] != e[1]}
+    nodes = sorted({x for e in und for x in e})
+    deg = {n: sum(n in e for e in und) for n in nodes}
+    tri = {n: 0 for n in nodes}
+    import itertools
+
+    for u, v, w in itertools.combinations(nodes, 3):
+        if {tuple(sorted((u, v))), tuple(sorted((v, w))),
+                tuple(sorted((u, w)))} <= und:
+            for x in (u, v, w):
+                tri[x] += 1
+    assert set(out) == set(nodes)
+    for n in nodes:
+        assert out[n]["degree"] == deg[n], n
+        assert out[n]["tri"] == tri[n], n
+    assert out["b"]["tri"] == 2 and out["c"]["tri"] == 2
+    assert out["e"]["tri"] == 0
+
+
+def test_containment_pairs_python_replay(spark):
+    """Asymmetric containment over banded candidates replayed with python
+    shingle sets: a doc extended by one word fully contains its base
+    (cont=10⁶ despite Jaccard 8/9), and every emitted pair's exact set
+    math matches; the threshold filters."""
+    from document_quality_assessment_ocr_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima"
+    ).split()
+    rows = [
+        (1, " ".join(base)),
+        (2, " ".join(base + ["mike"])),
+        (3, " ".join(base + ["mike", "november"])),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["id_a"], r["id_b"]): r
+           for r in containment_pairs(df, min_cont_micro=900_000).collect()}
+    # this seed's banded candidates: (1,2) and (2,3) — both full containment
+    assert set(out) == {(1, 2), (2, 3)}
+
+    def shingles(t):
+        w = t.split()
+        return {" ".join(w[i:i + 5]) for i in range(len(w) - 4)}
+
+    texts = dict(rows)
+    for (ia, ib), r in out.items():
+        sa, sb = shingles(texts[ia]), shingles(texts[ib])
+        inter = len(sa & sb)
+        assert (r["sz_a"], r["sz_b"], r["inter"]) == (len(sa), len(sb), inter)
+        assert r["cont_micro"] == inter * 1_000_000 // min(len(sa), len(sb))
+        assert r["small_side"] == ("a" if len(sa) <= len(sb) else "b")
+        assert r["cont_micro"] == 1_000_000  # strict superset extensions
+    # the threshold filters: nothing below 900k was emitted with math above
+    all_pairs = containment_pairs(df, min_cont_micro=0).collect()
+    assert all(p["cont_micro"] >= 0 for p in all_pairs)
+    assert len(all_pairs) >= len(out)
+
+
+def test_partition_skew_audit_python_replay(spark):
+    """md5-nibble placement replayed with hashlib; a heavily-skewed key
+    distribution surfaces a large skew_micro and top_key_micro, and
+    every per-P statistic matches the python rollup."""
+    import hashlib
+
+    from document_quality_assessment_ocr_spark.operators.profile import (
+        partition_skew_audit,
+    )
+
+    counts = {"hot": 900, "warm": 60, "cool": 25, "rare_a": 10, "rare_b": 5}
+    rows = [(k,) for k, n in counts.items() for _ in range(n)]
+    df = spark.createDataFrame(rows, "k string")
+    grid = (4, 8)
+    out = {r["p"]: r for r in
+           partition_skew_audit(df, "k", partition_grid=grid).collect()}
+
+    def pid(k, p):
+        return int(hashlib.md5(k.encode()).hexdigest()[:15], 16) % p
+
+    total = sum(counts.values())
+    for p in grid:
+        parts = {}
+        for k, n in counts.items():
+            parts.setdefault(pid(k, p), []).append(n)
+        r = out[p]
+        assert r["n_keys"] == len(counts)
+        assert r["n_nonempty"] == len(parts)
+        assert r["rows_total"] == total
+        assert r["max_rows"] == max(sum(v) for v in parts.values())
+        assert r["top_key_rows"] == max(counts.values())
+        assert r["skew_micro"] == (
+            max(sum(v) for v in parts.values()) * p * 1_000_000 // total
+        )
+        assert r["top_key_micro"] == max(counts.values()) * 1_000_000 // total
+    # the hot key is 90% of rows: any placement is straggler-bound
+    assert all(out[p]["skew_micro"] >= 900_000 * 2 for p in grid if len(counts) >= 4)
+
+
+def test_pmi_collocations_python_replay(spark):
+    """Whole-bit PMI replayed in python ints (bit_length-1 == the
+    LENGTH(BIN(x))-1 idiom): a welded pair ('new york') outranks a
+    frequent-but-independent pair; counts and ranks match exactly."""
+    from document_quality_assessment_ocr_spark.operators.textstats import (
+        pmi_collocations,
+    )
+
+    # 'new york' always adjacent; 'the cat' co-occurs but 'the' is everywhere
+    doc = ("new york " * 6 + "the cat sat on the mat and the dog ran by "
+           "the cat sat on the mat and the dog sat by ")
+    rows = [(doc,), (doc,)]
+    df = spark.createDataFrame(rows, "text string")
+    out = pmi_collocations(df, min_count=2, k=50).collect()
+
+    toks = []
+    for (t,) in rows:
+        toks.append(t.lower().split())
+    uni, big = {}, {}
+    for tk in toks:
+        for w in tk:
+            uni[w] = uni.get(w, 0) + 1
+        for i in range(len(tk) - 1):
+            g = " ".join(tk[i:i + 2])
+            big[g] = big.get(g, 0) + 1
+    n = sum(uni.values())
+    bits = lambda x: x.bit_length() - 1  # noqa: E731
+    exp = {}
+    for g, cxy in big.items():
+        if cxy < 2:
+            continue
+        x, y = g.split(" ")
+        exp[g] = (cxy, uni[x], uni[y],
+                  bits(cxy) + bits(n) - bits(uni[x]) - bits(uni[y]))
+    order = sorted(exp, key=lambda g: (-exp[g][3], -exp[g][0], g))
+    assert [r["bigram"] for r in out] == order
+    for r in out:
+        g = r["bigram"]
+        assert (r["c_xy"], r["c_x"], r["c_y"], r["pmi_bits"]) == exp[g], g
+    assert [r["rank"] for r in out] == list(range(1, len(order) + 1))
+    ranks = {r["bigram"]: r["rank"] for r in out}
+    assert ranks["new york"] < ranks["the cat"]
