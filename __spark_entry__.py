@@ -6118,6 +6118,191 @@ def _pmi_sql(min_count: int = 5, k: int = 30) -> str:
     """
 
 
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup → view → click → purchase over the events
+    table: each level keeps the earliest event strictly after the
+    previous level's time; conversions in fixed-point micro."""
+    from document_quality_assessment_ocr_spark.operators.sessions import funnel_steps
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel_steps(ev, ["signup", "view", "click", "purchase"])
+
+
+def _funnel_sql(steps: tuple[str, ...] = ("signup", "view", "click", "purchase")) -> str:
+    """q164 oracle: per-level MIN-after-previous CTEs (MATERIALIZED — each
+    level reads the prior one), UNION ALL step table, FIRST_VALUE/LAG
+    windows on the |steps|-row relation; `//` == Spark DIV on the
+    non-negative user counts."""
+    lvls = []
+    unions = []
+    for i, st in enumerate(steps, start=1):
+        if i == 1:
+            lvls.append(f"""l1 AS MATERIALIZED (
+                SELECT u, MIN(t) AS t FROM e WHERE et = '{st}' GROUP BY u
+            )""")
+        else:
+            lvls.append(f"""l{i} AS MATERIALIZED (
+                SELECT e.u, MIN(e.t) AS t
+                FROM e JOIN l{i - 1} p ON p.u = e.u
+                WHERE e.et = '{st}' AND e.t > p.t
+                GROUP BY e.u
+            )""")
+        unions.append(
+            f"SELECT {i} AS step, '{st}' AS event_type,"
+            f" CAST(COUNT(*) AS BIGINT) AS n_users FROM l{i}"
+        )
+    return f"""
+        WITH e AS MATERIALIZED (
+            SELECT CAST(user_id AS BIGINT) AS u, event_type AS et,
+                   EPOCH_US(ts) AS t
+            FROM events
+        ), {", ".join(lvls)}, steps AS (
+            {" UNION ALL ".join(unions)}
+        )
+        SELECT CAST(step AS INT) AS step, event_type, n_users,
+               CAST((n_users * 1000000)
+                    // GREATEST(FIRST_VALUE(n_users) OVER (ORDER BY step), 1)
+                    AS BIGINT) AS conv_from_first_micro,
+               CAST((n_users * 1000000)
+                    // GREATEST(COALESCE(LAG(n_users) OVER (ORDER BY step),
+                                         n_users), 1)
+                    AS BIGINT) AS conv_from_prev_micro
+        FROM steps
+    """
+
+
+def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix over events at 6-hour periods (first-
+    activity cohort × still-active offset), retained fraction in
+    fixed-point micro."""
+    from document_quality_assessment_ocr_spark.operators.sessions import (
+        retention_cohorts,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return retention_cohorts(ev, period_us=21_600_000_000)
+
+
+def _retention_sql(period_us: int = 21_600_000_000) -> str:
+    """q165 oracle: per-user MIN epoch `//` period cohorts, DISTINCT
+    (user, period) activity, cohort-keyed rollup; every `//` operand
+    non-negative (epochs)."""
+    p = int(period_us)
+    return f"""
+        WITH e AS MATERIALIZED (
+            SELECT CAST(user_id AS BIGINT) AS u, EPOCH_US(ts) AS t
+            FROM events
+        ), f AS MATERIALIZED (
+            SELECT u, CAST(MIN(t) // {p} AS BIGINT) AS cohort
+            FROM e GROUP BY u
+        ), s AS (
+            SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size
+            FROM f GROUP BY cohort
+        ), a AS (
+            SELECT DISTINCT u, CAST(t // {p} AS BIGINT) AS period FROM e
+        ), m AS (
+            SELECT f.cohort, CAST(a.period - f.cohort AS BIGINT) AS "offset",
+                   CAST(COUNT(*) AS BIGINT) AS n_active
+            FROM a JOIN f ON f.u = a.u
+            GROUP BY 1, 2
+        )
+        SELECT m.cohort AS cohort_period, m."offset" AS "offset",
+               s.cohort_size, m.n_active,
+               CAST((m.n_active * 1000000) // GREATEST(s.cohort_size, 1)
+                    AS BIGINT) AS retained_micro
+        FROM m JOIN s USING (cohort)
+    """
+
+
+def _q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix between consecutive event
+    types per user ((ts, event_id) deterministic order), probabilities in
+    fixed-point micro."""
+    from document_quality_assessment_ocr_spark.operators.sessions import (
+        transition_matrix,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return transition_matrix(ev)
+
+
+def _transitions_sql() -> str:
+    """q166 oracle: the sessionize (user; ts, event_id) LAG ordering, a
+    |types|²-bounded rollup, from-state window totals in the SAME CTE
+    (single-reference discipline)."""
+    return """
+        WITH o AS (
+            SELECT event_type AS to_type,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY EPOCH_US(ts) ASC, CAST(event_id AS BIGINT) ASC
+                   ) AS from_type
+            FROM events
+        ), c AS (
+            SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM o WHERE from_type IS NOT NULL
+            GROUP BY 1, 2
+        ), t AS (
+            SELECT from_type, to_type, n,
+                   CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+                       AS from_total
+            FROM c
+        )
+        SELECT from_type, to_type, n, from_total,
+               CAST((n * 1000000) // GREATEST(from_total, 1) AS BIGINT)
+                   AS prob_micro
+        FROM t
+    """
+
+
+def _q_posting_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index size planner: per-term delta + Elias-gamma posting
+    cost over the [2, 400] document-frequency band (hapaxes and
+    stopwords excluded, exactly as the index build would)."""
+    from document_quality_assessment_ocr_spark.operators.retrieval import (
+        posting_list_size,
+    )
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return posting_list_size(d, min_df=2, max_df=400)
+
+
+def _posting_size_sql(min_df: int = 2, max_df: int = 400) -> str:
+    """q167 oracle: DISTINCT (term, did) postings, df band in HAVING,
+    per-term LAG gaps (first gap = did + 1 via the COALESCE(-1) trick),
+    γ(g) = 2·(LENGTH(BIN(g))−1)+1, `//` byte rounding on non-negative
+    bits."""
+    return f"""
+        WITH d AS MATERIALIZED (
+            SELECT CAST(doc_id AS BIGINT) AS did,
+                   LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(
+                       TRIM(LOWER(COALESCE(text, ''))), '{WS}+'),
+                       x -> x <> '') AS tk
+            FROM documents
+        ), post AS MATERIALIZED (
+            SELECT DISTINCT term, did
+            FROM (SELECT did, UNNEST(tk) AS term FROM d)
+        ), band AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+            FROM post GROUP BY term
+            HAVING COUNT(*) >= {int(min_df)} AND COUNT(*) <= {int(max_df)}
+        ), gaps AS (
+            SELECT p.term, b.df,
+                   p.did - COALESCE(LAG(p.did) OVER (
+                       PARTITION BY p.term ORDER BY p.did ASC), -1) AS gap
+            FROM post p JOIN band b USING (term)
+        )
+        SELECT term, df,
+               CAST(SUM(2 * (LENGTH(BIN(gap)) - 1) + 1) AS BIGINT)
+                   AS total_bits,
+               CAST((SUM(2 * (LENGTH(BIN(gap)) - 1) + 1) + 7) // 8 AS BIGINT)
+                   AS bytes_est
+        FROM gaps GROUP BY term, df
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's CORRECTNESS gate checks
     the FIRST 50 entries in dict order.  Positions 1-50 therefore carry the
@@ -6301,6 +6486,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q161_containment": _q_containment,
         "q162_skew_audit": _q_skew_audit,
         "q163_pmi": _q_pmi,
+        "q164_funnel": _q_funnel,
+        "q165_retention": _q_retention,
+        "q166_transitions": _q_transitions,
+        "q167_posting_size": _q_posting_size,
     }
 
 
@@ -9114,6 +9303,10 @@ def oracle_sql() -> dict[str, str]:
         "q161_containment": _containment_sql(600_000),
         "q162_skew_audit": _skew_audit_sql((8, 32, 128)),
         "q163_pmi": _pmi_sql(5, 30),
+        "q164_funnel": _funnel_sql(("signup", "view", "click", "purchase")),
+        "q165_retention": _retention_sql(21_600_000_000),
+        "q166_transitions": _transitions_sql(),
+        "q167_posting_size": _posting_size_sql(2, 400),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

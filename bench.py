@@ -378,6 +378,10 @@ def main() -> None:
         "q157_video_scenes",
         "q158_zone_map",
         "q159_distinct_n",
+        "q160_triangles",
+        "q161_containment",
+        "q162_skew_audit",
+        "q163_pmi",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

@@ -318,3 +318,69 @@ def recall_at_k(
             / F.col("n_exact").cast("double")
         ).alias("recall"),
     )
+
+
+def posting_list_size(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Inverted-index size planner: per-term compressed posting-list cost
+    under delta + Elias-gamma coding — the capacity estimate an index
+    build runs BEFORE materializing the index (γ(g) = 2·⌊log2 g⌋ + 1
+    bits per doc-id gap; Witten/Moffat/Bell "Managing Gigabytes" ch.3).
+    Terms outside the [min_df, max_df] document-frequency band are
+    excluded, exactly as the index build itself would drop hapaxes and
+    stopwords — and max_df is ALSO the scale guard: it caps every
+    per-term partition the gap window touches, so no task ever sorts a
+    stopword's corpus-sized posting list.
+
+    INTEGER-exact: gaps are ``id − prev_id`` on the per-term sorted
+    DISTINCT postings (first posting costs γ(id + 1) — ids are
+    non-negative, the +1 keeps γ's operand ≥ 1); ⌊log2⌋ is the
+    LENGTH(BIN(x))−1 idiom; ``bytes_est = (bits + 7) DIV 8``.
+
+    Shape: one (term, doc_id) DISTINCT projection, a df aggregate whose
+    band filter prunes BEFORE the window pass, then ONE
+    (term; doc_id) window partitioning (max_df-bounded per task) and a
+    per-term rollup. Output: one row per banded term —
+    (term, df, total_bits, bytes_est).
+    """
+    from pyspark.sql import Window
+
+    post = (
+        docs.select(F.col(id_col).alias("did"), F.explode(_tokens(F.col(text_col))).alias("term"))
+        .select("term", F.col("did").cast("long").alias("did"))
+        .distinct()
+    )
+    dfreq = post.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    band = dfreq.where(F.col("df") >= F.lit(int(min_df)))
+    if max_df is not None:
+        band = band.where(F.col("df") <= F.lit(int(max_df)))
+    w = Window.partitionBy("term").orderBy(F.col("did").asc())
+    gaps = (
+        post.join(band, "term")
+        .select(
+            "term",
+            "df",
+            (F.col("did") - F.coalesce(F.lag("did").over(w), F.lit(-1)))
+            .cast("long")
+            .alias("gap"),
+        )
+    )
+    gamma = (F.lit(2) * (F.length(F.bin(F.col("gap"))) - F.lit(1)) + F.lit(1)).cast(
+        "long"
+    )
+    return (
+        gaps.select("term", "df", gamma.alias("bits"))
+        .groupBy("term", "df")
+        .agg(F.sum("bits").cast("long").alias("total_bits"))
+        .select(
+            "term",
+            "df",
+            "total_bits",
+            F.expr("(total_bits + 7) DIV 8").cast("long").alias("bytes_est"),
+        )
+    )

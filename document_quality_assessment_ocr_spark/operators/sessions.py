@@ -52,3 +52,185 @@ def sessionize(
             F.round(F.sum("value"), 6).alias("sum_value"),
         )
     )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel analysis — the product-analytics staple (Amplitude/
+    Mixpanel "did signup → view → click → purchase IN ORDER"): a user
+    counts at step i only with an event of type steps[i] STRICTLY AFTER
+    their step-(i−1) time; each level takes the EARLIEST qualifying event
+    (the unique deterministic choice, and the one that maximizes later
+    conversion — earliest leaves the most room for strictly-later
+    events, so it is order-optimal, not just canonical).
+
+    Timestamps compare in integer MICROSECONDS (``unix_micros`` /
+    ``EPOCH_US``); conversion ratios are fixed-point
+    ``n·10⁶ DIV n_prev`` on non-negative counts.
+
+    Shape: len(steps) passes, each a type-filtered scan + a
+    user-co-partitioned join against the previous level's (user, t)
+    aggregate + a per-user min — every intermediate is ≤|users| rows, so
+    after the first aggregate all joins are small-side broadcastable.
+    The final step table is |steps| rows (a parameter, not data), so its
+    LAG/FIRST windows are grid-bounded, the zone-map-audit class. The
+    lazy level chain re-derives each prefix per level (≤ steps²/2
+    type-filtered scans — fine for small step lists); persist() the
+    filtered event projection first when steps is long.
+
+    Output: one row per step — (step, event_type, n_users,
+    conv_from_first_micro, conv_from_prev_micro), step 1-indexed.
+    """
+    tus = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    levels = []
+    cur = None
+    for i, st in enumerate(steps):
+        ev = events.where(F.col(type_col) == F.lit(st)).select(
+            F.col(user_col).alias("u"), tus.alias("t")
+        )
+        if cur is None:
+            cur = ev.groupBy("u").agg(F.min("t").alias("t"))
+        else:
+            cur = (
+                ev.join(cur.select("u", F.col("t").alias("tp")), "u")
+                .where(F.col("t") > F.col("tp"))
+                .groupBy("u")
+                .agg(F.min("t").alias("t"))
+            )
+        levels.append(
+            cur.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+                F.lit(i + 1).cast("int").alias("step"),
+                F.lit(st).alias("event_type"),
+                "n_users",
+            )
+        )
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    w = Window.orderBy("step")
+    wall = Window.orderBy("step").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return out.select(
+        "step",
+        "event_type",
+        "n_users",
+        F.expr("(n_users * 1000000L)").alias("_num"),
+        F.first("n_users").over(wall).alias("_n1"),
+        F.lag("n_users", 1).over(w).alias("_np"),
+    ).select(
+        "step",
+        "event_type",
+        "n_users",
+        F.expr("_num DIV greatest(_n1, 1L)").cast("long").alias(
+            "conv_from_first_micro"
+        ),
+        F.expr("_num DIV greatest(coalesce(_np, n_users), 1L)")
+        .cast("long")
+        .alias("conv_from_prev_micro"),
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    period_us: int = 604_800_000_000,  # one week
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention matrix — users bucketed by their FIRST-activity
+    period (the cohort), then for each later period the fraction still
+    active: the "week-N retention" triangle every growth dashboard draws,
+    and for a corpus pipeline the contributor-churn view of a crawl.
+
+    INTEGER-exact: periods are ``epoch_us DIV period_us`` (non-negative
+    epochs — the DIV/floor trap never applies);
+    ``retained_micro = n_active·10⁶ DIV cohort_size``.
+
+    Shape: one per-user min aggregate (cohort assignment), one DISTINCT
+    (user, period) activity projection, one user-keyed join (cohort table
+    ≤|users| rows — broadcastable), then a (cohort, offset) rollup whose
+    output is periods²-bounded. Offset 0 is the cohort itself
+    (retained_micro = 10⁶ by construction — kept as the row that anchors
+    each cohort's size).
+
+    Output: (cohort_period, offset, cohort_size, n_active,
+    retained_micro), offsets ≥ 0.
+    """
+    tus = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    pu = int(period_us)
+    ev = events.select(F.col(user_col).alias("u"), tus.alias("t"))
+    first = ev.groupBy("u").agg(
+        F.expr(f"min(t) DIV {pu}").cast("long").alias("cohort")
+    )
+    sizes = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    active = ev.select(
+        "u", F.expr(f"t DIV {pu}").cast("long").alias("period")
+    ).distinct()
+    return (
+        active.join(first, "u")
+        .groupBy("cohort", (F.col("period") - F.col("cohort")).alias("offset"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+        .join(sizes, "cohort")
+        .select(
+            F.col("cohort").alias("cohort_period"),
+            F.col("offset").cast("long").alias("offset"),
+            "cohort_size",
+            "n_active",
+            F.expr("(n_active * 1000000L) DIV greatest(cohort_size, 1L)")
+            .cast("long")
+            .alias("retained_micro"),
+        )
+    )
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """First-order Markov transition counts between consecutive event
+    types per user — the behavioral fingerprint (what follows an error?
+    how often does view → purchase skip click?) that feeds both anomaly
+    screens and synthetic-journey generators.
+
+    Ordering is (ts, event_id) within user — the sessionize() tiebreak,
+    so equal-timestamp events have ONE deterministic order cross-engine.
+    FIXED-POINT: ``prob_micro = c·10⁶ DIV from_total`` (non-negative).
+
+    Shape: ONE exchange — the LAG window's (user; ts, id) partitioning,
+    then a (from, to) rollup bounded by |event types|² and a from-state
+    window total on that tiny relation (grid-bounded, never data-sized).
+
+    Output: (from_type, to_type, n, from_total, prob_micro).
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    pairs = (
+        events.select(
+            F.lag(F.col(type_col)).over(w).alias("from_type"),
+            F.col(type_col).alias("to_type"),
+        )
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wt = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.sum("n").over(wt).cast("long").alias("from_total"),
+    ).withColumn(
+        "prob_micro",
+        F.expr("(n * 1000000L) DIV greatest(from_total, 1L)").cast("long"),
+    )

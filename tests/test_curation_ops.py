@@ -2950,3 +2950,152 @@ def test_pmi_collocations_python_replay(spark):
     assert [r["rank"] for r in out] == list(range(1, len(order) + 1))
     ranks = {r["bigram"]: r["rank"] for r in out}
     assert ranks["new york"] < ranks["the cat"]
+
+
+def _ev_rows(seq):
+    """(event_id, user, type, us_offset) → events rows with real timestamps."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    return [
+        (eid, u, t, base + datetime.timedelta(microseconds=us))
+        for eid, u, t, us in seq
+    ]
+
+
+def test_funnel_steps_python_replay(spark):
+    """Ordered funnel: strictly-after semantics (a same-instant later step
+    does NOT count), earliest-qualifying choice, fixed-point conversions."""
+    from document_quality_assessment_ocr_spark.operators.sessions import funnel_steps
+
+    seq = [
+        # u1 completes A->B->C
+        (1, 1, "A", 0), (2, 1, "B", 10), (3, 1, "C", 20),
+        # u2 does A then B at the SAME instant as A (must not count), C later
+        (4, 2, "A", 0), (5, 2, "B", 0), (6, 2, "C", 50),
+        # u3 does B before A: only A counts
+        (7, 3, "B", 0), (8, 3, "A", 10),
+        # u4 does A->B only; B repeated (earliest-after kept)
+        (9, 4, "A", 0), (10, 4, "B", 30), (11, 4, "B", 5),
+        # u5 never does A
+        (12, 5, "B", 0), (13, 5, "C", 10),
+    ]
+    ev = spark.createDataFrame(
+        _ev_rows(seq),
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    out = {r["step"]: r for r in funnel_steps(ev, ["A", "B", "C"]).collect()}
+    # A: u1,u2,u3,u4; B strictly after A: u1 (10>0), u4 (5>0) — NOT u2 (0==0);
+    # C after B: u1 (20>10)
+    assert [out[i]["n_users"] for i in (1, 2, 3)] == [4, 2, 1]
+    assert [out[i]["event_type"] for i in (1, 2, 3)] == ["A", "B", "C"]
+    assert out[1]["conv_from_first_micro"] == 1_000_000
+    assert out[2]["conv_from_first_micro"] == 2 * 1_000_000 // 4
+    assert out[3]["conv_from_first_micro"] == 1 * 1_000_000 // 4
+    assert out[2]["conv_from_prev_micro"] == 2 * 1_000_000 // 4
+    assert out[3]["conv_from_prev_micro"] == 1 * 1_000_000 // 2
+
+
+def test_retention_cohorts_python_replay(spark):
+    """Cohort matrix replayed in python: first-period cohorts, distinct
+    activity periods, retained_micro division."""
+    from document_quality_assessment_ocr_spark.operators.sessions import (
+        retention_cohorts,
+    )
+
+    P = 100  # period in µs for the fixture
+    seq = [
+        (1, 1, "x", 0), (2, 1, "x", 150), (3, 1, "x", 310),   # u1: p0,1,3
+        (4, 2, "x", 50), (5, 2, "x", 70), (6, 2, "x", 199),   # u2: p0,1
+        (7, 3, "x", 120), (8, 3, "x", 350),                   # u3: p1,3
+    ]
+    ev = spark.createDataFrame(
+        _ev_rows(seq),
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    out = {(r["cohort_period"], r["offset"]): r
+           for r in retention_cohorts(ev, period_us=P).collect()}
+    # cohort_period is the ABSOLUTE epoch // P; express expectations
+    # relative to the fixture base instant
+    import calendar
+    import datetime
+
+    base = calendar.timegm(datetime.datetime(2024, 1, 1).timetuple()) * 1_000_000
+    b = base // P
+    # cohorts: u1,u2 -> b+0; u3 -> b+1
+    # cohort b activity: offset0 {u1,u2}, offset1 {u1,u2}, offset3 {u1}
+    # cohort b+1 activity: offset0 {u3}, offset2 {u3}
+    exp = {
+        (b, 0): (2, 2), (b, 1): (2, 2), (b, 3): (2, 1),
+        (b + 1, 0): (1, 1), (b + 1, 2): (1, 1),
+    }
+    assert set(out) == set(exp)
+    for key, (size, active) in exp.items():
+        r = out[key]
+        assert (r["cohort_size"], r["n_active"]) == (size, active), key
+        assert r["retained_micro"] == active * 1_000_000 // size
+
+
+def test_transition_matrix_python_replay(spark):
+    """Markov transition counts replayed in python with the (ts, event_id)
+    tie-break; per-from-state probabilities sum to ~10⁶."""
+    from document_quality_assessment_ocr_spark.operators.sessions import (
+        transition_matrix,
+    )
+
+    seq = [
+        (1, 1, "A", 0), (2, 1, "B", 10), (3, 1, "A", 20), (4, 1, "B", 30),
+        # u2 has two events at the same ts: event_id orders them C(5) -> A(6)
+        (5, 2, "C", 0), (6, 2, "A", 0), (7, 2, "B", 10),
+    ]
+    ev = spark.createDataFrame(
+        _ev_rows(seq),
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    out = {(r["from_type"], r["to_type"]): r
+           for r in transition_matrix(ev).collect()}
+    exp = {("A", "B"): 3, ("B", "A"): 1, ("C", "A"): 1}
+    assert {k: v["n"] for k, v in out.items()} == exp
+    assert out[("A", "B")]["from_total"] == 3
+    assert out[("A", "B")]["prob_micro"] == 1_000_000
+    assert out[("B", "A")]["prob_micro"] == 1_000_000
+    assert out[("C", "A")]["prob_micro"] == 1_000_000
+
+
+def test_posting_list_size_python_replay(spark):
+    """Delta + Elias-gamma posting cost replayed in python; df banding
+    drops hapaxes and over-frequent terms; duplicate in-doc occurrences
+    collapse."""
+    from document_quality_assessment_ocr_spark.operators.retrieval import (
+        posting_list_size,
+    )
+
+    rows = [
+        (0, "the apple banana apple"),
+        (3, "the apple cherry"),
+        (7, "the apple banana"),
+        (9, "the cherry only once here banana"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["term"]: r for r in
+           posting_list_size(df, min_df=2, max_df=3).collect()}
+
+    posts = {}
+    for did, t in rows:
+        for w in set(t.split()):
+            posts.setdefault(w, set()).add(did)
+    bits = lambda x: x.bit_length() - 1  # noqa: E731
+    gamma = lambda g: 2 * bits(g) + 1  # noqa: E731
+    exp = {}
+    for w, ids in posts.items():
+        if not (2 <= len(ids) <= 3):
+            continue  # 'the' df=4 over max_df; hapaxes under min_df
+        s = sorted(ids)
+        total = gamma(s[0] + 1) + sum(
+            gamma(b - a) for a, b in zip(s, s[1:])
+        )
+        exp[w] = (len(ids), total, (total + 7) // 8)
+    assert set(out) == set(exp) == {"apple", "banana", "cherry"}
+    for w, (dfc, total, by) in exp.items():
+        r = out[w]
+        assert (r["df"], r["total_bits"], r["bytes_est"]) == (dfc, total, by), w
