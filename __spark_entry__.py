@@ -6303,6 +6303,148 @@ def _posting_size_sql(min_df: int = 2, max_df: int = 400) -> str:
     """
 
 
+def _q_emb_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding-corpus profile (min/max/mean/var in
+    truncated micro fixed point; min-shift mean keeps every DIV operand
+    non-negative) — the embedding-health dashboard before an index
+    build."""
+    from document_quality_assessment_ocr_spark.operators.similarity import (
+        embedding_dim_profile,
+    )
+
+    return embedding_dim_profile(_emb(spark, sf_dir), scale=1_000_000)
+
+
+def _emb_profile_sql(scale: int = 1_000_000) -> str:
+    """q168 oracle: UNNEST(RANGE) per-dim fan, CAST(TRUNC(v·10⁶)) ==
+    Spark CAST-to-long truncation (both toward zero — ROUND has no
+    single cross-engine semantics), min-shift mean, clamped integer
+    variance; `//` == Spark DIV on the shifted non-negative operands."""
+    s = float(int(scale))
+    mean = "(((sv - n * min_micro) // GREATEST(n, 1)) + min_micro)"
+    return f"""
+        WITH ex AS (
+            SELECT CAST(i - 1 AS INT) AS dim,
+                   CAST(TRUNC(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                        * {s!r}) AS BIGINT) AS vm
+            FROM (SELECT embedding,
+                         UNNEST(RANGE(1, LEN(embedding) + 1)) AS i
+                  FROM embeddings)
+        ), agg AS (
+            SELECT dim,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(vm) AS BIGINT) AS sv,
+                   CAST(SUM(vm * vm) AS BIGINT) AS svv,
+                   CAST(MIN(vm) AS BIGINT) AS min_micro,
+                   CAST(MAX(vm) AS BIGINT) AS max_micro
+            FROM ex GROUP BY dim
+        )
+        SELECT dim, n, min_micro, max_micro,
+               CAST({mean} AS BIGINT) AS mean_micro,
+               CAST(GREATEST(svv // GREATEST(n, 1) - {mean} * {mean}, 0)
+                    AS BIGINT) AS var_micro2
+        FROM agg
+    """
+
+
+def _q_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio quality gate over derived media picks (md5-nibble salts 7/8):
+    REAL stdlib-``wave`` decode, per-payload silence/clipping counts via
+    the SHARED wav_quality_values (only integers cross engines), fixed-
+    point silence/clip micro ratios. Undecodable payloads contribute no
+    rows (the q137 convention)."""
+    from document_quality_assessment_ocr_spark.operators.multimodal import (
+        audio_quality_profile,
+    )
+    from document_quality_assessment_ocr_spark.sources.derive import _md5_pick_index
+    from document_quality_assessment_ocr_spark.sources.fixtures import (
+        build_wav_payloads,
+        wav_payload_names,
+    )
+
+    names = sorted(wav_payload_names())
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|7"))).alias("_h1"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|8"))).alias("_h2"),
+    )
+    arr = F.array(*[F.lit(x) for x in names])
+    picks = d.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.element_at(arr, _md5_pick_index("_h1", len(names)) + 1),
+                F.element_at(arr, _md5_pick_index("_h2", len(names)) + 1),
+            )
+        ).alias("media_ref"),
+    ).distinct()
+    cat = build_wav_payloads()
+    pay = spark.createDataFrame(
+        [(n, bytearray(cat[n])) for n in names], "media_ref string, png binary"
+    )
+    prof = audio_quality_profile(pay, frame=512, use_fake_decoder=False)
+    return picks.join(F.broadcast(prof), "media_ref").select(
+        "doc_id", "media_ref", "n_frames", "n_silent", "n_clipped",
+        "peak_milli", "silence_micro", "clip_micro",
+    )
+
+
+def _audio_quality_sql(frame: int = 512) -> str:
+    """q169 oracle: per-payload INTEGER quality tuples computed by the
+    SAME wav_quality_values the engine's mapInPandas calls (float
+    thresholding happens once, in python — no float literal rides the
+    SQL), md5-nibble picks at salts 7/8, micro ratios via `//` on the
+    non-negative counts. The corrupt container has no literals, matching
+    the engine's no-rows convention."""
+    from document_quality_assessment_ocr_spark.operators.multimodal import (
+        wav_quality_values,
+    )
+    from document_quality_assessment_ocr_spark.sources.fixtures import (
+        build_wav_payloads,
+        wav_payload_names,
+    )
+
+    cat = build_wav_payloads()
+    names = sorted(wav_payload_names())
+    vals = []
+    for n in names:
+        try:
+            nf, ns, nc, pk = wav_quality_values(cat[n], frame)
+        except Exception:
+            continue  # engine emits no rows for undecodable payloads
+        vals.append(f"('{n}', {nf}, {ns}, {nc}, {pk})")
+    names_lit = "[" + ", ".join(f"'{n}'" for n in names) + "]"
+    return f"""
+        WITH q(media_ref, n_frames, n_silent, n_clipped, peak_milli)
+            AS (VALUES {", ".join(vals)}),
+        prof AS (
+            SELECT media_ref,
+                   CAST(n_frames AS BIGINT) AS n_frames,
+                   CAST(n_silent AS BIGINT) AS n_silent,
+                   CAST(n_clipped AS BIGINT) AS n_clipped,
+                   CAST(peak_milli AS BIGINT) AS peak_milli,
+                   CAST((n_silent * 1000000) // GREATEST(n_frames, 1)
+                        AS BIGINT) AS silence_micro,
+                   CAST((n_clipped * 1000000) // GREATEST(n_frames, 1)
+                        AS BIGINT) AS clip_micro
+            FROM q
+        ), picks AS (
+            SELECT DISTINCT doc_id, media_ref FROM (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       LIST_EXTRACT({names_lit}, {_md5_pick_sql(7, len(names))} + 1) AS media_ref
+                FROM documents
+                UNION ALL
+                SELECT CAST(doc_id AS BIGINT),
+                       LIST_EXTRACT({names_lit}, {_md5_pick_sql(8, len(names))} + 1)
+                FROM documents)
+        )
+        SELECT p.doc_id, p.media_ref, prof.n_frames, prof.n_silent,
+               prof.n_clipped, prof.peak_milli, prof.silence_micro,
+               prof.clip_micro
+        FROM picks p JOIN prof USING (media_ref)
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's CORRECTNESS gate checks
     the FIRST 50 entries in dict order.  Positions 1-50 therefore carry the
@@ -6490,6 +6632,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q165_retention": _q_retention,
         "q166_transitions": _q_transitions,
         "q167_posting_size": _q_posting_size,
+        "q168_emb_profile": _q_emb_profile,
+        "q169_audio_quality": _q_audio_quality,
     }
 
 
@@ -9307,6 +9451,8 @@ def oracle_sql() -> dict[str, str]:
         "q165_retention": _retention_sql(21_600_000_000),
         "q166_transitions": _transitions_sql(),
         "q167_posting_size": _posting_size_sql(2, 400),
+        "q168_emb_profile": _emb_profile_sql(1_000_000),
+        "q169_audio_quality": _audio_quality_sql(512),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

@@ -659,3 +659,94 @@ def video_scene_profile(
         .alias("n_static"),
         F.coalesce(F.max("ham"), F.lit(0)).cast("long").alias("max_ham"),
     )
+
+
+def wav_quality_values(
+    payload: bytes,
+    frame: int = 512,
+    silence_rms: float = 0.02,
+    clip_abs: float = 0.85,
+    decoder=None,
+) -> tuple[int, int, int, int]:
+    """Integer audio-quality profile of one payload — the SHARED pure
+    function (the wav_frame_rms_values contract): the engine's
+    ``audio_quality_profile`` mapInPandas UDF and the q169 oracle-literal
+    builder both call THIS. Float thresholding happens HERE, once, in
+    python — only the resulting integers cross engines, so no float
+    literal ever rides the SQL. Returns (n_frames, n_silent, n_clipped,
+    peak_milli): silent = frame RMS < silence_rms; clipped = any sample
+    |x| ≥ clip_abs in the frame; peak_milli = ⌊max|x|·1000⌋ (truncation)."""
+    pcm = (decoder or decode_audio)(payload)
+    n_frames = len(pcm) // frame
+    if n_frames == 0:
+        return 0, 0, 0, 0
+    fr = pcm[: n_frames * frame].reshape(n_frames, frame)
+    rms = np.sqrt((fr * fr).mean(axis=1))
+    n_silent = int((rms < silence_rms).sum())
+    n_clipped = int((np.abs(fr) >= clip_abs).any(axis=1).sum())
+    peak_milli = int(float(np.abs(fr).max()) * 1000.0)
+    return n_frames, n_silent, n_clipped, peak_milli
+
+
+AUDIO_QUALITY_SCHEMA = (
+    "media_ref string, n_frames long, n_silent long, n_clipped long, "
+    "peak_milli long"
+)
+
+
+def audio_quality_profile(
+    payloads: DataFrame,
+    frame: int = 512,
+    silence_rms: float = 0.02,
+    clip_abs: float = 0.85,
+    use_fake_decoder: bool = True,
+) -> DataFrame:
+    """Per-payload audio quality verdict — silence ratio and clipping
+    counts, the two gates a speech-corpus ingest applies before paying
+    for transcription (mostly-silent capture → drop; clipped capture →
+    degraded). One row per decodable payload; undecodable payloads emit
+    no rows (the q137 exclusion convention). Fixed-point
+    ``silence_micro = n_silent·10⁶ DIV n_frames`` (non-negative counts).
+
+    Shape: mapInPandas over payload bytes (pixels/samples never leave
+    the task — only 5 integers per payload return), then a zero-shuffle
+    projection for the micro ratios; joins against doc-level picks stay
+    broadcastable (catalog-sized).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dec = _fake_pcm if use_fake_decoder else decode_audio
+        for pdf in batches:
+            rows = []
+            for ref, data in zip(pdf["media_ref"], pdf["png"]):
+                try:
+                    nf, ns, nc, pk = wav_quality_values(
+                        bytes(data), frame, silence_rms, clip_abs, decoder=dec
+                    )
+                except Exception:
+                    continue  # undecodable payload → no rows
+                rows.append((ref, nf, ns, nc, pk))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_ref", "n_frames", "n_silent", "n_clipped",
+                    "peak_milli",
+                ],
+            )
+
+    prof = payloads.select("media_ref", "png").mapInPandas(
+        gen, AUDIO_QUALITY_SCHEMA
+    )
+    return prof.select(
+        "media_ref",
+        "n_frames",
+        "n_silent",
+        "n_clipped",
+        "peak_milli",
+        F.expr("(n_silent * 1000000L) DIV greatest(n_frames, 1L)")
+        .cast("long")
+        .alias("silence_micro"),
+        F.expr("(n_clipped * 1000000L) DIV greatest(n_frames, 1L)")
+        .cast("long")
+        .alias("clip_micro"),
+    )

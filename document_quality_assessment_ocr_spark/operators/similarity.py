@@ -1160,3 +1160,63 @@ def matryoshka_topk(
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "ccos", "cos", "rank")
     )
+
+
+def embedding_dim_profile(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-dimension embedding-corpus profile — the embedding-health
+    dashboard (dead dims, dominant dims, range drift after a re-embed)
+    an ANN index build checks before trusting a new encoder drop:
+    min/max/mean and variance per coordinate.
+
+    FIXED-POINT: values become micro-units by TRUNCATION toward zero
+    (Spark ``CAST(v·10⁶ AS LONG)`` == DuckDB ``CAST(TRUNC(v·10⁶) AS
+    BIGINT)`` — the fp32→fp64 promotion and the product are identical
+    IEEE on both engines, and truncation, unlike ROUND, has one
+    cross-engine semantics). The mean uses the min-shift form
+    ``(Σv − n·min) DIV n + min`` so the division operand is non-negative
+    by construction (Σv alone can be negative — the DIV/`//` floor trap);
+    variance is ``GREATEST(Σv² DIV n − mean², 0)`` in micro² units (the
+    integer floors can land 1 below zero on a constant dim; the clamp
+    restores the mathematical var ≥ 0). int64 bounds: |v_micro| ≤ 10⁶·|v|,
+    so Σv² stays inside int64 up to ~10⁷ unit-norm rows per dim — drop
+    ``scale`` to 10³ for corpus-scale runs (bounds shift by 10⁶).
+
+    Shape: one posexplode projection (rows × dims), ONE dim-keyed
+    aggregate with map-side combine — output is |dims| rows. No joins,
+    no windows.
+    """
+    s = float(int(scale))
+    vm = (F.col("v").cast("double") * F.lit(s)).cast("long")
+    ex = emb.select(F.posexplode(F.col(vec_col)).alias("dim", "v")).select(
+        F.col("dim").cast("int").alias("dim"), vm.alias("vm")
+    )
+    return (
+        ex.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("vm").cast("long").alias("sv"),
+            F.sum(F.col("vm") * F.col("vm")).cast("long").alias("svv"),
+            F.min("vm").cast("long").alias("min_micro"),
+            F.max("vm").cast("long").alias("max_micro"),
+        )
+        .select(
+            "dim",
+            "n",
+            "min_micro",
+            "max_micro",
+            F.expr("((sv - n * min_micro) DIV greatest(n, 1L)) + min_micro")
+            .cast("long")
+            .alias("mean_micro"),
+            F.expr(
+                "greatest(svv DIV greatest(n, 1L) - "
+                "(((sv - n * min_micro) DIV greatest(n, 1L)) + min_micro) * "
+                "(((sv - n * min_micro) DIV greatest(n, 1L)) + min_micro), 0L)"
+            )
+            .cast("long")
+            .alias("var_micro2"),
+        )
+    )

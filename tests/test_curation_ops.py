@@ -3099,3 +3099,79 @@ def test_posting_list_size_python_replay(spark):
     for w, (dfc, total, by) in exp.items():
         r = out[w]
         assert (r["df"], r["total_bits"], r["bytes_est"]) == (dfc, total, by), w
+
+
+def test_embedding_dim_profile_python_replay(spark):
+    """Truncated-micro per-dim stats replayed in python ints: min-shift
+    mean on negative-sum dims, variance clamp on a constant dim."""
+    from document_quality_assessment_ocr_spark.operators.similarity import (
+        embedding_dim_profile,
+    )
+
+    vecs = [
+        [-0.5, 0.25, 1.0],
+        [-0.25, 0.25, -0.5],
+        [-0.125, 0.25, 0.75],
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["dim"]: r for r in
+           embedding_dim_profile(df, scale=1_000_000).collect()}
+
+    import math
+
+    for dim in range(3):
+        col = [int(math.trunc(v[dim] * 1_000_000.0)) for v in vecs]
+        n = len(col)
+        mn, mx, sv = min(col), max(col), sum(col)
+        mean = (sv - n * mn) // n + mn
+        svv = sum(c * c for c in col)
+        var = max(svv // n - mean * mean, 0)
+        r = out[dim]
+        assert (r["n"], r["min_micro"], r["max_micro"]) == (n, mn, mx), dim
+        assert r["mean_micro"] == mean, dim
+        assert r["var_micro2"] == var, dim
+    # dim 0 sums negative: the min-shift form must still floor correctly
+    assert out[0]["mean_micro"] < 0
+    # dim 1 is constant: variance clamps to exactly 0
+    assert out[1]["var_micro2"] == 0 and out[1]["mean_micro"] == 250_000
+
+
+def test_audio_quality_profile_real_wav(spark):
+    """Real stdlib-wave path over the seeded catalog: silence payload is
+    100% silent, the ramp clips at |x| >= 0.85, corrupt emits no row, and
+    every row equals a direct wav_quality_values call."""
+    from document_quality_assessment_ocr_spark.operators.multimodal import (
+        audio_quality_profile,
+        wav_quality_values,
+    )
+    from document_quality_assessment_ocr_spark.sources.fixtures import (
+        build_wav_payloads,
+        wav_payload_names,
+    )
+
+    cat = build_wav_payloads()
+    names = sorted(wav_payload_names())
+    pay = spark.createDataFrame(
+        [(n, bytearray(cat[n])) for n in names], "media_ref string, png binary"
+    )
+    out = {r["media_ref"]: r for r in
+           audio_quality_profile(pay, frame=512, use_fake_decoder=False).collect()}
+
+    assert "corrupt_wav" not in out
+    for n in names:
+        if n == "corrupt_wav":
+            continue
+        nf, ns, nc, pk = wav_quality_values(cat[n], 512)
+        r = out[n]
+        assert (r["n_frames"], r["n_silent"], r["n_clipped"],
+                r["peak_milli"]) == (nf, ns, nc, pk), n
+        assert r["silence_micro"] == ns * 1_000_000 // max(nf, 1)
+        assert r["clip_micro"] == nc * 1_000_000 // max(nf, 1)
+    assert out["silence"]["silence_micro"] == 1_000_000
+    assert out["silence"]["n_clipped"] == 0
+    assert out["ramp"]["n_clipped"] > 0
+    assert out["tone_1k_quiet"]["n_silent"] == 0  # rms ~0.035 > 0.02
+    assert out["tone_440"]["peak_milli"] >= 790  # ~0.8 amplitude
