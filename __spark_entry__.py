@@ -6445,6 +6445,108 @@ def _audio_quality_sql(frame: int = 512) -> str:
     """
 
 
+def _q_join_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-explosion pre-flight on the (documents × doc_id%3 slice, key
+    = lang) equi-join — exact output cardinality from per-key counts,
+    amplification vs the larger input, top contributing keys via the
+    two-level merge."""
+    from document_quality_assessment_ocr_spark.operators.profile import (
+        join_cardinality_audit,
+    )
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang"
+    )
+    return join_cardinality_audit(
+        d, d.where(F.col("doc_id") % 3 == 0), "lang", k=20
+    )
+
+
+def _join_explain_sql(k: int = 20) -> str:
+    """q170 oracle: per-side key counts, FULL OUTER merge, window totals
+    in the same CTE (single-reference discipline), rank window standing
+    in for the two-level merge; `//` == Spark DIV on the non-negative
+    count products."""
+    return f"""
+        WITH la AS (
+            SELECT COALESCE(CAST(lang AS VARCHAR), '') AS k,
+                   CAST(COUNT(*) AS BIGINT) AS ca
+            FROM documents GROUP BY 1
+        ), lb AS (
+            SELECT COALESCE(CAST(lang AS VARCHAR), '') AS k,
+                   CAST(COUNT(*) AS BIGINT) AS cb
+            FROM documents WHERE CAST(doc_id AS BIGINT) % 3 = 0
+            GROUP BY 1
+        ), m AS (
+            SELECT k, COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+            FROM la FULL OUTER JOIN lb USING (k)
+        ), t AS (
+            SELECT k, ca, cb, CAST(ca * cb AS BIGINT) AS prod,
+                   CAST(SUM(ca * cb) OVER () AS BIGINT) AS est_total,
+                   CAST(SUM(ca) OVER () AS BIGINT) AS na,
+                   CAST(SUM(cb) OVER () AS BIGINT) AS nb
+            FROM m
+        )
+        SELECT k AS key, ca, cb, prod, est_total,
+               CAST((est_total * 1000000)
+                    // GREATEST(GREATEST(na, nb), 1) AS BIGINT) AS amp_micro,
+               CAST((prod * 1000000) // GREATEST(est_total, 1) AS BIGINT)
+                   AS share_micro,
+               CAST(rank AS INT) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY prod DESC, k ASC)
+                  AS rank
+              FROM t)
+        WHERE rank <= {int(k)}
+    """
+
+
+def _q_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-encoding planner over documents (lang, source, text):
+    plain vs dictionary size estimates from one Zipf-shrunk value pass
+    per column, whole-bit code width, winner + integer savings ratio."""
+    from document_quality_assessment_ocr_spark.operators.profile import (
+        encoding_advisor,
+    )
+
+    return encoding_advisor(_doc(spark, sf_dir), ["lang", "source", "text"])
+
+
+def _encoding_advisor_sql(cols: tuple[str, ...] = ("lang", "source", "text")) -> str:
+    """q171 oracle: per-column value-count subquery + 1-row rollup,
+    UNION ALL'd; code_bits = LENGTH(BIN(GREATEST(nd−1, 1))) (the
+    whole-bit idiom), `//` byte rounding on non-negative operands."""
+    branches = []
+    for c in cols:
+        branches.append(f"""
+            SELECT '{c}' AS "column",
+                   CAST(SUM(cnt) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                   CAST(SUM(LENGTH(v) * cnt) AS BIGINT) AS plain_bytes,
+                   CAST(SUM(LENGTH(v)) AS BIGINT) AS dict_values_bytes
+            FROM (SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM (SELECT COALESCE(CAST({c} AS VARCHAR), '') AS v
+                        FROM documents)
+                  GROUP BY v)""")
+    return f"""
+        WITH per AS ({" UNION ALL ".join(branches)}),
+        sized AS (
+            SELECT "column", n, n_distinct, plain_bytes,
+                   CAST(dict_values_bytes
+                        + (n * LENGTH(BIN(GREATEST(n_distinct - 1, 1))) + 7)
+                          // 8 AS BIGINT) AS dict_bytes
+            FROM per
+        )
+        SELECT "column", n, n_distinct, plain_bytes, dict_bytes,
+               CASE WHEN dict_bytes < plain_bytes THEN 'dict'
+                    ELSE 'plain' END AS winner,
+               CAST(CASE WHEN dict_bytes < plain_bytes THEN
+                        ((plain_bytes - dict_bytes) * 1000000)
+                        // GREATEST(plain_bytes, 1)
+                    ELSE 0 END AS BIGINT) AS save_micro
+        FROM sized
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's CORRECTNESS gate checks
     the FIRST 50 entries in dict order.  Positions 1-50 therefore carry the
@@ -6634,6 +6736,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q167_posting_size": _q_posting_size,
         "q168_emb_profile": _q_emb_profile,
         "q169_audio_quality": _q_audio_quality,
+        "q170_join_explain": _q_join_explain,
+        "q171_encoding_advisor": _q_encoding_advisor,
     }
 
 
@@ -9453,6 +9557,8 @@ def oracle_sql() -> dict[str, str]:
         "q167_posting_size": _posting_size_sql(2, 400),
         "q168_emb_profile": _emb_profile_sql(1_000_000),
         "q169_audio_quality": _audio_quality_sql(512),
+        "q170_join_explain": _join_explain_sql(20),
+        "q171_encoding_advisor": _encoding_advisor_sql(("lang", "source", "text")),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

@@ -382,6 +382,14 @@ def main() -> None:
         "q161_containment",
         "q162_skew_audit",
         "q163_pmi",
+        "q164_funnel",
+        "q165_retention",
+        "q166_transitions",
+        "q167_posting_size",
+        "q168_emb_profile",
+        "q169_audio_quality",
+        "q170_join_explain",
+        "q171_encoding_advisor",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

@@ -252,3 +252,163 @@ def partition_skew_audit(
             .alias("top_key_micro"),
         )
     )
+
+
+def join_cardinality_audit(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    k: int = 20,
+    fanout: int = 32,
+) -> DataFrame:
+    """Join-explosion pre-flight — the companion to
+    :func:`partition_skew_audit`: BEFORE paying for a 100 TB equi-join,
+    estimate its output cardinality exactly from per-key counts
+    (|A ⋈ B| = Σ_key ca·cb) and name the keys that dominate it. A join
+    whose est_total is 100× max(|A|, |B|) is an accidental
+    many-to-many; the top contributing keys are the ones to pre-aggregate
+    or salt.
+
+    FIXED-POINT: ``amp_micro = est_total·10⁶ DIV max(|A|, |B|)`` and
+    per-key ``share_micro = prod·10⁶ DIV est_total`` — all operands
+    non-negative int64 (prod ≤ 10⁹·10⁹ keeps inside int64 for
+    per-key counts under ~3·10⁹ each).
+
+    Shape: one groupBy(key) per side (map-side combine → |keys| rows), a
+    key-dimension full-outer merge, three broadcast 1-row totals, then
+    the q13 two-level top-k merge for the heavy-key panel — no task ever
+    sorts the whole key dimension, and the fact tables themselves never
+    shuffle (only their count tables do).
+
+    Output: top-k rows by (prod DESC, key ASC) — (key, ca, cb, prod,
+    est_total, amp_micro, share_micro, rank). Keys on one side only
+    (prod = 0) rank last and are usually truncated away by k.
+    """
+    ca = (
+        left.select(F.coalesce(F.col(key_col).cast("string"), F.lit("")).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("ca"))
+    )
+    cb = (
+        right.select(F.coalesce(F.col(key_col).cast("string"), F.lit("")).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    )
+    m = (
+        ca.join(cb, "k", "full_outer")
+        .select(
+            "k",
+            F.coalesce("ca", F.lit(0)).cast("long").alias("ca"),
+            F.coalesce("cb", F.lit(0)).cast("long").alias("cb"),
+        )
+        .withColumn("prod", (F.col("ca") * F.col("cb")).cast("long"))
+    )
+    tot = m.agg(
+        F.sum("prod").cast("long").alias("est_total"),
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+    )
+    item = F.struct(
+        (-F.col("prod")).alias("np"),
+        F.col("k").alias("k"),
+        F.col("ca").alias("ca"),
+        F.col("cb").alias("cb"),
+        F.col("prod").alias("prod"),
+    )
+    topk = lambda c: F.slice(F.sort_array(F.collect_list(c)), 1, int(k))  # noqa: E731
+    lvl1 = m.groupBy(
+        F.pmod(F.hash("k"), F.lit(int(fanout))).alias("b")
+    ).agg(topk(item).alias("top"))
+    merged = (
+        lvl1.select(F.explode("top").alias("t"))
+        .groupBy()
+        .agg(topk(F.col("t")).alias("top"))
+        .select(F.posexplode("top").alias("i", "t"))
+    )
+    return merged.crossJoin(F.broadcast(tot)).select(
+        F.col("t.k").alias("key"),
+        F.col("t.ca").alias("ca"),
+        F.col("t.cb").alias("cb"),
+        F.col("t.prod").alias("prod"),
+        "est_total",
+        F.expr("(est_total * 1000000L) DIV greatest(greatest(na, nb), 1L)")
+        .cast("long")
+        .alias("amp_micro"),
+        F.expr("(t.prod * 1000000L) DIV greatest(est_total, 1L)")
+        .cast("long")
+        .alias("share_micro"),
+        (F.col("i") + 1).cast("int").alias("rank"),
+    )
+
+
+def encoding_advisor(
+    df: DataFrame,
+    cols: list[str],
+) -> DataFrame:
+    """Column-encoding planner — the write-path twin of
+    :func:`zone_map_audit`: for each candidate column, estimate plain vs
+    dictionary encoding size from one pass of value statistics and call
+    the winner, the decision a parquet/Iceberg writer makes per
+    column-chunk (`compaction.py` plans the file rewrite this informs).
+
+    Estimates (integer bytes, character-length proxy for byte length —
+    documented, exact for the ASCII metadata columns this audits):
+    plain = Σ len(v); dict = Σ_distinct len(v) + (n·code_bits + 7) DIV 8
+    with ``code_bits = ⌊log2(max(nd − 1, 1))⌋ + 1`` (the whole-bit BIN
+    idiom — 1 bit for 2 values, 2 for 3-4, ...).
+
+    Shape: per column ONE groupBy(value) count (Zipf-shrunk,
+    map-side combined) + one 1-row rollup over the distinct-value
+    table; the per-column rows union to a |cols|-row report. NULLs
+    count as empty strings (the dictionary would hold the null marker).
+
+    Output: one row per column — (column, n, n_distinct, plain_bytes,
+    dict_bytes, winner, save_micro = saved·10⁶ DIV plain when dict wins,
+    else 0).
+    """
+    reports = []
+    for c in cols:
+        vals = df.select(
+            F.coalesce(F.col(c).cast("string"), F.lit("")).alias("v")
+        ).groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        rep = vals.agg(
+            F.sum("cnt").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(F.length("v") * F.col("cnt")).cast("long").alias("plain_bytes"),
+            F.sum(F.length("v")).cast("long").alias("dict_values_bytes"),
+        ).select(
+            F.lit(c).alias("column"),
+            "n",
+            "n_distinct",
+            "plain_bytes",
+            (
+                F.col("dict_values_bytes")
+                + F.expr(
+                    "(n * (length(bin(greatest(n_distinct - 1, 1L))) - 1 + 1)"
+                    " + 7) DIV 8"
+                )
+            )
+            .cast("long")
+            .alias("dict_bytes"),
+        )
+        reports.append(rep)
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "column",
+        "n",
+        "n_distinct",
+        "plain_bytes",
+        "dict_bytes",
+        F.when(F.col("dict_bytes") < F.col("plain_bytes"), F.lit("dict"))
+        .otherwise(F.lit("plain"))
+        .alias("winner"),
+        F.expr(
+            "CASE WHEN dict_bytes < plain_bytes THEN "
+            "((plain_bytes - dict_bytes) * 1000000L) DIV greatest(plain_bytes, 1L) "
+            "ELSE 0L END"
+        )
+        .cast("long")
+        .alias("save_micro"),
+    )

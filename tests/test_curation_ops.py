@@ -3175,3 +3175,75 @@ def test_audio_quality_profile_real_wav(spark):
     assert out["ramp"]["n_clipped"] > 0
     assert out["tone_1k_quiet"]["n_silent"] == 0  # rms ~0.035 > 0.02
     assert out["tone_440"]["peak_milli"] >= 790  # ~0.8 amplitude
+
+
+def test_join_cardinality_audit_python_replay(spark):
+    """Exact join-size estimate and heavy-key panel replayed in python;
+    one-sided keys contribute prod=0; amplification vs the larger side."""
+    from document_quality_assessment_ocr_spark.operators.profile import (
+        join_cardinality_audit,
+    )
+
+    a_keys = ["x"] * 6 + ["y"] * 3 + ["z"] * 1 + ["only_a"] * 2
+    b_keys = ["x"] * 4 + ["y"] * 5 + ["z"] * 1 + ["only_b"] * 7
+    a = spark.createDataFrame([(k,) for k in a_keys], "k string")
+    b = spark.createDataFrame([(k,) for k in b_keys], "k string")
+    out = {r["key"]: r for r in join_cardinality_audit(a, b, "k", k=10).collect()}
+
+    from collections import Counter
+
+    ca, cb = Counter(a_keys), Counter(b_keys)
+    keys = set(ca) | set(cb)
+    prods = {k: ca.get(k, 0) * cb.get(k, 0) for k in keys}
+    est = sum(prods.values())
+    na, nb = len(a_keys), len(b_keys)
+    assert set(out) == keys
+    order = sorted(keys, key=lambda k: (-prods[k], k))
+    assert [r["key"] for r in sorted(out.values(), key=lambda r: r["rank"])] == order
+    for k in keys:
+        r = out[k]
+        assert (r["ca"], r["cb"], r["prod"]) == (ca.get(k, 0), cb.get(k, 0), prods[k])
+        assert r["est_total"] == est
+        assert r["amp_micro"] == est * 1_000_000 // max(na, nb)
+        assert r["share_micro"] == prods[k] * 1_000_000 // max(est, 1)
+    assert out["only_a"]["prod"] == 0 and out["only_b"]["prod"] == 0
+
+
+def test_encoding_advisor_python_replay(spark):
+    """Plain-vs-dict byte estimates replayed in python: a low-cardinality
+    column wins dict, a unique column wins plain."""
+    from document_quality_assessment_ocr_spark.operators.profile import (
+        encoding_advisor,
+    )
+
+    rows = [(f"unique_value_{i:04d}", "us" if i % 2 else "eu", None)
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "uid string, region string, nothing string")
+    out = {r["column"]: r for r in
+           encoding_advisor(df, ["uid", "region", "nothing"]).collect()}
+
+    def replay(vals):
+        from collections import Counter
+
+        c = Counter("" if v is None else v for v in vals)
+        n = sum(c.values())
+        nd = len(c)
+        plain = sum(len(v) * m for v, m in c.items())
+        code_bits = max(nd - 1, 1).bit_length()
+        dict_b = sum(len(v) for v in c) + (n * code_bits + 7) // 8
+        return n, nd, plain, dict_b
+
+    cols = {"uid": [r[0] for r in rows], "region": [r[1] for r in rows],
+            "nothing": [r[2] for r in rows]}
+    for c, vals in cols.items():
+        n, nd, plain, dict_b = replay(vals)
+        r = out[c]
+        assert (r["n"], r["n_distinct"], r["plain_bytes"], r["dict_bytes"]) == (
+            n, nd, plain, dict_b
+        ), c
+        winner = "dict" if dict_b < plain else "plain"
+        assert r["winner"] == winner
+        save = (plain - dict_b) * 1_000_000 // max(plain, 1) if dict_b < plain else 0
+        assert r["save_micro"] == save
+    assert out["region"]["winner"] == "dict"
+    assert out["uid"]["winner"] == "plain"
