@@ -6547,6 +6547,55 @@ def _encoding_advisor_sql(cols: tuple[str, ...] = ("lang", "source", "text")) ->
     """
 
 
+def _q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host link reciprocity over the q131 host graph — the
+    link-exchange detector (organic links are mostly asymmetric; paid
+    rings reciprocate): out/in degree + returned-edge count + fixed-point
+    reciprocity ratio."""
+    from document_quality_assessment_ocr_spark.operators.graph import (
+        edge_reciprocity,
+    )
+
+    return edge_reciprocity(_host_edges(spark, sf_dir)).select(
+        F.col("id").alias("host"), "out_deg", "in_deg", "n_recip",
+        "recip_micro",
+    )
+
+
+def _reciprocity_sql() -> str:
+    """q172 oracle: the shared host-graph prefix, DISTINCT directed
+    edges (MATERIALIZED — referenced four times), swapped-key self-join
+    for returned edges, node-bounded degree rollups; `//` == Spark DIV
+    on the non-negative degree operands."""
+    return _host_graph_ctes() + """, de AS MATERIALIZED (
+            SELECT DISTINCT src AS s, dst AS d FROM edges WHERE src <> dst
+        ), recip AS MATERIALIZED (
+            SELECT e.s AS id, CAST(COUNT(*) AS BIGINT) AS n_recip
+            FROM de e JOIN de r ON r.s = e.d AND r.d = e.s
+            GROUP BY 1
+        ), outd AS MATERIALIZED (
+            SELECT s AS id, CAST(COUNT(*) AS BIGINT) AS out_deg
+            FROM de GROUP BY 1
+        ), ind AS MATERIALIZED (
+            SELECT d AS id, CAST(COUNT(*) AS BIGINT) AS in_deg
+            FROM de GROUP BY 1
+        ), n2 AS (
+            SELECT id FROM outd UNION SELECT id FROM ind
+        )
+        SELECT n2.id AS host,
+               CAST(COALESCE(outd.out_deg, 0) AS BIGINT) AS out_deg,
+               CAST(COALESCE(ind.in_deg, 0) AS BIGINT) AS in_deg,
+               CAST(COALESCE(recip.n_recip, 0) AS BIGINT) AS n_recip,
+               CAST((COALESCE(recip.n_recip, 0) * 1000000)
+                    // GREATEST(COALESCE(outd.out_deg, 0), 1) AS BIGINT)
+                   AS recip_micro
+        FROM n2
+        LEFT JOIN outd ON outd.id = n2.id
+        LEFT JOIN ind ON ind.id = n2.id
+        LEFT JOIN recip ON recip.id = n2.id
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's CORRECTNESS gate checks
     the FIRST 50 entries in dict order.  Positions 1-50 therefore carry the
@@ -6738,6 +6787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q169_audio_quality": _q_audio_quality,
         "q170_join_explain": _q_join_explain,
         "q171_encoding_advisor": _q_encoding_advisor,
+        "q172_reciprocity": _q_reciprocity,
     }
 
 
@@ -9559,6 +9609,7 @@ def oracle_sql() -> dict[str, str]:
         "q169_audio_quality": _audio_quality_sql(512),
         "q170_join_explain": _join_explain_sql(20),
         "q171_encoding_advisor": _encoding_advisor_sql(("lang", "source", "text")),
+        "q172_reciprocity": _reciprocity_sql(),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

@@ -390,6 +390,7 @@ def main() -> None:
         "q169_audio_quality",
         "q170_join_explain",
         "q171_encoding_advisor",
+        "q172_reciprocity",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

@@ -333,3 +333,61 @@ def triangle_count(
         "degree",
         F.coalesce("tri", F.lit(0)).cast("long").alias("tri"),
     )
+
+
+def edge_reciprocity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node link reciprocity over the DIRECTED unique-edge graph —
+    the link-exchange / mutual-citation detector (organic link graphs
+    are mostly asymmetric; paid link rings reciprocate): for each node,
+    out-degree, in-degree, and how many of its out-edges are returned
+    (src→dst AND dst→src both present).
+
+    Duplicate directed edges collapse first (multiplicity is q131's
+    weight concern, not reciprocity's); self-loops are dropped. A
+    reciprocated pair contributes 1 to BOTH endpoints' ``n_recip``.
+    FIXED-POINT: ``recip_micro = n_recip·10⁶ DIV out_deg`` (non-negative;
+    0-out-degree nodes surface 0).
+
+    Shape: one DISTINCT on directed edges, ONE self-join on the swapped
+    key (equi-join on both columns — never theta), three node-bounded
+    degree aggregates left-joined onto the node table. No iteration.
+
+    Output: (id, out_deg, in_deg, n_recip, recip_micro).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    rev = e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    recip = e.join(rev, ["s", "d"]).groupBy(F.col("s").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_recip")
+    )
+    outd = e.groupBy(F.col("s").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("out_deg")
+    )
+    ind = e.groupBy(F.col("d").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("in_deg")
+    )
+    nodes = outd.select("id").union(ind.select("id")).distinct()
+    return (
+        nodes.join(outd, "id", "left")
+        .join(ind, "id", "left")
+        .join(recip, "id", "left")
+        .select(
+            "id",
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+            F.coalesce("n_recip", F.lit(0)).cast("long").alias("n_recip"),
+            F.expr(
+                "(coalesce(n_recip, 0L) * 1000000L) DIV "
+                "greatest(coalesce(out_deg, 0L), 1L)"
+            )
+            .cast("long")
+            .alias("recip_micro"),
+        )
+    )

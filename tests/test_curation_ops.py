@@ -3247,3 +3247,36 @@ def test_encoding_advisor_python_replay(spark):
         assert r["save_micro"] == save
     assert out["region"]["winner"] == "dict"
     assert out["uid"]["winner"] == "plain"
+
+
+def test_edge_reciprocity_python_replay(spark):
+    """Reciprocity replayed by brute force on a known directed graph:
+    duplicates collapse, self-loops drop, a reciprocated pair credits
+    both endpoints, sinks surface out_deg=0 / recip 0."""
+    from document_quality_assessment_ocr_spark.operators.graph import (
+        edge_reciprocity,
+    )
+
+    raw = [
+        ("a", "b"), ("b", "a"),          # reciprocated pair
+        ("a", "c"), ("a", "c"),          # duplicate, unreturned
+        ("c", "d"),                      # chain into sink d
+        ("d", "d"),                      # self-loop dropped
+        ("b", "c"), ("c", "b"),          # second reciprocated pair
+    ]
+    df = spark.createDataFrame(raw, "src string, dst string")
+    out = {r["id"]: r for r in edge_reciprocity(df).collect()}
+
+    e = {(s, d) for s, d in raw if s != d}
+    nodes = {x for p in e for x in p}
+    for n in sorted(nodes):
+        outs = {d for s, d in e if s == n}
+        ins = {s for s, d in e if d == n}
+        nr = sum(1 for d in outs if (d, n) in e)
+        r = out[n]
+        assert (r["out_deg"], r["in_deg"], r["n_recip"]) == (
+            len(outs), len(ins), nr
+        ), n
+        assert r["recip_micro"] == nr * 1_000_000 // max(len(outs), 1)
+    assert out["a"]["n_recip"] == 1 and out["b"]["n_recip"] == 2
+    assert out["d"]["out_deg"] == 0 and out["d"]["recip_micro"] == 0
