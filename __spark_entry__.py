@@ -6596,6 +6596,213 @@ def _reciprocity_sql() -> str:
     """
 
 
+def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round k-core peel (k=2, 3 rounds) over the q131/q149 host
+    link graph — the dense-subgraph extractor (a link ring's core
+    survives peeling; sub-k periphery falls off each round). Survivors
+    surface with their degree inside the surviving set."""
+    from document_quality_assessment_ocr_spark.operators.graph import kcore_peel
+
+    return kcore_peel(_host_edges(spark, sf_dir), k=2, rounds=3).select(
+        F.col("id").alias("host"), "core_deg"
+    )
+
+
+def _kcore_sql(k: int = 2, rounds: int = 3) -> str:
+    """q173 oracle: the shared host-graph prefix, canonical undirected
+    unique edges, then the peel loop UNROLLED — each round's survivor
+    set and filtered edge set are ``AS MATERIALIZED`` (every one is
+    referenced twice by the next round's endpoint semijoins; plain CTEs
+    would re-inline the URL-parse subtree exponentially, the q149
+    lesson). Every quantity is a non-negative integer count."""
+    parts = [
+        """, ue AS MATERIALIZED (
+            SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM edges WHERE src <> dst
+        )"""
+    ]
+    prev_e = "ue"
+    for i in range(1, int(rounds) + 1):
+        parts.append(f""", g{i} AS (
+            SELECT id, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM (SELECT a AS id FROM {prev_e} UNION ALL SELECT b FROM {prev_e})
+            GROUP BY id
+        ), s{i} AS MATERIALIZED (
+            SELECT id FROM g{i} WHERE deg >= {int(k)}
+        ), e{i + 1} AS MATERIALIZED (
+            SELECT a, b FROM {prev_e}
+            WHERE a IN (SELECT id FROM s{i}) AND b IN (SELECT id FROM s{i})
+        )""")
+        prev_e = f"e{i + 1}"
+    parts.append(f""", gf AS (
+            SELECT id, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM (SELECT a AS id FROM {prev_e} UNION ALL SELECT b FROM {prev_e})
+            GROUP BY id
+        )
+        SELECT id AS host, deg AS core_deg FROM gf WHERE deg >= 1
+    """)
+    return _host_graph_ctes() + "".join(parts)
+
+
+def _q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed degree distribution of the host link graph — the
+    power-law-tail / hub-skew audit consulted before paying a join on
+    host (a heavy high bucket means salt or broadcast first)."""
+    from document_quality_assessment_ocr_spark.operators.graph import (
+        degree_histogram,
+    )
+
+    return degree_histogram(_host_edges(spark, sf_dir))
+
+
+def _degree_hist_sql() -> str:
+    """q176 oracle: undirected unique-edge degrees, floor-log2 bucket via
+    the shared ``LENGTH(BIN(deg)) - 1`` fixed-point idiom (DuckDB BIN ==
+    Spark F.bin, no leading zeros), integer ``<<`` for the bucket floor."""
+    return _host_graph_ctes() + """, und AS MATERIALIZED (
+            SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+            FROM edges WHERE src <> dst
+        ), dg AS (
+            SELECT id, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM (SELECT u AS id FROM und UNION ALL SELECT v FROM und)
+            GROUP BY id
+        ), bk AS (
+            SELECT CAST(LENGTH(BIN(deg)) - 1 AS BIGINT) AS bucket, deg
+            FROM dg
+        )
+        SELECT bucket,
+               CAST(CAST(1 AS BIGINT) << CAST(bucket AS INT) AS BIGINT)
+                   AS lo_deg,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(MIN(deg) AS BIGINT) AS min_deg,
+               CAST(MAX(deg) AS BIGINT) AS max_deg
+        FROM bk GROUP BY bucket ORDER BY bucket
+    """
+
+
+def _q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier calibration audit: bucket the q84 hashed-linear quality
+    score (shifted fixed-point milli) and measure the per-bucket rate of
+    a length proxy label — the monotone-ramp check run before gating a
+    corpus on the classifier threshold."""
+    from document_quality_assessment_ocr_spark.operators.classify import (
+        calibration_audit,
+    )
+
+    return calibration_audit(
+        _doc(spark, sf_dir), n_buckets=64, seed=7,
+        bucket_width_milli=250, min_tokens=80,
+    )
+
+
+def _calibration_sql(
+    bucket_width_milli: int = 250, min_tokens: int = 80
+) -> str:
+    """q174 oracle: the q84 gram/bucket/weight arithmetic (the SAME
+    classifier_weights vector interpolated as literals), but the score
+    stays in SHIFTED integer milli (`(gsum + 2000·ng) // ng` — every
+    operand non-negative so DuckDB `//` == Spark DIV), bucketed and
+    rolled up with integer pos-rate micro. LIST_SUM returns HUGEINT —
+    CAST to BIGINT before arithmetic (the q41/q63 dtype lesson)."""
+    from document_quality_assessment_ocr_spark.operators.classify import (
+        OFFSET_MILLI,
+        classifier_weights,
+    )
+
+    w = classifier_weights(64, 7)
+    wl = "[" + ", ".join(str(x) for x in w) + "]::BIGINT[]"
+    bucket = (
+        "CAST(CAST(('0x' || SUBSTR(MD5(g), 1, 15)) AS BIGINT) % 64 AS INT) + 1"
+    )
+    bw = int(bucket_width_milli)
+    return f"""
+        WITH d AS (
+            SELECT LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(
+                       TRIM(LOWER(COALESCE(text,''))), '{WS}+'),
+                       x -> x <> '') AS tk
+            FROM documents
+        ), gr AS (
+            SELECT tk,
+                   tk || CASE WHEN LEN(tk) >= 2
+                         THEN LIST_TRANSFORM(RANGE(1, LEN(tk)),
+                              i -> tk[CAST(i AS INT)] || CHR(1)
+                                   || tk[CAST(i AS INT) + 1])
+                         ELSE []::VARCHAR[] END AS grams
+            FROM d
+        ), sc AS (
+            SELECT CASE WHEN LEN(grams) > 0
+                        THEN ((CAST(LIST_SUM(LIST_TRANSFORM(grams,
+                                  g -> ({wl})[{bucket}])) AS BIGINT)
+                               + {int(OFFSET_MILLI)} * CAST(LEN(grams) AS BIGINT))
+                              // CAST(LEN(grams) AS BIGINT)) // {bw}
+                        ELSE {int(OFFSET_MILLI) // bw} END AS bucket,
+                   LEN(tk) >= {int(min_tokens)} AS pos
+            FROM gr
+        )
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(bucket * {bw} - {int(OFFSET_MILLI)} AS BIGINT) AS lo_milli,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+               CAST((SUM(CASE WHEN pos THEN 1 ELSE 0 END) * 1000000)
+                    // COUNT(*) AS BIGINT) AS pos_rate_micro
+        FROM sc GROUP BY bucket ORDER BY bucket
+    """
+
+
+def _q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keywords: top-3 most corpus-distinctive terms
+    per doc under the fused fixed-point RSJ score — the tag/topic-routing
+    stage of a curation pipeline."""
+    from document_quality_assessment_ocr_spark.operators.retrieval import (
+        tfidf_keywords,
+    )
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return tfidf_keywords(d, k=3, min_df=2)
+
+
+def _tfidf_sql(k: int = 3, min_df: int = 2) -> str:
+    """q175 oracle: the shared whitespace tokenization, (doc,term) tf +
+    term df aggregates, the FUSED fixed-point score
+    ``(tf·(N−df)·1000) // df`` (one truncating division — `*`/`DIV` are
+    same-precedence left-associative, so the fused spelling is the only
+    cross-engine-identical one), per-doc ROW_NUMBER top-k with the
+    (score DESC, term ASC) tie-break."""
+    return f"""
+        WITH d AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(
+                       TRIM(LOWER(COALESCE(text,''))), '{WS}+'),
+                       x -> x <> '') AS tk
+            FROM documents
+        ), tok AS (
+            SELECT doc_id, UNNEST(tk) AS term FROM d
+        ), tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM tok GROUP BY 1, 2
+        ), dfq AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        ), n AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS c FROM d
+        ), sc AS (
+            SELECT tf.doc_id, tf.term, tf.tf,
+                   CAST((tf.tf * (n.c - dfq.df) * 1000) // dfq.df AS BIGINT)
+                       AS score_milli
+            FROM tf JOIN dfq USING (term) CROSS JOIN n
+            WHERE dfq.df < n.c AND dfq.df >= {int(min_df)}
+        ), rk AS (
+            SELECT doc_id, term, tf, score_milli,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY score_milli DESC, term ASC) AS BIGINT) AS rk
+            FROM sc
+        )
+        SELECT doc_id, term, tf, score_milli, rk FROM rk WHERE rk <= {int(k)}
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's CORRECTNESS gate checks
     the FIRST 50 entries in dict order.  Positions 1-50 therefore carry the
@@ -6788,6 +6995,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q170_join_explain": _q_join_explain,
         "q171_encoding_advisor": _q_encoding_advisor,
         "q172_reciprocity": _q_reciprocity,
+        "q173_kcore": _q_kcore,
+        "q174_calibration": _q_calibration,
+        "q175_tfidf_keywords": _q_tfidf_keywords,
+        "q176_degree_hist": _q_degree_hist,
     }
 
 
@@ -9610,6 +9821,10 @@ def oracle_sql() -> dict[str, str]:
         "q170_join_explain": _join_explain_sql(20),
         "q171_encoding_advisor": _encoding_advisor_sql(("lang", "source", "text")),
         "q172_reciprocity": _reciprocity_sql(),
+        "q173_kcore": _kcore_sql(),
+        "q174_calibration": _calibration_sql(),
+        "q175_tfidf_keywords": _tfidf_sql(),
+        "q176_degree_hist": _degree_hist_sql(),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

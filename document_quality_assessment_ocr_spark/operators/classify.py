@@ -196,3 +196,73 @@ def domain_quality_shrunk(
         score.alias("shrunk_score"),
         (score >= F.lit(float(threshold))).alias("keep"),
     )
+
+
+def calibration_audit(
+    docs: DataFrame,
+    n_buckets: int = 64,
+    seed: int = 7,
+    bucket_width_milli: int = 250,
+    min_tokens: int = 80,
+    text_col: str = "text",
+) -> DataFrame:
+    """Classifier calibration audit — before a 100 TB corpus is gated on
+    the quality classifier, check that the score MEANS something: bucket
+    the per-doc mean gram score and measure, per bucket, how often a
+    cheap proxy label (doc has >= ``min_tokens`` tokens — the
+    length-quality correlate Gopher/C4 both lean on) comes out positive.
+    A calibrated score shows a monotone positive-rate ramp across
+    buckets; a flat ramp means the threshold is noise.
+
+    Fixed-point contract: per-doc mean milli score rides the SHIFTED
+    form ``(gsum + OFFSET_MILLI·ng) DIV ng`` (non-negative by the weight
+    bound, so Spark ``DIV`` == DuckDB ``//``); bucket ids and the
+    per-bucket ``pos_rate_micro = n_pos·1e6 DIV n_docs`` are exact
+    integers — nothing float crosses the oracle boundary. ``lo_milli``
+    maps the bucket back to the UNSHIFTED score scale (may be negative:
+    it is a product/difference, never a division operand).
+
+    Scale shape: one codegen projection (the shared gram fold) + ONE
+    map-side-combined aggregate on the bucket id — output is at most
+    ``2·OFFSET_MILLI / bucket_width_milli + 1`` rows (a constant),
+    the natural driver-side readout.
+
+    Output: (bucket, lo_milli, n_docs, n_pos, pos_rate_micro) ordered
+    by bucket.
+    """
+    if bucket_width_milli < 1:
+        raise ValueError("bucket_width_milli must be >= 1")
+    base = docs.select(_tokens_col(text_col).alias("tk"))
+    ng, gsum = _gram_milli_cols(n_buckets, seed, 0)
+    per_doc = base.select(
+        ng.alias("_ng"),
+        gsum.alias("_gs"),
+        (F.size(F.col("tk")) >= F.lit(int(min_tokens))).alias("_pos"),
+    ).select(
+        F.expr(
+            f"CASE WHEN _ng > 0 THEN ((_gs + {OFFSET_MILLI}L * _ng) DIV _ng)"
+            f" DIV {int(bucket_width_milli)}L"
+            f" ELSE {OFFSET_MILLI // int(bucket_width_milli)}L END"
+        ).cast("long").alias("bucket"),
+        "_pos",
+    )
+    return (
+        per_doc.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("_pos").cast("long")).cast("long").alias("n_pos"),
+        )
+        .select(
+            "bucket",
+            (
+                F.col("bucket") * F.lit(int(bucket_width_milli))
+                - F.lit(int(OFFSET_MILLI))
+            ).cast("long").alias("lo_milli"),
+            "n_docs",
+            "n_pos",
+            F.expr("(n_pos * 1000000L) DIV n_docs").cast("long").alias(
+                "pos_rate_micro"
+            ),
+        )
+        .orderBy("bucket")
+    )

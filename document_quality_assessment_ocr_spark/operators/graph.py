@@ -391,3 +391,119 @@ def edge_reciprocity(
             .alias("recip_micro"),
         )
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Bounded-round k-core peel over the UNDIRECTED unique-edge graph —
+    the dense-subgraph extractor (a link farm's core survives peeling;
+    organic periphery nodes with < k neighbours fall off): each round
+    removes every node whose current degree is below ``k``, degrees are
+    recomputed over the survivors, and after ``rounds`` rounds the
+    survivors are returned with their degree INSIDE the surviving set.
+
+    BOUNDED-ROUND semantics (like ``hits_fixed``'s fixed iteration
+    count): this is the state after exactly ``rounds`` peels, not the
+    converged core — convergence needs O(peel depth) rounds and a real
+    deployment picks ``rounds`` from the degeneracy it expects. Every
+    quantity is a non-negative integer count, so the DuckDB oracle twin
+    (unrolled ``AS MATERIALIZED`` CTEs) matches bit-for-bit.
+
+    Shape: directed duplicates and self-loops collapse ONCE to canonical
+    undirected edges (+ localCheckpoint — the q143 lesson: never let
+    per-round lineage re-derive the upstream edge synthesis); each round
+    is two semijoins (both endpoints surviving) + one node-bounded hash
+    aggregate. No collect, no convergence test — driver loop length is
+    the constant ``rounds``.
+
+    Output: (id, core_deg) for survivors only, core_deg >= 1.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    a, b = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.where(a != b)
+        .select(
+            F.least(a, b).alias("u"),
+            F.greatest(a, b).alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _deg(surv: DataFrame | None) -> DataFrame:
+        e = und
+        if surv is not None:
+            e = (
+                e.join(surv.select(F.col("id").alias("u")), "u", "left_semi")
+                .join(surv.select(F.col("id").alias("v")), "v", "left_semi")
+            )
+        ends = e.select(F.col("u").alias("id")).unionAll(
+            e.select(F.col("v").alias("id"))
+        )
+        return ends.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+
+    surv = None
+    for _ in range(int(rounds)):
+        surv = _deg(surv).where(F.col("deg") >= F.lit(int(k))).select("id")
+    return _deg(surv).where(F.col("deg") >= F.lit(1)).select(
+        "id", F.col("deg").alias("core_deg")
+    )
+
+
+def degree_histogram(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Log2-bucketed degree distribution of the undirected unique-edge
+    graph — the power-law-tail audit a 100 TB join consults before
+    paying: bucket ``b`` holds nodes with degree in [2^b, 2^(b+1)), so a
+    heavy bucket at high ``b`` is the hub-skew warning (salt or broadcast
+    before joining on that key).
+
+    floor(log2(deg)) is the shared fixed-point idiom ``LENGTH(BIN(deg))
+    - 1`` (q67 surprisal lesson) — exact integers on both engines, no
+    float log anywhere.
+
+    Shape: one DISTINCT edge collapse, one node-bounded degree
+    aggregate, one bucket rollup of at most 64 rows. Output:
+    (bucket, lo_deg, n_nodes, min_deg, max_deg) ordered by bucket.
+    """
+    a, b = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.where(a != b)
+        .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .unionAll(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    bucket = (F.length(F.bin(F.col("deg"))) - F.lit(1)).cast("long")
+    return (
+        deg.select(bucket.alias("bucket"), "deg")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("deg").cast("long").alias("min_deg"),
+            F.max("deg").cast("long").alias("max_deg"),
+        )
+        .select(
+            "bucket",
+            F.expr("SHIFTLEFT(1L, CAST(bucket AS INT))").alias("lo_deg"),
+            "n_nodes",
+            "min_deg",
+            "max_deg",
+        )
+        .orderBy("bucket")
+    )

@@ -384,3 +384,68 @@ def posting_list_size(
             F.expr("(total_bits + 7) DIV 8").cast("long").alias("bytes_est"),
         )
     )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 3,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document TF-IDF keyword extraction — the top-``k`` most
+    corpus-distinctive terms of every document (the keyword/tag stage of
+    a curation pipeline: dedup keys, topic routing, index hints).
+
+    Fixed-point contract: the FUSED RSJ form ``score_milli =
+    (tf·(N − df)·1000) DIV df`` — one truncating division at the end
+    (more precise than tf·(idf DIV df), and `*`/`DIV` are
+    same-precedence left-associative, so the fused spelling is the only
+    one both engines parse identically); everywhere-terms (df == N)
+    score 0 and are dropped with ``df < N``. Ranking ties break
+    (score DESC, term ASC) — the deterministic total order both
+    engines share.
+
+    Scale shape: two hash aggregates ((doc,term) tf and a zipf-bounded
+    term df), one shuffle join on term (df table is vocab-sized — at
+    real scale either side may broadcast under AQE), and a per-doc
+    window BOUNDED by document length — never a global window. ``N``
+    is one driver count (the bm25 pattern).
+
+    Output: (id_col, term, tf, score_milli, rk) with rk 1..k.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    n_docs = docs.count()
+    base = docs.select(F.col(id_col), _tokens(F.col(text_col)).alias("tk"))
+    tf = (
+        base.select(F.col(id_col), F.explode("tk").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    scored = (
+        tf.join(
+            df_.where(
+                (F.col("df") < F.lit(int(n_docs)))
+                & (F.col("df") >= F.lit(int(min_df)))
+            ),
+            "term",
+        )
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            F.expr(
+                f"(tf * ({int(n_docs)}L - df) * {IDF_MILLI}L) DIV df"
+            ).cast("long").alias("score_milli"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_milli").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= F.lit(int(k)))
+        .select(id_col, "term", "tf", "score_milli", "rk")
+    )

@@ -3280,3 +3280,170 @@ def test_edge_reciprocity_python_replay(spark):
         assert r["recip_micro"] == nr * 1_000_000 // max(len(outs), 1)
     assert out["a"]["n_recip"] == 1 and out["b"]["n_recip"] == 2
     assert out["d"]["out_deg"] == 0 and out["d"]["recip_micro"] == 0
+
+
+def test_kcore_peel_python_replay(spark):
+    """Bounded-round k-core peel replayed by brute force: a triangle
+    core survives k=2 peeling, pendant chains fall off round by round,
+    and survivors report their degree INSIDE the surviving set."""
+    from document_quality_assessment_ocr_spark.operators.graph import kcore_peel
+
+    # triangle a-b-c (+ chord b-d? no) with a pendant chain c-e-f
+    raw = [
+        ("a", "b"), ("b", "c"), ("c", "a"),   # 2-core triangle
+        ("c", "e"), ("e", "f"),               # chain peels off
+        ("g", "g"),                           # self-loop dropped
+        ("a", "b"),                           # duplicate collapses
+    ]
+    df = spark.createDataFrame(raw, "src string, dst string")
+
+    def replay(k, rounds):
+        e = {tuple(sorted(p)) for p in raw if p[0] != p[1]}
+        surv = {x for p in e for x in p}
+        for _ in range(rounds):
+            deg = {}
+            for u, v in e:
+                if u in surv and v in surv:
+                    deg[u] = deg.get(u, 0) + 1
+                    deg[v] = deg.get(v, 0) + 1
+            surv = {n for n, d in deg.items() if d >= k}
+        deg = {}
+        for u, v in e:
+            if u in surv and v in surv:
+                deg[u] = deg.get(u, 0) + 1
+                deg[v] = deg.get(v, 0) + 1
+        return {n: d for n, d in deg.items() if d >= 1}
+
+    for k, rounds in [(2, 1), (2, 3), (3, 2)]:
+        out = {r["id"]: r["core_deg"]
+               for r in kcore_peel(df, k=k, rounds=rounds).collect()}
+        assert out == replay(k, rounds), (k, rounds)
+    # the chain is gone after enough k=2 rounds; the triangle remains
+    assert set(replay(2, 3)) == {"a", "b", "c"}
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        kcore_peel(df, k=0)
+    with _pt.raises(ValueError):
+        kcore_peel(df, rounds=0)
+
+
+def test_degree_histogram_python_replay(spark):
+    """Log2-bucket degree histogram replayed by brute force: duplicate
+    and self-loop edges collapse, buckets are floor(log2(deg)) with
+    exact integer lo_deg = 2^bucket."""
+    from document_quality_assessment_ocr_spark.operators.graph import (
+        degree_histogram,
+    )
+
+    hub = [("h", f"x{i}") for i in range(5)]  # deg(h)=5 → bucket 2
+    raw = hub + [("x0", "x1"), ("x1", "x0"), ("z", "z")]
+    df = spark.createDataFrame(raw, "src string, dst string")
+    out = {r["bucket"]: r for r in degree_histogram(df).collect()}
+
+    e = {tuple(sorted(p)) for p in raw if p[0] != p[1]}
+    deg = {}
+    for u, v in e:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    buckets = {}
+    for d in deg.values():
+        buckets.setdefault(d.bit_length() - 1, []).append(d)
+    assert set(out) == set(buckets)
+    for b, ds in buckets.items():
+        r = out[b]
+        assert r["lo_deg"] == 2 ** b
+        assert (r["n_nodes"], r["min_deg"], r["max_deg"]) == (
+            len(ds), min(ds), max(ds)
+        )
+
+
+def test_calibration_audit_python_replay(spark):
+    """Calibration audit replayed through the shared classifier weights
+    in pure python: shifted-milli bucketing, the length proxy label and
+    the integer pos-rate all match; empty docs land in the raw-0
+    bucket."""
+    import hashlib
+
+    from document_quality_assessment_ocr_spark.operators.classify import (
+        OFFSET_MILLI,
+        calibration_audit,
+        classifier_weights,
+    )
+
+    docs = [
+        (1, "alpha beta gamma delta " * 30),   # long → pos
+        (2, "alpha beta"),
+        (3, ""),                                # empty → raw-0 bucket
+        (4, "zeta eta theta " * 5),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    bw, mt = 250, 80
+    out = {r["bucket"]: r for r in
+           calibration_audit(df, bucket_width_milli=bw, min_tokens=mt).collect()}
+
+    w = classifier_weights(64, 7)
+
+    def bucket_of(text):
+        tk = [t for t in text.strip().lower().split() if t]
+        grams = tk + [a + "\x01" + b for a, b in zip(tk, tk[1:])]
+        if not grams:
+            return OFFSET_MILLI // bw, False
+        s = sum(
+            w[int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % 64]
+            for g in grams
+        )
+        return ((s + OFFSET_MILLI * len(grams)) // len(grams)) // bw, len(tk) >= mt
+
+    exp = {}
+    for _, text in docs:
+        b, pos = bucket_of(text)
+        n, p = exp.get(b, (0, 0))
+        exp[b] = (n + 1, p + int(pos))
+    assert set(out) == set(exp)
+    for b, (n, p) in exp.items():
+        r = out[b]
+        assert (r["n_docs"], r["n_pos"]) == (n, p)
+        assert r["pos_rate_micro"] == p * 1_000_000 // n
+        assert r["lo_milli"] == b * bw - OFFSET_MILLI
+    assert OFFSET_MILLI // bw in exp  # the empty doc's bucket
+
+
+def test_tfidf_keywords_python_replay(spark):
+    """Per-doc TF-IDF keywords replayed by brute force: fused integer
+    score (tf·(N−df)·1000)//df, everywhere-terms and hapaxes (min_df)
+    excluded, (score DESC, term ASC) tie-break, rk <= k."""
+    from document_quality_assessment_ocr_spark.operators.retrieval import (
+        tfidf_keywords,
+    )
+
+    docs = [
+        (1, "apple apple banana cherry common"),
+        (2, "banana cherry common dates"),
+        (3, "apple cherry common eagle eagle eagle"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    k, min_df = 2, 2
+    out = [(r["doc_id"], r["term"], r["tf"], r["score_milli"], r["rk"])
+           for r in tfidf_keywords(df, k=k, min_df=min_df).collect()]
+
+    n = len(docs)
+    toks = {i: t.split() for i, t in docs}
+    dfc = {}
+    for i in toks:
+        for t in set(toks[i]):
+            dfc[t] = dfc.get(t, 0) + 1
+    exp = []
+    for i in sorted(toks):
+        scored = []
+        for t in set(toks[i]):
+            if dfc[t] >= n or dfc[t] < min_df:
+                continue
+            tf = toks[i].count(t)
+            scored.append((-(tf * (n - dfc[t]) * 1000 // dfc[t]), t, tf))
+        scored.sort()
+        for rk, (ns, t, tf) in enumerate(scored[:k], 1):
+            exp.append((i, t, tf, -ns, rk))
+    assert sorted(out) == sorted(exp)
+    # 'common' is in every doc (idf 0) → never surfaces
+    assert all(t != "common" for _, t, _, _, _ in out)
