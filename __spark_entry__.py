@@ -6803,6 +6803,204 @@ def _tfidf_sql(k: int = 3, min_df: int = 2) -> str:
     """
 
 
+def _q_gap_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed inter-event gap distribution per user stream — the
+    empirical sessionization-threshold chooser (the valley between
+    within-session and between-session gap modes)."""
+    from document_quality_assessment_ocr_spark.operators.sessions import (
+        gap_histogram,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return gap_histogram(ev)
+
+
+def _gap_hist_sql() -> str:
+    """q177 oracle: per-user LAG on (EPOCH_US(ts), event_id) — the shared
+    integer-microsecond timestamp contract — then the shared
+    ``LENGTH(BIN(n)) - 1`` log2 bucket and an integer ``<<`` floor."""
+    return """
+        WITH g AS (
+            SELECT EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY EPOCH_US(ts) ASC, event_id ASC) AS gap_us
+            FROM events
+        ), b AS (
+            SELECT CAST(LENGTH(BIN(gap_us)) - 1 AS BIGINT) AS bucket, gap_us
+            FROM g WHERE gap_us IS NOT NULL
+        )
+        SELECT bucket,
+               CAST(CAST(1 AS BIGINT) << CAST(bucket AS INT) AS BIGINT)
+                   AS lo_us,
+               CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+               CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+        FROM b GROUP BY bucket ORDER BY bucket
+    """
+
+
+def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cross-source 5-gram overlap matrix — the "which corpora
+    leaked into each other" pre-mixing audit; containment_micro is
+    asymmetric-size-safe (small-in-big containment reads 1e6)."""
+    from document_quality_assessment_ocr_spark.operators.decontam import (
+        source_overlap_matrix,
+    )
+
+    return source_overlap_matrix(_doc(spark, sf_dir), n=5)
+
+
+def _source_overlap_sql(n: int = 5) -> str:
+    """q178 oracle: the q34 shingle CTE keyed by source (same md5 of the
+    space-joined lowercase word n-gram), the per-source DISTINCT set
+    MATERIALIZED (read three times: sizes + both join sides), pair join
+    with src < src ordering; `//` == Spark DIV on the non-negative
+    counts."""
+    toks = (
+        f"LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(COALESCE(text,''))), '{WS}+'),"
+        " x -> x <> '')"
+    )
+    gram = " || ' ' || ".join(f"a[CAST(i AS INT) + {j}]" for j in range(int(n)))
+    return f"""
+        WITH d AS (
+            SELECT COALESCE(source, '') AS src, {toks} AS a FROM documents
+        ), sh AS MATERIALIZED (
+            SELECT DISTINCT src, MD5({gram}) AS shingle
+            FROM (SELECT src, a,
+                         UNNEST(RANGE(1, GREATEST(LEN(a) - {int(n) - 1}, 0) + 1))
+                             AS i
+                  FROM d)
+        ), sz AS MATERIALIZED (
+            SELECT src, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1
+        ), pr AS (
+            SELECT a.src AS source_a, b.src AS source_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM sh a JOIN sh b USING (shingle)
+            WHERE a.src < b.src
+            GROUP BY 1, 2
+        )
+        SELECT pr.source_a, pr.source_b, pr.n_shared,
+               za.n_sh AS n_a, zb.n_sh AS n_b,
+               CAST((pr.n_shared * 1000000)
+                    // GREATEST(LEAST(za.n_sh, zb.n_sh), 1) AS BIGINT)
+                   AS containment_micro
+        FROM pr
+        JOIN sz za ON za.src = pr.source_a
+        JOIN sz zb ON zb.src = pr.source_b
+    """
+
+
+def _q_prefix_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host front-coding savings over the outlink URL store — the
+    crawl-frontier / URL-index storage planner (sorted same-host URLs
+    share long prefixes; saved_micro is the delta-encoding win)."""
+    from document_quality_assessment_ocr_spark.operators.html import extract_links
+    from document_quality_assessment_ocr_spark.operators.urls import (
+        parse_urls,
+        prefix_compression_profile,
+    )
+
+    d = _doc(spark, sf_dir)
+    parsed = parse_urls(
+        extract_links(_synth_html(d)).select("doc_id", F.col("href").alias("url"))
+    )
+    return prefix_compression_profile(parsed)
+
+
+def _prefix_compression_sql(cap: int = 64) -> str:
+    """q179 oracle: the shared host-graph outlink parse chain (tparsed
+    carries url_norm), per-host LAG over url ASC with COALESCE('') for
+    the run head, and the monotone prefix-equality COUNT as the LCP —
+    RANGE(1, GREATEST(m,1)+1) == the engine's guarded sequence."""
+    return _host_graph_ctes() + f""", uu AS (
+            SELECT host, url_norm AS u
+            FROM tparsed WHERE url_norm IS NOT NULL
+        ), lag_t AS (
+            SELECT host, CAST(LENGTH(u) AS BIGINT) AS len, u,
+                   COALESCE(LAG(u) OVER (PARTITION BY host ORDER BY u ASC),
+                            '') AS prev
+            FROM uu
+        ), lcp_t AS (
+            SELECT host, len,
+                   CAST(LEN(LIST_FILTER(
+                       RANGE(1, GREATEST(LEAST(LENGTH(u), LENGTH(prev),
+                                                {int(cap)}), 1) + 1),
+                       i -> SUBSTR(u, 1, CAST(i AS INT))
+                            = SUBSTR(prev, 1, CAST(i AS INT))))
+                       AS BIGINT) AS lcp
+            FROM lag_t
+        )
+        SELECT host,
+               CAST(COUNT(*) AS BIGINT) AS n_urls,
+               CAST(SUM(len) AS BIGINT) AS total_chars,
+               CAST(SUM(lcp) AS BIGINT) AS saved_chars,
+               CAST((SUM(lcp) * 1000000) // GREATEST(SUM(len), 1) AS BIGINT)
+                   AS saved_micro
+        FROM lcp_t GROUP BY host
+    """
+
+
+def _q_quality_joint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint (token-count log2 bucket × classifier shifted-milli bucket)
+    histogram — the 2-D drift dashboard that catches shifts the 1-D
+    audits (q156 drift, q174 calibration) cannot see."""
+    from document_quality_assessment_ocr_spark.operators.classify import (
+        quality_length_joint,
+    )
+
+    return quality_length_joint(
+        _doc(spark, sf_dir), n_buckets=64, seed=7, bucket_width_milli=500
+    )
+
+
+def _quality_joint_sql(bucket_width_milli: int = 500) -> str:
+    """q180 oracle: the q84 gram/weight arithmetic (shared
+    classifier_weights literals) + the q174 shifted-milli bucket at
+    width 500 + the shared BIN log2 token bucket, rolled up on the 2-D
+    cell."""
+    from document_quality_assessment_ocr_spark.operators.classify import (
+        OFFSET_MILLI,
+        classifier_weights,
+    )
+
+    w = classifier_weights(64, 7)
+    wl = "[" + ", ".join(str(x) for x in w) + "]::BIGINT[]"
+    bucket = (
+        "CAST(CAST(('0x' || SUBSTR(MD5(g), 1, 15)) AS BIGINT) % 64 AS INT) + 1"
+    )
+    bw = int(bucket_width_milli)
+    return f"""
+        WITH d AS (
+            SELECT LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(
+                       TRIM(LOWER(COALESCE(text,''))), '{WS}+'),
+                       x -> x <> '') AS tk
+            FROM documents
+        ), gr AS (
+            SELECT tk,
+                   tk || CASE WHEN LEN(tk) >= 2
+                         THEN LIST_TRANSFORM(RANGE(1, LEN(tk)),
+                              i -> tk[CAST(i AS INT)] || CHR(1)
+                                   || tk[CAST(i AS INT) + 1])
+                         ELSE []::VARCHAR[] END AS grams
+            FROM d
+        ), sc AS (
+            SELECT CAST(LENGTH(BIN(CAST(LEN(tk) AS BIGINT))) - 1 AS BIGINT)
+                       AS tok_bucket,
+                   CASE WHEN LEN(grams) > 0
+                        THEN ((CAST(LIST_SUM(LIST_TRANSFORM(grams,
+                                  g -> ({wl})[{bucket}])) AS BIGINT)
+                               + {int(OFFSET_MILLI)} * CAST(LEN(grams) AS BIGINT))
+                              // CAST(LEN(grams) AS BIGINT)) // {bw}
+                        ELSE {int(OFFSET_MILLI) // bw} END AS q_bucket
+            FROM gr
+        )
+        SELECT tok_bucket, CAST(q_bucket AS BIGINT) AS q_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM sc GROUP BY tok_bucket, q_bucket
+        ORDER BY tok_bucket, q_bucket
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's CORRECTNESS gate checks
     the FIRST 50 entries in dict order.  Positions 1-50 therefore carry the
@@ -6999,6 +7197,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q174_calibration": _q_calibration,
         "q175_tfidf_keywords": _q_tfidf_keywords,
         "q176_degree_hist": _q_degree_hist,
+        "q177_gap_hist": _q_gap_hist,
+        "q178_source_overlap": _q_source_overlap,
+        "q179_prefix_compression": _q_prefix_compression,
+        "q180_quality_joint": _q_quality_joint,
     }
 
 
@@ -9825,6 +10027,10 @@ def oracle_sql() -> dict[str, str]:
         "q174_calibration": _calibration_sql(),
         "q175_tfidf_keywords": _tfidf_sql(),
         "q176_degree_hist": _degree_hist_sql(),
+        "q177_gap_hist": _gap_hist_sql(),
+        "q178_source_overlap": _source_overlap_sql(),
+        "q179_prefix_compression": _prefix_compression_sql(),
+        "q180_quality_joint": _quality_joint_sql(),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

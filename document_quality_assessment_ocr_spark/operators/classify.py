@@ -266,3 +266,55 @@ def calibration_audit(
         )
         .orderBy("bucket")
     )
+
+
+def quality_length_joint(
+    docs: DataFrame,
+    n_buckets: int = 64,
+    seed: int = 7,
+    bucket_width_milli: int = 500,
+    text_col: str = "text",
+) -> DataFrame:
+    """Joint (length, quality) histogram — the 2-D drift dashboard read
+    before retuning curation thresholds: token count in log2 buckets ×
+    classifier score in shifted-milli buckets. A corpus shift that
+    preserves both MARGINALS can still move the joint mass (e.g. long
+    docs suddenly scoring low — boilerplate injection), which is exactly
+    what the 1-D audits (q156 drift, q174 calibration) cannot see.
+
+    Fixed-point contract: tok_bucket = ``LENGTH(BIN(n_tok)) - 1`` (0
+    tokens lands in bucket 0 with the 1-token docs — the BIN(0) edge,
+    documented at gap_histogram); q_bucket rides the shared shifted-
+    milli form ``((gsum + OFFSET_MILLI·ng) DIV ng) DIV width`` (all
+    operands non-negative). Output is a constant-bounded grid
+    (≤ 64 × (2·OFFSET_MILLI/width + 1) cells).
+
+    Scale shape: one codegen projection (the shared gram fold) + ONE
+    map-side-combined aggregate on the cell id.
+
+    Output: (tok_bucket, q_bucket, n_docs) ordered by (tok_bucket,
+    q_bucket).
+    """
+    if bucket_width_milli < 1:
+        raise ValueError("bucket_width_milli must be >= 1")
+    base = docs.select(_tokens_col(text_col).alias("tk"))
+    ng, gsum = _gram_milli_cols(n_buckets, seed, 0)
+    per_doc = base.select(
+        (F.length(F.bin(F.size(F.col("tk")).cast("long"))) - F.lit(1))
+        .cast("long")
+        .alias("tok_bucket"),
+        ng.alias("_ng"),
+        gsum.alias("_gs"),
+    ).select(
+        "tok_bucket",
+        F.expr(
+            f"CASE WHEN _ng > 0 THEN ((_gs + {OFFSET_MILLI}L * _ng) DIV _ng)"
+            f" DIV {int(bucket_width_milli)}L"
+            f" ELSE {OFFSET_MILLI // int(bucket_width_milli)}L END"
+        ).cast("long").alias("q_bucket"),
+    )
+    return (
+        per_doc.groupBy("tok_bucket", "q_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("tok_bucket", "q_bucket")
+    )

@@ -148,3 +148,74 @@ def fuzzy_contamination_report(
             (F.col("n_match") / F.lit(float(n_hashes))).alias("est_jaccard"),
         )
     )
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    n: int = 5,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise cross-source n-gram overlap — the "which corpora leaked
+    into each other" matrix run before mixing sources into one training
+    set (a crawl that re-scraped a books dump shows up here long before
+    per-doc dedup finds the pairs).
+
+    Each source reduces to its DISTINCT shingle-hash set (md5 of the
+    space-joined lowercase word n-gram — the module's shared contract);
+    the matrix is a self-equi-join on the hash. Fan-out per hash is
+    bounded by the number of sources carrying it (the grouping-key
+    cardinality, never corpus size), and output is at most
+    |sources|²/2 rows. ``containment_micro = n_shared·1e6 DIV
+    min(n_a, n_b)`` — asymmetric-size-safe (a small corpus fully
+    contained in a big one reads 1e6, where Jaccard would read ~0).
+
+    Output: (source_a, source_b, n_shared, n_a, n_b, containment_micro)
+    with source_a < source_b.
+    """
+    sh = (
+        docs.select(
+            F.coalesce(F.col(source_col), F.lit("")).alias("src"),
+            _words(F.col(text_col)).alias("_toks"),
+        )
+        .select(
+            "src",
+            F.explode(
+                F.array_distinct(
+                    F.transform(ngrams_from_tokens(F.col("_toks"), n), F.md5)
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    a = sh.select(F.col("src").alias("source_a"), "shingle")
+    b = sh.select(F.col("src").alias("source_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(sizes.select(F.col("src").alias("source_a"),
+                                     F.col("n_sh").alias("n_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("src").alias("source_b"),
+                                     F.col("n_sh").alias("n_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.expr("(n_shared * 1000000L) DIV greatest(least(n_a, n_b), 1L)")
+            .cast("long")
+            .alias("containment_micro"),
+        )
+    )

@@ -234,3 +234,54 @@ def transition_matrix(
         "prob_micro",
         F.expr("(n * 1000000L) DIV greatest(from_total, 1L)").cast("long"),
     )
+
+
+def gap_histogram(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Log2-bucketed inter-event gap distribution per user stream — the
+    empirical basis for PICKING the sessionization threshold (the
+    bimodal valley between within-session and between-session gaps),
+    instead of cargo-culting 1800 s.
+
+    Gaps are integer MICROSECONDS between consecutive events of the same
+    user (the shared ``unix_micros`` / ``EPOCH_US`` contract; ordering
+    ties break on ``id_col``); bucket = floor(log2(gap_us)) via the
+    shared ``LENGTH(BIN(n)) - 1`` idiom. Bucket 0 holds gaps in [0, 2)
+    µs — simultaneous duplicates land there (BIN(0) has length 1), which
+    is exactly the duplicate-ingestion signal the histogram also serves.
+
+    Scale shape: ONE per-user window (bounded by a user's event count —
+    never global), one ≤64-row bucket rollup. Each user's first event
+    produces no gap.
+
+    Output: (bucket, lo_us, n_gaps, min_gap_us, max_gap_us) ordered by
+    bucket.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    tus = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = (tus - F.lag(tus).over(w)).cast("long")
+    gaps = events.select(gap.alias("gap_us")).where(F.col("gap_us").isNotNull())
+    bucket = (F.length(F.bin(F.col("gap_us"))) - F.lit(1)).cast("long")
+    return (
+        gaps.select(bucket.alias("bucket"), "gap_us")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.min("gap_us").cast("long").alias("min_gap_us"),
+            F.max("gap_us").cast("long").alias("max_gap_us"),
+        )
+        .select(
+            "bucket",
+            F.expr("SHIFTLEFT(1L, CAST(bucket AS INT))").alias("lo_us"),
+            "n_gaps",
+            "min_gap_us",
+            "max_gap_us",
+        )
+        .orderBy("bucket")
+    )

@@ -248,3 +248,67 @@ def parse_robots(
     return rules.groupBy("host", "path_prefix").agg(
         F.min("action").alias("action")  # 'allow' < 'deny' → allow wins
     )
+
+
+def prefix_compression_profile(
+    urls: DataFrame,
+    host_col: str = "host",
+    url_col: str = "url_norm",
+    cap: int = 64,
+) -> DataFrame:
+    """Per-host front-coding savings estimate — how many bytes a
+    sorted-run delta encoding of the URL column would save (the
+    index/frontier storage planner: crawl frontiers and URL indexes are
+    stored front-coded precisely because same-host URLs share long
+    prefixes).
+
+    Within each host, URLs sort ascending and each row measures the
+    common prefix with its predecessor on a ``cap``-char window — the
+    LCP is ``count of i in 1..m where prefix_i(url) == prefix_i(prev)``
+    (prefix equality is monotone, so the count IS the LCP; O(cap²)
+    char compares per row is the deliberate scale contract, the q122
+    levenshtein-prefix-cap pattern). First row per host saves 0 (via
+    ``COALESCE(prev, '')``; an empty-string predecessor also guards the
+    descending-``sequence`` trap on empty bounds).
+
+    Scale shape: ONE per-host window (bounded by a host's URL count —
+    the natural shard key of every real URL store, never a global sort)
+    + one per-host rollup. NULL urls drop (unparseable rows carry NULL
+    ``url_norm`` — errors-as-data upstream, not this planner's input).
+
+    Output: (host, n_urls, total_chars, saved_chars, saved_micro)
+    where saved_micro = saved·1e6 DIV max(total, 1).
+    """
+    from pyspark.sql import Window
+
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    base = urls.select(
+        F.col(host_col).alias("host"), F.col(url_col).alias("u")
+    ).where(F.col("u").isNotNull())
+    w = Window.partitionBy("host").orderBy(F.col("u").asc())
+    prev = F.coalesce(F.lag("u").over(w), F.lit(""))
+    lcp = F.expr(
+        f"size(filter(sequence(1, greatest(least(length(u), length(_prev),"
+        f" {int(cap)}), 1)), i -> substring(u, 1, i) = substring(_prev, 1, i)))"
+    )
+    per_row = base.select(
+        "host", F.length("u").cast("long").alias("len"), prev.alias("_prev"), "u"
+    ).select("host", "len", lcp.cast("long").alias("lcp"))
+    return (
+        per_row.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.sum("len").cast("long").alias("total_chars"),
+            F.sum("lcp").cast("long").alias("saved_chars"),
+        )
+        .select(
+            "host",
+            "n_urls",
+            "total_chars",
+            "saved_chars",
+            F.expr("(saved_chars * 1000000L) DIV greatest(total_chars, 1L)")
+            .cast("long")
+            .alias("saved_micro"),
+        )
+    )

@@ -3447,3 +3447,177 @@ def test_tfidf_keywords_python_replay(spark):
     assert sorted(out) == sorted(exp)
     # 'common' is in every doc (idf 0) → never surfaces
     assert all(t != "common" for _, t, _, _, _ in out)
+
+
+def test_gap_histogram_python_replay(spark):
+    """Inter-event gap histogram replayed by brute force: per-user lag in
+    integer microseconds, ties break on event_id, first events produce no
+    gap, zero gaps land in bucket 0."""
+    from datetime import datetime
+
+    from document_quality_assessment_ocr_spark.operators.sessions import (
+        gap_histogram,
+    )
+
+    t0 = datetime(2024, 1, 1)
+
+    def at(us):
+        return datetime(2024, 1, 1, 0, 0, us // 1_000_000, us % 1_000_000)
+
+    rows = [
+        (1, 1, at(0)), (2, 1, at(3)), (3, 1, at(3)),          # gaps 3, 0
+        (4, 2, at(100)), (5, 2, at(1_000_100)),               # gap 1e6
+        (6, 3, at(7)),                                         # no gap
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = {r["bucket"]: r for r in gap_histogram(df).collect()}
+
+    gaps = [3, 0, 1_000_000]
+    exp = {}
+    for g in gaps:
+        b = max(g.bit_length() - 1, 0)
+        exp.setdefault(b, []).append(g)
+    assert set(out) == set(exp)
+    for b, gs in exp.items():
+        r = out[b]
+        assert (r["n_gaps"], r["min_gap_us"], r["max_gap_us"]) == (
+            len(gs), min(gs), max(gs)
+        )
+        assert r["lo_us"] == 2 ** b
+
+
+def test_source_overlap_matrix_python_replay(spark):
+    """Cross-source shingle overlap replayed by brute force: distinct
+    word n-grams per source, pairwise shared counts, containment is
+    min-normalized (small-in-big reads 1e6)."""
+    from document_quality_assessment_ocr_spark.operators.decontam import (
+        source_overlap_matrix,
+    )
+
+    docs = [
+        (1, "a", "one two three four five six"),
+        (2, "a", "seven eight nine ten eleven"),
+        (3, "b", "one two three four five"),        # contained in a's first
+        (4, "c", "totally different words here now"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    n = 3
+    out = {(r["source_a"], r["source_b"]): r
+           for r in source_overlap_matrix(df, n=n).collect()}
+
+    def shingles(texts):
+        s = set()
+        for t in texts:
+            tk = t.lower().split()
+            s |= {" ".join(tk[i:i + n]) for i in range(len(tk) - n + 1)}
+        return s
+
+    by_src = {}
+    for _, s, t in docs:
+        by_src.setdefault(s, []).append(t)
+    sets = {s: shingles(ts) for s, ts in by_src.items()}
+    for sa in sets:
+        for sb in sets:
+            if sa >= sb:
+                continue
+            shared = len(sets[sa] & sets[sb])
+            if shared == 0:
+                assert (sa, sb) not in out
+                continue
+            r = out[(sa, sb)]
+            assert (r["n_shared"], r["n_a"], r["n_b"]) == (
+                shared, len(sets[sa]), len(sets[sb])
+            )
+            assert r["containment_micro"] == (
+                shared * 1_000_000 // min(len(sets[sa]), len(sets[sb]))
+            )
+    # b's 3 shingles are all inside a → full containment
+    assert out[("a", "b")]["containment_micro"] == 1_000_000
+
+
+def test_prefix_compression_python_replay(spark):
+    """Front-coding profile replayed by brute force: per-host sorted-run
+    LCP with the cap, first row saves 0, NULL urls drop."""
+    from document_quality_assessment_ocr_spark.operators.urls import (
+        prefix_compression_profile,
+    )
+
+    rows = [
+        ("h1", "http://h1/a/one"),
+        ("h1", "http://h1/a/two"),
+        ("h1", "http://h1/b"),
+        ("h2", "x" * 100),
+        ("h2", "x" * 100),        # duplicate: LCP capped at 64
+        ("h2", None),             # dropped
+    ]
+    df = spark.createDataFrame(rows, "host string, url_norm string")
+    cap = 64
+    out = {r["host"]: r for r in
+           prefix_compression_profile(df, cap=cap).collect()}
+
+    def lcp(a, b):
+        m = min(len(a), len(b), cap)
+        i = 0
+        while i < m and a[i] == b[i]:
+            i += 1
+        return i
+
+    by_host = {}
+    for h, u in rows:
+        if u is not None:
+            by_host.setdefault(h, []).append(u)
+    for h, us in by_host.items():
+        us = sorted(us)
+        saved = sum(lcp(us[i - 1], us[i]) for i in range(1, len(us)))
+        total = sum(len(u) for u in us)
+        r = out[h]
+        assert (r["n_urls"], r["total_chars"], r["saved_chars"]) == (
+            len(us), total, saved
+        )
+        assert r["saved_micro"] == saved * 1_000_000 // max(total, 1)
+    assert out["h2"]["saved_chars"] == 64  # the cap, not 100
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        prefix_compression_profile(df, cap=0)
+
+
+def test_quality_length_joint_python_replay(spark):
+    """Joint histogram replayed through the shared classifier weights:
+    tok_bucket = floor-log2 token count (0 tokens → bucket 0), q_bucket
+    = shifted-milli // width, counts per 2-D cell."""
+    import hashlib
+
+    from document_quality_assessment_ocr_spark.operators.classify import (
+        OFFSET_MILLI,
+        classifier_weights,
+        quality_length_joint,
+    )
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta"),
+        (3, ""),
+        (4, "iota kappa " * 20),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    bw = 500
+    out = {(r["tok_bucket"], r["q_bucket"]): r["n_docs"]
+           for r in quality_length_joint(df, bucket_width_milli=bw).collect()}
+
+    w = classifier_weights(64, 7)
+    exp = {}
+    for _, text in docs:
+        tk = [t for t in text.strip().lower().split() if t]
+        grams = tk + [a + "\x01" + b for a, b in zip(tk, tk[1:])]
+        tb = max(len(tk).bit_length() - 1, 0)
+        if grams:
+            s = sum(
+                w[int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % 64]
+                for g in grams
+            )
+            qb = ((s + OFFSET_MILLI * len(grams)) // len(grams)) // bw
+        else:
+            qb = OFFSET_MILLI // bw
+        exp[(tb, qb)] = exp.get((tb, qb), 0) + 1
+    assert out == exp
