@@ -7001,6 +7001,192 @@ def _quality_joint_sql(bucket_width_milli: int = 500) -> str:
     """
 
 
+def _q_char_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source character-class composition (alpha/digit/ws/ctrl/other
+    + micro shares) — the cheap data-health dashboard that flags binary
+    spill and serial-number floods before any model-based score."""
+    from document_quality_assessment_ocr_spark.operators.textstats import (
+        char_class_profile,
+    )
+
+    return char_class_profile(_doc(spark, sf_dir))
+
+
+def _char_classes_sql() -> str:
+    """q181 oracle: the same length-minus-stripped counting idiom with
+    the SHARED class constants (WS, scrub.CONTROLS — \\x{..} escapes,
+    the cross-engine regex contract); DuckDB REGEXP_REPLACE takes an
+    explicit 'g' flag. Micro ratios after the per-source sums."""
+    from document_quality_assessment_ocr_spark.operators.scrub import CONTROLS
+
+    def cnt(cls: str) -> str:
+        return f"LENGTH(t) - LENGTH(REGEXP_REPLACE(t, '{cls}', '', 'g'))"
+
+    return f"""
+        WITH b AS (
+            SELECT COALESCE(source, '') AS source,
+                   CAST(LENGTH(t) AS BIGINT) AS tot,
+                   CAST({cnt('[a-zA-Z]')} AS BIGINT) AS alpha,
+                   CAST({cnt('[0-9]')} AS BIGINT) AS digit,
+                   CAST({cnt(WS)} AS BIGINT) AS ws,
+                   CAST({cnt(CONTROLS)} AS BIGINT) AS ctrl
+            FROM (SELECT source, COALESCE(text, '') AS t FROM documents)
+        ), s AS (
+            SELECT source,
+                   CAST(SUM(tot) AS BIGINT) AS total_chars,
+                   CAST(SUM(alpha) AS BIGINT) AS alpha,
+                   CAST(SUM(digit) AS BIGINT) AS digit,
+                   CAST(SUM(ws) AS BIGINT) AS ws,
+                   CAST(SUM(ctrl) AS BIGINT) AS ctrl
+            FROM b GROUP BY source
+        )
+        SELECT source, total_chars, alpha, digit, ws, ctrl,
+               CAST(total_chars - alpha - digit - ws - ctrl AS BIGINT)
+                   AS other,
+               CAST((alpha * 1000000) // GREATEST(total_chars, 1) AS BIGINT)
+                   AS alpha_micro,
+               CAST((digit * 1000000) // GREATEST(total_chars, 1) AS BIGINT)
+                   AS digit_micro,
+               CAST((ws * 1000000) // GREATEST(total_chars, 1) AS BIGINT)
+                   AS ws_micro,
+               CAST((ctrl * 1000000) // GREATEST(total_chars, 1) AS BIGINT)
+                   AS ctrl_micro
+        FROM s ORDER BY source
+    """
+
+
+def _q_anchor_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text diversity per target host — the link-farm texture
+    signal (organic inbound links vary their anchors; paid rings stamp
+    one string): distinct anchors / total links in fixed-point micro."""
+    from document_quality_assessment_ocr_spark.operators.html import (
+        anchor_diversity,
+        extract_links,
+    )
+    from document_quality_assessment_ocr_spark.operators.urls import parse_urls
+
+    d = _doc(spark, sf_dir)
+    parsed = parse_urls(
+        extract_links(_synth_html(d)).select(
+            "doc_id", F.col("href").alias("url"), "anchor_text"
+        ),
+        keep=("anchor_text",),
+    )
+    return anchor_diversity(parsed)
+
+
+def _anchor_diversity_sql() -> str:
+    """q182 oracle: the q127 anchor-threaded parse chain (extra param —
+    the twin of parse_urls' keep), the same (host, anchor) aggregate,
+    then the host rollup; `//` == Spark DIV on non-negative counts."""
+    from document_quality_assessment_ocr_spark.operators.html import ANCHOR_HREF
+
+    g2 = f"REGEXP_EXTRACT(ms[CAST(i AS INT)], '{ANCHOR_HREF}', 2)"
+    return _HTML_SYNTH_CTE + f""", mt AS (
+            SELECT doc_id,
+                   REGEXP_EXTRACT_ALL(COALESCE(html,''), '{ANCHOR_HREF}') AS ms
+            FROM d
+        ), ex AS (
+            SELECT doc_id, ms, UNNEST(RANGE(1, LEN(ms) + 1)) AS i FROM mt
+        ), lk AS (
+            SELECT doc_id,
+                   REGEXP_EXTRACT(ms[CAST(i AS INT)], '{ANCHOR_HREF}', 1) AS url,
+                   {_vis_sql(g2)} AS anchor_text
+            FROM ex
+        ), {_url_parse_ctes('lk', extra=', anchor_text')}, cnt AS (
+            SELECT host, anchor_text, CAST(COUNT(*) AS BIGINT) AS n
+            FROM parsed WHERE host <> '' AND anchor_text <> ''
+            GROUP BY host, anchor_text
+        )
+        SELECT host,
+               CAST(SUM(n) AS BIGINT) AS n_links,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST((COUNT(*) * 1000000) // GREATEST(SUM(n), 1) AS BIGINT)
+                   AS diversity_micro
+        FROM cnt GROUP BY host
+    """
+
+
+def _q_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-burst detector per event type: same user re-firing the
+    same type within 60 s — the retry-storm / at-least-once-replay
+    audit that keeps funnels and retention honest."""
+    from document_quality_assessment_ocr_spark.operators.sessions import (
+        event_bursts,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return event_bursts(ev, threshold_ms=60_000)
+
+
+def _event_bursts_sql(threshold_ms: int = 60_000) -> str:
+    """q183 oracle: the shared per-user (EPOCH_US, event_id) window with
+    TWO lags (time + type), burst = strictly-within-threshold AND
+    same-type; `//` == Spark DIV on the non-negative counts."""
+    thr_us = int(threshold_ms) * 1000
+    return f"""
+        WITH g AS (
+            SELECT COALESCE(event_type, '') AS event_type,
+                   EPOCH_US(ts) AS t,
+                   LAG(EPOCH_US(ts)) OVER w AS pt,
+                   LAG(event_type) OVER w AS pty
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY EPOCH_US(ts) ASC, event_id ASC)
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN pt IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_with_prev,
+               CAST(SUM(CASE WHEN pt IS NOT NULL AND t - pt < {thr_us}
+                                  AND COALESCE(pty, '') = event_type
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_bursts,
+               CAST((SUM(CASE WHEN pt IS NOT NULL AND t - pt < {thr_us}
+                                   AND COALESCE(pty, '') = event_type
+                              THEN 1 ELSE 0 END) * 1000000)
+                    // GREATEST(SUM(CASE WHEN pt IS NOT NULL THEN 1
+                                         ELSE 0 END), 1) AS BIGINT)
+                   AS burst_micro
+        FROM g GROUP BY event_type ORDER BY event_type
+    """
+
+
+def _q_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured property rollup: integer key 'k' pulled from the
+    JSON props payload per event type — the schema-drift check for
+    loosely-typed event pipelines."""
+    from document_quality_assessment_ocr_spark.operators.sessions import props_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return props_stats(ev, key="k")
+
+
+def _props_stats_sql(key: str = "k") -> str:
+    """q184 oracle: JSON_VALID-guarded JSON_EXTRACT_STRING + TRY_CAST —
+    the DuckDB spelling of Spark's NULL-on-failure get_json_object +
+    cast (DuckDB's raw extract ERRORS on malformed JSON; Spark never
+    does). Integer min/max/sum coalesced to 0 so an all-missing type
+    stays int64 end-to-end (the q41 dtype lesson)."""
+    return f"""
+        WITH v AS (
+            SELECT COALESCE(event_type, '') AS event_type,
+                   CASE WHEN JSON_VALID(COALESCE(props, ''))
+                        THEN TRY_CAST(JSON_EXTRACT_STRING(
+                                 COALESCE(props, ''), '$.{key}') AS BIGINT)
+                        ELSE NULL END AS val
+            FROM events
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_missing,
+               CAST(COALESCE(SUM(val), 0) AS BIGINT) AS sum_v,
+               CAST(COALESCE(MIN(val), 0) AS BIGINT) AS min_v,
+               CAST(COALESCE(MAX(val), 0) AS BIGINT) AS max_v
+        FROM v GROUP BY event_type ORDER BY event_type
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's CORRECTNESS gate checks
     the FIRST 50 entries in dict order.  Positions 1-50 therefore carry the
@@ -7201,6 +7387,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q178_source_overlap": _q_source_overlap,
         "q179_prefix_compression": _q_prefix_compression,
         "q180_quality_joint": _q_quality_joint,
+        "q181_char_classes": _q_char_classes,
+        "q182_anchor_diversity": _q_anchor_diversity,
+        "q183_event_bursts": _q_event_bursts,
+        "q184_props_stats": _q_props_stats,
     }
 
 
@@ -10031,6 +10221,10 @@ def oracle_sql() -> dict[str, str]:
         "q178_source_overlap": _source_overlap_sql(),
         "q179_prefix_compression": _prefix_compression_sql(),
         "q180_quality_joint": _quality_joint_sql(),
+        "q181_char_classes": _char_classes_sql(),
+        "q182_anchor_diversity": _anchor_diversity_sql(),
+        "q183_event_bursts": _event_bursts_sql(),
+        "q184_props_stats": _props_stats_sql(),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

@@ -327,3 +327,54 @@ def anchor_index(
         counts.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= F.lit(int(k)))
     )
+
+
+def anchor_diversity(
+    parsed_links: DataFrame,
+    host_col: str = "host",
+    anchor_col: str = "anchor_text",
+) -> DataFrame:
+    """Anchor-text diversity per target host — the link-farm TEXTURE
+    signal that complements :func:`anchor_index`'s top-k listing:
+    organic inbound links describe a site many different ways; paid
+    rings stamp the same anchor string on every link, so a host with
+    many links and few distinct anchors is the classic spam shape.
+
+    Same input contract as anchor_index (extract_links output joined
+    with parsed hosts, empty host/anchor rows dropped).
+    ``diversity_micro = n_distinct·1e6 DIV n_links`` — fixed-point,
+    low means stamped.
+
+    Plan: one (host, anchor) hash aggregate (map-side combine shrinks
+    the exchange to distinct pairs — per-host distinct anchors are
+    Zipf-bounded) + one host rollup over those pairs; the exact
+    distinct count is the row count of the first aggregate, never an
+    expand-based COUNT(DISTINCT) over raw links.
+
+    Output: (host, n_links, n_distinct, diversity_micro).
+    """
+    pairs = (
+        parsed_links.where(
+            (F.col(host_col) != "") & (F.col(anchor_col) != "")
+        )
+        .groupBy(
+            F.col(host_col).alias("host"),
+            F.col(anchor_col).alias("anchor_text"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return (
+        pairs.groupBy("host")
+        .agg(
+            F.sum("n").cast("long").alias("n_links"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        )
+        .select(
+            "host",
+            "n_links",
+            "n_distinct",
+            F.expr("(n_distinct * 1000000L) DIV greatest(n_links, 1L)")
+            .cast("long")
+            .alias("diversity_micro"),
+        )
+    )

@@ -285,3 +285,118 @@ def gap_histogram(
         )
         .orderBy("bucket")
     )
+
+
+def event_bursts(
+    events: DataFrame,
+    threshold_ms: int = 1000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Duplicate-burst detector per event type — the ingestion-health
+    audit that catches client retry storms and at-least-once replays
+    (the same user firing the same event type again within
+    ``threshold_ms``), which inflate every downstream funnel and
+    retention number if not caught here.
+
+    An event is a BURST if it has a predecessor in its user's stream
+    (any type) within strictly less than ``threshold_ms`` AND that
+    predecessor has the same event type. Timestamps compare in the
+    shared integer-microsecond contract; ordering ties break on
+    ``id_col``.
+
+    Scale shape: ONE per-user window (the q177 gap window — bounded by
+    a user's event count), one rollup keyed by event type. Rates in
+    integer micro over the events that HAVE a predecessor.
+
+    Output: (event_type, n_events, n_with_prev, n_bursts, burst_micro)
+    ordered by event_type.
+    """
+    if threshold_ms < 1:
+        raise ValueError("threshold_ms must be >= 1")
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    tus = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev_t = F.lag(tus).over(w)
+    prev_ty = F.lag(F.col(type_col)).over(w)
+    thr_us = int(threshold_ms) * 1000
+    base = events.select(
+        F.coalesce(F.col(type_col), F.lit("")).alias("event_type"),
+        prev_t.isNotNull().alias("_has_prev"),
+        (
+            prev_t.isNotNull()
+            & ((tus - prev_t) < F.lit(thr_us))
+            & (F.coalesce(prev_ty, F.lit("")) == F.coalesce(F.col(type_col), F.lit("")))
+        ).alias("_burst"),
+    )
+    return (
+        base.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("_has_prev").cast("long")).cast("long").alias("n_with_prev"),
+            F.sum(F.col("_burst").cast("long")).cast("long").alias("n_bursts"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_with_prev",
+            "n_bursts",
+            F.expr("(n_bursts * 1000000L) DIV greatest(n_with_prev, 1L)")
+            .cast("long")
+            .alias("burst_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def props_stats(
+    events: DataFrame,
+    key: str = "k",
+    type_col: str = "event_type",
+    props_col: str = "props",
+) -> DataFrame:
+    """Semi-structured property extraction + rollup — pull one integer
+    key out of the JSON ``props`` payload and profile it per event type
+    (the "is the client still sending the field, and is its range
+    sane" schema-drift check for loosely-typed event pipelines).
+
+    Extraction is the engine-native JSON path on both sides —
+    ``get_json_object(props, '$.key')`` (Spark) / ``JSON_EXTRACT_STRING``
+    (DuckDB) — then a NULL-on-failure integer cast (Spark CAST ==
+    DuckDB TRY_CAST), so malformed payloads and missing keys count in
+    ``n_missing`` instead of poisoning the rollup. Integer min/max/sum
+    are exact cross-engine; no float crosses the oracle boundary.
+
+    Scale shape: one map-side projection (JSON path evaluation never
+    shuffles) + ONE aggregate keyed by event type.
+
+    Output: (event_type, n_events, n_missing, sum_v, min_v, max_v)
+    ordered by event_type.
+    """
+    # try_cast, not cast: ANSI mode (Spark 4 default) makes a plain cast
+    # THROW on a non-integer value — NULL-on-failure is this operator's
+    # whole contract (it mirrors the oracle's TRY_CAST)
+    v = F.get_json_object(
+        F.coalesce(F.col(props_col), F.lit("")), f"$.{key}"
+    ).try_cast("long")
+    base = events.select(
+        F.coalesce(F.col(type_col), F.lit("")).alias("event_type"),
+        v.alias("_v"),
+    )
+    return (
+        base.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("_v").isNull().cast("long")).cast("long").alias("n_missing"),
+            F.coalesce(F.sum("_v"), F.lit(0)).cast("long").alias("sum_v"),
+            # coalesce to 0 so an all-missing type stays int64 end-to-end
+            # (a NULL would float64-ify the pandas column — the q41 dtype
+            # lesson); n_missing == n_events disambiguates the sentinel
+            F.coalesce(F.min("_v"), F.lit(0)).cast("long").alias("min_v"),
+            F.coalesce(F.max("_v"), F.lit(0)).cast("long").alias("max_v"),
+        )
+        .orderBy("event_type")
+    )

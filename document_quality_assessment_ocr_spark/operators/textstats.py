@@ -827,3 +827,72 @@ def pmi_collocations(
         F.col("t.pmi_bits").alias("pmi_bits"),
         (F.col("i") + 1).cast("int").alias("rank"),
     )
+
+
+def char_class_profile(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source character-class composition — the cheap data-health
+    dashboard (a source whose digit or control share jumps between
+    snapshots is emitting serial numbers, minified blobs, or binary
+    spill, long before any model-based quality score notices).
+
+    Counting idiom: ``length(s) − length(regexp_replace(s, class, ''))``
+    — pure codegen, no explode, one pass per class over the same string.
+    Classes are ASCII-explicit (alpha, digit, whitespace via the shared
+    WS_CLASS, control via the shared ``scrub.CONTROLS`` \\x{..}-escape
+    class — the cross-engine regex contract; never fork it); ``other``
+    is the arithmetic remainder so the four shares sum to the total by
+    construction. Ratios in integer micro
+    (``cnt·1e6 DIV max(total,1)``) computed AFTER the per-source sums —
+    one rollup, exact on both engines.
+
+    Scale shape: one map-side projection + ONE aggregate keyed by
+    source (|sources| rows out).
+
+    Output: (source, total_chars, alpha, digit, ws, ctrl, other,
+    alpha_micro, digit_micro, ws_micro, ctrl_micro) ordered by source.
+    """
+    from .scrub import CONTROLS
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+
+    def cnt(cls: str) -> Column:
+        return (
+            F.length(t) - F.length(F.regexp_replace(t, cls, ""))
+        ).cast("long")
+
+    base = docs.select(
+        F.coalesce(F.col(group_col), F.lit("")).alias("source"),
+        F.length(t).cast("long").alias("_tot"),
+        cnt("[a-zA-Z]").alias("_alpha"),
+        cnt("[0-9]").alias("_digit"),
+        cnt(WS_CLASS).alias("_ws"),
+        cnt(CONTROLS).alias("_ctrl"),
+    )
+    agg = base.groupBy("source").agg(
+        F.sum("_tot").cast("long").alias("total_chars"),
+        F.sum("_alpha").cast("long").alias("alpha"),
+        F.sum("_digit").cast("long").alias("digit"),
+        F.sum("_ws").cast("long").alias("ws"),
+        F.sum("_ctrl").cast("long").alias("ctrl"),
+    )
+    micro = "({c} * 1000000L) DIV greatest(total_chars, 1L)"
+    return agg.select(
+        "source",
+        "total_chars",
+        "alpha",
+        "digit",
+        "ws",
+        "ctrl",
+        (
+            F.col("total_chars") - F.col("alpha") - F.col("digit")
+            - F.col("ws") - F.col("ctrl")
+        ).cast("long").alias("other"),
+        F.expr(micro.format(c="alpha")).cast("long").alias("alpha_micro"),
+        F.expr(micro.format(c="digit")).cast("long").alias("digit_micro"),
+        F.expr(micro.format(c="ws")).cast("long").alias("ws_micro"),
+        F.expr(micro.format(c="ctrl")).cast("long").alias("ctrl_micro"),
+    ).orderBy("source")

@@ -3621,3 +3621,140 @@ def test_quality_length_joint_python_replay(spark):
             qb = OFFSET_MILLI // bw
         exp[(tb, qb)] = exp.get((tb, qb), 0) + 1
     assert out == exp
+
+
+def test_char_class_profile_python_replay(spark):
+    """Char-class composition replayed by brute force: disjoint
+    alpha/digit/ws/ctrl classes, 'other' is the remainder, micro ratios
+    after the per-source sums."""
+    from document_quality_assessment_ocr_spark.operators.textstats import (
+        char_class_profile,
+    )
+
+    docs = [
+        (1, "a", "Hello 123 world!"),
+        (2, "a", "tabs\tand\nnewlines\x07bell"),
+        (3, "b", "!!!???"),
+        (4, "b", None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in char_class_profile(df).collect()}
+
+    import string
+    ws = set(" \t\n\r\f\x0b")
+    ctrl = {chr(c) for c in range(0x00, 0x09)} | {chr(c) for c in range(0x0E, 0x20)} | {"\x7f"}
+    by_src = {}
+    for _, s, t in docs:
+        by_src.setdefault(s, []).append(t or "")
+    for s, texts in by_src.items():
+        text = "".join(texts)
+        alpha = sum(1 for c in text if c.isascii() and c.isalpha())
+        digit = sum(1 for c in text if c in string.digits)
+        w = sum(1 for c in text if c in ws)
+        c = sum(1 for c in text if c in ctrl)
+        r = out[s]
+        assert (r["total_chars"], r["alpha"], r["digit"], r["ws"], r["ctrl"]) == (
+            len(text), alpha, digit, w, c
+        ), s
+        assert r["other"] == len(text) - alpha - digit - w - c
+        assert r["alpha_micro"] == alpha * 1_000_000 // max(len(text), 1)
+    # the bell char landed in ctrl, not other
+    assert out["a"]["ctrl"] == 1
+
+
+def test_anchor_diversity_python_replay(spark):
+    """Anchor diversity replayed by brute force: stamped anchors read
+    low diversity, varied anchors read high; empty host/anchor rows
+    drop."""
+    from document_quality_assessment_ocr_spark.operators.html import (
+        anchor_diversity,
+    )
+
+    rows = [
+        ("spam.net", "cheap pills"), ("spam.net", "cheap pills"),
+        ("spam.net", "cheap pills"), ("spam.net", "cheap pills"),
+        ("ok.org", "great article"), ("ok.org", "the source"),
+        ("ok.org", "this analysis"),
+        ("", "dropped"), ("x.com", ""),
+    ]
+    df = spark.createDataFrame(rows, "host string, anchor_text string")
+    out = {r["host"]: r for r in anchor_diversity(df).collect()}
+
+    assert set(out) == {"spam.net", "ok.org"}
+    assert (out["spam.net"]["n_links"], out["spam.net"]["n_distinct"]) == (4, 1)
+    assert out["spam.net"]["diversity_micro"] == 1_000_000 // 4
+    assert (out["ok.org"]["n_links"], out["ok.org"]["n_distinct"]) == (3, 3)
+    assert out["ok.org"]["diversity_micro"] == 1_000_000
+
+
+def test_event_bursts_python_replay(spark):
+    """Burst detector replayed by brute force: strictly-within-threshold
+    same-type re-fires count, cross-type near events do not, first
+    events have no predecessor."""
+    from datetime import datetime
+
+    from document_quality_assessment_ocr_spark.operators.sessions import (
+        event_bursts,
+    )
+
+    def at(ms):
+        return datetime(2024, 1, 1, 0, 0, ms // 1000, (ms % 1000) * 1000)
+
+    rows = [
+        (1, 1, at(0), "click"),
+        (2, 1, at(500), "click"),      # burst (same type, 500ms)
+        (3, 1, at(600), "view"),       # near but cross-type → no burst
+        (4, 1, at(5000), "view"),      # 4400ms > 1000 → no burst
+        (5, 2, at(0), "click"),        # first for user 2 → no prev
+        (6, 2, at(999), "click"),      # burst (strictly < 1000)
+        (7, 2, at(1999), "click"),     # exactly 1000 → NOT a burst
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {r["event_type"]: r for r in
+           event_bursts(df, threshold_ms=1000).collect()}
+
+    ck = out["click"]
+    assert (ck["n_events"], ck["n_with_prev"], ck["n_bursts"]) == (5, 3, 2)
+    assert ck["burst_micro"] == 2 * 1_000_000 // 3
+    vw = out["view"]
+    assert (vw["n_events"], vw["n_with_prev"], vw["n_bursts"]) == (2, 2, 0)
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        event_bursts(df, threshold_ms=0)
+
+
+def test_props_stats_python_replay(spark):
+    """JSON props rollup replayed by brute force: missing keys,
+    malformed payloads and non-integer values count as missing; integer
+    stats are exact; all-missing types stay int64 with 0 sentinels."""
+    from datetime import datetime
+
+    from document_quality_assessment_ocr_spark.operators.sessions import (
+        props_stats,
+    )
+
+    t = datetime(2024, 1, 1)
+    rows = [
+        (1, 1, t, "click", '{"k": 5}'),
+        (2, 1, t, "click", '{"k": -3}'),
+        (3, 1, t, "click", '{"other": 1}'),   # missing key
+        (4, 1, t, "view", "not json"),         # malformed
+        (5, 1, t, "view", None),               # null props
+        (6, 1, t, "view", '{"k": "abc"}'),     # non-integer value
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " props string",
+    )
+    out = {r["event_type"]: r for r in props_stats(df, key="k").collect()}
+
+    ck = out["click"]
+    assert (ck["n_events"], ck["n_missing"], ck["sum_v"], ck["min_v"],
+            ck["max_v"]) == (3, 1, 2, -3, 5)
+    vw = out["view"]
+    assert (vw["n_events"], vw["n_missing"]) == (3, 3)
+    assert (vw["sum_v"], vw["min_v"], vw["max_v"]) == (0, 0, 0)
