@@ -7187,6 +7187,206 @@ def _props_stats_sql(key: str = "k") -> str:
     """
 
 
+def _q_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash reshard movement matrix for growing 8 → 9 shards:
+    under HRW only ~1/9 of keys move (vs ~100% under hash-mod) — this
+    computes the exact (from, to) matrix so the re-shard network bill is
+    known before it is paid."""
+    from document_quality_assessment_ocr_spark.operators.compaction import (
+        rendezvous_reshard,
+    )
+
+    d = _doc(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"))
+    return rendezvous_reshard(d, n_old=8, n_new=9)
+
+
+def _rendezvous_sql(n_old: int = 8, n_new: int = 9, salt: str = "rv") -> str:
+    """q185 oracle: the SAME per-shard ``md5hex || '|' || shard`` strings
+    (md5 hex is 32 fixed lowercase chars — lexicographic GREATEST decides
+    on the hash, the q160 sortable-key idiom) and the winner's suffix
+    parsed from position 34."""
+
+    def pick(n: int) -> str:
+        keys = ", ".join(
+            f"MD5(CAST(doc_id AS VARCHAR) || '|{salt}{s}') || '|' || '{s}'"
+            for s in range(int(n))
+        )
+        expr = keys if int(n) == 1 else f"GREATEST({keys})"
+        return f"CAST(SUBSTR({expr}, 34, 20) AS BIGINT)"
+
+    return f"""
+        WITH b AS (
+            SELECT {pick(n_old)} AS from_shard,
+                   {pick(n_new)} AS to_shard
+            FROM documents
+        )
+        SELECT from_shard, to_shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               from_shard <> to_shard AS moved
+        FROM b GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+def _q_dup_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wedge closure (global clustering coefficient) of the q10
+    MinHash-LSH near-dup pair graph — the transitivity audit: chains
+    without triangles mean the banding emits A~B~C without A~C (bands
+    too coarse); a healthy dup graph is triangle-dense."""
+    from document_quality_assessment_ocr_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from document_quality_assessment_ocr_spark.operators.graph import wedge_closure
+
+    pairs = minhash_lsh_pairs(
+        _doc(spark, sf_dir).select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        ),
+        n_hashes=8,
+        bands=4,
+    )
+    return wedge_closure(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+
+
+def _dup_closure_sql() -> str:
+    """q186 oracle: the q10 sig/bands/pairs chain, then the q160
+    degree-orientation triangle pattern over the pair graph (pairs are
+    already canonical id_a < id_b), rolled up to the one-row closure.
+    Multi-referenced CTEs are MATERIALIZED (the q149 inlining lesson);
+    integer wedge arithmetic is exact (`deg·(deg−1)` is even)."""
+    return _minhash_sql(8) + """
+            , bands AS (
+                SELECT doc_id, 0 AS band, MD5(CONCAT_WS('#', h00, h01)) AS key FROM sig
+                UNION ALL SELECT doc_id, 1, MD5(CONCAT_WS('#', h02, h03)) FROM sig
+                UNION ALL SELECT doc_id, 2, MD5(CONCAT_WS('#', h04, h05)) FROM sig
+                UNION ALL SELECT doc_id, 3, MD5(CONCAT_WS('#', h06, h07)) FROM sig
+            ), und AS MATERIALIZED (
+                SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            ), dg AS (
+                SELECT id, CAST(COUNT(*) AS BIGINT) AS degree
+                FROM (SELECT u AS id FROM und UNION ALL SELECT v FROM und)
+                GROUP BY id
+            ), keyed AS MATERIALIZED (
+                SELECT id, degree,
+                       LPAD(CAST(degree AS VARCHAR), 20, '0') || '|'
+                           || CAST(id AS VARCHAR) AS k
+                FROM dg
+            ), ork AS MATERIALIZED (
+                SELECT CASE WHEN ku.k < kv.k THEN ku.k ELSE kv.k END AS ks,
+                       CASE WHEN ku.k < kv.k THEN kv.k ELSE ku.k END AS kd
+                FROM und
+                JOIN keyed ku ON ku.id = und.u
+                JOIN keyed kv ON kv.id = und.v
+            ), tri AS MATERIALIZED (
+                SELECT w1.ks AS a, w1.kd AS b, w2.kd AS c
+                FROM ork w1
+                JOIN ork w2 ON w1.ks = w2.ks AND w1.kd < w2.kd
+                JOIN ork e ON e.ks = w1.kd AND e.kd = w2.kd
+            ), corners AS (
+                SELECT k, CAST(COUNT(*) AS BIGINT) AS tri
+                FROM (SELECT a AS k FROM tri
+                      UNION ALL SELECT b FROM tri
+                      UNION ALL SELECT c FROM tri)
+                GROUP BY k
+            ), fin AS (
+                SELECT keyed.degree AS degree,
+                       COALESCE(corners.tri, 0) AS tri
+                FROM keyed LEFT JOIN corners ON corners.k = keyed.k
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                   CAST(SUM(degree) // 2 AS BIGINT) AS n_edges,
+                   CAST(SUM((degree * (degree - 1)) // 2) AS BIGINT) AS wedges,
+                   CAST(SUM(tri) AS BIGINT) AS closed,
+                   CAST((SUM(tri) * 1000000)
+                        // GREATEST(SUM((degree * (degree - 1)) // 2), 1)
+                        AS BIGINT) AS closure_micro
+            FROM fin
+    """
+
+
+def _q_url_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host URL shape profile over the outlink store: path depth ×
+    file extension counts — the crawler-trap / binary-drift dashboard."""
+    from document_quality_assessment_ocr_spark.operators.html import extract_links
+    from document_quality_assessment_ocr_spark.operators.urls import (
+        parse_urls,
+        url_depth_profile,
+    )
+
+    d = _doc(spark, sf_dir)
+    parsed = parse_urls(
+        extract_links(_synth_html(d)).select(
+            "doc_id", F.col("href").alias("url")
+        )
+    )
+    return url_depth_profile(parsed)
+
+
+def _url_depth_sql() -> str:
+    """q187 oracle: the shared outlink parse chain (tparsed carries the
+    normalized path), the length-minus-stripped '/' depth count and the
+    shared extension regex with explicit 'g'-less single extract."""
+    return _host_graph_ctes() + r""", pp AS (
+            SELECT host, COALESCE(path, '/') AS p
+            FROM tparsed WHERE host <> ''
+        )
+        SELECT host,
+               CAST(LENGTH(p) - LENGTH(REPLACE(p, '/', '')) AS BIGINT)
+                   AS depth,
+               LOWER(REGEXP_EXTRACT(p, '\.([A-Za-z0-9]{1,5})$', 1)) AS ext,
+               CAST(COUNT(*) AS BIGINT) AS n_urls
+        FROM pp GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """
+
+
+def _q_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop reach per host over the link graph (hub-capped wedge
+    join) — the crawl-frontier expansion estimate: how many new hosts a
+    one-hop-deeper crawl from each seed would reach."""
+    from document_quality_assessment_ocr_spark.operators.graph import two_hop_reach
+
+    return two_hop_reach(_host_edges(spark, sf_dir), max_mid_degree=64).select(
+        F.col("id").alias("host"), "deg", "n_2hop"
+    )
+
+
+def _two_hop_sql(max_mid_degree: int = 64) -> str:
+    """q188 oracle: canonical undirected edges symmetrized, the SAME
+    hub-capped wedge join (mids filtered by degree ≤ cap), distinct
+    union of 1-hop and 2-hop reach; multi-referenced CTEs MATERIALIZED."""
+    return _host_graph_ctes() + f""", und AS MATERIALIZED (
+            SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+            FROM edges WHERE src <> dst
+        ), sym AS MATERIALIZED (
+            SELECT u AS s, v AS d FROM und
+            UNION ALL SELECT v, u FROM und
+        ), dg AS MATERIALIZED (
+            SELECT s AS id, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM sym GROUP BY 1
+        ), mids AS MATERIALIZED (
+            SELECT id AS m FROM dg WHERE deg <= {int(max_mid_degree)}
+        ), two AS (
+            SELECT e1.s AS s, e2.d AS r
+            FROM sym e1
+            JOIN mids ON mids.m = e1.d
+            JOIN sym e2 ON e2.s = e1.d
+            WHERE e1.s <> e2.d
+        ), reach AS (
+            SELECT s, CAST(COUNT(*) AS BIGINT) AS n_2hop
+            FROM (SELECT DISTINCT s, r
+                  FROM (SELECT s, d AS r FROM sym UNION ALL
+                        SELECT s, r FROM two))
+            GROUP BY s
+        )
+        SELECT dg.id AS host, dg.deg,
+               CAST(COALESCE(reach.n_2hop, 0) AS BIGINT) AS n_2hop
+        FROM dg LEFT JOIN reach ON reach.s = dg.id
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's CORRECTNESS gate checks
     the FIRST 50 entries in dict order.  Positions 1-50 therefore carry the
@@ -7391,6 +7591,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q182_anchor_diversity": _q_anchor_diversity,
         "q183_event_bursts": _q_event_bursts,
         "q184_props_stats": _q_props_stats,
+        "q185_rendezvous": _q_rendezvous,
+        "q186_dup_closure": _q_dup_closure,
+        "q187_url_depth": _q_url_depth,
+        "q188_two_hop": _q_two_hop,
     }
 
 
@@ -10225,6 +10429,10 @@ def oracle_sql() -> dict[str, str]:
         "q182_anchor_diversity": _anchor_diversity_sql(),
         "q183_event_bursts": _event_bursts_sql(),
         "q184_props_stats": _props_stats_sql(),
+        "q185_rendezvous": _rendezvous_sql(),
+        "q186_dup_closure": _dup_closure_sql(),
+        "q187_url_depth": _url_depth_sql(),
+        "q188_two_hop": _two_hop_sql(),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

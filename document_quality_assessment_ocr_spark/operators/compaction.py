@@ -61,3 +61,70 @@ def compaction_summary(plan: DataFrame) -> DataFrame:
         F.sum("size_bytes").cast("long").alias("total_bytes"),
         F.min("start_byte").cast("long").alias("group_start"),
     )
+
+
+def rendezvous_reshard(
+    docs: DataFrame,
+    n_old: int = 8,
+    n_new: int = 9,
+    id_col: str = "doc_id",
+    salt: str = "rv",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) reshard movement matrix — the
+    placement planner consulted before growing a sharded store: under
+    HRW hashing, growing ``n_old`` → ``n_new`` shards moves only
+    ~1/n_new of the keys (each key moves iff the NEW shard wins its
+    rendezvous), versus ~100% under naive ``hash % n``. This operator
+    computes the exact (from_shard, to_shard) movement matrix so the
+    re-shard's network bill is known before it is paid.
+
+    A key's shard is ``argmax over s of md5(id || '|salt' || s)`` — the
+    winner is picked by GREATEST over per-shard strings
+    ``md5hex || '|' || shard`` (md5 hex is fixed 32 lowercase chars, so
+    lexicographic compare decides on the hash and the shard suffix is
+    carried, the q160 sortable-key idiom; both engines share the exact
+    string). Ties are impossible in practice and still deterministic
+    (shard digits break them).
+
+    Scale shape: pure map-side projection (``2·n`` literal md5
+    expressions per row, zero explode, zero shuffle) + ONE aggregate on
+    the ≤ ``n_old·n_new`` cell grid.
+
+    Output: (from_shard, to_shard, n_docs, moved) ordered by
+    (from_shard, to_shard).
+    """
+    if not (1 <= n_old and 1 <= n_new):
+        raise ValueError("shard counts must be >= 1")
+
+    def pick(n: int) -> F.Column:
+        keys = [
+            F.concat_ws(
+                "|",
+                F.md5(
+                    F.concat(
+                        F.col(id_col).cast("string"),
+                        F.lit(f"|{salt}{s}"),
+                    )
+                ),
+                F.lit(str(s)),
+            )
+            for s in range(int(n))
+        ]
+        win = keys[0] if len(keys) == 1 else F.greatest(*keys)
+        return F.substring(win, 34, 20).cast("long")
+
+    base = docs.select(
+        pick(int(n_old)).alias("from_shard"),
+        pick(int(n_new)).alias("to_shard"),
+    )
+    return (
+        base.groupBy("from_shard", "to_shard")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .select(
+            "from_shard",
+            "to_shard",
+            "n_docs",
+            (F.col("from_shard") != F.col("to_shard")).alias("moved"),
+        )
+        .orderBy("from_shard", "to_shard")
+    )

@@ -507,3 +507,111 @@ def degree_histogram(
         )
         .orderBy("bucket")
     )
+
+
+def two_hop_reach(
+    edges: DataFrame,
+    max_mid_degree: int = 64,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Two-hop neighborhood size per node — the crawl-frontier expansion
+    estimate (how many NEW hosts a one-hop-deeper crawl from each seed
+    would reach) and the friends-of-friends fan-out audit.
+
+    ``n_2hop`` counts distinct nodes reachable in ≤ 2 hops over the
+    undirected unique-edge graph, excluding the node itself. HUB CAP
+    (the scale contract): only nodes with degree ≤ ``max_mid_degree``
+    relay paths as the MIDDLE node — an uncapped wedge join is
+    O(Σ deg²), and one 10⁶-degree hub alone would emit 10¹² pairs; the
+    cap bounds per-mid fan-out at cap² while endpoints of any degree
+    still get counted (their own neighbors are never capped). Real
+    deployments sweep the cap like a quantile knob; reach through
+    super-hubs is deliberately NOT estimated (it approaches |V| and
+    says nothing about the frontier).
+
+    Shape: one canonical-undirected collapse, one degree aggregate, one
+    wedge equi-join through capped mids, a distinct on (src, reached),
+    one count per node. No iteration.
+
+    Output: (id, deg, n_2hop) — every node of the graph, n_2hop ≥ deg
+    is NOT guaranteed (capped mids can hide 2-hop-only nodes, never
+    1-hop ones).
+    """
+    if max_mid_degree < 1:
+        raise ValueError("max_mid_degree must be >= 1")
+    a, b = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.where(a != b)
+        .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .distinct()
+    )
+    sym = und.unionAll(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).select(F.col("u").alias("s"), F.col("v").alias("d"))
+    deg = sym.groupBy(F.col("s").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    mids = deg.where(F.col("deg") <= F.lit(int(max_mid_degree))).select(
+        F.col("id").alias("m")
+    )
+    e1 = sym.select(F.col("s"), F.col("d").alias("m"))
+    e2 = sym.select(F.col("s").alias("m"), F.col("d").alias("r"))
+    two = (
+        e1.join(mids, "m", "left_semi")
+        .join(e2, "m")
+        .where(F.col("s") != F.col("r"))
+        .select("s", "r")
+    )
+    reach = (
+        sym.select("s", F.col("d").alias("r"))
+        .unionAll(two)
+        .distinct()
+        .groupBy(F.col("s").alias("id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_2hop"))
+    )
+    return deg.join(reach, "id", "left").select(
+        "id",
+        "deg",
+        F.coalesce("n_2hop", F.lit(0)).cast("long").alias("n_2hop"),
+    )
+
+
+def wedge_closure(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Global clustering coefficient (wedge closure) of the undirected
+    unique-edge graph, in fixed-point micro — the one-number transitivity
+    audit: on a near-duplicate pair graph, low closure means the banding
+    is producing chains (A~B~C but not A~C — verify-threshold too loose
+    or bands too coarse); a healthy dup graph is triangle-dense because
+    near-duplication is (approximately) transitive.
+
+    closure = closed wedges / all wedges = 3·triangles / Σ deg·(deg−1)/2.
+    Everything derives from :func:`triangle_count`'s (id, degree, tri)
+    in one rollup: ``closed = Σ tri`` (each triangle counted at its 3
+    corners — exactly the closed-wedge count), ``wedges =
+    Σ deg·(deg−1) DIV 2`` (the product is even, so the truncating DIV is
+    exact), ``n_edges = Σ deg DIV 2``. All integers; closure in micro.
+
+    Output: ONE row (n_nodes, n_edges, wedges, closed, closure_micro).
+    """
+    tc = triangle_count(edges, src_col=src_col, dst_col=dst_col)
+    return tc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.expr("SUM(degree) DIV 2").cast("long").alias("n_edges"),
+        F.sum(F.expr("(degree * (degree - 1)) DIV 2"))
+        .cast("long")
+        .alias("wedges"),
+        F.sum("tri").cast("long").alias("closed"),
+    ).select(
+        "n_nodes",
+        "n_edges",
+        "wedges",
+        "closed",
+        F.expr("(closed * 1000000L) DIV greatest(wedges, 1L)")
+        .cast("long")
+        .alias("closure_micro"),
+    )

@@ -312,3 +312,43 @@ def prefix_compression_profile(
             .alias("saved_micro"),
         )
     )
+
+
+def url_depth_profile(
+    urls: DataFrame,
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """Per-host URL shape profile — path depth × file extension counts,
+    the crawl-sanity dashboard (a host whose depth histogram suddenly
+    grows a deep tail is a crawler trap / calendar spider; an extension
+    mix shifting to binaries means the crawl left the HTML zone).
+
+    Depth = number of '/' separators in the normalized path (parse_urls
+    guarantees a leading '/', no trailing '/', so '/' is depth 1 — the
+    root); counted by the shared length-minus-stripped idiom.
+    Extension = the final '.suffix' of the last segment ([a-z0-9]{1,5},
+    case-normalized), '' when none — the cross-engine regex contract.
+
+    Scale shape: one map-side projection + ONE aggregate on the
+    (host, depth, ext) grid — bounded by hosts × ~dozen depths × a few
+    extensions, never URL count.
+
+    Output: (host, depth, ext, n_urls) ordered by (host, depth, ext).
+    """
+    p = F.coalesce(F.col(path_col), F.lit("/"))
+    depth = (
+        F.length(p) - F.length(F.regexp_replace(p, "/", ""))
+    ).cast("long")
+    ext = F.lower(F.regexp_extract(p, r"\.([A-Za-z0-9]{1,5})$", 1))
+    return (
+        urls.where(F.col(host_col) != "")
+        .select(
+            F.col(host_col).alias("host"),
+            depth.alias("depth"),
+            ext.alias("ext"),
+        )
+        .groupBy("host", "depth", "ext")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_urls"))
+        .orderBy("host", "depth", "ext")
+    )

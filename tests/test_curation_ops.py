@@ -3758,3 +3758,135 @@ def test_props_stats_python_replay(spark):
     vw = out["view"]
     assert (vw["n_events"], vw["n_missing"]) == (3, 3)
     assert (vw["sum_v"], vw["min_v"], vw["max_v"]) == (0, 0, 0)
+
+
+def test_rendezvous_reshard_python_replay(spark):
+    """HRW reshard matrix replayed in pure python (same md5 strings):
+    every key lands in exactly one (from, to) cell, movement only to the
+    NEW shard, moved fraction near 1/n_new."""
+    import hashlib
+
+    from document_quality_assessment_ocr_spark.operators.compaction import (
+        rendezvous_reshard,
+    )
+
+    ids = list(range(300))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = {(r["from_shard"], r["to_shard"]): r
+           for r in rendezvous_reshard(df, n_old=8, n_new=9).collect()}
+
+    def pick(i, n):
+        return max(
+            (hashlib.md5(f"{i}|rv{s}".encode()).hexdigest() + "|" + str(s), s)
+            for s in range(n)
+        )[1]
+
+    exp = {}
+    for i in ids:
+        cell = (pick(i, 8), pick(i, 9))
+        exp[cell] = exp.get(cell, 0) + 1
+    assert {k: v["n_docs"] for k, v in out.items()} == exp
+    # HRW property: a key moves ONLY to the newly added shard
+    for (f, t), r in out.items():
+        assert r["moved"] == (f != t)
+        if f != t:
+            assert t == 8  # the new shard's index
+    moved = sum(v for (f, t), v in exp.items() if f != t)
+    assert 0 < moved < len(ids) // 4  # ~1/9, certainly far below 25%
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        rendezvous_reshard(df, n_old=0)
+
+
+def test_wedge_closure_python_replay(spark):
+    """Wedge closure on known graphs: a triangle closes fully (1e6), a
+    star closes 0, a triangle+pendant gives the textbook ratio."""
+    from document_quality_assessment_ocr_spark.operators.graph import wedge_closure
+
+    def run(raw):
+        df = spark.createDataFrame(raw, "src string, dst string")
+        return wedge_closure(df).collect()[0]
+
+    r = run([("a", "b"), ("b", "c"), ("c", "a")])
+    assert (r["n_nodes"], r["n_edges"], r["wedges"], r["closed"]) == (3, 3, 3, 3)
+    assert r["closure_micro"] == 1_000_000
+
+    r = run([("h", "x"), ("h", "y"), ("h", "z")])
+    assert (r["wedges"], r["closed"], r["closure_micro"]) == (3, 0, 0)
+
+    # triangle + pendant d off c: wedges = 1+1+3+0 = 5 (c has deg 3), closed = 3
+    r = run([("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")])
+    assert (r["wedges"], r["closed"]) == (5, 3)
+    assert r["closure_micro"] == 3 * 1_000_000 // 5
+
+
+def test_url_depth_profile_python_replay(spark):
+    """Depth × extension profile replayed by brute force on normalized
+    paths: root is depth 1, extensions lowercase, no-extension rows read
+    ''."""
+    from document_quality_assessment_ocr_spark.operators.urls import (
+        url_depth_profile,
+    )
+
+    rows = [
+        ("h", "/"), ("h", "/a"), ("h", "/a/b"), ("h", "/a/b"),
+        ("h", "/img/Photo.JPG"), ("h", "/deep/a/b/c/file.pdf"),
+        ("", "/dropped"),
+    ]
+    df = spark.createDataFrame(rows, "host string, path string")
+    out = {(r["host"], r["depth"], r["ext"]): r["n_urls"]
+           for r in url_depth_profile(df).collect()}
+
+    exp = {}
+    import re
+    for h, p in rows:
+        if h == "":
+            continue
+        d = p.count("/")
+        m = re.search(r"\.([A-Za-z0-9]{1,5})$", p)
+        e = m.group(1).lower() if m else ""
+        exp[(h, d, e)] = exp.get((h, d, e), 0) + 1
+    assert out == exp
+    assert out[("h", 2, "jpg")] == 1 and out[("h", 5, "pdf")] == 1
+
+
+def test_two_hop_reach_python_replay(spark):
+    """Two-hop reach replayed by brute force, including the hub cap:
+    neighbors always count; 2-hop-only nodes count iff their middle
+    node's degree is within the cap."""
+    from document_quality_assessment_ocr_spark.operators.graph import two_hop_reach
+
+    # path a-b-c-d plus hub h connected to many leaves and to a
+    raw = [("a", "b"), ("b", "c"), ("c", "d"), ("h", "a")] + [
+        ("h", f"l{i}") for i in range(5)
+    ]
+    df = spark.createDataFrame(raw, "src string, dst string")
+
+    def replay(cap):
+        e = {tuple(sorted(p)) for p in raw}
+        adj = {}
+        for u, v in e:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        out = {}
+        for n in adj:
+            reach = set(adj[n])
+            for m in adj[n]:
+                if len(adj[m]) <= cap:
+                    reach |= adj[m] - {n}
+            out[n] = (len(adj[n]), len(reach))
+        return out
+
+    for cap in (64, 2):
+        got = {r["id"]: (r["deg"], r["n_2hop"])
+               for r in two_hop_reach(df, max_mid_degree=cap).collect()}
+        assert got == replay(cap), cap
+    # with cap=2 the hub (deg 6) relays nothing: b sees {a,c,d} ∪ via a {h}
+    got2 = {r["id"]: r["n_2hop"] for r in two_hop_reach(df, max_mid_degree=2).collect()}
+    assert got2["b"] == 4          # a, c, d, h — a (deg 2) still relays h
+    assert got2["l0"] == 1         # hub capped: leaf sees only the hub
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        two_hop_reach(df, max_mid_degree=0)
