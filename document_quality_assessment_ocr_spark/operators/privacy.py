@@ -59,3 +59,48 @@ def k_anonymize(
         F.col("group_size"),
         suppressed.alias("suppressed"),
     )
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    k: int = 5,
+    l: int = 2,
+) -> DataFrame:
+    """l-diversity audit per quasi-identifier cohort — the companion
+    metric :func:`k_anonymize` alone misses: a cohort can be large
+    (k-anonymous) yet carry ONE sensitive value, so membership still
+    discloses it (Machanavajjhala et al. 2007). ``l_distinct`` counts
+    distinct sensitive values per cohort; a release needs both
+    ``k_ok`` (size ≥ k) and ``l_ok`` (diversity ≥ l).
+
+    Same NULL contract as k_anonymize: quasi AND sensitive values
+    coalesce to '' before grouping (NULL == empty, anonymity-safe).
+
+    Scale shape: one hash aggregate on the quasi key with an exact
+    COUNT(DISTINCT sensitive) — per-cohort distinct cardinality is
+    bounded by the sensitive domain, not the corpus; cohorts are the
+    natural broadcast side for gating the release.
+
+    Output: (<quasi cols>, group_size, l_distinct, k_ok, l_ok) ordered
+    by the quasi columns.
+    """
+    qs = [F.coalesce(F.col(c), F.lit("")).alias(c) for c in quasi_cols]
+    s = F.coalesce(F.col(sensitive_col).cast("string"), F.lit(""))
+    base = df.select(*qs, s.alias("_s"))
+    return (
+        base.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("group_size"),
+            F.countDistinct("_s").cast("long").alias("l_distinct"),
+        )
+        .select(
+            *quasi_cols,
+            "group_size",
+            "l_distinct",
+            (F.col("group_size") >= F.lit(int(k))).alias("k_ok"),
+            (F.col("l_distinct") >= F.lit(int(l))).alias("l_ok"),
+        )
+        .orderBy(*quasi_cols)
+    )

@@ -412,3 +412,54 @@ def encoding_advisor(
         .cast("long")
         .alias("save_micro"),
     )
+
+
+def field_consistency_audit(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    len_col: str = "n_chars",
+) -> DataFrame:
+    """Cross-field ingestion validator — does the denormalized length
+    column still equal ``LENGTH(text)``? A mismatch means the upstream
+    writer truncated text after computing metadata (or vice versa): the
+    single most common silent corruption in multi-writer pipelines, and
+    invisible to every content-level audit because each field looks
+    plausible alone.
+
+    NULL contract: NULL text counts in ``n_null_text`` and compares as
+    length 0; a NULL length column is a mismatch unless the text is also
+    NULL-ish (COALESCE(-1) forces it to disagree with any real length).
+
+    Scale shape: one map-side projection + ONE aggregate keyed by
+    source; micro rate after the sums.
+
+    Output: (source, n_docs, n_null_text, n_mismatch, mismatch_micro)
+    ordered by source.
+    """
+    t = F.col(text_col)
+    tlen = F.length(F.coalesce(t, F.lit(""))).cast("long")
+    mism = F.coalesce(F.col(len_col).cast("long"), F.lit(-1)) != tlen
+    base = docs.select(
+        F.coalesce(F.col(group_col), F.lit("")).alias("source"),
+        t.isNull().cast("long").alias("_null_text"),
+        mism.cast("long").alias("_mism"),
+    )
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_null_text").cast("long").alias("n_null_text"),
+            F.sum("_mism").cast("long").alias("n_mismatch"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_null_text",
+            "n_mismatch",
+            F.expr("(n_mismatch * 1000000L) DIV greatest(n_docs, 1L)")
+            .cast("long")
+            .alias("mismatch_micro"),
+        )
+        .orderBy("source")
+    )

@@ -539,3 +539,67 @@ def blocklist_gate(
         permille.alias("bad_permille"),
         (F.col("n_bad_tokens") >= F.lit(int(min_bad_tokens))).alias("blocked"),
     )
+
+
+def boilerplate_share(
+    docs: DataFrame,
+    n: int = 5,
+    min_df: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document templated-ness score — what fraction of a document's
+    distinct word ``n``-grams also appear in ≥ ``min_df`` OTHER contexts
+    (documents)?  High share means the page is assembled from corpus-
+    common boilerplate (navigation, legal footers, product-page
+    templates) rather than original prose — the document-level
+    complement of line dedup, catching templates that vary too much for
+    exact line matching.
+
+    Shingles are the module's shared word-n-gram contract (md5 of the
+    space-joined lowercase gram); ``df`` counts DISTINCT documents per
+    shingle, and a shingle is "common" when ``df ≥ min_df`` (the doc
+    itself included — a constant offset both engines share).
+    ``common_micro = n_common·1e6 DIV max(n_shingles,1)``.
+
+    Plan: distinct (doc, shingle) explode → shingle-df aggregate
+    (zipf-bounded) → equi-join back → per-doc aggregate → left join to
+    the doc table so shingle-less (short) docs surface 0. Never a
+    pair join — the df table IS the cross-document signal.
+
+    Output: (id_col, n_shingles, n_common, common_micro).
+    """
+    sh = docs.select(
+        F.col(id_col), _words(F.col(text_col)).alias("_toks")
+    ).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.transform(ngrams_from_tokens(F.col("_toks"), n), F.md5)
+            )
+        ).alias("shingle"),
+    )
+    df_ = sh.groupBy("shingle").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    per_doc = (
+        sh.join(df_, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum((F.col("df") >= F.lit(int(min_df))).cast("long"))
+            .cast("long")
+            .alias("n_common"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            F.expr(
+                "(coalesce(n_common, 0L) * 1000000L)"
+                " DIV greatest(coalesce(n_shingles, 0L), 1L)"
+            ).cast("long").alias("common_micro"),
+        )
+    )

@@ -896,3 +896,60 @@ def char_class_profile(
         F.expr(micro.format(c="ws")).cast("long").alias("ws_micro"),
         F.expr(micro.format(c="ctrl")).cast("long").alias("ctrl_micro"),
     ).orderBy("source")
+
+
+def source_surprisal(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source mean unigram surprisal — the corpus-quality dashboard
+    row built on the q67 whole-bit model (``floor(log2(N/count))`` via
+    integer division + binary length, bit-identical cross-engine): a
+    source drifting LOW is going repetitive/boilerplate, drifting HIGH
+    is going gibberish/rare-token. The model is CORPUS-global (all
+    sources pooled), so sources are comparable on one scale.
+
+    ``avg_centibits = (sum_bits·100) DIV n_tokens`` — integer
+    centi-bits, no float crosses the oracle boundary.
+
+    Plan: the unigram_surprisal aggregate chain with the rollup keyed by
+    source instead of doc — explode → token counts (map-side combined)
+    → token equi-join → ONE source-keyed aggregate. |sources| rows out.
+
+    Output: (source, n_docs, n_tokens, sum_bits, avg_centibits) ordered
+    by source.
+    """
+    base = docs.select(
+        F.coalesce(F.col(group_col), F.lit("")).alias("source"),
+        _tokens(F.col(text_col)).alias("tk"),
+    )
+    ndocs = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    toks = base.select("source", F.explode("tk").alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").cast("long").alias("n_total"))
+    bits = (F.length(F.bin(F.expr("n_total DIV c"))) - 1).cast("long")
+    per_src = (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(bits).cast("long").alias("sum_bits"),
+        )
+    )
+    return (
+        ndocs.join(per_src, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("sum_bits", F.lit(0)).cast("long").alias("sum_bits"),
+            F.expr(
+                "(coalesce(sum_bits, 0L) * 100L) DIV greatest(coalesce(n_tokens, 0L), 1L)"
+            ).cast("long").alias("avg_centibits"),
+        )
+        .orderBy("source")
+    )

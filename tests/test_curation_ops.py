@@ -3890,3 +3890,133 @@ def test_two_hop_reach_python_replay(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         two_hop_reach(df, max_mid_degree=0)
+
+
+def test_field_consistency_python_replay(spark):
+    """Ingestion validator replayed by brute force: matching lengths
+    pass, truncated text mismatches, NULL text counts separately and
+    compares as length 0, NULL length is always a mismatch."""
+    from document_quality_assessment_ocr_spark.operators.profile import (
+        field_consistency_audit,
+    )
+
+    rows = [
+        (1, "a", "hello", 5),        # ok
+        (2, "a", "hello", 10),       # mismatch (truncated text)
+        (3, "a", None, 0),           # null text, length 0 → ok
+        (4, "b", "x", None),         # null length → mismatch
+        (5, "b", None, 3),           # null text vs 3 → mismatch
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string, n_chars long"
+    )
+    out = {r["source"]: r for r in field_consistency_audit(df).collect()}
+    a, b = out["a"], out["b"]
+    assert (a["n_docs"], a["n_null_text"], a["n_mismatch"]) == (3, 1, 1)
+    assert a["mismatch_micro"] == 1_000_000 // 3
+    assert (b["n_docs"], b["n_null_text"], b["n_mismatch"]) == (2, 1, 2)
+
+
+def test_source_surprisal_python_replay(spark):
+    """Per-source surprisal replayed in pure python with the shared
+    whole-bit model: corpus-global counts, per-source integer
+    centi-bit means."""
+    from document_quality_assessment_ocr_spark.operators.textstats import (
+        source_surprisal,
+    )
+
+    docs = [
+        (1, "a", "the the the the rare"),
+        (2, "a", "the the common common"),
+        (3, "b", "unique tokens entirely here"),
+        (4, "c", ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in source_surprisal(df).collect()}
+
+    toks = {}
+    all_toks = []
+    for _, s, t in docs:
+        tk = t.split()
+        toks.setdefault(s, []).append(tk)
+        all_toks += tk
+    counts = {t: all_toks.count(t) for t in set(all_toks)}
+    n_total = len(all_toks)
+    for s, docs_tk in toks.items():
+        flat = [t for tk in docs_tk for t in tk]
+        sum_bits = sum((n_total // counts[t]).bit_length() - 1 for t in flat)
+        r = out[s]
+        assert (r["n_docs"], r["n_tokens"], r["sum_bits"]) == (
+            len(docs_tk), len(flat), sum_bits
+        ), s
+        assert r["avg_centibits"] == sum_bits * 100 // max(len(flat), 1)
+    assert out["c"]["n_tokens"] == 0 and out["c"]["avg_centibits"] == 0
+    # rarer-token source scores higher
+    assert out["b"]["avg_centibits"] > out["a"]["avg_centibits"]
+
+
+def test_l_diversity_audit_python_replay(spark):
+    """l-diversity replayed by brute force: cohort sizes, distinct
+    sensitive counts, both gates; NULLs merge with ''."""
+    from document_quality_assessment_ocr_spark.operators.privacy import (
+        l_diversity_audit,
+    )
+
+    rows = [
+        ("en", "web", "x"), ("en", "web", "x"), ("en", "web", "y"),
+        ("en", "web", "z"), ("en", "web", "x"),      # k=5, l=3
+        ("de", "web", "x"), ("de", "web", "x"),      # k=2, l=1
+        (None, "books", None), ("", "books", ""),    # NULL==''; k=2, l=1
+    ]
+    df = spark.createDataFrame(rows, "lang string, source string, s string")
+    out = {(r["lang"], r["source"]): r
+           for r in l_diversity_audit(df, ("lang", "source"), "s",
+                                      k=3, l=2).collect()}
+    r = out[("en", "web")]
+    assert (r["group_size"], r["l_distinct"], r["k_ok"], r["l_ok"]) == (
+        5, 3, True, True
+    )
+    r = out[("de", "web")]
+    assert (r["group_size"], r["l_distinct"], r["k_ok"], r["l_ok"]) == (
+        2, 1, False, False
+    )
+    r = out[("", "books")]
+    assert (r["group_size"], r["l_distinct"]) == (2, 1)
+
+
+def test_boilerplate_share_python_replay(spark):
+    """Templated-ness replayed by brute force: a shingle shared by >=
+    min_df docs is common; short docs surface 0; the shared template
+    reads high, original prose reads low."""
+    from document_quality_assessment_ocr_spark.operators.quality import (
+        boilerplate_share,
+    )
+
+    footer = "all rights reserved contact us today"
+    docs = [
+        (1, footer + " alpha beta gamma"),
+        (2, footer + " delta epsilon zeta"),
+        (3, footer + " eta theta iota"),
+        (4, "completely original text with no shared template at all"),
+        (5, "tiny"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    n, min_df = 5, 3
+    out = {r["doc_id"]: r for r in
+           boilerplate_share(df, n=n, min_df=min_df).collect()}
+
+    sets = {}
+    for i, t in docs:
+        tk = t.lower().split()
+        sets[i] = {" ".join(tk[j:j + n]) for j in range(len(tk) - n + 1)}
+    dfc = {}
+    for s in sets.values():
+        for g in s:
+            dfc[g] = dfc.get(g, 0) + 1
+    for i, s in sets.items():
+        common = sum(1 for g in s if dfc[g] >= min_df)
+        r = out[i]
+        assert (r["n_shingles"], r["n_common"]) == (len(s), common), i
+        assert r["common_micro"] == common * 1_000_000 // max(len(s), 1)
+    assert out[5]["n_shingles"] == 0 and out[5]["common_micro"] == 0
+    assert out[1]["common_micro"] > 0 and out[4]["common_micro"] == 0
