@@ -391,6 +391,26 @@ def main() -> None:
         "q170_join_explain",
         "q171_encoding_advisor",
         "q172_reciprocity",
+        "q173_kcore",
+        "q174_calibration",
+        "q175_tfidf_keywords",
+        "q176_degree_hist",
+        "q177_gap_hist",
+        "q178_source_overlap",
+        "q179_prefix_compression",
+        "q180_quality_joint",
+        "q181_char_classes",
+        "q182_anchor_diversity",
+        "q183_event_bursts",
+        "q184_props_stats",
+        "q185_rendezvous",
+        "q186_dup_closure",
+        "q187_url_depth",
+        "q188_two_hop",
+        "q189_field_consistency",
+        "q190_source_surprisal",
+        "q191_l_diversity",
+        "q192_boilerplate",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

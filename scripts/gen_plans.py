@@ -64,6 +64,26 @@ PICK = {
  'q170_join_explain': 'join-explosion pre-flight (per-key count merge, two-level top-k)',
  'q171_encoding_advisor': 'column-encoding planner (Zipf-shrunk value pass per column)',
  'q172_reciprocity': 'host link reciprocity (swapped-key equi-join, node-bounded rollups)',
+ 'q173_kcore': 'bounded-round k-core peel (checkpointed edges, per-round semijoins)',
+ 'q174_calibration': 'classifier calibration audit (shared gram fold, constant-grid rollup)',
+ 'q175_tfidf_keywords': 'per-doc TF-IDF keywords (fused integer RSJ, per-doc window)',
+ 'q176_degree_hist': 'log2 degree histogram (node-bounded agg, <=64-row rollup)',
+ 'q177_gap_hist': 'inter-event gap histogram (per-user lag window, log2 rollup)',
+ 'q178_source_overlap': 'cross-source shingle overlap matrix (hash equi-join, |sources|^2 out)',
+ 'q179_prefix_compression': 'URL front-coding planner (per-host window, capped LCP)',
+ 'q180_quality_joint': 'length x quality joint histogram (one projection, grid rollup)',
+ 'q181_char_classes': 'char-class profile (codegen strip counts, source rollup)',
+ 'q182_anchor_diversity': 'anchor diversity (pair agg then host rollup, no countDistinct expand)',
+ 'q183_event_bursts': 'retry-storm detector (per-user double lag, type rollup)',
+ 'q184_props_stats': 'JSON props rollup (map-side path eval, type rollup)',
+ 'q185_rendezvous': 'HRW reshard matrix (map-side greatest-of-md5, grid rollup)',
+ 'q186_dup_closure': 'dup-graph wedge closure (banded pairs, degree-oriented triangles)',
+ 'q187_url_depth': 'URL depth x extension profile (map-side parse, grid rollup)',
+ 'q188_two_hop': 'two-hop reach (hub-capped wedge join, distinct union)',
+ 'q189_field_consistency': 'cross-field validator (one projection, source rollup)',
+ 'q190_source_surprisal': 'per-source surprisal (token join, source rollup)',
+ 'q191_l_diversity': 'l-diversity audit (one agg with exact distinct per cohort)',
+ 'q192_boilerplate': 'boilerplate share (distinct shingles, df join, per-doc rollup)',
 }
 out = []
 out.append("""# PLANS — captured physical plans (sf0.001)
