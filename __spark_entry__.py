@@ -7563,6 +7563,348 @@ def _boilerplate_sql(n: int = 5, min_df: int = 3) -> str:
     """
 
 
+def _q_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-annotator agreement per source (Cohen's kappa): two
+    md5-derived 3-class annotators, the second copying the first 70% of
+    the time (md5-uniform) — the label-quality gate; kappa is the ONE
+    exact DOUBLE division of two BIGINT micros."""
+    from document_quality_assessment_ocr_spark.operators.augment import _md5_mod
+    from document_quality_assessment_ocr_spark.operators.classify import (
+        annotator_agreement,
+    )
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )
+    a = _md5_mod(F.col("doc_id"), "ann_a", F.lit(3))
+    flip = _md5_mod(F.col("doc_id"), "ann_flip", F.lit(10))
+    b = F.when(flip < 7, a).otherwise(
+        _md5_mod(F.col("doc_id"), "ann_b", F.lit(3))
+    )
+    lab = d.select(
+        "source",
+        a.cast("string").alias("ann_a"),
+        b.cast("string").alias("ann_b"),
+    )
+    return annotator_agreement(lab, "ann_a", "ann_b", group_col="source")
+
+
+def _agreement_sql() -> str:
+    """q194 oracle: the shared _md5_mod twin ('0x'||15-hex-chars %% m,
+    tags `ann_a`/`ann_flip`/`ann_b` are part of the contract), integer
+    po/pe micros with non-negative `//`, and kappa as the identical
+    single DOUBLE division (NULL when pe_micro hits 1e6)."""
+
+    def mm(tag: str, m: int) -> str:
+        return (
+            f"(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '|{tag}'),"
+            f" 1, 15))::BIGINT % {m})"
+        )
+
+    return f"""
+        WITH d AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   COALESCE(source, '') AS g
+            FROM documents
+        ), lab AS MATERIALIZED (
+            SELECT g,
+                   CAST({mm('ann_a', 3)} AS VARCHAR) AS la,
+                   CAST(CASE WHEN {mm('ann_flip', 10)} < 7
+                             THEN {mm('ann_a', 3)}
+                             ELSE {mm('ann_b', 3)} END AS VARCHAR) AS lb
+            FROM d
+        ), tot AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(*) FILTER (WHERE la = lb) AS BIGINT) AS n_agree
+            FROM lab GROUP BY g
+        ), ma AS (
+            SELECT g, la AS k, CAST(COUNT(*) AS BIGINT) AS na
+            FROM lab GROUP BY g, la
+        ), mb AS (
+            SELECT g, lb AS k, CAST(COUNT(*) AS BIGINT) AS nb
+            FROM lab GROUP BY g, lb
+        ), pe AS (
+            SELECT g, CAST(SUM(na * nb) AS BIGINT) AS pe_mass
+            FROM ma JOIN mb USING (g, k) GROUP BY g
+        ), r AS (
+            SELECT tot.g, n, n_agree,
+                   CAST((n_agree * 1000000) // n AS BIGINT) AS po_micro,
+                   CAST((COALESCE(pe_mass, 0) * 1000000) // (n * n)
+                        AS BIGINT) AS pe_micro
+            FROM tot LEFT JOIN pe USING (g)
+        )
+        SELECT g AS source, n, n_agree, po_micro, pe_micro,
+               CASE WHEN pe_micro < 1000000
+                    THEN CAST(po_micro - pe_micro AS DOUBLE)
+                         / CAST(1000000 - pe_micro AS DOUBLE)
+                    ELSE NULL END AS kappa
+        FROM r ORDER BY source
+    """
+
+
+def _q_vocab_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary-health audit: token mass, type count, hapax
+    share, type-token ratio — the drift row separating REPETITIVE
+    corpora from GIBBERISH/OCR-noise ones (q125 plots the Heaps growth
+    CURVE; this is the per-source health TABLE)."""
+    from document_quality_assessment_ocr_spark.operators.textstats import (
+        vocab_health_by_source,
+    )
+
+    return vocab_health_by_source(_doc(spark, sf_dir))
+
+
+def _vocab_health_sql() -> str:
+    """q195 oracle: the q190 tokenizer/rollup shape with a (source,
+    token) count CTE; hapax = count==1 filter; all-integer micros with
+    non-negative `//`; SUM→BIGINT casts throughout."""
+    return f"""
+        WITH d AS (
+            SELECT COALESCE(source, '') AS source,
+                   LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(
+                       TRIM(LOWER(COALESCE(text, ''))), '{WS}+'),
+                   x -> x <> '') AS a
+            FROM documents
+        ), nd AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM d GROUP BY source
+        ), wc AS (
+            SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT source, UNNEST(a) AS tok FROM d)
+            GROUP BY source, tok
+        ), ps AS (
+            SELECT source,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_types,
+                   CAST(COUNT(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax
+            FROM wc GROUP BY source
+        )
+        SELECT nd.source, nd.n_docs,
+               CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(n_types, 0) AS BIGINT) AS n_types,
+               CAST(COALESCE(n_hapax, 0) AS BIGINT) AS n_hapax,
+               CAST((COALESCE(n_types, 0) * 1000000)
+                    // GREATEST(COALESCE(n_tokens, 0), 1) AS BIGINT)
+                   AS ttr_micro,
+               CAST((COALESCE(n_hapax, 0) * 1000000)
+                    // GREATEST(COALESCE(n_types, 0), 1) AS BIGINT)
+                   AS hapax_micro
+        FROM nd LEFT JOIN ps USING (source) ORDER BY nd.source
+    """
+
+
+def _q_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-host detection over a deterministic (host, path) synthesis:
+    two mirror hosts sharing a 30-path space, solo hosts with unique
+    paths, and a 20-host '/common' page that the heavy-path cap (8)
+    must prune before the pair join."""
+    from document_quality_assessment_ocr_spark.operators.urls import mirror_pairs
+
+    did = F.col("doc_id")
+    d = _doc(spark, sf_dir).select(did.cast("long").alias("doc_id"))
+    host = (
+        F.when(did % 4 == 0, F.lit("mirror-a.net"))
+        .when(did % 4 == 1, F.lit("mirror-b.net"))
+        .when(
+            did % 4 == 2,
+            F.concat(F.lit("solo-"), (did % 5).cast("string"), F.lit(".org")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("h"), (did % 20).cast("string"), F.lit(".popular.net")
+            )
+        )
+    )
+    path = (
+        F.when(
+            did % 4 <= 1,
+            F.concat(
+                F.lit("/p/"), F.expr("(doc_id DIV 4L) % 30L").cast("string")
+            ),
+        )
+        .when(did % 4 == 2, F.concat(F.lit("/u/"), did.cast("string")))
+        .otherwise(F.lit("/common"))
+    )
+    pages = d.select(host.alias("host"), path.alias("path"))
+    return mirror_pairs(pages, min_shared=2, max_hosts_per_path=8)
+
+
+def _mirrors_sql(min_shared: int = 2, max_hosts_per_path: int = 8) -> str:
+    """q196 oracle: byte-identical (host, path) synthesis (integer `//`
+    == Spark DIV on the non-negative doc_id), md5 path key, heavy-path
+    cap BEFORE the self-join, min-normalized containment. The capped
+    path set is MATERIALIZED (read three times — q149 lesson)."""
+    return f"""
+        WITH d AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+        ), s AS (
+            SELECT
+                CASE WHEN doc_id % 4 = 0 THEN 'mirror-a.net'
+                     WHEN doc_id % 4 = 1 THEN 'mirror-b.net'
+                     WHEN doc_id % 4 = 2
+                         THEN 'solo-' || CAST(doc_id % 5 AS VARCHAR) || '.org'
+                     ELSE 'h' || CAST(doc_id % 20 AS VARCHAR) || '.popular.net'
+                END AS h,
+                CASE WHEN doc_id % 4 <= 1
+                         THEN '/p/' || CAST((doc_id // 4) % 30 AS VARCHAR)
+                     WHEN doc_id % 4 = 2
+                         THEN '/u/' || CAST(doc_id AS VARCHAR)
+                     ELSE '/common'
+                END AS p
+            FROM d
+        ), hp AS (
+            SELECT DISTINCT h, MD5(COALESCE(p, '')) AS pk FROM s
+        ), light AS MATERIALIZED (
+            SELECT h, pk FROM hp
+            WHERE pk IN (SELECT pk FROM hp GROUP BY pk
+                         HAVING COUNT(*) <= {int(max_hosts_per_path)})
+        ), ph AS (
+            SELECT h, CAST(COUNT(*) AS BIGINT) AS n_paths
+            FROM light GROUP BY h
+        ), pr AS (
+            SELECT a.h AS host1, b.h AS host2,
+                   CAST(COUNT(*) AS BIGINT) AS shared_paths
+            FROM light a JOIN light b USING (pk)
+            WHERE a.h < b.h
+            GROUP BY a.h, b.h
+            HAVING COUNT(*) >= {int(min_shared)}
+        )
+        SELECT host1, host2, shared_paths,
+               p1.n_paths AS n_paths1, p2.n_paths AS n_paths2,
+               CAST((shared_paths * 1000000)
+                    // LEAST(p1.n_paths, p2.n_paths) AS BIGINT)
+                   AS containment_micro
+        FROM pr
+        JOIN ph p1 ON pr.host1 = p1.h
+        JOIN ph p2 ON pr.host2 = p2.h
+        ORDER BY containment_micro DESC, host1, host2
+    """
+
+
+def _q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams
+    (the 'what happens after X' grid with row-normalized integer
+    probabilities)."""
+    from document_quality_assessment_ocr_spark.operators.sessions import (
+        transition_matrix,
+    )
+
+    return transition_matrix(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
+def _transitions_sql() -> str:
+    """q197 oracle: the shared deterministic per-user ordering
+    (EPOCH_US(ts), event_id — the q183 window twin), one LAG, grid
+    aggregate + |types|-row marginal join; grid CTE read twice →
+    MATERIALIZED; non-negative `//` for prob_micro."""
+    return """
+        WITH e AS (
+            SELECT COALESCE(event_type, '') AS ty, user_id,
+                   EPOCH_US(ts) AS t, event_id
+            FROM events
+        ), p AS (
+            SELECT LAG(ty) OVER (PARTITION BY user_id
+                                 ORDER BY t, event_id) AS prev_type,
+                   ty AS next_type
+            FROM e
+        ), g AS MATERIALIZED (
+            SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM p WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, next_type
+        ), mg AS (
+            SELECT prev_type, CAST(SUM(n) AS BIGINT) AS out_mass
+            FROM g GROUP BY prev_type
+        )
+        SELECT prev_type, next_type, n,
+               CAST((n * 1000000) // out_mass AS BIGINT) AS prob_micro
+        FROM g JOIN mg USING (prev_type)
+        ORDER BY prev_type, next_type
+    """
+
+
+def _q_snapshot_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source snapshot churn report between two derived corpus
+    versions (old = %10!=0, new = %7!=0 with %6==0 texts mutated):
+    added/removed/changed/unchanged counts + churn_micro — the rollup
+    the row-level diff (q86) never aggregates."""
+    from document_quality_assessment_ocr_spark.operators.compaction import (
+        snapshot_churn,
+    )
+
+    did = F.col("doc_id")
+    d = _doc(spark, sf_dir).select(
+        did.cast("long").alias("doc_id"), "source", "text"
+    )
+    old = d.where(did % 10 != 0).select(
+        "doc_id",
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("content_hash"),
+        "source",
+    )
+    new = d.where(did % 7 != 0).select(
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.when(did % 6 == 0, F.lit("~v2")).otherwise(F.lit("")),
+            )
+        ).alias("content_hash"),
+        "source",
+    )
+    return snapshot_churn(old, new)
+
+
+def _snapshot_churn_sql() -> str:
+    """q198 oracle: identical snapshot derivation (md5 of text with the
+    '~v2' mutation suffix on %6==0), FULL OUTER null-pattern statuses,
+    grid rollup with non-negative `//` churn."""
+    return """
+        WITH d AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   COALESCE(source, '') AS source,
+                   COALESCE(text, '') AS t
+            FROM documents
+        ), oldv AS (
+            SELECT doc_id, MD5(t) AS h, source
+            FROM d WHERE doc_id % 10 <> 0
+        ), newv AS (
+            SELECT doc_id,
+                   MD5(t || CASE WHEN doc_id % 6 = 0 THEN '~v2' ELSE '' END)
+                       AS h,
+                   source
+            FROM d WHERE doc_id % 7 <> 0
+        ), j AS (
+            SELECT COALESCE(n.source, o.source) AS grp,
+                   o.h IS NOT NULL AS in_old,
+                   n.h IS NOT NULL AS in_new,
+                   (o.h IS NOT NULL AND n.h IS NOT NULL AND o.h <> n.h)
+                       AS is_changed
+            FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id
+        ), a AS (
+            SELECT grp,
+                   CAST(COUNT(*) FILTER (WHERE in_old) AS BIGINT) AS n_old,
+                   CAST(COUNT(*) FILTER (WHERE in_new) AS BIGINT) AS n_new,
+                   CAST(COUNT(*) FILTER (WHERE in_new AND NOT in_old)
+                        AS BIGINT) AS added,
+                   CAST(COUNT(*) FILTER (WHERE in_old AND NOT in_new)
+                        AS BIGINT) AS removed,
+                   CAST(COUNT(*) FILTER (WHERE is_changed) AS BIGINT)
+                       AS changed,
+                   CAST(COUNT(*) FILTER (WHERE in_old AND in_new
+                                         AND NOT is_changed) AS BIGINT)
+                       AS unchanged,
+                   CAST(COUNT(*) AS BIGINT) AS n_union
+            FROM j GROUP BY grp
+        )
+        SELECT grp AS source, n_old, n_new, added, removed, changed,
+               unchanged,
+               CAST(((added + removed + changed) * 1000000)
+                    // GREATEST(n_union, 1) AS BIGINT) AS churn_micro
+        FROM a ORDER BY source
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's CORRECTNESS gate checks
     the FIRST 50 entries in dict order.  Positions 1-50 therefore carry the
@@ -7775,6 +8117,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q190_source_surprisal": _q_source_surprisal,
         "q191_l_diversity": _q_l_diversity,
         "q192_boilerplate": _q_boilerplate,
+        "q194_annotator_agreement": _q_agreement,
+        "q195_vocab_health": _q_vocab_health,
+        "q196_mirror_hosts": _q_mirrors,
+        "q197_event_transitions": _q_transitions,
+        "q198_snapshot_churn": _q_snapshot_churn,
     }
 
 
@@ -10617,6 +10964,11 @@ def oracle_sql() -> dict[str, str]:
         "q190_source_surprisal": _source_surprisal_sql(),
         "q191_l_diversity": _l_diversity_sql(),
         "q192_boilerplate": _boilerplate_sql(),
+        "q194_annotator_agreement": _agreement_sql(),
+        "q195_vocab_health": _vocab_health_sql(),
+        "q196_mirror_hosts": _mirrors_sql(),
+        "q197_event_transitions": _transitions_sql(),
+        "q198_snapshot_churn": _snapshot_churn_sql(),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

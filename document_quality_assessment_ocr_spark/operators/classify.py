@@ -318,3 +318,75 @@ def quality_length_joint(
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .orderBy("tok_bucket", "q_bucket")
     )
+
+
+def annotator_agreement(
+    labeled: DataFrame,
+    a_col: str,
+    b_col: str,
+    group_col: str = "source",
+) -> DataFrame:
+    """Inter-annotator (or model-vs-model) agreement per group: observed
+    agreement, chance agreement, and Cohen's kappa — the label-quality
+    gate run before trusting ANY human- or LLM-labeled training split.
+    High raw agreement with kappa near 0 means the labels are majority-
+    class noise, not signal.
+
+    Integer micros everywhere a division can happen more than once:
+    ``po_micro = n_agree·1e6 DIV n``; ``pe_micro = Σ_k(na_k·nb_k)·1e6
+    DIV (n·n)`` (all operands non-negative → Spark DIV == DuckDB ``//``;
+    64-bit headroom: n²·1e6 < 2^63 → n ≤ ~3·10^6 rows per group — past
+    that, pre-divide each marginal product by n). ``kappa`` itself is
+    the ONE exact DOUBLE division of two BIGINTs (the q67 mean
+    contract): ``(po_micro − pe_micro) / (1e6 − pe_micro)``, NULL when
+    chance agreement is exactly 1 (degenerate single-class group).
+
+    Plan: one base aggregate (n, n_agree), two class-marginal
+    aggregates joined on (group, class) — every relation is
+    group×class-bounded; no window, no collect.
+
+    Output: (group_col, n, n_agree, po_micro, pe_micro, kappa) ordered
+    by group.
+    """
+    g = F.coalesce(F.col(group_col).cast("string"), F.lit("")).alias("g")
+    la = F.coalesce(F.col(a_col).cast("string"), F.lit("")).alias("la")
+    lb = F.coalesce(F.col(b_col).cast("string"), F.lit("")).alias("lb")
+    base = labeled.select(g, la, lb)
+    tot = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("la") == F.col("lb")).cast("long"))
+        .cast("long")
+        .alias("n_agree"),
+    )
+    ma = base.groupBy("g", F.col("la").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("na")
+    )
+    mb = base.groupBy("g", F.col("lb").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("nb")
+    )
+    pe = (
+        ma.join(mb, ["g", "k"])
+        .groupBy("g")
+        .agg(F.sum(F.expr("na * nb")).cast("long").alias("pe_mass"))
+    )
+    return (
+        tot.join(pe, "g", "left")
+        .select(
+            F.col("g").alias(group_col),
+            "n",
+            "n_agree",
+            F.expr("(n_agree * 1000000L) DIV n").cast("long").alias("po_micro"),
+            F.expr("(coalesce(pe_mass, 0L) * 1000000L) DIV (n * n)")
+            .cast("long")
+            .alias("pe_micro"),
+        )
+        .withColumn(
+            "kappa",
+            F.when(
+                F.col("pe_micro") < F.lit(1000000),
+                (F.col("po_micro") - F.col("pe_micro")).cast("double")
+                / (F.lit(1000000) - F.col("pe_micro")).cast("double"),
+            ),
+        )
+        .orderBy(group_col)
+    )

@@ -128,3 +128,85 @@ def rendezvous_reshard(
         )
         .orderBy("from_shard", "to_shard")
     )
+
+
+def snapshot_churn(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "content_hash",
+    group_col: str = "source",
+) -> DataFrame:
+    """Corpus snapshot churn report: per-group added / removed / changed /
+    unchanged counts between two crawl (or pipeline) snapshots, plus a
+    churn rate — the recrawl-scheduler input and the "did this
+    pipeline release rewrite half the corpus?" audit that the row-level diff
+    (cdc.snapshot_diff, q86) emits as rows but never aggregates.
+
+    Both sides reduce to (id, hash, group) first, so the diff join
+    carries fingerprints, never payloads. Status is decided by the
+    full-outer join's null pattern; ``changed`` compares the content
+    hashes. The group label prefers the NEW side (a doc that moved
+    sources counts under where it lives now). ``churn_micro =
+    (added + removed + changed)·1e6 DIV n_union`` — non-negative DIV ==
+    DuckDB ``//``.
+
+    Scale shape: two map-side projections, ONE full-outer equi-join on
+    the id (both sides hash-partition on the same key), one grid-
+    bounded rollup (|groups| × 4). No window, no collect.
+
+    Output: (group_col, n_old, n_new, added, removed, changed,
+    unchanged, churn_micro) ordered by group.
+    """
+    g = F.coalesce(F.col(group_col).cast("string"), F.lit(""))
+    o = old.select(
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_ho"),
+        g.alias("_go"),
+    )
+    n = new.select(
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_hn"),
+        g.alias("_gn"),
+    )
+    j = o.join(n, "_id", "full_outer").select(
+        F.coalesce("_gn", "_go").alias("grp"),
+        F.col("_ho").isNotNull().alias("in_old"),
+        F.col("_hn").isNotNull().alias("in_new"),
+        (
+            F.col("_ho").isNotNull()
+            & F.col("_hn").isNotNull()
+            & (F.col("_ho") != F.col("_hn"))
+        ).alias("is_changed"),
+    )
+    agg = j.groupBy("grp").agg(
+        F.sum(F.col("in_old").cast("long")).cast("long").alias("n_old"),
+        F.sum(F.col("in_new").cast("long")).cast("long").alias("n_new"),
+        F.sum((F.col("in_new") & ~F.col("in_old")).cast("long"))
+        .cast("long")
+        .alias("added"),
+        F.sum((F.col("in_old") & ~F.col("in_new")).cast("long"))
+        .cast("long")
+        .alias("removed"),
+        F.sum(F.col("is_changed").cast("long")).cast("long").alias("changed"),
+        F.sum(
+            (F.col("in_old") & F.col("in_new") & ~F.col("is_changed")).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("unchanged"),
+        F.count(F.lit(1)).cast("long").alias("n_union"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_old",
+        "n_new",
+        "added",
+        "removed",
+        "changed",
+        "unchanged",
+        F.expr(
+            "((added + removed + changed) * 1000000L) DIV greatest(n_union, 1L)"
+        ).cast("long").alias("churn_micro"),
+    ).orderBy(group_col)

@@ -400,3 +400,61 @@ def props_stats(
         )
         .orderBy("event_type")
     )
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams
+    — the product-analytics "what happens after X" table and the input
+    to funnel design, bot detection (near-deterministic rows), and
+    session-model simulators.
+
+    Each user's events order by (ts, id) — the module's shared
+    deterministic ordering contract (q183) — and every consecutive pair
+    (prev_type, next_type) counts once; a user's first event has no
+    predecessor and contributes nothing. ``prob_micro`` is row-
+    normalized over the prev type's outgoing mass (non-negative DIV ==
+    DuckDB ``//``).
+
+    Scale shape: ONE per-user window (bounded by a user's own event
+    count — the q27/q177/q183 exchange, reusable across all session
+    audits), then ONE aggregate on the ≤ |types|² transition grid; the
+    row-normalizer joins on the |types|-row marginal, never a window
+    over the corpus.
+
+    Output: (prev_type, next_type, n, prob_micro) ordered by
+    (prev_type, next_type) — grid-bounded, driver-readable.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    ty = F.coalesce(F.col(type_col), F.lit(""))
+    pairs = (
+        events.select(
+            F.lag(ty).over(w).alias("prev_type"), ty.alias("next_type")
+        )
+        .where(F.col("prev_type").isNotNull())
+    )
+    grid = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    marg = grid.groupBy("prev_type").agg(
+        F.sum("n").cast("long").alias("out_mass")
+    )
+    return (
+        grid.join(marg, "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.expr("(n * 1000000L) DIV out_mass").cast("long").alias(
+                "prob_micro"
+            ),
+        )
+        .orderBy("prev_type", "next_type")
+    )

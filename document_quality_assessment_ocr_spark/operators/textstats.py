@@ -953,3 +953,59 @@ def source_surprisal(
         )
         .orderBy("source")
     )
+
+
+def vocab_health_by_source(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Heaps-law / vocabulary-health audit per source: token mass, type
+    count, hapax share and type-token ratio — the drift row that
+    separates REPETITIVE corpora (low TTR, low hapax) from GIBBERISH or
+    OCR-noise corpora (hapax share approaching 1) long before a model
+    sees either. A new crawl snapshot whose hapax_micro jumps is
+    spilling unique junk tokens; one whose ttr_micro collapses is
+    boilerplate-flooded.
+
+    Plan: one (source, token) hash aggregate (map-side combine absorbs
+    the Zipf head) + one source rollup; |sources| rows out. All-integer
+    micros: every division is ``non-negative DIV`` (== DuckDB ``//``).
+
+    Output: (source, n_docs, n_tokens, n_types, n_hapax, ttr_micro,
+    hapax_micro) ordered by source.
+    """
+    base = docs.select(
+        F.coalesce(F.col(group_col), F.lit("")).alias("source"),
+        _tokens(F.col(text_col)).alias("tk"),
+    )
+    ndocs = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    wc = base.select("source", F.explode("tk").alias("tok")).groupBy(
+        "source", "tok"
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    per_src = wc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum((F.col("c") == 1).cast("long")).cast("long").alias("n_hapax"),
+    )
+    return (
+        ndocs.join(per_src, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_types", F.lit(0)).cast("long").alias("n_types"),
+            F.coalesce("n_hapax", F.lit(0)).cast("long").alias("n_hapax"),
+            F.expr(
+                "(coalesce(n_types, 0L) * 1000000L)"
+                " DIV greatest(coalesce(n_tokens, 0L), 1L)"
+            ).cast("long").alias("ttr_micro"),
+            F.expr(
+                "(coalesce(n_hapax, 0L) * 1000000L)"
+                " DIV greatest(coalesce(n_types, 0L), 1L)"
+            ).cast("long").alias("hapax_micro"),
+        )
+        .orderBy("source")
+    )

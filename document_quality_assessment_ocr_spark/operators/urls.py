@@ -352,3 +352,89 @@ def url_depth_profile(
         .agg(F.count(F.lit(1)).cast("long").alias("n_urls"))
         .orderBy("host", "depth", "ext")
     )
+
+
+def mirror_pairs(
+    pages: DataFrame,
+    min_shared: int = 2,
+    max_hosts_per_path: int = 8,
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """Mirror-host detection: host pairs serving many IDENTICAL paths —
+    the classic crawl-waste pattern (mirrors, CDN vanity domains, parked
+    duplicates) that URL-level dedup cannot see because every URL is
+    distinct. Pairs with high path containment are crawl-once
+    candidates; their docs are prime near-dup suspects.
+
+    The heavy-path cap is the scale contract: a path carried by more
+    than ``max_hosts_per_path`` hosts (``/``, ``/index.html``,
+    ``/robots.txt``) is dropped BEFORE the self-join, so per-path
+    fan-out is ≤ cap and the pair join is O(paths · cap²) — never
+    O(paths · hosts²). Containment is min-normalized over each host's
+    CAPPED path set (both sides of the ratio see the same universe):
+    ``containment_micro = shared·1e6 DIV least(n1, n2)`` (non-negative
+    → DIV == ``//``).
+
+    Plan: distinct (host, path) → md5 path key → per-path host-count
+    filter (the cap) → self-equi-join on the key (host1 < host2) →
+    pair aggregate + two per-host count joins. No window, no collect.
+
+    Output: (host1, host2, shared_paths, n_paths1, n_paths2,
+    containment_micro) ordered by (containment_micro DESC, host1,
+    host2) — driver-readable, pair-bounded.
+    """
+    hp = (
+        pages.where(
+            F.col(host_col).isNotNull() & (F.col(host_col) != F.lit(""))
+        )
+        .select(
+            F.col(host_col).alias("h"),
+            F.md5(F.coalesce(F.col(path_col), F.lit(""))).alias("pk"),
+        )
+        .distinct()
+    )
+    light = hp.join(
+        hp.groupBy("pk")
+        .agg(F.count(F.lit(1)).cast("long").alias("nh"))
+        .where(F.col("nh") <= F.lit(int(max_hosts_per_path)))
+        .select("pk"),
+        "pk",
+    )
+    per_host = light.groupBy("h").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paths")
+    )
+    a = light.select(F.col("pk"), F.col("h").alias("host1"))
+    b = light.select(F.col("pk"), F.col("h").alias("host2"))
+    shared = (
+        a.join(b, "pk")
+        .where(F.col("host1") < F.col("host2"))
+        .groupBy("host1", "host2")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_paths"))
+        .where(F.col("shared_paths") >= F.lit(int(min_shared)))
+    )
+    return (
+        shared.join(
+            per_host.withColumnRenamed("h", "host1").withColumnRenamed(
+                "n_paths", "n_paths1"
+            ),
+            "host1",
+        )
+        .join(
+            per_host.withColumnRenamed("h", "host2").withColumnRenamed(
+                "n_paths", "n_paths2"
+            ),
+            "host2",
+        )
+        .select(
+            "host1",
+            "host2",
+            "shared_paths",
+            "n_paths1",
+            "n_paths2",
+            F.expr(
+                "(shared_paths * 1000000L) DIV least(n_paths1, n_paths2)"
+            ).cast("long").alias("containment_micro"),
+        )
+        .orderBy(F.col("containment_micro").desc(), "host1", "host2")
+    )

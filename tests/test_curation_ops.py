@@ -3052,11 +3052,10 @@ def test_transition_matrix_python_replay(spark):
         _ev_rows(seq),
         "event_id long, user_id long, event_type string, ts timestamp",
     )
-    out = {(r["from_type"], r["to_type"]): r
+    out = {(r["prev_type"], r["next_type"]): r
            for r in transition_matrix(ev).collect()}
     exp = {("A", "B"): 3, ("B", "A"): 1, ("C", "A"): 1}
     assert {k: v["n"] for k, v in out.items()} == exp
-    assert out[("A", "B")]["from_total"] == 3
     assert out[("A", "B")]["prob_micro"] == 1_000_000
     assert out[("B", "A")]["prob_micro"] == 1_000_000
     assert out[("C", "A")]["prob_micro"] == 1_000_000
@@ -4020,3 +4019,142 @@ def test_boilerplate_share_python_replay(spark):
         assert r["common_micro"] == common * 1_000_000 // max(len(s), 1)
     assert out[5]["n_shingles"] == 0 and out[5]["common_micro"] == 0
     assert out[1]["common_micro"] > 0 and out[4]["common_micro"] == 0
+
+
+def test_annotator_agreement_python_replay(spark):
+    """Cohen's kappa replayed in python ints: a perfect group (kappa 1.0),
+    a mixed group, and a degenerate single-class group (pe=1 -> NULL)."""
+    from document_quality_assessment_ocr_spark.operators.classify import (
+        annotator_agreement,
+    )
+
+    rows = (
+        # g=perfect: always agree across two classes
+        [("perfect", "x", "x")] * 6 + [("perfect", "y", "y")] * 4
+        # g=mixed: some agreement, some not
+        + [("mixed", "x", "x")] * 5 + [("mixed", "x", "y")] * 3
+        + [("mixed", "y", "y")] * 2 + [("mixed", "y", "x")] * 2
+        # g=degenerate: one class only on both sides -> pe_micro == 1e6
+        + [("degen", "z", "z")] * 3
+    )
+    df = spark.createDataFrame(rows, "source string, a string, b string")
+    out = {r["source"]: r for r in
+           annotator_agreement(df, "a", "b").collect()}
+
+    for g in ("perfect", "mixed", "degen"):
+        grp = [(a, b) for s, a, b in rows if s == g]
+        n = len(grp)
+        n_agree = sum(1 for a, b in grp if a == b)
+        ma, mb = {}, {}
+        for a, b in grp:
+            ma[a] = ma.get(a, 0) + 1
+            mb[b] = mb.get(b, 0) + 1
+        pe_mass = sum(ma[k] * mb.get(k, 0) for k in ma)
+        po = n_agree * 1_000_000 // n
+        pe = pe_mass * 1_000_000 // (n * n)
+        r = out[g]
+        assert (r["n"], r["n_agree"], r["po_micro"], r["pe_micro"]) == (
+            n, n_agree, po, pe), g
+        if pe < 1_000_000:
+            assert r["kappa"] == (po - pe) / (1_000_000 - pe), g
+        else:
+            assert r["kappa"] is None, g
+    assert out["perfect"]["kappa"] == 1.0
+    assert out["degen"]["kappa"] is None
+    assert 0.0 < out["mixed"]["kappa"] < 1.0
+
+
+def test_vocab_health_python_replay(spark):
+    """Token mass / types / hapax / TTR replayed in python: a repetitive
+    source scores low hapax share, a unique-token source scores 1e6."""
+    from document_quality_assessment_ocr_spark.operators.textstats import (
+        vocab_health_by_source,
+    )
+
+    rows = [
+        ("rep", "the the the the cat cat"),
+        ("rep", "the cat the cat"),
+        ("noise", "qzx wvu plm okn"),
+        ("noise", "ijb uhv ygc tfx"),
+        ("empty", "   "),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {r["source"]: r for r in vocab_health_by_source(df).collect()}
+
+    agg = {}
+    for s, t in rows:
+        agg.setdefault(s, []).extend(t.lower().split())
+    for s, toks in agg.items():
+        c = {}
+        for w in toks:
+            c[w] = c.get(w, 0) + 1
+        n_tok, n_typ = len(toks), len(c)
+        n_hap = sum(1 for v in c.values() if v == 1)
+        r = out[s]
+        assert (r["n_tokens"], r["n_types"], r["n_hapax"]) == (
+            n_tok, n_typ, n_hap), s
+        assert r["ttr_micro"] == n_typ * 1_000_000 // max(n_tok, 1)
+        assert r["hapax_micro"] == n_hap * 1_000_000 // max(n_typ, 1)
+    assert out["empty"]["n_docs"] == 1 and out["empty"]["n_tokens"] == 0
+    assert out["noise"]["hapax_micro"] == 1_000_000
+    assert out["rep"]["hapax_micro"] < 500_000
+
+
+def test_mirror_pairs_python_replay(spark):
+    """Mirror detection: two hosts sharing paths pair up; a path carried
+    by more hosts than the cap is pruned BEFORE pairing; min_shared
+    filters; containment is min-normalized over the CAPPED sets."""
+    from document_quality_assessment_ocr_spark.operators.urls import mirror_pairs
+
+    rows = (
+        [("m1.net", f"/p/{i}") for i in range(5)]
+        + [("m2.net", f"/p/{i}") for i in range(4)]  # shares 4 with m1
+        + [("m2.net", "/own")]
+        + [("s1.org", "/u/1"), ("s2.org", "/u/2")]   # solo hosts
+        # heavy path on 5 hosts > cap 4 -> pruned everywhere
+        + [(h, "/common") for h in
+           ("m1.net", "m2.net", "s1.org", "s2.org", "s3.org")]
+        # duplicate (host, path) rows must collapse
+        + [("m1.net", "/p/0")]
+    )
+    df = spark.createDataFrame(rows, "host string, path string")
+    out = mirror_pairs(df, min_shared=2, max_hosts_per_path=4).collect()
+
+    assert len(out) == 1
+    r = out[0]
+    # capped sets: m1 {p0..p4} (5), m2 {p0..p3, /own} (5); shared 4
+    assert (r["host1"], r["host2"]) == ("m1.net", "m2.net")
+    assert (r["shared_paths"], r["n_paths1"], r["n_paths2"]) == (4, 5, 5)
+    assert r["containment_micro"] == 4 * 1_000_000 // 5
+    # raising the cap admits /common -> s-hosts still below min_shared
+    out2 = mirror_pairs(df, min_shared=2, max_hosts_per_path=10).collect()
+    pairs2 = {(r["host1"], r["host2"]): r["shared_paths"] for r in out2}
+    assert pairs2[("m1.net", "m2.net")] == 5  # /common now counts
+    assert all(h1 < h2 for h1, h2 in pairs2)
+
+
+def test_snapshot_churn_python_replay(spark):
+    """Full-outer churn statuses replayed: added / removed / changed /
+    unchanged per group; group label prefers the NEW side on moves."""
+    from document_quality_assessment_ocr_spark.operators.compaction import (
+        snapshot_churn,
+    )
+
+    old = [(1, "h1", "a"), (2, "h2", "a"), (3, "h3", "a"), (4, "h4", "b")]
+    new = [(1, "h1", "a"),          # unchanged
+           (2, "hX", "a"),          # changed
+           (4, "h4", "a"),          # moved b -> a, unchanged content
+           (5, "h5", "b")]          # added (doc 3 removed from 'a')
+    df_o = spark.createDataFrame(old, "doc_id long, content_hash string, source string")
+    df_n = spark.createDataFrame(new, "doc_id long, content_hash string, source string")
+    out = {r["source"]: r for r in snapshot_churn(df_o, df_n).collect()}
+
+    a = out["a"]
+    # group 'a' rows: 1 unchanged, 2 changed, 3 removed, 4 moved-in unchanged
+    assert (a["added"], a["removed"], a["changed"], a["unchanged"]) == (0, 1, 1, 2)
+    assert (a["n_old"], a["n_new"]) == (4, 3)
+    assert a["churn_micro"] == (0 + 1 + 1) * 1_000_000 // 4
+    b = out["b"]
+    assert (b["added"], b["removed"], b["changed"], b["unchanged"]) == (1, 0, 0, 0)
+    assert (b["n_old"], b["n_new"]) == (0, 1)
+    assert b["churn_micro"] == 1_000_000
