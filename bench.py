@@ -411,6 +411,13 @@ def main() -> None:
         "q190_source_surprisal",
         "q191_l_diversity",
         "q192_boilerplate",
+        "q194_annotator_agreement",
+        "q195_vocab_health",
+        "q196_mirror_hosts",
+        "q197_event_transitions",
+        "q198_snapshot_churn",
+        "q199_span_integrity",
+        "q200_ab_lift",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

@@ -463,3 +463,81 @@ def field_consistency_audit(
         )
         .orderBy("source")
     )
+
+
+def span_integrity_audit(
+    spans: DataFrame,
+    doc_col: str = "doc_id",
+    idx_col: str = "span_idx",
+    off_col: str = "offset",
+    len_col: str = "length",
+) -> DataFrame:
+    """Span-sequence integrity audit over an interleaved-document span
+    table (the engine's own input shape — reference ``models.py`` span
+    records): per document, how many consecutive span pairs start out of
+    order, overlap the previous span's byte range, or leave a gap — the
+    ingest validator that catches extractor bugs (double-emitted spans,
+    unsorted writers, truncated offsets) BEFORE they become silent text
+    corruption downstream.
+
+    Per-pair flags against the previous span in ``idx_col`` order:
+    ``out_of_order`` (offset moved backwards), ``overlap`` (starts before
+    the previous span ends), ``gap`` (starts after it ends). A doc's
+    single span contributes nothing. ``coverage_micro`` =
+    ``span_mass·1e6 DIV max(extent, 1)`` — > 1e6 reads as overlap mass,
+    < 1e6 as holes (non-negative DIV == DuckDB ``//``).
+
+    Scale shape: ONE per-doc window ordered by span index (bounded by a
+    doc's own span count — mega-docs are the operators/salting case) and
+    ONE aggregate on the SAME key, so the window's exchange is reused by
+    the aggregate; payload text never enters the plan. Per-doc output.
+
+    Output: (doc_col, n_spans, n_out_of_order, n_overlaps, n_gaps,
+    span_mass, extent, coverage_micro).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(doc_col).orderBy(F.col(idx_col).asc())
+    off = F.col(off_col).cast("long")
+    ln = F.col(len_col).cast("long")
+    flagged = spans.select(
+        F.col(doc_col),
+        off.alias("_off"),
+        ln.alias("_len"),
+        F.lag(off).over(w).alias("_poff"),
+        F.lag(off + ln).over(w).alias("_pend"),
+    )
+    return (
+        flagged.groupBy(doc_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum((F.col("_off") < F.col("_poff")).cast("long"))
+            .cast("long")
+            .alias("n_out_of_order"),
+            F.sum((F.col("_off") < F.col("_pend")).cast("long"))
+            .cast("long")
+            .alias("n_overlaps"),
+            F.sum((F.col("_off") > F.col("_pend")).cast("long"))
+            .cast("long")
+            .alias("n_gaps"),
+            F.sum("_len").cast("long").alias("span_mass"),
+            (
+                F.max(F.col("_off") + F.col("_len")) - F.min("_off")
+            ).cast("long").alias("extent"),
+        )
+        .select(
+            doc_col,
+            "n_spans",
+            F.coalesce("n_out_of_order", F.lit(0)).cast("long").alias(
+                "n_out_of_order"
+            ),
+            F.coalesce("n_overlaps", F.lit(0)).cast("long").alias("n_overlaps"),
+            F.coalesce("n_gaps", F.lit(0)).cast("long").alias("n_gaps"),
+            "span_mass",
+            "extent",
+            F.expr(
+                "(span_mass * 1000000L) DIV greatest(extent, 1L)"
+            ).cast("long").alias("coverage_micro"),
+        )
+        .orderBy(doc_col)
+    )

@@ -84,6 +84,13 @@ PICK = {
  'q190_source_surprisal': 'per-source surprisal (token join, source rollup)',
  'q191_l_diversity': 'l-diversity audit (one agg with exact distinct per cohort)',
  'q192_boilerplate': 'boilerplate share (distinct shingles, df join, per-doc rollup)',
+ 'q194_annotator_agreement': "Cohen's kappa (base agg + class-marginal join, group-bounded)",
+ 'q195_vocab_health': 'vocab health (one (source,token) agg, source rollup)',
+ 'q196_mirror_hosts': 'mirror hosts (heavy-path cap before self-join, pair agg)',
+ 'q197_event_transitions': 'Markov transitions (per-user lag window, grid + marginal join)',
+ 'q198_snapshot_churn': 'snapshot churn (full-outer hash diff, grid rollup)',
+ 'q199_span_integrity': 'span integrity audit (per-doc lag window, reused exchange rollup)',
+ 'q200_ab_lift': 'A/B lift report (variant agg, broadcast control row)',
 }
 out = []
 out.append("""# PLANS — captured physical plans (sf0.001)

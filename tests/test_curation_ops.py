@@ -4158,3 +4158,80 @@ def test_snapshot_churn_python_replay(spark):
     assert (b["added"], b["removed"], b["changed"], b["unchanged"]) == (1, 0, 0, 0)
     assert (b["n_old"], b["n_new"]) == (0, 1)
     assert b["churn_micro"] == 1_000_000
+
+
+def test_span_integrity_audit_python_replay(spark):
+    """Overlap / gap / out-of-order flags replayed in python over
+    hand-built span sequences, including a single-span doc (no pairs)."""
+    from document_quality_assessment_ocr_spark.operators.profile import (
+        span_integrity_audit,
+    )
+
+    rows = [
+        # doc 1: clean back-to-back coverage
+        (1, 0, 0, 100), (1, 1, 100, 50), (1, 2, 150, 50),
+        # doc 2: overlap (span 1 starts inside span 0), then a gap
+        (2, 0, 0, 120), (2, 1, 100, 50), (2, 2, 200, 10),
+        # doc 3: out-of-order (offsets swapped)
+        (3, 0, 100, 50), (3, 1, 0, 50),
+        # doc 4: single span
+        (4, 0, 10, 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, span_idx long, offset long, length long"
+    )
+    out = {r["doc_id"]: r for r in span_integrity_audit(df).collect()}
+
+    docs = {}
+    for d, i, o, ln in rows:
+        docs.setdefault(d, []).append((i, o, ln))
+    for d, sp in docs.items():
+        sp.sort()
+        ooo = ov = gap = 0
+        for (_, po, pl), (_, o, _ln) in zip(sp, sp[1:]):
+            ooo += o < po
+            ov += o < po + pl
+            gap += o > po + pl
+        mass = sum(ln for _, _, ln in sp)
+        extent = max(o + ln for _, o, ln in sp) - min(o for _, o, _ in sp)
+        r = out[d]
+        assert (r["n_spans"], r["n_out_of_order"], r["n_overlaps"],
+                r["n_gaps"]) == (len(sp), ooo, ov, gap), d
+        assert (r["span_mass"], r["extent"]) == (mass, extent), d
+        assert r["coverage_micro"] == mass * 1_000_000 // max(extent, 1)
+    assert out[1]["coverage_micro"] == 1_000_000
+    assert out[2]["n_overlaps"] == 1 and out[2]["n_gaps"] == 1
+    assert out[3]["n_out_of_order"] == 1 and out[3]["n_overlaps"] == 1
+    assert out[4]["n_spans"] == 1 and out[4]["n_overlaps"] == 0
+
+
+def test_ab_lift_report_python_replay(spark):
+    """Exact means and float-op-order lift replayed; default control is
+    the lexicographically first variant; explicit control overrides."""
+    from document_quality_assessment_ocr_spark.operators.experiment import (
+        ab_lift_report,
+    )
+
+    rows = [("a", 100), ("a", 200), ("a", 300),
+            ("b", 250), ("b", 350),
+            ("c", 0), ("c", 0)]
+    df = spark.createDataFrame(rows, "variant string, metric long")
+    out = {r["variant"]: r for r in ab_lift_report(df).collect()}
+
+    sums = {"a": 600, "b": 600, "c": 0}
+    ns = {"a": 3, "b": 2, "c": 2}
+    cmean = sums["a"] / ns["a"]
+    for v in ("a", "b", "c"):
+        r = out[v]
+        assert (r["n"], r["metric_sum"]) == (ns[v], sums[v])
+        assert r["mean"] == sums[v] / ns[v]
+        assert r["is_control"] == (v == "a")
+        assert r["lift_vs_control"] == (sums[v] / ns[v]) / cmean - 1.0
+    assert out["a"]["lift_vs_control"] == 0.0
+    assert out["b"]["lift_vs_control"] == 0.5
+    assert out["c"]["lift_vs_control"] == -1.0
+
+    # zero-mean control -> lift NULL everywhere
+    out_c = {r["variant"]: r for r in ab_lift_report(df, control="c").collect()}
+    assert all(out_c[v]["lift_vs_control"] is None for v in ("a", "b", "c"))
+    assert out_c["c"]["is_control"]
