@@ -8072,6 +8072,73 @@ def _ab_lift_sql() -> str:
     """
 
 
+def _q_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality profile over the deterministic 2% md5
+    audit panel (tag `zq`, modulus 50): stdlib zlib level 6 via ONE
+    Arrow-batched mapInPandas pass — the assumption-free junk-text
+    detector (low ratio = template spam, ~1e6 = binary/noise)."""
+    from document_quality_assessment_ocr_spark.operators.augment import _md5_mod
+    from document_quality_assessment_ocr_spark.operators.quality import (
+        compression_profile,
+    )
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    panel = d.where(_md5_mod(F.col("doc_id"), "zq", F.lit(50)) == 0)
+    return compression_profile(panel)
+
+
+def _compression_sql(m: int = 50) -> str:
+    """q201 oracle-literal builder (the wav_frame_rms_values contract):
+    reads the SAME parquet the engine reads (SPARK_GRAFT_ORACLE_SF),
+    applies the byte-identical md5 panel predicate (shared _md5_mod twin,
+    tag `zq`), and embeds the SHARED `quality.zlib_profile_values`
+    integers as VALUES literals — panel-bounded at corpus/50 rows, and
+    zlib never has to exist inside DuckDB. ratio recomputed with
+    non-negative `//` on both engines."""
+    import os
+
+    import duckdb
+
+    from document_quality_assessment_ocr_spark.operators.quality import (
+        zlib_profile_values,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.001")
+    pred = (
+        "(('0x' || SUBSTR(MD5(CAST(CAST(doc_id AS BIGINT) AS VARCHAR)"
+        f" || '|zq'), 1, 15))::BIGINT % {int(m)}) = 0"
+    )
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT CAST(doc_id AS BIGINT) AS did, COALESCE(text, '') AS t "
+        f"FROM '{sf}/documents.parquet' WHERE {pred} ORDER BY did"
+    ).fetchall()
+    con.close()
+    vals = zlib_profile_values([t for _, t in rows])
+    if rows:
+        lits = ",\n                ".join(
+            f"({d}, {r}, {c})" for (d, _), (r, c) in zip(rows, vals)
+        )
+        body = f"(VALUES {lits}) AS v(doc_id, raw_bytes, comp_bytes)"
+    else:
+        body = (
+            "(SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT)"
+            " AS raw_bytes, CAST(NULL AS BIGINT) AS comp_bytes WHERE FALSE)"
+            " AS v"
+        )
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(raw_bytes AS BIGINT) AS raw_bytes,
+               CAST(comp_bytes AS BIGINT) AS comp_bytes,
+               CAST((comp_bytes * 1000000) // GREATEST(raw_bytes, 1)
+                    AS BIGINT) AS ratio_micro
+        FROM {body}
+        ORDER BY doc_id
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's CORRECTNESS gate checks
     the FIRST 50 entries in dict order.  Positions 1-50 therefore carry the
@@ -8291,6 +8358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q198_snapshot_churn": _q_snapshot_churn,
         "q199_span_integrity": _q_span_integrity,
         "q200_ab_lift": _q_ab_lift,
+        "q201_compression_quality": _q_compression,
     }
 
 
@@ -11140,6 +11208,7 @@ def oracle_sql() -> dict[str, str]:
         "q198_snapshot_churn": _snapshot_churn_sql(),
         "q199_span_integrity": _span_integrity_sql(),
         "q200_ab_lift": _ab_lift_sql(),
+        "q201_compression_quality": _compression_sql(),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

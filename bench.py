@@ -418,6 +418,7 @@ def main() -> None:
         "q198_snapshot_churn",
         "q199_span_integrity",
         "q200_ab_lift",
+        "q201_compression_quality",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

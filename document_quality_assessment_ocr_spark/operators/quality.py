@@ -603,3 +603,70 @@ def boilerplate_share(
             ).cast("long").alias("common_micro"),
         )
     )
+
+
+def zlib_profile_values(texts):
+    """(raw_utf8_bytes, zlib_level6_bytes) per text — the SHARED function
+    called by the engine's Arrow-batched UDF (`compression_profile`) AND
+    the q201 oracle-literal builder, so both engines carry byte-identical
+    integers (the wav_frame_rms_values contract). The zlib LEVEL (6) is
+    part of the contract — changing it re-keys every literal."""
+    import zlib
+
+    out = []
+    for t in texts:
+        b = (t or "").encode("utf-8")
+        out.append((len(b), len(zlib.compress(b, 6))))
+    return out
+
+
+def compression_profile(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Compression-ratio quality signal (the Gopher-era zlib heuristic):
+    per document, UTF-8 byte length, zlib(level 6) compressed length, and
+    ``ratio_micro = comp·1e6 DIV max(raw, 1)``. Very LOW ratios flag
+    template/repetition junk (compresses away); ratios near 1e6 flag
+    already-compressed or random-noise payloads masquerading as text.
+    Both tails are what quality classifiers miss — the compressor is an
+    assumption-free model.
+
+    Scale shape: ONE mapInPandas pass (Arrow-batched, stdlib zlib —
+    CPU-bound per batch, no shuffle; text bytes stay in their partitions
+    and only three integers per doc leave the scan). Run it on the
+    deterministic md5 audit panel, not the full corpus, when it rides a
+    dashboard.
+
+    Output: (doc_id, raw_bytes, comp_bytes, ratio_micro) ordered by id.
+    """
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            vals = zlib_profile_values(pdf[text_col].tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "raw_bytes": pd.Series(
+                        [r for r, _ in vals], dtype="int64"
+                    ),
+                    "comp_bytes": pd.Series(
+                        [c for _, c in vals], dtype="int64"
+                    ),
+                }
+            )
+
+    prof = docs.select(
+        F.col(id_col).cast("long").alias(id_col), text_col
+    ).mapInPandas(gen, "doc_id long, raw_bytes long, comp_bytes long")
+    return prof.select(
+        "doc_id",
+        "raw_bytes",
+        "comp_bytes",
+        F.expr("(comp_bytes * 1000000L) DIV greatest(raw_bytes, 1L)")
+        .cast("long")
+        .alias("ratio_micro"),
+    ).orderBy("doc_id")

@@ -91,6 +91,7 @@ PICK = {
  'q198_snapshot_churn': 'snapshot churn (full-outer hash diff, grid rollup)',
  'q199_span_integrity': 'span integrity audit (per-doc lag window, reused exchange rollup)',
  'q200_ab_lift': 'A/B lift report (variant agg, broadcast control row)',
+ 'q201_compression_quality': 'zlib quality panel (one Arrow mapInPandas pass, no shuffle)',
 }
 out = []
 out.append("""# PLANS — captured physical plans (sf0.001)

@@ -4235,3 +4235,37 @@ def test_ab_lift_report_python_replay(spark):
     out_c = {r["variant"]: r for r in ab_lift_report(df, control="c").collect()}
     assert all(out_c[v]["lift_vs_control"] is None for v in ("a", "b", "c"))
     assert out_c["c"]["is_control"]
+
+
+def test_compression_profile_python_replay(spark):
+    """zlib profile replayed via the SHARED fn: repetitive text lands a
+    much lower ratio than high-entropy text; empty text guards DIV."""
+    import zlib
+
+    from document_quality_assessment_ocr_spark.operators.quality import (
+        compression_profile,
+        zlib_profile_values,
+    )
+
+    noisy = " ".join(
+        format(int.from_bytes(zlib.crc32(str(i).encode()).to_bytes(4, "big"),
+                              "big"), "x")
+        for i in range(200)
+    )
+    rows = [
+        (1, "spam spam spam " * 200),
+        (2, noisy),
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in compression_profile(df).collect()}
+
+    exp = zlib_profile_values([t for _, t in rows])
+    for (d, _), (raw, comp) in zip(rows, exp):
+        r = out[d]
+        assert (r["raw_bytes"], r["comp_bytes"]) == (raw, comp), d
+        assert r["ratio_micro"] == comp * 1_000_000 // max(raw, 1)
+    assert out[1]["ratio_micro"] < out[2]["ratio_micro"]
+    assert out[1]["ratio_micro"] < 100_000          # template junk collapses
+    assert out[3]["raw_bytes"] == 0 and out[4]["raw_bytes"] == 0
