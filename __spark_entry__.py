@@ -7241,8 +7241,9 @@ def _q_dup_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         _doc(spark, sf_dir).select(
             F.col("doc_id").cast("long").alias("doc_id"), "text"
         ),
-        n_hashes=8,
+        n_hashes=16,
         bands=4,
+        shingle="word",
     )
     return wedge_closure(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -7255,12 +7256,16 @@ def _dup_closure_sql() -> str:
     already canonical id_a < id_b), rolled up to the one-row closure.
     Multi-referenced CTEs are MATERIALIZED (the q149 inlining lesson);
     integer wedge arithmetic is exact (`deg·(deg−1)` is even)."""
-    return _minhash_sql(8) + """
+    return _minhash_sql(16, shingle="word") + """
             , bands AS (
-                SELECT doc_id, 0 AS band, MD5(CONCAT_WS('#', h00, h01)) AS key FROM sig
-                UNION ALL SELECT doc_id, 1, MD5(CONCAT_WS('#', h02, h03)) FROM sig
-                UNION ALL SELECT doc_id, 2, MD5(CONCAT_WS('#', h04, h05)) FROM sig
-                UNION ALL SELECT doc_id, 3, MD5(CONCAT_WS('#', h06, h07)) FROM sig
+                SELECT doc_id, 0 AS band,
+                       MD5(CONCAT_WS('#', h00, h01, h02, h03)) AS key FROM sig
+                UNION ALL SELECT doc_id, 1,
+                       MD5(CONCAT_WS('#', h04, h05, h06, h07)) FROM sig
+                UNION ALL SELECT doc_id, 2,
+                       MD5(CONCAT_WS('#', h08, h09, h10, h11)) FROM sig
+                UNION ALL SELECT doc_id, 3,
+                       MD5(CONCAT_WS('#', h12, h13, h14, h15)) FROM sig
             ), und AS MATERIALIZED (
                 SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
                 FROM bands a JOIN bands b

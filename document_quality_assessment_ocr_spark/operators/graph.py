@@ -288,6 +288,12 @@ def triangle_count(
     Output: (id, degree, tri) — one row per node of the undirected
     graph, ``tri`` = triangles the node participates in (0 included).
     """
+    # Collapse to canonical unique edges ONCE and truncate lineage (the
+    # hits_fixed contract): `und` is read three times below (degree
+    # union x2, orientation join) and `oriented` three more — without
+    # the checkpoint an expensive upstream (q186 feeds the MinHash-LSH
+    # pair chain in here) re-executes per reference (measured 101 s ->
+    # ~20 s at sf0.1).
     und = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("u"),
@@ -295,6 +301,7 @@ def triangle_count(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint()
     )
     deg = (
         und.select(F.col("u").alias("id"))
