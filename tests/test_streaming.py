@@ -420,3 +420,56 @@ def _quantiles_from_hist(spark, hist, lo, hi, n_bins, percents):
         (F.lit(lo) + F.col("bin") * width).alias("v"),
     ).select("k", "v")
     return histogram_quantiles(rows, "k", "v", lo, hi, n_bins, percents)
+
+
+def test_stream_transitions_match_batch(spark, tmp_path):
+    """Incremental Markov-transition maintenance: after two micro-batches
+    (per-user monotone arrival), the persisted grid + prob_micro is
+    ROW-FOR-ROW the batch transition_matrix over the union — including
+    the CROSS-BOUNDARY pair that only the per-user last-event state can
+    see (u1's last b1 event -> first b2 event)."""
+    import time
+    from datetime import datetime, timedelta
+
+    from document_quality_assessment_ocr_spark.operators.sessions import (
+        transition_matrix,
+    )
+    from document_quality_assessment_ocr_spark.streaming.transitions import (
+        read_transitions,
+        stream_transitions,
+    )
+
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+
+    def ev(eid, uid, ty, sec):
+        return (eid, uid, ty, t0 + timedelta(seconds=sec))
+
+    # u1: A->B in b1, then (boundary) B->C->A in b2; u2: same-instant
+    # tie broken by event_id in b1, C arrives alone in b2 (C pair via
+    # state); u3 appears only in b2.
+    b1 = [ev(1, 1, "A", 0), ev(2, 1, "B", 10),
+          ev(3, 2, "C", 0), ev(4, 2, "A", 0)]
+    b2 = [ev(5, 1, "C", 20), ev(6, 1, "A", 30),
+          ev(7, 2, "B", 5),
+          ev(8, 3, "A", 0)]
+    in_dir = str(tmp_path / "tin")
+    os.makedirs(in_dir)
+    for i, rows in enumerate((b1, b2)):
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts timestamp"
+        ).coalesce(1).write.parquet(os.path.join(in_dir, f"drop-{i}"))
+        time.sleep(1.1)
+
+    state_dir = str(tmp_path / "tstate")
+    stream_transitions(
+        spark, in_dir + "/*", str(tmp_path / "tckpt"), state_dir
+    )
+    got = {(r["prev_type"], r["next_type"]): (r["n"], r["prob_micro"])
+           for r in read_transitions(spark, state_dir).collect()}
+    full = spark.read.parquet(in_dir + "/*")
+    want = {(r["prev_type"], r["next_type"]): (r["n"], r["prob_micro"])
+            for r in transition_matrix(full).collect()}
+    assert got == want
+    # the boundary pairs exist: u1 B->C and u2 A->B cross batches
+    assert got[("B", "C")][0] == 1 and got[("A", "B")][0] >= 1
+    assert sorted(os.listdir(state_dir)) == ["v1", "v2"]
