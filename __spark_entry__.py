@@ -8144,6 +8144,395 @@ def _compression_sql(m: int = 50) -> str:
     """
 
 
+def _q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS drift between even- and odd-doc_id length
+    distributions — the distribution-level drift statistic next to
+    q156's token-level TVD; exact integer ECDF over the length-bucket
+    grid."""
+    from document_quality_assessment_ocr_spark.operators.experiment import ks_drift
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "n_chars"
+    )
+    return ks_drift(d, F.col("doc_id") % 2 == 0, "n_chars", bucket_width=64)
+
+
+def _ks_drift_sql() -> str:
+    """q202 oracle: identical integer pipeline — DIV-bucketed lengths,
+    windowed integer cumsums over the bucket GRID, cross-multiplied
+    |cum_a·n_b − cum_b·n_a| numerator, argmax tie-broken on the smallest
+    bucket, and ONE exact double division (the q194 kappa discipline)."""
+    return """
+        WITH d AS (
+            SELECT (doc_id % 2 = 0) AS l,
+                   CAST(GREATEST(CAST(n_chars AS BIGINT), 0) // 64 AS BIGINT)
+                       AS bucket
+            FROM documents
+        ), grid AS (
+            SELECT bucket,
+                   CAST(COUNT(*) FILTER (WHERE l) AS BIGINT) AS ca,
+                   CAST(COUNT(*) FILTER (WHERE NOT l) AS BIGINT) AS cb
+            FROM d GROUP BY bucket
+        ), cum AS (
+            SELECT bucket,
+                   CAST(SUM(ca) OVER (ORDER BY bucket
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_a,
+                   CAST(SUM(cb) OVER (ORDER BY bucket
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_b
+            FROM grid
+        ), tot AS (
+            SELECT bucket, cum_a, cum_b,
+                   CAST(MAX(cum_a) OVER () AS BIGINT) AS n_left,
+                   CAST(MAX(cum_b) OVER () AS BIGINT) AS n_right
+            FROM cum
+        ), sc AS (
+            SELECT n_left, n_right, bucket,
+                   CAST(ABS(cum_a * n_right - cum_b * n_left) AS BIGINT) AS d_num
+            FROM tot
+        )
+        SELECT n_left, n_right, CAST(bucket AS BIGINT) AS at_bucket, d_num,
+               CAST((1000000 * d_num) // GREATEST(n_left * n_right, 1)
+                    AS BIGINT) AS ks_micro,
+               CAST(d_num AS DOUBLE)
+                   / CAST(GREATEST(n_left * n_right, 1) AS DOUBLE) AS ks
+        FROM sc ORDER BY d_num DESC, bucket LIMIT 1
+    """
+
+
+def _q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap CI for the per-source mean document length —
+    the distributed resampling scheme (per-row Poisson(1) weights, no
+    global sample indices), md5-deterministic and replay-stable."""
+    from document_quality_assessment_ocr_spark.operators.experiment import (
+        poisson_bootstrap_ci,
+    )
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source", "n_chars"
+    )
+    return poisson_bootstrap_ci(
+        d, group_col="source", metric_col="n_chars", id_col="doc_id", n_reps=32
+    )
+
+
+def _bootstrap_ci_sql() -> str:
+    """q203 oracle: the shared POISSON1_CDF_MICRO thresholds (imported,
+    never forked) turn the md5-uniform micro draw into the replicate
+    weight; all-integer micro means with non-negative //; trimmed
+    rank CI = 2nd smallest / 2nd largest of the sorted replicate means
+    (LIST filter drops the empty-resample NULLs exactly like Spark's
+    collect_list)."""
+    from document_quality_assessment_ocr_spark.operators.experiment import (
+        POISSON1_CDF_MICRO,
+    )
+
+    wsum = " + ".join(
+        f"CASE WHEN u >= {t} THEN 1 ELSE 0 END" for t in POISSON1_CDF_MICRO
+    )
+    return f"""
+        WITH d AS (
+            SELECT COALESCE(source, '') AS g,
+                   GREATEST(CAST(n_chars AS BIGINT), 0) AS x,
+                   CAST(CAST(doc_id AS BIGINT) AS VARCHAR) AS id
+            FROM documents
+        ), point AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST((1000000 * SUM(x)) // COUNT(*) AS BIGINT) AS point_micro
+            FROM d GROUP BY g
+        ), rep AS (
+            SELECT g, x,
+                   ('0x' || SUBSTR(MD5(id || '|boot' || CAST(r AS VARCHAR)),
+                    1, 15))::BIGINT % 1000000 AS u,
+                   r
+            FROM (SELECT g, x, id, UNNEST(RANGE(0, 32)) AS r FROM d)
+        ), wgt AS (
+            SELECT g, r, x, CAST({wsum} AS BIGINT) AS w FROM rep
+        ), grid AS (
+            SELECT g, r, CAST(SUM(w) AS BIGINT) AS wn,
+                   CAST(SUM(w * x) AS BIGINT) AS ws
+            FROM wgt GROUP BY g, r
+        ), means AS (
+            SELECT g, CASE WHEN wn > 0
+                           THEN CAST((1000000 * ws) // wn AS BIGINT) END
+                       AS mean_micro
+            FROM grid
+        ), ci AS (
+            SELECT g, LIST_SORT(LIST(mean_micro)
+                       FILTER (WHERE mean_micro IS NOT NULL)) AS ms
+            FROM means GROUP BY g
+        )
+        SELECT point.g AS source, n, point_micro,
+               CAST(LEN(ms) AS BIGINT) AS n_reps_valid,
+               CASE WHEN LEN(ms) >= 4 THEN CAST(ms[2] AS BIGINT) END
+                   AS boot_lo_micro,
+               CASE WHEN LEN(ms) >= 4
+                    THEN CAST(ms[CAST(LEN(ms) AS INT) - 1] AS BIGINT) END
+                   AS boot_hi_micro
+        FROM point JOIN ci USING (g) ORDER BY source
+    """
+
+
+def _synth_table_html(d: DataFrame) -> DataFrame:
+    """Deterministic <table> HTML over documents.text — cells are fixed
+    substring windows (cell k = SUBSTR(text, 1+4k, 3)), a 3-column header
+    row, 1 + doc_id%3 data rows, and doc_id%5==0 drops the FIRST row's
+    last cell (the ragged-table case the shape audit must catch).  The
+    q204 oracle builds the IDENTICAL string — byte-identical twins, like
+    `_synth_html`/`_HTML_SYNTH_CTE`."""
+    t = F.coalesce(F.col("text"), F.lit(""))
+
+    def td(k: int) -> Column:
+        return F.concat(
+            F.lit("<td>"), F.substring(t, 1 + 4 * k, 3), F.lit("</td>")
+        )
+
+    nrows = F.col("doc_id") % 3 + 1
+    ragged = F.col("doc_id") % 5 == 0
+    row0 = F.concat(
+        F.lit("<tr>"),
+        td(0),
+        td(1),
+        F.when(ragged, F.lit("")).otherwise(td(2)),
+        F.lit("</tr>"),
+    )
+    row1 = F.when(
+        nrows >= 2,
+        F.concat(F.lit("<tr>"), td(3), td(4), td(5), F.lit("</tr>")),
+    ).otherwise(F.lit(""))
+    row2 = F.when(
+        nrows >= 3,
+        F.concat(F.lit("<tr>"), td(6), td(7), td(8), F.lit("</tr>")),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit(
+            "<html><body><p>intro</p><table>"
+            "<tr><th>A</th><th>B</th><th>C</th></tr>"
+        ),
+        row0,
+        row1,
+        row2,
+        F.lit("</table><p>outro</p></body></html>"),
+    )
+    return d.select(F.col("doc_id").cast("long").alias("doc_id"), html.alias("html"))
+
+
+def _q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured <table> extraction from synthesized table HTML — the
+    row/cell relation a crawl-to-training-data pipeline feeds to table
+    QA / serialization stages."""
+    from document_quality_assessment_ocr_spark.operators.html import extract_tables
+
+    return extract_tables(_synth_table_html(_doc(spark, sf_dir)))
+
+
+def _table_synth_sql() -> str:
+    """Byte-identical SQL twin of `_synth_table_html` (cell k = SUBSTR
+    1+4k len 3; ragged first row when doc_id%5==0; rows 2/3 gated on
+    1 + doc_id%3)."""
+
+    def td(k: int) -> str:
+        return f"'<td>' || SUBSTR(t, {1 + 4 * k}, 3) || '</td>'"
+
+    return f"""
+        WITH tsrc AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   COALESCE(text, '') AS t
+            FROM documents
+        ), th AS (
+            SELECT doc_id,
+                   '<html><body><p>intro</p><table>'
+                   || '<tr><th>A</th><th>B</th><th>C</th></tr>'
+                   || '<tr>' || {td(0)} || {td(1)}
+                   || CASE WHEN doc_id % 5 = 0 THEN '' ELSE {td(2)} END
+                   || '</tr>'
+                   || CASE WHEN doc_id % 3 + 1 >= 2
+                           THEN '<tr>' || {td(3)} || {td(4)} || {td(5)}
+                                || '</tr>' ELSE '' END
+                   || CASE WHEN doc_id % 3 + 1 >= 3
+                           THEN '<tr>' || {td(6)} || {td(7)} || {td(8)}
+                                || '</tr>' ELSE '' END
+                   || '</table><p>outro</p></body></html>' AS html
+            FROM tsrc
+        )"""
+
+
+def _html_tables_sql() -> str:
+    """q204 oracle: the synth twin + the SAME html.py regex constants
+    (TABLE_RE/TR_RE/CELL_RE/TH_OPEN/TAG — imported, never forked), the
+    UNNEST(RANGE(1, LEN(list)+1)) posexplode idiom, and the
+    COALESCE(ARRAY_TO_STRING) guard for DuckDB's empty-list NULL."""
+    from document_quality_assessment_ocr_spark.functions.text import WS_CLASS
+    from document_quality_assessment_ocr_spark.operators.html import (
+        CELL_RE,
+        TABLE_RE,
+        TAG,
+        TH_OPEN,
+        TR_RE,
+    )
+
+    return _table_synth_sql() + f""", tb0 AS (
+            SELECT doc_id,
+                   REGEXP_EXTRACT_ALL(html, '{TABLE_RE}', 1) AS tl
+            FROM th
+        ), tb AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS table_idx,
+                   tl[CAST(i AS INT)] AS thtml
+            FROM (SELECT doc_id, tl, UNNEST(RANGE(1, LEN(tl) + 1)) AS i
+                  FROM tb0)
+        ), rw0 AS (
+            SELECT doc_id, table_idx,
+                   REGEXP_EXTRACT_ALL(thtml, '{TR_RE}', 1) AS rl
+            FROM tb
+        ), rw AS (
+            SELECT doc_id, table_idx, CAST(i AS BIGINT) AS row_idx,
+                   rl[CAST(i AS INT)] AS rhtml
+            FROM (SELECT doc_id, table_idx, rl,
+                         UNNEST(RANGE(1, LEN(rl) + 1)) AS i
+                  FROM rw0)
+        ), cl AS (
+            SELECT doc_id, table_idx, row_idx,
+                   REGEXP_MATCHES(rhtml, '{TH_OPEN}') AS is_header,
+                   REGEXP_EXTRACT_ALL(rhtml, '{CELL_RE}', 1) AS cells0
+            FROM rw
+        )
+        SELECT doc_id, table_idx, row_idx, is_header,
+               CAST(LEN(cells0) AS BIGINT) AS n_cells,
+               COALESCE(ARRAY_TO_STRING(LIST_TRANSFORM(cells0,
+                   c -> TRIM(REGEXP_REPLACE(REGEXP_REPLACE(c, '{TAG}', '',
+                        'g'), '{WS_CLASS}+', ' ', 'g'))), '|'), '') AS cells
+        FROM cl ORDER BY doc_id, table_idx, row_idx
+    """
+
+
+def _q_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (farthest-point traversal) over integer-
+    quantized embeddings — the coverage-guarantee diverse subsample next
+    to the density-based prune families (q78/q107/q111)."""
+    from document_quality_assessment_ocr_spark.operators.similarity import (
+        kcenter_coreset,
+    )
+
+    return kcenter_coreset(_emb(spark, sf_dir), k=4, scale=64)
+
+
+def _kcenter_sql() -> str:
+    """q205 oracle: k=4 greedy rounds UNROLLED with MATERIALIZED CTEs
+    (every dN is read twice — the q149 inlining-blowup cure), the q168
+    portable float→int truncation for quantization, LIST_ZIP + numeric
+    struct indexes for the exact BIGINT squared-L2, and argmax tie-break
+    ORDER BY md DESC, vid — identical to the engine's min-struct."""
+    q64 = (
+        "LIST_TRANSFORM(embedding, x -> CAST(TRUNC(CAST(x AS DOUBLE) * 64)"
+        " AS BIGINT))"
+    )
+    dist = (
+        "CAST(LIST_SUM(LIST_TRANSFORM(LIST_ZIP({a}, {b}),"
+        " s -> (s[1] - s[2]) * (s[1] - s[2]))) AS BIGINT)"
+    )
+    d0 = dist.format(a="b.q", b="c.q")
+    dn = dist.format(a="d.q", b="c.q")
+    return f"""
+        WITH base AS MATERIALIZED (
+            SELECT CAST(vec_id AS BIGINT) AS vid, {q64} AS q
+            FROM embeddings
+        ), c0 AS MATERIALIZED (
+            SELECT vid, q FROM base ORDER BY vid LIMIT 1
+        ), d0 AS MATERIALIZED (
+            SELECT b.vid, b.q, {d0} AS md FROM base b, c0 c
+        ), c1 AS MATERIALIZED (
+            SELECT vid, q, md FROM d0 ORDER BY md DESC, vid LIMIT 1
+        ), d1 AS MATERIALIZED (
+            SELECT d.vid, d.q, LEAST(d.md, {dn}) AS md FROM d0 d, c1 c
+        ), c2 AS MATERIALIZED (
+            SELECT vid, q, md FROM d1 ORDER BY md DESC, vid LIMIT 1
+        ), d2 AS MATERIALIZED (
+            SELECT d.vid, d.q, LEAST(d.md, {dn}) AS md FROM d1 d, c2 c
+        ), c3 AS MATERIALIZED (
+            SELECT vid, q, md FROM d2 ORDER BY md DESC, vid LIMIT 1
+        ), d3 AS MATERIALIZED (
+            SELECT d.vid, d.q, LEAST(d.md, {dn}) AS md FROM d2 d, c3 c
+        ), fin AS (
+            SELECT CAST(MAX(md) AS BIGINT) AS mx FROM d3
+        )
+        SELECT * FROM (
+            SELECT CAST(0 AS BIGINT) AS rank, vid AS vec_id,
+                   CAST(NULL AS BIGINT) AS chosen_dist,
+                   CAST((SELECT md FROM c1) AS BIGINT) AS radius_after
+            FROM c0
+            UNION ALL
+            SELECT CAST(1 AS BIGINT), vid, CAST(md AS BIGINT),
+                   CAST((SELECT md FROM c2) AS BIGINT) FROM c1
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), vid, CAST(md AS BIGINT),
+                   CAST((SELECT md FROM c3) AS BIGINT) FROM c2
+            UNION ALL
+            SELECT CAST(3 AS BIGINT), vid, CAST(md AS BIGINT),
+                   CAST((SELECT mx FROM fin) AS BIGINT) FROM c3
+        ) ORDER BY rank
+    """
+
+
+def _q_rr_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warner randomized-response privatized collection: an md5-derived
+    sensitive bit (20% base rate) reported truthfully with p=3/4, then
+    debiased per source — the privacy family's collection leg next to
+    the k-anonymity/l-diversity release audits."""
+    from document_quality_assessment_ocr_spark.operators.augment import _md5_mod
+    from document_quality_assessment_ocr_spark.operators.privacy import (
+        randomized_response_estimate,
+    )
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )
+    tb = F.when(_md5_mod(F.col("doc_id"), "sens", F.lit(5)) == 0, 1).otherwise(0)
+    keep = _md5_mod(F.col("doc_id"), "rr", F.lit(4)) < 3
+    reports = d.select(
+        "source", F.when(keep, tb).otherwise(1 - tb).alias("reported")
+    )
+    return randomized_response_estimate(
+        reports, group_col="source", bit_col="reported", keep_num=3, keep_den=4
+    )
+
+
+def _rr_release_sql() -> str:
+    """q206 oracle: the shared _md5_mod twin (tags `sens`/`rr` are part
+    of the contract), all-BIGINT counts, non-negative // for obs_micro,
+    and the debiased estimate as ONE exact double division (numerator
+    can be negative — the q194 kappa discipline, never integer
+    division)."""
+
+    def mm(tag: str, m: int) -> str:
+        return (
+            f"(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '|{tag}'),"
+            f" 1, 15))::BIGINT % {m})"
+        )
+
+    return f"""
+        WITH d AS (
+            SELECT COALESCE(source, '') AS g,
+                   CASE WHEN {mm('sens', 5)} = 0 THEN 1 ELSE 0 END AS tb,
+                   {mm('rr', 4)} AS kd
+            FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, source
+                  FROM documents)
+        ), rep AS (
+            SELECT g, CASE WHEN kd < 3 THEN tb ELSE 1 - tb END AS b FROM d
+        ), agg AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(b) AS BIGINT) AS n_reported
+            FROM rep GROUP BY g
+        ), o AS (
+            SELECT g, n, n_reported,
+                   CAST((1000000 * n_reported) // n AS BIGINT) AS obs_micro
+            FROM agg
+        )
+        SELECT g AS source, n, n_reported, obs_micro,
+               CAST(obs_micro * 4 - 1000000 AS DOUBLE)
+                   / CAST(2000000 AS DOUBLE) AS est
+        FROM o ORDER BY source
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's CORRECTNESS gate checks
     the FIRST 50 entries in dict order.  Positions 1-50 therefore carry the
@@ -8364,6 +8753,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q199_span_integrity": _q_span_integrity,
         "q200_ab_lift": _q_ab_lift,
         "q201_compression_quality": _q_compression,
+        "q202_ks_drift": _q_ks_drift,
+        "q203_bootstrap_ci": _q_bootstrap_ci,
+        "q204_html_tables": _q_html_tables,
+        "q205_kcenter_coreset": _q_kcenter,
+        "q206_rr_release": _q_rr_release,
     }
 
 
@@ -11214,6 +11608,11 @@ def oracle_sql() -> dict[str, str]:
         "q199_span_integrity": _span_integrity_sql(),
         "q200_ab_lift": _ab_lift_sql(),
         "q201_compression_quality": _compression_sql(),
+        "q202_ks_drift": _ks_drift_sql(),
+        "q203_bootstrap_ci": _bootstrap_ci_sql(),
+        "q204_html_tables": _html_tables_sql(),
+        "q205_kcenter_coreset": _kcenter_sql(),
+        "q206_rr_release": _rr_release_sql(),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

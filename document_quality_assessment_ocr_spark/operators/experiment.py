@@ -22,8 +22,15 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+#: Cumulative Poisson(lambda=1) CDF thresholds in micro units (floor of
+#: P(X <= k) * 1e6 for k = 0..7).  A Poisson-bootstrap replicate weight is
+#: the count of thresholds <= the md5-uniform micro draw (capped at 8;
+#: P(X >= 8) < 1.1e-5).  SHARED constant: the engine expression and the
+#: DuckDB oracle SQL both interpolate these exact integers — never fork.
+POISSON1_CDF_MICRO = (367879, 735758, 919698, 981011, 996340, 999405, 999916, 999989)
 
 
 def ab_lift_report(
@@ -74,4 +81,205 @@ def ab_lift_report(
             ),
         )
         .orderBy(variant_col)
+    )
+
+
+def ks_drift(
+    df: DataFrame,
+    left_side: Column,
+    value_col: str,
+    bucket_width: int = 64,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic between the value
+    distributions of two corpus sides, computed EXACTLY in integers.
+
+    ``left_side`` is a boolean column splitting rows into the left /
+    right samples; ``value_col`` must be a NON-NEGATIVE integer metric
+    (lengths, token counts, integer quality scores — the fixed-point
+    family contract).  Values collapse to ``value DIV bucket_width``
+    buckets first, so the working relation is the bucket GRID (value
+    domain / width), never the corpus: the ECDF cumsum window and the
+    final max run over grid rows only — the q197/q202 grid-bounded
+    family, NOT a global window over documents.
+
+    Exactness: with per-bucket counts ``ca``/``cb`` and totals
+    ``n_a``/``n_b``, the KS distance at bucket t is
+    ``|cum_a(t)·n_b − cum_b(t)·n_a| / (n_a·n_b)`` — the numerator stays
+    BIGINT, the argmax tie-breaks on the smallest bucket, and ``ks`` is
+    ONE exact double division of two BIGINTs (the q194 kappa
+    discipline), so both engines hash-match bit-for-bit.
+
+    Output: ONE row (n_left, n_right, at_bucket, d_num, ks_micro, ks).
+
+    At 100 TB: one hash aggregate on the bucket key (map-side combine
+    collapses each partition to |buckets| partials); the window + max
+    run over the bounded grid on a single reducer carrying only grid
+    rows.  Requires n_left ≥ 1 and n_right ≥ 1 (returns the trivial 0
+    statistic when either side is empty).
+    """
+    if bucket_width < 1:
+        raise ValueError("bucket_width must be >= 1")
+    b = F.expr(
+        f"CAST(greatest(CAST({value_col} AS LONG), 0L) DIV {int(bucket_width)} "
+        "AS LONG)"
+    )
+    grid = (
+        df.select(left_side.alias("_l"), b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("_l"), 1).otherwise(0)).cast("long").alias("ca"),
+            F.sum(F.when(~F.col("_l"), 1).otherwise(0)).cast("long").alias("cb"),
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grid.select(
+        "bucket",
+        F.sum("ca").over(w).cast("long").alias("cum_a"),
+        F.sum("cb").over(w).cast("long").alias("cum_b"),
+    )
+    tot = Window.partitionBy()
+    scored = cum.select(
+        "bucket",
+        "cum_a",
+        "cum_b",
+        F.max("cum_a").over(tot).cast("long").alias("n_left"),
+        F.max("cum_b").over(tot).cast("long").alias("n_right"),
+    ).select(
+        "bucket",
+        "n_left",
+        "n_right",
+        F.abs(
+            F.col("cum_a") * F.col("n_right") - F.col("cum_b") * F.col("n_left")
+        )
+        .cast("long")
+        .alias("d_num"),
+    )
+    best = scored.groupBy("n_left", "n_right").agg(
+        F.min(
+            F.struct(
+                (-F.col("d_num")).alias("neg"), F.col("bucket").alias("at_bucket")
+            )
+        ).alias("_w")
+    )
+    denom = F.greatest(F.col("n_left") * F.col("n_right"), F.lit(1)).cast("long")
+    return best.select(
+        "n_left",
+        "n_right",
+        F.col("_w.at_bucket").cast("long").alias("at_bucket"),
+        (-F.col("_w.neg")).cast("long").alias("d_num"),
+        F.expr("(1000000 * -(_w.neg)) DIV greatest(n_left * n_right, 1)")
+        .cast("long")
+        .alias("ks_micro"),
+        ((-F.col("_w.neg")).cast("double") / denom.cast("double")).alias("ks"),
+    )
+
+
+def _poisson_weight(u_micro: Column) -> Column:
+    """Poisson(1) bootstrap weight from an md5-uniform micro draw: the
+    count of POISSON1_CDF_MICRO thresholds <= u (0..8).  Pure integer
+    comparison chain — the DuckDB oracle interpolates the SAME
+    thresholds."""
+    w = F.lit(0)
+    for t in POISSON1_CDF_MICRO:
+        w = w + F.when(u_micro >= F.lit(int(t)), 1).otherwise(0)
+    return w.cast("long")
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    group_col: str = "source",
+    metric_col: str = "metric",
+    id_col: str = "doc_id",
+    n_reps: int = 32,
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the per-group metric
+    mean — THE resampling scheme that distributes (each row draws an
+    independent Poisson(1) weight per replicate, so no global sample
+    indices exist and one pass computes every replicate).
+
+    Determinism: replicate r's weight for a row is
+    ``poisson_weight(md5(id || '|boot' || r) mod 1e6)`` — the md5-uniform
+    inverse-CDF trick with the shared POISSON1_CDF_MICRO thresholds, so
+    results are replay-stable and byte-identical on both engines.
+    ``metric_col`` must be a non-negative integer (the fixed-point
+    contract): each replicate mean is ``(Σ w·x · 1e6) DIV Σw`` — all
+    BIGINT, non-negative `DIV` == DuckDB `//`.
+
+    The CI is rank-based and trimmed: replicate means are sorted per
+    group (a bounded ``n_reps``-element array, collect_list over the
+    group×replicate GRID, never documents) and the 2nd-smallest /
+    2nd-largest survive as (boot_lo_micro, boot_hi_micro) — a ~94%
+    interval at n_reps=32, NULL when fewer than 4 replicates produced a
+    non-empty resample.
+
+    Output per group: (group_col, n, point_micro, n_reps_valid,
+    boot_lo_micro, boot_hi_micro) ordered by group.
+
+    At 100 TB: the explode is ×n_reps on a two-column projection
+    (group, metric) — map-side combine collapses each partition to
+    |groups|·n_reps partials; everything after the first aggregate is
+    grid-sized.  Precision bound: the ×1e6 micro scaling caps per-group
+    weighted metric mass at ~9.2e12 in BIGINT; beyond that, drop to
+    milli units or a DECIMAL(38) accumulator.
+    """
+    if n_reps < 4:
+        raise ValueError("n_reps must be >= 4 (the trimmed CI needs 4 means)")
+    g = F.coalesce(F.col(group_col).cast("string"), F.lit("")).alias("g")
+    x = F.greatest(F.col(metric_col).cast("long"), F.lit(0)).alias("x")
+    base = df.select(g, x, F.col(id_col).cast("string").alias("_id"))
+    point = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("(1000000 * sum(x)) DIV count(1)").cast("long").alias("point_micro"),
+    )
+    rep = base.select(
+        "g",
+        "x",
+        "_id",
+        F.explode(F.sequence(F.lit(0), F.lit(int(n_reps) - 1))).alias("r"),
+    )
+    u = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("_id"), F.lit("|boot"), F.col("r").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(1_000_000),
+    )
+    grid = (
+        rep.select("g", "r", "x", _poisson_weight(u).alias("w"))
+        .groupBy("g", "r")
+        .agg(
+            F.sum("w").cast("long").alias("wn"),
+            F.sum(F.col("w") * F.col("x")).cast("long").alias("ws"),
+        )
+        .select(
+            "g",
+            F.when(
+                F.col("wn") > 0, F.expr("(1000000 * ws) DIV wn").cast("long")
+            ).alias("mean_micro"),
+        )
+    )
+    ci = grid.groupBy("g").agg(
+        F.sort_array(F.collect_list("mean_micro")).alias("ms")
+    )
+    m = F.size(F.col("ms"))
+    return (
+        point.join(ci, "g")
+        .select(
+            F.col("g").alias(group_col),
+            "n",
+            "point_micro",
+            m.cast("long").alias("n_reps_valid"),
+            F.when(m >= 4, F.element_at(F.col("ms"), 2)).cast("long").alias(
+                "boot_lo_micro"
+            ),
+            F.when(m >= 4, F.expr("element_at(ms, size(ms) - 1)"))
+            .cast("long")
+            .alias("boot_hi_micro"),
+        )
+        .orderBy(group_col)
     )

@@ -378,3 +378,67 @@ def anchor_diversity(
             .alias("diversity_micro"),
         )
     )
+
+
+# --- table extraction ---------------------------------------------------
+# Java-regex ∩ RE2 subset like every pattern above; the q204 oracle SQL
+# interpolates THESE constants — never fork them.  Lazy quantifiers keep
+# each capture inside its own element; [^>]* tolerates attributes.
+TABLE_RE = "(?is)<table[^>]*>(.*?)</table>"
+TR_RE = "(?is)<tr[^>]*>(.*?)</tr>"
+CELL_RE = "(?is)<t[dh][^>]*>(.*?)</t[dh]>"
+TH_OPEN = "(?i)<th[^>]*>"
+
+
+def extract_tables(
+    docs: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Parse HTML ``<table>`` markup into a row-level relation — the
+    structured-data leg of the extraction family (tables are the densest
+    training-data payload a crawl page carries, and the reference's
+    span model has no analog for them; cf. reference
+    handlers/pdf_handler.py:48 which only rasterizes).
+
+    Per table row: the cells in order (inner tags stripped, whitespace
+    collapsed, pipe-joined), the cell count, and a header flag (the row
+    contains a ``<th>``).  Nested tables are NOT recursed into (the
+    outer capture is lazy, so an inner ``</table>`` terminates the outer
+    match — documented, deterministic, identical on both engines).
+
+    Output: (id_col, table_idx, row_idx, is_header, n_cells, cells)
+    with 1-based indexes, ordered by (id, table_idx, row_idx).
+
+    At 100 TB: pure map-side projection — two posexplodes whose fan-out
+    is bounded by the document's own markup; no exchange, no UDF.  The
+    final orderBy is presentation-only (drop it when feeding a sink).
+    """
+    tables = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(f"regexp_extract_all({html_col}, '{TABLE_RE}', 1)")
+        ).alias("tpos", "thtml"),
+    )
+    rows = tables.select(
+        id_col,
+        (F.col("tpos") + 1).cast("long").alias("table_idx"),
+        F.posexplode(
+            F.expr(f"regexp_extract_all(thtml, '{TR_RE}', 1)")
+        ).alias("rpos", "rhtml"),
+    )
+    cells = F.expr(f"regexp_extract_all(rhtml, '{CELL_RE}', 1)")
+    clean = F.transform(
+        cells,
+        lambda c: F.trim(
+            F.regexp_replace(F.regexp_replace(c, TAG, ""), f"{WS_CLASS}+", " ")
+        ),
+    )
+    return rows.select(
+        id_col,
+        "table_idx",
+        (F.col("rpos") + 1).cast("long").alias("row_idx"),
+        (F.expr(f"rhtml rlike '{TH_OPEN}'")).alias("is_header"),
+        F.size(cells).cast("long").alias("n_cells"),
+        F.coalesce(F.array_join(clean, "|"), F.lit("")).alias("cells"),
+    ).orderBy(id_col, "table_idx", "row_idx")

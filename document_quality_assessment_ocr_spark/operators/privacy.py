@@ -104,3 +104,62 @@ def l_diversity_audit(
         )
         .orderBy(*quasi_cols)
     )
+
+
+def randomized_response_estimate(
+    reports: DataFrame,
+    group_col: str = "source",
+    bit_col: str = "reported",
+    keep_num: int = 3,
+    keep_den: int = 4,
+) -> DataFrame:
+    """Debiased per-group share estimate from Warner randomized-response
+    reports (Warner 1965) — the privatized-collection counterpart to the
+    suppression audits above: each unit reported its TRUE binary
+    attribute with probability p = keep_num/keep_den and the complement
+    otherwise, so the raw observed share is biased toward 1/2 and the
+    debiased estimator is ``(obs − (1−p)) / (2p − 1)``.
+
+    Exactness: counts stay BIGINT; ``obs_micro = (reported·1e6) DIV n``
+    (non-negative DIV == DuckDB //); the debiased estimate is ONE exact
+    double division of two BIGINTs (the q194 kappa discipline) —
+    ``(obs_micro·den − (den−num)·1e6) / ((2num − den)·1e6)`` — because
+    its numerator can be negative (sampling noise can push the observed
+    share below the lie floor) and integer division diverges across
+    engines on negatives.
+
+    Requires 2·keep_num > keep_den (p > 1/2, else the design is
+    uninvertible).  Output per group: (group_col, n, n_reported,
+    obs_micro, est) ordered by group.
+
+    At 100 TB: one hash aggregate on the group key, map-side combine to
+    |groups| partials; nothing else touches the corpus.
+    """
+    num, den = int(keep_num), int(keep_den)
+    if not (0 < num <= den) or 2 * num <= den:
+        raise ValueError("need 0 < keep_num <= keep_den and 2*keep_num > keep_den")
+    g = F.coalesce(F.col(group_col).cast("string"), F.lit("")).alias("g")
+    bit = F.when(F.col(bit_col).cast("long") > 0, 1).otherwise(0)
+    agg = reports.select(g, bit.alias("b")).groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("b").cast("long").alias("n_reported"),
+    )
+    obs_micro = F.expr("(1000000 * n_reported) DIV n").cast("long")
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n",
+        "n_reported",
+        obs_micro.alias("obs_micro"),
+    ).select(
+        group_col,
+        "n",
+        "n_reported",
+        "obs_micro",
+        (
+            (
+                F.col("obs_micro") * F.lit(den)
+                - F.lit((den - num) * 1_000_000)
+            ).cast("double")
+            / F.lit(float((2 * num - den) * 1_000_000))
+        ).alias("est"),
+    ).orderBy(group_col)

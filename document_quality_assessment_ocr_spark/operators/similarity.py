@@ -1220,3 +1220,108 @@ def embedding_dim_profile(
             .alias("var_micro2"),
         )
     )
+
+
+def quantize_embedding(vec, scale: int = 64):
+    """Integer-quantize an array<float> embedding: each dim becomes
+    ``CAST(CAST(x AS DOUBLE) * scale AS LONG)`` — the fp32→fp64 promotion
+    is exact, ``scale`` must be a power of two so the product is exact,
+    and the final cast TRUNCATES toward zero, which is the one portable
+    float→int path (Spark CAST AS LONG == DuckDB CAST(TRUNC(x) AS
+    BIGINT); q168 contract).  Quantized distances are then pure BIGINT
+    arithmetic — order-independent, bit-identical on both engines."""
+    if scale & (scale - 1) != 0 or scale <= 0:
+        raise ValueError("scale must be a positive power of two")
+    return F.transform(
+        vec, lambda x: (x.cast("double") * F.lit(float(scale))).cast("long")
+    )
+
+
+def _qdist(q, center_lits):
+    """Exact squared L2 between a quantized array<long> column and a
+    Python list of ints (the collected center), as one zip_with fold."""
+    lit_arr = F.array(*[F.lit(int(v)).cast("long") for v in center_lits])
+    return F.aggregate(
+        F.zip_with(q, lit_arr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def kcenter_coreset(
+    emb: DataFrame,
+    k: int = 4,
+    scale: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985 farthest-point
+    traversal — the classic coverage-guarantee coreset for data
+    selection): seed with the smallest id, then repeatedly add the point
+    farthest from the chosen set.  The selected centers are the diverse
+    subsample; the final max-min distance is the 2-approximation
+    coverage radius.
+
+    Exactness: distances are squared L2 over ``quantize_embedding``
+    integer vectors — pure BIGINT, so the argmax (tie-break: smallest
+    id) is bit-identical on both engines and the whole loop is
+    hash-gated, not approximately checked.
+
+    Output: k rows (rank, vec_id, chosen_dist, radius_after) where
+    ``chosen_dist`` is the max-min distance that made this point the
+    farthest (NULL for the rank-0 seed) and ``radius_after`` is the
+    coverage radius once this center joins the set — a monotone
+    non-increasing sequence ending at the k-center radius.
+
+    At 100 TB: the quantized projection is localCheckpointed ONCE (the
+    hits_fixed lineage contract — k rounds must not re-derive the
+    upstream), then each round is one map-side ``least`` update against
+    a LITERAL center vector plus one 1-row argmax collect — k driver
+    round-trips, zero exchanges beyond the aggregates, candidate set
+    never leaves its partitions.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    base = emb.select(
+        F.col(id_col).cast("long").alias("vid"),
+        quantize_embedding(F.col(vec_col), scale).alias("q"),
+    ).localCheckpoint(eager=True)
+
+    seed = base.orderBy("vid").limit(1).collect()[0]
+    centers = [(0, int(seed["vid"]), None)]  # (rank, vid, chosen_dist)
+    cur = base.select("vid", "q", _qdist(F.col("q"), seed["q"]).alias("md"))
+
+    radius_after = []
+    chosen_vecs = None
+    for r in range(1, k):
+        top = (
+            cur.groupBy()
+            .agg(
+                F.min(
+                    F.struct((-F.col("md")).alias("neg"), F.col("vid").alias("vid"))
+                ).alias("w")
+            )
+            .select(
+                (-F.col("w.neg")).cast("long").alias("md"), F.col("w.vid").alias("vid")
+            )
+            .collect()[0]
+        )
+        radius_after.append(int(top["md"]))
+        chosen = base.where(F.col("vid") == int(top["vid"])).collect()[0]
+        centers.append((r, int(top["vid"]), int(top["md"])))
+        cur = cur.select(
+            "vid",
+            "q",
+            F.least(F.col("md"), _qdist(F.col("q"), chosen["q"])).alias("md"),
+        )
+    final = cur.groupBy().agg(F.max("md").cast("long").alias("mx")).collect()[0]
+    radius_after.append(int(final["mx"]))
+
+    spark = emb.sparkSession
+    rows = [
+        (int(rank), int(vid), cd if cd is None else int(cd), int(radius_after[rank]))
+        for rank, vid, cd in centers
+    ]
+    return spark.createDataFrame(
+        rows, "rank long, vec_id long, chosen_dist long, radius_after long"
+    ).orderBy("rank")

@@ -4269,3 +4269,193 @@ def test_compression_profile_python_replay(spark):
     assert out[1]["ratio_micro"] < out[2]["ratio_micro"]
     assert out[1]["ratio_micro"] < 100_000          # template junk collapses
     assert out[3]["raw_bytes"] == 0 and out[4]["raw_bytes"] == 0
+
+
+def test_ks_drift_python_replay(spark):
+    """Exact integer ECDF KS replayed in python; bucket DIV, argmax
+    tie-break on smallest bucket, single double division."""
+    from document_quality_assessment_ocr_spark.operators.experiment import ks_drift
+
+    import pyspark.sql.functions as F
+
+    rows = [(i, v) for i, v in enumerate(
+        [10, 70, 70, 130, 200, 10, 75, 140, 150, 260, 300, 5])]
+    df = spark.createDataFrame(rows, "id long, v long")
+    out = ks_drift(df, F.col("id") % 2 == 0, "v", bucket_width=64).collect()
+    assert len(out) == 1
+    r = out[0]
+
+    left = sorted(v // 64 for i, v in rows if i % 2 == 0)
+    right = sorted(v // 64 for i, v in rows if i % 2 == 1)
+    buckets = sorted(set(left) | set(right))
+    na, nb = len(left), len(right)
+    best = (-1, None)
+    for b in buckets:
+        ca = sum(1 for x in left if x <= b)
+        cb = sum(1 for x in right if x <= b)
+        d = abs(ca * nb - cb * na)
+        if d > best[0]:
+            best = (d, b)
+    assert (r["n_left"], r["n_right"]) == (na, nb)
+    assert r["d_num"] == best[0]
+    assert r["at_bucket"] == best[1]
+    assert r["ks_micro"] == (1_000_000 * best[0]) // (na * nb)
+    assert r["ks"] == best[0] / (na * nb)
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ks_drift(df, F.col("id") % 2 == 0, "v", bucket_width=0)
+
+
+def test_poisson_bootstrap_python_replay(spark):
+    """md5-uniform Poisson(1) weights, integer micro means, trimmed
+    rank CI — replayed end-to-end in python."""
+    import hashlib
+
+    from document_quality_assessment_ocr_spark.operators.experiment import (
+        POISSON1_CDF_MICRO,
+        poisson_bootstrap_ci,
+    )
+
+    rows = [(f"d{i}", "g1" if i < 7 else "g2", (i * 13) % 50) for i in range(14)]
+    df = spark.createDataFrame(rows, "doc_id string, source string, metric long")
+    got = {r["source"]: r for r in poisson_bootstrap_ci(
+        df, n_reps=8).collect()}
+
+    def u(idx, rep):
+        h = hashlib.md5(f"{idx}|boot{rep}".encode()).hexdigest()
+        return int(h[:15], 16) % 1_000_000
+
+    def w(uv):
+        return sum(1 for t in POISSON1_CDF_MICRO if uv >= t)
+
+    for g in ("g1", "g2"):
+        members = [(i, x) for i, gg, x in rows if gg == g]
+        n = len(members)
+        point = (1_000_000 * sum(x for _, x in members)) // n
+        means = []
+        for rep in range(8):
+            wn = ws = 0
+            for idx, x in members:
+                ww = w(u(idx, rep))
+                wn += ww
+                ws += ww * x
+            if wn > 0:
+                means.append((1_000_000 * ws) // wn)
+        means.sort()
+        r = got[g]
+        assert (r["n"], r["point_micro"]) == (n, point)
+        assert r["n_reps_valid"] == len(means)
+        if len(means) >= 4:
+            assert r["boot_lo_micro"] == means[1]
+            assert r["boot_hi_micro"] == means[-2]
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        poisson_bootstrap_ci(df, n_reps=3)
+
+
+def test_extract_tables(spark):
+    """Header flag, attribute tolerance, ragged rows, inner-tag strip,
+    no-table docs absent, lazy outer capture on nested tables."""
+    from document_quality_assessment_ocr_spark.operators.html import extract_tables
+
+    docs = [
+        (1, '<table class="x"><tr><th>A</th><th> B </th></tr>'
+            '<tr><td>1</td><td><b>2</b>\n3</td></tr>'
+            '<tr><td>only</td></tr></table>'),
+        (2, "<p>no table here</p>"),
+        (3, "<table><tr><td>outer<table><tr><td>inner</td></tr>"
+            "</table></td></tr></table>"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, html string")
+    rows = extract_tables(df).collect()
+    by = {(r["doc_id"], r["table_idx"], r["row_idx"]): r for r in rows}
+
+    assert (2,) not in {(r["doc_id"],) for r in rows}
+    h = by[(1, 1, 1)]
+    assert h["is_header"] and h["n_cells"] == 2 and h["cells"] == "A|B"
+    d1 = by[(1, 1, 2)]
+    assert not d1["is_header"] and d1["cells"] == "1|2 3"
+    assert by[(1, 1, 3)]["n_cells"] == 1
+    # lazy outer match stops at the INNER </table>: one table, one row,
+    # whose single cell swallowed the inner markup (tags stripped)
+    doc3 = [r for r in rows if r["doc_id"] == 3]
+    assert len(doc3) == 1 and doc3[0]["cells"] == "outerinner"
+
+
+def test_kcenter_coreset(spark):
+    """Greedy farthest-point replay on known geometry: seed is the
+    smallest id, each round adds the argmax min-dist (tie-break smallest
+    id), radius_after is monotone non-increasing."""
+    from document_quality_assessment_ocr_spark.operators.similarity import (
+        kcenter_coreset,
+        quantize_embedding,
+    )
+
+    pts = {0: (0.0, 0.0), 1: (1.0, 0.0), 2: (10.0, 0.0), 3: (10.0, 10.0),
+           4: (0.25, 0.25)}
+    df = spark.createDataFrame(
+        [(i, list(v)) for i, v in pts.items()],
+        "vec_id long, embedding array<double>",
+    )
+    out = kcenter_coreset(df, k=3, scale=64).collect()
+    assert [r["rank"] for r in out] == [0, 1, 2]
+
+    q = {i: tuple(int(x * 64) for x in v) for i, v in pts.items()}
+
+    def dist(a, b):
+        return sum((x - y) ** 2 for x, y in zip(q[a], q[b]))
+
+    centers = [0]
+    md = {i: dist(i, 0) for i in q}
+    expect = [(0, None)]
+    for _ in range(2):
+        far = max(q, key=lambda i: (md[i], -i))
+        expect.append((far, md[far]))
+        centers.append(far)
+        md = {i: min(md[i], dist(i, far)) for i in q}
+    radius_final = max(md.values())
+
+    assert [(r["vec_id"], r["chosen_dist"]) for r in out] == expect
+    ra = [r["radius_after"] for r in out]
+    assert ra == sorted(ra, reverse=True)
+    assert ra[-1] == radius_final
+    assert ra[0] == expect[1][1] and ra[1] == expect[2][1]
+
+    one = kcenter_coreset(df, k=1, scale=64).collect()
+    assert len(one) == 1 and one[0]["vec_id"] == 0
+
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    with _pt.raises(ValueError):
+        kcenter_coreset(df, k=0)
+    with _pt.raises(ValueError):
+        quantize_embedding(F.col("embedding"), scale=48)
+
+
+def test_randomized_response_python_replay(spark):
+    """Debiased Warner estimator: exact integer obs share, one double
+    division; invalid designs rejected."""
+    from document_quality_assessment_ocr_spark.operators.privacy import (
+        randomized_response_estimate,
+    )
+
+    rows = [("a", 1)] * 6 + [("a", 0)] * 4 + [("b", 1)] * 1 + [("b", 0)] * 9
+    df = spark.createDataFrame(rows, "source string, reported long")
+    got = {r["source"]: r for r in randomized_response_estimate(
+        df, keep_num=3, keep_den=4).collect()}
+
+    for g, n, rep in (("a", 10, 6), ("b", 10, 1)):
+        obs = (1_000_000 * rep) // n
+        est = float(obs * 4 - 1_000_000) / 2_000_000.0
+        r = got[g]
+        assert (r["n"], r["n_reported"], r["obs_micro"]) == (n, rep, obs)
+        assert r["est"] == est
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        randomized_response_estimate(df, keep_num=1, keep_den=2)
+    with _pt.raises(ValueError):
+        randomized_response_estimate(df, keep_num=5, keep_den=4)
