@@ -8533,6 +8533,298 @@ def _rr_release_sql() -> str:
     """
 
 
+def _q_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-statistics PCA projection of the embedding table (top-2
+    components) — whitening/2-D-map preprocessing for embedding
+    curation; sufficient statistics are exact BIGINTs so engine and
+    oracle feed IDENTICAL matrices to the shared eigensolver."""
+    from document_quality_assessment_ocr_spark.operators.similarity import (
+        pca_project,
+    )
+
+    return pca_project(_emb(spark, sf_dir), k=2, scale=1024)
+
+
+def _pca_sql() -> str:
+    """q207 oracle-literal builder: recomputes the SAME integer
+    sufficient statistics (n, Σq, Σqqᵀ) from the parquet the engine
+    reads (SPARK_GRAFT_ORACLE_SF) with numpy int64 matmul, calls the
+    SHARED similarity.pca_from_stats (never forked), and interpolates
+    the components/offsets as f\"{{v:.17e}}\" DOUBLE literals (the q137
+    exponent-form rule).  Literal volume is DIMENSION-bounded (d + 1
+    doubles per component), never corpus-bounded.  LIST_DOT_PRODUCT's
+    fold order matches the engine's `_dot` (the q13 contract);
+    ROUND(·,6)+0e0 guards the −0.0 collapse (q148)."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from document_quality_assessment_ocr_spark.operators.similarity import (
+        pca_from_stats,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.001")
+    con = duckdb.connect()
+    vecs = con.execute(
+        f"SELECT embedding FROM '{sf}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    X = np.array([v[0] for v in vecs], dtype=np.float32).astype(np.float64)
+    Q = np.trunc(X * 1024.0).astype(np.int64)
+    n = Q.shape[0]
+    s = Q.sum(axis=0)
+    G = Q.T @ Q
+    comps, offs = pca_from_stats(n, s.tolist(), G.reshape(-1).tolist(), k=2)
+
+    qd = (
+        "LIST_TRANSFORM(embedding, x -> CAST(CAST(TRUNC(CAST(x AS DOUBLE)"
+        " * 1024) AS BIGINT) AS DOUBLE))"
+    )
+    pcs = []
+    for j, (v, off) in enumerate(zip(comps, offs), start=1):
+        lit = "[" + ", ".join(f"{x:.17e}" for x in v) + "]"
+        pcs.append(
+            f"ROUND(LIST_DOT_PRODUCT({qd}, {lit}) + {off:.17e}, 6) + 0e0"
+            f" AS pc{j}"
+        )
+    cols = ",\n               ".join(pcs)
+    return f"""
+        SELECT CAST(vec_id AS BIGINT) AS vec_id,
+               {cols}
+        FROM embeddings ORDER BY vec_id
+    """
+
+
+def _q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix vs the labeled lang column — the
+    classifier-eval grid for the q14 heuristic."""
+    from document_quality_assessment_ocr_spark.operators.textstats import (
+        lang_confusion,
+    )
+
+    return lang_confusion(_doc(spark, sf_dir))
+
+
+def _lang_confusion_sql() -> str:
+    """q208 oracle: the SHARED q14 lang_case expression (from
+    _text_exprs — never forked), grid counts + ON-GRID marginals, all
+    integer micros with non-negative //."""
+    e = _text_exprs()
+    return f"""
+        WITH d AS (
+            SELECT COALESCE(lang, '') AS label,
+                   {e["lang_case"]} AS pred
+            FROM documents
+        ), grid AS (
+            SELECT label, pred, CAST(COUNT(*) AS BIGINT) AS n
+            FROM d GROUP BY label, pred
+        ), marg AS (
+            SELECT label, CAST(SUM(n) AS BIGINT) AS label_n,
+                   CAST(SUM(CASE WHEN pred = label THEN n ELSE 0 END)
+                        AS BIGINT) AS diag_n
+            FROM grid GROUP BY label
+        )
+        SELECT label, pred, n,
+               CAST((1000000 * n) // GREATEST(label_n, 1) AS BIGINT)
+                   AS row_share_micro,
+               label_n,
+               CAST((1000000 * diag_n) // GREATEST(label_n, 1) AS BIGINT)
+                   AS recall_micro,
+               (pred = label) AS is_correct
+        FROM grid JOIN marg USING (label)
+        ORDER BY label, pred
+    """
+
+
+_SWEEP_THRESHOLDS = (500000, 600000, 700000, 800000, 900000)
+
+
+def _q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash banding threshold-sensitivity sweep: the q25 production
+    candidate chain verified with exact Jaccard at threshold 0, then a
+    bounded threshold GRID counts surviving pairs and touched docs per
+    cut — the tuning panel that justifies a dedup threshold before a
+    100 TB run."""
+    from document_quality_assessment_ocr_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    cand = minhash_lsh_pairs(d, n_hashes=16, bands=4, shingle="word")
+    pairs = ngram_jaccard_pairs(
+        d, ngram=5, threshold=0.0, candidates=cand, shingle="word"
+    ).select("id_a", "id_b", "jaccard")
+    thrs = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(t).cast("long") for t in _SWEEP_THRESHOLDS])
+        ).alias("thr_micro")
+    )
+    hit = thrs.join(
+        pairs,
+        F.col("jaccard")
+        >= F.col("thr_micro").cast("double") / F.lit(1000000.0),
+        "left",
+    )
+    a1 = hit.groupBy("thr_micro").agg(
+        F.count("id_a").cast("long").alias("n_pairs")
+    )
+    docs_hit = (
+        hit.where(F.col("id_a").isNotNull())
+        .select(
+            "thr_micro",
+            F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("id"),
+        )
+        .groupBy("thr_micro")
+        .agg(F.countDistinct("id").cast("long").alias("n_docs"))
+    )
+    return (
+        a1.join(docs_hit, "thr_micro", "left")
+        .select(
+            "thr_micro",
+            "n_pairs",
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
+        )
+        .orderBy("thr_micro")
+    )
+
+
+def _threshold_sweep_sql() -> str:
+    """q209 oracle: the q25 candidate/verify chain (shared _minhash_sql
+    prefix, word shingles) with the SAME threshold grid; the cut
+    compares the raw double Jaccard against CAST(t AS DOUBLE)/CAST(1e6
+    AS DOUBLE) — identical float construction on both engines."""
+    vals = ", ".join(f"({t})" for t in _SWEEP_THRESHOLDS)
+    return (
+        _minhash_sql(16, shingle="word")
+        + f"""
+            , bands AS (
+                SELECT doc_id, 0 AS band,
+                       MD5(CONCAT_WS('#', h00, h01, h02, h03)) AS key FROM sig
+                UNION ALL SELECT doc_id, 1,
+                       MD5(CONCAT_WS('#', h04, h05, h06, h07)) FROM sig
+                UNION ALL SELECT doc_id, 2,
+                       MD5(CONCAT_WS('#', h08, h09, h10, h11)) FROM sig
+                UNION ALL SELECT doc_id, 3,
+                       MD5(CONCAT_WS('#', h12, h13, h14, h15)) FROM sig
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            ), shd AS (
+                SELECT DISTINCT doc_id, g FROM sh
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS sz FROM shd GROUP BY doc_id
+            ), inter AS (
+                SELECT c.id_a, c.id_b, COUNT(*) AS i
+                FROM cand c
+                JOIN shd a ON a.doc_id = c.id_a
+                JOIN shd b ON b.doc_id = c.id_b AND b.g = a.g
+                GROUP BY 1, 2
+            ), pj AS (
+                SELECT inter.id_a, inter.id_b,
+                       CAST(i AS DOUBLE)
+                           / CAST(sa.sz + sb.sz - i AS DOUBLE) AS j
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = inter.id_a
+                JOIN sizes sb ON sb.doc_id = inter.id_b
+            ), thr AS (
+                SELECT CAST(t AS BIGINT) AS thr_micro
+                FROM (VALUES {vals}) AS v(t)
+            ), hit AS (
+                SELECT t.thr_micro, p.id_a, p.id_b
+                FROM thr t JOIN pj p
+                  ON p.j >= CAST(t.thr_micro AS DOUBLE)
+                            / CAST(1000000 AS DOUBLE)
+            ), a1 AS (
+                SELECT thr_micro, CAST(COUNT(*) AS BIGINT) AS n_pairs
+                FROM hit GROUP BY thr_micro
+            ), a2 AS (
+                SELECT thr_micro, CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs
+                FROM (SELECT thr_micro, id_a AS id FROM hit
+                      UNION ALL SELECT thr_micro, id_b FROM hit)
+                GROUP BY thr_micro
+            )
+            SELECT t.thr_micro,
+                   CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
+                   CAST(COALESCE(n_docs, 0) AS BIGINT) AS n_docs
+            FROM thr t
+            LEFT JOIN a1 USING (thr_micro)
+            LEFT JOIN a2 USING (thr_micro)
+            ORDER BY thr_micro
+        """
+    )
+
+
+def _q_text_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextTiling-style topical segmentation over documents — block
+    cohesion by exact set-Jaccard micro, boundaries where cohesion
+    breaks."""
+    from document_quality_assessment_ocr_spark.operators.chunking import (
+        text_segments,
+    )
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return text_segments(d, w=10, threshold_micro=100_000)
+
+
+def _text_segments_sql(w: int = 10, thr: int = 100_000) -> str:
+    """q210 oracle: identical blocking (LIST_SLICE inclusive-end == Spark
+    slice length form), set-Jaccard via LIST_INTERSECT /
+    LIST_DISTINCT(a||b) sizes, non-negative //, and the
+    COALESCE(ARRAY_TO_STRING) guard."""
+
+    def sl(expr: str) -> str:
+        return (
+            f"LIST_SLICE(tk, CAST({expr} * {w} + 1 AS INT),"
+            f" CAST({expr} * {w} + {w} AS INT))"
+        )
+
+    a, b = sl("i"), sl("(i + 1)")
+    return f"""
+        WITH d AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(
+                       TRIM(LOWER(COALESCE(text, ''))), '{WS}+'),
+                   x -> x <> '') AS tk
+            FROM documents
+        ), b AS (
+            SELECT doc_id, tk, CAST(LEN(tk) AS BIGINT) AS n_tokens,
+                   CAST((LEN(tk) + {w - 1}) // {w} AS BIGINT) AS n_blocks
+            FROM d
+        ), s AS (
+            SELECT doc_id, n_tokens, n_blocks,
+                   CASE WHEN n_blocks >= 2 THEN
+                       LIST_TRANSFORM(RANGE(0, n_blocks - 1), i ->
+                           CAST((1000000 * LEN(LIST_INTERSECT({a}, {b})))
+                                // GREATEST(LEN(LIST_DISTINCT({a} || {b})),
+                                            1) AS BIGINT))
+                   END AS sims
+            FROM b
+        ), f AS (
+            SELECT doc_id, n_tokens, n_blocks, sims,
+                   CASE WHEN sims IS NOT NULL THEN
+                       LIST_FILTER(RANGE(1, LEN(sims) + 1),
+                                   j -> sims[j] < {thr})
+                   END AS bnds
+            FROM s
+        )
+        SELECT doc_id, n_tokens, n_blocks,
+               CAST(COALESCE(LEN(bnds), 0) AS BIGINT) AS n_boundaries,
+               CAST(CASE WHEN n_blocks >= 1 THEN COALESCE(LEN(bnds), 0) + 1
+                         ELSE 0 END AS BIGINT) AS n_segments,
+               CAST(LIST_MIN(sims) AS BIGINT) AS min_sim_micro,
+               COALESCE(ARRAY_TO_STRING(LIST_TRANSFORM(bnds,
+                   x -> CAST(x AS VARCHAR)), ','), '') AS boundaries
+        FROM f ORDER BY doc_id
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's CORRECTNESS gate checks
     the FIRST 50 entries in dict order.  Positions 1-50 therefore carry the
@@ -8758,6 +9050,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q204_html_tables": _q_html_tables,
         "q205_kcenter_coreset": _q_kcenter,
         "q206_rr_release": _q_rr_release,
+        "q207_pca_project": _q_pca,
+        "q208_lang_confusion": _q_lang_confusion,
+        "q209_threshold_sweep": _q_threshold_sweep,
+        "q210_text_segments": _q_text_segments,
     }
 
 
@@ -11613,6 +11909,10 @@ def oracle_sql() -> dict[str, str]:
         "q204_html_tables": _html_tables_sql(),
         "q205_kcenter_coreset": _kcenter_sql(),
         "q206_rr_release": _rr_release_sql(),
+        "q207_pca_project": _pca_sql(),
+        "q208_lang_confusion": _lang_confusion_sql(),
+        "q209_threshold_sweep": _threshold_sweep_sql(),
+        "q210_text_segments": _text_segments_sql(),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

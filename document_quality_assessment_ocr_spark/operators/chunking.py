@@ -197,3 +197,89 @@ def window_chunks(
         F.size(piece).cast("long").alias("n_chunk_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+def text_segments(
+    docs: DataFrame,
+    w: int = 10,
+    threshold_micro: int = 100_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """TextTiling-style topical segmentation (Hearst 1997, simplified):
+    split each document into consecutive w-token blocks, score every
+    adjacent block pair by exact set-Jaccard of their token vocabularies
+    (integer micro — ``(1e6·|∩|) DIV |∪|``), and place a segment
+    boundary wherever cohesion drops below ``threshold_micro``.  The
+    chunking front-end for long-document training data that must not
+    cut mid-topic (content_chunks above packs by SIZE; this cuts by
+    TOPIC SHIFT).
+
+    Set semantics are the cross-engine contract: Spark
+    ``array_intersect``/``array_union`` deduplicate, as do DuckDB
+    ``LIST_INTERSECT`` / ``LIST_DISTINCT(a || b)`` — only SIZES are
+    compared, so element order never matters.
+
+    Output per doc: (id_col, n_tokens, n_blocks, n_boundaries,
+    n_segments, min_sim_micro, boundaries) — ``boundaries`` is the
+    comma-joined 1-based list of left-block indexes whose cohesion with
+    the next block broke ('' when none); ``min_sim_micro`` is NULL for
+    docs with < 2 blocks; ``n_segments`` is 0 for empty docs.
+
+    At 100 TB: pure map-side projection — every array lives inside its
+    own row (block count is doc-length-bounded; the SCALE.md §3 mega-doc
+    salting guard applies upstream); no exchange, no UDF.
+    """
+    if w < 1:
+        raise ValueError("w must be >= 1")
+    thr = int(threshold_micro)
+    tk = _token_array(F.col(text_col))
+    base = docs.select(
+        F.col(id_col),
+        tk.alias("_tk"),
+        F.size(tk).cast("long").alias("n_tokens"),
+        F.expr(f"CAST((size({'_tk'}) + {w - 1}) DIV {w} AS LONG)").alias("_nb"),
+    )
+
+    def blk(var: str) -> str:
+        return f"slice(_tk, {var} * {w} + 1, {w})"
+
+    sim = (
+        f"CAST((1000000L * size(array_intersect({blk('i')}, {blk('(i + 1)')}))) "
+        f"DIV greatest(size(array_union({blk('i')}, {blk('(i + 1)')})), 1L) "
+        "AS LONG)"
+    )
+    sims = F.expr(
+        "CASE WHEN _nb >= 2 THEN "
+        f"transform(sequence(0, CAST(_nb AS INT) - 2), i -> {sim}) END"
+    )
+    scored = base.select(
+        id_col, "n_tokens", F.col("_nb").alias("n_blocks"), sims.alias("_sims")
+    )
+    bnds = F.expr(
+        f"filter(sequence(1, size(_sims)), j -> element_at(_sims, j) < {thr}L)"
+    )
+    return scored.select(
+        id_col,
+        "n_tokens",
+        "n_blocks",
+        bnds.alias("_bnds"),
+        F.expr("array_min(_sims)").cast("long").alias("min_sim_micro"),
+    ).select(
+        id_col,
+        "n_tokens",
+        "n_blocks",
+        F.coalesce(F.size("_bnds"), F.lit(0)).cast("long").alias("n_boundaries"),
+        F.when(
+            F.col("n_blocks") >= 1,
+            F.coalesce(F.size("_bnds"), F.lit(0)) + 1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("n_segments"),
+        "min_sim_micro",
+        F.coalesce(
+            F.array_join(F.expr("transform(_bnds, b -> CAST(b AS STRING))"), ","),
+            F.lit(""),
+        ).alias("boundaries"),
+    ).orderBy(id_col)

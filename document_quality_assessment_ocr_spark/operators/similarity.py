@@ -1325,3 +1325,108 @@ def kcenter_coreset(
     return spark.createDataFrame(
         rows, "rank long, vec_id long, chosen_dist long, radius_after long"
     ).orderBy("rank")
+
+
+def pca_from_stats(n: int, s, gram, k: int = 2):
+    """Top-k principal directions from EXACT integer sufficient
+    statistics: row count ``n``, dimension-sum vector ``s`` and Gram
+    matrix ``gram`` of the integer-quantized embeddings.  The scatter
+    matrix ``M = n·G − s·sᵀ`` (n² × covariance) is built from exact
+    BIGINTs, so engine and oracle hand the SAME float64 matrix to the
+    same eigensolver — determinism by shared inputs + shared function
+    (the oracle-literal contract; similarity.pq_codebooks class).
+
+    Sign rule: each eigenvector's largest-|component| entry is made
+    positive (argmax of abs, first index on ties) — eigenvectors are
+    only defined up to sign and the rule pins one deterministically.
+
+    Returns (components, offsets): ``components[j]`` is the j-th
+    direction (descending eigenvalue) as a float list; ``offsets[j]`` =
+    ``−(s·v_j)/n`` so a row's centered projection is ``q·v_j +
+    offsets[j]``.
+    """
+    sv = np.asarray(s, dtype=np.int64)
+    G = np.asarray(gram, dtype=np.int64).reshape(len(sv), len(sv))
+    M = (int(n) * G - np.outer(sv, sv)).astype(np.float64)
+    _, vecs = np.linalg.eigh(M)
+    comps, offs = [], []
+    for j in range(1, k + 1):
+        v = vecs[:, -j].copy()
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+        offs.append(-float(np.dot(sv.astype(np.float64), v)) / float(n))
+    return comps, offs
+
+
+def pca_project(
+    emb: DataFrame,
+    k: int = 2,
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-statistics PCA projection of an embedding column — the
+    whitening/2-D-map preprocessing stage of embedding curation
+    pipelines (SemDeDup-style cluster maps, drift plots).
+
+    Sufficient statistics are computed DISTRIBUTED and EXACTLY: an
+    Arrow-batched mapInPandas pass emits one (count, Σq, Σqqᵀ) partial
+    per batch via int64 matmul (quantized values ≤ ``scale``, so a
+    10^12-row corpus stays < 2^63 per cell), a posexplode+sum collapses
+    the partials to 1+d+d² cells, and ONE driver collect (bounded by the
+    DIMENSION, never the corpus — the q124 sketch-bounded class) feeds
+    :func:`pca_from_stats`.  The projection is then a map-side
+    `_dot`-fold against literal component vectors — bit-identical to the
+    oracle's LIST_DOT_PRODUCT, ROUND(·,6)+0.0 guarded (q148).
+
+    Output: (id_col, pc1..pck) ordered by id.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    q = emb.select(
+        F.col(id_col).cast("long").alias("vid"),
+        quantize_embedding(F.col(vec_col), scale).alias("q"),
+    )
+
+    def _partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "n": [int(Q.shape[0])],
+                    "s": [Q.sum(axis=0).tolist()],
+                    "g": [(Q.T @ Q).reshape(-1).tolist()],
+                }
+            )
+
+    part = q.select("q").mapInPandas(
+        _partials, "n long, s array<long>, g array<long>"
+    )
+    cells = (
+        part.select(
+            F.posexplode(
+                F.concat(F.array(F.col("n")), F.col("s"), F.col("g"))
+            ).alias("idx", "val")
+        )
+        .groupBy("idx")
+        .agg(F.sum("val").cast("long").alias("v"))
+        .collect()
+    )
+    flat = {r["idx"]: r["v"] for r in cells}
+    # solve 1 + d + d² = len(flat) for the dimension
+    d = int(round(((4 * (len(flat) - 1) + 1) ** 0.5 - 1) / 2))
+    n = flat[0]
+    s = [flat[1 + i] for i in range(d)]
+    gram = [flat[1 + d + i] for i in range(d * d)]
+    comps, offs = pca_from_stats(n, s, gram, k=k)
+
+    qd = F.transform(F.col("q"), lambda x: x.cast("double"))
+    cols = [F.col("vid").alias(id_col)]
+    for j in range(k):
+        vlit = F.array(*[F.lit(float(x)) for x in comps[j]])
+        pc = F.round(_dot(qd, vlit) + F.lit(float(offs[j])), 6) + F.lit(0.0)
+        cols.append(pc.alias(f"pc{j + 1}"))
+    return q.select(*cols).orderBy(id_col)

@@ -1009,3 +1009,56 @@ def vocab_health_by_source(
         )
         .orderBy("source")
     )
+
+
+def lang_confusion(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Language-ID confusion matrix: the heuristic classifier
+    (:func:`lang_id`) scored against the corpus's labeled language —
+    the classifier-eval leg of the lang family (q14 surfaces the
+    prediction; this grades it).
+
+    Exactness: the grid is (label, pred) counts — BIGINT; per-cell
+    share of the LABEL row and per-label recall are non-negative
+    integer micros (DIV == //).  ``is_correct`` marks the diagonal.
+
+    Output: (label, pred, n, row_share_micro, label_n, recall_micro,
+    is_correct) ordered by (label, pred), where recall_micro repeats per
+    label row (the diagonal share of the label's mass).
+
+    At 100 TB: one hash aggregate to the |labels|×|preds| grid
+    (map-side combine), marginals joined ON THE GRID — the q194/q197
+    grid-bounded family; the corpus never shuffles.
+    """
+    lab = F.coalesce(F.col(label_col).cast("string"), F.lit("")).alias("label")
+    grid = (
+        docs.select(lab, lang_id(F.col(text_col)).alias("pred"))
+        .groupBy("label", "pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    marg = grid.groupBy("label").agg(
+        F.sum("n").cast("long").alias("label_n"),
+        F.sum(F.when(F.col("pred") == F.col("label"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("diag_n"),
+    )
+    return (
+        grid.join(marg, "label")
+        .select(
+            "label",
+            "pred",
+            "n",
+            F.expr("(1000000 * n) DIV greatest(label_n, 1)")
+            .cast("long")
+            .alias("row_share_micro"),
+            "label_n",
+            F.expr("(1000000 * diag_n) DIV greatest(label_n, 1)")
+            .cast("long")
+            .alias("recall_micro"),
+            (F.col("pred") == F.col("label")).alias("is_correct"),
+        )
+        .orderBy("label", "pred")
+    )

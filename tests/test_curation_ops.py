@@ -4459,3 +4459,107 @@ def test_randomized_response_python_replay(spark):
         randomized_response_estimate(df, keep_num=1, keep_den=2)
     with _pt.raises(ValueError):
         randomized_response_estimate(df, keep_num=5, keep_den=4)
+
+
+def test_pca_project_python_replay(spark):
+    """Quantized sufficient statistics → shared eigensolver → literal
+    projection, replayed in python with the same left-to-right fold."""
+    import numpy as np
+
+    from document_quality_assessment_ocr_spark.operators.similarity import (
+        pca_from_stats,
+        pca_project,
+    )
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(scale=0.3, size=(40, 6))
+    X[:, 0] *= 4.0  # dominant direction
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    out = pca_project(df, k=2, scale=1024).collect()
+    assert [r["vec_id"] for r in out] == list(range(40))
+
+    Q = np.trunc(X * 1024.0).astype(np.int64)
+    n, s, G = Q.shape[0], Q.sum(axis=0), Q.T @ Q
+    comps, offs = pca_from_stats(n, s.tolist(), G.reshape(-1).tolist(), k=2)
+    for j, (v, off) in enumerate(zip(comps, offs), start=1):
+        # sign rule: largest-|component| entry is positive
+        assert v[int(np.argmax(np.abs(v)))] > 0
+        for r in out:
+            acc = 0.0
+            for d in range(6):
+                acc += float(Q[r["vec_id"], d]) * v[d]
+            assert abs(r[f"pc{j}"] - (acc + off)) < 5e-7
+    # dominant axis recovered: pc1 direction concentrates on dim 0
+    assert abs(comps[0][0]) == max(abs(c) for c in comps[0])
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        pca_project(df, k=0)
+
+
+def test_lang_confusion(spark):
+    """Grid counts, on-grid marginals, recall micro, diagonal flags."""
+    from document_quality_assessment_ocr_spark.operators.textstats import (
+        lang_confusion,
+    )
+
+    en = "the cat and the dog is in it for a while and it is good"
+    de = "der hund und die katze ist ein und das ist auf und der"
+    rows = [("en", en), ("en", en), ("en", de), ("de", de), (None, en)]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    out = {(r["label"], r["pred"]): r for r in lang_confusion(df).collect()}
+
+    assert out[("en", "en")]["n"] == 2
+    assert out[("en", "de")]["n"] == 1
+    assert out[("de", "de")]["n"] == 1
+    assert out[("", "en")]["n"] == 1
+    r = out[("en", "en")]
+    assert r["label_n"] == 3
+    assert r["recall_micro"] == (1_000_000 * 2) // 3
+    assert r["row_share_micro"] == (1_000_000 * 2) // 3
+    assert r["is_correct"]
+    assert not out[("en", "de")]["is_correct"]
+    assert out[("de", "de")]["recall_micro"] == 1_000_000
+    # coalesced NULL label never matches a real prediction
+    assert not out[("", "en")]["is_correct"]
+
+
+def test_text_segments(spark):
+    """Boundary where block vocabularies diverge; short and empty docs."""
+    from document_quality_assessment_ocr_spark.operators.chunking import (
+        text_segments,
+    )
+
+    topic_a = "apple banana cherry"
+    topic_b = "xylophone zebra quartz"
+    docs = [
+        (1, f"{topic_a} {topic_a} {topic_b}"),   # blocks: A|A|B
+        (2, "one two"),                            # single block
+        (3, ""),                                   # empty
+        (4, f"{topic_a} {topic_a}"),               # identical blocks
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text_segments(df, w=3, threshold_micro=500_000).collect()}
+
+    r1 = out[1]
+    assert (r1["n_tokens"], r1["n_blocks"]) == (9, 3)
+    # sims: (A,A)=1e6, (A,B)=0 -> one boundary at left block 2
+    assert r1["n_boundaries"] == 1 and r1["boundaries"] == "2"
+    assert r1["n_segments"] == 2 and r1["min_sim_micro"] == 0
+
+    r2 = out[2]
+    assert (r2["n_blocks"], r2["n_boundaries"], r2["n_segments"]) == (1, 0, 1)
+    assert r2["min_sim_micro"] is None and r2["boundaries"] == ""
+
+    r3 = out[3]
+    assert (r3["n_blocks"], r3["n_segments"]) == (0, 0)
+
+    r4 = out[4]
+    assert r4["n_boundaries"] == 0 and r4["min_sim_micro"] == 1_000_000
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        text_segments(df, w=0)
