@@ -8825,6 +8825,210 @@ def _text_segments_sql(w: int = 10, thr: int = 100_000) -> str:
     """
 
 
+def _q_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language source-concentration audit (HHI) — the monoculture
+    flag a mixture design reads before weighting."""
+    from document_quality_assessment_ocr_spark.operators.profile import (
+        concentration_profile,
+    )
+
+    return concentration_profile(_doc(spark, sf_dir), "lang", "source")
+
+
+def _concentration_sql() -> str:
+    """q211 oracle: grid counts, per-sub integer shares, the overflow-
+    safe per-term ``share_micro² // 1e6`` HHI, top sub via
+    ROW_NUMBER ORDER BY cnt DESC, s (== the engine's min-struct)."""
+    return """
+        WITH grid AS (
+            SELECT COALESCE(lang, '') AS g, COALESCE(source, '') AS s,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM documents GROUP BY 1, 2
+        ), tot AS (
+            SELECT g, CAST(SUM(cnt) AS BIGINT) AS n_rows FROM grid GROUP BY g
+        ), sh AS (
+            SELECT g, s, cnt, n_rows,
+                   CAST((1000000 * cnt) // GREATEST(n_rows, 1) AS BIGINT) AS sm
+            FROM grid JOIN tot USING (g)
+        ), agg AS (
+            SELECT g, n_rows, CAST(COUNT(*) AS BIGINT) AS n_subs,
+                   CAST(SUM((sm * sm) // 1000000) AS BIGINT) AS hhi_micro
+            FROM sh GROUP BY g, n_rows
+        ), rk AS (
+            SELECT g, s, sm,
+                   ROW_NUMBER() OVER (PARTITION BY g
+                                      ORDER BY cnt DESC, s) AS rn
+            FROM sh
+        )
+        SELECT agg.g AS lang, n_rows, n_subs, hhi_micro,
+               rk.s AS top_sub, CAST(rk.sm AS BIGINT) AS top_share_micro
+        FROM agg JOIN rk ON rk.g = agg.g AND rk.rn = 1
+        ORDER BY lang
+    """
+
+
+def _synth_entities(d: DataFrame) -> DataFrame:
+    """Deterministic entity-bearing text over documents.text: every doc
+    gains an email (local part + domain derived from doc_id), %3==0 docs
+    a phone, %4==0 docs an IPv4.  The q212 oracle builds the IDENTICAL
+    string — byte-identical twins (the _synth_html contract)."""
+    t = F.coalesce(F.col("text"), F.lit(""))
+    did = F.col("doc_id")
+    email = F.concat(
+        F.lit(" contact user"),
+        did.cast("string"),
+        F.lit("@ex"),
+        (did % 7).cast("string"),
+        F.lit(".com"),
+    )
+    phone = F.when(
+        did % 3 == 0,
+        F.concat(
+            F.lit(" call +1415555"),
+            F.lpad((did % 100).cast("string"), 2, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        did % 4 == 0,
+        F.concat(
+            F.lit(" from 10.0."),
+            (did % 256).cast("string"),
+            F.lit("."),
+            (did % 200).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(t, email, phone, ip).alias("text"),
+    )
+
+
+def _q_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed entity extraction (email/IPv4/phone rows) over synthesized
+    entity-bearing text — the IE counterpart of the q53 PII mask."""
+    from document_quality_assessment_ocr_spark.operators.scrub import (
+        extract_entities,
+    )
+
+    return extract_entities(_synth_entities(_doc(spark, sf_dir)))
+
+
+def _entities_sql() -> str:
+    """q212 oracle: the entity synth twin + the SHARED
+    scrub.ENTITY_PATTERNS dict (imported, never forked — dict order is
+    the emission contract), per-type REGEXP_EXTRACT_ALL + the
+    UNNEST(RANGE) posexplode idiom, UNION ALL across types."""
+    from document_quality_assessment_ocr_spark.operators.scrub import (
+        ENTITY_PATTERNS,
+    )
+
+    synth = """
+        WITH es AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   COALESCE(text, '')
+                   || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN ' call +1415555'
+                                || LPAD(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                           ELSE '' END
+                   || CASE WHEN doc_id % 4 = 0
+                           THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                                || '.' || CAST(doc_id % 200 AS VARCHAR)
+                           ELSE '' END AS text
+            FROM documents
+        )"""
+    parts = []
+    for etype, pat in ENTITY_PATTERNS.items():
+        parts.append(f"""
+            SELECT doc_id, '{etype}' AS etype, CAST(i AS BIGINT) AS pos,
+                   m[CAST(i AS INT)] AS value
+            FROM (SELECT doc_id, m, UNNEST(RANGE(1, LEN(m) + 1)) AS i
+                  FROM (SELECT doc_id,
+                               REGEXP_EXTRACT_ALL(text, '{pat}', 0) AS m
+                        FROM es))""")
+    body = "\n            UNION ALL\n".join(parts)
+    return f"""{synth}
+        SELECT * FROM (
+            {body}
+        ) ORDER BY doc_id, etype, pos
+    """
+
+
+def _q_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-criterion bitext mining over the embedding table split by
+    parity (even ids = probe side, odd = candidate side); the probe
+    panel is md5-picked at 1/10 (tag `bitext` — the pick-salt registry
+    note applies)."""
+    from document_quality_assessment_ocr_spark.operators.augment import _md5_mod
+    from document_quality_assessment_ocr_spark.operators.similarity import (
+        bitext_margin_mine,
+    )
+
+    e = _emb(spark, sf_dir)
+    left = e.where(
+        (F.col("vec_id") % 2 == 0)
+        & (_md5_mod(F.col("vec_id"), "bitext", F.lit(10)) == 0)
+    )
+    right = e.where(F.col("vec_id") % 2 == 1)
+    return bitext_margin_mine(left, right, k=4, accept=1.05)
+
+
+def _bitext_margin_sql() -> str:
+    """q213 oracle: brute-force ranking with ROW_NUMBER ORDER BY cos
+    DESC, nid (== the engine's (-cos, id) struct order on ROUND(·,6)
+    cosines), the engine's exact mean fold ((((0+c1)+c2)+c3)+c4)/4, the
+    shared _md5_mod pick (tag `bitext`), and +0e0 guards on surfaced
+    doubles."""
+    mm = (
+        "(('0x' || SUBSTR(MD5(CAST(vec_id AS VARCHAR) || '|bitext'),"
+        " 1, 15))::BIGINT % 10)"
+    )
+    fold = "((((0e0 + c1) + c2) + c3) + c4)"
+    return f"""
+        WITH e AS (
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ), l AS (
+            SELECT vec_id AS probe_id, v AS pv FROM e
+            WHERE vec_id % 2 = 0 AND {mm} = 0
+        ), r AS (
+            SELECT vec_id, v FROM e WHERE vec_id % 2 = 1
+        ), s AS (
+            SELECT probe_id, r.vec_id AS nid,
+                   ROUND(LIST_DOT_PRODUCT(pv, v)
+                         / SQRT(LIST_DOT_PRODUCT(pv, pv)
+                                * LIST_DOT_PRODUCT(v, v)), 6) AS cos
+            FROM l, r
+        ), rk AS (
+            SELECT probe_id, nid, cos,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY cos DESC, nid) AS rn
+            FROM s
+        ), top AS (
+            SELECT probe_id,
+                   MAX(CASE WHEN rn = 1 THEN nid END) AS m1,
+                   MAX(CASE WHEN rn = 1 THEN cos END) AS c1,
+                   MAX(CASE WHEN rn = 2 THEN cos END) AS c2,
+                   MAX(CASE WHEN rn = 3 THEN cos END) AS c3,
+                   MAX(CASE WHEN rn = 4 THEN cos END) AS c4,
+                   CAST(COUNT(*) AS BIGINT) AS nk
+            FROM rk WHERE rn <= 4 GROUP BY probe_id
+        )
+        SELECT probe_id, CAST(m1 AS BIGINT) AS match_id,
+               c1 + 0e0 AS cos,
+               CASE WHEN nk = 4
+                    THEN ROUND(c1 / ({fold} / CAST(4 AS DOUBLE)), 6) + 0e0
+               END AS margin,
+               CASE WHEN nk = 4
+                    THEN (ROUND(c1 / ({fold} / CAST(4 AS DOUBLE)), 6) + 0e0)
+                         >= 1.05e0
+               END AS accepted
+        FROM top ORDER BY probe_id
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's CORRECTNESS gate checks
     the FIRST 50 entries in dict order.  Positions 1-50 therefore carry the
@@ -9054,6 +9258,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q208_lang_confusion": _q_lang_confusion,
         "q209_threshold_sweep": _q_threshold_sweep,
         "q210_text_segments": _q_text_segments,
+        "q211_concentration": _q_concentration,
+        "q212_entity_extract": _q_entities,
+        "q213_bitext_margin": _q_bitext_margin,
     }
 
 
@@ -11913,6 +12120,9 @@ def oracle_sql() -> dict[str, str]:
         "q208_lang_confusion": _lang_confusion_sql(),
         "q209_threshold_sweep": _threshold_sweep_sql(),
         "q210_text_segments": _text_segments_sql(),
+        "q211_concentration": _concentration_sql(),
+        "q212_entity_extract": _entities_sql(),
+        "q213_bitext_margin": _bitext_margin_sql(),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

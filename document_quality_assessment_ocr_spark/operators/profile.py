@@ -541,3 +541,68 @@ def span_integrity_audit(
         )
         .orderBy(doc_col)
     )
+
+
+def concentration_profile(
+    df: DataFrame,
+    group_col: str = "lang",
+    sub_col: str = "source",
+) -> DataFrame:
+    """Herfindahl–Hirschman concentration of each group's sub-population
+    — the corpus-diversity audit that flags a language served by one
+    dominant crawl source (a poisoning / monoculture risk a mixture
+    design must see before weighting).
+
+    Fixed-point contract: per-sub shares are ``(cnt·1e6) DIV n`` and the
+    index is ``Σ share_micro² DIV 1e6`` — HHI *as defined here* on both
+    engines (exact integers end-to-end; per-term DIV keeps every product
+    ≤ 1e12 so a 10^12-row group never overflows BIGINT, unlike the naive
+    ``Σcnt²·1e6 / n²`` form which overflows past ~3e6 rows).
+
+    Output: (group_col, n_rows, n_subs, hhi_micro, top_sub,
+    top_share_micro) ordered by group — hhi_micro 1e6 = monopoly,
+    1e6/n_subs = uniform.
+
+    At 100 TB: one hash aggregate to the |groups|×|subs| grid (map-side
+    combine), then a grid-sized rollup — the q194/q197 family.
+    """
+    g = F.coalesce(F.col(group_col).cast("string"), F.lit("")).alias("g")
+    s = F.coalesce(F.col(sub_col).cast("string"), F.lit("")).alias("s")
+    grid = df.select(g, s).groupBy("g", "s").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tot = grid.groupBy("g").agg(F.sum("cnt").cast("long").alias("n_rows"))
+    shares = grid.join(tot, "g").select(
+        "g",
+        "s",
+        "cnt",
+        "n_rows",
+        F.expr("(1000000 * cnt) DIV greatest(n_rows, 1)")
+        .cast("long")
+        .alias("share_micro"),
+    )
+    return (
+        shares.groupBy("g", "n_rows")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_subs"),
+            F.sum(F.expr("(share_micro * share_micro) DIV 1000000"))
+            .cast("long")
+            .alias("hhi_micro"),
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("negc"),
+                    F.col("s").alias("s"),
+                    F.col("share_micro").alias("sm"),
+                )
+            ).alias("_w"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n_rows",
+            "n_subs",
+            "hhi_micro",
+            F.col("_w.s").alias("top_sub"),
+            F.col("_w.sm").cast("long").alias("top_share_micro"),
+        )
+        .orderBy(group_col)
+    )

@@ -82,3 +82,52 @@ def scrub_pii(
         _count(t, IPV4).alias("n_ips"),
         _count(t, PHONE).alias("n_phones"),
     )
+
+
+#: Typed-entity patterns for extraction (same Java-regex ∩ RE2 subset as
+#: the scrub constants above; the q212 oracle SQL imports THIS dict —
+#: never fork it).  Dict order is the emission order contract.
+ENTITY_PATTERNS = {
+    "email": EMAIL,
+    "ipv4": IPV4,
+    "phone": PHONE,
+}
+
+
+def extract_entities(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Typed entity EXTRACTION — the information-extraction counterpart
+    of :func:`scrub_pii` (which masks): every email / IPv4 / phone match
+    becomes its own row with its 1-based match ordinal, the relation an
+    entity-linking or PII-inventory stage consumes.
+
+    Output: (id_col, etype, pos, value) ordered by (id, etype, pos).
+
+    At 100 TB: a per-type map-side regexp_extract_all + posexplode
+    union — fan-out bounded by the document's own match count; no
+    exchange, no UDF (the final orderBy is presentation-only).
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    parts = []
+    for etype, pat in ENTITY_PATTERNS.items():
+        parts.append(
+            docs.select(
+                F.col(id_col),
+                F.lit(etype).alias("etype"),
+                F.posexplode(
+                    F.regexp_extract_all(t, F.lit(pat), F.lit(0))
+                ).alias("p", "value"),
+            ).select(
+                id_col,
+                "etype",
+                (F.col("p") + 1).cast("long").alias("pos"),
+                "value",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy(id_col, "etype", "pos")

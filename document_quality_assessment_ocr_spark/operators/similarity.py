@@ -1430,3 +1430,69 @@ def pca_project(
         pc = F.round(_dot(qd, vlit) + F.lit(float(offs[j])), 6) + F.lit(0.0)
         cols.append(pc.alias(f"pc{j + 1}"))
     return q.select(*cols).orderBy(id_col)
+
+
+def bitext_margin_mine(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 4,
+    accept: float = 1.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fanout: int = 32,
+) -> DataFrame:
+    """Margin-criterion parallel-pair mining (Artetxe & Schwenk 2019,
+    the LASER/CCMatrix rule): a left probe matches its nearest right
+    neighbour only when the top cosine clearly beats the local
+    neighbourhood — ``margin = cos1 / mean(top-k cos)`` — which kills
+    hubness false positives that a bare threshold accepts.
+
+    ``left`` must be a BOUNDED probe panel (an md5-picked or banded
+    slice — the q13 broadcast-probe contract); ``right`` is the full
+    candidate side, scored map-side against the broadcast panel with the
+    exact two-level top-k merge.  cosines are ROUND(·,6) BEFORE ranking
+    (the q13 tie discipline, broken by neighbour id), the mean is the
+    fixed fold ``(((c1+c2)+c3)+c4)/k``, and margin/accepted are NULL
+    when the right side has fewer than k rows.
+
+    Output: (probe_id, match_id, cos, margin, accepted) ordered by
+    probe_id.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    probes = left.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    )
+    scored = right.alias("c").join(F.broadcast(probes), F.lit(True)).select(
+        "probe_id",
+        F.col(f"c.{id_col}").alias("neighbor_id"),
+        F.round(cosine(F.col("probe_vec"), F.col(f"c.{vec_col}")), 6).alias("cos"),
+    )
+    item = F.struct(
+        (-F.col("cos")).alias("nc"),
+        F.col("neighbor_id").alias("neighbor_id"),
+        F.col("cos").alias("cos"),
+    )
+    topk = lambda c: F.slice(F.sort_array(F.collect_list(c)), 1, k)
+    lvl1 = scored.groupBy(
+        "probe_id", F.pmod(F.hash("neighbor_id"), F.lit(fanout)).alias("b")
+    ).agg(topk(item).alias("top"))
+    merged = (
+        lvl1.select("probe_id", F.explode("top").alias("t"))
+        .groupBy("probe_id")
+        .agg(topk(F.col("t")).alias("top"))
+    )
+    csum = "0.0D"
+    for j in range(1, k + 1):
+        csum = f"({csum} + top[{j - 1}].cos)"
+    margin = F.expr(
+        f"CASE WHEN size(top) = {k} THEN "
+        f"round(top[0].cos / ({csum} / CAST({k} AS DOUBLE)), 6) + 0.0D END"
+    )
+    return merged.select(
+        "probe_id",
+        F.expr("top[0].neighbor_id").cast("long").alias("match_id"),
+        F.expr("top[0].cos + 0.0D").alias("cos"),
+        margin.alias("margin"),
+        (margin >= F.lit(float(accept))).alias("accepted"),
+    ).orderBy("probe_id")

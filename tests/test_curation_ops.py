@@ -4563,3 +4563,99 @@ def test_text_segments(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         text_segments(df, w=0)
+
+
+def test_concentration_profile(spark):
+    """Hand-computed HHI: shares 3/4 and 1/4 -> 625000 micro; monopoly
+    group -> 1e6; NULL group/sub coalesce to ''."""
+    from document_quality_assessment_ocr_spark.operators.profile import (
+        concentration_profile,
+    )
+
+    rows = (
+        [("a", "x")] * 3 + [("a", "y")] + [("b", "z")] * 2 + [(None, None)]
+    )
+    df = spark.createDataFrame(rows, "lang string, source string")
+    out = {r["lang"]: r for r in concentration_profile(df).collect()}
+
+    a = out["a"]
+    assert (a["n_rows"], a["n_subs"]) == (4, 2)
+    assert a["hhi_micro"] == (750_000**2) // 1_000_000 + (250_000**2) // 1_000_000
+    assert (a["top_sub"], a["top_share_micro"]) == ("x", 750_000)
+    b = out["b"]
+    assert b["hhi_micro"] == 1_000_000 and b["n_subs"] == 1
+    assert out[""]["top_sub"] == ""
+
+
+def test_extract_entities(spark):
+    """Typed rows with 1-based ordinals per type; docs without matches
+    emit nothing; dict order is the emission contract."""
+    from document_quality_assessment_ocr_spark.operators.scrub import (
+        ENTITY_PATTERNS,
+        extract_entities,
+    )
+
+    assert list(ENTITY_PATTERNS) == ["email", "ipv4", "phone"]
+    docs = [
+        (1, "mail a@b.com then c.d@e.org via 10.0.0.1 call +1234567890"),
+        (2, "nothing to see"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = extract_entities(df).collect()
+    assert all(r["doc_id"] == 1 for r in rows)
+    got = [(r["etype"], r["pos"], r["value"]) for r in rows]
+    assert got == [
+        ("email", 1, "a@b.com"),
+        ("email", 2, "c.d@e.org"),
+        ("ipv4", 1, "10.0.0.1"),
+        ("phone", 1, "+1234567890"),
+    ]
+
+
+def test_bitext_margin_mine(spark):
+    """Python replay of the margin criterion: rounded cosines, (-cos,id)
+    tie order, fixed mean fold; short right side -> NULL margin."""
+    import math
+
+    from document_quality_assessment_ocr_spark.operators.similarity import (
+        bitext_margin_mine,
+    )
+
+    left = [(0, [1.0, 0.0, 0.0]), (2, [0.5, 0.5, 0.0])]
+    right = [
+        (1, [0.9, 0.1, 0.0]),
+        (3, [0.1, 0.9, 0.0]),
+        (5, [0.0, 0.0, 1.0]),
+        (7, [0.4, 0.4, 0.1]),
+        (9, [0.45, 0.45, 0.0]),
+    ]
+    schema = "vec_id long, embedding array<double>"
+    ldf = spark.createDataFrame(left, schema)
+    rdf = spark.createDataFrame(right, schema)
+    out = {r["probe_id"]: r for r in bitext_margin_mine(ldf, rdf, k=4).collect()}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a) * sum(y * y for y in b))
+        return round(num / den, 6)
+
+    for pid, pv in left:
+        scored = sorted(
+            ((cos(pv, rv), rid) for rid, rv in right),
+            key=lambda t: (-t[0], t[1]),
+        )[:4]
+        c = [s[0] for s in scored]
+        mean = ((((0.0 + c[0]) + c[1]) + c[2]) + c[3]) / 4.0
+        r = out[pid]
+        assert r["match_id"] == scored[0][1]
+        assert abs(r["cos"] - c[0]) < 2e-6
+        assert abs(r["margin"] - round(c[0] / mean, 6)) < 2e-6
+        assert r["accepted"] == (r["margin"] >= 1.05)
+
+    short = bitext_margin_mine(ldf, rdf.limit(2), k=4).collect()
+    assert all(r["margin"] is None and r["accepted"] is None for r in short)
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        bitext_margin_mine(ldf, rdf, k=0)
