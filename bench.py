@@ -419,6 +419,18 @@ def main() -> None:
         "q199_span_integrity",
         "q200_ab_lift",
         "q201_compression_quality",
+        "q202_ks_drift",
+        "q203_bootstrap_ci",
+        "q204_html_tables",
+        "q205_kcenter_coreset",
+        "q206_rr_release",
+        "q207_pca_project",
+        "q208_lang_confusion",
+        "q209_threshold_sweep",
+        "q210_text_segments",
+        "q211_concentration",
+        "q212_entity_extract",
+        "q213_bitext_margin",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

@@ -131,6 +131,15 @@ def ks_drift(
             F.sum(F.when(~F.col("_l"), 1).otherwise(0)).cast("long").alias("cb"),
         )
     )
+    return ks_from_grid(grid)
+
+
+def ks_from_grid(grid: DataFrame) -> DataFrame:
+    """The grid→statistic stage of :func:`ks_drift`, SHARED with the
+    streaming twin (``streaming/drift.read_ks``): per-bucket (ca, cb)
+    counts are an ALGEBRAIC aggregate (they add across batches), so the
+    same exact ECDF/argmax runs over a batch-built or an incrementally
+    merged grid — stream == batch row-for-row."""
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     cum = grid.select(
         "bucket",

@@ -1,0 +1,123 @@
+"""Streaming KS-drift maintenance — the sixth incremental twin, pairing
+``operators/experiment.ks_drift`` the way streaming/sketches pairs the
+batch sketches.
+
+The drift statistic's sufficient state is the per-bucket (ca, cb) count
+grid, which is ALGEBRAIC (counts add across micro-batches), so a
+continuously-ingesting corpus keeps the monitor fresh by summing each
+batch's partial grid into a persisted state table of ≤ |buckets| rows —
+independent of history length.  Reading the statistic at any time runs
+the SHARED ``experiment.ks_from_grid`` stage over the persisted grid, so
+stream == batch is row-for-row exact (proved in tests/test_streaming.py)
+— no approximation, no watermark assumptions (the statistic is
+order-free, unlike streaming/transitions' per-user monotone contract).
+
+Versioning and replay idempotence follow streaming/sketches exactly:
+state version = ``v{batch_id + 1}`` (batch ids are monotone from the
+checkpoint and REUSED on replay, so a crashed-then-replayed batch merges
+the same base and overwrites the same target).
+
+At 100 TB: each micro-batch pays one map-side bucket aggregate over its
+own rows plus a grid-sized parquet read/merge/write — the corpus never
+re-aggregates, and the monitor the curation run watches (is today's
+length distribution drifting from the even-id reference?) is always one
+grid read away.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .sketches import DOC_STREAM_SCHEMA, _versions
+
+
+def _grid_partial(
+    batch: DataFrame, side_expr: str, value_expr: str, bucket_width: int
+) -> DataFrame:
+    """One batch's (bucket, ca, cb) partial — the SAME bucket/side
+    derivation as the batch operator's grid stage."""
+    return (
+        batch.select(
+            F.expr(side_expr).alias("_l"),
+            F.expr(
+                f"CAST(greatest(CAST(({value_expr}) AS LONG), 0L) "
+                f"DIV {int(bucket_width)} AS LONG)"
+            ).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("_l"), 1).otherwise(0)).cast("long").alias("ca"),
+            F.sum(F.when(~F.col("_l"), 1).otherwise(0)).cast("long").alias("cb"),
+        )
+    )
+
+
+def stream_ks_drift(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    side_expr: str = "doc_id % 2 = 0",
+    value_expr: str = "length(coalesce(text, ''))",
+    bucket_width: int = 64,
+):
+    """Maintain the KS-drift bucket grid incrementally over a document
+    stream (availableNow file source, one file per trigger — the module
+    test shape)."""
+    stream = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        vs = _versions(state_dir)
+        ahead = [v for v in vs if v > batch_id + 1]
+        if ahead:
+            raise RuntimeError(
+                f"state_dir {state_dir!r} already holds versions {ahead} "
+                f"beyond v{batch_id + 1}: fresh checkpoint against old "
+                "state history — reset checkpoint_dir and state_dir "
+                "together (paired unit)."
+            )
+        part = _grid_partial(batch, side_expr, value_expr, bucket_width)
+        if batch_id > 0:
+            prev = batch.sparkSession.read.parquet(
+                os.path.join(state_dir, f"v{batch_id}")
+            )
+            part = (
+                prev.unionByName(part)
+                .groupBy("bucket")
+                .agg(
+                    F.sum("ca").cast("long").alias("ca"),
+                    F.sum("cb").cast("long").alias("cb"),
+                )
+            )
+        part.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{batch_id + 1}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def read_ks(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Current KS statistic from the persisted grid — the SHARED
+    ``experiment.ks_from_grid`` stage, so the result is row-for-row the
+    batch operator's output over everything ingested so far."""
+    from ..operators.experiment import ks_from_grid
+
+    vs = _versions(state_dir)
+    if not vs:
+        raise FileNotFoundError(f"no persisted grid under {state_dir!r}")
+    grid = spark.read.parquet(os.path.join(state_dir, f"v{vs[-1]}"))
+    return ks_from_grid(grid)

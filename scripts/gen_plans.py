@@ -92,6 +92,15 @@ PICK = {
  'q199_span_integrity': 'span integrity audit (per-doc lag window, reused exchange rollup)',
  'q200_ab_lift': 'A/B lift report (variant agg, broadcast control row)',
  'q201_compression_quality': 'zlib quality panel (one Arrow mapInPandas pass, no shuffle)',
+ 'q202_ks_drift': 'two-sample KS statistic (bucket-grid agg, grid-only windows)',
+ 'q203_bootstrap_ci': 'Poisson-bootstrap CI (x32 explode, grid agg, bounded sort)',
+ 'q204_html_tables': 'HTML table extraction (map-side double posexplode, no exchange)',
+ 'q205_kcenter_coreset': 'k-center coreset (checkpointed quantized base, k 1-row argmax rounds)',
+ 'q207_pca_project': 'exact-stats PCA (mapInPandas Gram partials, literal projection)',
+ 'q209_threshold_sweep': 'dedup threshold sweep (banded pairs x bounded threshold grid)',
+ 'q210_text_segments': 'TextTiling segmentation (map-side block arrays, no exchange)',
+ 'q212_entity_extract': 'typed entity extraction (per-type regexp explode union, map-side)',
+ 'q213_bitext_margin': 'margin-criterion bitext mining (broadcast panel, two-level top-k)',
 }
 out = []
 out.append("""# PLANS — captured physical plans (sf0.001)

@@ -473,3 +473,68 @@ def test_stream_transitions_match_batch(spark, tmp_path):
     # the boundary pairs exist: u1 B->C and u2 A->B cross batches
     assert got[("B", "C")][0] == 1 and got[("A", "B")][0] >= 1
     assert sorted(os.listdir(state_dir)) == ["v1", "v2"]
+
+
+def test_stream_ks_drift_matches_batch(spark, tmp_path):
+    """Sixth incremental twin: after two micro-batches the persisted
+    (bucket, ca, cb) grid merged additively yields — through the SHARED
+    ks_from_grid stage — exactly the batch ks_drift row over the union,
+    and replaying a batch (same version target) stays idempotent."""
+    import time
+    from datetime import datetime
+
+    import pyspark.sql.functions as F
+
+    from document_quality_assessment_ocr_spark.operators.experiment import ks_drift
+    from document_quality_assessment_ocr_spark.streaming.drift import (
+        read_ks,
+        stream_ks_drift,
+    )
+
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    b1 = [(1, t0, "x" * 10), (2, t0, "y" * 300), (4, t0, "q" * 90)]
+    b2 = [(3, t0, "z" * 301), (6, t0, ""), (5, t0, "w" * 500), (8, t0, "k" * 64)]
+    in_dir = str(tmp_path / "kin")
+    os.makedirs(in_dir)
+    for i, rows in enumerate((b1, b2)):
+        spark.createDataFrame(
+            rows, "doc_id long, ts timestamp, text string"
+        ).coalesce(1).write.parquet(os.path.join(in_dir, f"drop-{i}"))
+        time.sleep(1.1)
+
+    state_dir = str(tmp_path / "kstate")
+    stream_ks_drift(
+        spark, in_dir + "/*", str(tmp_path / "kckpt"), state_dir,
+        bucket_width=64,
+    )
+    assert sorted(os.listdir(state_dir)) == ["v1", "v2"]
+    got = read_ks(spark, state_dir).collect()
+
+    full = spark.read.parquet(in_dir + "/*").select(
+        "doc_id", F.length(F.coalesce("text", F.lit(""))).alias("n")
+    )
+    want = ks_drift(full, F.col("doc_id") % 2 == 0, "n", bucket_width=64).collect()
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+    assert got[0]["n_left"] == 4 and got[0]["n_right"] == 3
+
+    # replay idempotence: re-merging batch 1's partial over v1 must
+    # reproduce v2 exactly (same base version, same target)
+    from document_quality_assessment_ocr_spark.streaming.drift import _grid_partial
+
+    b2df = spark.read.parquet(os.path.join(in_dir, "drop-1"))
+    part = _grid_partial(
+        b2df, "doc_id % 2 = 0", "length(coalesce(text, ''))", 64
+    )
+    prev = spark.read.parquet(os.path.join(state_dir, "v1"))
+    remerged = {
+        r["bucket"]: (r["ca"], r["cb"])
+        for r in prev.unionByName(part)
+        .groupBy("bucket")
+        .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+        .collect()
+    }
+    v2 = {
+        r["bucket"]: (r["ca"], r["cb"])
+        for r in spark.read.parquet(os.path.join(state_dir, "v2")).collect()
+    }
+    assert remerged == v2
