@@ -8867,6 +8867,26 @@ def _concentration_sql() -> str:
     """
 
 
+# q212/q220 shared synthesis CTE — the SQL twin of _synth_entities.
+# Both oracle builders interpolate THIS text; never fork it.
+_ENTITY_SYNTH_CTE = """
+        WITH es AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   COALESCE(text, '')
+                   || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN ' call +1415555'
+                                || LPAD(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                           ELSE '' END
+                   || CASE WHEN doc_id % 4 = 0
+                           THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                                || '.' || CAST(doc_id % 200 AS VARCHAR)
+                           ELSE '' END AS text
+            FROM documents
+        )"""
+
+
 def _synth_entities(d: DataFrame) -> DataFrame:
     """Deterministic entity-bearing text over documents.text: every doc
     gains an email (local part + domain derived from doc_id), %3==0 docs
@@ -8922,22 +8942,7 @@ def _entities_sql() -> str:
         ENTITY_PATTERNS,
     )
 
-    synth = """
-        WITH es AS (
-            SELECT CAST(doc_id AS BIGINT) AS doc_id,
-                   COALESCE(text, '')
-                   || ' contact user' || CAST(doc_id AS VARCHAR)
-                   || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.com'
-                   || CASE WHEN doc_id % 3 = 0
-                           THEN ' call +1415555'
-                                || LPAD(CAST(doc_id % 100 AS VARCHAR), 2, '0')
-                           ELSE '' END
-                   || CASE WHEN doc_id % 4 = 0
-                           THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
-                                || '.' || CAST(doc_id % 200 AS VARCHAR)
-                           ELSE '' END AS text
-            FROM documents
-        )"""
+    synth = _ENTITY_SYNTH_CTE
     parts = []
     for etype, pat in ENTITY_PATTERNS.items():
         parts.append(f"""
@@ -9027,6 +9032,451 @@ def _bitext_margin_sql() -> str:
                END AS accepted
         FROM top ORDER BY probe_id
     """
+
+
+def _q_banding_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-run LSH banding-selectivity planner over documents at the
+    PRODUCTION shape (16 perms / 4 bands, word shingles — the q25/q186
+    contract): exact candidate-pair volume from bucket counts alone."""
+    from document_quality_assessment_ocr_spark.operators.dedup import (
+        banding_selectivity,
+    )
+
+    return banding_selectivity(
+        _doc(spark, sf_dir), n_hashes=16, bands=4, shingle="word"
+    )
+
+
+def _banding_selectivity_sql() -> str:
+    """q214 oracle: shared _minhash_sql word-shingle prefix + the q209
+    band-key CTE, then pure integer bucket arithmetic (c·(c−1)//2 pair
+    mass, largest bucket, reduction ratio per million — all // on
+    non-negative operands)."""
+    return (
+        _minhash_sql(16, shingle="word")
+        + """
+            , bands AS (
+                SELECT doc_id, 0 AS band,
+                       MD5(CONCAT_WS('#', h00, h01, h02, h03)) AS key FROM sig
+                UNION ALL SELECT doc_id, 1,
+                       MD5(CONCAT_WS('#', h04, h05, h06, h07)) FROM sig
+                UNION ALL SELECT doc_id, 2,
+                       MD5(CONCAT_WS('#', h08, h09, h10, h11)) FROM sig
+                UNION ALL SELECT doc_id, 3,
+                       MD5(CONCAT_WS('#', h12, h13, h14, h15)) FROM sig
+            ), bc AS (
+                SELECT band, key, CAST(COUNT(*) AS BIGINT) AS c
+                FROM bands GROUP BY band, key
+            )
+            SELECT CAST(band AS BIGINT) AS band,
+                   CAST(SUM(c) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                   CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS singleton_buckets,
+                   CAST(MAX(c) AS BIGINT) AS max_bucket,
+                   CAST(SUM((c * (c - 1)) // 2) AS BIGINT) AS est_pairs,
+                   CAST(CASE WHEN SUM(c) >= 2
+                        THEN (SUM((c * (c - 1)) // 2) * 1000000)
+                             // ((SUM(c) * (SUM(c) - 1)) // 2)
+                        ELSE 0 END AS BIGINT) AS rr_micro
+            FROM bc GROUP BY band ORDER BY band
+        """
+    )
+
+
+def _q_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding isotropy audit: exact corpus-mean pairwise dot via the
+    ‖Σq‖² − Σ‖q‖² identity over q168-quantized vectors — no pair ever
+    materialized."""
+    from document_quality_assessment_ocr_spark.operators.similarity import (
+        isotropy_audit,
+    )
+
+    return isotropy_audit(_emb(spark, sf_dir), scale=64)
+
+
+def _isotropy_sql() -> str:
+    """q215 oracle: the same TRUNC-quantization (q168 contract), per-dim
+    UNNEST(RANGE) fan, BIGINT sums, and the identical fixed-order double
+    divisions with ROUND(·,6) + 0e0 guards."""
+    return """
+        WITH q AS (
+            SELECT LIST_TRANSFORM(embedding,
+                       x -> CAST(TRUNC(CAST(x AS DOUBLE) * 64) AS BIGINT)) AS q
+            FROM embeddings
+        ), f AS (
+            SELECT CAST(i AS BIGINT) - 1 AS dim, q[CAST(i AS INT)] AS v
+            FROM (SELECT q, UNNEST(RANGE(1, LEN(q) + 1)) AS i FROM q)
+        ), g AS (
+            SELECT dim, CAST(SUM(v) AS BIGINT) AS s,
+                   CAST(SUM(v * v) AS BIGINT) AS ssq,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM f GROUP BY dim
+        ), r AS (
+            SELECT CAST(MAX(cnt) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS dim,
+                   CAST(SUM(ssq) AS BIGINT) AS self_dot_sum,
+                   CAST(SUM(s * s) AS BIGINT) AS s2
+            FROM g
+        )
+        SELECT n, dim, self_dot_sum,
+               CAST(s2 - self_dot_sum AS BIGINT) AS pair_dot_sum,
+               ROUND(CAST(self_dot_sum AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                   + 0e0 AS avg_self_dot,
+               CASE WHEN n >= 2 THEN
+                   ROUND(CAST(s2 - self_dot_sum AS DOUBLE)
+                         / CAST(n * (n - 1) AS DOUBLE), 6) + 0e0
+               END AS avg_pair_dot,
+               CASE WHEN n >= 2 AND self_dot_sum > 0 THEN
+                   ROUND((CAST(s2 - self_dot_sum AS DOUBLE)
+                          / CAST(n * (n - 1) AS DOUBLE))
+                         / (CAST(self_dot_sum AS DOUBLE)
+                            / CAST(n AS DOUBLE)), 6) + 0e0
+               END AS anisotropy
+        FROM r
+    """
+
+
+def _q_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B report: md5-split arms (tag `cuped`),
+    metric = n_chars + deterministic md5 noise (tag `cnoise`) + a planted
+    +50 treat effect, covariate = the pre-experiment n_chars itself — the
+    textbook shape where CUPED strips the covariate-explained variance."""
+    from document_quality_assessment_ocr_spark.operators.augment import _md5_mod
+    from document_quality_assessment_ocr_spark.operators.experiment import (
+        cuped_lift,
+    )
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("nc"),
+    )
+    treat = _md5_mod(F.col("doc_id"), "cuped", F.lit(2)) == 1
+    v = F.when(treat, F.lit("treat")).otherwise(F.lit("control"))
+    noise = _md5_mod(F.col("doc_id"), "cnoise", F.lit(41)) - F.lit(20)
+    units = d.select(
+        v.alias("variant"),
+        (
+            F.col("nc") + noise + F.when(treat, F.lit(50)).otherwise(F.lit(0))
+        ).cast("long").alias("metric"),
+        F.col("nc").alias("covariate"),
+    )
+    return cuped_lift(units)
+
+
+def _cuped_lift_sql() -> str:
+    """q216 oracle: shared _md5_mod tags (`cuped`/`cnoise`), BIGINT
+    sufficient statistics, θ as ONE double division of BIGINT
+    determinants, and the engine's fixed op order
+    sy/n − θ·(sx/n − sxp/N); u/g/r MATERIALIZED (each read twice)."""
+    mm = (
+        "(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '|cuped'),"
+        " 1, 15))::BIGINT % 2)"
+    )
+    nz = (
+        "(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '|cnoise'),"
+        " 1, 15))::BIGINT % 41)"
+    )
+    return f"""
+        WITH d AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_chars AS BIGINT) AS nc
+            FROM documents
+        ), u AS MATERIALIZED (
+            SELECT CASE WHEN {mm} = 1 THEN 'treat' ELSE 'control' END AS v,
+                   nc + ({nz} - 20)
+                      + CASE WHEN {mm} = 1 THEN 50 ELSE 0 END AS y,
+                   nc AS x
+            FROM d
+        ), g AS (
+            SELECT v, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x) AS BIGINT) AS sx
+            FROM u GROUP BY v
+        ), p AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+                   CAST(SUM(x) AS BIGINT) AS sxp,
+                   CAST(SUM(y) AS BIGINT) AS syp,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx
+            FROM u
+        ), t AS (
+            SELECT nn, sxp,
+                   CASE WHEN nn * sxx - sxp * sxp <> 0
+                        THEN CAST(nn * sxy - sxp * syp AS DOUBLE)
+                             / CAST(nn * sxx - sxp * sxp AS DOUBLE)
+                        ELSE 0e0 END AS theta
+            FROM p
+        ), r AS MATERIALIZED (
+            SELECT v, n, sy AS metric_sum, sx AS cov_sum,
+                   CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean, theta,
+                   CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                       - theta * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+                                  - CAST(sxp AS DOUBLE) / CAST(nn AS DOUBLE))
+                       AS adj_mean
+            FROM g, t
+        ), c AS (
+            SELECT v AS cv, adj_mean AS cadj FROM r ORDER BY v LIMIT 1
+        )
+        SELECT r.v AS variant, n, metric_sum, cov_sum, mean, theta, adj_mean,
+               r.v = c.cv AS is_control,
+               CASE WHEN c.cadj <> 0e0
+                    THEN r.adj_mean / c.cadj - 1e0 END AS lift_adj
+        FROM r, c ORDER BY variant
+    """
+
+
+# q217 corruption-synthesis twins: the engine expression and the oracle SQL
+# interpolate the SAME (search, replacement) constants — never fork.
+_MOJI_SUB = ("a", "Ã¡")  # UTF-8 'á' bytes read as Latin-1
+_REPL_SUB = ("e", "�")  # decoder replacement character
+
+
+def _q_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake/encoding-corruption audit over a deterministically
+    corrupted corpus: md5-picked docs (tag `moji`, mod 5) get either the
+    UTF-8-as-Latin-1 substitution or replacement-char injection; the
+    profiler must localize the damage by source."""
+    from document_quality_assessment_ocr_spark.operators.augment import _md5_mod
+    from document_quality_assessment_ocr_spark.operators.scrub import (
+        encoding_quality_profile,
+    )
+
+    d = _doc(spark, sf_dir)
+    pick = _md5_mod(F.col("doc_id"), "moji", F.lit(5))
+    corrupt = (
+        F.when(
+            pick == 0,
+            F.expr(f"replace(text, '{_MOJI_SUB[0]}', '{_MOJI_SUB[1]}')"),
+        )
+        .when(
+            pick == 1,
+            F.expr(f"replace(text, '{_REPL_SUB[0]}', '{_REPL_SUB[1]}')"),
+        )
+        .otherwise(F.col("text"))
+    )
+    docs = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        corrupt.alias("text"),
+        "source",
+    )
+    return encoding_quality_profile(docs)
+
+
+def _encoding_quality_sql() -> str:
+    """q217 oracle: byte-identical corruption synthesis (shared
+    _MOJI_SUB/_REPL_SUB constants, same md5 pick tag `moji`) + the shared
+    scrub.py artifact regexes (Java∩RE2, \\x{{..}} escapes); every
+    surfaced number a BIGINT count or non-negative // division."""
+    from document_quality_assessment_ocr_spark.operators.scrub import (
+        C1_CONTROLS,
+        MOJIBAKE_UTF8,
+        REPLACEMENT_CHAR,
+    )
+
+    mm = (
+        "(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '|moji'),"
+        " 1, 15))::BIGINT % 5)"
+    )
+    return f"""
+        WITH d AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   COALESCE(source, '') AS grp, text, {mm} AS pick
+            FROM documents
+        ), x AS (
+            SELECT grp,
+                   COALESCE(CASE
+                       WHEN pick = 0
+                           THEN REPLACE(text, '{_MOJI_SUB[0]}', '{_MOJI_SUB[1]}')
+                       WHEN pick = 1
+                           THEN REPLACE(text, '{_REPL_SUB[0]}', '{_REPL_SUB[1]}')
+                       ELSE text END, '') AS t
+            FROM d
+        ), per AS (
+            SELECT grp,
+                   CAST(LEN(REGEXP_EXTRACT_ALL(t, '{MOJIBAKE_UTF8}')) AS BIGINT) AS m1,
+                   CAST(LEN(REGEXP_EXTRACT_ALL(t, '{REPLACEMENT_CHAR}')) AS BIGINT) AS m2,
+                   CAST(LEN(REGEXP_EXTRACT_ALL(t, '{C1_CONTROLS}')) AS BIGINT) AS m3,
+                   CAST(LENGTH(t) AS BIGINT) AS nc
+            FROM x
+        ), sc AS (
+            SELECT grp, m1, m2, m3,
+                   ((m1 + m2 + m3) * 1000000) // GREATEST(nc, 1) AS score
+            FROM per
+        )
+        SELECT grp AS source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN m1 + m2 + m3 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_flagged,
+               CAST(SUM(m1) AS BIGINT) AS moji_pairs,
+               CAST(SUM(m2) AS BIGINT) AS repl_chars,
+               CAST(SUM(m3) AS BIGINT) AS c1_chars,
+               CAST(SUM(score) // COUNT(*) AS BIGINT) AS mean_score_micro
+        FROM sc GROUP BY grp ORDER BY source
+    """
+
+
+def _q_quota_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton largest-remainder apportionment of a 1000-doc sampling
+    budget across sources — Σalloc == budget exactly, seats awarded in
+    (remainder DESC, source) order."""
+    from document_quality_assessment_ocr_spark.operators.sampling import (
+        quota_apportionment,
+    )
+
+    return quota_apportionment(
+        _doc(spark, sf_dir), group_col="source", budget=1000
+    )
+
+
+def _quota_apportion_sql(budget: int = 1000) -> str:
+    """q218 oracle: the same grid windows — SUM OVER () total/floor-sum
+    and ROW_NUMBER seat order (remainder DESC, group ASC); // and % on
+    non-negative operands only."""
+    return f"""
+        WITH g AS (
+            SELECT COALESCE(source, '') AS grp,
+                   CAST(COUNT(*) AS BIGINT) AS weight
+            FROM documents GROUP BY 1
+        ), t AS (
+            SELECT grp, weight,
+                   CAST(SUM(weight) OVER () AS BIGINT) AS total
+            FROM g
+        ), q AS (
+            SELECT grp, weight,
+                   CAST(({budget} * weight) // GREATEST(total, 1) AS BIGINT)
+                       AS quota_floor,
+                   CAST(({budget} * weight) % GREATEST(total, 1) AS BIGINT)
+                       AS remainder
+            FROM t
+        ), s AS (
+            SELECT grp, weight, quota_floor, remainder,
+                   CAST(SUM(quota_floor) OVER () AS BIGINT) AS fsum,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY remainder DESC, grp ASC) AS BIGINT) AS rn
+            FROM q
+        )
+        SELECT grp AS source, weight, quota_floor, remainder,
+               CAST(quota_floor + CASE WHEN rn <= {budget} - fsum
+                    THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        FROM s ORDER BY source
+    """
+
+
+
+def _q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformance of n_chars per source — the
+    fabricated/junk numeric-field detector."""
+    from document_quality_assessment_ocr_spark.operators.profile import (
+        benford_audit,
+    )
+
+    return benford_audit(_doc(spark, sf_dir), value_col="n_chars", group_col="source")
+
+
+def _benford_sql() -> str:
+    """q219 oracle: shared BENFORD_MICRO literals, first char of the
+    positive BIGINT decimal rendering, zero-filled |groups|x9 grid,
+    grid-partitioned windows, // on non-negative operands (abs
+    numerator)."""
+    from document_quality_assessment_ocr_spark.operators.profile import (
+        BENFORD_MICRO,
+    )
+
+    case = " ".join(
+        f"WHEN {d} THEN {e}" for d, e in enumerate(BENFORD_MICRO, start=1)
+    )
+    return f"""
+        WITH base AS (
+            SELECT COALESCE(source, '') AS grp,
+                   CAST(SUBSTR(CAST(CAST(n_chars AS BIGINT) AS VARCHAR),
+                        1, 1) AS BIGINT) AS digit
+            FROM documents WHERE CAST(n_chars AS BIGINT) >= 1
+        ), counted AS MATERIALIZED (
+            SELECT grp, digit, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM base GROUP BY grp, digit
+        ), grid AS (
+            SELECT g.grp, d.digit, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+            FROM (SELECT DISTINCT grp FROM counted) g
+            CROSS JOIN (SELECT CAST(UNNEST(RANGE(1, 10)) AS BIGINT) AS digit) d
+            LEFT JOIN counted c ON c.grp = g.grp AND c.digit = d.digit
+        ), e AS (
+            SELECT grp, digit, cnt,
+                   CAST(CASE digit {case} END AS BIGINT) AS exp_micro,
+                   CAST(SUM(cnt) OVER (PARTITION BY grp) AS BIGINT) AS n
+            FROM grid
+        )
+        SELECT grp AS source, digit, cnt,
+               CAST((cnt * 1000000) // n AS BIGINT) AS share_micro,
+               exp_micro, n,
+               CAST(SUM(ABS(cnt * 1000000 - exp_micro * n))
+                        OVER (PARTITION BY grp)
+                    // (2 * n) AS BIGINT) AS tvd_micro
+        FROM e ORDER BY source, digit
+    """
+
+
+def _q_scrub_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Defense-in-depth scrub audit over the q212 synthesized
+    entity-bearing corpus: per-type before/after counts + removal rate."""
+    from document_quality_assessment_ocr_spark.operators.scrub import (
+        scrub_effectiveness,
+    )
+
+    return scrub_effectiveness(_synth_entities(_doc(spark, sf_dir)))
+
+
+def _scrub_effectiveness_sql() -> str:
+    """q220 oracle: the SHARED _ENTITY_SYNH synth CTE (q212 twin) + the
+    shared EMAIL/IPV4/PHONE constants in the scrub_pii replacement order
+    (email -> ip -> phone), 1-row MATERIALIZED aggregate, 3-row UNION."""
+    from document_quality_assessment_ocr_spark.operators.scrub import (
+        EMAIL,
+        IPV4,
+        PHONE,
+    )
+
+    per = []
+    for name, pat in (("email", EMAIL), ("ipv4", IPV4), ("phone", PHONE)):
+        per.append(
+            f"CAST(LEN(REGEXP_EXTRACT_ALL(t, '{pat}')) AS BIGINT) AS b_{name},\n"
+            f"                   CAST(LEN(REGEXP_EXTRACT_ALL(s, '{pat}')) AS BIGINT) AS a_{name}"
+        )
+    cols = ",\n                   ".join(per)
+    sums = ",\n                   ".join(
+        f"CAST(SUM(b_{n}) AS BIGINT) AS b_{n},"
+        f" CAST(SUM(a_{n}) AS BIGINT) AS a_{n},"
+        f" CAST(SUM(CASE WHEN a_{n} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS r_{n}"
+        for n in ("email", "ipv4", "phone")
+    )
+    rows = "\n            UNION ALL\n".join(
+        f"""SELECT '{n}' AS etype, b_{n} AS before_cnt, a_{n} AS after_cnt,
+                   r_{n} AS docs_with_residual,
+                   CAST((GREATEST(b_{n} - a_{n}, 0) * 1000000)
+                        // GREATEST(b_{n}, 1) AS BIGINT) AS removed_micro
+            FROM agg"""
+        for n in ("email", "ipv4", "phone")
+    )
+    return f"""{_ENTITY_SYNTH_CTE}, sc AS (
+            SELECT COALESCE(text, '') AS t,
+                   REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+                       COALESCE(text, ''),
+                       '{EMAIL}', '<EMAIL>', 'g'),
+                       '{IPV4}', '<IP>', 'g'),
+                       '{PHONE}', '<PHONE>', 'g') AS s
+            FROM es
+        ), wide AS (
+            SELECT {cols}
+            FROM sc
+        ), agg AS MATERIALIZED (
+            SELECT {sums}
+            FROM wide
+        )
+        SELECT * FROM (
+            {rows}
+        ) ORDER BY etype
+    """
+
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -9261,6 +9711,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q211_concentration": _q_concentration,
         "q212_entity_extract": _q_entities,
         "q213_bitext_margin": _q_bitext_margin,
+        "q214_banding_selectivity": _q_banding_selectivity,
+        "q215_isotropy": _q_isotropy,
+        "q216_cuped_lift": _q_cuped_lift,
+        "q217_encoding_quality": _q_encoding_quality,
+        "q218_quota_apportion": _q_quota_apportion,
+        "q219_benford": _q_benford,
+        "q220_scrub_effect": _q_scrub_effectiveness,
     }
 
 
@@ -12123,6 +12580,13 @@ def oracle_sql() -> dict[str, str]:
         "q211_concentration": _concentration_sql(),
         "q212_entity_extract": _entities_sql(),
         "q213_bitext_margin": _bitext_margin_sql(),
+        "q214_banding_selectivity": _banding_selectivity_sql(),
+        "q215_isotropy": _isotropy_sql(),
+        "q216_cuped_lift": _cuped_lift_sql(),
+        "q217_encoding_quality": _encoding_quality_sql(),
+        "q218_quota_apportion": _quota_apportion_sql(),
+        "q219_benford": _benford_sql(),
+        "q220_scrub_effect": _scrub_effectiveness_sql(),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

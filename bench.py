@@ -431,6 +431,13 @@ def main() -> None:
         "q211_concentration",
         "q212_entity_extract",
         "q213_bitext_margin",
+        "q214_banding_selectivity",
+        "q215_isotropy",
+        "q216_cuped_lift",
+        "q217_encoding_quality",
+        "q218_quota_apportion",
+        "q219_benford",
+        "q220_scrub_effect",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

@@ -1046,3 +1046,84 @@ def containment_pairs(
         )
     )
     return out.where(F.col("cont_micro") >= F.lit(int(min_cont_micro)))
+
+
+def banding_selectivity(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    ngram: int = 5,
+    shingle: str = "word",
+) -> DataFrame:
+    """Pre-run banding-selectivity planner: the candidate-pair volume a
+    banded LSH self-join WOULD emit, computed from bucket counts alone —
+    no pair is ever materialized.
+
+    The q186 lesson as a first-class operator: a pair-emitting query's
+    cost is governed by banding selectivity, so before launching the
+    join over a new corpus, audit each band's bucket histogram. A bucket
+    of ``c`` signatures contributes exactly ``c·(c−1)/2`` candidate
+    pairs, so ``est_pairs = Σ c·(c−1) DIV 2`` per band is the EXACT pair
+    count of ``minhash_lsh_pairs``' per-band join (before the cross-band
+    DISTINCT), and ``max_bucket`` is the hot key AQE's skew handling (or
+    salting) would have to absorb. ``rr_micro`` is the record-linkage
+    reduction ratio — emitted pairs per million possible pairs
+    ``n·(n−1)/2``.
+
+    Exactness: every surfaced quantity is a non-negative BIGINT count or
+    a non-negative integer DIV (Spark ``DIV`` == DuckDB ``//``).
+    Overflow: ``est_pairs·10⁶`` caps the corpus at ~9.2e12 candidate
+    pairs per band — past that the banding is unusable anyway (the
+    planner's whole point is to reject such shapes before the join).
+
+    Scale shape: the signature aggregate (one exchange, the same one the
+    real join pays) → ONE map-side-combined count per (band, key) → ONE
+    |bands|-row rollup. Output is |bands| rows: (band, n_docs,
+    n_buckets, singleton_buckets, max_bucket, est_pairs, rr_micro),
+    ordered by band.
+    """
+    assert n_hashes % bands == 0
+    rows = n_hashes // bands
+    sig = minhash_signatures(
+        docs, id_col, text_col, n_hashes, ngram, shingle=shingle
+    )
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"h{b * rows + r:02d}") for r in range(rows)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("#", *parts)).alias("key"),
+            )
+        )
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    counts = buckets.groupBy("band", "key").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_band = counts.groupBy("band").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("singleton_buckets"),
+        F.max("c").cast("long").alias("max_bucket"),
+        F.sum(F.expr("(c * (c - 1)) DIV 2")).cast("long").alias("est_pairs"),
+    )
+    return per_band.select(
+        F.col("band").cast("long").alias("band"),
+        "n_docs",
+        "n_buckets",
+        "singleton_buckets",
+        "max_bucket",
+        "est_pairs",
+        F.expr(
+            "CASE WHEN n_docs >= 2 THEN (est_pairs * 1000000L) "
+            "DIV ((n_docs * (n_docs - 1)) DIV 2) ELSE 0L END"
+        )
+        .cast("long")
+        .alias("rr_micro"),
+    ).orderBy("band")

@@ -292,3 +292,95 @@ def poisson_bootstrap_ci(
         )
         .orderBy(group_col)
     )
+
+
+def cuped_lift(
+    units: DataFrame,
+    variant_col: str = "variant",
+    metric_col: str = "metric",
+    covariate_col: str = "covariate",
+    control: Optional[str] = None,
+) -> DataFrame:
+    """CUPED variance-reduced experiment report (Deng et al. 2013):
+    adjust each arm's metric mean by the pre-experiment covariate before
+    computing lift — ``adj_mean = ȳ − θ·(x̄ − x̄_pool)`` with the pooled
+    OLS slope ``θ = (N·Σxy − Σx·Σy) / (N·Σx² − (Σx)²)``.
+
+    Exactness: the sufficient statistics (per-arm n/Σy/Σx and pooled
+    N/Σx/Σy/Σxy/Σx²) are BIGINTs; θ is ONE double division of two
+    BIGINT determinants (0.0 when the covariate is constant — no
+    adjustment), and every downstream double follows the fixed op order
+    ``sy/n − θ·(sx/n − sxp/N)``. ``lift_adj`` = ``adj/adj_control − 1.0``,
+    NULL when the control's adjusted mean is exactly 0.0 (both engines
+    compute bit-identical doubles, so the guard agrees). Overflow:
+    Σ(x·y) bounds the corpus at ~9.2e18 total covariate·metric mass —
+    drop both to milli units past that (the q202/q203 cap class).
+
+    Scale shape: ONE map-side-combined variant aggregate (|arms| rows) +
+    ONE 1-row pooled aggregate broadcast over it; lift joins the 1-row
+    control arm back broadcast — the corpus is scanned once, nothing but
+    grids shuffle.
+
+    Output: (variant_col, n, metric_sum, cov_sum, mean, theta, adj_mean,
+    is_control, lift_adj) ordered by variant.
+    """
+    v = F.coalesce(F.col(variant_col).cast("string"), F.lit("")).alias("v")
+    base = units.select(
+        v,
+        F.col(metric_col).cast("long").alias("y"),
+        F.col(covariate_col).cast("long").alias("x"),
+    )
+    g = base.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("x").cast("long").alias("sx"),
+    )
+    pool = base.agg(
+        F.count(F.lit(1)).cast("long").alias("_nn"),
+        F.sum("x").cast("long").alias("_sxp"),
+        F.sum("y").cast("long").alias("_syp"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("_sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("_sxx"),
+    )
+    den = F.col("_nn") * F.col("_sxx") - F.col("_sxp") * F.col("_sxp")
+    num = F.col("_nn") * F.col("_sxy") - F.col("_sxp") * F.col("_syp")
+    theta = F.when(
+        den != 0, num.cast("double") / den.cast("double")
+    ).otherwise(F.lit(0.0))
+    mean = F.col("sy").cast("double") / F.col("n").cast("double")
+    xmean = F.col("sx").cast("double") / F.col("n").cast("double")
+    xpool = F.col("_sxp").cast("double") / F.col("_nn").cast("double")
+    r = g.crossJoin(F.broadcast(pool)).select(
+        "v",
+        "n",
+        F.col("sy").alias("metric_sum"),
+        F.col("sx").alias("cov_sum"),
+        mean.alias("mean"),
+        theta.alias("theta"),
+        (mean - theta * (xmean - xpool)).alias("adj_mean"),
+    )
+    if control is None:
+        ctrl = r.orderBy("v").limit(1)
+    else:
+        ctrl = r.where(F.col("v") == F.lit(control))
+    ctrl = ctrl.select(
+        F.col("v").alias("_cv"), F.col("adj_mean").alias("_cadj")
+    )
+    return (
+        r.crossJoin(F.broadcast(ctrl))
+        .select(
+            F.col("v").alias(variant_col),
+            "n",
+            "metric_sum",
+            "cov_sum",
+            "mean",
+            "theta",
+            "adj_mean",
+            (F.col("v") == F.col("_cv")).alias("is_control"),
+            F.when(
+                F.col("_cadj") != 0.0,
+                F.col("adj_mean") / F.col("_cadj") - F.lit(1.0),
+            ).alias("lift_adj"),
+        )
+        .orderBy(variant_col)
+    )

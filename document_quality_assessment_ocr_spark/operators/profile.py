@@ -606,3 +606,98 @@ def concentration_profile(
         )
         .orderBy(group_col)
     )
+
+
+#: floor-rounded Benford first-digit expectations in micro units
+#: (int(round(log10(1+1/d)·10⁶)) for d=1..9) — a SHARED data constant
+#: interpolated into the q219 oracle SQL; never recompute per-engine.
+BENFORD_MICRO = (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757)
+
+
+def benford_audit(
+    df,
+    value_col: str = "n_chars",
+    group_col: str = "source",
+):
+    """Benford first-digit conformance audit of a positive numeric field
+    per group — the classic fabricated/junk-data detector for scraped
+    numeric columns (a source whose sizes/prices/counts are synthetic or
+    truncated drifts from the log-uniform first-digit law).
+
+    Every group emits ALL nine digit rows (zero-filled), each carrying
+    the group's total ``n`` and the group-level total-variation distance
+    ``tvd_micro = Σ_d |cnt_d·10⁶ − exp_d·n| DIV (2n)`` — integer-exact:
+    the abs makes the numerator non-negative, n > 0 by the group filter,
+    so Spark ``DIV`` == DuckDB ``//``. The expectations are the shared
+    :data:`BENFORD_MICRO` literals. Overflow: ``cnt·10⁶`` caps any one
+    digit cell at ~9.2e12 values — widen to milli past that.
+
+    Leading digit = first character of the decimal rendering (values
+    < 1 are excluded with the non-positives; identical CAST-to-string
+    semantics for positive BIGINTs on both engines).
+
+    Scale shape: ONE map-side-combined aggregate to the |groups|×9 grid,
+    zero-fill via a |groups|×9 literal-range cross join ON THE GRID,
+    tvd via a grid-partitioned window (q194 family). Output: (group_col,
+    digit, cnt, share_micro, exp_micro, n, tvd_micro) ordered by
+    (group, digit).
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("long")
+    counted = (
+        df.where(v >= 1)
+        .select(
+            F.coalesce(F.col(group_col).cast("string"), F.lit("")).alias("grp"),
+            F.substring(v.cast("string"), 1, 1).cast("long").alias("digit"),
+        )
+        .groupBy("grp", "digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    groups = counted.select("grp").distinct()
+    digits = F.explode(F.sequence(F.lit(1), F.lit(9))).alias("digit")
+    full = groups.select("grp", digits).select(
+        "grp", F.col("digit").cast("long").alias("digit")
+    )
+    grid = full.join(counted, ["grp", "digit"], "left").select(
+        "grp", "digit", F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt")
+    )
+    exp_map = F.create_map(
+        *[
+            c
+            for d, e in enumerate(BENFORD_MICRO, start=1)
+            for c in (F.lit(d), F.lit(int(e)))
+        ]
+    )
+    w = Window.partitionBy("grp")
+    g2 = grid.select(
+        "grp",
+        "digit",
+        "cnt",
+        exp_map[F.col("digit").cast("int")].cast("long").alias("exp_micro"),
+        F.sum("cnt").over(w).cast("long").alias("n"),
+    )
+    return (
+        g2.select(
+            F.col("grp").alias(group_col),
+            "digit",
+            "cnt",
+            F.expr("(cnt * 1000000L) DIV n").cast("long").alias("share_micro"),
+            "exp_micro",
+            "n",
+            F.sum(F.abs(F.col("cnt") * F.lit(1000000) - F.col("exp_micro") * F.col("n")))
+            .over(w)
+            .cast("long")
+            .alias("_dev"),
+        )
+        .select(
+            group_col,
+            "digit",
+            "cnt",
+            "share_micro",
+            "exp_micro",
+            "n",
+            F.expr("_dev DIV (2L * n)").cast("long").alias("tvd_micro"),
+        )
+        .orderBy(group_col, "digit")
+    )

@@ -480,3 +480,84 @@ def mw_domain_weights(
         F.col(group_col), "m_micro", "excess_micro",
         F.col("w").alias("weight_micro"),
     )
+
+
+def quota_apportionment(
+    docs: DataFrame,
+    group_col: str = "source",
+    budget: int = 1000,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Hamilton (largest-remainder) apportionment of an integer sampling
+    budget across groups: each group gets ``floor(budget·w/total)`` plus
+    one of the ``budget − Σfloor`` leftover seats, awarded in remainder
+    order — the exact integer answer to "split this 10M-doc sampling
+    budget across sources proportionally", with Σalloc == budget always
+    (proportional rounding never guarantees that; Hamilton does).
+
+    Exactness: weights, quotas and remainders are BIGINTs; ``DIV``/``%``
+    operands are non-negative by the ``budget >= 0`` guard (Spark DIV ==
+    DuckDB ``//``); the seat award order ``(remainder DESC, group ASC)``
+    is a deterministic total order on both engines. Overflow:
+    ``budget·max_group_weight`` must stay under 2^63 (~9.2e18) — split
+    the budget hierarchically past that.
+
+    Scale shape: ONE map-side-combined aggregate to the |groups| grid,
+    then two windows ON THE GRID (the q194 grid-bounded family — a
+    single-partition window over |groups| rows, never the corpus).
+    Output: (group_col, weight, quota_floor, remainder, alloc) ordered
+    by group.
+    """
+    from pyspark.sql import Window
+
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    w = (
+        F.sum(F.col(weight_col).cast("long"))
+        if weight_col
+        else F.count(F.lit(1))
+    )
+    grid = docs.groupBy(
+        F.coalesce(F.col(group_col).cast("string"), F.lit("")).alias("grp")
+    ).agg(w.cast("long").alias("weight"))
+    all_w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g2 = grid.select(
+        "grp",
+        "weight",
+        F.sum("weight").over(all_w).cast("long").alias("_total"),
+    ).select(
+        "grp",
+        "weight",
+        F.expr(f"({int(budget)}L * weight) DIV greatest(_total, 1L)")
+        .cast("long")
+        .alias("quota_floor"),
+        F.expr(f"({int(budget)}L * weight) % greatest(_total, 1L)")
+        .cast("long")
+        .alias("remainder"),
+    )
+    seat = Window.orderBy(F.col("remainder").desc(), F.col("grp").asc())
+    g3 = g2.select(
+        "grp",
+        "weight",
+        "quota_floor",
+        "remainder",
+        F.sum("quota_floor").over(all_w).cast("long").alias("_fsum"),
+        F.row_number().over(seat).cast("long").alias("_rn"),
+    )
+    return (
+        g3.select(
+            F.col("grp").alias(group_col),
+            "weight",
+            "quota_floor",
+            "remainder",
+            (
+                F.col("quota_floor")
+                + F.when(
+                    F.col("_rn") <= F.lit(int(budget)) - F.col("_fsum"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("alloc"),
+        )
+        .orderBy(group_col)
+    )

@@ -1496,3 +1496,86 @@ def bitext_margin_mine(
         margin.alias("margin"),
         (margin >= F.lit(float(accept))).alias("accepted"),
     ).orderBy("probe_id")
+
+
+def isotropy_audit(
+    embs: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 64,
+) -> DataFrame:
+    """Embedding isotropy audit — the exact mean pairwise dot product of
+    the whole corpus WITHOUT materializing a single pair, via the
+    sum-vector identity ``Σ_{i≠j} qᵢ·qⱼ = ‖Σq‖² − Σ‖q‖²``.
+
+    Anisotropic embedding spaces (Ethayarajh 2019) squeeze cosines into
+    a narrow cone, which silently recalibrates every SemDeDup/D4/ANN
+    threshold — so before trusting a τ, measure the cone:
+    ``anisotropy = avg_pair_dot / avg_self_dot`` (≈0 for an isotropic
+    cloud, →1 as vectors collapse onto one direction).
+
+    Exactness: vectors ride :func:`quantize_embedding` (q168 portable
+    truncation), so the per-dim sums, ‖Σq‖², and Σ‖q‖² are exact
+    BIGINTs on both engines; the three surfaced doubles are divisions of
+    those integers in a fixed op order, rounded once (±0.0-guarded).
+    Overflow: per-dim ``s² ≤ (n·scale)²`` caps n at ~4.7e7 rows at
+    scale=64 — past that, run over the standard md5 fixed-rate audit
+    panel (the q201 class; the statistic is a mean, panels suffice).
+
+    Scale shape: one ×dim posexplode fanning a map-side-combined
+    aggregate to |dim| grid rows, then a 1-row rollup — the corpus is
+    read once and nothing but the grid ever shuffles. Output: ONE row
+    (n, dim, self_dot_sum, pair_dot_sum, avg_self_dot, avg_pair_dot,
+    anisotropy).
+    """
+    return isotropy_from_grid(isotropy_grid(embs, vec_col, scale))
+
+
+def isotropy_grid(
+    embs: DataFrame, vec_col: str = "embedding", scale: int = 64
+) -> DataFrame:
+    """The per-dim (dim, s, ssq, cnt) sufficient-statistic grid of
+    :func:`isotropy_audit` — ALGEBRAIC (every column adds across
+    shards/batches), so it doubles as the streaming twin's partial
+    (``streaming/drift.stream_isotropy``)."""
+    q = embs.select(quantize_embedding(F.col(vec_col), scale).alias("q"))
+    return (
+        q.select(F.posexplode("q").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(
+            F.sum("v").cast("long").alias("s"),
+            F.sum(F.col("v") * F.col("v")).cast("long").alias("ssq"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        )
+    )
+
+
+def isotropy_from_grid(per_dim: DataFrame) -> DataFrame:
+    """The grid→statistic stage of :func:`isotropy_audit`, SHARED with
+    the streaming twin: identical rollup + fixed-order divisions over a
+    batch-built or incrementally merged grid — stream == batch
+    row-for-row."""
+    row = per_dim.agg(
+        F.max("cnt").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("dim"),
+        F.sum("ssq").cast("long").alias("self_dot_sum"),
+        F.sum(F.col("s") * F.col("s")).cast("long").alias("s2"),
+    )
+    pair_num = (F.col("s2") - F.col("self_dot_sum")).cast("long")
+    avg_self = F.col("self_dot_sum").cast("double") / F.col("n").cast("double")
+    avg_pair = pair_num.cast("double") / (
+        (F.col("n") * (F.col("n") - F.lit(1))).cast("double")
+    )
+    return row.select(
+        "n",
+        "dim",
+        "self_dot_sum",
+        pair_num.alias("pair_dot_sum"),
+        (F.round(avg_self, 6) + F.lit(0.0)).alias("avg_self_dot"),
+        F.when(F.col("n") >= 2, F.round(avg_pair, 6) + F.lit(0.0)).alias(
+            "avg_pair_dot"
+        ),
+        F.when(
+            (F.col("n") >= 2) & (F.col("self_dot_sum") > 0),
+            F.round(avg_pair / avg_self, 6) + F.lit(0.0),
+        ).alias("anisotropy"),
+    )

@@ -121,3 +121,85 @@ def read_ks(spark: SparkSession, state_dir: str) -> DataFrame:
         raise FileNotFoundError(f"no persisted grid under {state_dir!r}")
     grid = spark.read.parquet(os.path.join(state_dir, f"v{vs[-1]}"))
     return ks_from_grid(grid)
+
+
+EMB_STREAM_SCHEMA = "vec_id long, embedding array<double>"
+
+
+def stream_isotropy(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    scale: int = 64,
+):
+    """Streaming isotropy maintenance — the seventh incremental twin,
+    pairing ``similarity.isotropy_audit`` exactly as ``stream_ks_drift``
+    pairs ``ks_drift``: the per-dim (s, ssq, cnt) sufficient-statistic
+    grid is ALGEBRAIC (``similarity.isotropy_grid`` is the shared
+    partial builder), so each micro-batch pays one ×dim posexplode over
+    its own rows plus a |dim|-row state merge. Versioning / replay
+    idempotence: ``v{batch_id + 1}`` (the sketch-family rule).
+
+    At 100 TB: a continuously ingesting embedding corpus keeps its
+    anisotropy monitor fresh for a per-batch cost independent of
+    history; reading the statistic (``read_isotropy``) runs the shared
+    ``isotropy_from_grid`` stage over |dim| persisted rows — stream ==
+    batch row-for-row exact, order-free (no watermark assumptions).
+    """
+    from ..operators.similarity import isotropy_grid
+
+    stream = (
+        spark.readStream.schema(EMB_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        vs = _versions(state_dir)
+        ahead = [v for v in vs if v > batch_id + 1]
+        if ahead:
+            raise RuntimeError(
+                f"state_dir {state_dir!r} already holds versions {ahead} "
+                f"beyond v{batch_id + 1}: fresh checkpoint against old "
+                "state history — reset checkpoint_dir and state_dir "
+                "together (paired unit)."
+            )
+        part = isotropy_grid(batch, scale=scale)
+        if batch_id > 0:
+            prev = batch.sparkSession.read.parquet(
+                os.path.join(state_dir, f"v{batch_id}")
+            )
+            part = (
+                prev.unionByName(part)
+                .groupBy("dim")
+                .agg(
+                    F.sum("s").cast("long").alias("s"),
+                    F.sum("ssq").cast("long").alias("ssq"),
+                    F.sum("cnt").cast("long").alias("cnt"),
+                )
+            )
+        part.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{batch_id + 1}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def read_isotropy(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Current isotropy statistic from the persisted grid — the SHARED
+    ``similarity.isotropy_from_grid`` stage over everything ingested."""
+    from ..operators.similarity import isotropy_from_grid
+
+    vs = _versions(state_dir)
+    if not vs:
+        raise FileNotFoundError(f"no persisted grid under {state_dir!r}")
+    grid = spark.read.parquet(os.path.join(state_dir, f"v{vs[-1]}"))
+    return isotropy_from_grid(grid)

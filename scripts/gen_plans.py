@@ -101,6 +101,13 @@ PICK = {
  'q210_text_segments': 'TextTiling segmentation (map-side block arrays, no exchange)',
  'q212_entity_extract': 'typed entity extraction (per-type regexp explode union, map-side)',
  'q213_bitext_margin': 'margin-criterion bitext mining (broadcast panel, two-level top-k)',
+ 'q214_banding_selectivity': 'LSH banding-selectivity planner (bucket-count grid, no pairs)',
+ 'q215_isotropy': 'embedding isotropy audit (posexplode grid, 1-row rollup, pair-free)',
+ 'q216_cuped_lift': 'CUPED adjusted lift (two corpus aggs, broadcast pooled+control rows)',
+ 'q217_encoding_quality': 'encoding-corruption audit (codegen regexp counts, one agg)',
+ 'q218_quota_apportion': 'Hamilton quota apportionment (grid agg + grid-only windows)',
+ 'q219_benford': 'Benford first-digit audit (one agg to groups x 9 grid, grid windows)',
+ 'q220_scrub_effect': 'scrub-effectiveness audit (one scan, 1-row agg, 3-row stack)',
 }
 out = []
 out.append("""# PLANS — captured physical plans (sf0.001)

@@ -4659,3 +4659,260 @@ def test_bitext_margin_mine(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         bitext_margin_mine(ldf, rdf, k=0)
+
+
+
+def test_banding_selectivity_python_replay(spark):
+    """est_pairs/bucket stats replayed exactly from the engine's own
+    signatures: c*(c-1)//2 per bucket is the per-band join's pair count."""
+    import hashlib as _h
+
+    from document_quality_assessment_ocr_spark.operators.dedup import (
+        banding_selectivity,
+        minhash_signatures,
+    )
+
+    texts = ["the quick brown fox jumps over the lazy dog today"] * 3 + [
+        "pack my box with five dozen liquor jugs right now ok",
+        "pack my box with five dozen liquor jugs right now ok",
+        "sphinx of black quartz judge my vow and more words here",
+        "how vexingly quick daft zebras jump over fences all day",
+        "jived fox nymph grabs quick waltz in the park at noon",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {
+        r["band"]: r.asDict()
+        for r in banding_selectivity(
+            df, n_hashes=16, bands=4, shingle="word"
+        ).collect()
+    }
+    sigs = minhash_signatures(df, n_hashes=16, shingle="word").collect()
+    n = len(sigs)
+    for band in range(4):
+        buckets = {}
+        for s in sigs:
+            key = _h.md5(
+                "#".join(str(s[f"h{band * 4 + r:02d}"]) for r in range(4)).encode()
+            ).hexdigest()
+            buckets[key] = buckets.get(key, 0) + 1
+        cs = list(buckets.values())
+        est = sum(c * (c - 1) // 2 for c in cs)
+        r = out[band]
+        assert r["n_docs"] == n
+        assert r["n_buckets"] == len(cs)
+        assert r["singleton_buckets"] == sum(1 for c in cs if c == 1)
+        assert r["max_bucket"] == max(cs)
+        assert r["est_pairs"] == est
+        assert r["rr_micro"] == est * 1_000_000 // (n * (n - 1) // 2)
+    # the triple-dup group guarantees 3 pairs + the dup pair's 1 in every band
+    assert all(out[b]["est_pairs"] >= 4 for b in range(4))
+
+
+def test_isotropy_audit_python_replay(spark):
+    """The sum-vector identity replayed with exact ints; n=1 edge NULLs."""
+    from document_quality_assessment_ocr_spark.operators.similarity import (
+        isotropy_audit,
+    )
+
+    vecs = [
+        [0.5, 0.25, -0.75],
+        [0.5, 0.3125, -0.75],
+        [-1.0, 0.0, 0.5],
+        [0.25, -0.5, 0.125],
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    r = isotropy_audit(df, scale=64).collect()[0]
+    q = [[int(x * 64) for x in v] for v in vecs]
+    n, dim = len(q), len(q[0])
+    ssq = sum(sum(x * x for x in v) for v in q)
+    s = [sum(v[d] for v in q) for d in range(dim)]
+    s2 = sum(x * x for x in s)
+    assert (r["n"], r["dim"]) == (n, dim)
+    assert r["self_dot_sum"] == ssq
+    assert r["pair_dot_sum"] == s2 - ssq
+    assert r["avg_self_dot"] == round(ssq / n, 6) + 0.0
+    assert r["avg_pair_dot"] == round((s2 - ssq) / (n * (n - 1)), 6) + 0.0
+    aniso = ((s2 - ssq) / (n * (n - 1))) / (ssq / n)
+    assert abs(r["anisotropy"] - aniso) < 1e-6
+
+    one = isotropy_audit(df.limit(1), scale=64).collect()[0]
+    assert one["n"] == 1
+    assert one["avg_pair_dot"] is None and one["anisotropy"] is None
+
+
+def test_cuped_lift_python_replay(spark):
+    """theta and adjusted means replayed exactly; a y==x+effect design
+    collapses residual variance so adjusted lift isolates the effect;
+    constant covariate degrades to theta=0 (plain means)."""
+    from document_quality_assessment_ocr_spark.operators.experiment import (
+        cuped_lift,
+    )
+
+    rows = []
+    for i in range(12):
+        x = 100 + 7 * i
+        arm = "treat" if i % 2 else "control"
+        rows.append((arm, x + (30 if arm == "treat" else 0), x))
+    df = spark.createDataFrame(rows, "variant string, metric long, covariate long")
+    out = {r["variant"]: r.asDict() for r in cuped_lift(df).collect()}
+
+    N = len(rows)
+    sx = sum(r[2] for r in rows)
+    sy = sum(r[1] for r in rows)
+    sxy = sum(r[1] * r[2] for r in rows)
+    sxx = sum(r[2] * r[2] for r in rows)
+    theta = (N * sxy - sx * sy) / (N * sxx - sx * sx)
+    xpool = sx / N
+    for arm in ("control", "treat"):
+        sub = [r for r in rows if r[0] == arm]
+        n = len(sub)
+        mean = sum(r[1] for r in sub) / n
+        xm = sum(r[2] for r in sub) / n
+        adj = mean - theta * (xm - xpool)
+        assert out[arm]["n"] == n
+        assert out[arm]["theta"] == theta
+        assert out[arm]["adj_mean"] == adj
+    assert out["control"]["is_control"] and not out["treat"]["is_control"]
+    assert out["control"]["lift_adj"] == 0.0
+    want = out["treat"]["adj_mean"] / out["control"]["adj_mean"] - 1.0
+    assert out["treat"]["lift_adj"] == want
+    # variance-reduction direction: the alternating assignment leaves a
+    # +7 covariate imbalance between arms, so the RAW mean gap is 37;
+    # the adjustment must pull the gap back toward the planted +30
+    raw_gap = out["treat"]["mean"] - out["control"]["mean"]
+    adj_gap = out["treat"]["adj_mean"] - out["control"]["adj_mean"]
+    assert abs(adj_gap - 30.0) < abs(raw_gap - 30.0)
+
+    const = df.withColumn("covariate", F.lit(5).cast("long"))
+    out2 = {r["variant"]: r.asDict() for r in cuped_lift(const).collect()}
+    assert out2["treat"]["theta"] == 0.0
+    assert out2["treat"]["adj_mean"] == out2["treat"]["mean"]
+
+    named = cuped_lift(df, control="treat").collect()
+    assert [r["is_control"] for r in named] == [False, True]
+
+
+def test_encoding_quality_profile(spark):
+    """Planted mojibake pair / replacement char / C1 control each hit
+    exactly their own channel; clean docs stay unflagged."""
+    from document_quality_assessment_ocr_spark.operators.scrub import (
+        encoding_quality_profile,
+    )
+
+    moji = "cafÃ© menu cafÃ©"  # 2 moji pairs
+    repl = "lost � bytes �� here"  # 3 replacement chars
+    ctrl = "ctrlchar"  # 1 C1 control
+    rows = [
+        (1, moji, "web"),
+        (2, repl, "web"),
+        (3, ctrl, "scan"),
+        (4, "perfectly clean ascii text", "scan"),
+        (5, None, "scan"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r.asDict() for r in encoding_quality_profile(df).collect()}
+    web, scan = out["web"], out["scan"]
+    assert (web["n_docs"], web["n_flagged"]) == (2, 2)
+    assert (web["moji_pairs"], web["repl_chars"], web["c1_chars"]) == (2, 3, 0)
+    assert (scan["n_docs"], scan["n_flagged"]) == (3, 1)
+    assert (scan["moji_pairs"], scan["repl_chars"], scan["c1_chars"]) == (0, 0, 1)
+    s1 = 2 * 1_000_000 // len(moji)
+    s2 = 3 * 1_000_000 // len(repl)
+    s3 = 1 * 1_000_000 // len(ctrl)
+    assert web["mean_score_micro"] == (s1 + s2) // 2
+    assert scan["mean_score_micro"] == s3 // 3
+
+
+def test_quota_apportionment(spark):
+    """Hamilton largest-remainder replay on known weights; sum(alloc) ==
+    budget always; budget=0 and negative-budget guard."""
+    from document_quality_assessment_ocr_spark.operators.sampling import (
+        quota_apportionment,
+    )
+
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 2
+    df = spark.createDataFrame(rows, "source string")
+    out = {r["source"]: r.asDict() for r in quota_apportionment(df, budget=7).collect()}
+    # 7*5/10 = 3 rem 5; 7*3/10 = 2 rem 1; 7*2/10 = 1 rem 4 -> seat to a
+    assert (out["a"]["quota_floor"], out["a"]["remainder"], out["a"]["alloc"]) == (3, 5, 4)
+    assert (out["b"]["quota_floor"], out["b"]["alloc"]) == (2, 2)
+    assert (out["c"]["quota_floor"], out["c"]["alloc"]) == (1, 1)
+    assert sum(r["alloc"] for r in out.values()) == 7
+
+    zero = quota_apportionment(df, budget=0).collect()
+    assert sum(r["alloc"] for r in zero) == 0
+
+    big = quota_apportionment(df, budget=1_000_003).collect()
+    assert sum(r["alloc"] for r in big) == 1_000_003
+
+    with pytest.raises(ValueError):
+        quota_apportionment(df, budget=-1)
+
+
+def test_benford_audit_python_replay(spark):
+    """Zero-filled 9-digit grid, shares and TVD replayed exactly;
+    non-positive values excluded."""
+    from document_quality_assessment_ocr_spark.operators.profile import (
+        BENFORD_MICRO,
+        benford_audit,
+    )
+
+    vals_a = [1, 19, 123, 2, 25, 31, 4, 99, 100, 0]  # 0 excluded
+    vals_b = [5, 55, 555, 5555, 6]
+    rows = [("a", v) for v in vals_a] + [("b", v) for v in vals_b]
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    out = benford_audit(df).collect()
+    assert len(out) == 18  # 2 groups x 9 digits, zero-filled
+    by = {(r["source"], r["digit"]): r.asDict() for r in out}
+    for grp, vals in (("a", [v for v in vals_a if v >= 1]), ("b", vals_b)):
+        n = len(vals)
+        cnts = {d: 0 for d in range(1, 10)}
+        for v in vals:
+            cnts[int(str(v)[0])] += 1
+        dev = sum(
+            abs(cnts[d] * 1_000_000 - BENFORD_MICRO[d - 1] * n)
+            for d in range(1, 10)
+        )
+        for d in range(1, 10):
+            r = by[(grp, d)]
+            assert r["cnt"] == cnts[d]
+            assert r["n"] == n
+            assert r["share_micro"] == cnts[d] * 1_000_000 // n
+            assert r["exp_micro"] == BENFORD_MICRO[d - 1]
+            assert r["tvd_micro"] == dev // (2 * n)
+    # group b is all 5/6-leading: far from Benford, so higher TVD than a
+    assert by[("b", 5)]["tvd_micro"] > by[("a", 1)]["tvd_micro"]
+
+
+def test_scrub_effectiveness(spark):
+    """Planted entities all removed -> after 0, removed_micro 10^6;
+    entity-free corpus yields zero rows counts with clamped rates."""
+    from document_quality_assessment_ocr_spark.operators.scrub import (
+        scrub_effectiveness,
+    )
+
+    rows = [
+        (1, "mail bob@example.com and 10.0.0.1 plus +141555501234"),
+        (2, "two mails a@b.io c@d.org"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["etype"]: r.asDict() for r in scrub_effectiveness(df).collect()}
+    assert set(out) == {"email", "ipv4", "phone"}
+    assert out["email"]["before_cnt"] == 3
+    assert out["ipv4"]["before_cnt"] == 1
+    assert out["phone"]["before_cnt"] == 1
+    for e in out.values():
+        assert e["after_cnt"] == 0
+        assert e["docs_with_residual"] == 0
+        assert e["removed_micro"] == 1_000_000
+
+    clean = spark.createDataFrame([(1, "nothing here")], "doc_id long, text string")
+    out2 = {r["etype"]: r.asDict() for r in scrub_effectiveness(clean).collect()}
+    for e in out2.values():
+        assert (e["before_cnt"], e["after_cnt"], e["removed_micro"]) == (0, 0, 0)

@@ -538,3 +538,66 @@ def test_stream_ks_drift_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(state_dir, "v2")).collect()
     }
     assert remerged == v2
+
+
+def test_stream_isotropy_matches_batch(spark, tmp_path):
+    """Seventh incremental twin: two embedding micro-batches merged
+    additively through the shared isotropy_grid/isotropy_from_grid
+    stages reproduce the batch isotropy_audit row exactly, and replaying
+    a batch over v1 regenerates v2 byte-for-byte."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from document_quality_assessment_ocr_spark.operators.similarity import (
+        isotropy_audit,
+        isotropy_grid,
+    )
+    from document_quality_assessment_ocr_spark.streaming.drift import (
+        read_isotropy,
+        stream_isotropy,
+    )
+
+    b1 = [(1, [0.5, 0.25, -0.75]), (2, [0.5, 0.3125, -0.75])]
+    b2 = [(3, [-1.0, 0.0, 0.5]), (4, [0.25, -0.5, 0.125]), (5, [0.75, 0.75, 0.0])]
+    in_dir = str(tmp_path / "iin")
+    os.makedirs(in_dir)
+    for i, rows in enumerate((b1, b2)):
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).coalesce(1).write.parquet(os.path.join(in_dir, f"drop-{i}"))
+        time.sleep(1.1)
+
+    state_dir = str(tmp_path / "istate")
+    stream_isotropy(
+        spark, in_dir + "/*", str(tmp_path / "ickpt"), state_dir, scale=64
+    )
+    assert sorted(os.listdir(state_dir)) == ["v1", "v2"]
+    got = read_isotropy(spark, state_dir).collect()
+
+    full = spark.read.parquet(in_dir + "/*")
+    want = isotropy_audit(full, scale=64).collect()
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+    assert got[0]["n"] == 5 and got[0]["dim"] == 3
+
+    # replay idempotence: batch 1's partial merged over v1 == v2
+    part = isotropy_grid(
+        spark.read.parquet(os.path.join(in_dir, "drop-1")), scale=64
+    )
+    prev = spark.read.parquet(os.path.join(state_dir, "v1"))
+    remerged = {
+        r["dim"]: (r["s"], r["ssq"], r["cnt"])
+        for r in prev.unionByName(part)
+        .groupBy("dim")
+        .agg(
+            F.sum("s").alias("s"),
+            F.sum("ssq").alias("ssq"),
+            F.sum("cnt").alias("cnt"),
+        )
+        .collect()
+    }
+    v2 = {
+        r["dim"]: (r["s"], r["ssq"], r["cnt"])
+        for r in spark.read.parquet(os.path.join(state_dir, "v2")).collect()
+    }
+    assert remerged == v2
