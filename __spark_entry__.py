@@ -6214,47 +6214,6 @@ def _retention_sql(period_us: int = 21_600_000_000) -> str:
     """
 
 
-def _q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-order Markov transition matrix between consecutive event
-    types per user ((ts, event_id) deterministic order), probabilities in
-    fixed-point micro."""
-    from document_quality_assessment_ocr_spark.operators.sessions import (
-        transition_matrix,
-    )
-
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return transition_matrix(ev)
-
-
-def _transitions_sql() -> str:
-    """q166 oracle: the sessionize (user; ts, event_id) LAG ordering, a
-    |types|²-bounded rollup, from-state window totals in the SAME CTE
-    (single-reference discipline)."""
-    return """
-        WITH o AS (
-            SELECT event_type AS to_type,
-                   LAG(event_type) OVER (
-                       PARTITION BY user_id
-                       ORDER BY EPOCH_US(ts) ASC, CAST(event_id AS BIGINT) ASC
-                   ) AS from_type
-            FROM events
-        ), c AS (
-            SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
-            FROM o WHERE from_type IS NOT NULL
-            GROUP BY 1, 2
-        ), t AS (
-            SELECT from_type, to_type, n,
-                   CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
-                       AS from_total
-            FROM c
-        )
-        SELECT from_type, to_type, n, from_total,
-               CAST((n * 1000000) // GREATEST(from_total, 1) AS BIGINT)
-                   AS prob_micro
-        FROM t
-    """
-
-
 def _q_posting_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index size planner: per-term delta + Elias-gamma posting
     cost over the [2, 400] document-frequency band (hapaxes and
@@ -7826,6 +7785,54 @@ def _transitions_sql() -> str:
                CAST((n * 1000000) // out_mass AS BIGINT) AS prob_micro
         FROM g JOIN mg USING (prev_type)
         ORDER BY prev_type, next_type
+    """
+
+
+def _q_transitions2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SECOND-order Markov transitions between event types per user
+    ((ts, event_id) deterministic order, two lags over ONE window):
+    given the last two event types, what comes next — the path-level
+    contract that distinguishes this entry from q166's first-order
+    matrix."""
+    from document_quality_assessment_ocr_spark.operators.sessions import (
+        transition_matrix2,
+    )
+
+    return transition_matrix2(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
+def _transitions2_sql() -> str:
+    """q197 oracle: the shared deterministic per-user ordering
+    (EPOCH_US(ts), event_id), TWO LAGs over the same window, |types|³
+    path-grid aggregate + |types|²-row marginal join; grid CTE read
+    twice → MATERIALIZED; non-negative `//` for prob_micro."""
+    return """
+        WITH e AS (
+            SELECT COALESCE(event_type, '') AS ty, user_id,
+                   EPOCH_US(ts) AS t, event_id
+            FROM events
+        ), p AS (
+            SELECT LAG(ty, 2) OVER (PARTITION BY user_id
+                                    ORDER BY t, event_id) AS prev2_type,
+                   LAG(ty, 1) OVER (PARTITION BY user_id
+                                    ORDER BY t, event_id) AS prev_type,
+                   ty AS next_type
+            FROM e
+        ), g AS MATERIALIZED (
+            SELECT prev2_type, prev_type, next_type,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM p WHERE prev2_type IS NOT NULL
+            GROUP BY prev2_type, prev_type, next_type
+        ), mg AS (
+            SELECT prev2_type, prev_type, CAST(SUM(n) AS BIGINT) AS out_mass
+            FROM g GROUP BY prev2_type, prev_type
+        )
+        SELECT prev2_type, prev_type, next_type, n,
+               CAST((n * 1000000) // out_mass AS BIGINT) AS prob_micro
+        FROM g JOIN mg USING (prev2_type, prev_type)
+        ORDER BY prev2_type, prev_type, next_type
     """
 
 
@@ -9694,7 +9701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q194_annotator_agreement": _q_agreement,
         "q195_vocab_health": _q_vocab_health,
         "q196_mirror_hosts": _q_mirrors,
-        "q197_event_transitions": _q_transitions,
+        "q197_event_transitions": _q_transitions2,
         "q198_snapshot_churn": _q_snapshot_churn,
         "q199_span_integrity": _q_span_integrity,
         "q200_ab_lift": _q_ab_lift,
@@ -12563,7 +12570,7 @@ def oracle_sql() -> dict[str, str]:
         "q194_annotator_agreement": _agreement_sql(),
         "q195_vocab_health": _vocab_health_sql(),
         "q196_mirror_hosts": _mirrors_sql(),
-        "q197_event_transitions": _transitions_sql(),
+        "q197_event_transitions": _transitions2_sql(),
         "q198_snapshot_churn": _snapshot_churn_sql(),
         "q199_span_integrity": _span_integrity_sql(),
         "q200_ab_lift": _ab_lift_sql(),

@@ -190,52 +190,6 @@ def retention_cohorts(
     )
 
 
-def transition_matrix(
-    events: DataFrame,
-    user_col: str = "user_id",
-    ts_col: str = "ts",
-    id_col: str = "event_id",
-    type_col: str = "event_type",
-) -> DataFrame:
-    """First-order Markov transition counts between consecutive event
-    types per user — the behavioral fingerprint (what follows an error?
-    how often does view → purchase skip click?) that feeds both anomaly
-    screens and synthetic-journey generators.
-
-    Ordering is (ts, event_id) within user — the sessionize() tiebreak,
-    so equal-timestamp events have ONE deterministic order cross-engine.
-    FIXED-POINT: ``prob_micro = c·10⁶ DIV from_total`` (non-negative).
-
-    Shape: ONE exchange — the LAG window's (user; ts, id) partitioning,
-    then a (from, to) rollup bounded by |event types|² and a from-state
-    window total on that tiny relation (grid-bounded, never data-sized).
-
-    Output: (from_type, to_type, n, from_total, prob_micro).
-    """
-    w = Window.partitionBy(user_col).orderBy(
-        F.col(ts_col).asc(), F.col(id_col).asc()
-    )
-    pairs = (
-        events.select(
-            F.lag(F.col(type_col)).over(w).alias("from_type"),
-            F.col(type_col).alias("to_type"),
-        )
-        .where(F.col("from_type").isNotNull())
-        .groupBy("from_type", "to_type")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-    )
-    wt = Window.partitionBy("from_type")
-    return pairs.select(
-        "from_type",
-        "to_type",
-        "n",
-        F.sum("n").over(wt).cast("long").alias("from_total"),
-    ).withColumn(
-        "prob_micro",
-        F.expr("(n * 1000000L) DIV greatest(from_total, 1L)").cast("long"),
-    )
-
-
 def gap_histogram(
     events: DataFrame,
     user_col: str = "user_id",
@@ -457,4 +411,63 @@ def transition_matrix(
             ),
         )
         .orderBy("prev_type", "next_type")
+    )
+
+
+def transition_matrix2(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """SECOND-order Markov transitions over per-user event streams — the
+    path-level sibling of :func:`transition_matrix`: given the last TWO
+    event types, what comes next? This is the table a journey simulator
+    or bot screen needs when first-order memory is too blunt (view→click
+    means something different after search than after purchase).
+
+    Each user's events order by (ts, id) — the module's shared
+    deterministic ordering contract — via TWO lags over the SAME window
+    (one Exchange, one Sort); a user's first two events contribute
+    nothing. ``prob_micro`` row-normalizes over the (prev2, prev1)
+    context's outgoing mass (non-negative ``DIV`` == DuckDB ``//``).
+
+    Scale shape: the one per-user window, then an aggregate on the
+    ≤ |types|³ path grid; the normalizer joins the |types|²-row marginal
+    built FROM the grid — never a second pass over the corpus.
+
+    Output: (prev2_type, prev_type, next_type, n, prob_micro) ordered by
+    the three types — grid-bounded, driver-readable.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    ty = F.coalesce(F.col(type_col), F.lit(""))
+    paths = (
+        events.select(
+            F.lag(ty, 2).over(w).alias("prev2_type"),
+            F.lag(ty, 1).over(w).alias("prev_type"),
+            ty.alias("next_type"),
+        )
+        .where(F.col("prev2_type").isNotNull())
+    )
+    grid = paths.groupBy("prev2_type", "prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    marg = grid.groupBy("prev2_type", "prev_type").agg(
+        F.sum("n").cast("long").alias("out_mass")
+    )
+    return (
+        grid.join(marg, ["prev2_type", "prev_type"])
+        .select(
+            "prev2_type",
+            "prev_type",
+            "next_type",
+            "n",
+            F.expr("(n * 1000000L) DIV out_mass").cast("long").alias(
+                "prob_micro"
+            ),
+        )
+        .orderBy("prev2_type", "prev_type", "next_type")
     )

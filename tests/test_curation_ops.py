@@ -3061,6 +3061,38 @@ def test_transition_matrix_python_replay(spark):
     assert out[("C", "A")]["prob_micro"] == 1_000_000
 
 
+def test_transition_matrix2_python_replay(spark):
+    """Second-order transition counts replayed in python: (prev2, prev1)
+    context mass normalizes each row; users with < 3 events contribute
+    nothing; same-ts events order by event_id."""
+    from document_quality_assessment_ocr_spark.operators.sessions import (
+        transition_matrix2,
+    )
+
+    seq = [
+        (1, 1, "A", 0), (2, 1, "B", 10), (3, 1, "A", 20), (4, 1, "B", 30),
+        (5, 1, "C", 40),
+        # u2 has two events at the same ts: event_id orders them C(6) -> A(7)
+        (6, 2, "C", 0), (7, 2, "A", 0), (8, 2, "B", 10),
+        # u3: only two events -> no trigram
+        (9, 3, "A", 0), (10, 3, "B", 5),
+    ]
+    ev = spark.createDataFrame(
+        _ev_rows(seq),
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    out = {(r["prev2_type"], r["prev_type"], r["next_type"]): r
+           for r in transition_matrix2(ev).collect()}
+    exp = {("A", "B", "A"): 1, ("B", "A", "B"): 1, ("A", "B", "C"): 1,
+           ("C", "A", "B"): 1}
+    assert {k: v["n"] for k, v in out.items()} == exp
+    # context (A, B) has mass 2 -> each row is 500000 micro
+    assert out[("A", "B", "A")]["prob_micro"] == 500_000
+    assert out[("A", "B", "C")]["prob_micro"] == 500_000
+    assert out[("B", "A", "B")]["prob_micro"] == 1_000_000
+    assert out[("C", "A", "B")]["prob_micro"] == 1_000_000
+
+
 def test_posting_list_size_python_replay(spark):
     """Delta + Elias-gamma posting cost replayed in python; df banding
     drops hapaxes and over-frequent terms; duplicate in-doc occurrences
