@@ -9485,6 +9485,85 @@ def _scrub_effectiveness_sql() -> str:
     """
 
 
+def _q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf/power-law fit of the token-frequency distribution: floor-log2
+    frequency buckets, integer least-squares slope over the bucket grid
+    (sign-split DIV keeps every division non-negative)."""
+    from document_quality_assessment_ocr_spark.operators.profile import zipf_fit
+
+    return zipf_fit(_doc(spark, sf_dir).select("text"))
+
+
+def _q_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence grid source × lang: exact BIGINT counts
+    and marginals, per-cell contribution via the fixed-op-order double
+    path truncated to micro (the q168 portable float→int contract)."""
+    from document_quality_assessment_ocr_spark.operators.profile import (
+        chisq_independence,
+    )
+
+    return chisq_independence(_doc(spark, sf_dir), "source", "lang")
+
+
+def _q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source binned median/MAD outlier audit over n_chars (bin width
+    32, 3×MAD fence) — integer grid medians, no percentile interpolation."""
+    from document_quality_assessment_ocr_spark.operators.profile import (
+        mad_outlier_audit,
+    )
+
+    return mad_outlier_audit(
+        _doc(spark, sf_dir), "n_chars", "source", bin_width=32, k_mad=3
+    )
+
+
+def _q_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed Pareto frontier over (length, lexical diversity): xb =
+    n_chars DIV 64, yb = distinct-token-ratio micro DIV 100000; dominance
+    via ONE grid-bounded RANGE window (strictly-greater-x best-y)."""
+    from document_quality_assessment_ocr_spark.operators.curriculum import (
+        pareto_frontier_cells,
+    )
+    from document_quality_assessment_ocr_spark.functions.text import WS_CLASS
+
+    d = _doc(spark, sf_dir).select(
+        F.expr("cast(n_chars as long) DIV 64L").alias("xb"),
+        F.filter(
+            F.split(
+                F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))),
+                WS_CLASS + "+",
+            ),
+            lambda x: x != "",
+        ).alias("tk"),
+    ).select(
+        "xb",
+        F.expr(
+            "(cast(size(array_distinct(tk)) as long) * 1000000L"
+            " DIV greatest(cast(size(tk) as long), 1L)) DIV 100000L"
+        ).alias("yb"),
+    )
+    return pareto_frontier_cells(d, "xb", "yb")
+
+
+def _q_year_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal coverage per source over year-salted text (every doc gets
+    one deterministic md5-mod year token 1970-2029 appended — the 'yr'
+    tag); extraction is the shared YEAR_RE regex (Java∩RE2)."""
+    from document_quality_assessment_ocr_spark.operators.augment import _md5_mod
+    from document_quality_assessment_ocr_spark.operators.profile import year_coverage
+
+    d = _doc(spark, sf_dir).select(
+        "source",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" "),
+            (F.lit(1970) + _md5_mod(F.col("doc_id"), "yr", F.lit(60))).cast(
+                "string"
+            ),
+        ).alias("text"),
+    )
+    return year_coverage(d, "text", "source")
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's CORRECTNESS gate checks
@@ -9725,6 +9804,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q218_quota_apportion": _q_quota_apportion,
         "q219_benford": _q_benford,
         "q220_scrub_effect": _q_scrub_effectiveness,
+        "q221_zipf_fit": _q_zipf,
+        "q222_chisq_grid": _q_chisq,
+        "q223_mad_outliers": _q_mad_outliers,
+        "q224_pareto_frontier": _q_pareto,
+        "q225_year_coverage": _q_year_coverage,
     }
 
 
@@ -11988,6 +12072,203 @@ def _c4_filter_sql(src: str = "documents", derive: bool = True) -> str:
     """
 
 
+def _zipf_sql() -> str:
+    """q221 oracle: token freq → floor-log2 bucket grid (LENGTH(BIN)−1,
+    the shared q67 idiom), regression sums as unpartitioned windows ON
+    THE GRID in one CTE, sign-split `//` so every division operand is
+    non-negative (the DIV-vs-floor rule)."""
+    return f"""
+        WITH tok AS (
+            SELECT UNNEST(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(
+                TRIM(LOWER(COALESCE(text, ''))), '{WS}+'), x -> x <> ''))
+                AS term
+            FROM documents
+        ), f AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM tok GROUP BY term
+        ), b AS (
+            SELECT CAST(LENGTH(BIN(freq)) - 1 AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_terms
+            FROM f GROUP BY 1
+        ), g AS (
+            SELECT bucket, n_terms,
+                   CAST(LENGTH(BIN(n_terms)) - 1 AS BIGINT) AS log2_terms
+            FROM b
+        ), s AS (
+            SELECT bucket, n_terms, log2_terms,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS k,
+                   CAST(SUM(bucket) OVER () AS BIGINT) AS sx,
+                   CAST(SUM(log2_terms) OVER () AS BIGINT) AS sy,
+                   CAST(SUM(bucket * log2_terms) OVER () AS BIGINT) AS sxy,
+                   CAST(SUM(bucket * bucket) OVER () AS BIGINT) AS sxx
+            FROM g
+        )
+        SELECT bucket, n_terms, log2_terms,
+               CAST(CASE WHEN (k * sxy - sx * sy) < 0
+                    THEN -((ABS(k * sxy - sx * sy) * 1000)
+                           // GREATEST(k * sxx - sx * sx, 1))
+                    ELSE ((ABS(k * sxy - sx * sy) * 1000)
+                          // GREATEST(k * sxx - sx * sx, 1))
+                    END AS BIGINT) AS slope_milli
+        FROM s
+        ORDER BY bucket
+    """
+
+
+def _chisq_sql() -> str:
+    """q222 oracle: exact BIGINT contingency grid + window marginals;
+    the one float step is diff²/(r·c·n)·10⁶ with the engine's exact op
+    order, surfaced via TRUNC (the q168 portable float→int path)."""
+    return """
+        WITH g AS (
+            SELECT COALESCE(source, '') AS source, COALESCE(lang, '') AS lang,
+                   CAST(COUNT(*) AS BIGINT) AS o
+            FROM documents GROUP BY 1, 2
+        ), m AS (
+            SELECT source, lang, o,
+                   CAST(SUM(o) OVER (PARTITION BY source) AS BIGINT) AS r_total,
+                   CAST(SUM(o) OVER (PARTITION BY lang) AS BIGINT) AS c_total,
+                   CAST(SUM(o) OVER () AS BIGINT) AS n
+            FROM g
+        )
+        SELECT source, lang, o, r_total, c_total, n,
+               CAST((r_total * c_total * 1000000) // n AS BIGINT)
+                   AS expected_micro,
+               CAST(TRUNC(
+                   (CAST(o * n - r_total * c_total AS DOUBLE)
+                    * CAST(o * n - r_total * c_total AS DOUBLE))
+                   / CAST(r_total * c_total * n AS DOUBLE)
+                   * CAST(1000000 AS DOUBLE)
+               ) AS BIGINT) AS chi2_micro
+        FROM m
+        ORDER BY source, lang
+    """
+
+
+def _mad_outliers_sql(bin_width: int = 32, k_mad: int = 3) -> str:
+    """q223 oracle: |groups|×|bins| grid (read 3× → MATERIALIZED), binned
+    median/MAD as smallest bin with 2·cum ≥ n (integer, no percentile
+    interpolation), k·MAD fence count; surfaced 0 CAST to BIGINT."""
+    return f"""
+        WITH grid AS MATERIALIZED (
+            SELECT COALESCE(source, '') AS grp,
+                   CAST(n_chars AS BIGINT) // {int(bin_width)} AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM documents
+            WHERE CAST(n_chars AS BIGINT) >= 0
+            GROUP BY 1, 2
+        ), med AS MATERIALIZED (
+            SELECT grp, CAST(MIN(bin) AS BIGINT) AS median_bin,
+                   CAST(MAX(n) AS BIGINT) AS n
+            FROM (
+                SELECT grp, bin,
+                       CAST(SUM(cnt) OVER (PARTITION BY grp) AS BIGINT) AS n,
+                       CAST(SUM(cnt) OVER (PARTITION BY grp ORDER BY bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            AS BIGINT) AS cum
+                FROM grid
+            ) WHERE 2 * cum >= n GROUP BY grp
+        ), dev AS (
+            SELECT grp, n, ABS(bin - median_bin) AS dev,
+                   CAST(SUM(cnt) AS BIGINT) AS cnt
+            FROM grid JOIN med USING (grp)
+            GROUP BY 1, 2, 3
+        ), mad AS MATERIALIZED (
+            SELECT grp, CAST(MIN(dev) AS BIGINT) AS mad_bin
+            FROM (
+                SELECT grp, n, dev,
+                       CAST(SUM(cnt) OVER (PARTITION BY grp ORDER BY dev
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            AS BIGINT) AS cum
+                FROM dev
+            ) WHERE 2 * cum >= n GROUP BY grp
+        ), outl AS (
+            SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n_outliers
+            FROM grid JOIN med USING (grp) JOIN mad USING (grp)
+            WHERE ABS(bin - median_bin) > {int(k_mad)} * mad_bin
+            GROUP BY grp
+        )
+        SELECT med.grp AS source, med.n, med.median_bin, mad.mad_bin,
+               CAST(COALESCE(outl.n_outliers, 0) AS BIGINT) AS n_outliers
+        FROM med JOIN mad USING (grp) LEFT JOIN outl USING (grp)
+        ORDER BY source
+    """
+
+
+def _pareto_sql() -> str:
+    """q224 oracle: identical (xb, yb) bucket derivation (n_chars DIV 64;
+    distinct-token-ratio micro DIV 100000 — all operands non-negative so
+    `//` == DIV), grid aggregate, WEAK dominance via the same DESC RANGE
+    1-PRECEDING window (strictly-greater-x best-y ≥) plus the same-x
+    column max (>)."""
+    return f"""
+        WITH t AS (
+            SELECT CAST(n_chars AS BIGINT) AS nc,
+                   LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(
+                       TRIM(LOWER(COALESCE(text, ''))), '{WS}+'),
+                       x -> x <> '') AS tk
+            FROM documents
+        ), d AS (
+            SELECT nc // 64 AS xb,
+                   ((CAST(LENGTH(LIST_DISTINCT(tk)) AS BIGINT) * 1000000
+                     // GREATEST(CAST(LENGTH(tk) AS BIGINT), 1)) // 100000)
+                       AS yb
+            FROM t
+        ), g AS (
+            SELECT xb AS x_bucket, yb AS y_bucket,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM d GROUP BY 1, 2
+        ), m AS (
+            SELECT x_bucket, y_bucket, cnt,
+                   MAX(y_bucket) OVER (ORDER BY x_bucket DESC
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS maxy_right,
+                   MAX(y_bucket) OVER (PARTITION BY x_bucket) AS maxy_same
+            FROM g
+        )
+        SELECT x_bucket, y_bucket, cnt,
+               NOT (COALESCE(maxy_right >= y_bucket, FALSE)
+                    OR maxy_same > y_bucket) AS on_frontier
+        FROM m
+        ORDER BY x_bucket, y_bucket
+    """
+
+
+def _year_coverage_sql() -> str:
+    """q225 oracle: the 'yr'-tag md5-mod year salt (byte-identical
+    `_md5_pick_sql`-family arithmetic), shared YEAR_RE extraction
+    (Java∩RE2), |sources|×|years| grid + window share."""
+    from document_quality_assessment_ocr_spark.operators.profile import YEAR_RE
+
+    return f"""
+        WITH d AS (
+            SELECT COALESCE(source, '') AS source,
+                   COALESCE(text, '') || ' ' || CAST(
+                       1970 + (('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)
+                           || '|yr'), 1, 15))::BIGINT % 60) AS VARCHAR)
+                       AS text
+            FROM documents
+        ), y AS (
+            SELECT source,
+                   UNNEST(REGEXP_EXTRACT_ALL(text, '{YEAR_RE}')) AS ystr
+            FROM d
+        ), g AS (
+            SELECT source, CAST(ystr AS BIGINT) AS year,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM y GROUP BY 1, 2
+        ), s AS (
+            SELECT source, year, cnt,
+                   CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT)
+                       AS group_total
+            FROM g
+        )
+        SELECT source, year, cnt, group_total,
+               CAST((cnt * 1000000) // group_total AS BIGINT) AS share_micro
+        FROM s
+        ORDER BY source, year
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     ink = f"LENGTH(REGEXP_REPLACE(COALESCE(text,''), '{WS}', '', 'g'))"
     ntoks = (
@@ -12594,6 +12875,11 @@ def oracle_sql() -> dict[str, str]:
         "q218_quota_apportion": _quota_apportion_sql(),
         "q219_benford": _benford_sql(),
         "q220_scrub_effect": _scrub_effectiveness_sql(),
+        "q221_zipf_fit": _zipf_sql(),
+        "q222_chisq_grid": _chisq_sql(),
+        "q223_mad_outliers": _mad_outliers_sql(),
+        "q224_pareto_frontier": _pareto_sql(),
+        "q225_year_coverage": _year_coverage_sql(),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

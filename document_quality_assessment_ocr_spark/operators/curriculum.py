@@ -304,3 +304,74 @@ def group_percentile(
             ).alias("pctl_micro"),
         )
     )
+
+
+def pareto_frontier_cells(
+    scored: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Bucketed Pareto frontier over two quality axes — the selection
+    planner's trade-off curve ("longest documents at every diversity
+    level") that a scalar blend hides: a cell is ON the frontier iff no
+    cell beats it on BOTH axes strictly.
+
+    Inputs are already-bucketed non-negative integer axes (the module's
+    fixed-point score contract — callers bucket with DIV like
+    curriculum_order does); the operator aggregates the corpus ONCE to
+    the (x, y) cell grid and decides WEAK dominance (≥ on both axes,
+    > on at least one — the definition that yields the true staircase:
+    one surviving y per x column) with two grid-bounded windows:
+    sorting cells by x DESC, ``MAX(y) OVER (RANGE 1 PRECEDING)`` under
+    the DESC ordering is "the best y among cells with STRICTLY greater
+    x" (integer RANGE frame — identical semantics both engines), and
+    ``MAX(y) OVER (PARTITION BY x)`` covers the same-x column, so
+    ``dominated = max_y_right ≥ y OR max_y_same_x > y``. Emitting ALL
+    cells with the flag (not just survivors) keeps the output a full
+    selection map.
+
+    Scale shape: one map-side-combined aggregate to the ≤ |x-buckets|·
+    |y-buckets| grid, one UNPARTITIONED window ON THE GRID (the q218
+    grid-window rule — fine on a bounded grid, an anti-pattern on the
+    corpus).
+
+    Output: (x_bucket, y_bucket, cnt, on_frontier) ordered by
+    (x_bucket, y_bucket).
+    """
+    grid = (
+        scored.select(
+            F.col(x_col).cast("long").alias("x_bucket"),
+            F.col(y_col).cast("long").alias("y_bucket"),
+        )
+        .groupBy("x_bucket", "y_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w_right = (
+        Window.partitionBy()
+        .orderBy(F.col("x_bucket").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("x_bucket")
+    return (
+        grid.select(
+            "x_bucket",
+            "y_bucket",
+            "cnt",
+            F.max("y_bucket").over(w_right).alias("_maxy_right"),
+            F.max("y_bucket").over(w_same).alias("_maxy_same"),
+        )
+        .select(
+            "x_bucket",
+            "y_bucket",
+            "cnt",
+            (
+                ~(
+                    F.coalesce(
+                        F.col("_maxy_right") >= F.col("y_bucket"), F.lit(False)
+                    )
+                    | (F.col("_maxy_same") > F.col("y_bucket"))
+                )
+            ).alias("on_frontier"),
+        )
+        .orderBy("x_bucket", "y_bucket")
+    )

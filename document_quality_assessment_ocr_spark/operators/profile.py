@@ -701,3 +701,303 @@ def benford_audit(
         )
         .orderBy(group_col, "digit")
     )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf/power-law fit of the corpus token-frequency distribution —
+    the one-look sanity check that a scraped corpus has natural-language
+    frequency structure (boilerplate floods and template spam bend the
+    log-log line; OCR noise fattens the hapax tail).
+
+    Integer-exact cross-engine: token frequencies aggregate to a
+    floor-log2 frequency-bucket histogram (``bucket = LENGTH(BIN(freq))
+    − 1``, the shared q67/q176 idiom), ``log2_terms`` likewise buckets
+    the per-bucket distinct-term count, and the least-squares slope over
+    the ≤ ~40 (bucket, log2_terms) grid points is computed with BIGINT
+    sums only: ``slope_milli = sign·(|k·Σxy − Σx·Σy|·1000 DIV (k·Σx² −
+    (Σx)²))`` — sign split keeps every division non-negative (the
+    DIV-vs-floor invariant; a healthy Zipf corpus has slope ≈ −1000
+    milli per log2 bucket).
+
+    Scale shape: one token-frequency aggregate (map-side combined), one
+    rollup to the log2 grid, then GRID-bounded unpartitioned windows for
+    the regression sums (the q218 grid-window rule: single-partition
+    windows are fine on a ≤ 64-row grid, never on the corpus).
+
+    Output: (bucket, n_terms, log2_terms, slope_milli) ordered by
+    bucket; slope_milli repeats on every row (grid-bounded,
+    driver-readable).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import WS_CLASS
+
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(
+                    F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
+                    WS_CLASS + "+",
+                ),
+                lambda x: x != "",
+            )
+        ).alias("term")
+    )
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    grid = (
+        freq.select(
+            (F.length(F.bin(F.col("freq"))) - 1).cast("long").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_terms"))
+        .select(
+            "bucket",
+            "n_terms",
+            (F.length(F.bin(F.col("n_terms"))) - 1).cast("long").alias("log2_terms"),
+        )
+    )
+    w = Window.partitionBy()
+    g = grid.select(
+        "bucket",
+        "n_terms",
+        "log2_terms",
+        F.count(F.lit(1)).over(w).cast("long").alias("k"),
+        F.sum("bucket").over(w).cast("long").alias("sx"),
+        F.sum("log2_terms").over(w).cast("long").alias("sy"),
+        F.sum(F.col("bucket") * F.col("log2_terms")).over(w).cast("long").alias("sxy"),
+        F.sum(F.col("bucket") * F.col("bucket")).over(w).cast("long").alias("sxx"),
+    )
+    num = F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    mag = F.expr("(abs(k * sxy - sx * sy) * 1000L) DIV greatest(k * sxx - sx * sx, 1L)")
+    return (
+        g.select(
+            "bucket",
+            "n_terms",
+            "log2_terms",
+            F.when(num < 0, -mag).otherwise(mag).cast("long").alias("slope_milli"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def chisq_independence(
+    docs: DataFrame,
+    row_col: str = "source",
+    col_col: str = "lang",
+) -> DataFrame:
+    """Chi-square independence grid between two categorical columns —
+    the mix monitor that catches a crawl whose language mix silently
+    shifted per source (each cell's contribution pinpoints WHICH
+    source×lang pair drives the drift; the statistic is their sum).
+
+    Determinism: observed/marginal counts are exact BIGINTs; the one
+    float step per cell is ``diff²/(r·c·n)`` with a FIXED op order —
+    ``diff = o·n − r·c`` stays integer-exact (|diff| < 2^53 for corpora
+    under ~9e6 rows per the o·n bound; docstring cap, widen to a
+    two-stage split past it), the denominator ``(r·c)·n`` is computed as
+    one exact BIGINT then cast, and the surfaced ``chi2_micro`` is
+    TRUNCATED (CAST AS LONG == DuckDB CAST(TRUNC(·) AS BIGINT) — the
+    q168 portable float→int path; the contribution is non-negative so
+    truncation is well-defined).
+
+    Scale shape: ONE map-side-combined aggregate to the |rows|×|cols|
+    grid; marginals and the total are grid-partitioned windows (q194
+    family — never a corpus window).
+
+    Output: (row_col, col_col, o, r_total, c_total, n, expected_micro,
+    chi2_micro) ordered by (row, col).
+    """
+    from pyspark.sql import Window
+
+    r = F.coalesce(F.col(row_col).cast("string"), F.lit("")).alias("rv")
+    c = F.coalesce(F.col(col_col).cast("string"), F.lit("")).alias("cv")
+    grid = docs.select(r, c).groupBy("rv", "cv").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    g = grid.select(
+        "rv",
+        "cv",
+        "o",
+        F.sum("o").over(Window.partitionBy("rv")).cast("long").alias("r_total"),
+        F.sum("o").over(Window.partitionBy("cv")).cast("long").alias("c_total"),
+        F.sum("o").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    return (
+        g.select(
+            F.col("rv").alias(row_col),
+            F.col("cv").alias(col_col),
+            "o",
+            "r_total",
+            "c_total",
+            "n",
+            F.expr("(r_total * c_total * 1000000L) DIV n").cast("long").alias(
+                "expected_micro"
+            ),
+            F.expr(
+                "cast((cast(o * n - r_total * c_total as double)"
+                " * cast(o * n - r_total * c_total as double))"
+                " / cast(r_total * c_total * n as double)"
+                " * cast(1000000 as double) as long)"
+            ).alias("chi2_micro"),
+        )
+        .orderBy(row_col, col_col)
+    )
+
+
+def mad_outlier_audit(
+    docs: DataFrame,
+    value_col: str = "n_chars",
+    group_col: str = "source",
+    bin_width: int = 32,
+    k_mad: int = 3,
+) -> DataFrame:
+    """Robust per-group outlier audit: binned median + MAD (median
+    absolute deviation) over a numeric column, then the count of mass
+    beyond ``median ± k·MAD`` — the screen that catches a source whose
+    length distribution grew a second mode (truncation bugs, pasted
+    boilerplate) without the mean/stddev fragility on heavy tails.
+
+    Bin-resolution contract: median and MAD are reported in BIN units
+    (``bin = value DIV bin_width``, non-negative values only — DIV ==
+    ``//``), i.e. exact medians of the BINNED distribution: the smallest
+    bin b with 2·cum(b) ≥ n (integer comparison, no float, no
+    interpolation — deterministic cross-engine, unlike percentile
+    functions whose interpolation rules differ).
+
+    Scale shape: ONE aggregate to the |groups|×|bins| grid, a
+    grid-partitioned cumulative window for the median, a grid
+    re-aggregate keyed by |bin − median| for the MAD, and a final grid
+    rollup — the corpus is touched exactly once.
+
+    Output: (group_col, n, median_bin, mad_bin, n_outliers) ordered by
+    group.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("long")
+    grid = (
+        docs.where(v >= 0)
+        .select(
+            F.coalesce(F.col(group_col).cast("string"), F.lit("")).alias("grp"),
+            F.expr(f"cast({value_col} as long) DIV {int(bin_width)}L").alias("bin"),
+        )
+        .groupBy("grp", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    wg = Window.partitionBy("grp")
+    wcum = wg.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    med = (
+        grid.select(
+            "grp",
+            "bin",
+            "cnt",
+            F.sum("cnt").over(wg).cast("long").alias("n"),
+            F.sum("cnt").over(wcum).cast("long").alias("cum"),
+        )
+        .where(F.expr("2L * cum >= n"))
+        .groupBy("grp")
+        .agg(F.min("bin").cast("long").alias("median_bin"), F.max("n").alias("n"))
+    )
+    dev = (
+        grid.join(med, "grp")
+        .select("grp", "n", F.abs(F.col("bin") - F.col("median_bin")).alias("dev"), "cnt")
+        .groupBy("grp", "n", "dev")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    wdcum = wg.orderBy("dev").rowsBetween(Window.unboundedPreceding, 0)
+    mad = (
+        dev.select(
+            "grp", "n", "dev", "cnt",
+            F.sum("cnt").over(wdcum).cast("long").alias("cum"),
+        )
+        .where(F.expr("2L * cum >= n"))
+        .groupBy("grp")
+        .agg(F.min("dev").cast("long").alias("mad_bin"))
+    )
+    thr = med.join(mad, "grp")
+    out = (
+        grid.join(thr, "grp")
+        .where(
+            F.abs(F.col("bin") - F.col("median_bin"))
+            > F.lit(int(k_mad)) * F.col("mad_bin")
+        )
+        .groupBy("grp")
+        .agg(F.sum("cnt").cast("long").alias("n_outliers"))
+    )
+    return (
+        thr.join(out, "grp", "left")
+        .select(
+            F.col("grp").alias(group_col),
+            "n",
+            "median_bin",
+            "mad_bin",
+            F.coalesce(F.col("n_outliers"), F.lit(0)).cast("long").alias("n_outliers"),
+        )
+        .orderBy(group_col)
+    )
+
+
+# Shared engine/oracle constant (Java regex ∩ RE2, the scrub.py contract):
+# 4-digit years 1900-2099 on word boundaries; non-capturing group so both
+# engines' "group 0 = full match" extraction sees the whole year.
+YEAR_RE = r"\b(?:19|20)[0-9]{2}\b"
+
+
+def year_coverage(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Temporal coverage profile: extract every 4-digit year mention
+    (1900–2099, word-bounded) from document text and roll up mentions
+    per (group, year) with a within-group share — the recency audit a
+    training-data curator reads before weighting sources (a corpus whose
+    mass sits in 2009 teaches yesterday's world).
+
+    The regex is the shared :data:`YEAR_RE` constant (interpolated into
+    the oracle SQL — the scrub.py cross-engine contract: Java∩RE2
+    syntax only). Every match counts, including repeats within one
+    document (mention mass, not document coverage — pair with a
+    DISTINCT doc variant when presence is the question).
+
+    Scale shape: extract+explode is map-side; ONE aggregate to the
+    |groups|×|years| grid (years bound at 200 by the pattern), share via
+    a grid-partitioned window (q194 family).
+
+    Output: (group_col, year, cnt, group_total, share_micro) ordered by
+    (group, year).
+    """
+    from pyspark.sql import Window
+
+    g = F.coalesce(F.col(group_col).cast("string"), F.lit("")).alias("grp")
+    years = docs.select(
+        g,
+        F.explode(
+            F.regexp_extract_all(
+                F.coalesce(F.col(text_col), F.lit("")), F.lit(YEAR_RE), F.lit(0)
+            )
+        ).alias("ystr"),
+    )
+    grid = (
+        years.select("grp", F.col("ystr").cast("long").alias("year"))
+        .groupBy("grp", "year")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("grp")
+    return (
+        grid.select(
+            F.col("grp").alias(group_col),
+            "year",
+            "cnt",
+            F.sum("cnt").over(w).cast("long").alias("group_total"),
+        )
+        .withColumn(
+            "share_micro",
+            F.expr("(cnt * 1000000L) DIV group_total").cast("long"),
+        )
+        .orderBy(group_col, "year")
+    )

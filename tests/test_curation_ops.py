@@ -4948,3 +4948,105 @@ def test_scrub_effectiveness(spark):
     out2 = {r["etype"]: r.asDict() for r in scrub_effectiveness(clean).collect()}
     for e in out2.values():
         assert (e["before_cnt"], e["after_cnt"], e["removed_micro"]) == (0, 0, 0)
+
+
+def test_zipf_fit_python_replay(spark):
+    """Floor-log2 frequency buckets and the sign-split integer slope
+    replayed in python on a tiny corpus."""
+    from document_quality_assessment_ocr_spark.operators.profile import zipf_fit
+
+    docs = spark.createDataFrame(
+        [("a a a a b b c d",), ("a a a a b b c e",)], "text string"
+    )
+    # freqs: a=8, b=4, c=2, d=1, e=1 -> buckets 3,2,1,0 with n_terms 1,1,1,2
+    rows = {r["bucket"]: r for r in zipf_fit(docs).collect()}
+    assert {b: rows[b]["n_terms"] for b in rows} == {0: 2, 1: 1, 2: 1, 3: 1}
+    assert {b: rows[b]["log2_terms"] for b in rows} == {0: 1, 1: 0, 2: 0, 3: 0}
+    # k=4 sx=6 sy=1 sxy=0 sxx=14: num=0*4-6=-6, den=56-36=20 -> -300 milli
+    assert all(r["slope_milli"] == -300 for r in rows.values())
+
+
+def test_chisq_independence_python_replay(spark):
+    """Per-cell chi-square contributions replayed with exact integer
+    marginals and the fixed-op-order double step."""
+    from document_quality_assessment_ocr_spark.operators.profile import (
+        chisq_independence,
+    )
+
+    rows = [("s1", "en")] * 30 + [("s1", "de")] * 10 + \
+           [("s2", "en")] * 20 + [("s2", "de")] * 40
+    df = spark.createDataFrame(rows, "source string, lang string")
+    out = {(r["source"], r["lang"]): r for r in chisq_independence(df).collect()}
+    cell = out[("s1", "en")]
+    assert (cell["o"], cell["r_total"], cell["c_total"], cell["n"]) == (30, 40, 50, 100)
+    assert cell["expected_micro"] == 40 * 50 * 1_000_000 // 100
+    diff = 30 * 100 - 40 * 50  # = 1000
+    exp = int(float(diff) * float(diff) / float(40 * 50 * 100) * 1e6)
+    assert cell["chi2_micro"] == exp
+    assert len(out) == 4
+
+
+def test_mad_outlier_audit_python_replay(spark):
+    """Binned median/MAD and the k-MAD fence replayed in python; the
+    outlier-free group reports 0 via the left-join coalesce."""
+    from document_quality_assessment_ocr_spark.operators.profile import (
+        mad_outlier_audit,
+    )
+
+    vals = [100] * 5 + [130] * 4 + [200] * 2 + [900]  # bins 3,4,6,28
+    rows = [("s1", v) for v in vals] + [("s2", 64)] * 3
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    out = {r["source"]: r for r in mad_outlier_audit(df, bin_width=32).collect()}
+    s1 = out["s1"]
+    # bins: 3 x5, 4 x4, 6 x2, 28 x1 (n=12) -> median bin 3 (cum 5*2<12? 10<12 -> next)
+    # cum at bin 3 = 5 -> 10 < 12; bin 4 cum 9 -> 18 >= 12 -> median 4
+    assert (s1["n"], s1["median_bin"]) == (12, 4)
+    # devs: |3-4|=1 x5, 0 x4, 2 x2, 24 x1 -> cum 0:4 (8<12), 1:9 (18>=12) -> mad 1
+    assert s1["mad_bin"] == 1
+    # fence: |bin-4| > 3 -> only bin 28 (1 row)
+    assert s1["n_outliers"] == 1
+    assert (out["s2"]["median_bin"], out["s2"]["mad_bin"], out["s2"]["n_outliers"]) \
+        == (2, 0, 0)
+
+
+def test_pareto_frontier_cells_python_replay(spark):
+    """Weak-dominance staircase replayed: a cell is off the frontier iff
+    some other cell is >= on both axes (and differs) — one surviving y
+    per x column, decreasing in y as x grows."""
+    from document_quality_assessment_ocr_spark.operators.curriculum import (
+        pareto_frontier_cells,
+    )
+
+    cells = [(5, 1), (5, 3), (3, 3), (3, 4), (1, 9), (1, 2), (5, 3)]
+    df = spark.createDataFrame(cells, "xb long, yb long")
+    out = {(r["x_bucket"], r["y_bucket"]): r
+           for r in pareto_frontier_cells(df, "xb", "yb").collect()}
+    assert out[(5, 3)]["cnt"] == 2
+    exp = {(5, 1): False,   # same-x column: (5,3) beats it
+           (5, 3): True,
+           (3, 3): False,   # (5,3) is >= on both
+           (3, 4): True,
+           (1, 9): True,
+           (1, 2): False}
+    assert {k: v["on_frontier"] for k, v in out.items()} == exp
+
+
+def test_year_coverage_python_replay(spark):
+    """Word-bounded 4-digit year extraction with repeats counted; shares
+    normalize within group; 3-digit and glued numbers never match."""
+    from document_quality_assessment_ocr_spark.operators.profile import year_coverage
+
+    docs = spark.createDataFrame(
+        [
+            ("s1", "born 1999 and again 1999 then 2024"),
+            ("s1", "in 2024; not 199 nor x2024y nor 21000"),
+            ("s2", "nothing here"),
+        ],
+        "source string, text string",
+    )
+    out = {(r["source"], r["year"]): r for r in year_coverage(docs).collect()}
+    assert {k: v["cnt"] for k, v in out.items()} == {
+        ("s1", 1999): 2, ("s1", 2024): 2,
+    }
+    assert out[("s1", 1999)]["group_total"] == 4
+    assert out[("s1", 1999)]["share_micro"] == 500_000
