@@ -601,3 +601,65 @@ def test_stream_isotropy_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(state_dir, "v2")).collect()
     }
     assert remerged == v2
+
+
+def test_stream_funnel_matches_batch(spark, tmp_path):
+    """Eighth incremental twin: after two micro-batches (per-user
+    monotone arrival) the persisted (user, level, t) funnel state rolls
+    up ROW-FOR-ROW to the batch funnel_steps over the union — including
+    the CROSS-BOUNDARY completion (u1 reaches A->B in b1 and converts on
+    C only in b2) and the strictly-after rule (u2's same-instant B never
+    counts)."""
+    import os
+    import time
+    from datetime import datetime, timedelta
+
+    from document_quality_assessment_ocr_spark.operators.sessions import (
+        funnel_steps,
+    )
+    from document_quality_assessment_ocr_spark.streaming.funnel import (
+        read_funnel,
+        stream_funnel,
+    )
+
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+
+    def ev(eid, uid, ty, sec):
+        return (eid, uid, ty, t0 + timedelta(seconds=sec))
+
+    steps = ["A", "B", "C"]
+    # u1: A,B in b1 -> C in b2 (cross-boundary completion)
+    # u2: A@0 and B@0 same instant (strictly-after rejects B), C@5 in b2
+    #     can't count either (level 2 never filled)
+    # u3: B-only user -> never enters the funnel
+    # u4: appears only in b2, completes A->B inside one batch
+    b1 = [ev(1, 1, "A", 0), ev(2, 1, "B", 10),
+          ev(3, 2, "A", 0), ev(4, 2, "B", 0),
+          ev(5, 3, "B", 0)]
+    b2 = [ev(6, 1, "C", 20),
+          ev(7, 2, "C", 5),
+          ev(8, 4, "A", 0), ev(9, 4, "B", 1)]
+    in_dir = str(tmp_path / "fin")
+    os.makedirs(in_dir)
+    for i, rows in enumerate((b1, b2)):
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts timestamp"
+        ).coalesce(1).write.parquet(os.path.join(in_dir, f"drop-{i}"))
+        time.sleep(1.1)
+
+    state_dir = str(tmp_path / "fstate")
+    stream_funnel(
+        spark, in_dir + "/*", str(tmp_path / "fckpt"), state_dir, steps
+    )
+    got = [(r["step"], r["event_type"], r["n_users"],
+            r["conv_from_first_micro"], r["conv_from_prev_micro"])
+           for r in read_funnel(spark, state_dir, steps)
+           .orderBy("step").collect()]
+    full = spark.read.parquet(in_dir + "/*")
+    want = [(r["step"], r["event_type"], r["n_users"],
+             r["conv_from_first_micro"], r["conv_from_prev_micro"])
+            for r in funnel_steps(full, steps).orderBy("step").collect()]
+    assert got == want
+    # u1 + u2 + u4 reach step 1; u1 + u4 reach step 2; only u1 converts
+    assert [g[2] for g in got] == [3, 2, 1]
+    assert sorted(os.listdir(state_dir)) == ["v1", "v2"]
