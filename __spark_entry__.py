@@ -9565,6 +9565,72 @@ def _q_year_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return year_coverage(d, "text", "source")
 
 
+def _q_quantile_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECDF quantile harmonization of n_chars across sources onto the
+    src0 reference grid (bucket width 16): BIGINT cross-multiplied ECDF
+    compare, grid-bounded windows + broadcast ref-grid join."""
+    from document_quality_assessment_ocr_spark.operators.experiment import (
+        quantile_harmonize,
+    )
+
+    return quantile_harmonize(
+        _doc(spark, sf_dir), "n_chars", "source", "src0", bucket_width=16
+    )
+
+
+def _q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host co-citation pairs over a salted (doc, host) incidence: three
+    md5-mod host picks per doc over a 12-host universe (tags cc1..cc3 —
+    the synthesized HTML gives each doc only ONE absolute host, so the
+    link-graph derivation stays q70/q72's job and this exercises the
+    pair operator); per-doc sorted capped list, support >= 2."""
+    from document_quality_assessment_ocr_spark.operators.augment import _md5_mod
+    from document_quality_assessment_ocr_spark.operators.graph import (
+        cocitation_pairs,
+    )
+
+    d = _doc(spark, sf_dir)
+    inc = d.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit("h"),
+                        _md5_mod(F.col("doc_id"), f"cc{i}", F.lit(12)).cast(
+                            "string"
+                        ),
+                    )
+                    for i in (1, 2, 3)
+                ]
+            )
+        ).alias("host"),
+    )
+    return cocitation_pairs(inc, cap=16, min_support=2)
+
+
+def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve (top-k token-mass share at power-of-two
+    ks up to 1024): two-level top-k merge + panel-bounded cumsum +
+    broadcast 1-row totals; micro ratios BIGINT DIV."""
+    from document_quality_assessment_ocr_spark.operators.textstats import (
+        vocab_coverage_curve,
+    )
+
+    return vocab_coverage_curve(_doc(spark, sf_dir), k_max=1024)
+
+
+def _q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale term burstiness panel (top 64 by collection freq):
+    one (doc, term) aggregate, one term rollup (df = row count, never a
+    corpus countDistinct), two-level top-k merge; burst = cf*1e6 DIV df."""
+    from document_quality_assessment_ocr_spark.operators.textstats import (
+        term_burstiness,
+    )
+
+    return term_burstiness(_doc(spark, sf_dir), k=64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's CORRECTNESS gate checks
     the FIRST 50 entries in dict order.  Positions 1-50 therefore carry the
@@ -9809,6 +9875,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q223_mad_outliers": _q_mad_outliers,
         "q224_pareto_frontier": _q_pareto,
         "q225_year_coverage": _q_year_coverage,
+        "q226_quantile_map": _q_quantile_map,
+        "q227_cocitation": _q_cocitation,
+        "q228_vocab_coverage": _q_vocab_coverage,
+        "q229_burstiness": _q_burstiness,
     }
 
 
@@ -12269,6 +12339,145 @@ def _year_coverage_sql() -> str:
     """
 
 
+def _quantile_map_sql(bucket_width: int = 16, ref: str = "src0") -> str:
+    """q226 oracle: (source, bucket) grid + grid windows, mapped bucket
+    via BIGINT cross-multiplied ECDF compare against the MATERIALIZED
+    reference grid (read per source-row — must not inline), COALESCE to
+    the reference minimum."""
+    bw = int(bucket_width)
+    return f"""
+        WITH base AS (
+            SELECT COALESCE(source, '') AS g, CAST(n_chars AS BIGINT) AS v
+            FROM documents WHERE CAST(n_chars AS BIGINT) >= 0
+        ), grid AS MATERIALIZED (
+            SELECT g, v // {bw} AS bucket, CAST(COUNT(*) AS BIGINT) AS n
+            FROM base GROUP BY 1, 2
+        ), cum AS MATERIALIZED (
+            SELECT g, bucket, n,
+                   CAST(SUM(n) OVER (PARTITION BY g ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum_n,
+                   CAST(SUM(n) OVER (PARTITION BY g) AS BIGINT) AS total_n
+            FROM grid
+        ), ref AS MATERIALIZED (
+            SELECT bucket AS rb, cum_n AS rcum, total_n AS rtot
+            FROM cum WHERE g = '{ref}'
+        ), rmin AS (
+            SELECT CAST(MIN(rb) AS BIGINT) AS rm FROM ref
+        )
+        SELECT c.g AS source, c.bucket, c.n, c.cum_n, c.total_n,
+               CAST(COALESCE(MAX(r.rb), rm) AS BIGINT) AS mapped_ref_bucket
+        FROM cum c CROSS JOIN rmin
+        LEFT JOIN ref r ON r.rcum * c.total_n <= c.cum_n * r.rtot
+        GROUP BY c.g, c.bucket, c.n, c.cum_n, c.total_n, rm
+        ORDER BY source, bucket
+    """
+
+
+def _cocitation_sql(cap: int = 16, min_support: int = 2) -> str:
+    """q227 oracle: the cc1..cc3 md5-mod host salts (byte-identical
+    `_md5_pick_sql`-family arithmetic), DISTINCT doc-host incidence,
+    per-doc sorted capped host list, pair fan-out inside the list
+    (a < b), support filter."""
+    picks = ",\n                ".join(
+        "('h' || CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)"
+        f" || '|cc{i}'), 1, 15))::BIGINT % 12 AS VARCHAR))"
+        for i in (1, 2, 3)
+    )
+    return f"""
+        WITH inc AS (
+            SELECT doc_id, UNNEST([{picks}]) AS host
+            FROM documents
+        ), hs AS (
+            SELECT DISTINCT doc_id AS dd, host AS h
+            FROM inc WHERE host <> ''
+        ), arr AS (
+            SELECT dd, LIST_SORT(LIST(h))[1:{int(cap)}] AS hl
+            FROM hs GROUP BY dd
+        ), p1 AS (
+            SELECT dd, UNNEST(hl) AS a, hl FROM arr
+        ), p2 AS (
+            SELECT a, UNNEST(hl) AS b FROM p1
+        )
+        SELECT a AS host_a, b AS host_b, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM p2 WHERE a < b GROUP BY 1, 2
+        HAVING COUNT(*) >= {int(min_support)}
+        ORDER BY n_docs DESC, host_a, host_b
+    """
+
+
+def _vocab_coverage_sql(k_max: int = 1024) -> str:
+    """q228 oracle: term counts → global ROW_NUMBER rank (the oracle is
+    allowed the single-node sort the engine's two-level merge replaces),
+    panel cumsum, power-of-two-or-last emission, BIGINT micro ratios."""
+    km = int(k_max)
+    return f"""
+        WITH tok AS (
+            SELECT UNNEST(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(
+                TRIM(LOWER(COALESCE(text, ''))), '{WS}+'), x -> x <> ''))
+                AS token
+            FROM documents
+        ), f AS MATERIALIZED (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM tok GROUP BY token
+        ), t AS (
+            SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS total_terms
+            FROM f
+        ), r AS (
+            SELECT cnt,
+                   CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token)
+                        AS BIGINT) AS k
+            FROM f
+        ), p AS (
+            SELECT k, cnt AS kth_cnt,
+                   CAST(SUM(cnt) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+                   ROW_NUMBER() OVER (ORDER BY k DESC) AS rev
+            FROM r WHERE k <= {km}
+        )
+        SELECT k, kth_cnt, cum_tokens, total_tokens, total_terms,
+               CAST((cum_tokens * 1000000) // GREATEST(total_tokens, 1)
+                    AS BIGINT) AS coverage_micro,
+               CAST((k * 1000000) // GREATEST(total_terms, 1)
+                    AS BIGINT) AS vocab_frac_micro
+        FROM p, t
+        WHERE (k & (k - 1)) = 0 OR rev = 1
+        ORDER BY k
+    """
+
+
+def _burstiness_sql(k: int = 64) -> str:
+    """q229 oracle: (doc, term) grid → term rollup (cf = sum tf, df =
+    row count), global rank (cf desc, term), top-k panel, BIGINT
+    burst_micro."""
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, UNNEST(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(
+                TRIM(LOWER(COALESCE(text, ''))), '{WS}+'), x -> x <> ''))
+                AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM tok GROUP BY 1, 2
+        ), s AS (
+            SELECT term, CAST(SUM(tf) AS BIGINT) AS cf,
+                   CAST(COUNT(*) AS BIGINT) AS df
+            FROM tf GROUP BY term
+        ), r AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY cf DESC, term) AS INT)
+                       AS rank,
+                   term, cf, df
+            FROM s
+        )
+        SELECT rank, term, cf, df,
+               CAST((cf * 1000000) // GREATEST(df, 1) AS BIGINT)
+                   AS burst_micro
+        FROM r WHERE rank <= {int(k)}
+        ORDER BY rank
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     ink = f"LENGTH(REGEXP_REPLACE(COALESCE(text,''), '{WS}', '', 'g'))"
     ntoks = (
@@ -12880,6 +13089,10 @@ def oracle_sql() -> dict[str, str]:
         "q223_mad_outliers": _mad_outliers_sql(),
         "q224_pareto_frontier": _pareto_sql(),
         "q225_year_coverage": _year_coverage_sql(),
+        "q226_quantile_map": _quantile_map_sql(),
+        "q227_cocitation": _cocitation_sql(),
+        "q228_vocab_coverage": _vocab_coverage_sql(),
+        "q229_burstiness": _burstiness_sql(),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

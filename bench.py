@@ -438,6 +438,11 @@ def main() -> None:
         "q218_quota_apportion",
         "q219_benford",
         "q220_scrub_effect",
+        "q221_zipf_fit",
+        "q222_chisq_grid",
+        "q223_mad_outliers",
+        "q224_pareto_frontier",
+        "q225_year_coverage",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

@@ -384,3 +384,89 @@ def cuped_lift(
         )
         .orderBy(variant_col)
     )
+
+
+def quantile_harmonize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    ref_group: str,
+    bucket_width: int = 64,
+) -> DataFrame:
+    """Quantile (ECDF) harmonization of a per-document score across
+    sources: map every source's score buckets onto a REFERENCE source's
+    bucket grid so heterogeneous quality scores become comparable before
+    mixing (the classic quantile-normalization step of multi-source
+    corpus curation; see e.g. the CCNet per-shard perplexity buckets).
+
+    For source bucket b with cumulative count ``cum`` out of ``tot``
+    rows, the mapped bucket is the LARGEST reference bucket whose
+    cumulative fraction is <= cum/tot — compared exactly by
+    cross-multiplication (``ref_cum·tot <= cum·ref_tot``), so the whole
+    operator is BIGINT-exact (no float ECDFs).  Sources with an ECDF
+    everywhere below the reference's first bucket fall back to the
+    reference's minimum bucket.  The reference maps to itself
+    (identity), which is the built-in sanity check.
+
+    Overflow: ``cum·ref_tot`` caps the corpus at ~3e9 rows per group
+    pair (sqrt of BIGINT range); past that, pre-divide counts by a
+    common factor (the q202/q203 cap-note class).
+
+    Scale shape: ONE hash aggregate to the (group, bucket) grid; both
+    cumulative sums are windows ON THE GRID (|groups|x|buckets| rows,
+    never the corpus — the grid-window rule); the mapping join is
+    grid x ref-grid, broadcast on the reference side.  Negative values
+    are excluded (DIV-vs-floor portability).
+
+    Output: (group_col, bucket, n, cum_n, total_n, mapped_ref_bucket)
+    ordered by (group, bucket).
+    """
+    bw = int(bucket_width)
+    base = df.select(
+        F.coalesce(F.col(group_col).cast("string"), F.lit("")).alias("g"),
+        F.col(value_col).cast("long").alias("v"),
+    ).where(F.col("v") >= 0)
+    grid = base.groupBy(
+        "g", F.expr(f"v DIV {bw}L").cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wcum = (
+        Window.partitionBy("g")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("g")
+    cum = grid.select(
+        "g",
+        "bucket",
+        "n",
+        F.sum("n").over(wcum).cast("long").alias("cum_n"),
+        F.sum("n").over(wtot).cast("long").alias("total_n"),
+    )
+    ref = cum.where(F.col("g") == F.lit(ref_group)).select(
+        F.col("bucket").alias("_rb"),
+        F.col("cum_n").alias("_rcum"),
+        F.col("total_n").alias("_rtot"),
+    )
+    refmin = ref.agg(F.min("_rb").alias("_rmin"))
+    mapped = (
+        cum.join(
+            F.broadcast(ref),
+            F.col("_rcum") * F.col("total_n")
+            <= F.col("cum_n") * F.col("_rtot"),
+            "left",
+        )
+        .groupBy("g", "bucket", "n", "cum_n", "total_n")
+        .agg(F.max("_rb").alias("_mb"))
+    )
+    return (
+        mapped.crossJoin(F.broadcast(refmin))
+        .select(
+            F.col("g").alias(group_col),
+            "bucket",
+            "n",
+            "cum_n",
+            "total_n",
+            F.coalesce("_mb", "_rmin").cast("long").alias("mapped_ref_bucket"),
+        )
+        .orderBy(group_col, "bucket")
+    )

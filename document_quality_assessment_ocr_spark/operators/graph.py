@@ -622,3 +622,54 @@ def wedge_closure(
         .cast("long")
         .alias("closure_micro"),
     )
+
+
+def cocitation_pairs(
+    links: DataFrame,
+    doc_col: str = "doc_id",
+    host_col: str = "host",
+    cap: int = 16,
+    min_support: int = 2,
+) -> DataFrame:
+    """Host co-citation graph: two hosts are co-cited when the SAME
+    document links to both (Small 1973's co-citation measure applied to
+    the web-link graph) — the bipartite doc->host incidence projected
+    onto host pairs.  Strongly co-cited hosts are topical siblings, and
+    at curation time a co-citation clique is often one spam network.
+
+    Scale contract (the q196 mirror-pairs lesson): pair fan-out happens
+    inside a PER-DOCUMENT capped array, never a join — each document's
+    distinct linked hosts collapse to one sorted array sliced to
+    ``cap``, so the explode emits <= cap^2 rows per document
+    regardless of outlink skew.  The cap keeps the lexicographically
+    smallest hosts, making it deterministic on both engines.
+
+    Output: (host_a, host_b, n_docs) for pairs with
+    ``n_docs >= min_support``, host_a < host_b, ordered by
+    (n_docs desc, host_a, host_b) via an ordinary sort on the
+    support-filtered aggregate (pair-grid sized, not corpus sized).
+    """
+    hs = (
+        links.select(
+            F.col(doc_col).alias("d"),
+            F.coalesce(F.col(host_col), F.lit("")).alias("h"),
+        )
+        .where(F.col("h") != "")
+        .distinct()
+    )
+    arr = hs.groupBy("d").agg(
+        F.slice(F.sort_array(F.collect_list("h")), 1, int(cap)).alias("hs")
+    )
+    pairs = (
+        arr.select(F.explode("hs").alias("a"), "hs")
+        .select("a", F.explode("hs").alias("b"))
+        .where(F.col("a") < F.col("b"))
+    )
+    return (
+        pairs.groupBy(
+            F.col("a").alias("host_a"), F.col("b").alias("host_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .where(F.col("n_docs") >= int(min_support))
+        .orderBy(F.desc("n_docs"), "host_a", "host_b")
+    )

@@ -4,7 +4,7 @@ expressions with exact DuckDB oracles."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import WS_CLASS, ink_chars, text_density, token_count
@@ -1061,4 +1061,144 @@ def lang_confusion(
             (F.col("pred") == F.col("label")).alias("is_correct"),
         )
         .orderBy("label", "pred")
+    )
+
+
+def vocab_coverage_curve(
+    docs: DataFrame,
+    k_max: int = 1024,
+    text_col: str = "text",
+    fanout: int = 32,
+) -> DataFrame:
+    """Vocabulary coverage curve: for k = 1, 2, 4, ... k_max, the share
+    of TOTAL token mass covered by the k most frequent terms — the
+    plot a tokenizer-vocab-size decision reads (how much of the corpus
+    does a V-entry vocabulary cover; everything else becomes UNK/bytes).
+
+    Ranking is (count desc, token asc) — identical to ``build_vocab``.
+    INTEGER-exact: ``coverage_micro = cum_tokens*10^6 DIV total_tokens``
+    and ``vocab_frac_micro = k*10^6 DIV total_terms``.
+
+    Scale shape: token counts are one hash aggregate; the global top-k
+    is the two-level merge (per-hash-bucket top-k, then one merge of
+    <= fanout*k survivors — the build_vocab shape); the cumulative sum
+    runs on the <= k_max PANEL (grid-window rule), and the 1-row corpus
+    totals broadcast onto it.  Panel rows where k is a power of two
+    (or the final rank) are emitted.
+
+    Output: (k, kth_cnt, cum_tokens, total_tokens, total_terms,
+    coverage_micro, vocab_frac_micro) ordered by k.
+    """
+    km = int(k_max)
+    counts = (
+        docs.select(F.explode(_tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    totals = counts.agg(
+        F.sum("cnt").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("total_terms"),
+    )
+    item = F.struct(
+        (-F.col("cnt")).alias("nc"),
+        F.col("token").alias("token"),
+        F.col("cnt").alias("cnt"),
+    )
+    topv = lambda c: F.slice(F.sort_array(F.collect_list(c)), 1, km)  # noqa: E731
+    lvl1 = counts.groupBy(
+        F.pmod(F.hash("token"), F.lit(int(fanout))).alias("b")
+    ).agg(topv(item).alias("top"))
+    merged = lvl1.select(F.explode("top").alias("t")).agg(
+        topv(F.col("t")).alias("top")
+    )
+    panel = merged.select(F.posexplode("top").alias("r", "t")).select(
+        (F.col("r") + 1).cast("long").alias("k"),
+        F.col("t.cnt").cast("long").alias("kth_cnt"),
+    )
+    wcum = Window.orderBy("k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wlast = Window.orderBy(F.desc("k"))
+    curve = panel.select(
+        "k",
+        "kth_cnt",
+        F.sum("kth_cnt").over(wcum).cast("long").alias("cum_tokens"),
+        F.row_number().over(wlast).alias("_rev"),
+    ).where((F.expr("(k & (k - 1)) = 0")) | (F.col("_rev") == 1))
+    return (
+        curve.crossJoin(F.broadcast(totals))
+        .select(
+            "k",
+            "kth_cnt",
+            "cum_tokens",
+            "total_tokens",
+            "total_terms",
+            F.expr("(cum_tokens * 1000000L) DIV greatest(total_tokens, 1L)")
+            .cast("long")
+            .alias("coverage_micro"),
+            F.expr("(k * 1000000L) DIV greatest(total_terms, 1L)")
+            .cast("long")
+            .alias("vocab_frac_micro"),
+        )
+        .orderBy("k")
+    )
+
+
+def term_burstiness(
+    docs: DataFrame,
+    k: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fanout: int = 32,
+) -> DataFrame:
+    """Term burstiness panel (Church & Gale 1995): for the k most
+    frequent terms, ``burst = cf/df`` — mean occurrences per document
+    that CONTAINS the term.  Function words sit near the corpus mean;
+    bursty content words (and boilerplate artifacts) repeat heavily
+    inside few documents, which is exactly what repetition-quality
+    gates and idf weighting need to distinguish.
+
+    INTEGER-exact: ``burst_micro = cf*10^6 DIV df``.  Ranking is
+    (cf desc, term asc).
+
+    Scale shape: ONE (doc, term) hash aggregate (map-side combine
+    collapses within-doc repeats), ONE term rollup of its output
+    (cf = sum tf, df = row count — never a countDistinct over the
+    corpus), then the two-level top-k merge on the term grid.
+
+    Output: (rank, term, cf, df, burst_micro) ordered by rank.
+    """
+    tf = (
+        docs.select(
+            F.col(id_col).alias("d"),
+            F.explode(_tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("d", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    stats = tf.groupBy("term").agg(
+        F.sum("tf").cast("long").alias("cf"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+    )
+    item = F.struct(
+        (-F.col("cf")).alias("ncf"),
+        F.col("term").alias("term"),
+        F.col("cf").alias("cf"),
+        F.col("df").alias("df"),
+    )
+    topv = lambda c: F.slice(F.sort_array(F.collect_list(c)), 1, int(k))  # noqa: E731
+    lvl1 = stats.groupBy(
+        F.pmod(F.hash("term"), F.lit(int(fanout))).alias("b")
+    ).agg(topv(item).alias("top"))
+    merged = lvl1.select(F.explode("top").alias("t")).agg(
+        topv(F.col("t")).alias("top")
+    )
+    return merged.select(F.posexplode("top").alias("r", "t")).select(
+        (F.col("r") + 1).cast("int").alias("rank"),
+        F.col("t.term").alias("term"),
+        F.col("t.cf").cast("long").alias("cf"),
+        F.col("t.df").cast("long").alias("df"),
+        F.expr("(t.cf * 1000000L) DIV greatest(t.df, 1L)")
+        .cast("long")
+        .alias("burst_micro"),
     )

@@ -1341,3 +1341,112 @@ def test_recall_at_k(spark):
     assert out[1]["n_hit"] == 2 and out[1]["n_exact"] == 3 and out[1]["recall"] == 2 / 3
     assert out[2]["n_hit"] == 2 and out[2]["n_exact"] == 2 and out[2]["recall"] == 1.0
     assert out[3]["n_hit"] == 0 and out[3]["recall"] == 0.0
+
+
+def test_quantile_harmonize(spark):
+    """Hand-built ECDFs (bucket width 10): the reference maps to itself
+    (identity), a coarser source maps onto the matching ref quantiles,
+    and a source whose first bucket sits BELOW the ref's first cumulative
+    fraction falls back to the ref minimum bucket."""
+    from document_quality_assessment_ocr_spark.operators.experiment import (
+        quantile_harmonize,
+    )
+
+    rows = (
+        [("A", v) for v in (0, 10, 20, 30)]
+        + [("B", v) for v in (5, 6, 25, 35)]
+        + [("D", v) for v in (0, 10, 20, 30, 40)]
+    )
+    docs = spark.createDataFrame(rows, "src string, v long")
+    out = {
+        (r["src"], r["bucket"]): r
+        for r in quantile_harmonize(docs, "v", "src", "A", bucket_width=10).collect()
+    }
+    # identity on the reference
+    for b in (0, 1, 2, 3):
+        assert out[("A", b)]["mapped_ref_bucket"] == b
+    # B: bucket 0 holds 2/4 -> ref bucket 1; 2 -> 2; 3 -> 3
+    assert out[("B", 0)]["n"] == 2 and out[("B", 0)]["mapped_ref_bucket"] == 1
+    assert out[("B", 2)]["mapped_ref_bucket"] == 2
+    assert out[("B", 3)]["mapped_ref_bucket"] == 3
+    # D bucket 0: cum 1/5 < ref's first 1/4 -> fallback to ref min (0)
+    assert out[("D", 0)]["mapped_ref_bucket"] == 0
+    # D bucket 1: cum 2/5 -> largest ref cum <= is 1/4 -> bucket 0
+    assert out[("D", 1)]["mapped_ref_bucket"] == 0
+    assert out[("D", 4)]["cum_n"] == 5 and out[("D", 4)]["mapped_ref_bucket"] == 3
+
+
+def test_cocitation_pairs(spark):
+    """Pairs counted per co-linking doc with host_a < host_b; support
+    filter drops singletons; the per-doc cap keeps only the lexicographic
+    prefix so capped hosts never pair."""
+    from document_quality_assessment_ocr_spark.operators.graph import (
+        cocitation_pairs,
+    )
+
+    rows = (
+        [(1, h) for h in ("a", "b", "c")]
+        + [(2, h) for h in ("b", "c")]
+        + [(3, h) for h in ("a", "c", "c")]  # dup host collapses
+        + [(4, "x"), (5, "")]
+    )
+    links = spark.createDataFrame(rows, "doc_id long, host string")
+    out = [
+        (r["host_a"], r["host_b"], r["n_docs"])
+        for r in cocitation_pairs(links, cap=16, min_support=2).collect()
+    ]
+    assert out == [("a", "c", 2), ("b", "c", 2)]
+    # cap=2 caps doc 1 to (a, b), so (a, c) drops to support 1 and
+    # nothing survives the filter
+    capped = cocitation_pairs(links, cap=2, min_support=2).collect()
+    assert capped == []
+    # ... and at support 1 the capped pairs are exactly (a,b) + (a,c) + (b,c)x1
+    cap1 = cocitation_pairs(links, cap=2, min_support=1).collect()
+    assert sorted((r["host_a"], r["host_b"], r["n_docs"]) for r in cap1) == [
+        ("a", "b", 1),
+        ("a", "c", 1),
+        ("b", "c", 1),
+    ]
+
+
+def test_vocab_coverage_curve(spark):
+    """Known counts x:4 y:2 z:1 w:1 -> power-of-two panel rows with exact
+    integer coverage; ties rank token-ascending (w before z)."""
+    from document_quality_assessment_ocr_spark.operators.textstats import (
+        vocab_coverage_curve,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x x x x y"), (2, "y z w")],
+        "doc_id long, text string",
+    )
+    # counts: x4 y2 z1 w1; total_tokens 8, total_terms 4
+    out = {r["k"]: r for r in vocab_coverage_curve(docs, k_max=4).collect()}
+    assert sorted(out) == [1, 2, 4]
+    assert out[1]["kth_cnt"] == 4 and out[1]["coverage_micro"] == 500000
+    assert out[2]["kth_cnt"] == 2 and out[2]["coverage_micro"] == 750000
+    assert out[4]["coverage_micro"] == 1000000
+    assert out[4]["total_terms"] == 4 and out[4]["vocab_frac_micro"] == 1000000
+    assert out[1]["vocab_frac_micro"] == 250000
+
+
+def test_term_burstiness(spark):
+    """cf/df in micro: a repeats within docs (burst 2.0), b spreads
+    (1.0), c is single-doc bursty (2.0); ties order token-ascending."""
+    from document_quality_assessment_ocr_spark.operators.textstats import (
+        term_burstiness,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a b"), (3, "c c")],
+        "doc_id long, text string",
+    )
+    out = [
+        (r["rank"], r["term"], r["cf"], r["df"], r["burst_micro"])
+        for r in term_burstiness(docs, k=3).collect()
+    ]
+    assert out == [
+        (1, "a", 4, 2, 2000000),
+        (2, "b", 2, 2, 1000000),
+        (3, "c", 2, 1, 2000000),
+    ]

@@ -663,3 +663,71 @@ def test_stream_funnel_matches_batch(spark, tmp_path):
     # u1 + u2 + u4 reach step 1; u1 + u4 reach step 2; only u1 converts
     assert [g[2] for g in got] == [3, 2, 1]
     assert sorted(os.listdir(state_dir)) == ["v1", "v2"]
+
+
+def test_stream_retention_matches_batch(spark, tmp_path):
+    """Ninth incremental twin: after two micro-batches the persisted
+    (first, active) state rolls up ROW-FOR-ROW to the batch
+    retention_cohorts over the union — INCLUDING out-of-order arrival
+    (u1's cohort-defining first event lands in batch 2, after its later
+    activity arrived in batch 1): min-merge + distinct-union are
+    order-independent, so no monotone-arrival contract is needed."""
+    import os
+    import time
+    from datetime import datetime, timedelta
+
+    from document_quality_assessment_ocr_spark.operators.sessions import (
+        retention_cohorts,
+    )
+    from document_quality_assessment_ocr_spark.streaming.retention import (
+        read_retention,
+        stream_retention,
+    )
+
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    pu = 10_000_000  # 10-second periods
+
+    def ev(eid, uid, sec):
+        return (eid, uid, "E", t0 + timedelta(seconds=sec))
+
+    # u1: activity at p2 arrives FIRST (b1); its p0 first-touch arrives
+    #     late in b2 -> cohort must still resolve to p0
+    # u2: p0 in b1, p1 in b2; duplicate p1 re-arrival must not recount
+    # u3: single event at p2
+    b1 = [ev(1, 1, 25), ev(2, 2, 0), ev(3, 3, 21)]
+    b2 = [ev(4, 1, 5), ev(5, 2, 12), ev(6, 2, 13)]
+    in_dir = str(tmp_path / "rin")
+    os.makedirs(in_dir)
+    for i, rows in enumerate((b1, b2)):
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts timestamp"
+        ).coalesce(1).write.parquet(os.path.join(in_dir, f"drop-{i}"))
+        time.sleep(1.1)
+
+    state_dir = str(tmp_path / "rstate")
+    stream_retention(
+        spark, in_dir + "/*", str(tmp_path / "rckpt"), state_dir, period_us=pu
+    )
+    key = ["cohort_period", "offset"]
+    cols = key + ["cohort_size", "n_active", "retained_micro"]
+    got = [
+        tuple(r[c] for c in cols)
+        for r in read_retention(spark, state_dir).orderBy(*key).collect()
+    ]
+    full = spark.read.parquet(in_dir + "/*")
+    want = [
+        tuple(r[c] for c in cols)
+        for r in retention_cohorts(full, period_us=pu).orderBy(*key).collect()
+    ]
+    assert got == want
+    # cohort p0 = {u1, u2}: both at offset 0; u2 at offset 1 (p1);
+    # u1 at offset 2 (p2). cohort p2 = {u3}. Periods are ABSOLUTE
+    # epoch_us DIV period_us.
+    p0 = int(t0.timestamp() * 1_000_000) // pu
+    assert got == [
+        (p0, 0, 2, 2, 1000000),
+        (p0, 1, 2, 1, 500000),
+        (p0, 2, 2, 1, 500000),
+        (p0 + 2, 0, 1, 1, 1000000),
+    ]
+    assert sorted(os.listdir(state_dir)) == ["v1", "v2"]
