@@ -443,6 +443,10 @@ def main() -> None:
         "q223_mad_outliers",
         "q224_pareto_frontier",
         "q225_year_coverage",
+        "q226_quantile_map",
+        "q227_cocitation",
+        "q228_vocab_coverage",
+        "q229_burstiness",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"
