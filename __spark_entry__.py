@@ -9631,6 +9631,58 @@ def _q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_burstiness(_doc(spark, sf_dir), k=64)
 
 
+def _q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gini of document char mass: value-grid rank trick
+    (rank sums from (source, value) cell counts — docs never ranked
+    individually), all-BIGINT, grid-bounded windows only."""
+    from document_quality_assessment_ocr_spark.operators.profile import (
+        gini_by_group,
+    )
+
+    return gini_by_group(_doc(spark, sf_dir), "n_chars", "source")
+
+
+def _q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation grid over events: fixed recency edges, floor-log2
+    frequency/monetary buckets (corpus-independent — no quantile
+    windows); per-event milli-value truncation is the q168 portable
+    float->int path."""
+    from document_quality_assessment_ocr_spark.operators.sessions import (
+        rfm_segments,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return rfm_segments(ev)
+
+
+def _q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per 7-day period: one (period, day, user)
+    distinct aggregate, grid rollups, micro ratio BIGINT DIV."""
+    from document_quality_assessment_ocr_spark.operators.sessions import (
+        stickiness,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return stickiness(ev, period_days=7)
+
+
+def _q_rank_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed rank concordance between n_chars and the q02 token
+    count: 16x16 grid + 2-D cumulative sums — concordant/discordant
+    pair counts without enumerating a single pair."""
+    from document_quality_assessment_ocr_spark.functions.text import token_count
+    from document_quality_assessment_ocr_spark.operators.experiment import (
+        rank_concordance,
+    )
+
+    d = _doc(spark, sf_dir).select(
+        "n_chars", token_count(F.col("text")).alias("n_toks")
+    )
+    return rank_concordance(
+        d, "n_chars", "n_toks", x_width=32, y_width=8, n_buckets=16
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's CORRECTNESS gate checks
     the FIRST 50 entries in dict order.  Positions 1-50 therefore carry the
@@ -9879,6 +9931,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q227_cocitation": _q_cocitation,
         "q228_vocab_coverage": _q_vocab_coverage,
         "q229_burstiness": _q_burstiness,
+        "q230_gini": _q_gini,
+        "q231_rfm_segments": _q_rfm,
+        "q232_stickiness": _q_stickiness,
+        "q233_rank_concordance": _q_rank_concordance,
     }
 
 
@@ -12478,6 +12534,168 @@ def _burstiness_sql(k: int = 64) -> str:
     """
 
 
+def _gini_sql() -> str:
+    """q230 oracle: (source, value) grid, cumulative-offset window ON
+    THE GRID, consecutive-rank sum per cell, BIGINT Gini micro."""
+    return """
+        WITH base AS (
+            SELECT COALESCE(CAST(source AS VARCHAR), '') AS g,
+                   CAST(n_chars AS BIGINT) AS v
+            FROM documents WHERE n_chars >= 0
+        ), grid AS (
+            SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c
+            FROM base GROUP BY 1, 2
+        ), cells AS (
+            SELECT g, v, c,
+                   CAST(SUM(c) OVER (PARTITION BY g ORDER BY v) - c
+                        AS BIGINT) AS off
+            FROM grid
+        ), rs AS (
+            SELECT g, v, c,
+                   CAST(c * off + (c * (c + 1)) // 2 AS BIGINT) AS ranksum
+            FROM cells
+        ), agg AS (
+            SELECT g, CAST(SUM(c) AS BIGINT) AS n_docs,
+                   CAST(SUM(v * c) AS BIGINT) AS total_mass,
+                   CAST(SUM(v * ranksum) AS BIGINT) AS s1
+            FROM rs GROUP BY 1
+        )
+        SELECT g AS source, n_docs, total_mass,
+               CAST(((2 * s1 - (n_docs + 1) * total_mass) * 1000000)
+                    // GREATEST(n_docs * total_mass, 1) AS BIGINT)
+                   AS gini_micro
+        FROM agg ORDER BY source
+    """
+
+
+def _rfm_sql() -> str:
+    """q231 oracle: per-user RFM aggregate, 1-row corpus max, fixed
+    recency edges + floor-log2 buckets (LENGTH(BIN(n))-1), milli-value
+    via the TRUNC float->int portable path."""
+    return """
+        WITH pu AS MATERIALIZED (
+            SELECT user_id AS u,
+                   CAST(MAX(EPOCH_US(ts)) AS BIGINT) AS last_us,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(TRUNC(value * CAST(1000 AS DOUBLE))
+                                 AS BIGINT)) AS BIGINT) AS value_milli
+            FROM events GROUP BY 1
+        ), ref AS (
+            SELECT CAST(MAX(last_us) AS BIGINT) AS ref_us FROM pu
+        ), seg AS (
+            SELECT (ref_us - last_us) // 86400000000 AS r_days,
+                   n_events,
+                   GREATEST(value_milli, CAST(0 AS BIGINT)) AS vm
+            FROM pu, ref
+        )
+        SELECT CAST(CASE WHEN r_days <= 0 THEN 0
+                         WHEN r_days <= 1 THEN 1
+                         WHEN r_days <= 7 THEN 2
+                         WHEN r_days <= 30 THEN 3
+                         ELSE 4 END AS BIGINT) AS r_bucket,
+               CAST(LENGTH(BIN(n_events)) - 1 AS BIGINT) AS f_bucket,
+               CAST(LENGTH(BIN(vm)) - 1 AS BIGINT) AS m_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(n_events) AS BIGINT) AS sum_events,
+               CAST(SUM(vm) AS BIGINT) AS sum_value_milli
+        FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """
+
+
+def _stickiness_sql(period_days: int = 7) -> str:
+    """q232 oracle: distinct (day, user) grain, period = day // N
+    (non-negative epochs, // == DIV), grid rollups + grid join."""
+    return f"""
+        WITH t2 AS MATERIALIZED (
+            SELECT DISTINCT
+                   (EPOCH_US(ts) // 86400000000) // {int(period_days)}
+                       AS period,
+                   EPOCH_US(ts) // 86400000000 AS day,
+                   user_id AS u
+            FROM events
+        ), daily AS (
+            SELECT period, day, CAST(COUNT(*) AS BIGINT) AS dau
+            FROM t2 GROUP BY 1, 2
+        ), pp AS (
+            SELECT period, CAST(COUNT(*) AS BIGINT) AS n_active_days,
+                   CAST(SUM(dau) AS BIGINT) AS sum_dau
+            FROM daily GROUP BY 1
+        ), pau AS (
+            SELECT period, CAST(COUNT(DISTINCT u) AS BIGINT) AS pau
+            FROM t2 GROUP BY 1
+        )
+        SELECT CAST(pp.period AS BIGINT) AS period, n_active_days,
+               sum_dau, pau.pau AS pau,
+               CAST((sum_dau * 1000000)
+                    // GREATEST(n_active_days * pau.pau, 1) AS BIGINT)
+                   AS stickiness_micro
+        FROM pp JOIN pau ON pp.period = pau.period
+        ORDER BY period
+    """
+
+
+def _rank_concordance_sql(
+    x_width: int = 32, y_width: int = 8, n_buckets: int = 16
+) -> str:
+    """q233 oracle: 16x16 dense grid (UNNEST(RANGE) cross join), 2-D
+    cumulative sums via two grid windows, three shifted grid joins —
+    concordant/discordant counts with zero pair enumeration; the q02
+    token-count expression is the shared y metric."""
+    B = int(n_buckets)
+    ntoks = (
+        f"LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(COALESCE(text,'')),"
+        f" '{WS}+'), x -> x <> ''))"
+    )
+    return f"""
+        WITH base AS (
+            SELECT LEAST(CAST(n_chars AS BIGINT) // {int(x_width)},
+                         CAST({B - 1} AS BIGINT)) AS b1,
+                   LEAST(CAST({ntoks} AS BIGINT) // {int(y_width)},
+                         CAST({B - 1} AS BIGINT)) AS b2
+            FROM documents WHERE n_chars >= 0
+        ), sparse AS (
+            SELECT b1, b2, CAST(COUNT(*) AS BIGINT) AS n
+            FROM base WHERE b1 >= 0 AND b2 >= 0 GROUP BY 1, 2
+        ), dense AS MATERIALIZED (
+            SELECT CAST(g1.i AS BIGINT) AS b1, CAST(g2.i AS BIGINT) AS b2,
+                   CAST(COALESCE(sparse.n, 0) AS BIGINT) AS n
+            FROM (SELECT UNNEST(RANGE(0, {B})) AS i) g1
+            CROSS JOIN (SELECT UNNEST(RANGE(0, {B})) AS i) g2
+            LEFT JOIN sparse ON sparse.b1 = g1.i AND sparse.b2 = g2.i
+        ), rowcum AS (
+            SELECT b1, b2, n,
+                   CAST(SUM(n) OVER (PARTITION BY b1 ORDER BY b2)
+                        AS BIGINT) AS cy
+            FROM dense
+        ), t AS MATERIALIZED (
+            SELECT b1, b2, n,
+                   CAST(SUM(cy) OVER (PARTITION BY b2 ORDER BY b1)
+                        AS BIGINT) AS tv
+            FROM rowcum
+        ), cells AS (
+            SELECT c.n AS n,
+                   CAST(COALESCE(tll.tv, 0) AS BIGINT) AS ll,
+                   CAST(COALESCE(tl.tv, 0) AS BIGINT) AS l,
+                   CAST(COALESCE(tul.tv, 0) AS BIGINT) AS ul
+            FROM t c
+            LEFT JOIN t tll ON tll.b1 = c.b1 - 1 AND tll.b2 = c.b2 - 1
+            LEFT JOIN t tl ON tl.b1 = c.b1 - 1 AND tl.b2 = c.b2
+            LEFT JOIN t tul ON tul.b1 = c.b1 - 1 AND tul.b2 = {B - 1}
+            WHERE c.n > 0
+        ), agg AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+                   CAST(SUM(n * ll) AS BIGINT) AS concordant,
+                   CAST(SUM(n * (ul - l)) AS BIGINT) AS discordant
+            FROM cells
+        )
+        SELECT n_rows, concordant, discordant,
+               CAST((concordant * 1000000)
+                    // GREATEST(concordant + discordant, 1) AS BIGINT)
+                   AS concordance_micro
+        FROM agg
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     ink = f"LENGTH(REGEXP_REPLACE(COALESCE(text,''), '{WS}', '', 'g'))"
     ntoks = (
@@ -13093,6 +13311,10 @@ def oracle_sql() -> dict[str, str]:
         "q227_cocitation": _cocitation_sql(),
         "q228_vocab_coverage": _vocab_coverage_sql(),
         "q229_burstiness": _burstiness_sql(),
+        "q230_gini": _gini_sql(),
+        "q231_rfm_segments": _rfm_sql(),
+        "q232_stickiness": _stickiness_sql(),
+        "q233_rank_concordance": _rank_concordance_sql(),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

@@ -447,6 +447,10 @@ def main() -> None:
         "q227_cocitation",
         "q228_vocab_coverage",
         "q229_burstiness",
+        "q230_gini",
+        "q231_rfm_segments",
+        "q232_stickiness",
+        "q233_rank_concordance",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

@@ -470,3 +470,133 @@ def quantile_harmonize(
         )
         .orderBy(group_col, "bucket")
     )
+
+
+def rank_concordance(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    x_width: int = 32,
+    y_width: int = 8,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Bucketed rank concordance (Goodman-Kruskal-style) between two
+    non-negative integer document metrics — does metric X order the
+    corpus the same way metric Y does?  The monotone-association audit
+    that validates a cheap proxy score against an expensive one before
+    the proxy drives curation.
+
+    Pairs are NEVER enumerated: both metrics bucket onto a fixed
+    <= n_buckets grid (``LEAST(v DIV width, B-1)``, deterministic,
+    corpus-independent), and concordant/discordant pair counts fall out
+    of the 2-D cumulative grid — for a cell (i,j) holding n rows,
+    ``concordant += n * T(i-1, j-1)`` and ``discordant += n *
+    (T(i-1, B-1) - T(i-1, j))`` where T is the inclusive 2-D cumsum.
+    Pairs tied in either bucket are excluded (tau-b style), which is
+    exactly what bucketing makes well-defined; the statistic is the
+    EXACT concordance of the bucketed metrics on both engines.
+
+    ``concordance_micro = P * 10^6 DIV (P + Q)`` is non-negative by
+    construction.  Overflow cap (q202/q203 class): P <= n^2/2, and the
+    10^6 scale needs P+Q <= 9.2e12 — i.e. n <= ~4e6 rows; past that,
+    pre-divide P and Q by a shared power of two before the ratio (same
+    rule on both engines, ranking-preserving).
+
+    Scale shape: ONE hash aggregate to the sparse grid (map-side
+    combined; the only corpus-sized exchange), densified against the
+    B^2 literal grid, two GRID windows for the 2-D cumsum, three
+    broadcast grid self-joins for the shifted lookups, 1-row output.
+
+    Output: one row (n_rows, concordant, discordant,
+    concordance_micro).
+    """
+    B = int(n_buckets)
+    base = df.select(
+        F.least(
+            F.expr(f"CAST({x_col} AS LONG) DIV {int(x_width)}L"),
+            F.lit(B - 1).cast("long"),
+        ).alias("bx"),
+        F.least(
+            F.expr(f"CAST({y_col} AS LONG) DIV {int(y_width)}L"),
+            F.lit(B - 1).cast("long"),
+        ).alias("by"),
+    ).where((F.col("bx") >= 0) & (F.col("by") >= 0))
+    sparse = base.groupBy("bx", "by").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    dense = (
+        df.sparkSession.range(1)
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("bx")
+        )
+        .select(
+            F.col("bx").cast("long").alias("bx"),
+            F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("by_i"),
+        )
+        .select("bx", F.col("by_i").cast("long").alias("by"))
+        .join(sparse, ["bx", "by"], "left")
+        .select(
+            "bx",
+            "by",
+            F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n"),
+        )
+    )
+    wy = (
+        Window.partitionBy("bx")
+        .orderBy("by")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rowcum = dense.select(
+        "bx", "by", "n", F.sum("n").over(wy).cast("long").alias("cy")
+    )
+    wx = (
+        Window.partitionBy("by")
+        .orderBy("bx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = rowcum.select(
+        "bx", "by", "n", F.sum("cy").over(wx).cast("long").alias("t")
+    )
+    tll = t.select(
+        (F.col("bx") + 1).alias("bx"),
+        (F.col("by") + 1).alias("by"),
+        F.col("t").alias("t_ll"),
+    )
+    tl = t.select(
+        (F.col("bx") + 1).alias("bx"),
+        F.col("by").alias("by"),
+        F.col("t").alias("t_l"),
+    )
+    tul = t.where(F.col("by") == B - 1).select(
+        (F.col("bx") + 1).alias("bx"), F.col("t").alias("t_ul")
+    )
+    cells = (
+        t.where(F.col("n") > 0)
+        .join(F.broadcast(tll), ["bx", "by"], "left")
+        .join(F.broadcast(tl), ["bx", "by"], "left")
+        .join(F.broadcast(tul), ["bx"], "left")
+        .select(
+            "n",
+            F.coalesce(F.col("t_ll"), F.lit(0).cast("long")).alias("ll"),
+            F.coalesce(F.col("t_l"), F.lit(0).cast("long")).alias("l"),
+            F.coalesce(F.col("t_ul"), F.lit(0).cast("long")).alias("ul"),
+        )
+    )
+    agg = cells.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.sum(F.col("n") * F.col("ll")).cast("long").alias("concordant"),
+        F.sum(F.col("n") * (F.col("ul") - F.col("l")))
+        .cast("long")
+        .alias("discordant"),
+    )
+    return agg.select(
+        "n_rows",
+        "concordant",
+        "discordant",
+        F.expr(
+            "(concordant * 1000000L)"
+            " DIV greatest(concordant + discordant, 1L)"
+        )
+        .cast("long")
+        .alias("concordance_micro"),
+    )

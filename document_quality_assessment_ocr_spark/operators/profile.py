@@ -1001,3 +1001,84 @@ def year_coverage(
         )
         .orderBy(group_col, "year")
     )
+
+
+def gini_by_group(
+    df: DataFrame,
+    value_col: str = "n_chars",
+    group_col: str = "source",
+) -> DataFrame:
+    """Gini concentration coefficient of a non-negative integer mass per
+    group — the inequality lens on a corpus (is one source's token mass
+    dominated by a handful of mega-documents?) that complements the HHI
+    share view (q211) and the Pareto frontier (q224).
+
+    INTEGER-exact via the VALUE-GRID rank trick: documents never get
+    individual ranks.  Aggregate to the (group, value) grid first; a
+    value cell with count ``c`` whose predecessors hold ``off`` rows
+    contributes the consecutive ranks off+1..off+c, whose sum is
+    ``c*off + c*(c+1)/2`` (always even product — exact DIV 2 on both
+    engines).  Then ``gini_micro = (2*S1 - (n+1)*S0) * 10^6 DIV
+    (n*S0)`` with S1 = sum(value*ranksum), S0 = sum(value*c) — the
+    ascending-rank numerator is non-negative by the rearrangement
+    inequality, keeping the DIV-vs-floor invariant.
+
+    Overflow cap (q215/q202 class): S1 <= n^2 * vmax, and the surfaced
+    product S1*2 plus the 10^6 scale needs n^2*vmax <= ~4.6e12 — with
+    vmax ~ 1e6 chars that is n <= ~2e3 docs per group... so the micro
+    scale is applied AFTER the division algebra: numerator
+    (2*S1 - (n+1)*S0) <= n*S0 <= n^2*vmax, times 10^6 caps the per-group
+    corpus at n*sqrt(vmax) ~ 9.2e12/1e6 => n^2*vmax <= 9.2e12, i.e.
+    n <= 3e3 at vmax=1e6 or n <= 3e5 at vmax=1e2.  Past that, pre-scale
+    values (value DIV 2^k) — Gini is scale-invariant, the bucketed
+    statistic is the documented estimator (same rule both engines).
+
+    Scale shape: ONE hash aggregate to the (group, value) grid
+    (map-side combined), ONE grid-partitioned cumulative window
+    (value-domain-bounded, never the corpus), ONE rollup to groups.
+
+    Output: (group, n_docs, total_mass, gini_micro) ordered by group.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.coalesce(F.col(group_col).cast("string"), F.lit("")).alias("g"),
+        F.col(value_col).cast("long").alias("v"),
+    ).where(F.col("v") >= 0)
+    grid = base.groupBy("g", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    woff = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cells = grid.select(
+        "g",
+        "v",
+        "c",
+        (F.sum("c").over(woff) - F.col("c")).cast("long").alias("off"),
+    ).select(
+        "g",
+        "v",
+        "c",
+        F.expr("c * off + (c * (c + 1L)) DIV 2L").cast("long").alias(
+            "ranksum"
+        ),
+    )
+    agg = cells.groupBy("g").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.sum(F.col("v") * F.col("c")).cast("long").alias("total_mass"),
+        F.sum(F.col("v") * F.col("ranksum")).cast("long").alias("s1"),
+    )
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n_docs",
+        "total_mass",
+        F.expr(
+            "((2L * s1 - (n_docs + 1L) * total_mass) * 1000000L)"
+            " DIV greatest(n_docs * total_mass, 1L)"
+        )
+        .cast("long")
+        .alias("gini_micro"),
+    ).orderBy(group_col)

@@ -471,3 +471,149 @@ def transition_matrix2(
         )
         .orderBy("prev2_type", "prev_type", "next_type")
     )
+
+
+def rfm_segments(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation grid over an
+    event stream — the standard behavioral cut an activity-weighted
+    sampling policy starts from (which user segments produce the
+    high-value interaction logs worth keeping?).
+
+    Bucket rules are FIXED (deterministic, corpus-independent — never
+    per-corpus quantiles, which would need a corpus-sized rank window):
+    recency buckets the day gap to the corpus max event time at
+    0/1/7/30-day edges; frequency is floor-log2 of the event count (the
+    shared LENGTH(BIN(n))-1 idiom); monetary is floor-log2 of the
+    accumulated MILLI-value (per-event ``CAST(value*1000 AS LONG)`` —
+    truncation toward zero, the q168 portable float->int path; sums of
+    longs are exact and order-free).
+
+    Scale shape: ONE hash aggregate to users (map-side combined), the
+    1-row corpus max broadcast back (never a corpus window), ONE rollup
+    to the <= 5x64x64 segment grid.
+
+    Output: (r_bucket, f_bucket, m_bucket, n_users, sum_events,
+    sum_value_milli) ordered by the three buckets.
+    """
+    tus = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    per_user = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.max(tus).cast("long").alias("last_us"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(
+            (
+                F.col(value_col).cast("double")
+                * F.lit(1000).cast("double")
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("value_milli"),
+    )
+    ref = per_user.agg(F.max("last_us").cast("long").alias("ref_us"))
+    day_us = 86_400_000_000
+    seg = (
+        per_user.crossJoin(F.broadcast(ref))
+        .select(
+            F.expr(f"(ref_us - last_us) DIV {day_us}L")
+            .cast("long")
+            .alias("r_days"),
+            "n_events",
+            F.greatest(F.col("value_milli"), F.lit(0).cast("long")).alias(
+                "vm"
+            ),
+        )
+        .select(
+            F.when(F.col("r_days") <= 0, F.lit(0))
+            .when(F.col("r_days") <= 1, F.lit(1))
+            .when(F.col("r_days") <= 7, F.lit(2))
+            .when(F.col("r_days") <= 30, F.lit(3))
+            .otherwise(F.lit(4))
+            .cast("long")
+            .alias("r_bucket"),
+            (F.length(F.bin(F.col("n_events"))) - 1)
+            .cast("long")
+            .alias("f_bucket"),
+            (F.length(F.bin(F.col("vm"))) - 1).cast("long").alias("m_bucket"),
+            "n_events",
+            "vm",
+        )
+    )
+    return (
+        seg.groupBy("r_bucket", "f_bucket", "m_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("n_events").cast("long").alias("sum_events"),
+            F.sum("vm").cast("long").alias("sum_value_milli"),
+        )
+        .orderBy("r_bucket", "f_bucket", "m_bucket")
+    )
+
+
+def stickiness(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 30,
+) -> DataFrame:
+    """DAU/MAU stickiness per period — the engagement-depth ratio
+    (average daily actives over period actives) that separates a corpus
+    of habitual users from drive-by traffic before activity-weighted
+    sampling trusts per-user signals.
+
+    INTEGER-exact: ``day = epoch_us DIV day_us`` and ``period = day DIV
+    period_days`` (non-negative epochs, DIV == //); ``stickiness_micro
+    = sum_dau * 10^6 DIV (n_active_days * pau)`` where sum_dau counts
+    distinct (day, user) pairs in the period — so the ratio is the
+    exact mean DAU over ACTIVE days against period actives.
+
+    Scale shape: ONE distinct aggregate to the (period, day, user)
+    grain (the only corpus-sized exchange), then two grid rollups from
+    it — per-(period,day) counts and per-period distinct users — joined
+    on the tiny period grid (broadcast).
+
+    Output: (period, n_active_days, sum_dau, pau, stickiness_micro)
+    ordered by period.
+    """
+    day_us = 86_400_000_000
+    triple = events.select(
+        F.expr(
+            f"unix_micros(CAST({ts_col} AS TIMESTAMP)) DIV {day_us}L"
+        )
+        .cast("long")
+        .alias("day"),
+        F.col(user_col).alias("u"),
+    ).distinct()
+    triple = triple.select(
+        F.expr(f"day DIV {int(period_days)}L").cast("long").alias("period"),
+        "day",
+        "u",
+    )
+    daily = triple.groupBy("period", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    per_period = daily.groupBy("period").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active_days"),
+        F.sum("dau").cast("long").alias("sum_dau"),
+    )
+    pau = triple.groupBy("period").agg(
+        F.count_distinct(F.col("u")).cast("long").alias("pau")
+    )
+    return (
+        per_period.join(F.broadcast(pau), "period")
+        .select(
+            "period",
+            "n_active_days",
+            "sum_dau",
+            "pau",
+            F.expr(
+                "(sum_dau * 1000000L) DIV greatest(n_active_days * pau, 1L)"
+            )
+            .cast("long")
+            .alias("stickiness_micro"),
+        )
+        .orderBy("period")
+    )

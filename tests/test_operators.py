@@ -1450,3 +1450,100 @@ def test_term_burstiness(spark):
         (2, "b", 2, 2, 1000000),
         (3, "c", 2, 1, 2000000),
     ]
+
+
+def test_gini_by_group(spark):
+    """Hand-computed Gini: [10,10,20,40] -> 0.3125; equal masses -> 0."""
+    from document_quality_assessment_ocr_spark.operators.profile import (
+        gini_by_group,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s", 10),
+            (2, "s", 10),
+            (3, "s", 20),
+            (4, "s", 40),
+            (5, "t", 5),
+            (6, "t", 5),
+        ],
+        "doc_id long, source string, n_chars long",
+    )
+    out = {r["source"]: r for r in gini_by_group(docs).collect()}
+    # s: S1 = 10*1+10*2+20*3+40*4 = 250, S0 = 80, n = 4
+    #    gini = (500 - 400) / 320 = 0.3125
+    assert out["s"]["n_docs"] == 4 and out["s"]["total_mass"] == 80
+    assert out["s"]["gini_micro"] == 312500
+    assert out["t"]["gini_micro"] == 0
+
+
+def test_rfm_segments(spark):
+    """Fixed-edge buckets: u2 owns the corpus max (r=0); u1 trails by
+    10 days (r-bucket 3); milli-values truncate per event."""
+    import datetime as dt
+
+    from document_quality_assessment_ocr_spark.operators.sessions import (
+        rfm_segments,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 101, t0, "view", 1.5),
+        (2, 101, t0 + dt.timedelta(hours=1), "view", 1.5),
+        (3, 102, t0 + dt.timedelta(days=10), "buy", 0.5),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    out = {
+        (r["r_bucket"], r["f_bucket"], r["m_bucket"]): r
+        for r in rfm_segments(ev).collect()
+    }
+    # u1: r_days=10 -> bucket 3; f = log2floor(2) = 1; m = log2floor(3000) = 11
+    # u2: r_days=0 -> bucket 0; f = 0; m = log2floor(500) = 8
+    assert out[(3, 1, 11)]["n_users"] == 1
+    assert out[(3, 1, 11)]["sum_value_milli"] == 3000
+    assert out[(0, 0, 8)]["n_users"] == 1
+    assert out[(0, 0, 8)]["sum_events"] == 1
+
+
+def test_stickiness(spark):
+    """u1 active 2 days, u2 one day, one 7-day period: DAU sum 3 over
+    2 active days x 2 actives -> 750000 micro."""
+    import datetime as dt
+
+    from document_quality_assessment_ocr_spark.operators.sessions import (
+        stickiness,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, t0, "a", 0.0),
+        (2, 2, t0 + dt.timedelta(hours=2), "a", 0.0),
+        (3, 1, t0 + dt.timedelta(days=1), "a", 0.0),
+        (4, 1, t0 + dt.timedelta(days=1, hours=3), "a", 0.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    out = stickiness(ev, period_days=7).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_active_days"] == 2 and r["sum_dau"] == 3 and r["pau"] == 2
+    assert r["stickiness_micro"] == 750000
+
+
+def test_rank_concordance(spark):
+    """3 concordant rows + 1 that's discordant with two and y-tied with
+    one: P=3, Q=2, ties excluded -> 600000 micro."""
+    from document_quality_assessment_ocr_spark.operators.experiment import (
+        rank_concordance,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 1), (2, 2), (3, 0)], "x long, y long"
+    )
+    r = rank_concordance(df, "x", "y", x_width=1, y_width=1, n_buckets=16).collect()[0]
+    assert r["n_rows"] == 4
+    assert r["concordant"] == 3 and r["discordant"] == 2
+    assert r["concordance_micro"] == 600000
