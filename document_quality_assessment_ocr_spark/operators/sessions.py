@@ -25,9 +25,16 @@ def sessionize(
     ts_col: str = "ts",
     id_col: str = "event_id",
     value_col: str = "value",
+    milli_values: bool = False,
 ) -> DataFrame:
     """Events → one row per (user, session): a new session starts when the
-    gap to the previous event exceeds ``gap_seconds``."""
+    gap to the previous event exceeds ``gap_seconds``.
+
+    ``milli_values=True`` swaps the float ``sum_value`` for an
+    order-free BIGINT ``value_milli`` (per-event ``CAST(value*1000 AS
+    LONG)`` truncation, the q168 portable path) — the surface the
+    streaming twin's incremental merges can hit EXACTLY (float session
+    sums re-associate across batch boundaries; integer sums don't)."""
     gap_us = int(gap_seconds) * 1_000_000
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
     # parquet naive timestamps arrive as TIMESTAMP_NTZ; the session runs UTC
@@ -37,6 +44,16 @@ def sessionize(
     prev = F.lag(tus).over(w)
     new_s = F.when(prev.isNull() | ((tus - prev) > F.lit(gap_us)), 1).otherwise(0)
     sid = F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val_agg = (
+        F.sum(
+            (F.col("value").cast("double") * F.lit(1000).cast("double"))
+            .cast("long")
+        )
+        .cast("long")
+        .alias("value_milli")
+        if milli_values
+        else F.round(F.sum("value"), 6).alias("sum_value")
+    )
     return (
         events.select(
             F.col(user_col).cast("long").alias("user_id"),
@@ -49,7 +66,7 @@ def sessionize(
             F.min("tus").alias("session_start_us"),
             F.max("tus").alias("session_end_us"),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            val_agg,
         )
     )
 

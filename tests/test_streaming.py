@@ -731,3 +731,70 @@ def test_stream_retention_matches_batch(spark, tmp_path):
         (p0 + 2, 0, 1, 1, 1000000),
     ]
     assert sorted(os.listdir(state_dir)) == ["v1", "v2"]
+
+
+def test_stream_sessions_matches_batch(spark, tmp_path):
+    """Tenth incremental twin: after two micro-batches the closed ∪ open
+    session state equals batch sessionize(milli_values=True) over the
+    union ROW-FOR-ROW — boundary-spanning session (u1), boundary-closed
+    session (u2), and a batch-2-only user (u3) all covered. Per-user
+    monotone (ts, event_id) arrival is the documented contract."""
+    import os
+    import time
+    from datetime import datetime, timedelta
+
+    from document_quality_assessment_ocr_spark.operators.sessions import (
+        sessionize,
+    )
+    from document_quality_assessment_ocr_spark.streaming.sessions import (
+        read_sessions,
+        stream_sessions,
+    )
+
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+
+    def ev(eid, uid, sec, val):
+        return (eid, uid, "E", t0 + timedelta(seconds=sec), val)
+
+    # gap 10 s. u1: (0,5 | 12, 30) -> sessions {0..12}, {30}
+    #           u2: (0 | 50)       -> {0}, {50}
+    #           u3: (- | 60, 62)   -> {60, 62}
+    b1 = [ev(1, 1, 0, 1.251), ev(2, 1, 5, 2.5), ev(3, 2, 0, 0.75)]
+    b2 = [
+        ev(4, 1, 12, 4.0),
+        ev(5, 1, 30, 1.0),
+        ev(6, 2, 50, 3.125),
+        ev(7, 3, 60, 0.5),
+        ev(8, 3, 62, 0.25),
+    ]
+    in_dir = str(tmp_path / "sin")
+    os.makedirs(in_dir)
+    schema = (
+        "event_id long, user_id long, event_type string, ts timestamp, "
+        "value double"
+    )
+    for i, rows in enumerate((b1, b2)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(in_dir, f"drop-{i}")
+        )
+        time.sleep(1.1)
+
+    state_dir = str(tmp_path / "sstate")
+    stream_sessions(
+        spark, in_dir + "/*", str(tmp_path / "sckpt"), state_dir,
+        gap_seconds=10,
+    )
+    cols = [
+        "user_id", "session_idx", "session_start_us", "session_end_us",
+        "n_events", "value_milli",
+    ]
+    got = [tuple(r[c] for c in cols) for r in read_sessions(spark, state_dir).collect()]
+    allev = spark.createDataFrame(b1 + b2, schema)
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in sessionize(allev, gap_seconds=10, milli_values=True).collect()
+    )
+    assert got == want
+    # boundary-spanning session: u1 session 1 spans 0..12 s, 3 events
+    u1s1 = [g for g in got if g[0] == 1 and g[1] == 1][0]
+    assert u1s1[4] == 3 and u1s1[5] == 1251 + 2500 + 4000
