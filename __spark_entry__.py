@@ -9683,6 +9683,50 @@ def _q_rank_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_filter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-gate rejection attribution (any/first/unique fail per
+    gate): shared GOPHER_GATES predicate strings on both engines, one
+    single-row aggregate, 7-row panel."""
+    from document_quality_assessment_ocr_spark.operators.quality import (
+        filter_attribution,
+    )
+
+    return filter_attribution(_doc(spark, sf_dir))
+
+
+def _q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-degree assortativity over a synthesized host edge per doc
+    (da1/da2 md5-mod picks, 32->8 host universes): degree joins + the
+    shared concordance grid core."""
+    from document_quality_assessment_ocr_spark.operators.augment import _md5_mod
+    from document_quality_assessment_ocr_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    d = _doc(spark, sf_dir)
+    edges = d.select(
+        F.concat(
+            F.lit("h"),
+            _md5_mod(F.col("doc_id"), "da1", F.lit(32)).cast("string"),
+        ).alias("src"),
+        F.concat(
+            F.lit("h"),
+            _md5_mod(F.col("doc_id"), "da2", F.lit(8)).cast("string"),
+        ).alias("dst"),
+    )
+    return degree_assortativity(edges)
+
+
+def _q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source winsorized mean of n_chars at p10/p90: grid-cumsum
+    order statistics, clamp-and-mean in BIGINT micro."""
+    from document_quality_assessment_ocr_spark.operators.profile import (
+        winsorized_mean,
+    )
+
+    return winsorized_mean(_doc(spark, sf_dir), "n_chars", "source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's CORRECTNESS gate checks
     the FIRST 50 entries in dict order.  Positions 1-50 therefore carry the
@@ -9935,6 +9979,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q231_rfm_segments": _q_rfm,
         "q232_stickiness": _q_stickiness,
         "q233_rank_concordance": _q_rank_concordance,
+        "q234_filter_attribution": _q_filter_attribution,
+        "q235_assortativity": _q_assortativity,
+        "q236_winsorized_mean": _q_winsorized_mean,
     }
 
 
@@ -12634,26 +12681,14 @@ def _stickiness_sql(period_days: int = 7) -> str:
     """
 
 
-def _rank_concordance_sql(
-    x_width: int = 32, y_width: int = 8, n_buckets: int = 16
-) -> str:
-    """q233 oracle: 16x16 dense grid (UNNEST(RANGE) cross join), 2-D
-    cumulative sums via two grid windows, three shifted grid joins —
-    concordant/discordant counts with zero pair enumeration; the q02
-    token-count expression is the shared y metric."""
+def _concordance_core_sql(base_cte: str, n_buckets: int = 16) -> str:
+    """Shared concordance tail (q233/q235): given a ``base`` CTE body
+    producing (b1, b2) bucket pairs, append the dense-grid 2-D cumsum +
+    shifted-join machinery — the engine twin is
+    operators/experiment.rank_concordance's post-bucketing stages."""
     B = int(n_buckets)
-    ntoks = (
-        f"LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(COALESCE(text,'')),"
-        f" '{WS}+'), x -> x <> ''))"
-    )
     return f"""
-        WITH base AS (
-            SELECT LEAST(CAST(n_chars AS BIGINT) // {int(x_width)},
-                         CAST({B - 1} AS BIGINT)) AS b1,
-                   LEAST(CAST({ntoks} AS BIGINT) // {int(y_width)},
-                         CAST({B - 1} AS BIGINT)) AS b2
-            FROM documents WHERE n_chars >= 0
-        ), sparse AS (
+        WITH base AS ({base_cte}), sparse AS (
             SELECT b1, b2, CAST(COUNT(*) AS BIGINT) AS n
             FROM base WHERE b1 >= 0 AND b2 >= 0 GROUP BY 1, 2
         ), dense AS MATERIALIZED (
@@ -12693,6 +12728,144 @@ def _rank_concordance_sql(
                     // GREATEST(concordant + discordant, 1) AS BIGINT)
                    AS concordance_micro
         FROM agg
+    """
+
+
+def _rank_concordance_sql(
+    x_width: int = 32, y_width: int = 8, n_buckets: int = 16
+) -> str:
+    """q233 oracle: the shared concordance core over the documents
+    (n_chars, q02-token-count) bucket pair."""
+    B = int(n_buckets)
+    ntoks = (
+        f"LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(COALESCE(text,'')),"
+        f" '{WS}+'), x -> x <> ''))"
+    )
+    base = f"""
+            SELECT LEAST(CAST(n_chars AS BIGINT) // {int(x_width)},
+                         CAST({B - 1} AS BIGINT)) AS b1,
+                   LEAST(CAST({ntoks} AS BIGINT) // {int(y_width)},
+                         CAST({B - 1} AS BIGINT)) AS b2
+            FROM documents WHERE n_chars >= 0
+    """
+    return _concordance_core_sql(base, B)
+
+
+def _assortativity_sql(n_hosts_src: int = 32, n_hosts_dst: int = 8) -> str:
+    """q235 oracle: da1/da2 md5-mod host picks (the q227 salt family)
+    synthesize one directed edge per doc; DISTINCT edges, out/in degree
+    joins, floor-log2 degree buckets (LENGTH(BIN(d))-1), then the
+    SHARED concordance core — log-degree assortativity with zero pair
+    enumeration."""
+    pick = (
+        "('h' || CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)"
+        " || '|{tag}'), 1, 15))::BIGINT % {m} AS VARCHAR))"
+    )
+    src = pick.format(tag="da1", m=int(n_hosts_src))
+    dst = pick.format(tag="da2", m=int(n_hosts_dst))
+    base = f"""
+            WITH e AS (
+                SELECT DISTINCT {src} AS s, {dst} AS d FROM documents
+            ), od AS (
+                SELECT s, CAST(COUNT(*) AS BIGINT) AS odeg
+                FROM e GROUP BY s
+            ), idg AS (
+                SELECT d, CAST(COUNT(*) AS BIGINT) AS ideg
+                FROM e GROUP BY d
+            )
+            SELECT CAST(LENGTH(BIN(od.odeg)) - 1 AS BIGINT) AS b1,
+                   CAST(LENGTH(BIN(idg.ideg)) - 1 AS BIGINT) AS b2
+            FROM e JOIN od ON e.s = od.s JOIN idg ON e.d = idg.d
+    """
+    return _concordance_core_sql(base, 16)
+
+
+def _winsorized_mean_sql(
+    lo_pct: int = 10, hi_pct: int = 90, src: str = "documents"
+) -> str:
+    """q236 oracle: (source, value) grid + grid cumsum, integer
+    percentile ranks r = (n*p + 99) // 100, min-value-at-rank
+    thresholds, clamp-and-mean in BIGINT micro."""
+    return f"""
+        WITH base AS (
+            SELECT COALESCE(CAST(source AS VARCHAR), '') AS g,
+                   CAST(n_chars AS BIGINT) AS v
+            FROM {src} WHERE n_chars >= 0
+        ), grid AS (
+            SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c
+            FROM base GROUP BY 1, 2
+        ), cum AS MATERIALIZED (
+            SELECT g, v, c,
+                   CAST(SUM(c) OVER (PARTITION BY g ORDER BY v)
+                        AS BIGINT) AS cum_c,
+                   CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS n
+            FROM grid
+        ), thr AS (
+            SELECT g,
+                   CAST(MIN(CASE WHEN cum_c >= (n * {int(lo_pct)} + 99) // 100
+                                 THEN v END) AS BIGINT) AS lo,
+                   CAST(MIN(CASE WHEN cum_c >= (n * {int(hi_pct)} + 99) // 100
+                                 THEN v END) AS BIGINT) AS hi
+            FROM cum GROUP BY g
+        )
+        SELECT cum.g AS source,
+               CAST(MAX(cum.n) AS BIGINT) AS n_docs,
+               CAST(MAX(thr.lo) AS BIGINT) AS lo,
+               CAST(MAX(thr.hi) AS BIGINT) AS hi,
+               CAST(SUM(LEAST(GREATEST(cum.v, thr.lo), thr.hi) * cum.c)
+                    AS BIGINT) AS winsorized_mass,
+               CAST((SUM(LEAST(GREATEST(cum.v, thr.lo), thr.hi) * cum.c)
+                     * 1000000) // GREATEST(MAX(cum.n), 1) AS BIGINT)
+                   AS winsorized_mean_micro
+        FROM cum JOIN thr ON cum.g = thr.g
+        GROUP BY cum.g
+        ORDER BY source
+    """
+
+
+def _filter_attribution_sql() -> str:
+    """q234 oracle: the q89 gopher filter as a MATERIALIZED CTE, the
+    SHARED quality.GOPHER_GATES predicate strings (they parse in both
+    engines — the morton16 string-is-the-twin class) re-evaluated over
+    its surfaced metrics, one wide aggregate, UNION ALL gate panel."""
+    from document_quality_assessment_ocr_spark.operators.quality import (
+        GOPHER_GATES,
+    )
+
+    n = len(GOPHER_GATES)
+    fcols = ",\n                   ".join(
+        f"CAST({pred} AS INT) AS f{i}"
+        for i, (_, pred) in enumerate(GOPHER_GATES)
+    )
+    nf = " + ".join(f"f{i}" for i in range(n))
+    counters = ",\n                   ".join(
+        f"CAST(SUM(f{i}) AS BIGINT) AS fail{i},\n                   "
+        f"CAST(SUM(CASE WHEN reason = '{name}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS first{i},\n                   "
+        f"CAST(SUM(CASE WHEN f{i} = 1 AND {nf} = 1 THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS uniq{i}"
+        for i, (name, _) in enumerate(GOPHER_GATES)
+    )
+    panel = "\n        UNION ALL ".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS pos, '{name}' AS gate,"
+        f" fail{i} AS n_fail, first{i} AS n_first_fail,"
+        f" uniq{i} AS n_unique_fail, n_docs, n_rejected FROM w"
+        for i, (name, _) in enumerate(GOPHER_GATES)
+    )
+    return f"""
+        WITH g AS MATERIALIZED ({_gopher_filter_sql()}),
+        per AS (
+            SELECT {fcols},
+                   reason
+            FROM g
+        ), w AS MATERIALIZED (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN {nf} > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_rejected,
+                   {counters}
+            FROM per
+        )
+        SELECT * FROM ({panel}) ORDER BY pos
     """
 
 
@@ -13315,6 +13488,9 @@ def oracle_sql() -> dict[str, str]:
         "q231_rfm_segments": _rfm_sql(),
         "q232_stickiness": _stickiness_sql(),
         "q233_rank_concordance": _rank_concordance_sql(),
+        "q234_filter_attribution": _filter_attribution_sql(),
+        "q235_assortativity": _assortativity_sql(),
+        "q236_winsorized_mean": _winsorized_mean_sql(),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

@@ -451,6 +451,9 @@ def main() -> None:
         "q231_rfm_segments",
         "q232_stickiness",
         "q233_rank_concordance",
+        "q234_filter_attribution",
+        "q235_assortativity",
+        "q236_winsorized_mean",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

@@ -673,3 +673,49 @@ def cocitation_pairs(
         .where(F.col("n_docs") >= int(min_support))
         .orderBy(F.desc("n_docs"), "host_a", "host_b")
     )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Log-degree assortativity of a directed graph — do high-out-degree
+    hosts link to high-in-degree hosts?  The hub-structure audit that
+    tells a crawl scheduler whether the link graph is hub-and-spoke
+    (negative association) or core-periphery (positive) before it trusts
+    degree-based priors.
+
+    Computed as the bucketed rank concordance (shared
+    operators/experiment.rank_concordance machinery — zero pair
+    enumeration) between floor-log2(out-degree of src) and
+    floor-log2(in-degree of dst) across DISTINCT edges; log buckets
+    (the LENGTH(BIN(d))-1 idiom) because raw degrees are Zipf-spread.
+
+    Scale shape: one edge dedup aggregate, two degree aggregates
+    (host-domain-bounded — broadcast back onto edges), then the
+    concordance core's grid pipeline.  Nothing quadratic anywhere.
+
+    Output: one row (n_rows, concordant, discordant,
+    concordance_micro) — n_rows = |unique edges|.
+    """
+    from .experiment import rank_concordance
+
+    e = edges.select(
+        F.col(src_col).cast("string").alias("s"),
+        F.col(dst_col).cast("string").alias("d"),
+    ).distinct()
+    od = e.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("odeg"))
+    idg = e.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("ideg"))
+    j = (
+        e.join(F.broadcast(od), "s")
+        .join(F.broadcast(idg), "d")
+        .select(
+            (F.length(F.bin(F.col("odeg"))) - 1).cast("long").alias("lb_od"),
+            (F.length(F.bin(F.col("ideg"))) - 1).cast("long").alias("lb_id"),
+        )
+    )
+    return rank_concordance(
+        j, "lb_od", "lb_id", x_width=1, y_width=1, n_buckets=n_buckets
+    )

@@ -1082,3 +1082,106 @@ def gini_by_group(
         .cast("long")
         .alias("gini_micro"),
     ).orderBy(group_col)
+
+
+def winsorized_mean(
+    df: DataFrame,
+    value_col: str = "n_chars",
+    group_col: str = "source",
+    lo_pct: int = 10,
+    hi_pct: int = 90,
+) -> DataFrame:
+    """Winsorized mean of a non-negative integer metric per group — the
+    outlier-robust center that complements the MAD outlier flags (q223):
+    clamp every value into the [p_lo, p_hi] band before averaging, so a
+    handful of mega-documents can't drag a source's length profile.
+
+    INTEGER-exact: thresholds come off the (group, value) grid cumsum —
+    the percentile rank is ``r = (n*p + 99) // 100`` (ceil of n*p/100,
+    non-negative) and the threshold is the smallest value whose
+    cumulative count reaches r (a deterministic, engine-portable
+    order statistic); the clamped mean is ``sum(clamp(v)·c) * 10^6 DIV
+    n``.  Same overflow class as the Gini op: n·vmax·10^6 within BIGINT.
+
+    Scale shape: ONE hash aggregate to the (group, value) grid, ONE
+    grid-partitioned cumulative window, a |groups|-row threshold
+    aggregate broadcast back onto the grid, ONE rollup.  Documents
+    never shuffle past the grid.
+
+    Output: (group, n_docs, lo, hi, winsorized_mass,
+    winsorized_mean_micro) ordered by group.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.coalesce(F.col(group_col).cast("string"), F.lit("")).alias("g"),
+        F.col(value_col).cast("long").alias("v"),
+    ).where(F.col("v") >= 0)
+    grid = base.groupBy("g", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wcum = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("g")
+    cum = grid.select(
+        "g",
+        "v",
+        "c",
+        F.sum("c").over(wcum).cast("long").alias("cum_c"),
+        F.sum("c").over(wtot).cast("long").alias("n"),
+    )
+    thr = cum.groupBy("g").agg(
+        F.min(
+            F.when(
+                F.col("cum_c")
+                >= F.expr(f"(n * {int(lo_pct)}L + 99L) DIV 100L"),
+                F.col("v"),
+            )
+        )
+        .cast("long")
+        .alias("lo"),
+        F.min(
+            F.when(
+                F.col("cum_c")
+                >= F.expr(f"(n * {int(hi_pct)}L + 99L) DIV 100L"),
+                F.col("v"),
+            )
+        )
+        .cast("long")
+        .alias("hi"),
+    )
+    clamped = cum.join(F.broadcast(thr), "g").select(
+        "g",
+        "n",
+        (
+            F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi"))
+            * F.col("c")
+        ).alias("wm"),
+        "lo",
+        "hi",
+    )
+    return (
+        clamped.groupBy("g")
+        .agg(
+            F.max("n").cast("long").alias("n_docs"),
+            F.max("lo").cast("long").alias("lo"),
+            F.max("hi").cast("long").alias("hi"),
+            F.sum("wm").cast("long").alias("winsorized_mass"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n_docs",
+            "lo",
+            "hi",
+            "winsorized_mass",
+            F.expr(
+                "(winsorized_mass * 1000000L) DIV greatest(n_docs, 1L)"
+            )
+            .cast("long")
+            .alias("winsorized_mean_micro"),
+        )
+        .orderBy(group_col)
+    )

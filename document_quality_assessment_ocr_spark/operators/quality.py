@@ -670,3 +670,105 @@ def compression_profile(
         .cast("long")
         .alias("ratio_micro"),
     ).orderBy("doc_id")
+
+
+# Ordered (gate, predicate) pairs over gopher_quality_filter's SURFACED
+# metric columns. The predicate strings parse identically in Spark SQL
+# (F.expr) and DuckDB (the layout.morton16_sql "string IS the twin"
+# technique) — float constants ride repr() exactly like the q89 oracle
+# builder, so gate semantics can never drift between engines. Order
+# matches the filter's first-wins reason chain.
+GOPHER_GATES: list[tuple[str, str]] = [
+    (
+        "word_count",
+        f"n_words < {GOPHER_MIN_WORDS} OR n_words > {GOPHER_MAX_WORDS}",
+    ),
+    (
+        "mean_word_length",
+        f"mean_word_len < {GOPHER_MIN_MEAN_WORD_LEN!r}"
+        f" OR mean_word_len > {GOPHER_MAX_MEAN_WORD_LEN!r}",
+    ),
+    (
+        "symbol_ratio",
+        f"symbol_word_ratio > {GOPHER_MAX_SYMBOL_WORD_RATIO!r}",
+    ),
+    ("bullet_lines", f"bullet_line_frac > {GOPHER_MAX_BULLET_LINE_FRAC!r}"),
+    (
+        "ellipsis_lines",
+        f"ellipsis_line_frac > {GOPHER_MAX_ELLIPSIS_LINE_FRAC!r}",
+    ),
+    ("alpha_words", f"alpha_word_frac < {GOPHER_MIN_ALPHA_WORD_FRAC!r}"),
+    ("stopwords", f"n_stop_hits < {GOPHER_MIN_STOP_HITS}"),
+]
+
+
+def filter_attribution(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-gate rejection attribution over the Gopher rule chain — the
+    filter-ablation audit every curation pipeline owner eventually asks
+    for: ``n_fail`` (docs failing the gate at all), ``n_first_fail``
+    (docs whose FIRST failing gate this is — the filter's reported
+    reason share), and ``n_unique_fail`` (docs failing ONLY this gate —
+    the marginal docs this gate alone removes; drop the gate and
+    exactly these come back).
+
+    first-fail counts reuse the filter's own ``reason`` column
+    (definitionally identical — no re-derivation drift); any-fail and
+    unique-fail evaluate the shared ``GOPHER_GATES`` predicate strings
+    over the filter's surfaced metric columns.
+
+    Scale shape: gopher_quality_filter's map-side projection + ONE
+    single-row aggregate (all 3x7 counters in one pass, map-side
+    combined), unpivoted to the 7-row gate panel driver-side-free (the
+    profile_table idiom). Nothing shuffles but the 1-row combine.
+
+    Output: (pos, gate, n_fail, n_first_fail, n_unique_fail, n_docs,
+    n_rejected) — one row per gate in chain order; the corpus totals
+    repeat on every row (panel-bounded).
+    """
+    g = gopher_quality_filter(docs, id_col, text_col)
+    nf = None
+    per_cols = []
+    for i, (_, pred) in enumerate(GOPHER_GATES):
+        c = F.expr(pred).cast("long").alias(f"f{i}")
+        per_cols.append(c)
+    per = g.select(*per_cols, F.col("reason"))
+    nf = sum((F.col(f"f{i}") for i in range(len(GOPHER_GATES))), F.lit(0))
+    per = per.withColumn("nf", nf.cast("long"))
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("nf") > 0).cast("long")).cast("long").alias(
+            "n_rejected"
+        ),
+    ]
+    for i, (name, _) in enumerate(GOPHER_GATES):
+        aggs += [
+            F.sum(F.col(f"f{i}")).cast("long").alias(f"fail{i}"),
+            F.sum((F.col("reason") == name).cast("long"))
+            .cast("long")
+            .alias(f"first{i}"),
+            F.sum(
+                ((F.col(f"f{i}") == 1) & (F.col("nf") == 1)).cast("long")
+            )
+            .cast("long")
+            .alias(f"uniq{i}"),
+        ]
+    wide = per.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(i + 1).cast("long").alias("pos"),
+            F.lit(name).alias("gate"),
+            F.col(f"fail{i}").alias("n_fail"),
+            F.col(f"first{i}").alias("n_first_fail"),
+            F.col(f"uniq{i}").alias("n_unique_fail"),
+            F.col("n_docs").alias("n_docs"),
+            F.col("n_rejected").alias("n_rejected"),
+        )
+        for i, (name, _) in enumerate(GOPHER_GATES)
+    ]
+    return (
+        wide.select(F.explode(F.array(*entries)).alias("e"))
+        .select("e.*")
+        .orderBy("pos")
+    )

@@ -1547,3 +1547,73 @@ def test_rank_concordance(spark):
     assert r["n_rows"] == 4
     assert r["concordant"] == 3 and r["discordant"] == 2
     assert r["concordance_micro"] == 600000
+
+
+def test_filter_attribution(spark):
+    """Three crafted docs: one clean, one failing ONLY word_count, one
+    failing word_count AND stopwords (first-fail = word_count)."""
+    from document_quality_assessment_ocr_spark.operators.quality import (
+        filter_attribution,
+    )
+
+    good = " ".join(["the", "and", "that", "with"] * 15)  # 60 words
+    short = " ".join(["the", "and", "that", "with"] * 3)  # 12 words
+    short_nostop = " ".join(["cat", "dog", "fox"] * 4)  # 12 words, 0 stops
+    docs = spark.createDataFrame(
+        [(1, good), (2, short), (3, short_nostop)],
+        "doc_id long, text string",
+    )
+    out = {r["gate"]: r for r in filter_attribution(docs).collect()}
+    assert len(out) == 7
+    assert out["word_count"]["n_docs"] == 3
+    assert out["word_count"]["n_rejected"] == 2
+    assert out["word_count"]["n_fail"] == 2
+    assert out["word_count"]["n_first_fail"] == 2
+    assert out["word_count"]["n_unique_fail"] == 1  # doc 2 only
+    assert out["stopwords"]["n_fail"] == 1  # doc 3
+    assert out["stopwords"]["n_first_fail"] == 0  # word_count wins
+    assert out["stopwords"]["n_unique_fail"] == 0
+    # first-fail shares partition the rejected docs exactly
+    assert sum(r["n_first_fail"] for r in out.values()) == 2
+
+
+def test_degree_assortativity(spark):
+    """Star + chain: hand-checkable degree buckets; result bounded and
+    deterministic; n_rows = unique edges after dedup."""
+    from document_quality_assessment_ocr_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("a", "z"), ("b", "x"), ("b", "x"), ("c", "x")],
+        "src string, dst string",
+    )
+    r = degree_assortativity(edges).collect()[0]
+    # unique edges: a->x a->y a->z b->x c->x  (b->x dup removed)
+    assert r["n_rows"] == 5
+    # out-degs: a=3 b=1 c=1; in-degs: x=3 y=1 z=1
+    # log2 buckets: deg3->1, deg1->0
+    # edge (b1,b2): a->x (1,1) a->y (1,0) a->z (1,0) b->x (0,1) c->x (0,1)
+    # concordant pairs: cell(1,1) vs strictly-smaller cell(0,0): none -> P = 0
+    # discordant: cell(1,0)x2 vs (0,1)x2 -> 4
+    assert r["concordant"] == 0 and r["discordant"] == 4
+    assert r["concordance_micro"] == 0
+
+
+def test_winsorized_mean(spark):
+    """10 values 1..9 + outlier 1000: p10/p90 clamp tames the tail."""
+    from document_quality_assessment_ocr_spark.operators.profile import (
+        winsorized_mean,
+    )
+
+    vals = [1, 2, 3, 4, 5, 6, 7, 8, 9, 1000]
+    docs = spark.createDataFrame(
+        [(i, "s", v) for i, v in enumerate(vals)],
+        "doc_id long, source string, n_chars long",
+    )
+    r = winsorized_mean(docs, "n_chars", "source").collect()[0]
+    # n=10: lo rank = ceil(10*10/100)=1 -> lo=1; hi rank = ceil(900/100)=9 -> hi=9
+    assert r["lo"] == 1 and r["hi"] == 9
+    # clamped: 1..9 stay, 1000 -> 9; mass = 45 + 9 = 54
+    assert r["winsorized_mass"] == 54
+    assert r["winsorized_mean_micro"] == 5400000
