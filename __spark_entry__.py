@@ -9727,6 +9727,23 @@ def _q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorized_mean(_doc(spark, sf_dir), "n_chars", "source")
 
 
+def _q_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification over the q13 probe panel: exact top-8
+    candidates, k^2 panel pair-cosines, 3 unrolled greedy rounds —
+    integer micro scores, (-score, id) min-struct selection."""
+    from document_quality_assessment_ocr_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    return mmr_rerank(emb, probe_ids=[0, 1, 2, 3, 4], k=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is load-bearing: the driver's CORRECTNESS gate checks
     the FIRST 50 entries in dict order.  Positions 1-50 therefore carry the
@@ -9982,6 +9999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q234_filter_attribution": _q_filter_attribution,
         "q235_assortativity": _q_assortativity,
         "q236_winsorized_mean": _q_winsorized_mean,
+        "q237_mmr_rerank": _q_mmr,
     }
 
 
@@ -12869,6 +12887,107 @@ def _filter_attribution_sql() -> str:
     """
 
 
+def _mmr_sql(
+    probes: tuple[int, ...] = (0, 1, 2, 3, 4),
+    k: int = 8,
+    lambda_micro: int = 700000,
+) -> str:
+    """q237 oracle: q13's exact cosine + ROW_NUMBER top-k, micro longs
+    via TRUNC (== Spark CAST toward zero), candidate-panel pairwise
+    cosines, three unrolled argmax CTEs (score DESC, id ASC ==
+    (-score, id) min-struct)."""
+    lam = int(lambda_micro)
+    com = 1_000_000 - lam
+    ids = ",".join(str(int(p)) for p in probes)
+    cos = (
+        "ROUND(LIST_DOT_PRODUCT({a}, {b}) / SQRT("
+        "LIST_DOT_PRODUCT({a}, {a}) * LIST_DOT_PRODUCT({b}, {b})), 6)"
+    )
+    return f"""
+        WITH e AS MATERIALIZED (
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ), p AS (
+            SELECT vec_id AS probe_id, v AS pv FROM e
+            WHERE vec_id IN ({ids})
+        ), s AS (
+            SELECT probe_id, e.vec_id AS neighbor_id,
+                   {cos.format(a='pv', b='v')} AS cos
+            FROM p, e WHERE e.vec_id <> probe_id
+        ), cand AS MATERIALIZED (
+            SELECT probe_id, neighbor_id,
+                   CAST(TRUNC(cos * CAST(1000000 AS DOUBLE)) AS BIGINT)
+                       AS rel
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                      ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+            WHERE rank <= {int(k)}
+        ), cv AS MATERIALIZED (
+            SELECT c.probe_id, c.neighbor_id, c.rel, e.v
+            FROM cand c JOIN e ON e.vec_id = c.neighbor_id
+        ), pw AS MATERIALIZED (
+            SELECT a.probe_id, a.neighbor_id AS ia, b.neighbor_id AS ib,
+                   CAST(TRUNC({cos.format(a='a.v', b='b.v')}
+                              * CAST(1000000 AS DOUBLE)) AS BIGINT) AS sim
+            FROM cv a JOIN cv b ON a.probe_id = b.probe_id
+                 AND a.neighbor_id <> b.neighbor_id
+        ), s1 AS MATERIALIZED (
+            SELECT probe_id, neighbor_id AS sel1, rel AS rel1,
+                   {lam} * rel AS score1
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                      ORDER BY rel DESC, neighbor_id) AS rn FROM cand)
+            WHERE rn = 1
+        ), sc2 AS (
+            SELECT c.probe_id, c.neighbor_id, c.rel,
+                   {lam} * c.rel - {com} * pw.sim AS score
+            FROM cand c
+            JOIN s1 ON s1.probe_id = c.probe_id
+                 AND c.neighbor_id <> s1.sel1
+            JOIN pw ON pw.probe_id = c.probe_id
+                 AND pw.ia = c.neighbor_id AND pw.ib = s1.sel1
+        ), s2 AS MATERIALIZED (
+            SELECT probe_id, neighbor_id AS sel2, rel AS rel2,
+                   score AS score2
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                      ORDER BY score DESC, neighbor_id) AS rn FROM sc2)
+            WHERE rn = 1
+        ), sc3 AS (
+            SELECT c.probe_id, c.neighbor_id, c.rel,
+                   {lam} * c.rel
+                   - {com} * GREATEST(pa.sim, pb.sim) AS score
+            FROM cand c
+            JOIN s1 ON s1.probe_id = c.probe_id
+                 AND c.neighbor_id <> s1.sel1
+            JOIN s2 ON s2.probe_id = c.probe_id
+                 AND c.neighbor_id <> s2.sel2
+            JOIN pw pa ON pa.probe_id = c.probe_id
+                 AND pa.ia = c.neighbor_id AND pa.ib = s1.sel1
+            JOIN pw pb ON pb.probe_id = c.probe_id
+                 AND pb.ia = c.neighbor_id AND pb.ib = s2.sel2
+        ), s3 AS (
+            SELECT probe_id, neighbor_id AS sel3, rel AS rel3,
+                   score AS score3
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                      ORDER BY score DESC, neighbor_id) AS rn FROM sc3)
+            WHERE rn = 1
+        )
+        SELECT * FROM (
+            SELECT probe_id, CAST(1 AS INT) AS round,
+                   sel1 AS neighbor_id, CAST(rel1 AS BIGINT) AS rel_micro,
+                   CAST(score1 AS BIGINT) AS score_micro
+            FROM s1
+            UNION ALL
+            SELECT probe_id, CAST(2 AS INT), sel2,
+                   CAST(rel2 AS BIGINT), CAST(score2 AS BIGINT)
+            FROM s2
+            UNION ALL
+            SELECT probe_id, CAST(3 AS INT), sel3,
+                   CAST(rel3 AS BIGINT), CAST(score3 AS BIGINT)
+            FROM s3
+        ) ORDER BY probe_id, round
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     ink = f"LENGTH(REGEXP_REPLACE(COALESCE(text,''), '{WS}', '', 'g'))"
     ntoks = (
@@ -13491,6 +13610,7 @@ def oracle_sql() -> dict[str, str]:
         "q234_filter_attribution": _filter_attribution_sql(),
         "q235_assortativity": _assortativity_sql(),
         "q236_winsorized_mean": _winsorized_mean_sql(),
+        "q237_mmr_rerank": _mmr_sql(),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

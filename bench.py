@@ -454,6 +454,7 @@ def main() -> None:
         "q234_filter_attribution",
         "q235_assortativity",
         "q236_winsorized_mean",
+        "q237_mmr_rerank",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

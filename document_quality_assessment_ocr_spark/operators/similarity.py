@@ -1579,3 +1579,194 @@ def isotropy_from_grid(per_dim: DataFrame) -> DataFrame:
             F.round(avg_pair / avg_self, 6) + F.lit(0.0),
         ).alias("anisotropy"),
     )
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    probe_ids: list,
+    k: int = 8,
+    lambda_micro: int = 700000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell & Goldstein
+    1998) over each probe's exact top-k candidates — the re-rank that
+    keeps a retrieval-training batch from being k near-copies of the
+    same neighbourhood: greedily pick 3 of the k candidates maximizing
+    ``lambda*relevance - (1-lambda)*max_sim_to_already_selected``.
+
+    INTEGER-exact selection: relevance and pairwise-candidate cosines
+    round to 6 dp (the bit-identical q13 cosine) then truncate to micro
+    longs (CAST toward zero == DuckDB TRUNC — the q168 portable path;
+    scores may go negative but are only COMPARED, never divided), so
+    each greedy argmax is a (-score, id) min-struct with deterministic
+    ties.  The three rounds are UNROLLED — the m=3 fixed depth is the
+    scale contract (each round is one grid-bounded aggregate).
+
+    Scale shape: candidate generation is cosine_topk_bruteforce's
+    two-level merge (the only corpus-sized stage); everything after
+    runs on the |probes|*k candidate panel — the k^2 pairwise-cosine
+    self-join and the per-round argmax aggregates are panel-bounded,
+    with |probes|-row selection tables broadcast back.
+
+    Output: (probe_id, round, neighbor_id, rel_micro, score_micro)
+    ordered by (probe_id, round); round 1's score is lambda*rel
+    (nothing selected yet, penalty 0).
+    """
+    lam = int(lambda_micro)
+    com = 1_000_000 - lam
+    cands = cosine_topk_bruteforce(emb, probe_ids, k, id_col, vec_col)
+    rel = cands.select(
+        "probe_id",
+        "neighbor_id",
+        (F.col("cos") * F.lit(1000000).cast("double"))
+        .cast("long")
+        .alias("rel"),
+    )
+    cv = rel.join(
+        emb.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+        ),
+        "neighbor_id",
+    )
+    a = cv.select(
+        "probe_id", F.col("neighbor_id").alias("ia"), F.col("nv").alias("va")
+    )
+    b = cv.select(
+        "probe_id", F.col("neighbor_id").alias("ib"), F.col("nv").alias("vb")
+    )
+    pw = (
+        a.join(b, "probe_id")
+        .where(F.col("ia") != F.col("ib"))
+        .select(
+            "probe_id",
+            "ia",
+            "ib",
+            (
+                F.round(cosine(F.col("va"), F.col("vb")), 6)
+                * F.lit(1000000).cast("double")
+            )
+            .cast("long")
+            .alias("sim"),
+        )
+    )
+
+    def argmax(df, score_col):
+        w = F.min(
+            F.struct(
+                (-F.col(score_col)).alias("ns"),
+                F.col("neighbor_id").alias("id"),
+                F.col("rel").alias("rel"),
+                F.col(score_col).alias("sc"),
+            )
+        ).alias("w")
+        return df.groupBy("probe_id").agg(w)
+
+    s1 = argmax(rel.withColumn("score", F.lit(lam) * F.col("rel")), "score").select(
+        "probe_id",
+        F.col("w.id").alias("sel1"),
+        F.col("w.rel").alias("rel1"),
+        F.col("w.sc").alias("score1"),
+    )
+    sc2 = (
+        rel.alias("r")
+        .join(F.broadcast(s1), "probe_id")
+        .where(F.col("neighbor_id") != F.col("sel1"))
+        .join(
+            pw.select(
+                F.col("probe_id").alias("pp"),
+                F.col("ia").alias("pa"),
+                F.col("ib").alias("pb"),
+                "sim",
+            ),
+            (F.col("pp") == F.col("probe_id"))
+            & (F.col("pa") == F.col("neighbor_id"))
+            & (F.col("pb") == F.col("sel1")),
+        )
+        .select(
+            "probe_id",
+            "neighbor_id",
+            "rel",
+            (F.lit(lam) * F.col("rel") - F.lit(com) * F.col("sim")).alias(
+                "score"
+            ),
+        )
+    )
+    s2 = argmax(sc2, "score").select(
+        "probe_id",
+        F.col("w.id").alias("sel2"),
+        F.col("w.rel").alias("rel2"),
+        F.col("w.sc").alias("score2"),
+    )
+    sc3 = (
+        rel.join(F.broadcast(s1.select("probe_id", "sel1")), "probe_id")
+        .join(F.broadcast(s2.select("probe_id", "sel2")), "probe_id")
+        .where(
+            (F.col("neighbor_id") != F.col("sel1"))
+            & (F.col("neighbor_id") != F.col("sel2"))
+        )
+        .join(
+            pw.select(
+                F.col("probe_id").alias("pp1"),
+                F.col("ia").alias("pa1"),
+                F.col("ib").alias("pb1"),
+                F.col("sim").alias("sim1"),
+            ),
+            (F.col("pp1") == F.col("probe_id"))
+            & (F.col("pa1") == F.col("neighbor_id"))
+            & (F.col("pb1") == F.col("sel1")),
+        )
+        .join(
+            pw.select(
+                F.col("probe_id").alias("pp2"),
+                F.col("ia").alias("pa2"),
+                F.col("ib").alias("pb2"),
+                F.col("sim").alias("sim2"),
+            ),
+            (F.col("pp2") == F.col("probe_id"))
+            & (F.col("pa2") == F.col("neighbor_id"))
+            & (F.col("pb2") == F.col("sel2")),
+        )
+        .select(
+            "probe_id",
+            "neighbor_id",
+            "rel",
+            (
+                F.lit(lam) * F.col("rel")
+                - F.lit(com) * F.greatest(F.col("sim1"), F.col("sim2"))
+            ).alias("score"),
+        )
+    )
+    s3 = argmax(sc3, "score").select(
+        "probe_id",
+        F.col("w.id").alias("sel3"),
+        F.col("w.rel").alias("rel3"),
+        F.col("w.sc").alias("score3"),
+    )
+    rounds = [
+        s1.select(
+            "probe_id",
+            F.lit(1).cast("int").alias("round"),
+            F.col("sel1").alias("neighbor_id"),
+            F.col("rel1").cast("long").alias("rel_micro"),
+            F.col("score1").cast("long").alias("score_micro"),
+        ),
+        s2.select(
+            "probe_id",
+            F.lit(2).cast("int").alias("round"),
+            F.col("sel2").alias("neighbor_id"),
+            F.col("rel2").cast("long").alias("rel_micro"),
+            F.col("score2").cast("long").alias("score_micro"),
+        ),
+        s3.select(
+            "probe_id",
+            F.lit(3).cast("int").alias("round"),
+            F.col("sel3").alias("neighbor_id"),
+            F.col("rel3").cast("long").alias("rel_micro"),
+            F.col("score3").cast("long").alias("score_micro"),
+        ),
+    ]
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("probe_id", "round")

@@ -1617,3 +1617,33 @@ def test_winsorized_mean(spark):
     # clamped: 1..9 stay, 1000 -> 9; mass = 45 + 9 = 54
     assert r["winsorized_mass"] == 54
     assert r["winsorized_mean_micro"] == 5400000
+
+
+def test_mmr_rerank(spark):
+    """Greedy diversification: probe 0 pulls the relevance winner first,
+    then skips the near-duplicate of it in round 2 when lambda favors
+    diversity; all vectors hand-chosen in 2-D."""
+    from document_quality_assessment_ocr_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    # probe = (1, 0). cands: id1 (1, 0.01) rel~1.0; id2 (1, 0.02) near-dup
+    # of id1; id3 (0.6, 0.8) diverse, lower rel.
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.01]),
+        (2, [1.0, 0.02]),
+        (3, [0.6, 0.8]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        (r["probe_id"], r["round"]): r["neighbor_id"]
+        for r in mmr_rerank(
+            emb, probe_ids=[0], k=3, lambda_micro=100000
+        ).collect()
+    }
+    assert out[(0, 1)] == 1  # pure relevance
+    # round 2 at lambda=0.1: id2's near-dup penalty (~1.0 sim to id1)
+    # dwarfs its relevance edge; id3 (sim ~0.61) wins on diversity
+    assert out[(0, 2)] == 3
+    assert out[(0, 3)] == 2
