@@ -600,3 +600,240 @@ def rank_concordance(
         .cast("long")
         .alias("concordance_micro"),
     )
+
+
+def auc_by_group(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    group_col: str = "g",
+) -> DataFrame:
+    """Mann-Whitney AUC of an integer score predicting a binary label,
+    per group — THE threshold-free ranking audit for a quality
+    classifier (does the cheap score actually rank kept documents above
+    rejected ones?), complementing the calibration audit (q174) and the
+    PR threshold sweep.
+
+    INTEGER-exact via the VALUE-GRID rank trick (the q230 Gini
+    contract): rows never get individual ranks.  Aggregate to the
+    (group, score) grid with per-cell positive/negative counts; a cell
+    whose predecessors hold ``neg_below`` negatives contributes
+    ``pos * (2*neg_below + neg)`` to twice the tie-corrected U
+    statistic (ties count half — the classic mid-rank correction), so
+    ``auc_micro = U2 * 500000 DIV (n_pos * n_neg)`` is exact BIGINT
+    arithmetic on both engines.
+
+    Overflow cap (q230 class): U2 <= 2*n_pos*n_neg and the 5e5 scale
+    needs n_pos*n_neg <= ~9.2e12 — i.e. ~6e6 rows per group at a
+    balanced split.  Past that, pre-bucket the score (``v DIV 2^k``,
+    same rule both engines) — AUC of the bucketed score is the
+    documented estimator.
+
+    Scale shape: ONE map-side projection for the label, ONE hash
+    aggregate to the (group, score) grid, ONE grid-partitioned
+    cumulative window (value-domain-bounded), ONE rollup to groups.
+    Documents never shuffle past the grid.
+
+    Output: (group_col, n_pos, n_neg, auc_micro) ordered by group.
+    """
+    base = df.select(
+        F.coalesce(F.col(group_col).cast("string"), F.lit("")).alias("g"),
+        F.col(score_col).cast("long").alias("v"),
+        F.col(label_col).cast("long").alias("y"),
+    ).where(F.col("v") >= 0)
+    grid = base.groupBy("g", "v").agg(
+        F.sum("y").cast("long").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("neg"),
+    )
+    woff = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cells = grid.select(
+        "g",
+        "pos",
+        "neg",
+        (F.sum("neg").over(woff) - F.col("neg")).cast("long").alias(
+            "neg_below"
+        ),
+    )
+    agg = cells.groupBy("g").agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+        F.sum(
+            F.col("pos")
+            * (F.lit(2).cast("long") * F.col("neg_below") + F.col("neg"))
+        )
+        .cast("long")
+        .alias("u2"),
+    )
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n_pos",
+        "n_neg",
+        F.expr("(u2 * 500000L) DIV greatest(n_pos * n_neg, 1L)")
+        .cast("long")
+        .alias("auc_micro"),
+    ).orderBy(group_col)
+
+
+def pr_threshold_sweep(
+    df: DataFrame,
+    thresholds: list[int],
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Precision/recall/F1 sweep of a ``score >= t`` classifier over a
+    FIXED literal threshold grid — the operating-point picker that turns
+    the q238 AUC's "ranks well" into "gate at THIS threshold".
+
+    The corpus is scanned ONCE: aggregate to the (score value) grid
+    with per-cell positive/negative counts, fan the literal thresholds
+    by explode ON THE GRID (the q158 zone-map idiom — a |grid|×|T|
+    intermediate, never a re-scan or a join per threshold), and roll up
+    per threshold.  All counts BIGINT; precision/recall/F1 are micro
+    ratios via non-negative DIV; F1 folds as ``2*p*r DIV (p+r)`` in
+    micro space (exact to 1 micro, same rule both engines).
+
+    Scale shape: ONE hash aggregate to the value grid (the only
+    corpus-sized exchange), one explode fan bounded by |grid|·|T|, one
+    |T|-row rollup.
+
+    Output: (threshold, tp, fp, fn, precision_micro, recall_micro,
+    f1_micro) ordered by threshold.
+    """
+    ts = sorted(int(t) for t in thresholds)
+    if not ts:
+        raise ValueError("thresholds must be non-empty")
+    base = df.select(
+        F.col(score_col).cast("long").alias("v"),
+        F.col(label_col).cast("long").alias("y"),
+    ).where(F.col("v") >= 0)
+    grid = base.groupBy("v").agg(
+        F.sum("y").cast("long").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("neg"),
+    )
+    tarr = F.array(*[F.lit(t).cast("long") for t in ts])
+    fanned = grid.select(
+        "v", "pos", "neg", F.explode(tarr).alias("t")
+    )
+    agg = fanned.groupBy("t").agg(
+        F.sum(F.when(F.col("v") >= F.col("t"), F.col("pos")).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(F.col("v") >= F.col("t"), F.col("neg")).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(F.col("v") < F.col("t"), F.col("pos")).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+    )
+    return (
+        agg.select(
+            F.col("t").cast("long").alias("threshold"),
+            "tp",
+            "fp",
+            "fn",
+            F.expr("(tp * 1000000L) DIV greatest(tp + fp, 1L)")
+            .cast("long")
+            .alias("precision_micro"),
+            F.expr("(tp * 1000000L) DIV greatest(tp + fn, 1L)")
+            .cast("long")
+            .alias("recall_micro"),
+        )
+        .select(
+            "threshold",
+            "tp",
+            "fp",
+            "fn",
+            "precision_micro",
+            "recall_micro",
+            F.expr(
+                "(2L * precision_micro * recall_micro)"
+                " DIV greatest(precision_micro + recall_micro, 1L)"
+            )
+            .cast("long")
+            .alias("f1_micro"),
+        )
+        .orderBy("threshold")
+    )
+
+
+def effective_sample_size(
+    weights: DataFrame,
+    weight_col: str = "weight_nano",
+    group_col: str = "source",
+    prescale_div: int = 1_000_000,
+) -> DataFrame:
+    """Kish effective sample size and design effect of a weighted corpus
+    per group — the diagnostic that tells a mixture designer how much
+    statistical mass SoftDeDup down-weighting (q100) or mixture
+    reweighting actually left in each source: ``ESS = (Σw)² / Σw²``,
+    ``deff = n·Σw² / (Σw)²``.
+
+    ESS is scale-invariant in w, so weights are FIRST down-scaled by
+    ``w DIV prescale_div`` (default 1e6: nano → milli, w <= 1000 for
+    SoftDeDup's ``1e9 DIV size`` weights) — Σw² of raw nano weights
+    would overflow BIGINT at n >= 10, and the truncating DIV is the
+    documented, engine-identical estimator (cluster sizes <= 1000 lose
+    nothing; beyond, milli granularity).
+
+    Cross-engine contract (q241 class): Σw and Σw² are EXACT BIGINT
+    aggregates (order-free); the two surfaced ratios are ONE double
+    expression each in the identical operation order
+    (``sw·sw / sw2``, ``n·sw2 / (sw·sw)``), rounded to 6 dp with the
+    +0.0 IEEE guard.  CAST(BIGINT AS DOUBLE) is exact below 2^53, so
+    determinism needs Σw² < 2^53 — milli weights cap n at ~9e9 per
+    group; past that, raise ``prescale_div`` (same rule both engines).
+
+    Scale shape: ONE hash aggregate (map-side combined) to |groups|
+    rows; nothing else moves.
+
+    Output: (group_col, n_rows, sum_w, sum_w2, ess, deff) by group.
+    """
+    ps = int(prescale_div)
+    if ps <= 0:
+        raise ValueError("prescale_div must be positive")
+    base = weights.select(
+        F.coalesce(F.col(group_col).cast("string"), F.lit("")).alias("g"),
+        F.expr(f"CAST({weight_col} AS LONG) DIV {ps}L").alias("w"),
+    ).where(F.col("w") >= 0)
+    agg = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("w").cast("long").alias("sum_w"),
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("sum_w2"),
+    )
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n_rows",
+        "sum_w",
+        "sum_w2",
+        (
+            F.round(
+                F.col("sum_w").cast("double")
+                * F.col("sum_w").cast("double")
+                / F.greatest(F.col("sum_w2"), F.lit(1).cast("long")).cast(
+                    "double"
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("ess"),
+        (
+            F.round(
+                F.col("n_rows").cast("double")
+                * F.col("sum_w2").cast("double")
+                / (
+                    F.greatest(F.col("sum_w"), F.lit(1).cast("long")).cast(
+                        "double"
+                    )
+                    * F.greatest(F.col("sum_w"), F.lit(1).cast("long")).cast(
+                        "double"
+                    )
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("deff"),
+    ).orderBy(group_col)

@@ -281,6 +281,25 @@ def gopher_quality_filter(
     return base.select(F.col(id_col), *[c.alias(n) for n, c in cols.items()])
 
 
+def gopher_labeled(
+    docs: DataFrame, extra_cols: list[str], text_col: str = "text"
+) -> DataFrame:
+    """The Gopher ``keep`` verdict plus passthrough columns in ONE
+    map-side projection — the zero-join label source for classifier
+    audits (q238 AUC, q239 PR sweep) that score a cheap column against
+    the gate verdict.  Shares :func:`gopher_cols` (and therefore every
+    GOPHER_* constant and the ratio op order) with
+    :func:`gopher_quality_filter`."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.filter(
+        F.split(F.trim(txt), WS_CLASS + "+"), lambda x: x != F.lit("")
+    )
+    base = docs.select(
+        *[F.col(c) for c in extra_cols], txt.alias("_t"), toks.alias("tk")
+    )
+    return base.select(*extra_cols, gopher_cols()["keep"].alias("keep"))
+
+
 def gopher_cols() -> dict[str, Column]:
     """The Gopher rule columns over a pre-projected frame carrying ``_t``
     (coalesced text) and ``tk`` (token array) — shared by
