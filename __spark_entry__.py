@@ -9785,6 +9785,57 @@ def _q_pr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dim embedding centroid drift between md5 halves (tag `cd`):
+    quantized (half, dim) sufficient-statistic grid + min-shift integer
+    means; the grid stage is the streaming twin's shared partial."""
+    from document_quality_assessment_ocr_spark.operators.similarity import (
+        centroid_drift,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
+    return centroid_drift(emb, scale=64, tag="cd")
+
+
+def _q_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag 1..7 autocorrelation of daily event counts: one events->days
+    aggregate, explode-fanned lags on the day grid, grid self-join,
+    exact BIGINT moments, ONE fixed-order double Pearson expression
+    (IEEE sqrt is correctly rounded — portable)."""
+    from document_quality_assessment_ocr_spark.operators.sessions import (
+        daily_autocorr,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return daily_autocorr(ev, max_lag=7)
+
+
+def _q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round synchronous label propagation over a synthesized
+    host graph (lp1/lp2 md5-mod picks, 48->12 universes): distinct
+    undirected edges collapsed once + localCheckpoint, 3 rounds of
+    join + vote + (-cnt, label) min-struct."""
+    from document_quality_assessment_ocr_spark.operators.augment import _md5_mod
+    from document_quality_assessment_ocr_spark.operators.graph import (
+        label_propagation_fixed,
+    )
+
+    d = _doc(spark, sf_dir)
+    edges = d.select(
+        F.concat(
+            F.lit("h"),
+            _md5_mod(F.col("doc_id"), "lp1", F.lit(48)).cast("string"),
+        ).alias("src"),
+        F.concat(
+            F.lit("h"),
+            _md5_mod(F.col("doc_id"), "lp2", F.lit(12)).cast("string"),
+        ).alias("dst"),
+    )
+    return label_propagation_fixed(edges, rounds=3)
+
+
 def _q_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kish effective sample size + design effect of SoftDeDup weights
     per source: q100's weight chain, milli prescale (DIV 1e6), exact
@@ -10062,6 +10113,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q237_mmr_rerank": _q_mmr,
         "q238_auc": _q_auc,
         "q239_pr_sweep": _q_pr_sweep,
+        "q240_centroid_drift": _q_centroid_drift,
+        "q241_daily_autocorr": _q_daily_autocorr,
+        "q242_label_prop": _q_label_prop,
         "q243_ess_weights": _q_ess,
     }
 
@@ -13131,6 +13185,141 @@ def _pr_sweep_sql() -> str:
     """
 
 
+def _centroid_drift_sql(scale: int = 64, tag: str = "cd") -> str:
+    """q240 oracle: md5-nibble half pick (the _md5_mod twin), the q168
+    TRUNC quantization, UNNEST(RANGE) dim fan (the q215 idiom), pivot,
+    and the min-shift integer mean — all BIGINT."""
+    sc = int(scale)
+    return f"""
+        WITH q AS (
+            SELECT ('0x' || SUBSTR(MD5(CAST(vec_id AS VARCHAR)
+                        || '|{tag}'), 1, 15))::BIGINT % 2 AS half,
+                   LIST_TRANSFORM(embedding,
+                       x -> CAST(TRUNC(CAST(x AS DOUBLE) * {sc})
+                                 AS BIGINT)) AS q
+            FROM embeddings
+        ), f AS (
+            SELECT half, CAST(i AS BIGINT) - 1 AS dim,
+                   q[CAST(i AS INT)] AS v
+            FROM (SELECT half, q, UNNEST(RANGE(1, LEN(q) + 1)) AS i
+                  FROM q)
+        ), g AS (
+            SELECT half, dim, CAST(SUM(v) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM f GROUP BY 1, 2
+        ), piv AS (
+            SELECT dim,
+                   CAST(SUM(CASE WHEN half = 0 THEN s ELSE 0 END)
+                        AS BIGINT) AS s0,
+                   CAST(SUM(CASE WHEN half = 0 THEN cnt ELSE 0 END)
+                        AS BIGINT) AS c0,
+                   CAST(SUM(CASE WHEN half = 1 THEN s ELSE 0 END)
+                        AS BIGINT) AS s1,
+                   CAST(SUM(CASE WHEN half = 1 THEN cnt ELSE 0 END)
+                        AS BIGINT) AS c1
+            FROM g GROUP BY 1
+        ), m AS (
+            SELECT dim, c0, c1,
+                   CAST(((s0 + {sc} * c0) * 1000000)
+                        // GREATEST(c0, 1) - {sc * 1_000_000}
+                        AS BIGINT) AS mean0_micro,
+                   CAST(((s1 + {sc} * c1) * 1000000)
+                        // GREATEST(c1, 1) - {sc * 1_000_000}
+                        AS BIGINT) AS mean1_micro
+            FROM piv
+        )
+        SELECT CAST(dim AS BIGINT) AS dim, c0, c1, mean0_micro,
+               mean1_micro,
+               CAST(mean0_micro - mean1_micro AS BIGINT) AS drift_micro,
+               CAST(ABS(mean0_micro - mean1_micro) AS BIGINT)
+                   AS abs_drift_micro
+        FROM m ORDER BY dim
+    """
+
+
+def _daily_autocorr_sql(max_lag: int = 7) -> str:
+    """q241 oracle: daily grid (EPOCH_US // day, non-negative), UNNEST
+    lag fan, grid self-join, exact BIGINT moments, the engine's
+    fixed-order Pearson double expression with the +0e0 guard."""
+    ml = int(max_lag)
+    return f"""
+        WITH daily AS MATERIALIZED (
+            SELECT EPOCH_US(ts) // 86400000000 AS day,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1
+        ), fan AS (
+            SELECT d.day, d.c AS x, l.lag
+            FROM daily d CROSS JOIN
+                 (SELECT CAST(UNNEST(RANGE(1, {ml + 1})) AS BIGINT)
+                      AS lag) l
+        ), j AS (
+            SELECT f.lag, f.x, d2.c AS y
+            FROM fan f JOIN daily d2 ON f.day + f.lag = d2.day
+        ), agg AS (
+            SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) AS BIGINT) AS syy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy
+            FROM j GROUP BY 1
+        )
+        SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+               CASE WHEN (n_pairs * sxx - sx * sx) > 0
+                         AND (n_pairs * syy - sy * sy) > 0 THEN
+                   ROUND(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                         / (SQRT(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+                            * SQRT(CAST(n_pairs * syy - sy * sy
+                                        AS DOUBLE))), 6) + 0e0
+               END AS r
+        FROM agg ORDER BY lag
+    """
+
+
+def _label_prop_sql(rounds: int = 3, u1: int = 48, u2: int = 12) -> str:
+    """q242 oracle: the lp1/lp2 edge-synthesis twin, MATERIALIZED
+    distinct undirected edges (read every round), and ``rounds``
+    unrolled vote/argmax CTE pairs — ROW_NUMBER (cnt DESC, label ASC)
+    == the engine's (-cnt, label) min-struct (q213 precedent).  Each
+    label CTE is referenced exactly once by the next round (the q149
+    single-reference unroll rule)."""
+    r = int(rounds)
+    body = ""
+    prev = "l0"
+    for i in range(1, r + 1):
+        body += f""", v{i} AS (
+            SELECT und.u AS node, l.label, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM und JOIN {prev} l ON und.v = l.node GROUP BY 1, 2
+        ), l{i} AS (
+            SELECT node, label FROM (
+                SELECT node, label,
+                       ROW_NUMBER() OVER (PARTITION BY node
+                           ORDER BY cnt DESC, label ASC) AS rn
+                FROM v{i}) WHERE rn = 1
+        )"""
+        prev = f"l{i}"
+    return f"""
+        WITH e0 AS (
+            SELECT 'h' || CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)
+                       || '|lp1'), 1, 15))::BIGINT % {int(u1)} AS VARCHAR)
+                       AS src,
+                   'h' || CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)
+                       || '|lp2'), 1, 15))::BIGINT % {int(u2)} AS VARCHAR)
+                       AS dst
+            FROM documents
+        ), und AS MATERIALIZED (
+            SELECT DISTINCT u, v FROM (
+                SELECT src AS u, dst AS v FROM e0 WHERE src <> dst
+                UNION ALL
+                SELECT dst AS u, src AS v FROM e0 WHERE src <> dst
+            )
+        ), l0 AS (
+            SELECT DISTINCT u AS node, u AS label FROM und
+        ){body}
+        SELECT node, label FROM {prev} ORDER BY node
+    """
+
+
 def _ess_sql() -> str:
     """q243 oracle: the q100 soft-dedup weight chain as a MATERIALIZED
     CTE, milli prescale (// 1e6), exact BIGINT sums, ONE double
@@ -13786,6 +13975,9 @@ def oracle_sql() -> dict[str, str]:
         "q237_mmr_rerank": _mmr_sql(),
         "q238_auc": _auc_sql(),
         "q239_pr_sweep": _pr_sweep_sql(),
+        "q240_centroid_drift": _centroid_drift_sql(),
+        "q241_daily_autocorr": _daily_autocorr_sql(),
+        "q242_label_prop": _label_prop_sql(),
         "q243_ess_weights": _ess_sql(),
         "q86_snapshot_diff": """
             WITH d AS (

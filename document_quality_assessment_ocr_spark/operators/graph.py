@@ -719,3 +719,70 @@ def degree_assortativity(
     return rank_concordance(
         j, "lb_od", "lb_id", x_width=1, y_width=1, n_buckets=n_buckets
     )
+
+
+def label_propagation_fixed(
+    edges: DataFrame,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-round SYNCHRONOUS label propagation (Raghavan 2007's LPA
+    with deterministic tie-breaks) — the cheap community detector for
+    host/dup graphs that complements connected components (q31: same
+    label iff ANY path) by splitting weakly-joined blobs: each round,
+    every node adopts the most common label among its DISTINCT
+    neighbors, ties broken by MIN label.  A fixed round count (no
+    convergence collect) with synchronous updates and total tie order
+    makes the result deterministic and engine-portable — the oracle
+    unrolls the same rounds in SQL; classic LPA's random order /
+    random ties are deliberately replaced (the hits_fixed
+    deviation-documentation contract).
+
+    Scale shape: the raw edge stream collapses ONCE to distinct
+    undirected neighbor pairs and is eagerly localCheckpoint-ed (the
+    q143/hits lineage rule — no round re-derives the synthesis); each
+    round is one (edges >< labels) equi-join, one (node, label) vote
+    aggregate, and one (-votes, label) min-struct argmax — O(edges) per
+    round, O(rounds) total, no windows, no collects.  Self-loops drop;
+    isolated nodes keep their own id as label.
+
+    Output: (node, label) ordered by node — node's community
+    representative after ``rounds`` synchronous sweeps.
+    """
+    if int(rounds) < 1:
+        raise ValueError("rounds must be >= 1")
+    direct = edges.select(
+        F.col(src_col).cast("string").alias("u"),
+        F.col(dst_col).cast("string").alias("v"),
+    ).where(F.col("u") != F.col("v"))
+    und = (
+        direct.union(direct.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = und.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(int(rounds)):
+        votes = (
+            und.join(
+                labels.withColumnRenamed("node", "v"), "v"
+            )
+            .groupBy(F.col("u").alias("node"), "label")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        labels = (
+            votes.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).cast("long").alias("nc"),
+                        F.col("label").alias("label"),
+                    )
+                ).alias("w")
+            )
+            .select("node", F.col("w.label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.orderBy("node")

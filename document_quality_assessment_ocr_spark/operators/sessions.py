@@ -634,3 +634,88 @@ def stickiness(
         )
         .orderBy("period")
     )
+
+
+def daily_autocorr(
+    events: DataFrame, max_lag: int = 7, ts_col: str = "ts"
+) -> DataFrame:
+    """Lag-k autocorrelation of the daily event count series — the
+    seasonality / trend-persistence probe on an event stream (is
+    yesterday's volume predictive of today's? is there a weekly cycle?)
+    that complements the burst detector (q183: local anomalies) and the
+    gap histogram (q177: inter-arrival micro-structure).
+
+    Cross-engine contract: the daily series and all five pair moments
+    (n, Σx, Σy, Σx², Σy², Σxy) are EXACT BIGINT aggregates over the
+    lag-joined day grid; Pearson r is then ONE fixed-order double
+    expression — ``num / (sqrt(vx) · sqrt(vy))`` with num = n·Σxy−Σx·Σy
+    (may be negative: surfaced, never DIV'd) and vx, vy >= 0 by
+    Cauchy-Schwarz.  IEEE sqrt / * / / are correctly rounded, so
+    identical BIGINT inputs give bit-identical doubles on both engines
+    (the q241 contract this op names); ROUND(·,6) + the +0.0 guard.
+
+    Overflow: n_days·Σx² <= (n_days·cmax)², so n_days·cmax must stay
+    <= ~3e9 (e.g. 10 years × 8e5 events/day).  Past that, pre-scale
+    counts ``c DIV 2^k`` on both engines — the bucketed series is the
+    documented estimator.
+
+    Scale shape: ONE hash aggregate events→days (map-side combined; the
+    only corpus-sized exchange), a ×max_lag explode fan ON THE DAY GRID,
+    one grid self-join on day+lag, one |lags|-row rollup.
+
+    Output: (lag, n_pairs, r) ordered by lag; r NULL when either side
+    is constant (zero variance).
+    """
+    if int(max_lag) < 1:
+        raise ValueError("max_lag must be >= 1")
+    daily = (
+        events.select(
+            F.expr(
+                f"unix_micros(CAST({ts_col} AS TIMESTAMP)) DIV 86400000000"
+            ).alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    fan = daily.select(
+        "day",
+        F.col("c").alias("x"),
+        F.explode(
+            F.sequence(F.lit(1).cast("long"), F.lit(int(max_lag)).cast("long"))
+        ).alias("lag"),
+    )
+    j = fan.join(
+        daily.select(
+            F.col("day").alias("day_y"), F.col("c").alias("y")
+        ),
+        fan["day"] + fan["lag"] == F.col("day_y"),
+    )
+    agg = j.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    num = (
+        F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("long")
+    vx = (F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "long"
+    )
+    vy = (F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "long"
+    )
+    r = F.when(
+        (vx > 0) & (vy > 0),
+        F.round(
+            num.cast("double")
+            / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+            6,
+        )
+        + F.lit(0.0),
+    )
+    return agg.select(
+        F.col("lag").cast("long").alias("lag"), "n_pairs", r.alias("r")
+    ).orderBy("lag")

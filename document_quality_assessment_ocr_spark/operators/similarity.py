@@ -1770,3 +1770,119 @@ def mmr_rerank(
     for r in rounds[1:]:
         out = out.unionByName(r)
     return out.orderBy("probe_id", "round")
+
+
+def centroid_drift_grid(
+    embs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 64,
+    tag: str = "cd",
+) -> DataFrame:
+    """The (half, dim, s, cnt) sufficient-statistic grid of
+    :func:`centroid_drift`: rows split into two halves by the
+    deterministic md5-mod pick (tag ``cd`` — registry entry), embeddings
+    integer-quantized (q168 TRUNC contract), one ×dim posexplode and one
+    hash aggregate.  ALGEBRAIC (every column adds across shards /
+    micro-batches), so it doubles as the streaming twin's partial
+    (``streaming/drift.stream_centroid_drift``)."""
+    from .augment import _md5_mod
+
+    q = embs.select(
+        _md5_mod(F.col(id_col), tag, F.lit(2)).cast("long").alias("half"),
+        quantize_embedding(F.col(vec_col), scale).alias("q"),
+    )
+    return (
+        q.select("half", F.posexplode("q").alias("dim", "v"))
+        .groupBy("half", "dim")
+        .agg(
+            F.sum("v").cast("long").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        )
+    )
+
+
+def centroid_drift_from_grid(grid: DataFrame, scale: int = 64) -> DataFrame:
+    """The grid→panel stage of :func:`centroid_drift`, SHARED with the
+    streaming twin (the isotropy_from_grid contract): pivot the two
+    halves onto one row per dim, then min-shift integer means —
+    quantized dims live in [-scale, scale], so ``s + scale·cnt`` is
+    non-negative by construction and ``mean_micro = (s + scale·c)·10^6
+    DIV c − scale·10^6`` keeps every division DIV-safe (the
+    mw_domain_weights rule).  Drift is the difference of the two
+    already-truncated micro means — deterministic on both engines.
+
+    Overflow: |s + scale·c| <= 2·scale·n; the 10^6 scale caps n at
+    ~7e10 rows per half at scale=64.
+
+    Output: (dim, c0, c1, mean0_micro, mean1_micro, drift_micro,
+    abs_drift_micro) ordered by dim — a |dim|-row panel."""
+    sc = int(scale)
+    piv = grid.groupBy("dim").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("s")).otherwise(0))
+        .cast("long")
+        .alias("s0"),
+        F.sum(F.when(F.col("half") == 0, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("c0"),
+        F.sum(F.when(F.col("half") == 1, F.col("s")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+        F.sum(F.when(F.col("half") == 1, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+    )
+    m0 = (
+        f"((s0 + {sc}L * c0) * 1000000L) DIV greatest(c0, 1L)"
+        f" - {sc * 1_000_000}L"
+    )
+    m1 = (
+        f"((s1 + {sc}L * c1) * 1000000L) DIV greatest(c1, 1L)"
+        f" - {sc * 1_000_000}L"
+    )
+    return (
+        piv.select(
+            F.col("dim").cast("long").alias("dim"),
+            "c0",
+            "c1",
+            F.expr(m0).cast("long").alias("mean0_micro"),
+            F.expr(m1).cast("long").alias("mean1_micro"),
+        )
+        .select(
+            "dim",
+            "c0",
+            "c1",
+            "mean0_micro",
+            "mean1_micro",
+            (F.col("mean0_micro") - F.col("mean1_micro"))
+            .cast("long")
+            .alias("drift_micro"),
+            F.abs(F.col("mean0_micro") - F.col("mean1_micro"))
+            .cast("long")
+            .alias("abs_drift_micro"),
+        )
+        .orderBy("dim")
+    )
+
+
+def centroid_drift(
+    embs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 64,
+    tag: str = "cd",
+) -> DataFrame:
+    """Per-dimension embedding centroid drift between two deterministic
+    halves of a corpus — the embedding-space distribution monitor that
+    complements the isotropy audit (q215: global shape) and KS drift
+    (q202: scalar metrics): did the new crawl shift the embedding
+    centroid, and along which dimensions?
+
+    Pure composition: ``centroid_drift_from_grid(centroid_drift_grid(…))``
+    — the grid is the only corpus-sized aggregate (map-side combined),
+    the panel is |dim| rows, and the grid's algebraic columns power the
+    streaming twin unchanged.
+    """
+    return centroid_drift_from_grid(
+        centroid_drift_grid(embs, id_col, vec_col, scale, tag), scale
+    )

@@ -203,3 +203,88 @@ def read_isotropy(spark: SparkSession, state_dir: str) -> DataFrame:
         raise FileNotFoundError(f"no persisted grid under {state_dir!r}")
     grid = spark.read.parquet(os.path.join(state_dir, f"v{vs[-1]}"))
     return isotropy_from_grid(grid)
+
+
+def stream_centroid_drift(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    scale: int = 64,
+    tag: str = "cd",
+):
+    """Streaming centroid-drift maintenance — the eleventh incremental
+    twin, pairing ``similarity.centroid_drift`` exactly as
+    ``stream_isotropy`` pairs ``isotropy_audit``: the (half, dim, s,
+    cnt) sufficient-statistic grid is ALGEBRAIC
+    (``similarity.centroid_drift_grid`` is the shared partial builder),
+    so each micro-batch pays one ×dim posexplode over its own rows plus
+    a 2·|dim|-row state merge.  Versioning / replay idempotence:
+    ``v{batch_id + 1}`` (the sketch-family rule).
+
+    At 100 TB: a continuously ingesting embedding corpus keeps its
+    per-dimension centroid monitor fresh for a per-batch cost
+    independent of history; reading the panel
+    (``read_centroid_drift``) runs the shared
+    ``centroid_drift_from_grid`` stage over the persisted grid —
+    stream == batch row-for-row exact, order-free (no watermark
+    assumptions).
+    """
+    from ..operators.similarity import centroid_drift_grid
+
+    stream = (
+        spark.readStream.schema(EMB_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        vs = _versions(state_dir)
+        ahead = [v for v in vs if v > batch_id + 1]
+        if ahead:
+            raise RuntimeError(
+                f"state_dir {state_dir!r} already holds versions {ahead} "
+                f"beyond v{batch_id + 1}: fresh checkpoint against old "
+                "state history — reset checkpoint_dir and state_dir "
+                "together (paired unit)."
+            )
+        part = centroid_drift_grid(batch, scale=scale, tag=tag)
+        if batch_id > 0:
+            prev = batch.sparkSession.read.parquet(
+                os.path.join(state_dir, f"v{batch_id}")
+            )
+            part = (
+                prev.unionByName(part)
+                .groupBy("half", "dim")
+                .agg(
+                    F.sum("s").cast("long").alias("s"),
+                    F.sum("cnt").cast("long").alias("cnt"),
+                )
+            )
+        part.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{batch_id + 1}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def read_centroid_drift(
+    spark: SparkSession, state_dir: str, scale: int = 64
+) -> DataFrame:
+    """Current per-dim drift panel from the persisted grid — the SHARED
+    ``similarity.centroid_drift_from_grid`` stage over everything
+    ingested."""
+    from ..operators.similarity import centroid_drift_from_grid
+
+    vs = _versions(state_dir)
+    if not vs:
+        raise FileNotFoundError(f"no persisted grid under {state_dir!r}")
+    grid = spark.read.parquet(os.path.join(state_dir, f"v{vs[-1]}"))
+    return centroid_drift_from_grid(grid, scale=scale)

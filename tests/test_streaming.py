@@ -798,3 +798,68 @@ def test_stream_sessions_matches_batch(spark, tmp_path):
     # boundary-spanning session: u1 session 1 spans 0..12 s, 3 events
     u1s1 = [g for g in got if g[0] == 1 and g[1] == 1][0]
     assert u1s1[4] == 3 and u1s1[5] == 1251 + 2500 + 4000
+
+
+def test_stream_centroid_drift_matches_batch(spark, tmp_path):
+    """Eleventh incremental twin: two embedding micro-batches merged
+    additively through the shared centroid_drift_grid/from_grid stages
+    reproduce the batch centroid_drift panel exactly, and replaying a
+    batch over v1 regenerates v2 byte-for-byte."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from document_quality_assessment_ocr_spark.operators.similarity import (
+        centroid_drift,
+        centroid_drift_grid,
+    )
+    from document_quality_assessment_ocr_spark.streaming.drift import (
+        read_centroid_drift,
+        stream_centroid_drift,
+    )
+
+    b1 = [(1, [0.5, 0.25, -0.75]), (2, [0.5, 0.3125, -0.75])]
+    b2 = [(3, [-1.0, 0.0, 0.5]), (4, [0.25, -0.5, 0.125]), (5, [0.75, 0.75, 0.0])]
+    in_dir = str(tmp_path / "cdin")
+    os.makedirs(in_dir)
+    for i, rows in enumerate((b1, b2)):
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).coalesce(1).write.parquet(os.path.join(in_dir, f"drop-{i}"))
+        time.sleep(1.1)
+
+    state_dir = str(tmp_path / "cdstate")
+    stream_centroid_drift(
+        spark, in_dir + "/*", str(tmp_path / "cdckpt"), state_dir, scale=64
+    )
+    assert sorted(os.listdir(state_dir)) == ["v1", "v2"]
+    got = read_centroid_drift(spark, state_dir, scale=64).collect()
+
+    full = spark.read.parquet(in_dir + "/*")
+    want = centroid_drift(full, scale=64).collect()
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+    assert len(got) == 3
+    assert all(r["c0"] + r["c1"] == 5 for r in got)
+
+    # replay idempotence: batch 1's partial merged over v1 == v2
+    part = centroid_drift_grid(
+        spark.read.parquet(os.path.join(in_dir, "drop-1")), scale=64
+    )
+    prev = spark.read.parquet(os.path.join(state_dir, "v1"))
+    remerged = {
+        (r["half"], r["dim"]): (r["s"], r["cnt"])
+        for r in prev.unionByName(part)
+        .groupBy("half", "dim")
+        .agg(
+            F.sum("s").cast("long").alias("s"),
+            F.sum("cnt").cast("long").alias("cnt"),
+        )
+        .collect()
+    }
+    v2 = {
+        (r["half"], r["dim"]): (r["s"], r["cnt"])
+        for r in spark.read.parquet(
+            os.path.join(state_dir, "v2")
+        ).collect()
+    }
+    assert remerged == v2
