@@ -9836,6 +9836,42 @@ def _q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation_fixed(edges, rounds=3)
 
 
+def _q_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini-Simpson / inverse-Simpson token diversity per source: the
+    log-free EXACT diversity index — one (source, term) aggregate, one
+    rollup, pure BIGINT ratios."""
+    from document_quality_assessment_ocr_spark.operators.textstats import (
+        simpson_diversity,
+    )
+
+    return simpson_diversity(_doc(spark, sf_dir), "source")
+
+
+def _q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over per-user event-type sets:
+    support/confidence/lift, |types|^2-grid bounded, all-BIGINT micro
+    ratios."""
+    from document_quality_assessment_ocr_spark.operators.sessions import (
+        event_assoc_rules,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return event_assoc_rules(ev, min_support=2)
+
+
+def _q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host local clustering coefficient over the q131/q149 host
+    link graph: q160's degree-oriented triangle plan + one exact micro
+    ratio (2*tri*1e6 DIV deg*(deg-1))."""
+    from document_quality_assessment_ocr_spark.operators.graph import (
+        local_clustering,
+    )
+
+    return local_clustering(_host_edges(spark, sf_dir)).select(
+        F.col("id").alias("host"), "degree", "tri", "cc_micro"
+    )
+
+
 def _q_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kish effective sample size + design effect of SoftDeDup weights
     per source: q100's weight chain, milli prescale (DIV 1e6), exact
@@ -10117,6 +10153,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q241_daily_autocorr": _q_daily_autocorr,
         "q242_label_prop": _q_label_prop,
         "q243_ess_weights": _q_ess,
+        "q244_simpson_diversity": _q_simpson,
+        "q245_assoc_rules": _q_assoc_rules,
+        "q246_local_clustering": _q_local_clustering,
     }
 
 
@@ -13320,6 +13359,82 @@ def _label_prop_sql(rounds: int = 3, u1: int = 48, u2: int = 12) -> str:
     """
 
 
+def _simpson_sql() -> str:
+    """q244 oracle: the shared WS token split, (source, term) grid,
+    one rollup, BIGINT Simpson ratios with GREATEST guards."""
+    return f"""
+        WITH tok AS (
+            SELECT COALESCE(CAST(source AS VARCHAR), '') AS g,
+                   UNNEST(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(
+                       TRIM(LOWER(COALESCE(text, ''))), '{WS}+'),
+                       x -> x <> '')) AS term
+            FROM documents
+        ), grid AS (
+            SELECT g, term, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tok GROUP BY 1, 2
+        ), agg AS (
+            SELECT g, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_types,
+                   CAST(SUM(c * (c - 1)) AS BIGINT) AS d2
+            FROM grid GROUP BY 1
+        )
+        SELECT g AS source, n_tokens, n_types,
+               CAST(((n_tokens * (n_tokens - 1) - d2) * 1000000)
+                    // GREATEST(n_tokens * (n_tokens - 1), 1)
+                    AS BIGINT) AS gini_simpson_micro,
+               CAST((n_tokens * (n_tokens - 1) * 1000)
+                    // GREATEST(d2, 1) AS BIGINT) AS inv_simpson_milli
+        FROM agg ORDER BY source
+    """
+
+
+def _assoc_rules_sql(min_support: int = 2) -> str:
+    """q245 oracle: distinct (user, type) grain (MATERIALIZED — read by
+    both pair join sides and the support rollup), directed pair counts,
+    grid joins, BIGINT confidence/lift micro ratios."""
+    return f"""
+        WITH ut AS MATERIALIZED (
+            SELECT DISTINCT user_id AS u,
+                   CAST(event_type AS VARCHAR) AS t
+            FROM events WHERE event_type IS NOT NULL
+        ), n AS (
+            SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users FROM ut
+        ), s AS MATERIALIZED (
+            SELECT t, CAST(COUNT(*) AS BIGINT) AS st FROM ut GROUP BY 1
+        ), p AS (
+            SELECT a.t AS ante, b.t AS conseq,
+                   CAST(COUNT(*) AS BIGINT) AS n_both
+            FROM ut a JOIN ut b ON a.u = b.u AND a.t <> b.t
+            GROUP BY 1, 2
+        )
+        SELECT p.ante, p.conseq, p.n_both,
+               sa.st AS n_ante, sb.st AS n_conseq, n.n_users,
+               CAST((p.n_both * 1000000) // GREATEST(sa.st, 1)
+                    AS BIGINT) AS confidence_micro,
+               CAST((p.n_both * n.n_users * 1000)
+                    // GREATEST(sa.st * sb.st, 1) AS BIGINT) AS lift_milli
+        FROM p
+        JOIN s sa ON sa.t = p.ante
+        JOIN s sb ON sb.t = p.conseq
+        CROSS JOIN n
+        WHERE p.n_both >= {int(min_support)}
+        ORDER BY ante, conseq
+    """
+
+
+def _local_clustering_sql() -> str:
+    """q246 oracle: the q160 triangle chain as a MATERIALIZED CTE plus
+    the exact micro clustering ratio."""
+    return f"""
+        WITH t AS MATERIALIZED ({_triangles_sql()})
+        SELECT host, degree, tri,
+               CAST((2 * tri * 1000000)
+                    // GREATEST(degree * (degree - 1), 1) AS BIGINT)
+                   AS cc_micro
+        FROM t ORDER BY host
+    """
+
+
 def _ess_sql() -> str:
     """q243 oracle: the q100 soft-dedup weight chain as a MATERIALIZED
     CTE, milli prescale (// 1e6), exact BIGINT sums, ONE double
@@ -13979,6 +14094,9 @@ def oracle_sql() -> dict[str, str]:
         "q241_daily_autocorr": _daily_autocorr_sql(),
         "q242_label_prop": _label_prop_sql(),
         "q243_ess_weights": _ess_sql(),
+        "q244_simpson_diversity": _simpson_sql(),
+        "q245_assoc_rules": _assoc_rules_sql(),
+        "q246_local_clustering": _local_clustering_sql(),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

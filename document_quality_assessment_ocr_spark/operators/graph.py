@@ -786,3 +786,38 @@ def label_propagation_fixed(
             .localCheckpoint(eager=True)
         )
     return labels.orderBy("node")
+
+
+def local_clustering(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node local clustering coefficient — triangles over possible
+    wedges, ``cc = 2·tri / (deg·(deg−1))`` — the normalized link-farm
+    signal that makes q160's raw triangle counts comparable across
+    degrees (a 4-triangle node is a clique at degree 4 and noise at
+    degree 400).
+
+    Pure composition over :func:`triangle_count` (same orientation-
+    bounded plan; zero new exchanges) plus one exact micro ratio:
+    ``cc_micro = (2·tri·10^6) DIV (deg·(deg−1))`` — non-negative DIV
+    (tri and degree are counts), degree < 2 yields 0 (tri is 0 there).
+    Overflow: tri <= deg², so 2·tri·10^6 caps degree at ~2e6 — the
+    mega-hub case where the coefficient is pre-bucketed anyway (same
+    rule both engines).
+
+    Output: (id, degree, tri, cc_micro) ordered by id.
+    """
+    t = triangle_count(edges, src_col, dst_col)
+    return t.select(
+        "id",
+        "degree",
+        "tri",
+        F.expr(
+            "(2L * tri * 1000000L)"
+            " DIV greatest(degree * (degree - 1L), 1L)"
+        )
+        .cast("long")
+        .alias("cc_micro"),
+    ).orderBy("id")

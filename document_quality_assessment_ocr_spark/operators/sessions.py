@@ -719,3 +719,87 @@ def daily_autocorr(
     return agg.select(
         F.col("lag").cast("long").alias("lag"), "n_pairs", r.alias("r")
     ).orderBy("lag")
+
+
+def event_assoc_rules(
+    events: DataFrame,
+    min_support: int = 2,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Market-basket association rules over per-user event-type sets —
+    support / confidence / lift for every directed type pair, the
+    behavioral co-occurrence mining that complements the Markov
+    transition matrix (q197: sequence order) with set co-presence
+    (which behaviors live in the same users regardless of order?).
+
+    All EXACT BIGINT: ``confidence_micro = n_both·10^6 DIV n_ante``,
+    ``lift_milli = n_both·n_users·1000 DIV (n_ante·n_conseq)`` — every
+    operand non-negative.  Overflow: n_both·n_users·1000 <=
+    n_users²·1000 caps users at ~3e7; n_ante·n_conseq <= n_users² the
+    same — past that, pre-scale all four counts by a shared 2^k
+    (lift is ratio-invariant; documented estimator, same rule both
+    engines).
+
+    Scale shape: ONE distinct to the (user, type) grain (the only
+    corpus-sized exchange), a per-user type self-join whose fan-out is
+    bounded by |types|² per user (type domains are small and fixed —
+    the grid-bounded family), one |types|²-row pair aggregate, two
+    |types|-row grid joins, one 1-row user-count broadcast.
+
+    Output: (ante, conseq, n_both, n_ante, n_conseq, n_users,
+    confidence_micro, lift_milli) for pairs with n_both >=
+    min_support, ordered by (ante, conseq).
+    """
+    ut = (
+        events.select(
+            F.col(user_col).alias("u"),
+            F.col(type_col).cast("string").alias("t"),
+        )
+        .where(F.col("t").isNotNull())
+        .distinct()
+    )
+    n = ut.agg(
+        F.countDistinct("u").cast("long").alias("n_users")
+    )
+    s = ut.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("st"))
+    pairs = (
+        ut.alias("a")
+        .join(ut.alias("b"), "u")
+        .where(F.col("a.t") != F.col("b.t"))
+        .groupBy(
+            F.col("a.t").alias("ante"), F.col("b.t").alias("conseq")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        .where(F.col("n_both") >= int(min_support))
+    )
+    out = (
+        pairs.join(
+            F.broadcast(s.select(F.col("t").alias("ante"), F.col("st").alias("n_ante"))),
+            "ante",
+        )
+        .join(
+            F.broadcast(
+                s.select(F.col("t").alias("conseq"), F.col("st").alias("n_conseq"))
+            ),
+            "conseq",
+        )
+        .crossJoin(F.broadcast(n))
+    )
+    return out.select(
+        "ante",
+        "conseq",
+        "n_both",
+        "n_ante",
+        "n_conseq",
+        "n_users",
+        F.expr("(n_both * 1000000L) DIV greatest(n_ante, 1L)")
+        .cast("long")
+        .alias("confidence_micro"),
+        F.expr(
+            "(n_both * n_users * 1000L)"
+            " DIV greatest(n_ante * n_conseq, 1L)"
+        )
+        .cast("long")
+        .alias("lift_milli"),
+    ).orderBy("ante", "conseq")

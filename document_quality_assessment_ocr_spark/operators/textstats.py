@@ -1202,3 +1202,62 @@ def term_burstiness(
         .cast("long")
         .alias("burst_micro"),
     )
+
+
+def simpson_diversity(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gini-Simpson and inverse-Simpson token diversity per group — the
+    log-free diversity index (probability two random tokens differ) that
+    complements the whole-bit surprisal panels (q67/q190) and the vocab
+    coverage curve (q228) with an EXACT statistic: unlike Shannon
+    entropy, Simpson needs no logarithm, so it is pure BIGINT
+    cross-engine arithmetic with no fixed-point estimator caveat.
+
+    ``gini_simpson_micro = (n(n−1) − Σc(c−1)) · 10^6 DIV n(n−1)`` —
+    numerator non-negative since Σc(c−1) <= n(n−1) (c sums to n);
+    ``inv_simpson_milli = n(n−1)·1000 DIV Σc(c−1)`` (the effective
+    number of equally-common types, ×1000).  Overflow cap (q230 class):
+    n(n−1)·10^6 needs n <= ~3e6 tokens per group; past that, pre-scale
+    term counts ``c DIV 2^k`` on both engines — the bucketed index is
+    the documented estimator.
+
+    Scale shape: ONE (group, term) hash aggregate (map-side combined;
+    the only corpus-sized exchange), ONE rollup to groups.  Tokens:
+    the shared lowercase WS_CLASS split.
+
+    Output: (group_col, n_tokens, n_types, gini_simpson_micro,
+    inv_simpson_milli) ordered by group.
+    """
+    base = docs.select(
+        F.coalesce(F.col(group_col).cast("string"), F.lit("")).alias("g"),
+        F.explode(_tokens(F.col(text_col))).alias("term"),
+    )
+    grid = base.groupBy("g", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    agg = grid.groupBy("g").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("c") * (F.col("c") - F.lit(1).cast("long")))
+        .cast("long")
+        .alias("d2"),
+    )
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n_tokens",
+        "n_types",
+        F.expr(
+            "((n_tokens * (n_tokens - 1L) - d2) * 1000000L)"
+            " DIV greatest(n_tokens * (n_tokens - 1L), 1L)"
+        )
+        .cast("long")
+        .alias("gini_simpson_micro"),
+        F.expr(
+            "(n_tokens * (n_tokens - 1L) * 1000L) DIV greatest(d2, 1L)"
+        )
+        .cast("long")
+        .alias("inv_simpson_milli"),
+    ).orderBy(group_col)
