@@ -455,6 +455,15 @@ def main() -> None:
         "q235_assortativity",
         "q236_winsorized_mean",
         "q237_mmr_rerank",
+        "q238_auc",
+        "q239_pr_sweep",
+        "q240_centroid_drift",
+        "q241_daily_autocorr",
+        "q242_label_prop",
+        "q243_ess_weights",
+        "q244_simpson_diversity",
+        "q245_assoc_rules",
+        "q246_local_clustering",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"
