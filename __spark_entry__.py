@@ -9836,6 +9836,71 @@ def _q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation_fixed(edges, rounds=3)
 
 
+def _q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@5 of the q17 IVF index vs the exact brute-force ranking on
+    the (0,1,2) probe panel: graded rel = k+1-exact_rank, shared
+    ndcg_discounts_micro integer literals — zero float logs, all
+    BIGINT."""
+    from document_quality_assessment_ocr_spark.operators.retrieval import (
+        ndcg_at_k,
+    )
+    from document_quality_assessment_ocr_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivf_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    approx = ivf_topk(emb, probe_ids=[0, 1, 2], dim=64, k=5, n_centroids=8)
+    exact = cosine_topk_bruteforce(emb, probe_ids=[0, 1, 2], k=5)
+    return ndcg_at_k(approx, exact, k=5)
+
+
+def _q_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@5 of the q17 IVF index vs the exact brute-force ranking on
+    the (0,1,2) probe panel — first-hit depth, pure BIGINT
+    (rr_micro = 1e6 DIV first rank)."""
+    from document_quality_assessment_ocr_spark.operators.retrieval import (
+        mrr_at_k,
+    )
+    from document_quality_assessment_ocr_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivf_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    approx = ivf_topk(emb, probe_ids=[0, 1, 2], dim=64, k=5, n_centroids=8)
+    exact = cosine_topk_bruteforce(emb, probe_ids=[0, 1, 2], k=5)
+    return mrr_at_k(approx, exact, k=5)
+
+
+def _q_keep_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d of n_chars between Gopher keep/reject per source — the
+    effect-size companion to the q238 AUC audit; exact BIGINT moments
+    + the shared cohens_d_expr() text on both engines."""
+    from document_quality_assessment_ocr_spark.operators.experiment import (
+        cohens_d_by_group,
+    )
+    from document_quality_assessment_ocr_spark.operators.quality import (
+        gopher_labeled,
+    )
+
+    lab = gopher_labeled(_doc(spark, sf_dir), ["source", "n_chars"]).select(
+        "source", "n_chars", F.col("keep").cast("long").alias("label")
+    )
+    return cohens_d_by_group(lab, "n_chars", "label", "source")
+
+
+def _q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-bit Zipf rank-frequency slope per source: value-grid rank
+    bands × POW2_TRIPLES literal fan × Pearson-class finish — no
+    per-term rank window anywhere."""
+    from document_quality_assessment_ocr_spark.operators.textstats import (
+        zipf_slope,
+    )
+
+    return zipf_slope(_doc(spark, sf_dir), "source")
+
+
 def _q_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini-Simpson / inverse-Simpson token diversity per source: the
     log-free EXACT diversity index — one (source, term) aggregate, one
@@ -10156,6 +10221,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q244_simpson_diversity": _q_simpson,
         "q245_assoc_rules": _q_assoc_rules,
         "q246_local_clustering": _q_local_clustering,
+        "q247_ndcg": _q_ndcg,
+        "q248_mrr": _q_mrr,
+        "q249_keep_effect_size": _q_keep_effect,
+        "q250_zipf_slope": _q_zipf,
     }
 
 
@@ -13359,6 +13428,215 @@ def _label_prop_sql(rounds: int = 3, u1: int = 48, u2: int = 12) -> str:
     """
 
 
+def _ndcg_sql(k: int = 5) -> str:
+    """q247 oracle: the q119 approx/exact chains (q17 IVF CTE + inline
+    exact top-k), graded rel = k+1-rank, and the SHARED
+    retrieval.ndcg_discounts_micro integer literals in a CASE discount
+    — all BIGINT, one // ratio."""
+    from document_quality_assessment_ocr_spark.operators.retrieval import (
+        ndcg_discounts_micro,
+    )
+
+    kk = int(k)
+    d = ndcg_discounts_micro(kk)
+    case = (
+        "CASE rank "
+        + " ".join(f"WHEN {i} THEN {dm}" for i, dm in enumerate(d, 1))
+        + " ELSE 0 END"
+    )
+    acase = (
+        "CASE a.rank "
+        + " ".join(f"WHEN {i} THEN {dm}" for i, dm in enumerate(d, 1))
+        + " ELSE 0 END"
+    )
+    return f"""
+        WITH approx AS (
+            {_ivf_sql()}
+        ), e2 AS (
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ), p2 AS (
+            SELECT vec_id AS probe_id, v AS pv FROM e2
+            WHERE vec_id IN (0, 1, 2)
+        ), s2 AS (
+            SELECT probe_id, e2.vec_id AS neighbor_id,
+                   ROUND(LIST_DOT_PRODUCT(pv, v)
+                         / SQRT(LIST_DOT_PRODUCT(pv, pv)
+                                * LIST_DOT_PRODUCT(v, v)), 6) AS cos
+            FROM p2, e2 WHERE e2.vec_id <> probe_id
+        ), exact AS MATERIALIZED (
+            SELECT probe_id, neighbor_id, rank,
+                   CAST({kk} + 1 - rank AS BIGINT) AS rel
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, neighbor_id ASC)
+                         AS rank
+                  FROM s2)
+            WHERE rank <= {kk}
+        ), dcg AS (
+            SELECT a.probe_id,
+                   CAST(SUM(COALESCE(e.rel, 0) * ({acase})) AS BIGINT)
+                       AS dcg_micro
+            FROM (SELECT probe_id, neighbor_id, rank FROM approx
+                  WHERE rank <= {kk}) a
+            LEFT JOIN exact e ON a.probe_id = e.probe_id
+                             AND a.neighbor_id = e.neighbor_id
+            GROUP BY 1
+        ), idcg AS (
+            SELECT probe_id,
+                   CAST(SUM(rel * ({case})) AS BIGINT) AS idcg_micro
+            FROM exact GROUP BY 1
+        )
+        SELECT idcg.probe_id AS probe_id,
+               CAST(COALESCE(dcg.dcg_micro, 0) AS BIGINT) AS dcg_micro,
+               idcg.idcg_micro,
+               CAST((COALESCE(dcg.dcg_micro, 0) * 1000000)
+                    // GREATEST(idcg.idcg_micro, 1) AS BIGINT)
+                   AS ndcg_micro
+        FROM idcg LEFT JOIN dcg ON dcg.probe_id = idcg.probe_id
+        ORDER BY probe_id
+    """
+
+
+def _mrr_sql(k: int = 5) -> str:
+    """q248 oracle: the q247 approx/exact chains (q17 IVF CTE + inline
+    exact top-k), first-hit MIN rank over the relevance join,
+    ``1e6 // rank`` — all BIGINT, non-negative // only."""
+    kk = int(k)
+    return f"""
+        WITH approx AS (
+            {_ivf_sql()}
+        ), e2 AS (
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ), p2 AS (
+            SELECT vec_id AS probe_id, v AS pv FROM e2
+            WHERE vec_id IN (0, 1, 2)
+        ), s2 AS (
+            SELECT probe_id, e2.vec_id AS neighbor_id,
+                   ROUND(LIST_DOT_PRODUCT(pv, v)
+                         / SQRT(LIST_DOT_PRODUCT(pv, pv)
+                                * LIST_DOT_PRODUCT(v, v)), 6) AS cos
+            FROM p2, e2 WHERE e2.vec_id <> probe_id
+        ), exact AS MATERIALIZED (
+            SELECT probe_id, neighbor_id
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY cos DESC, neighbor_id ASC)
+                         AS rank
+                  FROM s2)
+            WHERE rank <= {kk}
+        ), hits AS (
+            SELECT a.probe_id, CAST(MIN(a.rank) AS BIGINT) AS fr
+            FROM (SELECT probe_id, neighbor_id, rank FROM approx
+                  WHERE rank <= {kk}) a
+            JOIN exact e ON a.probe_id = e.probe_id
+                        AND a.neighbor_id = e.neighbor_id
+            GROUP BY 1
+        ), probes AS (
+            SELECT DISTINCT probe_id FROM exact
+        )
+        SELECT p.probe_id AS probe_id,
+               CAST(COALESCE(h.fr, 0) AS BIGINT) AS first_hit_rank,
+               CAST(CASE WHEN h.fr IS NOT NULL THEN 1000000 // h.fr
+                         ELSE 0 END AS BIGINT) AS rr_micro
+        FROM probes p LEFT JOIN hits h ON h.probe_id = p.probe_id
+        ORDER BY probe_id
+    """
+
+
+def _keep_effect_sql() -> str:
+    """q249 oracle: the q89 gopher filter as a MATERIALIZED CTE joined
+    back to documents (the q238 builder shape), exact BIGINT moments
+    per (source, keep-side), then the SHARED
+    ``experiment.cohens_d_expr()`` text — identical float op order on
+    both engines by construction."""
+    from document_quality_assessment_ocr_spark.operators.experiment import (
+        cohens_d_expr,
+    )
+
+    return f"""
+        WITH g AS MATERIALIZED ({_gopher_filter_sql()}),
+        lab AS (
+            SELECT COALESCE(CAST(d.source AS VARCHAR), '') AS grp,
+                   CAST(d.n_chars AS BIGINT) AS v,
+                   CAST(CASE WHEN g.keep THEN 1 ELSE 0 END AS BIGINT) AS y
+            FROM documents d JOIN g ON CAST(d.doc_id AS BIGINT) = g.doc_id
+        ), agg AS (
+            SELECT grp,
+                   CAST(SUM(y) AS BIGINT) AS n1,
+                   CAST(COUNT(*) - SUM(y) AS BIGINT) AS n0,
+                   CAST(SUM(v * y) AS BIGINT) AS s1,
+                   CAST(SUM(v) - SUM(v * y) AS BIGINT) AS s0,
+                   CAST(SUM(v * v * y) AS BIGINT) AS q1,
+                   CAST(SUM(v * v) - SUM(v * v * y) AS BIGINT) AS q0
+            FROM lab GROUP BY 1
+        )
+        SELECT grp AS source, n1 AS n_pos, n0 AS n_neg,
+               {cohens_d_expr()} AS cohens_d
+        FROM agg ORDER BY source
+    """
+
+
+def _zipf_sql() -> str:
+    """q250 oracle: the shared WS token split, (source, term) grid,
+    (source, count) cells with a count-domain grid cumsum, the shared
+    ``textstats.POW2_TRIPLES`` literal band fan (closed-form interval
+    overlap — no shifts, no powers), exact BIGINT OLS moments, and the
+    SHARED ``ZIPF_SLOPE_EXPR`` text."""
+    from document_quality_assessment_ocr_spark.operators.textstats import (
+        POW2_TRIPLES,
+        ZIPF_SLOPE_EXPR,
+    )
+
+    vals = ", ".join(f"({k}, {plo}, {phi})" for k, plo, phi in POW2_TRIPLES)
+    return f"""
+        WITH tok AS (
+            SELECT COALESCE(CAST(source AS VARCHAR), '') AS g,
+                   UNNEST(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(
+                       TRIM(LOWER(COALESCE(text, ''))), '{WS}+'),
+                       x -> x <> '')) AS term
+            FROM documents
+        ), grid AS (
+            SELECT g, term, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tok GROUP BY 1, 2
+        ), cells AS (
+            SELECT g, c, CAST(COUNT(*) AS BIGINT) AS nt
+            FROM grid GROUP BY 1, 2
+        ), cello AS (
+            SELECT g, CAST(LENGTH(BIN(c)) - 1 AS BIGINT) AS y,
+                   CAST(COALESCE(SUM(nt) OVER (PARTITION BY g
+                            ORDER BY c DESC ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND 1 PRECEDING), 0)
+                        + 1 AS BIGINT) AS lo,
+                   CAST(COALESCE(SUM(nt) OVER (PARTITION BY g
+                            ORDER BY c DESC ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND 1 PRECEDING), 0)
+                        + nt AS BIGINT) AS hi
+            FROM cells
+        ), fan AS (
+            SELECT g, y, CAST(p.k AS BIGINT) AS x,
+                   GREATEST(CAST(0 AS BIGINT),
+                            LEAST(hi, CAST(p.phi AS BIGINT))
+                            - GREATEST(lo, CAST(p.plo AS BIGINT))
+                            + 1) AS ov
+            FROM cello CROSS JOIN (VALUES {vals}) AS p(k, plo, phi)
+        ), agg AS (
+            SELECT g, CAST(SUM(ov) AS BIGINT) AS n,
+                   CAST(SUM(x * ov) AS BIGINT) AS sx,
+                   CAST(SUM(y * ov) AS BIGINT) AS sy,
+                   CAST(SUM(x * x * ov) AS BIGINT) AS sxx,
+                   CAST(SUM(x * y * ov) AS BIGINT) AS sxy
+            FROM fan WHERE ov > 0 GROUP BY 1
+        )
+        SELECT g AS source, n AS n_types,
+               CAST(n * sxy - sx * sy AS BIGINT) AS num,
+               CAST(n * sxx - sx * sx AS BIGINT) AS den,
+               {ZIPF_SLOPE_EXPR} AS zipf_slope
+        FROM agg ORDER BY source
+    """
+
+
 def _simpson_sql() -> str:
     """q244 oracle: the shared WS token split, (source, term) grid,
     one rollup, BIGINT Simpson ratios with GREATEST guards."""
@@ -14097,6 +14375,10 @@ def oracle_sql() -> dict[str, str]:
         "q244_simpson_diversity": _simpson_sql(),
         "q245_assoc_rules": _assoc_rules_sql(),
         "q246_local_clustering": _local_clustering_sql(),
+        "q247_ndcg": _ndcg_sql(),
+        "q248_mrr": _mrr_sql(),
+        "q249_keep_effect_size": _keep_effect_sql(),
+        "q250_zipf_slope": _zipf_sql(),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

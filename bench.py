@@ -464,6 +464,7 @@ def main() -> None:
         "q244_simpson_diversity",
         "q245_assoc_rules",
         "q246_local_clustering",
+        "q247_ndcg",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

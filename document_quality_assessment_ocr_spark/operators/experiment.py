@@ -636,15 +636,37 @@ def auc_by_group(
 
     Output: (group_col, n_pos, n_neg, auc_micro) ordered by group.
     """
+    return auc_from_grid(
+        auc_grid(df, score_col, label_col, group_col), group_col
+    )
+
+
+def auc_grid(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    group_col: str = "g",
+) -> DataFrame:
+    """The (g, v, pos, neg) sufficient-statistic grid of
+    :func:`auc_by_group` — ALGEBRAIC (pos/neg add across shards /
+    micro-batches), so it doubles as the streaming twin's partial
+    (``streaming/drift.stream_auc``)."""
     base = df.select(
         F.coalesce(F.col(group_col).cast("string"), F.lit("")).alias("g"),
         F.col(score_col).cast("long").alias("v"),
         F.col(label_col).cast("long").alias("y"),
     ).where(F.col("v") >= 0)
-    grid = base.groupBy("g", "v").agg(
+    return base.groupBy("g", "v").agg(
         F.sum("y").cast("long").alias("pos"),
         (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("neg"),
     )
+
+
+def auc_from_grid(grid: DataFrame, group_col: str = "g") -> DataFrame:
+    """The grid→statistic stage of :func:`auc_by_group`, SHARED with the
+    streaming twin (the isotropy_from_grid contract): one grid-bounded
+    cumulative window + one rollup over a batch-built or incrementally
+    merged (g, v, pos, neg) grid — stream == batch row-for-row."""
     woff = (
         Window.partitionBy("g")
         .orderBy("v")
@@ -837,3 +859,77 @@ def effective_sample_size(
             + F.lit(0.0)
         ).alias("deff"),
     ).orderBy(group_col)
+
+
+def cohens_d_expr() -> str:
+    """The Cohen's-d expression TEXT over exact BIGINT moment columns
+    ``n1/n0/s1/s0/q1/q0`` — the morton16 string-is-the-twin class: the
+    SAME string is passed to Spark ``F.expr`` and interpolated into the
+    DuckDB oracle, so the float operation order is identical by
+    construction (Pearson-class contract: exact integer moments in, ONE
+    fixed-order double expression out).  Zero-variance / degenerate
+    groups (n<2 per side, pooled SS <= 0) collapse to ``0e0`` on both
+    engines; the ``+ 0e0`` guard normalizes any -0.0."""
+    m1 = "(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+    m0 = "(CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))"
+    ss = (
+        f"((CAST(q1 AS DOUBLE) - {m1} * CAST(s1 AS DOUBLE))"
+        f" + (CAST(q0 AS DOUBLE) - {m0} * CAST(s0 AS DOUBLE)))"
+    )
+    return (
+        f"CASE WHEN n1 >= 2 AND n0 >= 2 AND {ss} > 0e0"
+        f" THEN ROUND(({m1} - {m0})"
+        f" / SQRT({ss} / CAST(n1 + n0 - 2 AS DOUBLE)), 6) + 0e0"
+        f" ELSE 0e0 END"
+    )
+
+
+def cohens_d_by_group(
+    df: DataFrame,
+    value_col: str = "v",
+    label_col: str = "label",
+    group_col: str = "g",
+) -> DataFrame:
+    """Per-group standardized mean difference (pooled-SD Cohen's d) of a
+    numeric column between a binary label's two sides — the effect-size
+    companion to :func:`auc_by_group`: AUC says whether the metric RANKS
+    the classes apart, d says by how many pooled standard deviations the
+    means sit apart (the number a filter-design review quotes).
+
+    Exact BIGINT sufficient statistics per group (n, Σv, Σv² per side —
+    one map-side-combined hash aggregate, conditional sums so no pivot
+    shuffle), then the shared :func:`cohens_d_expr` text — identical
+    float op order on both engines.  No integer division anywhere, so
+    negative values are safe (d's sign is the label-1 direction).
+
+    Overflow cap: Σv² needs ``n·max(v)² < 2^63`` (~9e18); past that,
+    pre-scale ``v DIV 2^k`` on both engines.
+
+    Output: (group_col, n_pos, n_neg, cohens_d) ordered by group.
+    """
+    base = df.select(
+        F.coalesce(F.col(group_col).cast("string"), F.lit("")).alias("g"),
+        F.col(value_col).cast("long").alias("v"),
+        F.col(label_col).cast("long").alias("y"),
+    )
+    sv = F.sum("v").cast("long")
+    svy = F.sum(F.col("v") * F.col("y")).cast("long")
+    sq = F.sum(F.col("v") * F.col("v")).cast("long")
+    sqy = F.sum(F.col("v") * F.col("v") * F.col("y")).cast("long")
+    agg = base.groupBy("g").agg(
+        F.sum("y").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("n0"),
+        svy.alias("s1"),
+        (sv - svy).cast("long").alias("s0"),
+        sqy.alias("q1"),
+        (sq - sqy).cast("long").alias("q0"),
+    )
+    return (
+        agg.select(
+            F.col("g").alias(group_col),
+            F.col("n1").alias("n_pos"),
+            F.col("n0").alias("n_neg"),
+            F.expr(cohens_d_expr()).alias("cohens_d"),
+        )
+        .orderBy(group_col)
+    )

@@ -449,3 +449,153 @@ def tfidf_keywords(
         .where(F.col("rk") <= F.lit(int(k)))
         .select(id_col, "term", "tf", "score_milli", "rk")
     )
+
+
+def ndcg_discounts_micro(k: int) -> list[int]:
+    """The 1-indexed micro rank discounts ``round(10^6 / log2(i + 1))``
+    for i = 1..k — computed ONCE in Python and interpolated as integer
+    literals into BOTH engines (the BENFORD_MICRO shared-DATA-constant
+    class), so nDCG needs no cross-engine logarithm."""
+    import math
+
+    return [round(1_000_000 / math.log2(i + 1)) for i in range(1, int(k) + 1)]
+
+
+def ndcg_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int = 5,
+    probe_col: str = "probe_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Per-probe nDCG@k of an approximate ranking against the exact one
+    — the graded, position-discounted companion to :func:`recall_at_k`
+    (recall says WHETHER the true neighbors surfaced; nDCG says WHERE):
+    a hit at approx rank 1 is worth more than the same hit at rank k,
+    and nearer true neighbors carry more gain.
+
+    Graded relevance ``rel = k + 1 − exact_rank`` (exact top-1 worth k,
+    beyond-k worth 0); ``DCG = Σ rel(item at approx rank i) · D_i`` with
+    the :func:`ndcg_discounts_micro` integer literals; the ideal DCG
+    re-discounts the exact ranking itself.  ``ndcg_micro = DCG · 10^6
+    DIV IDCG`` — ALL arithmetic is exact BIGINT (no float log, no float
+    sum-order hazard), and IDCG uses the exact side's own row count so
+    truncated corpora aren't flattered (the recall_at_k convention).
+
+    Scale shape: rank filters map-side; one (probe, neighbor)
+    broadcast-sized join and two probe-panel-keyed aggregates — every
+    relation is bounded by |probes|·k.
+
+    Output: (probe_col, dcg_micro, idcg_micro, ndcg_micro).
+    """
+    kk = int(k)
+    d = ndcg_discounts_micro(kk)
+    dmap = F.create_map(
+        *[
+            x
+            for i, dm in enumerate(d, 1)
+            for x in (F.lit(i).cast("long"), F.lit(dm).cast("long"))
+        ]
+    )
+    a = approx.where(F.col("rank") <= kk).select(
+        probe_col, neighbor_col, F.col("rank").cast("long").alias("arank")
+    )
+    e = exact.where(F.col("rank") <= kk).select(
+        probe_col,
+        neighbor_col,
+        (F.lit(kk + 1).cast("long") - F.col("rank").cast("long")).alias(
+            "rel"
+        ),
+        F.col("rank").cast("long").alias("erank"),
+    )
+    dcg = (
+        a.join(
+            e.select(probe_col, neighbor_col, "rel"),
+            [probe_col, neighbor_col],
+            "left",
+        )
+        .select(
+            probe_col,
+            (
+                F.coalesce(F.col("rel"), F.lit(0).cast("long"))
+                * dmap[F.col("arank")]
+            ).alias("contrib"),
+        )
+        .groupBy(probe_col)
+        .agg(F.sum("contrib").cast("long").alias("dcg_micro"))
+    )
+    idcg = (
+        e.select(probe_col, (F.col("rel") * dmap[F.col("erank")]).alias("ic"))
+        .groupBy(probe_col)
+        .agg(F.sum("ic").cast("long").alias("idcg_micro"))
+    )
+    return (
+        idcg.join(dcg, probe_col, "left")
+        .select(
+            probe_col,
+            F.coalesce(F.col("dcg_micro"), F.lit(0).cast("long")).alias(
+                "dcg_micro"
+            ),
+            "idcg_micro",
+            F.expr(
+                "(coalesce(dcg_micro, 0L) * 1000000L)"
+                " DIV greatest(idcg_micro, 1L)"
+            )
+            .cast("long")
+            .alias("ndcg_micro"),
+        )
+        .orderBy(probe_col)
+    )
+
+
+def mrr_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int = 5,
+    probe_col: str = "probe_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Per-probe reciprocal rank of the FIRST true neighbor in the
+    approximate ranking — the "how deep must a user scroll" companion
+    to :func:`recall_at_k` (coverage) and :func:`ndcg_at_k` (graded
+    position quality): MRR only cares where the first hit lands.
+
+    Relevance set = the exact top-k (the recall_at_k convention);
+    ``first_hit_rank`` = MIN approx rank whose neighbor is relevant
+    (0 when the approx list misses every true neighbor);
+    ``rr_micro = 10^6 DIV first_hit_rank`` — exact BIGINT, no floats,
+    so the corpus mean (``Σ rr_micro DIV n`` downstream) is order-free.
+
+    Scale shape: rank filters map-side; one probe-panel-bounded join +
+    one MIN aggregate — every relation is bounded by |probes| · k.
+
+    Output: (probe_col, first_hit_rank, rr_micro) ordered by probe.
+    """
+    kk = int(k)
+    a = approx.where(F.col("rank") <= kk).select(
+        probe_col, neighbor_col, F.col("rank").cast("long").alias("arank")
+    )
+    e = exact.where(F.col("rank") <= kk).select(probe_col, neighbor_col)
+    first = (
+        a.join(e, [probe_col, neighbor_col])
+        .groupBy(probe_col)
+        .agg(F.min("arank").alias("fr"))
+    )
+    probes = exact.select(probe_col).distinct()
+    return (
+        probes.join(first, probe_col, "left")
+        .select(
+            probe_col,
+            F.coalesce(F.col("fr"), F.lit(0).cast("long")).alias(
+                "first_hit_rank"
+            ),
+            F.when(
+                F.col("fr").isNotNull(),
+                F.expr("1000000L DIV fr"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("rr_micro"),
+        )
+        .orderBy(probe_col)
+    )

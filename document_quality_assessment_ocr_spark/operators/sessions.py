@@ -517,8 +517,23 @@ def rfm_segments(
     Output: (r_bucket, f_bucket, m_bucket, n_users, sum_events,
     sum_value_milli) ordered by the three buckets.
     """
+    return rfm_from_state(
+        rfm_user_state(events, user_col, ts_col, value_col)
+    )
+
+
+def rfm_user_state(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """The per-user (u, last_us, n_events, value_milli) sufficient
+    statistics of :func:`rfm_segments` — ALGEBRAIC per user (max / sum /
+    sum merge across shards and micro-batches), so it doubles as the
+    streaming twin's partial (``streaming/sessions.stream_rfm``)."""
     tus = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    per_user = events.groupBy(F.col(user_col).alias("u")).agg(
+    return events.groupBy(F.col(user_col).alias("u")).agg(
         F.max(tus).cast("long").alias("last_us"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.sum(
@@ -530,6 +545,13 @@ def rfm_segments(
         .cast("long")
         .alias("value_milli"),
     )
+
+
+def rfm_from_state(per_user: DataFrame) -> DataFrame:
+    """The state→grid stage of :func:`rfm_segments`, SHARED with the
+    streaming twin (the isotropy_from_grid contract): fixed bucket
+    rules applied to a batch-built or incrementally merged per-user
+    state table — stream == batch row-for-row."""
     ref = per_user.agg(F.max("last_us").cast("long").alias("ref_us"))
     day_us = 86_400_000_000
     seg = (

@@ -1261,3 +1261,129 @@ def simpson_diversity(
         .cast("long")
         .alias("inv_simpson_milli"),
     ).orderBy(group_col)
+
+
+# (k, 2^k, 2^(k+1)-1) whole-bit rank bands, k = 0..62 — a shared DATA
+# constant (the BENFORD_MICRO class): computed ONCE here and
+# interpolated as integer literals into the DuckDB oracle, so neither
+# engine ever evaluates a shift or power.
+POW2_TRIPLES: list[tuple[int, int, int]] = [
+    (k, 1 << k, (1 << (k + 1)) - 1) for k in range(62)
+]
+
+
+# Slope expression TEXT over the exact BIGINT moments (n, sx, sy, sxx,
+# sxy) — the morton16 string-is-the-twin class: passed verbatim to
+# Spark F.expr AND interpolated into the DuckDB oracle.
+ZIPF_SLOPE_EXPR = (
+    "CASE WHEN (n * sxx - sx * sx) > 0"
+    " THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)"
+    " / CAST(n * sxx - sx * sx AS DOUBLE), 6) + 0e0"
+    " ELSE 0e0 END"
+)
+
+
+def zipf_slope(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Whole-bit Zipf rank-frequency slope per group — the "does this
+    corpus look like natural language" audit (natural text fits
+    log-count ≈ a − s·log-rank with s ≈ 1; templated/spammy corpora
+    bend the line).  OLS of y = floor(log2 count) on x = floor(log2
+    rank) over EVERY term, with no per-term rank ever materialized:
+
+    - value-grid rank trick (q230/q236 family): terms collapse to
+      (group, count) cells; a cell with nt terms after ``off``
+      predecessors (counts DESC) holds ranks off+1..off+nt;
+    - whole-bit log2 (the q67 ``LENGTH(BIN(n))-1`` idiom) needs only
+      how many of those ranks fall in each power-of-two band
+      [2^k, 2^(k+1)-1] — a closed-form interval overlap fanned over the
+      shared :data:`POW2_TRIPLES` literals (q158 explode-fan class);
+    - Pearson-class finish: exact BIGINT moments (n, Σx, Σy, Σx², Σxy),
+      ONE fixed-order double division, ROUND(·,6) + 0e0 guard
+      (num may be negative — it is never integer-divided).
+
+    Scale shape: ONE corpus-sized (group, term) hash aggregate, ONE
+    (group, count) rollup, a count-domain-bounded grid window for the
+    offsets, a ≤62× literal fan on the grid, ONE rollup to groups.
+
+    Output: (group_col, n_types, num, den, zipf_slope) ordered by
+    group.
+    """
+    base = docs.select(
+        F.coalesce(F.col(group_col).cast("string"), F.lit("")).alias("g"),
+        F.explode(_tokens(F.col(text_col))).alias("term"),
+    )
+    grid = base.groupBy("g", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cells = grid.groupBy("g", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("nt")
+    )
+    woff = (
+        Window.partitionBy("g")
+        .orderBy(F.col("c").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cello = cells.select(
+        "g",
+        (F.length(F.bin("c")) - 1).cast("long").alias("y"),
+        (
+            F.coalesce(F.sum("nt").over(woff), F.lit(0).cast("long"))
+            + F.lit(1).cast("long")
+        ).alias("lo"),
+        (
+            F.coalesce(F.sum("nt").over(woff), F.lit(0).cast("long"))
+            + F.col("nt")
+        ).alias("hi"),
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("long").alias("k"),
+                F.lit(plo).cast("long").alias("plo"),
+                F.lit(phi).cast("long").alias("phi"),
+            )
+            for k, plo, phi in POW2_TRIPLES
+        ]
+    )
+    fan = cello.select(
+        "g", "y", "lo", "hi", F.explode(bands).alias("p")
+    ).select(
+        "g",
+        "y",
+        F.col("p.k").alias("x"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.least(F.col("hi"), F.col("p.phi"))
+            - F.greatest(F.col("lo"), F.col("p.plo"))
+            + F.lit(1).cast("long"),
+        ).alias("ov"),
+    ).where(F.col("ov") > 0)
+    agg = fan.groupBy("g").agg(
+        F.sum("ov").cast("long").alias("n"),
+        F.sum(F.col("x") * F.col("ov")).cast("long").alias("sx"),
+        F.sum(F.col("y") * F.col("ov")).cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x") * F.col("ov"))
+        .cast("long")
+        .alias("sxx"),
+        F.sum(F.col("x") * F.col("y") * F.col("ov"))
+        .cast("long")
+        .alias("sxy"),
+    )
+    return (
+        agg.select(
+            F.col("g").alias(group_col),
+            F.col("n").alias("n_types"),
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("long")
+            .alias("num"),
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            .cast("long")
+            .alias("den"),
+            F.expr(ZIPF_SLOPE_EXPR).alias("zipf_slope"),
+        )
+        .orderBy(group_col)
+    )

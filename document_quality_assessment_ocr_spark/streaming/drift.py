@@ -288,3 +288,94 @@ def read_centroid_drift(
         raise FileNotFoundError(f"no persisted grid under {state_dir!r}")
     grid = spark.read.parquet(os.path.join(state_dir, f"v{vs[-1]}"))
     return centroid_drift_from_grid(grid, scale=scale)
+
+
+AUC_STREAM_SCHEMA = "doc_id long, text string, source string, n_chars long"
+
+
+def _auc_partial(batch: DataFrame) -> DataFrame:
+    """One batch's (g, v, pos, neg) partial — the SAME gopher_labeled
+    projection + auc_grid stage as the q238 batch query."""
+    from ..operators.experiment import auc_grid
+    from ..operators.quality import gopher_labeled
+
+    lab = gopher_labeled(batch, ["source", "n_chars"]).select(
+        "source", "n_chars", F.col("keep").cast("long").alias("label")
+    )
+    return auc_grid(lab, "n_chars", "label", "source")
+
+
+def stream_auc(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+):
+    """Streaming AUC maintenance — the twelfth incremental twin, pairing
+    ``experiment.auc_by_group`` (q238): the (g, v, pos, neg) value grid
+    is ALGEBRAIC (``auc_grid`` is the shared partial builder; pos/neg
+    counts add), so a continuously ingesting corpus keeps its
+    classifier-ranking monitor fresh for a per-batch cost of one
+    map-side label projection + grid aggregate over its own rows plus a
+    grid-sized state merge.  State is bounded by |groups| × |score
+    domain| — history-independent.  Versioning / replay idempotence:
+    ``v{batch_id + 1}`` (the sketch-family rule).
+
+    Reading the statistic (``read_auc``) runs the SHARED
+    ``auc_from_grid`` stage over the persisted grid — stream == batch
+    row-for-row exact, order-free (no watermark assumptions).
+    """
+
+    stream = (
+        spark.readStream.schema(AUC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        vs = _versions(state_dir)
+        ahead = [v for v in vs if v > batch_id + 1]
+        if ahead:
+            raise RuntimeError(
+                f"state_dir {state_dir!r} already holds versions {ahead} "
+                f"beyond v{batch_id + 1}: fresh checkpoint against old "
+                "state history — reset checkpoint_dir and state_dir "
+                "together (paired unit)."
+            )
+        part = _auc_partial(batch)
+        if batch_id > 0:
+            prev = batch.sparkSession.read.parquet(
+                os.path.join(state_dir, f"v{batch_id}")
+            )
+            part = (
+                prev.unionByName(part)
+                .groupBy("g", "v")
+                .agg(
+                    F.sum("pos").cast("long").alias("pos"),
+                    F.sum("neg").cast("long").alias("neg"),
+                )
+            )
+        part.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{batch_id + 1}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def read_auc(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Current per-group AUC from the persisted grid — the SHARED
+    ``experiment.auc_from_grid`` stage over everything ingested."""
+    from ..operators.experiment import auc_from_grid
+
+    vs = _versions(state_dir)
+    if not vs:
+        raise FileNotFoundError(f"no persisted grid under {state_dir!r}")
+    grid = spark.read.parquet(os.path.join(state_dir, f"v{vs[-1]}"))
+    return auc_from_grid(grid, "source")

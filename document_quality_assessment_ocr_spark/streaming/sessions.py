@@ -230,3 +230,87 @@ def read_sessions(spark: SparkSession, state_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_idx")
     )
+
+
+def stream_rfm(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+):
+    """Streaming RFM maintenance — the thirteenth incremental twin,
+    pairing ``sessions.rfm_segments`` (q231) and the second whose state
+    is keyed by ENTITY rather than sketch cell (after transitions'
+    last-event table): the per-user (last_us, n_events, value_milli)
+    statistics are ALGEBRAIC per user (max / sum / sum —
+    ``rfm_user_state`` is the shared partial builder), so a
+    continuously ingesting event log keeps its segmentation grid fresh
+    for a per-batch cost of one user-keyed aggregate over its own rows
+    plus a |users|-bounded state merge.  Unlike sessionize, NO arrival
+    -order contract is needed — max/sum are order-free, so late or
+    shuffled events still converge to the batch answer.
+
+    State is bounded by |users| (not history).  Versioning / replay
+    idempotence: ``v{batch_id + 1}`` (the sketch-family rule).
+
+    Reading the grid (``read_rfm``) runs the SHARED
+    ``sessions.rfm_from_state`` stage (fixed bucket rules, corpus-max
+    recency reference) over the persisted state — stream == batch
+    row-for-row exact.
+    """
+    from ..operators.sessions import rfm_user_state
+
+    stream = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        vs = _versions(state_dir)
+        ahead = [v for v in vs if v > batch_id + 1]
+        if ahead:
+            raise RuntimeError(
+                f"state_dir {state_dir!r} already holds versions "
+                f"{ahead} beyond v{batch_id + 1}: fresh checkpoint "
+                "against old state history — reset checkpoint_dir and "
+                "state_dir together (paired unit)."
+            )
+        part = rfm_user_state(batch)
+        if batch_id > 0:
+            prev = batch.sparkSession.read.parquet(
+                os.path.join(state_dir, f"v{batch_id}")
+            )
+            part = (
+                prev.unionByName(part)
+                .groupBy("u")
+                .agg(
+                    F.max("last_us").cast("long").alias("last_us"),
+                    F.sum("n_events").cast("long").alias("n_events"),
+                    F.sum("value_milli").cast("long").alias("value_milli"),
+                )
+            )
+        part.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{batch_id + 1}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def read_rfm(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Current RFM segment grid from the persisted per-user state — the
+    SHARED ``sessions.rfm_from_state`` stage over everything ingested."""
+    from ..operators.sessions import rfm_from_state
+
+    vs = _versions(state_dir)
+    if not vs:
+        raise FileNotFoundError(f"no persisted state under {state_dir!r}")
+    state = spark.read.parquet(os.path.join(state_dir, f"v{vs[-1]}"))
+    return rfm_from_state(state)

@@ -1647,3 +1647,106 @@ def test_mmr_rerank(spark):
     # dwarfs its relevance edge; id3 (sim ~0.61) wins on diversity
     assert out[(0, 2)] == 3
     assert out[(0, 3)] == 2
+
+
+def test_ndcg_and_mrr(spark):
+    """Hand-built rankings: approx finds exact-2 at rank 1 and exact-1
+    at rank 3 (k=3) — nDCG and MRR verified against a python replay of
+    the shared integer-discount math; a miss-everything probe reads 0."""
+    import math
+
+    from document_quality_assessment_ocr_spark.operators.retrieval import (
+        mrr_at_k,
+        ndcg_at_k,
+        ndcg_discounts_micro,
+    )
+
+    k = 3
+    # exact top-3 for probe 0: 10, 11, 12 (ranks 1..3)
+    exact = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3), (7, 30, 1)],
+        "probe_id long, neighbor_id long, rank long",
+    )
+    # approx for probe 0: 11 @1, 99 @2, 10 @3; probe 7 misses entirely
+    approx = spark.createDataFrame(
+        [(0, 11, 1), (0, 99, 2), (0, 10, 3), (7, 40, 1)],
+        "probe_id long, neighbor_id long, rank long",
+    )
+    d = ndcg_discounts_micro(k)
+    assert d == [round(1e6 / math.log2(i + 1)) for i in range(1, k + 1)]
+    nd = {r["probe_id"]: r for r in ndcg_at_k(approx, exact, k=k).collect()}
+    # rel: 10 -> 3, 11 -> 2, 12 -> 1
+    want_dcg = 2 * d[0] + 0 * d[1] + 3 * d[2]
+    want_idcg = 3 * d[0] + 2 * d[1] + 1 * d[2]
+    assert nd[0]["dcg_micro"] == want_dcg
+    assert nd[0]["idcg_micro"] == want_idcg
+    assert nd[0]["ndcg_micro"] == want_dcg * 1_000_000 // want_idcg
+    assert nd[7]["dcg_micro"] == 0 and nd[7]["ndcg_micro"] == 0
+
+    mr = {r["probe_id"]: r for r in mrr_at_k(approx, exact, k=k).collect()}
+    assert mr[0]["first_hit_rank"] == 1 and mr[0]["rr_micro"] == 1_000_000
+    assert mr[7]["first_hit_rank"] == 0 and mr[7]["rr_micro"] == 0
+
+
+def test_cohens_d_matches_numpy(spark):
+    """Two labeled samples per group vs a numpy pooled-SD replay;
+    degenerate groups (single-side, zero variance) read 0e0."""
+    import numpy as np
+
+    from document_quality_assessment_ocr_spark.operators.experiment import (
+        cohens_d_by_group,
+    )
+
+    pos = [100, 140, 120, 160]
+    neg = [80, 90, 70, 100, 60]
+    rows = [("a", v, 1) for v in pos] + [("a", v, 0) for v in neg]
+    rows += [("b", 5, 1), ("b", 5, 1), ("b", 5, 0), ("b", 5, 0)]  # var 0
+    rows += [("c", 1, 1), ("c", 2, 1)]  # no negatives
+    df = spark.createDataFrame(rows, "g string, v long, label long")
+    out = {r["g"]: r for r in cohens_d_by_group(df, "v", "label", "g").collect()}
+
+    p, n = np.array(pos, float), np.array(neg, float)
+    ss = ((p - p.mean()) ** 2).sum() + ((n - n.mean()) ** 2).sum()
+    want = (p.mean() - n.mean()) / np.sqrt(ss / (len(p) + len(n) - 2))
+    assert abs(out["a"]["cohens_d"] - round(want, 6)) < 2e-6
+    assert out["a"]["n_pos"] == 4 and out["a"]["n_neg"] == 5
+    assert out["b"]["cohens_d"] == 0.0  # pooled SS == 0 guard
+    assert out["c"]["cohens_d"] == 0.0  # n_neg < 2 guard
+
+
+def test_zipf_slope_python_replay(spark):
+    """Synthetic near-Zipf corpus vs a python replay of the whole-bit
+    band math: per-term floor-log2 ranks/counts, exact OLS moments."""
+    from document_quality_assessment_ocr_spark.operators.textstats import (
+        zipf_slope,
+    )
+
+    # counts: term_i repeated max(16 >> i, 1) times -> clean log2 steps
+    words = []
+    for i in range(8):
+        words += [f"w{i}"] * max(16 >> i, 1)
+    docs = spark.createDataFrame(
+        [(1, " ".join(words), "s")], "doc_id long, text string, source string"
+    )
+    out = zipf_slope(docs, "source").collect()
+    assert len(out) == 1
+    r = out[0]
+
+    # python replay: rank terms by count desc (ties: any order inside a
+    # cell — the band overlap math is order-free within equal counts)
+    from collections import Counter
+
+    c = Counter(words)
+    ordered = sorted(c.values(), reverse=True)
+    xs = [(rank + 1).bit_length() - 1 for rank in range(len(ordered))]
+    ys = [v.bit_length() - 1 for v in ordered]
+    n = len(ordered)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    assert r["n_types"] == n
+    assert r["num"] == n * sxy - sx * sy
+    assert r["den"] == n * sxx - sx * sx
+    want = round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+    assert abs(r["zipf_slope"] - want) < 2e-6
+    assert r["zipf_slope"] < 0  # heavier tail -> negative slope

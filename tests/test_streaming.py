@@ -863,3 +863,158 @@ def test_stream_centroid_drift_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert remerged == v2
+
+
+def test_stream_auc_matches_batch(spark, tmp_path):
+    """Twelfth incremental twin: two document micro-batches merged
+    additively through the shared gopher_labeled/auc_grid/auc_from_grid
+    stages reproduce the batch per-source AUC exactly, and replaying a
+    batch over v1 regenerates v2 byte-for-byte."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from document_quality_assessment_ocr_spark.operators.experiment import (
+        auc_by_group,
+    )
+    from document_quality_assessment_ocr_spark.operators.quality import (
+        gopher_labeled,
+    )
+    from document_quality_assessment_ocr_spark.streaming.drift import (
+        _auc_partial,
+        read_auc,
+        stream_auc,
+    )
+
+    long_keep = (
+        "the quick brown fox jumps over the lazy dog and that "
+        "run of words have been written with care to pass each gate "
+    ) * 5
+    b1 = [
+        (1, long_keep, "web", 120),
+        (2, "#### ### ##", "web", 11),
+        (3, long_keep, "pdf", 300),
+    ]
+    b2 = [
+        (4, "x", "web", 1),
+        (5, long_keep, "web", 500),
+        (6, "- a\n- b\n- c", "pdf", 12),
+    ]
+    in_dir = str(tmp_path / "aucin")
+    os.makedirs(in_dir)
+    for i, rows in enumerate((b1, b2)):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string, n_chars long"
+        ).coalesce(1).write.parquet(os.path.join(in_dir, f"drop-{i}"))
+        time.sleep(1.1)
+
+    state_dir = str(tmp_path / "aucstate")
+    stream_auc(spark, in_dir + "/*", str(tmp_path / "aucckpt"), state_dir)
+    assert sorted(os.listdir(state_dir)) == ["v1", "v2"]
+    got = read_auc(spark, state_dir).collect()
+
+    full = spark.read.parquet(in_dir + "/*")
+    lab = gopher_labeled(full, ["source", "n_chars"]).select(
+        "source", "n_chars", F.col("keep").cast("long").alias("label")
+    )
+    want = auc_by_group(lab, "n_chars", "label", "source").collect()
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+    assert {r["source"] for r in got} == {"web", "pdf"}
+
+    # replay idempotence: batch 1's partial merged over v1 == v2
+    part = _auc_partial(spark.read.parquet(os.path.join(in_dir, "drop-1")))
+    prev = spark.read.parquet(os.path.join(state_dir, "v1"))
+    remerged = {
+        (r["g"], r["v"]): (r["pos"], r["neg"])
+        for r in prev.unionByName(part)
+        .groupBy("g", "v")
+        .agg(
+            F.sum("pos").cast("long").alias("pos"),
+            F.sum("neg").cast("long").alias("neg"),
+        )
+        .collect()
+    }
+    v2 = {
+        (r["g"], r["v"]): (r["pos"], r["neg"])
+        for r in spark.read.parquet(os.path.join(state_dir, "v2")).collect()
+    }
+    assert remerged == v2
+
+
+def test_stream_rfm_matches_batch(spark, tmp_path):
+    """Thirteenth incremental twin: two event micro-batches merged
+    through the shared rfm_user_state/rfm_from_state stages reproduce
+    the batch RFM segment grid exactly (including a user spanning both
+    batches, whose recency/frequency/monetary must fold max/sum/sum),
+    and replaying batch 1 over v1 regenerates v2 byte-for-byte."""
+    import os
+    import time
+    from datetime import datetime, timedelta
+
+    import pyspark.sql.functions as F
+
+    from document_quality_assessment_ocr_spark.operators.sessions import (
+        rfm_segments,
+        rfm_user_state,
+    )
+    from document_quality_assessment_ocr_spark.streaming.sessions import (
+        read_rfm,
+        stream_rfm,
+    )
+
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+
+    def ev(eid, uid, days, val):
+        return (eid, uid, "E", t0 + timedelta(days=days), val)
+
+    # u1 spans both batches (last event lands in b2); u2 is b1-only and
+    # stale (recency bucket 3); u3 is b2-only with a negative value
+    # (monetary clamps at 0 in the shared stage).
+    b1 = [ev(1, 1, 0, 1.251), ev(2, 1, 1, 2.5), ev(3, 2, 3, 0.75)]
+    b2 = [ev(4, 1, 10, 4.0), ev(5, 3, 10, -0.5), ev(6, 3, 9, 0.125)]
+    in_dir = str(tmp_path / "rfmin")
+    os.makedirs(in_dir)
+    schema = (
+        "event_id long, user_id long, event_type string, ts timestamp, "
+        "value double"
+    )
+    for i, rows in enumerate((b1, b2)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(in_dir, f"drop-{i}")
+        )
+        time.sleep(1.1)
+
+    state_dir = str(tmp_path / "rfmstate")
+    stream_rfm(spark, in_dir + "/*", str(tmp_path / "rfmckpt"), state_dir)
+    assert sorted(os.listdir(state_dir)) == ["v1", "v2"]
+    got = read_rfm(spark, state_dir).collect()
+
+    full = spark.read.parquet(in_dir + "/*")
+    want = rfm_segments(full).collect()
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+    # the spanning user folded: frequency 3 events, monetary milli sum
+    total_users = sum(r["n_users"] for r in got)
+    assert total_users == 3
+    assert sum(r["sum_events"] for r in got) == 6
+
+    # replay idempotence: batch 1's partial merged over v1 == v2
+    part = rfm_user_state(
+        spark.read.parquet(os.path.join(in_dir, "drop-1"))
+    )
+    prev = spark.read.parquet(os.path.join(state_dir, "v1"))
+    remerged = {
+        r["u"]: (r["last_us"], r["n_events"], r["value_milli"])
+        for r in prev.unionByName(part)
+        .groupBy("u")
+        .agg(
+            F.max("last_us").cast("long").alias("last_us"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("value_milli").cast("long").alias("value_milli"),
+        )
+        .collect()
+    }
+    v2 = {
+        r["u"]: (r["last_us"], r["n_events"], r["value_milli"])
+        for r in spark.read.parquet(os.path.join(state_dir, "v2")).collect()
+    }
+    assert remerged == v2
