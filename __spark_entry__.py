@@ -9890,7 +9890,7 @@ def _q_keep_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohens_d_by_group(lab, "n_chars", "label", "source")
 
 
-def _q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-bit Zipf rank-frequency slope per source: value-grid rank
     bands × POW2_TRIPLES literal fan × Pearson-class finish — no
     per-term rank window anywhere."""
@@ -9899,6 +9899,50 @@ def _q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return zipf_slope(_doc(spark, sf_dir), "source")
+
+
+def _q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar paired comparison of the Gopher gate (original text, the
+    q89/q238 surface) vs the C4 gate (the q88 derived multi-line text)
+    on the SAME documents, per source — 2x2 agreement table + the
+    discordant-cell chi-square via the shared mcnemar_expr() text."""
+    from document_quality_assessment_ocr_spark.operators.experiment import (
+        mcnemar_filters,
+    )
+    from document_quality_assessment_ocr_spark.operators.quality import (
+        c4_line_filter,
+        gopher_labeled,
+    )
+
+    d = _doc(spark, sf_dir)
+    gop = gopher_labeled(d, ["doc_id", "source"]).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("keep").cast("long").alias("a"),
+    )
+    c4 = c4_line_filter(
+        d.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.replace(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(". "),
+                F.lit(".\n"),
+            ).alias("text"),
+        )
+    ).select("doc_id", F.col("doc_keep").cast("long").alias("b"))
+    return mcnemar_filters(gop.join(c4, "doc_id"), "a", "b", "source")
+
+
+def _q_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival of user lifetimes over events: whole-day
+    durations, last-day censoring, shared kaplan_meier_fold fixed-point
+    product on the duration grid."""
+    from document_quality_assessment_ocr_spark.operators.sessions import (
+        kaplan_meier,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return kaplan_meier(ev)
 
 
 def _q_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10224,7 +10268,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q247_ndcg": _q_ndcg,
         "q248_mrr": _q_mrr,
         "q249_keep_effect_size": _q_keep_effect,
-        "q250_zipf_slope": _q_zipf,
+        "q250_zipf_slope": _q_zipf_slope,
+        "q251_mcnemar_filters": _q_mcnemar,
+        "q252_kaplan_meier": _q_km,
     }
 
 
@@ -13578,7 +13624,7 @@ def _keep_effect_sql() -> str:
     """
 
 
-def _zipf_sql() -> str:
+def _zipf_slope_sql() -> str:
     """q250 oracle: the shared WS token split, (source, term) grid,
     (source, count) cells with a count-domain grid cumsum, the shared
     ``textstats.POW2_TRIPLES`` literal band fan (closed-form interval
@@ -13635,6 +13681,111 @@ def _zipf_sql() -> str:
                {ZIPF_SLOPE_EXPR} AS zipf_slope
         FROM agg ORDER BY source
     """
+
+
+def _mcnemar_sql() -> str:
+    """q251 oracle: the q89 gopher CTE and the q88 C4 CTE (both
+    MATERIALIZED — each read once but subtree-heavy) joined on doc_id,
+    conditional-sum 2×2 cells per source, the SHARED
+    ``experiment.mcnemar_expr()`` text, agreement // guard."""
+    from document_quality_assessment_ocr_spark.operators.experiment import (
+        mcnemar_expr,
+    )
+
+    return f"""
+        WITH g AS MATERIALIZED ({_gopher_filter_sql()}),
+        c AS MATERIALIZED ({_c4_filter_sql()}),
+        base AS (
+            SELECT COALESCE(CAST(d.source AS VARCHAR), '') AS grp,
+                   CAST(CASE WHEN g.keep THEN 1 ELSE 0 END AS BIGINT) AS a,
+                   CAST(CASE WHEN c.doc_keep THEN 1 ELSE 0 END AS BIGINT)
+                       AS b
+            FROM documents d
+            JOIN g ON CAST(d.doc_id AS BIGINT) = g.doc_id
+            JOIN c ON CAST(d.doc_id AS BIGINT) = c.doc_id
+        ), agg AS (
+            SELECT grp,
+                   CAST(SUM(a * b) AS BIGINT) AS n11,
+                   CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+                   CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+                   CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+            FROM base GROUP BY 1
+        )
+        SELECT grp AS source, n11, n10, n01, n00,
+               CAST(((n00 + n11) * 1000000)
+                    // GREATEST(n00 + n01 + n10 + n11, 1) AS BIGINT)
+                   AS agreement_micro,
+               {mcnemar_expr()} AS mcnemar_chi2
+        FROM agg ORDER BY source
+    """
+
+
+def _km_sql(horizon: int = 64, sf_dir: str | None = None) -> str:
+    """q252 oracle: the duration grid replicated in SQL (per-user
+    whole-day min/max, last-day censoring — // on non-negative epochs),
+    n_risk via the grid-bounded cumulative window, and ``s_micro`` as a
+    literal CASE computed by the SHARED ``sessions.kaplan_meier_fold``
+    over cells the builder reads from the SAME parquet (q201 class:
+    duckdb in the builder, grid bounded by the horizon-day domain, not
+    the corpus)."""
+    import duckdb
+
+    from document_quality_assessment_ocr_spark.operators.sessions import (
+        kaplan_meier_fold,
+    )
+
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"
+    )
+    day = 86_400_000_000
+    hz = int(horizon)
+    grid_sql = f"""
+        WITH pu AS (
+            SELECT user_id,
+                   MIN(EPOCH_US(ts)) // {day} AS fd,
+                   MAX(EPOCH_US(ts)) // {day} AS ld
+            FROM {{src}} GROUP BY 1
+        ), m AS (
+            SELECT MAX(ld) AS md FROM pu
+        ), durs AS (
+            SELECT LEAST(ld - fd, {hz}) AS dur,
+                   CAST(CASE WHEN ld < md THEN 1 ELSE 0 END AS BIGINT)
+                       AS ev
+            FROM pu, m
+        ), grid AS (
+            SELECT dur, CAST(SUM(ev) AS BIGINT) AS n_events,
+                   CAST(COUNT(*) - SUM(ev) AS BIGINT) AS n_censored
+            FROM durs GROUP BY 1
+        )"""
+    con = duckdb.connect()
+    cells = [
+        (int(t), int(d), int(c))
+        for t, d, c in con.execute(
+            grid_sql.format(src=f"read_parquet('{sf_dir}/events.parquet')")
+            + " SELECT dur, n_events, n_censored FROM grid ORDER BY dur"
+        ).fetchall()
+    ]
+    con.close()
+    folded = kaplan_meier_fold(cells)
+    tot = sum(d + c for _, d, c in cells)
+    scase = (
+        "CASE dur "
+        + " ".join(f"WHEN {t} THEN {s}" for t, _, _, _, s in folded)
+        + " ELSE 0 END"
+    )
+    return (
+        grid_sql.format(src="events")
+        + f"""
+        SELECT dur AS dur_days,
+               CAST({tot} - COALESCE(SUM(n_events + n_censored)
+                        OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS n_risk,
+               n_events, n_censored,
+               CAST({scase} AS BIGINT) AS s_micro
+        FROM grid ORDER BY dur_days
+    """
+    )
 
 
 def _simpson_sql() -> str:
@@ -14378,7 +14529,9 @@ def oracle_sql() -> dict[str, str]:
         "q247_ndcg": _ndcg_sql(),
         "q248_mrr": _mrr_sql(),
         "q249_keep_effect_size": _keep_effect_sql(),
-        "q250_zipf_slope": _zipf_sql(),
+        "q250_zipf_slope": _zipf_slope_sql(),
+        "q251_mcnemar_filters": _mcnemar_sql(),
+        "q252_kaplan_meier": _km_sql(),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

@@ -465,6 +465,11 @@ def main() -> None:
         "q245_assoc_rules",
         "q246_local_clustering",
         "q247_ndcg",
+        "q248_mrr",
+        "q249_keep_effect_size",
+        "q250_zipf_slope",
+        "q251_mcnemar_filters",
+        "q252_kaplan_meier",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

@@ -933,3 +933,76 @@ def cohens_d_by_group(
         )
         .orderBy(group_col)
     )
+
+
+def mcnemar_expr() -> str:
+    """McNemar chi-square expression TEXT over the discordant BIGINT
+    cells ``n01/n10`` — shared verbatim by Spark ``F.expr`` and the
+    DuckDB oracle (the cohens_d_expr contract): exact integers in, ONE
+    fixed-order double division out, 0e0 when no discordant pairs."""
+    return (
+        "CASE WHEN (n01 + n10) > 0"
+        " THEN ROUND(CAST((n01 - n10) * (n01 - n10) AS DOUBLE)"
+        " / CAST(n01 + n10 AS DOUBLE), 6) + 0e0"
+        " ELSE 0e0 END"
+    )
+
+
+def mcnemar_filters(
+    df: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    group_col: str = "g",
+) -> DataFrame:
+    """Paired comparison of two keep/drop gates evaluated on the SAME
+    documents — the right test when deciding whether to swap filter A
+    for filter B, because the pairing removes the shared corpus
+    variance an unpaired rate comparison ignores.  Per group: the full
+    2×2 agreement table (n11 both-keep, n10 A-only, n01 B-only, n00
+    both-drop), ``agreement_micro``, and the McNemar statistic
+    ``(n01 − n10)² / (n01 + n10)`` over the discordant cells only
+    (large ⇒ the gates disagree ASYMMETRICALLY — one is systematically
+    stricter, not just noisy).
+
+    Exact BIGINT contingency counts from ONE conditional hash
+    aggregate (labels in {0,1}; no pivot shuffle), then the shared
+    :func:`mcnemar_expr` text.  ``agreement_micro`` is non-negative
+    ``DIV`` only.
+
+    Output: (group_col, n11, n10, n01, n00, agreement_micro,
+    mcnemar_chi2) ordered by group.
+    """
+    base = df.select(
+        F.coalesce(F.col(group_col).cast("string"), F.lit("")).alias("g"),
+        F.col(a_col).cast("long").alias("a"),
+        F.col(b_col).cast("long").alias("b"),
+    )
+    agg = base.groupBy("g").agg(
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("n11"),
+        F.sum(F.col("a") * (F.lit(1) - F.col("b"))).cast("long").alias(
+            "n10"
+        ),
+        F.sum((F.lit(1) - F.col("a")) * F.col("b")).cast("long").alias(
+            "n01"
+        ),
+        F.sum((F.lit(1) - F.col("a")) * (F.lit(1) - F.col("b")))
+        .cast("long")
+        .alias("n00"),
+    )
+    return (
+        agg.select(
+            F.col("g").alias(group_col),
+            "n11",
+            "n10",
+            "n01",
+            "n00",
+            F.expr(
+                "((n00 + n11) * 1000000L)"
+                " DIV greatest(n00 + n01 + n10 + n11, 1L)"
+            )
+            .cast("long")
+            .alias("agreement_micro"),
+            F.expr(mcnemar_expr()).alias("mcnemar_chi2"),
+        )
+        .orderBy(group_col)
+    )

@@ -825,3 +825,117 @@ def event_assoc_rules(
         .cast("long")
         .alias("lift_milli"),
     ).orderBy("ante", "conseq")
+
+
+def kaplan_meier_fold(
+    cells: list[tuple[int, int, int]],
+) -> list[tuple[int, int, int, int, int]]:
+    """The sequential Kaplan-Meier product fold over the (dur, d_events,
+    c_censored) duration grid — SHARED by the engine (applied to the
+    collected grid) and the q252 oracle builder (interpolated as
+    literals), the wav_frame_rms_values contract: one Python function is
+    the single source of the fixed-point arithmetic.
+
+    ``s_micro`` starts at 10^6 and steps ``s = s·(n_risk − d) DIV
+    n_risk`` at each duration with d > 0 (ascending; all quantities
+    non-negative, so DIV == // cross-engine by construction).  Returns
+    [(dur, n_risk, d, c, s_micro_after)] ascending."""
+    total = sum(d + c for _, d, c in cells)
+    out = []
+    s = 1_000_000
+    at_risk = total
+    for t, d, c in sorted(cells):
+        if d > 0:
+            s = s * (at_risk - d) // at_risk
+        out.append((t, at_risk, d, c, s))
+        at_risk -= d + c
+    return out
+
+
+def kaplan_meier(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    horizon_days: int = 64,
+) -> DataFrame:
+    """Kaplan-Meier survival curve of user lifetimes with right
+    censoring — the churn statistic (q198) done properly: a user whose
+    last event falls on the corpus's final observed day has NOT been
+    seen to churn, so they leave the at-risk pool (censored) instead of
+    counting as a death, and S(t) stays unbiased near the observation
+    edge.
+
+    Lifetime ``dur = min(last_day − first_day, horizon_days)`` (whole
+    days via ``epoch_us DIV day`` — non-negative, DIV == //); event
+    indicator = last_day < corpus max day.  The duration GRID (≤
+    horizon_days+1 cells — domain-bounded, corpus-independent) is
+    collected once and the shared :func:`kaplan_meier_fold` supplies
+    ``s_micro`` as a literal map applied to the recomputed grid (the
+    curriculum-offsets two-job shape; parquet min/max/count upstream is
+    deterministic, satisfying the documented deterministic-input
+    contract).  ``n_risk`` re-derives distributed via the grid-bounded
+    cumulative window — the fold's at-risk arithmetic and the window
+    agree by construction.
+
+    Scale shape: ONE user-keyed hash aggregate (the only corpus-sized
+    exchange), a 1-row max broadcast, ONE rollup to the duration grid,
+    a grid-bounded window + literal-map projection.
+
+    Output: (dur_days, n_risk, n_events, n_censored, s_micro) ordered
+    by dur_days.
+    """
+    day_us = 86_400_000_000
+    tus = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    per_user = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.min(tus).cast("long").alias("first_us"),
+        F.max(tus).cast("long").alias("last_us"),
+    )
+    ref = per_user.agg(
+        F.expr(f"max(last_us DIV {day_us}L)").cast("long").alias("m_day")
+    )
+    durs = per_user.crossJoin(F.broadcast(ref)).select(
+        F.least(
+            F.expr(f"last_us DIV {day_us}L - first_us DIV {day_us}L"),
+            F.lit(int(horizon_days)).cast("long"),
+        ).alias("dur"),
+        (F.expr(f"last_us DIV {day_us}L") < F.col("m_day"))
+        .cast("long")
+        .alias("ev"),
+    )
+    grid = durs.groupBy("dur").agg(
+        F.sum("ev").cast("long").alias("n_events"),
+        (F.count(F.lit(1)) - F.sum("ev")).cast("long").alias("n_censored"),
+    )
+    cells = [
+        (r["dur"], r["n_events"], r["n_censored"]) for r in grid.collect()
+    ]
+    folded = kaplan_meier_fold(cells)
+    smap = F.create_map(
+        *[
+            x
+            for t, _, _, _, s in folded
+            for x in (F.lit(int(t)).cast("long"), F.lit(int(s)).cast("long"))
+        ]
+    )
+    wrisk = (
+        Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tot = sum(d + c for _, d, c in cells)
+    return (
+        grid.select(
+            F.col("dur").alias("dur_days"),
+            (
+                F.lit(int(tot)).cast("long")
+                - F.coalesce(
+                    F.sum(
+                        (F.col("n_events") + F.col("n_censored"))
+                    ).over(wrisk),
+                    F.lit(0).cast("long"),
+                )
+            ).alias("n_risk"),
+            "n_events",
+            "n_censored",
+            smap[F.col("dur")].cast("long").alias("s_micro"),
+        )
+        .orderBy("dur_days")
+    )

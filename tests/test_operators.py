@@ -1750,3 +1750,74 @@ def test_zipf_slope_python_replay(spark):
     want = round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
     assert abs(r["zipf_slope"] - want) < 2e-6
     assert r["zipf_slope"] < 0  # heavier tail -> negative slope
+
+
+def test_mcnemar_filters(spark):
+    """Hand-built 2x2: 3 both-keep, 2 A-only, 1 B-only, 4 both-drop ->
+    chi2 = (1-2)^2/3, agreement 7/10."""
+    from document_quality_assessment_ocr_spark.operators.experiment import (
+        mcnemar_filters,
+    )
+
+    rows = (
+        [("s", 1, 1)] * 3 + [("s", 1, 0)] * 2 + [("s", 0, 1)] + [("s", 0, 0)] * 4
+    )
+    df = spark.createDataFrame(rows, "g string, a long, b long")
+    r = mcnemar_filters(df, "a", "b", "g").collect()[0]
+    assert (r["n11"], r["n10"], r["n01"], r["n00"]) == (3, 2, 1, 4)
+    assert r["agreement_micro"] == 700000
+    assert abs(r["mcnemar_chi2"] - round(1 / 3, 6)) < 2e-6
+
+    # no discordant pairs -> 0e0 guard
+    df2 = spark.createDataFrame([("t", 1, 1), ("t", 0, 0)], "g string, a long, b long")
+    assert mcnemar_filters(df2, "a", "b", "g").collect()[0]["mcnemar_chi2"] == 0.0
+
+
+def test_kaplan_meier_replay(spark):
+    """5 users with hand-placed lifetimes vs a python KM replay: deaths
+    step the curve, the max-day user is censored (no step), at-risk
+    shrinks by deaths AND censorings."""
+    from datetime import datetime, timedelta
+
+    from document_quality_assessment_ocr_spark.operators.sessions import (
+        kaplan_meier,
+        kaplan_meier_fold,
+    )
+
+    t0 = datetime(2026, 1, 1)
+
+    def ev(eid, uid, day):
+        return (eid, uid, "E", t0 + timedelta(days=day), 1.0)
+
+    # max day M = 10. lifetimes: u1 0->2 (ev), u2 0->2 (ev), u3 0->5 (ev),
+    # u4 3->10 (censored: last==M), u5 10->10 (censored, dur 0)
+    rows = [
+        ev(1, 1, 0), ev(2, 1, 2),
+        ev(3, 2, 0), ev(4, 2, 2),
+        ev(5, 3, 0), ev(6, 3, 5),
+        ev(7, 4, 3), ev(8, 4, 10),
+        ev(9, 5, 10),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts timestamp, "
+        "value double",
+    )
+    out = {r["dur_days"]: r for r in kaplan_meier(df).collect()}
+    # grid: dur 0: 1 censored; dur 2: 2 deaths; dur 5: 1 death; dur 7: 1 censored
+    assert out[0]["n_risk"] == 5 and out[0]["n_events"] == 0
+    assert out[2]["n_risk"] == 4 and out[2]["n_events"] == 2
+    assert out[5]["n_risk"] == 2 and out[5]["n_events"] == 1
+    assert out[7]["n_censored"] == 1
+    # fold replay: s(2) = 1e6*(4-2)//4 = 500000; s(5) = 500000*(2-1)//2
+    assert out[0]["s_micro"] == 1_000_000
+    assert out[2]["s_micro"] == 500_000
+    assert out[5]["s_micro"] == 250_000
+    assert out[7]["s_micro"] == 250_000  # censoring never steps the curve
+    want = kaplan_meier_fold([(0, 0, 1), (2, 2, 0), (5, 1, 0), (7, 0, 1)])
+    assert [(t, r, d, c, s) for t, r, d, c, s in want] == [
+        (0, 5, 0, 1, 1_000_000),
+        (2, 4, 2, 0, 500_000),
+        (5, 2, 1, 0, 250_000),
+        (7, 1, 0, 1, 250_000),
+    ]
