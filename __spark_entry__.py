@@ -9945,6 +9945,28 @@ def _q_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kaplan_meier(ev)
 
 
+def _q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on daily event counts: grid-bounded pair
+    sum + tie-corrected var18, shared mann_kendall_expr() z."""
+    from document_quality_assessment_ocr_spark.operators.sessions import (
+        mann_kendall_daily,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return mann_kendall_daily(ev)
+
+
+def _q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword panel over documents: adjacent-token
+    co-occurrence graph -> shared pagerank_fixed nano-ranks -> q13
+    two-level top-20 merge."""
+    from document_quality_assessment_ocr_spark.operators.textstats import (
+        textrank_keywords,
+    )
+
+    return textrank_keywords(_doc(spark, sf_dir), k=20, iters=3)
+
+
 def _q_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini-Simpson / inverse-Simpson token diversity per source: the
     log-free EXACT diversity index — one (source, term) aggregate, one
@@ -10271,6 +10293,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q250_zipf_slope": _q_zipf_slope,
         "q251_mcnemar_filters": _q_mcnemar,
         "q252_kaplan_meier": _q_km,
+        "q253_mann_kendall": _q_mann_kendall,
+        "q254_textrank": _q_textrank,
     }
 
 
@@ -13788,6 +13812,86 @@ def _km_sql(horizon: int = 64, sf_dir: str | None = None) -> str:
     )
 
 
+def _mann_kendall_sql() -> str:
+    """q253 oracle: daily grid (// on non-negative epochs), pair sum on
+    the grid self-join, tie correction, and the SHARED
+    ``sessions.mann_kendall_expr()`` z text."""
+    from document_quality_assessment_ocr_spark.operators.sessions import (
+        mann_kendall_expr,
+    )
+
+    day = 86_400_000_000
+    return f"""
+        WITH daily AS (
+            SELECT EPOCH_US(ts) // {day} AS d,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1
+        ), p AS (
+            SELECT CAST(COALESCE(SUM(CASE WHEN b.c > a.c THEN 1
+                                          WHEN b.c < a.c THEN -1
+                                          ELSE 0 END), 0) AS BIGINT)
+                       AS s_stat
+            FROM daily a JOIN daily b ON a.d < b.d
+        ), t AS (
+            SELECT CAST(SUM(tt) AS BIGINT) AS n,
+                   CAST(COALESCE(SUM(tt * (tt - 1) * (2 * tt + 5)), 0)
+                        AS BIGINT) AS tie_sum
+            FROM (SELECT c, CAST(COUNT(*) AS BIGINT) AS tt
+                  FROM daily GROUP BY 1)
+        ), f AS (
+            SELECT n AS n_days, s_stat,
+                   CAST(n * (n - 1) * (2 * n + 5) - tie_sum AS BIGINT)
+                       AS var18
+            FROM p, t
+        )
+        SELECT n_days, s_stat, var18,
+               {mann_kendall_expr()} AS z_mk
+        FROM f
+    """
+
+
+def _textrank_sql(k: int = 20, iters: int = 3) -> str:
+    """q254 oracle: the shared WS token split, adjacent-pair edges via
+    the LIST_TRANSFORM index idiom (the DSIR-builder bigram shape),
+    self-loops dropped, both directions UNION-deduped, edges
+    MATERIALIZED, then the SHARED ``_pr_unrolled_ctes`` fixed-point
+    rounds; final ROW_NUMBER (pr DESC, term ASC) == the engine's
+    (-pr, term) min-struct (q213)."""
+    its, prev = _pr_unrolled_ctes(int(iters))
+    tk = (
+        "LIST_FILTER(REGEXP_SPLIT_TO_ARRAY("
+        f"TRIM(LOWER(COALESCE(text,''))), '{WS}+'), x -> x <> '')"
+    )
+    return f"""
+        WITH tok AS (
+            SELECT {tk} AS tk FROM documents
+        ), pp AS (
+            SELECT UNNEST(CASE WHEN LEN(tk) >= 2
+                   THEN LIST_TRANSFORM(RANGE(1, LEN(tk)),
+                        i -> [tk[CAST(i AS INT)], tk[CAST(i AS INT) + 1]])
+                   ELSE []::VARCHAR[][] END) AS pr
+            FROM tok
+        ), und AS (
+            SELECT pr[1] AS a, pr[2] AS b FROM pp WHERE pr[1] <> pr[2]
+        ), edges AS MATERIALIZED (
+            SELECT a AS src, b AS dst FROM und
+            UNION
+            SELECT b AS src, a AS dst FROM und
+        ), nodes AS (
+            SELECT DISTINCT src AS id FROM edges
+        ), deg AS (
+            SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1
+        ), r0 AS (
+            SELECT id, CAST(1000000000 AS BIGINT) AS pr FROM nodes
+        ), {", ".join(its)}
+        SELECT id AS term, CAST(pr AS BIGINT) AS pr,
+               CAST(ROW_NUMBER() OVER (ORDER BY pr DESC, id ASC) AS INT)
+                   AS rank
+        FROM {prev}
+        ORDER BY rank LIMIT {int(k)}
+    """
+
+
 def _simpson_sql() -> str:
     """q244 oracle: the shared WS token split, (source, term) grid,
     one rollup, BIGINT Simpson ratios with GREATEST guards."""
@@ -14532,6 +14636,8 @@ def oracle_sql() -> dict[str, str]:
         "q250_zipf_slope": _zipf_slope_sql(),
         "q251_mcnemar_filters": _mcnemar_sql(),
         "q252_kaplan_meier": _km_sql(),
+        "q253_mann_kendall": _mann_kendall_sql(),
+        "q254_textrank": _textrank_sql(),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

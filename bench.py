@@ -470,6 +470,8 @@ def main() -> None:
         "q250_zipf_slope",
         "q251_mcnemar_filters",
         "q252_kaplan_meier",
+        "q253_mann_kendall",
+        "q254_textrank",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

@@ -135,7 +135,22 @@ def zone_map_audit(
     (threshold, n_buckets, n_pruned, n_full, rows_total, rows_skipped,
     skip_micro), ordered by threshold.
     """
-    stats = (
+    stats = zone_map_grid(df, value_col, id_col, bucket_size)
+    return zone_map_from_grid(stats, thresholds)
+
+
+def zone_map_grid(
+    df: DataFrame,
+    value_col: str,
+    id_col: str = "doc_id",
+    bucket_size: int = 16,
+) -> DataFrame:
+    """The per-bucket (bucket, vmin, vmax, n) manifest statistics of
+    :func:`zone_map_audit` — ALGEBRAIC (min/max/sum merge across shards
+    and micro-batches), so it doubles as the streaming twin's partial
+    (``streaming/drift.stream_zone_map``): exactly what an Iceberg
+    writer accumulates into its manifest as data files land."""
+    return (
         df.select(
             F.expr(f"{id_col} DIV {int(bucket_size)}").alias("bucket"),
             F.col(value_col).cast("long").alias("v"),
@@ -147,6 +162,15 @@ def zone_map_audit(
             F.count(F.lit(1)).cast("long").alias("n"),
         )
     )
+
+
+def zone_map_from_grid(
+    stats: DataFrame, thresholds: list[int]
+) -> DataFrame:
+    """The grid→audit stage of :func:`zone_map_audit`, SHARED with the
+    streaming twin (the isotropy_from_grid contract): threshold
+    explode-fan + one rollup over a batch-built or incrementally merged
+    bucket-stats grid — stream == batch row-for-row."""
     fanned = stats.withColumn(
         "threshold",
         F.explode(F.array(*[F.lit(int(t)).cast("long") for t in thresholds])),

@@ -939,3 +939,99 @@ def kaplan_meier(
         )
         .orderBy("dur_days")
     )
+
+
+def mann_kendall_expr() -> str:
+    """Mann-Kendall z expression TEXT over (s_stat, var18) BIGINTs —
+    shared verbatim by Spark ``F.expr`` and the DuckDB oracle (the
+    cohens_d_expr contract).  var18 = 18·Var(S) stays integer (the /18
+    moves into the one double expression); the ∓1 continuity correction
+    follows S's sign; degenerate grids (var18 <= 0) read 0e0."""
+    z = (
+        "SQRT(CAST(var18 AS DOUBLE) / CAST(18 AS DOUBLE))"
+    )
+    return (
+        f"CASE WHEN var18 > 0 AND s_stat > 0"
+        f" THEN ROUND(CAST(s_stat - 1 AS DOUBLE) / {z}, 6) + 0e0"
+        f" WHEN var18 > 0 AND s_stat < 0"
+        f" THEN ROUND(CAST(s_stat + 1 AS DOUBLE) / {z}, 6) + 0e0"
+        f" ELSE 0e0 END"
+    )
+
+
+def mann_kendall_daily(
+    events: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Mann-Kendall non-parametric trend test on the daily event-count
+    series — the robust companion to the OLS-flavored statistics
+    (q241's autocorrelation family): S counts concordant minus
+    discordant day pairs, so a single spike day can't fake a trend the
+    way it drags a least-squares slope.
+
+    EXACT BIGINT throughout the statistic: the pair sum runs on the
+    day GRID's self-join (days² pairs — day-domain-bounded, the
+    q194/q197 grid-bounded family, never a corpus self-join); the tie
+    correction Σt(t−1)(2t+5) groups the grid by equal counts; var18 =
+    n(n−1)(2n+5) − tie_sum keeps 18·Var(S) integer.  S may be negative
+    — it is surfaced and double-divided only (shared
+    :func:`mann_kendall_expr` text, continuity-corrected z).
+
+    Output: ONE row — (n_days, s_stat, var18, z_mk).
+    """
+    day_us = 86_400_000_000
+    daily = events.select(
+        F.expr(f"unix_micros(cast({ts_col} as timestamp)) DIV {day_us}L")
+        .cast("long")
+        .alias("d")
+    ).groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = daily.select(F.col("d").alias("d1"), F.col("c").alias("c1"))
+    b = daily.select(F.col("d").alias("d2"), F.col("c").alias("c2"))
+    s = (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .agg(
+            F.sum(
+                F.when(F.col("c2") > F.col("c1"), F.lit(1))
+                .when(F.col("c2") < F.col("c1"), F.lit(-1))
+                .otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+        .select(F.coalesce("s_stat", F.lit(0).cast("long")).alias("s_stat"))
+    )
+    ties = daily.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("tt"))
+    t = ties.agg(
+        F.sum("tt").cast("long").alias("n"),
+        F.coalesce(
+            F.sum(
+                F.col("tt")
+                * (F.col("tt") - F.lit(1))
+                * (F.lit(2) * F.col("tt") + F.lit(5))
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("tie_sum"),
+    ).select("n", "tie_sum")
+    return (
+        s.crossJoin(t)
+        .select(
+            F.col("n").alias("n_days"),
+            "s_stat",
+            (
+                F.col("n")
+                * (F.col("n") - F.lit(1))
+                * (F.lit(2) * F.col("n") + F.lit(5))
+                - F.col("tie_sum")
+            )
+            .cast("long")
+            .alias("var18"),
+        )
+        .select(
+            "n_days",
+            "s_stat",
+            "var18",
+            F.expr(mann_kendall_expr()).alias("z_mk"),
+        )
+    )

@@ -379,3 +379,90 @@ def read_auc(spark: SparkSession, state_dir: str) -> DataFrame:
         raise FileNotFoundError(f"no persisted grid under {state_dir!r}")
     grid = spark.read.parquet(os.path.join(state_dir, f"v{vs[-1]}"))
     return auc_from_grid(grid, "source")
+
+
+ZONE_THRESHOLDS = [100, 300, 1000, 3000]
+
+
+def stream_zone_map(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    bucket_size: int = 16,
+):
+    """Streaming zone-map maintenance — the fourteenth incremental twin,
+    pairing ``profile.zone_map_audit`` (q158) and modelling EXACTLY what
+    an Iceberg/parquet writer does on commit: fold each new file's
+    per-bucket (min, max, count) into the table's manifest statistics.
+    ``zone_map_grid`` is the shared partial builder; the merge is
+    ALGEBRAIC (MIN/MAX/SUM per bucket), so state is bounded by the
+    bucket domain (rows/bucket_size), order-free, history-independent.
+    Versioning / replay idempotence: ``v{batch_id + 1}`` (the
+    sketch-family rule).
+
+    Reading the audit (``read_zone_map``) runs the SHARED
+    ``zone_map_from_grid`` threshold fan over the persisted manifest —
+    stream == batch row-for-row exact.
+    """
+    from ..operators.profile import zone_map_grid
+
+    stream = (
+        spark.readStream.schema(AUC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        vs = _versions(state_dir)
+        ahead = [v for v in vs if v > batch_id + 1]
+        if ahead:
+            raise RuntimeError(
+                f"state_dir {state_dir!r} already holds versions {ahead} "
+                f"beyond v{batch_id + 1}: fresh checkpoint against old "
+                "state history — reset checkpoint_dir and state_dir "
+                "together (paired unit)."
+            )
+        part = zone_map_grid(batch, "n_chars", "doc_id", bucket_size)
+        if batch_id > 0:
+            prev = batch.sparkSession.read.parquet(
+                os.path.join(state_dir, f"v{batch_id}")
+            )
+            part = (
+                prev.unionByName(part)
+                .groupBy("bucket")
+                .agg(
+                    F.min("vmin").alias("vmin"),
+                    F.max("vmax").alias("vmax"),
+                    F.sum("n").cast("long").alias("n"),
+                )
+            )
+        part.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{batch_id + 1}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def read_zone_map(
+    spark: SparkSession,
+    state_dir: str,
+    thresholds: list[int] | None = None,
+) -> DataFrame:
+    """Current zone-map audit from the persisted manifest grid — the
+    SHARED ``profile.zone_map_from_grid`` stage over everything
+    ingested."""
+    from ..operators.profile import zone_map_from_grid
+
+    vs = _versions(state_dir)
+    if not vs:
+        raise FileNotFoundError(f"no persisted grid under {state_dir!r}")
+    grid = spark.read.parquet(os.path.join(state_dir, f"v{vs[-1]}"))
+    return zone_map_from_grid(grid, thresholds or ZONE_THRESHOLDS)

@@ -1821,3 +1821,58 @@ def test_kaplan_meier_replay(spark):
         (5, 2, 1, 0, 250_000),
         (7, 1, 0, 1, 250_000),
     ]
+
+
+def test_mann_kendall_daily(spark):
+    """Strictly rising daily counts -> S = C(n,2), no ties, z > 0;
+    a constant series -> all ties, var18 = 0 -> z = 0e0 guard."""
+    from datetime import datetime, timedelta
+
+    from document_quality_assessment_ocr_spark.operators.sessions import (
+        mann_kendall_daily,
+    )
+
+    t0 = datetime(2026, 3, 1)
+    rows = []
+    eid = 0
+    for day in range(5):  # counts 1,2,3,4,5 -> strictly increasing
+        for _ in range(day + 1):
+            eid += 1
+            rows.append((eid, 1, "E", t0 + timedelta(days=day), 1.0))
+    schema = (
+        "event_id long, user_id long, event_type string, ts timestamp, "
+        "value double"
+    )
+    r = mann_kendall_daily(spark.createDataFrame(rows, schema)).collect()[0]
+    n = 5
+    assert r["n_days"] == n
+    assert r["s_stat"] == n * (n - 1) // 2  # all pairs concordant
+    assert r["var18"] == n * (n - 1) * (2 * n + 5)
+    import math
+
+    want = round((r["s_stat"] - 1) / math.sqrt(r["var18"] / 18), 6)
+    assert abs(r["z_mk"] - want) < 2e-6 and r["z_mk"] > 0
+
+    flat = [(i, 1, "E", t0 + timedelta(days=i), 1.0) for i in range(4)]
+    r2 = mann_kendall_daily(spark.createDataFrame(flat, schema)).collect()[0]
+    assert r2["s_stat"] == 0 and r2["var18"] == 0 and r2["z_mk"] == 0.0
+
+
+def test_textrank_keywords(spark):
+    """Hub word 'x' adjacent to w0..w3 out-centralizes them; ranks are
+    the fixed-point nano-ranks (deterministic, repeat-stable)."""
+    from document_quality_assessment_ocr_spark.operators.textstats import (
+        textrank_keywords,
+    )
+
+    text = "x w0 x w1 x w2 x w3"
+    docs = spark.createDataFrame(
+        [(1, text, "s")], "doc_id long, text string, source string"
+    )
+    out = textrank_keywords(docs, k=5, iters=3).collect()
+    assert out[0]["term"] == "x" and out[0]["rank"] == 1
+    assert {r["term"] for r in out} == {"x", "w0", "w1", "w2", "w3"}
+    # spokes tie -> term ASC breaks: w0 < w1 < w2 < w3
+    assert [r["term"] for r in out[1:]] == ["w0", "w1", "w2", "w3"]
+    again = textrank_keywords(docs, k=5, iters=3).collect()
+    assert [r.asDict() for r in again] == [r.asDict() for r in out]

@@ -1018,3 +1018,73 @@ def test_stream_rfm_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(state_dir, "v2")).collect()
     }
     assert remerged == v2
+
+
+def test_stream_zone_map_matches_batch(spark, tmp_path):
+    """Fourteenth incremental twin: two document micro-batches folded
+    through the shared zone_map_grid/zone_map_from_grid stages reproduce
+    the batch zone-map audit exactly (bucket 0 spans both batches, so
+    its min/max/count must merge), and replaying batch 1 over v1
+    regenerates v2 byte-for-byte."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from document_quality_assessment_ocr_spark.operators.profile import (
+        zone_map_audit,
+        zone_map_grid,
+    )
+    from document_quality_assessment_ocr_spark.streaming.drift import (
+        ZONE_THRESHOLDS,
+        read_zone_map,
+        stream_zone_map,
+    )
+
+    b1 = [(0, "a", "web", 50), (1, "b", "web", 2000), (20, "c", "pdf", 400)]
+    b2 = [(2, "d", "web", 120), (21, "e", "pdf", 4000), (40, "f", "web", 10)]
+    in_dir = str(tmp_path / "zin")
+    os.makedirs(in_dir)
+    for i, rows in enumerate((b1, b2)):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string, n_chars long"
+        ).coalesce(1).write.parquet(os.path.join(in_dir, f"drop-{i}"))
+        time.sleep(1.1)
+
+    state_dir = str(tmp_path / "zstate")
+    stream_zone_map(
+        spark, in_dir + "/*", str(tmp_path / "zckpt"), state_dir
+    )
+    assert sorted(os.listdir(state_dir)) == ["v1", "v2"]
+    got = read_zone_map(spark, state_dir).collect()
+
+    full = spark.read.parquet(in_dir + "/*")
+    want = zone_map_audit(full, "n_chars", ZONE_THRESHOLDS).collect()
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+    # bucket 0 merged across batches: 3 docs, min 50, max 2000
+    grid = {
+        r["bucket"]: r
+        for r in spark.read.parquet(os.path.join(state_dir, "v2")).collect()
+    }
+    assert grid[0]["n"] == 3 and grid[0]["vmin"] == 50
+    assert grid[0]["vmax"] == 2000
+
+    # replay idempotence: batch 1's partial merged over v1 == v2
+    part = zone_map_grid(
+        spark.read.parquet(os.path.join(in_dir, "drop-1")), "n_chars"
+    )
+    prev = spark.read.parquet(os.path.join(state_dir, "v1"))
+    remerged = {
+        r["bucket"]: (r["vmin"], r["vmax"], r["n"])
+        for r in prev.unionByName(part)
+        .groupBy("bucket")
+        .agg(
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+            F.sum("n").cast("long").alias("n"),
+        )
+        .collect()
+    }
+    v2 = {
+        r["bucket"]: (r["vmin"], r["vmax"], r["n"]) for r in grid.values()
+    }
+    assert remerged == v2
