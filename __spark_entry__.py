@@ -9967,6 +9967,28 @@ def _q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textrank_keywords(_doc(spark, sf_dir), k=20, iters=3)
 
 
+def _q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-bit PSI of the n_chars distribution between md5 halves:
+    fixed whole-bit buckets, grid windows only, psi_term non-negative
+    by bits-monotonicity."""
+    from document_quality_assessment_ocr_spark.operators.experiment import (
+        psi_drift,
+    )
+
+    return psi_drift(_doc(spark, sf_dir), "n_chars")
+
+
+def _q_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conductance of the md5-mod-4 host sharding on the q131 link
+    graph: distinct canonical undirected edges localCheckpointed once,
+    endpoint-explode volumes, cut counted to both sides."""
+    from document_quality_assessment_ocr_spark.operators.graph import (
+        partition_conductance,
+    )
+
+    return partition_conductance(_host_edges(spark, sf_dir), groups=4)
+
+
 def _q_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini-Simpson / inverse-Simpson token diversity per source: the
     log-free EXACT diversity index — one (source, term) aggregate, one
@@ -10295,6 +10317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q252_kaplan_meier": _q_km,
         "q253_mann_kendall": _q_mann_kendall,
         "q254_textrank": _q_textrank,
+        "q255_psi_drift": _q_psi,
+        "q256_conductance": _q_conductance,
     }
 
 
@@ -13892,6 +13916,89 @@ def _textrank_sql(k: int = 20, iters: int = 3) -> str:
     """
 
 
+def _psi_sql(tag: str = "psi") -> str:
+    """q255 oracle: md5-nibble half split (the _md5_mod twin), whole-bit
+    value buckets via BIN, grid-bounded unpartitioned windows for the
+    totals and psi_total — same non-negative bits-product algebra."""
+    pick = (
+        f"CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '|{tag}'),"
+        f" 1, 15)) AS BIGINT) % 2"
+    )
+    return f"""
+        WITH base AS (
+            SELECT {pick} AS h,
+                   CAST(LENGTH(BIN(GREATEST(CAST(n_chars AS BIGINT), 0)
+                        + 1)) - 1 AS BIGINT) AS bucket
+            FROM documents
+        ), grid AS (
+            SELECT bucket,
+                   CAST(COUNT(*) FILTER (WHERE h = 0) AS BIGINT) AS n_a,
+                   CAST(COUNT(*) FILTER (WHERE h = 1) AS BIGINT) AS n_b
+            FROM base GROUP BY 1
+        ), wp AS (
+            SELECT bucket, n_a, n_b,
+                   CAST((n_a * 1000000)
+                        // GREATEST(SUM(n_a) OVER (), 1) AS BIGINT)
+                       AS p_micro,
+                   CAST((n_b * 1000000)
+                        // GREATEST(SUM(n_b) OVER (), 1) AS BIGINT)
+                       AS q_micro
+            FROM grid
+        ), t AS (
+            SELECT bucket, n_a, n_b, p_micro, q_micro,
+                   CAST((p_micro - q_micro)
+                        * (CAST(LENGTH(BIN(p_micro)) - 1 AS BIGINT)
+                           - CAST(LENGTH(BIN(q_micro)) - 1 AS BIGINT))
+                        AS BIGINT) AS psi_term
+            FROM wp
+        )
+        SELECT bucket, n_a, n_b, p_micro, q_micro, psi_term,
+               CAST(SUM(psi_term) OVER () AS BIGINT) AS psi_total
+        FROM t ORDER BY bucket
+    """
+
+
+def _conductance_sql(groups: int = 4, tag: str = "cond") -> str:
+    """q256 oracle: the shared q131/q149 host-graph prefix, DISTINCT
+    canonical undirected edges MATERIALIZED, md5-mod group assignment
+    (the _md5_mod twin), endpoint-explode volumes, cut to both sides,
+    // with min-side guard."""
+
+    def pick(col: str) -> str:
+        return (
+            f"CAST(('0x' || SUBSTR(MD5({col} || '|{tag}'), 1, 15))"
+            f" AS BIGINT) % {int(groups)}"
+        )
+
+    return _host_graph_ctes() + f""", und AS MATERIALIZED (
+            SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM edges
+        ), ge AS (
+            SELECT {pick('a')} AS ga, {pick('b')} AS gb FROM und
+        ), tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM ge
+        ), vol AS (
+            SELECT grp, CAST(COUNT(*) AS BIGINT) AS vol
+            FROM (SELECT ga AS grp FROM ge
+                  UNION ALL SELECT gb FROM ge)
+            GROUP BY 1
+        ), cut AS (
+            SELECT grp, CAST(COUNT(*) AS BIGINT) AS cut_edges
+            FROM (SELECT ga AS grp FROM ge WHERE ga <> gb
+                  UNION ALL SELECT gb FROM ge WHERE ga <> gb)
+            GROUP BY 1
+        )
+        SELECT v.grp, v.vol,
+               CAST(COALESCE(c.cut_edges, 0) AS BIGINT) AS cut_edges,
+               t.n_edges,
+               CAST((COALESCE(c.cut_edges, 0) * 1000000)
+                    // GREATEST(LEAST(v.vol, 2 * t.n_edges - v.vol), 1)
+                    AS BIGINT) AS conductance_micro
+        FROM vol v LEFT JOIN cut c ON c.grp = v.grp CROSS JOIN tot t
+        ORDER BY v.grp
+    """
+
+
 def _simpson_sql() -> str:
     """q244 oracle: the shared WS token split, (source, term) grid,
     one rollup, BIGINT Simpson ratios with GREATEST guards."""
@@ -14638,6 +14745,8 @@ def oracle_sql() -> dict[str, str]:
         "q252_kaplan_meier": _km_sql(),
         "q253_mann_kendall": _mann_kendall_sql(),
         "q254_textrank": _textrank_sql(),
+        "q255_psi_drift": _psi_sql(),
+        "q256_conductance": _conductance_sql(),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

@@ -472,6 +472,8 @@ def main() -> None:
         "q252_kaplan_meier",
         "q253_mann_kendall",
         "q254_textrank",
+        "q255_psi_drift",
+        "q256_conductance",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

@@ -1006,3 +1006,88 @@ def mcnemar_filters(
         )
         .orderBy(group_col)
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+    tag: str = "psi",
+) -> DataFrame:
+    """Whole-bit Population Stability Index between two md5-split corpus
+    halves over a value column — the industry-standard "has this
+    feature's distribution moved" score, here with the floor-log2
+    estimator (the pmi_bits deviation class, documented): true PSI's
+    ``ln(p/q)`` becomes ``bits(p_micro) − bits(q_micro)``, so every
+    quantity is exact BIGINT and the per-bucket contribution
+    ``(p − q)·(bits_p − bits_q)`` is non-negative BY MONOTONICITY
+    (p > q ⇒ bits(p) ≥ bits(q)) — within a factor of ln2 plus ±1-bit
+    flooring of the natural-log PSI, monotone enough for a drift alarm.
+
+    Buckets are whole-bit value magnitudes (``bits(v+1)`` — fixed,
+    corpus-independent; never quantiles).  Zero cells need no epsilon:
+    bits(0) = bits(1) = 0 on both engines (BIN gives '0'/'1').
+
+    Scale shape: ONE conditional hash aggregate to the ≤64-cell bucket
+    grid; totals and psi_total ride grid-bounded unpartitioned windows
+    (the zone-map-audit class).
+
+    Output: (bucket, n_a, n_b, p_micro, q_micro, psi_term,
+    psi_total) ordered by bucket — psi_term/psi_total in micro·bits.
+    """
+    from .augment import _md5_mod
+
+    half = _md5_mod(F.col(id_col), tag, F.lit(2)).cast("long")
+    base = df.select(
+        half.alias("h"),
+        (
+            F.length(F.bin(F.greatest(F.col(value_col).cast("long"), F.lit(0).cast("long")) + F.lit(1)))
+            - F.lit(1)
+        )
+        .cast("long")
+        .alias("bucket"),
+    )
+    grid = base.groupBy("bucket").agg(
+        F.sum((F.col("h") == 0).cast("long")).cast("long").alias("n_a"),
+        F.sum((F.col("h") == 1).cast("long")).cast("long").alias("n_b"),
+    )
+    bits = lambda c: (F.length(F.bin(c)) - F.lit(1)).cast("long")  # noqa: E731
+    withp = grid.select(
+        "bucket",
+        "n_a",
+        "n_b",
+        F.expr(
+            "(n_a * 1000000L) DIV greatest(sum(n_a) over (), 1L)"
+        )
+        .cast("long")
+        .alias("p_micro"),
+        F.expr(
+            "(n_b * 1000000L) DIV greatest(sum(n_b) over (), 1L)"
+        )
+        .cast("long")
+        .alias("q_micro"),
+    )
+    terms = withp.select(
+        "bucket",
+        "n_a",
+        "n_b",
+        "p_micro",
+        "q_micro",
+        (
+            (F.col("p_micro") - F.col("q_micro"))
+            * (bits(F.col("p_micro")) - bits(F.col("q_micro")))
+        )
+        .cast("long")
+        .alias("psi_term"),
+    )
+    return terms.select(
+        "*",
+        F.sum("psi_term")
+        .over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("long")
+        .alias("psi_total"),
+    ).orderBy("bucket")

@@ -821,3 +821,85 @@ def local_clustering(
         .cast("long")
         .alias("cc_micro"),
     ).orderBy("id")
+
+
+def partition_conductance(
+    edges: DataFrame,
+    groups: int = 4,
+    tag: str = "cond",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Conductance of a deterministic node partition — the graph-cut
+    quality score (cut edges over the smaller side's volume) that says
+    whether a proposed sharding of a link graph would ship most edges
+    cross-shard: φ(S) = cut(S) / min(vol(S), vol(V∖S)), low φ = the
+    partition respects community structure, φ→1 = it slices through it.
+
+    Partition = md5-mod of the node id (``tag`` in the md5 registry) —
+    deterministic, corpus-independent, the same assignment a hash-
+    sharded storage layout would use (so the number IS the cross-shard
+    traffic estimate).  Graph: DISTINCT canonical undirected edges
+    (self-loops dropped upstream), collapsed ONCE and localCheckpointed
+    before the two passes (the q186 lineage lesson — the edge synthesis
+    is expensive and read twice).
+
+    EXACT BIGINT: vol = endpoint-explode count, a cut edge counts for
+    BOTH its groups, ``conductance_micro = cut·10⁶ DIV
+    max(min(vol, 2E − vol), 1)`` — all non-negative.
+
+    Output: (grp, vol, cut_edges, n_edges, conductance_micro) ordered
+    by grp.
+    """
+    from .augment import _md5_mod
+
+    und = (
+        edges.where(F.col(src_col) != F.col(dst_col))
+        .select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    g = und.select(
+        _md5_mod(F.col("a"), tag, F.lit(int(groups))).cast("long").alias(
+            "ga"
+        ),
+        _md5_mod(F.col("b"), tag, F.lit(int(groups))).cast("long").alias(
+            "gb"
+        ),
+    )
+    tot = g.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    vol = (
+        g.select(F.col("ga").alias("grp"))
+        .unionByName(g.select(F.col("gb").alias("grp")))
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("vol"))
+    )
+    cutg = g.where(F.col("ga") != F.col("gb"))
+    cut = (
+        cutg.select(F.col("ga").alias("grp"))
+        .unionByName(cutg.select(F.col("gb").alias("grp")))
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("cut_edges"))
+    )
+    return (
+        vol.join(cut, "grp", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "grp",
+            "vol",
+            F.coalesce("cut_edges", F.lit(0).cast("long")).alias(
+                "cut_edges"
+            ),
+            "n_edges",
+            F.expr(
+                "(coalesce(cut_edges, 0L) * 1000000L)"
+                " DIV greatest(least(vol, 2L * n_edges - vol), 1L)"
+            )
+            .cast("long")
+            .alias("conductance_micro"),
+        )
+        .orderBy("grp")
+    )

@@ -1876,3 +1876,87 @@ def test_textrank_keywords(spark):
     assert [r["term"] for r in out[1:]] == ["w0", "w1", "w2", "w3"]
     again = textrank_keywords(docs, k=5, iters=3).collect()
     assert [r.asDict() for r in again] == [r.asDict() for r in out]
+
+
+def test_psi_drift_properties(spark):
+    """Identical halves -> every psi_term 0; a shifted half -> positive
+    terms; terms are non-negative by bits-monotonicity."""
+    from document_quality_assessment_ocr_spark.operators.experiment import (
+        psi_drift,
+    )
+
+    # ids 0..199, constant value -> single bucket, halves differ only in
+    # COUNT (md5 split is ~even but not exactly); p/q micro differ a bit
+    docs = spark.createDataFrame(
+        [(i, 100) for i in range(200)], "doc_id long, n_chars long"
+    )
+    out = psi_drift(docs).collect()
+    assert len(out) == 1 and out[0]["bucket"] == 100 .bit_length() - 1
+    assert all(r["psi_term"] >= 0 for r in out)
+
+    # big drift: half-dependent magnitudes via value = doc_id parity proxy
+    rows = [(i, 10 if i % 2 == 0 else 10_000) for i in range(400)]
+    out2 = psi_drift(
+        spark.createDataFrame(rows, "doc_id long, n_chars long")
+    ).collect()
+    assert all(r["psi_term"] >= 0 for r in out2)
+    assert len({r["psi_total"] for r in out2}) == 1  # constant total col
+    # python replay of the whole-bit algebra
+    import hashlib
+
+    def half(i):
+        return int(hashlib.md5(f"{i}|psi".encode()).hexdigest()[:15], 16) % 2
+
+    na = {}
+    nb = {}
+    for i, v in rows:
+        b = (v + 1).bit_length() - 1
+        (na if half(i) == 0 else nb)[b] = (na if half(i) == 0 else nb).get(b, 0) + 1
+    ta, tb = sum(na.values()), sum(nb.values())
+    want_total = 0
+    for b in set(na) | set(nb):
+        p = na.get(b, 0) * 1_000_000 // max(ta, 1)
+        q = nb.get(b, 0) * 1_000_000 // max(tb, 1)
+        bits = lambda x: max(x, 0).bit_length() - 1 if x > 0 else 0
+        want_total += (p - q) * (bits(p) - bits(q))
+    assert out2[0]["psi_total"] == want_total
+
+
+def test_partition_conductance(spark):
+    """Hand-built 6-edge graph vs a python replay of the md5-mod-4
+    assignment: cut counted to both sides, min-side volume guard."""
+    import hashlib
+
+    from document_quality_assessment_ocr_spark.operators.graph import (
+        partition_conductance,
+    )
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),
+        ("d", "e"), ("e", "f"), ("a", "d"), ("a", "b"),  # dup collapses
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r["grp"]: r for r in partition_conductance(df, groups=4).collect()}
+
+    def gof(x):
+        return int(hashlib.md5(f"{x}|cond".encode()).hexdigest()[:15], 16) % 4
+
+    und = {tuple(sorted(e)) for e in edges}
+    ne = len(und)
+    vol, cut = {}, {}
+    for a, b in und:
+        ga, gb = gof(a), gof(b)
+        vol[ga] = vol.get(ga, 0) + 1
+        vol[gb] = vol.get(gb, 0) + 1
+        if ga != gb:
+            cut[ga] = cut.get(ga, 0) + 1
+            cut[gb] = cut.get(gb, 0) + 1
+    for g, v in vol.items():
+        r = out[g]
+        assert r["vol"] == v and r["n_edges"] == ne
+        c = cut.get(g, 0)
+        assert r["cut_edges"] == c
+        assert r["conductance_micro"] == c * 1_000_000 // max(
+            min(v, 2 * ne - v), 1
+        )
+    assert set(out) == set(vol)
