@@ -10025,11 +10025,14 @@ def _q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_ess(
+    spark: SparkSession, sf_dir: str, clustered: DataFrame | None = None
+) -> DataFrame:
     """Kish effective sample size + design effect of SoftDeDup weights
     per source: q100's weight chain, milli prescale (DIV 1e6), exact
     BIGINT sums, ONE double expression per surfaced ratio (q241
-    class)."""
+    class).  ``clustered`` = the persisted q31 artifact (bench/q134
+    pattern) so the composite doesn't re-pay the CC loop."""
     from document_quality_assessment_ocr_spark.operators.dedup import (
         soft_dedup_weights,
     )
@@ -10038,7 +10041,7 @@ def _q_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _doc(spark, sf_dir)
-    w = soft_dedup_weights(d).join(
+    w = soft_dedup_weights(d, clusters=clustered).join(
         d.select("doc_id", "source"), "doc_id"
     )
     return effective_sample_size(w, "weight_nano", "source")

@@ -267,6 +267,13 @@ def main() -> None:
         ).format("noop").save()
 
     timed("q134_preference_pairs", run_q134)
+
+    def run_q243():
+        se._q_ess(spark, sf_dir, clustered=clustered).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
+    timed("q243_ess_weights", run_q243)
     clustered.unpersist()
 
     # streaming sketch throughput (round-3 verdict #8): the CMS incremental
@@ -460,7 +467,6 @@ def main() -> None:
         "q240_centroid_drift",
         "q241_daily_autocorr",
         "q242_label_prop",
-        "q243_ess_weights",
         "q244_simpson_diversity",
         "q245_assoc_rules",
         "q246_local_clustering",

@@ -584,6 +584,7 @@ def soft_dedup_weights(
     bands: int = 4,
     ngram: int = 5,
     candidates: DataFrame | None = None,
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """Soft deduplication (the SoftDeDup idea — down-weight duplicates in
     the training mix instead of dropping them): every document keeps
@@ -601,9 +602,13 @@ def soft_dedup_weights(
 
     Output: (id_col, cluster_id, cluster_size, weight_nano).
     """
-    clusters = duplicate_clusters(
-        docs, id_col, text_col, n_hashes, bands, ngram, candidates
-    )
+    # ``clusters`` lets a caller supply a persisted q31 assignment (same
+    # banding contract) so composites don't re-pay the iterative CC loop —
+    # the q134 artifact pattern; default recomputes, identical values.
+    if clusters is None:
+        clusters = duplicate_clusters(
+            docs, id_col, text_col, n_hashes, bands, ngram, candidates
+        )
     sizes = clusters.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size")
     )
