@@ -688,9 +688,17 @@ def daily_autocorr(
     Output: (lag, n_pairs, r) ordered by lag; r NULL when either side
     is constant (zero variance).
     """
-    if int(max_lag) < 1:
-        raise ValueError("max_lag must be >= 1")
-    daily = (
+    return daily_autocorr_from_grid(
+        daily_counts(events, ts_col), max_lag
+    )
+
+
+def daily_counts(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    '''The (day, c) daily event-count grid shared by
+    :func:`daily_autocorr` and :func:`mann_kendall_daily` - ALGEBRAIC
+    (counts add across shards / micro-batches), so it doubles as the
+    streaming twin partial (``streaming/sessions.stream_daily``).'''
+    return (
         events.select(
             F.expr(
                 f"unix_micros(CAST({ts_col} AS TIMESTAMP)) DIV 86400000000"
@@ -699,6 +707,15 @@ def daily_autocorr(
         .groupBy("day")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
+
+
+def daily_autocorr_from_grid(
+    daily: DataFrame, max_lag: int = 7
+) -> DataFrame:
+    '''The grid-to-statistic stage of :func:`daily_autocorr`, SHARED
+    with the streaming twin (the isotropy_from_grid contract).'''
+    if int(max_lag) < 1:
+        raise ValueError("max_lag must be >= 1")
     fan = daily.select(
         "day",
         F.col("c").alias("x"),
@@ -979,12 +996,13 @@ def mann_kendall_daily(
 
     Output: ONE row — (n_days, s_stat, var18, z_mk).
     """
-    day_us = 86_400_000_000
-    daily = events.select(
-        F.expr(f"unix_micros(cast({ts_col} as timestamp)) DIV {day_us}L")
-        .cast("long")
-        .alias("d")
-    ).groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return mann_kendall_from_grid(daily_counts(events, ts_col))
+
+
+def mann_kendall_from_grid(daily: DataFrame) -> DataFrame:
+    '''The grid-to-statistic stage of :func:`mann_kendall_daily` over
+    a (day, c) grid, SHARED with the streaming twin.'''
+    daily = daily.select(F.col("day").alias("d"), "c")
     a = daily.select(F.col("d").alias("d1"), F.col("c").alias("c1"))
     b = daily.select(F.col("d").alias("d2"), F.col("c").alias("c2"))
     s = (

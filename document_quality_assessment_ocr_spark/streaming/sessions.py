@@ -314,3 +314,91 @@ def read_rfm(spark: SparkSession, state_dir: str) -> DataFrame:
         raise FileNotFoundError(f"no persisted state under {state_dir!r}")
     state = spark.read.parquet(os.path.join(state_dir, f"v{vs[-1]}"))
     return rfm_from_state(state)
+
+
+def stream_daily(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+):
+    """Streaming daily-count grid maintenance — the fifteenth
+    incremental twin and the first whose ONE state table serves TWO
+    batch statistics: ``sessions.daily_autocorr`` (q241) and
+    ``sessions.mann_kendall_daily`` (q253) both read the same (day, c)
+    grid, so keeping it fresh incrementally (``daily_counts`` is the
+    shared partial builder; counts ADD) gives a continuously ingesting
+    event log live seasonality and trend monitors for one additive
+    day-keyed merge per batch.  Order-free (sums), no arrival
+    contract; state bounded by the day domain.  Versioning / replay
+    idempotence: ``v{batch_id + 1}`` (the sketch-family rule).
+    """
+    from ..operators.sessions import daily_counts
+
+    stream = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        vs = _versions(state_dir)
+        ahead = [v for v in vs if v > batch_id + 1]
+        if ahead:
+            raise RuntimeError(
+                f"state_dir {state_dir!r} already holds versions "
+                f"{ahead} beyond v{batch_id + 1}: fresh checkpoint "
+                "against old state history — reset checkpoint_dir and "
+                "state_dir together (paired unit)."
+            )
+        part = daily_counts(batch)
+        if batch_id > 0:
+            prev = batch.sparkSession.read.parquet(
+                os.path.join(state_dir, f"v{batch_id}")
+            )
+            part = (
+                prev.unionByName(part)
+                .groupBy("day")
+                .agg(F.sum("c").cast("long").alias("c"))
+            )
+        part.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{batch_id + 1}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def _read_daily_grid(spark: SparkSession, state_dir: str) -> DataFrame:
+    vs = _versions(state_dir)
+    if not vs:
+        raise FileNotFoundError(f"no persisted grid under {state_dir!r}")
+    return spark.read.parquet(os.path.join(state_dir, f"v{vs[-1]}"))
+
+
+def read_daily_autocorr(
+    spark: SparkSession, state_dir: str, max_lag: int = 7
+) -> DataFrame:
+    """Current lag autocorrelations from the persisted day grid — the
+    SHARED ``sessions.daily_autocorr_from_grid`` stage."""
+    from ..operators.sessions import daily_autocorr_from_grid
+
+    return daily_autocorr_from_grid(
+        _read_daily_grid(spark, state_dir), max_lag
+    )
+
+
+def read_daily_mann_kendall(
+    spark: SparkSession, state_dir: str
+) -> DataFrame:
+    """Current Mann-Kendall trend from the persisted day grid — the
+    SHARED ``sessions.mann_kendall_from_grid`` stage."""
+    from ..operators.sessions import mann_kendall_from_grid
+
+    return mann_kendall_from_grid(_read_daily_grid(spark, state_dir))

@@ -1088,3 +1088,81 @@ def test_stream_zone_map_matches_batch(spark, tmp_path):
         r["bucket"]: (r["vmin"], r["vmax"], r["n"]) for r in grid.values()
     }
     assert remerged == v2
+
+
+def test_stream_daily_matches_batch(spark, tmp_path):
+    """Fifteenth incremental twin: one additive day-count grid serves
+    BOTH batch statistics — autocorrelation and Mann-Kendall match the
+    batch operators exactly after two micro-batches (day 1 spans both
+    batches, so its count must fold), and replaying batch 1 over v1
+    regenerates v2 byte-for-byte."""
+    import time
+    from datetime import datetime, timedelta
+
+    import pyspark.sql.functions as F
+
+    from document_quality_assessment_ocr_spark.operators.sessions import (
+        daily_autocorr,
+        daily_counts,
+        mann_kendall_daily,
+    )
+    from document_quality_assessment_ocr_spark.streaming.sessions import (
+        read_daily_autocorr,
+        read_daily_mann_kendall,
+        stream_daily,
+    )
+
+    t0 = datetime(2026, 2, 1)
+
+    def ev(eid, day):
+        return (eid, 1, "E", t0 + timedelta(days=day), 1.0)
+
+    # rising series split across batches: day counts 1,3,4,6,8
+    b1 = [ev(1, 0), ev(2, 1), ev(3, 1), ev(4, 2), ev(5, 2)]
+    b2 = (
+        [ev(6, 1)]  # day 1 spans both batches
+        + [ev(7, 2), ev(8, 2)]
+        + [ev(i, 3) for i in range(9, 15)]
+        + [ev(i, 4) for i in range(15, 23)]
+    )
+    in_dir = str(tmp_path / "din")
+    os.makedirs(in_dir)
+    schema = (
+        "event_id long, user_id long, event_type string, ts timestamp, "
+        "value double"
+    )
+    for i, rows in enumerate((b1, b2)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(in_dir, f"drop-{i}")
+        )
+        time.sleep(1.1)
+
+    state_dir = str(tmp_path / "dstate")
+    stream_daily(spark, in_dir + "/*", str(tmp_path / "dckpt"), state_dir)
+    assert sorted(os.listdir(state_dir)) == ["v1", "v2"]
+
+    full = spark.read.parquet(in_dir + "/*")
+    got_ac = read_daily_autocorr(spark, state_dir, max_lag=3).collect()
+    want_ac = daily_autocorr(full, max_lag=3).collect()
+    assert [r.asDict() for r in got_ac] == [r.asDict() for r in want_ac]
+
+    got_mk = read_daily_mann_kendall(spark, state_dir).collect()
+    want_mk = mann_kendall_daily(full).collect()
+    assert [r.asDict() for r in got_mk] == [r.asDict() for r in want_mk]
+    assert got_mk[0]["s_stat"] > 0  # rising series
+
+    # replay idempotence
+    part = daily_counts(spark.read.parquet(os.path.join(in_dir, "drop-1")))
+    prev = spark.read.parquet(os.path.join(state_dir, "v1"))
+    remerged = {
+        r["day"]: r["c"]
+        for r in prev.unionByName(part)
+        .groupBy("day")
+        .agg(F.sum("c").cast("long").alias("c"))
+        .collect()
+    }
+    v2 = {
+        r["day"]: r["c"]
+        for r in spark.read.parquet(os.path.join(state_dir, "v2")).collect()
+    }
+    assert remerged == v2
