@@ -51,7 +51,44 @@ def main() -> None:
     n_docs = docs.count()
     docs.repartition(N_FILES).write.mode("overwrite").parquet(in_dir)
 
+    # second input: full document columns for the label/manifest twins
+    docs_full = spark.read.parquet(
+        os.path.join(SF, "documents.parquet")
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    din = os.path.join(work, "din")
+    docs_full.repartition(N_FILES).write.mode("overwrite").parquet(din)
+
+    # third input: the events table for the entity/day-grid twins
+    ein = os.path.join(work, "ein")
+    ev = spark.read.parquet(os.path.join(SF, "events.parquet"))
+    n_events = ev.count()
+    ev.repartition(N_FILES).write.mode("overwrite").parquet(ein)
+
+    from document_quality_assessment_ocr_spark.streaming.drift import (
+        stream_auc,
+        stream_zone_map,
+    )
+    from document_quality_assessment_ocr_spark.streaming.sessions import (
+        stream_daily,
+        stream_rfm,
+    )
+
     runs = {
+        "auc": lambda ck, sk: stream_auc(spark, din + "/*.parquet", ck, sk),
+        "zone_map": lambda ck, sk: stream_zone_map(
+            spark, din + "/*.parquet", ck, sk
+        ),
+        "rfm": lambda ck, sk: stream_rfm(
+            spark, ein + "/*.parquet", ck, sk
+        ),
+        "daily": lambda ck, sk: stream_daily(
+            spark, ein + "/*.parquet", ck, sk
+        ),
         "cms": lambda ck, sk: stream_count_min(
             spark, in_dir + "/*.parquet", ck, sk, width=256, depth=4
         ),
@@ -70,14 +107,15 @@ def main() -> None:
         t0 = time.monotonic()
         fn(ck, sk)
         dt = time.monotonic() - t0
+        n_rows = n_events if name in ("rfm", "daily") else n_docs
         out[name] = {
             "sec": round(dt, 2),
-            "docs_per_sec": round(n_docs / dt, 1),
+            "rows_per_sec": round(n_rows / dt, 1),
             "batches": N_FILES,
         }
         print(
             f"RESULT stream_{name} "
-            + json.dumps({"n_docs": n_docs, **out[name]}),
+            + json.dumps({"n_rows": n_rows, **out[name]}),
             flush=True,
         )
     shutil.rmtree(work, ignore_errors=True)
