@@ -9989,6 +9989,17 @@ def _q_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partition_conductance(_host_edges(spark, sf_dir), groups=4)
 
 
+def _q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the q256 md5-mod-4 host sharding on the
+    same link graph: exact-integer 4m2-scaled contributions, ONE
+    fixed-point division at the end."""
+    from document_quality_assessment_ocr_spark.operators.graph import (
+        partition_modularity,
+    )
+
+    return partition_modularity(_host_edges(spark, sf_dir), groups=4)
+
+
 def _q_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini-Simpson / inverse-Simpson token diversity per source: the
     log-free EXACT diversity index — one (source, term) aggregate, one
@@ -10322,6 +10333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q254_textrank": _q_textrank,
         "q255_psi_drift": _q_psi,
         "q256_conductance": _q_conductance,
+        "q257_modularity": _q_modularity,
     }
 
 
@@ -14002,6 +14014,49 @@ def _conductance_sql(groups: int = 4, tag: str = "cond") -> str:
     """
 
 
+def _modularity_sql(groups: int = 4, tag: str = "cond") -> str:
+    """q257 oracle: the q256 shared prefix (host graph + MATERIALIZED
+    canonical und + md5-mod groups), within-group edge counts, the
+    4m2-scaled integer identity, one // at the end."""
+
+    def pick(col: str) -> str:
+        return (
+            f"CAST(('0x' || SUBSTR(MD5({col} || '|{tag}'), 1, 15))"
+            f" AS BIGINT) % {int(groups)}"
+        )
+
+    return _host_graph_ctes() + f""", und AS MATERIALIZED (
+            SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM edges
+        ), ge AS MATERIALIZED (
+            SELECT {pick('a')} AS ga, {pick('b')} AS gb FROM und
+        ), tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ge
+        ), vol AS (
+            SELECT grp, CAST(COUNT(*) AS BIGINT) AS vol
+            FROM (SELECT ga AS grp FROM ge
+                  UNION ALL SELECT gb FROM ge)
+            GROUP BY 1
+        ), win AS (
+            SELECT ga AS grp, CAST(COUNT(*) AS BIGINT) AS within_edges
+            FROM ge WHERE ga = gb GROUP BY 1
+        ), per AS (
+            SELECT v.grp, v.vol,
+                   CAST(COALESCE(w.within_edges, 0) AS BIGINT)
+                       AS within_edges,
+                   t.m,
+                   CAST(4 * t.m * COALESCE(w.within_edges, 0)
+                        - v.vol * v.vol AS BIGINT) AS q_num
+            FROM vol v LEFT JOIN win w ON w.grp = v.grp CROSS JOIN tot t
+        )
+        SELECT grp, vol, within_edges, q_num,
+               CAST(((SUM(q_num) OVER () + 4 * m * m) * 1000000)
+                    // GREATEST(4 * m * m, 1) - 1000000 AS BIGINT)
+                   AS q_micro
+        FROM per ORDER BY grp
+    """
+
+
 def _simpson_sql() -> str:
     """q244 oracle: the shared WS token split, (source, term) grid,
     one rollup, BIGINT Simpson ratios with GREATEST guards."""
@@ -14750,6 +14805,7 @@ def oracle_sql() -> dict[str, str]:
         "q254_textrank": _textrank_sql(),
         "q255_psi_drift": _psi_sql(),
         "q256_conductance": _conductance_sql(),
+        "q257_modularity": _modularity_sql(),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

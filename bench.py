@@ -480,6 +480,7 @@ def main() -> None:
         "q254_textrank",
         "q255_psi_drift",
         "q256_conductance",
+        "q257_modularity",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

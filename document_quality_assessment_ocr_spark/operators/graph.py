@@ -903,3 +903,104 @@ def partition_conductance(
         )
         .orderBy("grp")
     )
+
+
+def partition_modularity(
+    edges: DataFrame,
+    groups: int = 4,
+    tag: str = "cond",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Newman modularity of the same md5-mod node partition
+    :func:`partition_conductance` scores — the companion number: where
+    conductance says "how much traffic crosses MY shard boundary",
+    modularity says how much better than CHANCE the whole partition
+    keeps edges internal (Q > 0: respects communities; Q ≈ 0: no better
+    than random; Q < 0: anti-correlated).
+
+    EXACT-INTEGER identity: Q = Σ_g (e_gg/m − (vol_g/2m)²) is scaled by
+    4m² so every per-group contribution is the BIGINT
+    ``q_num = 4·m·e_gg − vol_g²`` and ``q_micro = Σ q_num·10⁶ DIV 4m²``
+    — one fixed-point division at the very end, everything upstream
+    exact (overflow cap: Σq_num·10⁶ needs m ≤ ~1.5e6 distinct edges;
+    past that pre-scale both terms DIV 2^k, documented estimator).
+
+    Same graph contract as conductance: DISTINCT canonical undirected
+    edges, self-loops dropped, collapsed once + localCheckpoint.
+    e_gg = within-group edges; vol_g counts BOTH endpoints.
+
+    Output: (grp, vol, within_edges, q_num) per group ordered by grp,
+    plus the partition-level ``q_micro`` repeated on every row (grid
+    window — the zone-map-audit class).
+    """
+    from .augment import _md5_mod
+
+    und = (
+        edges.where(F.col(src_col) != F.col(dst_col))
+        .select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    g = und.select(
+        _md5_mod(F.col("a"), tag, F.lit(int(groups))).cast("long").alias(
+            "ga"
+        ),
+        _md5_mod(F.col("b"), tag, F.lit(int(groups))).cast("long").alias(
+            "gb"
+        ),
+    )
+    tot = g.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    vol = (
+        g.select(F.col("ga").alias("grp"))
+        .unionByName(g.select(F.col("gb").alias("grp")))
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("vol"))
+    )
+    within = (
+        g.where(F.col("ga") == F.col("gb"))
+        .groupBy(F.col("ga").alias("grp"))
+        .agg(F.count(F.lit(1)).cast("long").alias("within_edges"))
+    )
+    per = (
+        vol.join(within, "grp", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "grp",
+            "vol",
+            F.coalesce("within_edges", F.lit(0).cast("long")).alias(
+                "within_edges"
+            ),
+            "m",
+            (
+                F.lit(4).cast("long")
+                * F.col("m")
+                * F.coalesce("within_edges", F.lit(0).cast("long"))
+                - F.col("vol") * F.col("vol")
+            )
+            .cast("long")
+            .alias("q_num"),
+        )
+    )
+    return (
+        per.select(
+            "grp",
+            "vol",
+            "within_edges",
+            "q_num",
+            # Q can be negative (anti-correlated partition) and Spark DIV
+            # truncates while DuckDB // floors — min-shift by 4m² (Q >= -1
+            # always, since Σvol² <= (Σvol)² = 4m²) so the divided operand
+            # is non-negative by construction (the mw_domain_weights rule)
+            F.expr(
+                "((sum(q_num) over () + 4L * m * m) * 1000000L)"
+                " DIV greatest(4L * m * m, 1L) - 1000000L"
+            )
+            .cast("long")
+            .alias("q_micro"),
+        )
+        .orderBy("grp")
+    )

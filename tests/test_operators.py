@@ -1960,3 +1960,44 @@ def test_partition_conductance(spark):
             min(v, 2 * ne - v), 1
         )
     assert set(out) == set(vol)
+
+
+def test_partition_modularity(spark):
+    """Same 6-edge graph as the conductance test vs a python replay of
+    the 4m^2-scaled Newman identity; Q consistency: sum q_num matches
+    q_micro's numerator."""
+    import hashlib
+
+    from document_quality_assessment_ocr_spark.operators.graph import (
+        partition_modularity,
+    )
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),
+        ("d", "e"), ("e", "f"), ("a", "d"), ("a", "b"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r["grp"]: r for r in partition_modularity(df, groups=4).collect()}
+
+    def gof(x):
+        return int(hashlib.md5(f"{x}|cond".encode()).hexdigest()[:15], 16) % 4
+
+    und = {tuple(sorted(e)) for e in edges}
+    m = len(und)
+    vol, win = {}, {}
+    for a, b in und:
+        ga, gb = gof(a), gof(b)
+        vol[ga] = vol.get(ga, 0) + 1
+        vol[gb] = vol.get(gb, 0) + 1
+        if ga == gb:
+            win[ga] = win.get(ga, 0) + 1
+    qsum = 0
+    for g, v in vol.items():
+        qn = 4 * m * win.get(g, 0) - v * v
+        assert out[g]["q_num"] == qn
+        assert out[g]["within_edges"] == win.get(g, 0)
+        qsum += qn
+    # min-shifted fixed point: operand non-negative by construction
+    qm = (qsum + 4 * m * m) * 1_000_000 // max(4 * m * m, 1) - 1_000_000
+    assert all(r["q_micro"] == qm for r in out.values())
+    assert set(out) == set(vol)
