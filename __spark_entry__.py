@@ -10000,6 +10000,51 @@ def _q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partition_modularity(_host_edges(spark, sf_dir), groups=4)
 
 
+def _q_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: the q75 train-then-apply BPE
+    chain rolled up to (lang) - subtokens per word is THE number a
+    tokenizer-vocab review quotes per language before committing a
+    vocab (high fertility = that language pays more sequence length
+    per word). fertility_milli = subtok*1000 DIV words, all BIGINT."""
+    from document_quality_assessment_ocr_spark.operators.bpe import (
+        apply_bpe,
+        train_bpe,
+        word_counts,
+    )
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "lang"
+    )
+    mrows = (
+        train_bpe(spark, word_counts(d.select("doc_id", "text")), n_merges=8)
+        .orderBy("step")
+        .collect()
+    )
+    toks = apply_bpe(
+        d.select("doc_id", "text"), [(r["left"], r["right"]) for r in mrows]
+    )
+    sub = toks.select(
+        "doc_id",
+        F.size(F.split(F.col("seg_text"), " ")).cast("long").alias("ns"),
+    )
+    per = (
+        sub.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("ns").cast("long").alias("n_subtokens"),
+        )
+    )
+    return per.select(
+        "lang",
+        "n_words",
+        "n_subtokens",
+        F.expr("(n_subtokens * 1000L) DIV greatest(n_words, 1L)")
+        .cast("long")
+        .alias("fertility_milli"),
+    ).orderBy("lang")
+
+
 def _q_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini-Simpson / inverse-Simpson token diversity per source: the
     log-free EXACT diversity index — one (source, term) aggregate, one
@@ -10334,6 +10379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q255_psi_drift": _q_psi,
         "q256_conductance": _q_conductance,
         "q257_modularity": _q_modularity,
+        "q258_bpe_fertility": _q_fertility,
     }
 
 
@@ -14014,6 +14060,64 @@ def _conductance_sql(groups: int = 4, tag: str = "cond") -> str:
     """
 
 
+def _fertility_sql(n_merges: int = 8) -> str:
+    """q258 oracle: the q75 python-twin segmentation VALUES map joined
+    to the SQL token stream, rolled up per documents.lang - subtoken
+    count is LEN(STR_SPLIT(seg_text,' ')), // on non-negatives."""
+    import duckdb as _dd
+
+    from document_quality_assessment_ocr_spark.operators.bpe import (
+        bpe_python,
+        segment_words,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    con = _dd.connect()
+    wc = dict(
+        con.execute(
+            f"""
+            SELECT w, COUNT(*) FROM (
+                SELECT UNNEST(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(
+                    TRIM(LOWER(COALESCE(text,''))), '{WS}+'), x -> x <> '')) AS w
+                FROM '{sf_dir}/documents.parquet'
+            ) GROUP BY w
+            """
+        ).fetchall()
+    )
+    con.close()
+    merges = [(l, r) for _, l, r, _ in bpe_python(wc, int(n_merges))]
+    seg = segment_words(sorted(wc), merges)
+
+    def q(x: str) -> str:
+        return x.replace("'", "''")
+
+    rows = ", ".join(f"('{q(w)}', '{q(s)}')" for w, s in seg.items())
+    return f"""
+        WITH tk AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+                   LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(
+                       TRIM(LOWER(COALESCE(text,''))), '{WS}+'),
+                       x -> x <> '') AS a
+            FROM documents
+        ), t AS (
+            SELECT doc_id, lang, UNNEST(a) AS word FROM tk
+        ), seg(word, seg_text) AS (VALUES {rows}),
+        j AS (
+            SELECT t.lang,
+                   CAST(LEN(STR_SPLIT(seg.seg_text, ' ')) AS BIGINT) AS ns
+            FROM t JOIN seg ON seg.word = t.word
+        ), agg AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+                   CAST(SUM(ns) AS BIGINT) AS n_subtokens
+            FROM j GROUP BY 1
+        )
+        SELECT lang, n_words, n_subtokens,
+               CAST((n_subtokens * 1000) // GREATEST(n_words, 1)
+                    AS BIGINT) AS fertility_milli
+        FROM agg ORDER BY lang
+    """
+
+
 def _modularity_sql(groups: int = 4, tag: str = "cond") -> str:
     """q257 oracle: the q256 shared prefix (host graph + MATERIALIZED
     canonical und + md5-mod groups), within-group edge counts, the
@@ -14806,6 +14910,7 @@ def oracle_sql() -> dict[str, str]:
         "q255_psi_drift": _psi_sql(),
         "q256_conductance": _conductance_sql(),
         "q257_modularity": _modularity_sql(),
+        "q258_bpe_fertility": _fertility_sql(),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

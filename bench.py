@@ -481,6 +481,7 @@ def main() -> None:
         "q255_psi_drift",
         "q256_conductance",
         "q257_modularity",
+        "q258_bpe_fertility",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"
