@@ -10045,6 +10045,16 @@ def _q_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+def _q_sqrt_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact T=2 temperature mixture weights per language - the
+    floor-sqrt fixed-point trick (operand <= 1e12, IEEE-exact)."""
+    from document_quality_assessment_ocr_spark.operators.sampling import (
+        sqrt_mixture_weights,
+    )
+
+    return sqrt_mixture_weights(_doc(spark, sf_dir), "lang")
+
+
 def _q_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini-Simpson / inverse-Simpson token diversity per source: the
     log-free EXACT diversity index — one (source, term) aggregate, one
@@ -10380,6 +10390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q256_conductance": _q_conductance,
         "q257_modularity": _q_modularity,
         "q258_bpe_fertility": _q_fertility,
+        "q259_sqrt_mixture": _q_sqrt_mix,
     }
 
 
@@ -14161,6 +14172,33 @@ def _modularity_sql(groups: int = 4, tag: str = "cond") -> str:
     """
 
 
+def _sqrt_mixture_sql() -> str:
+    """q259 oracle: same grid, FLOOR(SQRT(CAST(... AS DOUBLE))) exact
+    below 1e13, grid windows, // on non-negatives."""
+    return """
+        WITH grid AS (
+            SELECT COALESCE(CAST(lang AS VARCHAR), '') AS g,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1
+        ), shares AS (
+            SELECT g, n_docs,
+                   CAST((n_docs * 1000000)
+                        // GREATEST(SUM(n_docs) OVER (), 1) AS BIGINT)
+                       AS share_micro
+            FROM grid
+        ), w AS (
+            SELECT g, n_docs, share_micro,
+                   CAST(FLOOR(SQRT(CAST(share_micro * 1000000 AS DOUBLE)))
+                        AS BIGINT) AS w_raw
+            FROM shares
+        )
+        SELECT g AS lang, n_docs, share_micro,
+               CAST((w_raw * 1000000) // GREATEST(SUM(w_raw) OVER (), 1)
+                    AS BIGINT) AS weight_micro
+        FROM w ORDER BY lang
+    """
+
+
 def _simpson_sql() -> str:
     """q244 oracle: the shared WS token split, (source, term) grid,
     one rollup, BIGINT Simpson ratios with GREATEST guards."""
@@ -14911,6 +14949,7 @@ def oracle_sql() -> dict[str, str]:
         "q256_conductance": _conductance_sql(),
         "q257_modularity": _modularity_sql(),
         "q258_bpe_fertility": _fertility_sql(),
+        "q259_sqrt_mixture": _sqrt_mixture_sql(),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

@@ -482,6 +482,7 @@ def main() -> None:
         "q256_conductance",
         "q257_modularity",
         "q258_bpe_fertility",
+        "q259_sqrt_mixture",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

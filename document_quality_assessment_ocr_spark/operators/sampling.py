@@ -561,3 +561,70 @@ def quota_apportionment(
         )
         .orderBy(group_col)
     )
+
+
+def sqrt_mixture_weights(
+    df: DataFrame,
+    group_col: str = "lang",
+) -> DataFrame:
+    """EXACT fixed-point T=2 temperature-sampling mixture weights from
+    corpus counts — the oracle-gated integer twin of the float
+    :func:`temper_weights` helper (which serves arbitrary T driver-side):
+    w_g ∝ share_g^(1/2), the single most common multilingual mixing
+    temperature (mBERT/XLM-R-class recipes), is the ONE power that is
+    exactly computable cross-engine, because
+    ``FLOOR(SQRT(CAST(x AS DOUBLE)))`` equals the true integer sqrt for
+    every x ≤ ~1e13 (x is exactly representable and IEEE sqrt is
+    correctly rounded; the nearest-integer-boundary hazard needs
+    sqrt(x) > ~6.7e7). Operand here is share_micro·10⁶ ≤ 10¹² — safely
+    inside.
+
+    All arithmetic BIGINT: ``share_micro = n_g·10⁶ DIV N``;
+    ``w_raw = floor(sqrt(share_micro·10⁶))`` (micro-units of
+    sqrt-share); ``weight_micro = w_raw·10⁶ DIV Σw_raw``.  T=2 flattens
+    toward uniform — tail groups gain, the head pays.
+
+    Scale shape: ONE hash aggregate to the group grid; the total and
+    Σw_raw ride grid-bounded unpartitioned windows (zone-map-audit
+    class).
+
+    Output: (group_col, n_docs, share_micro, weight_micro) ordered by
+    group.
+    """
+    base = df.select(
+        F.coalesce(F.col(group_col).cast("string"), F.lit("")).alias("g")
+    )
+    grid = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    shares = grid.select(
+        "g",
+        "n_docs",
+        F.expr(
+            "(n_docs * 1000000L) DIV greatest(sum(n_docs) over (), 1L)"
+        )
+        .cast("long")
+        .alias("share_micro"),
+    )
+    w = shares.select(
+        "g",
+        "n_docs",
+        "share_micro",
+        F.expr(
+            "CAST(floor(sqrt(CAST(share_micro * 1000000L AS DOUBLE)))"
+            " AS BIGINT)"
+        ).alias("w_raw"),
+    )
+    return (
+        w.select(
+            F.col("g").alias(group_col),
+            "n_docs",
+            "share_micro",
+            F.expr(
+                "(w_raw * 1000000L) DIV greatest(sum(w_raw) over (), 1L)"
+            )
+            .cast("long")
+            .alias("weight_micro"),
+        )
+        .orderBy(group_col)
+    )

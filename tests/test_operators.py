@@ -2001,3 +2001,27 @@ def test_partition_modularity(spark):
     qm = (qsum + 4 * m * m) * 1_000_000 // max(4 * m * m, 1) - 1_000_000
     assert all(r["q_micro"] == qm for r in out.values())
     assert set(out) == set(vol)
+
+
+def test_sqrt_mixture_weights(spark):
+    """80/20 two-language corpus vs a python isqrt replay: T=2 flattens
+    toward uniform (tail gains), weights sum to ~1e6."""
+    import math
+
+    from document_quality_assessment_ocr_spark.operators.sampling import (
+        sqrt_mixture_weights,
+    )
+
+    rows = [(i, "en") for i in range(80)] + [(i + 80, "sw") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = {r["lang"]: r for r in sqrt_mixture_weights(df, "lang").collect()}
+    sa = 80 * 1_000_000 // 100
+    sb = 20 * 1_000_000 // 100
+    wa = math.isqrt(sa * 1_000_000)
+    wb = math.isqrt(sb * 1_000_000)
+    assert out["en"]["share_micro"] == sa and out["sw"]["share_micro"] == sb
+    assert out["en"]["weight_micro"] == wa * 1_000_000 // (wa + wb)
+    assert out["sw"]["weight_micro"] == wb * 1_000_000 // (wa + wb)
+    # flattening: tail lang's weight > its raw share
+    assert out["sw"]["weight_micro"] > sb
+    assert out["en"]["weight_micro"] < sa
