@@ -10055,6 +10055,24 @@ def _q_sqrt_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sqrt_mixture_weights(_doc(spark, sf_dir), "lang")
 
 
+def _q_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRF (Rocchio-lite) query expansion over the q98 BM25 panel:
+    top-5-doc pools, pool-tf x RSJ milli-idf, original terms
+    anti-joined out, grid-window rank."""
+    from document_quality_assessment_ocr_spark.operators.retrieval import (
+        bm25_top_terms,
+        prf_expansion,
+    )
+
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    terms = bm25_top_terms(d, 9)
+    return prf_expansion(
+        d, {1: terms[0:3], 2: terms[3:6], 3: terms[6:9]}, k_docs=5, m=5
+    )
+
+
 def _q_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini-Simpson / inverse-Simpson token diversity per source: the
     log-free EXACT diversity index — one (source, term) aggregate, one
@@ -10391,6 +10409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q257_modularity": _q_modularity,
         "q258_bpe_fertility": _q_fertility,
         "q259_sqrt_mixture": _q_sqrt_mix,
+        "q260_prf_expansion": _q_prf,
     }
 
 
@@ -14172,6 +14191,70 @@ def _modularity_sql(groups: int = 4, tag: str = "cond") -> str:
     """
 
 
+def _prf_sql(k_docs: int = 5, m: int = 5) -> str:
+    """q260 oracle: the q98 BM25 chain MATERIALIZED, rank<=k_docs pools,
+    pool tf anti-joined against the shared panel VALUES, DISTINCT-doc
+    corpus df semi-joined to the pool vocabulary, same integer score,
+    ROW_NUMBER (score DESC, token ASC)."""
+    from document_quality_assessment_ocr_spark.operators.retrieval import (
+        IDF_MILLI,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    terms = _bm25_panel_terms(sf_dir)
+    panel = ", ".join(
+        f"({q + 1}, '{t}')" for q in range(3) for t in terms[3 * q : 3 * q + 3]
+    )
+    ltoks = (
+        "LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(COALESCE(text,''))),"
+        f" '{WS}+'), x -> x <> '')"
+    )
+    return f"""
+        WITH bm AS MATERIALIZED ({_bm25_sql()}),
+        pool AS (
+            SELECT query_id, doc_id FROM bm WHERE rank <= {int(k_docs)}
+        ), d AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, {ltoks} AS tk
+            FROM documents
+        ), toks AS (
+            SELECT doc_id, UNNEST(tk) AS token FROM d
+        ), qt(query_id, token) AS (VALUES {panel}),
+        ptf AS (
+            SELECT p.query_id, t.token,
+                   CAST(COUNT(*) AS BIGINT) AS tf_pool
+            FROM toks t JOIN pool p USING (doc_id)
+            GROUP BY 1, 2
+        ), ptfx AS (
+            SELECT ptf.* FROM ptf
+            LEFT JOIN qt ON qt.query_id = ptf.query_id
+                        AND qt.token = ptf.token
+            WHERE qt.token IS NULL
+        ), cand AS (
+            SELECT DISTINCT token FROM ptfx
+        ), dfx AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+            FROM (SELECT DISTINCT doc_id, token FROM toks)
+            WHERE token IN (SELECT token FROM cand)
+            GROUP BY 1
+        ), stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM d
+        ), scored AS (
+            SELECT query_id, p.token, tf_pool, df,
+                   CAST(tf_pool * (((n_docs - df) * {IDF_MILLI}) // df)
+                        AS BIGINT) AS score
+            FROM ptfx p JOIN dfx USING (token) CROSS JOIN stats
+        )
+        SELECT CAST(query_id AS INT) AS query_id, token, tf_pool, df,
+               score, CAST(rank AS INT) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY query_id
+                  ORDER BY score DESC, token ASC) AS rank
+              FROM scored)
+        WHERE rank <= {int(m)}
+        ORDER BY query_id, rank
+    """
+
+
 def _sqrt_mixture_sql() -> str:
     """q259 oracle: same grid, FLOOR(SQRT(CAST(... AS DOUBLE))) exact
     below 1e13, grid windows, // on non-negatives."""
@@ -14950,6 +15033,7 @@ def oracle_sql() -> dict[str, str]:
         "q257_modularity": _modularity_sql(),
         "q258_bpe_fertility": _fertility_sql(),
         "q259_sqrt_mixture": _sqrt_mixture_sql(),
+        "q260_prf_expansion": _prf_sql(),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

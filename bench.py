@@ -483,6 +483,7 @@ def main() -> None:
         "q257_modularity",
         "q258_bpe_fertility",
         "q259_sqrt_mixture",
+        "q260_prf_expansion",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

@@ -599,3 +599,91 @@ def mrr_at_k(
         )
         .orderBy(probe_col)
     )
+
+
+def prf_expansion(
+    docs: DataFrame,
+    queries: Dict[int, Sequence[str]],
+    k_docs: int = 5,
+    m: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio-lite): run the
+    fixed-point :func:`bm25_search`, pool each query's top ``k_docs``
+    documents, and surface the ``m`` highest-scoring NEW terms from the
+    pool — score = pool term frequency × the same RSJ milli-idf BM25
+    uses, so a term that is common in the feedback docs but rare in the
+    corpus wins (the classic PRF signal).  Original query terms are
+    anti-joined out.
+
+    EXACT BIGINT: pool tf and corpus df are counts; ``idf_milli =
+    (n_docs − df)·1000 DIV df`` is non-negative (df ≤ n_docs);
+    score = tf_pool · idf_milli.  Rank = ROW_NUMBER (score DESC, term
+    ASC) per query — the candidate set is the POOL vocabulary
+    (panel-bounded), so the window is grid-sized, not corpus-sized.
+
+    Scale shape: one corpus pass for BM25 (already two-level top-k),
+    one broadcast of the |queries|·k_docs pool, one token pass filtered
+    by the pool join, one corpus DISTINCT-doc pass semi-joined to the
+    pool vocabulary (broadcast), grid windows only.
+
+    Output: (query_id, token, tf_pool, df, score, rank), rank <= m.
+    """
+    spark = docs.sparkSession
+    ranked = bm25_search(docs, queries, k=int(k_docs), id_col=id_col,
+                         text_col=text_col)
+    pool = ranked.select("query_id", id_col)
+    base = docs.select(F.col(id_col), _tokens(F.col(text_col)).alias("tk"))
+    toks = base.select(F.col(id_col), F.explode("tk").alias("token"))
+    ptoks = toks.join(F.broadcast(pool), id_col)
+    qpanel = spark.createDataFrame(
+        [(int(q), str(t)) for q, terms in queries.items() for t in terms],
+        "query_id int, token string",
+    )
+    ptf = (
+        ptoks.groupBy("query_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf_pool"))
+        .join(F.broadcast(qpanel), ["query_id", "token"], "left_anti")
+    )
+    cand = ptf.select("token").distinct()
+    dfx = (
+        toks.select(F.col(id_col), "token")
+        .distinct()
+        .join(F.broadcast(cand), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    stats = base.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    scored = (
+        ptf.join(dfx, "token")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "token",
+            "tf_pool",
+            "df",
+            (
+                F.col("tf_pool")
+                * F.expr(f"((n_docs - df) * {IDF_MILLI}) DIV df")
+            )
+            .cast("long")
+            .alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(m))
+        .select(
+            "query_id",
+            "token",
+            "tf_pool",
+            "df",
+            "score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )

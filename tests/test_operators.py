@@ -2025,3 +2025,31 @@ def test_sqrt_mixture_weights(spark):
     # flattening: tail lang's weight > its raw share
     assert out["sw"]["weight_micro"] > sb
     assert out["en"]["weight_micro"] < sa
+
+
+def test_prf_expansion(spark):
+    """Hand-built corpus: feedback pool shares a rare token that the
+    query itself doesn't contain -> it tops the expansion; original
+    query terms never appear."""
+    from document_quality_assessment_ocr_spark.operators.retrieval import (
+        prf_expansion,
+    )
+
+    # q terms: 'alpha'. docs 1,2 contain alpha+zeta (pool); doc 3 only
+    # noise. zeta is rare (df=2 of 4) -> positive idf; 'common' appears
+    # everywhere -> idf 0 -> never ranks above zeta.
+    rows = [
+        (1, "alpha zeta common x1"),
+        (2, "alpha zeta zeta zeta common x2"),
+        (3, "noise common x3"),
+        (4, "filler common x4"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = prf_expansion(d, {1: ["alpha"]}, k_docs=2, m=3).collect()
+    toks = [r["token"] for r in out]
+    assert "alpha" not in toks  # original term excluded
+    assert toks[0] == "zeta"  # tf_pool=4, df=2 -> score 4000 beats x1's 3000
+    r0 = out[0]
+    n_docs, df = 4, 2
+    assert r0["score"] == 4 * ((n_docs - df) * 1000 // df)
+    assert all(out[i]["score"] >= out[i + 1]["score"] for i in range(len(out) - 1))
