@@ -39,6 +39,12 @@ def main():
     names = ONLY or [n for n in qs if n in oracles]
     bad = 0
     for name in names:
+        # a typo'd name must not read as a semantic MISMATCH (q100/q90
+        # false-alarm lesson): fail loudly as UNKNOWN instead
+        if name not in qs or name not in oracles:
+            bad += 1
+            print(f"RESULT {name} UNKNOWN-QUERY (not in registry)")
+            continue
         try:
             sdf = qs[name](spark, SF).toPandas()
             odf = con.execute(oracles[name]).df()
