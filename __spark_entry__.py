@@ -10144,46 +10144,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     through the driver's hard gate across rounds. Round 4 rotated IN:
     q52/q59/q75/q100/q105/q110/q111/q114/q116/q119/q120/q123/q130/q132/q135,
     rotating their siblings q01/q02/q06/q12/q17/q27/q31/q33/q34/q39/q54/
-    q71/q78/q126/q133 to the CHECKS.md audit path."""
+    q71/q78/q126/q133 to the CHECKS.md audit path. Round 5 rotated IN:
+    q44/q139/q142/q148/q151/q163/q181/q186/q205/q210/q214/q220/q242/q252/
+    q258, rotating out their siblings q52/q56/q59/q75/q100/q105/q110/q111/
+    q116/q119/q120/q123/q130/q134/q135 (graph-family rep is now q242
+    label-prop; sessions rep q252 Kaplan-Meier; BPE window rep q258)."""
     return {
         # -- driver window (first 50): flagship + family representatives --
         "q90_extract_full": _q_extract_full,
         "q91_extract_metrics": _q_extract_metrics,
         "q92_main_content": _q_main_content,
-        "q52_normalize_text": _q_normalize_text,
-        "q116_readability": _q_readability,
+        "q220_scrub_effect": _q_scrub_effectiveness,
+        "q181_char_classes": _q_char_classes,
         "q03_fingerprint_dedup": _q_fingerprint_dedup,
         "q04_agg_modes": _q_agg_modes,
         "q05_verdict_fold": _q_verdict_fold,
-        "q123_incremental_dedup": _q_incremental_dedup,
+        "q186_dup_closure": _q_dup_closure,
         "q07_reassembly": _q_reassembly,
         "q08_metrics_rollup": _q_metrics_rollup,
         "q10_minhash_lsh_pairs": _q_lsh_pairs,
         "q121_bigram_lm": _q_bigram_lm,
-        "q105_simhash_pairs": _q_simhash_pairs,
-        "q100_soft_dedup": _q_soft_dedup,
+        "q214_banding_selectivity": _q_banding_selectivity,
+        "q44_dedup_keep_best": _q_dedup_keep_best,
         # SFT/preference construction families — q110 (FIM) took the SFT
         # seat from q133 in the round-4 rotation; q134 stays (the heaviest
         # composite deserves the hard gate)
-        "q110_fim_split": _q_fim_split,
-        "q134_preference_pairs": _q_preference_pairs,
+        "q142_span_corruption": _q_span_corruption,
+        "q151_fragment_stitch": _q_fragment_stitch,
         "q73_exact_substring": _q_exact_substring,
         "q13_cosine_topk": _q_cosine_topk,
-        "q119_ann_recall": _q_ann_recall,
+        "q148_matryoshka_topk": _q_matryoshka_topk,
         "q46_pq_topk": _q_pq_topk,
         "q124_heavy_hitters": _q_heavy_hitters,
-        "q111_d4_prune": _q_d4_prune,
+        "q205_kcenter_coreset": _q_kcenter,
         "q76_phash_near_dup": _q_phash_near_dup,
-        "q135_trim_repeats": _q_trim_repeats,
+        "q210_text_segments": _q_text_segments,
         "q114_fuzzy_decontam": _q_fuzzy_decontam,
         "q35_hll_distinct": _q_hll,
-        "q130_stopgram_blocklist": _q_stopgram_blocklist,
+        "q139_blocklist_gate": _q_blocklist_gate,
         "q41_quantile_sketch": _q_quantile_sketch,
         "q42_bloom_decontam": _q_bloom_decontam,
         "q43_count_min": _q_count_min,
-        "q75_bpe_tokenize": _q_bpe_tokenize,
+        "q258_bpe_fertility": _q_fertility,
         "q67_surprisal": _q_surprisal,
-        "q120_phrase_search": _q_phrase_search,
+        "q163_pmi": _q_pmi,
         "q63_html_main": _q_html_main,
         "q66_host_stats": _q_host_stats,
         "q132_budget_select": _q_budget_select,
@@ -10194,11 +10198,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_gopher_filter": _q_gopher_filter,
         "q93_curation_v4": _q_curation_v4,
         "q94_dsir_resample": _q_dsir_resample,
-        "q59_session_attribution": _q_session_attribution,
+        "q252_kaplan_meier": _q_km,
         "q36_asof_join": _q_asof_join,
         "q49_sequence_packing": _q_sequence_packing,
         "q77_mixture_sample": _q_mixture_sample,
-        "q56_pagerank": _q_pagerank,
+        "q242_label_prop": _q_label_prop,
         "q98_bm25_search": _q_bm25_search,
         # -- positions 51+: narrow variants, audited via CHECKS.md --
         "q79_curation_v3": _q_curation_v3,
@@ -10281,7 +10285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q131_host_pagerank": _q_host_pagerank,
         "q126_curriculum": _q_curriculum,
         "q40_chunk_dedup": _q_chunk_dedup,
-        "q44_dedup_keep_best": _q_dedup_keep_best,
+        "q100_soft_dedup": _q_soft_dedup,
         "q33_repetition": _q_repetition,
         "q136_ict_pairs": _q_ict_pairs,
         "q11_ngram_jaccard": _q_ngram_jaccard,
@@ -10289,19 +10293,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_outlinks": _q_outlinks,
         "q137_audio_rms": _q_audio_rms,
         "q138_video_frames": _q_video_frames,
-        "q139_blocklist_gate": _q_blocklist_gate,
+        "q130_stopgram_blocklist": _q_stopgram_blocklist,
         "q140_weighted_sample": _q_weighted_sample,
         "q141_hll_overlap": _q_hll_overlap,
-        "q142_span_corruption": _q_span_corruption,
+        "q110_fim_split": _q_fim_split,
         "q143_bt_strength": _q_bt_strength,
         "q144_kneser_ney": _q_kneser_ney,
         "q145_rho1_select": _q_rho1_select,
         "q146_binary_topk": _q_binary_topk,
         "q147_zorder_layout": _q_zorder,
-        "q148_matryoshka_topk": _q_matryoshka_topk,
+        "q119_ann_recall": _q_ann_recall,
         "q149_hits": _q_hits,
         "q150_borda_ensemble": _q_borda_ensemble,
-        "q151_fragment_stitch": _q_fragment_stitch,
+        "q134_preference_pairs": _q_preference_pairs,
         "q152_template_expand": _q_template_expand,
         "q153_group_percentile": _q_group_percentile,
         "q154_png_chunks": _q_png_chunks,
@@ -10313,7 +10317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q160_triangles": _q_triangles,
         "q161_containment": _q_containment,
         "q162_skew_audit": _q_skew_audit,
-        "q163_pmi": _q_pmi,
+        "q120_phrase_search": _q_phrase_search,
         "q164_funnel": _q_funnel,
         "q165_retention": _q_retention,
         "q166_transitions": _q_transitions,
@@ -10331,12 +10335,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q178_source_overlap": _q_source_overlap,
         "q179_prefix_compression": _q_prefix_compression,
         "q180_quality_joint": _q_quality_joint,
-        "q181_char_classes": _q_char_classes,
+        "q116_readability": _q_readability,
         "q182_anchor_diversity": _q_anchor_diversity,
         "q183_event_bursts": _q_event_bursts,
         "q184_props_stats": _q_props_stats,
         "q185_rendezvous": _q_rendezvous,
-        "q186_dup_closure": _q_dup_closure,
+        "q123_incremental_dedup": _q_incremental_dedup,
         "q187_url_depth": _q_url_depth,
         "q188_two_hop": _q_two_hop,
         "q189_field_consistency": _q_field_consistency,
@@ -10354,22 +10358,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q202_ks_drift": _q_ks_drift,
         "q203_bootstrap_ci": _q_bootstrap_ci,
         "q204_html_tables": _q_html_tables,
-        "q205_kcenter_coreset": _q_kcenter,
+        "q111_d4_prune": _q_d4_prune,
         "q206_rr_release": _q_rr_release,
         "q207_pca_project": _q_pca,
         "q208_lang_confusion": _q_lang_confusion,
         "q209_threshold_sweep": _q_threshold_sweep,
-        "q210_text_segments": _q_text_segments,
+        "q135_trim_repeats": _q_trim_repeats,
         "q211_concentration": _q_concentration,
         "q212_entity_extract": _q_entities,
         "q213_bitext_margin": _q_bitext_margin,
-        "q214_banding_selectivity": _q_banding_selectivity,
+        "q105_simhash_pairs": _q_simhash_pairs,
         "q215_isotropy": _q_isotropy,
         "q216_cuped_lift": _q_cuped_lift,
         "q217_encoding_quality": _q_encoding_quality,
         "q218_quota_apportion": _q_quota_apportion,
         "q219_benford": _q_benford,
-        "q220_scrub_effect": _q_scrub_effectiveness,
+        "q52_normalize_text": _q_normalize_text,
         "q221_zipf_fit": _q_zipf,
         "q222_chisq_grid": _q_chisq,
         "q223_mad_outliers": _q_mad_outliers,
@@ -10391,7 +10395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q239_pr_sweep": _q_pr_sweep,
         "q240_centroid_drift": _q_centroid_drift,
         "q241_daily_autocorr": _q_daily_autocorr,
-        "q242_label_prop": _q_label_prop,
+        "q56_pagerank": _q_pagerank,
         "q243_ess_weights": _q_ess,
         "q244_simpson_diversity": _q_simpson,
         "q245_assoc_rules": _q_assoc_rules,
@@ -10401,13 +10405,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q249_keep_effect_size": _q_keep_effect,
         "q250_zipf_slope": _q_zipf_slope,
         "q251_mcnemar_filters": _q_mcnemar,
-        "q252_kaplan_meier": _q_km,
+        "q59_session_attribution": _q_session_attribution,
         "q253_mann_kendall": _q_mann_kendall,
         "q254_textrank": _q_textrank,
         "q255_psi_drift": _q_psi,
         "q256_conductance": _q_conductance,
         "q257_modularity": _q_modularity,
-        "q258_bpe_fertility": _q_fertility,
+        "q75_bpe_tokenize": _q_bpe_tokenize,
         "q259_sqrt_mixture": _q_sqrt_mix,
         "q260_prf_expansion": _q_prf,
     }

@@ -502,6 +502,30 @@ def main() -> None:
     }
     spark.stop()
     print(json.dumps(out), flush=True)
+    # The driver captures a bounded tail of stdout; with 150+ per-query lines the
+    # full JSON line above can fall off the buffer and lose the headline (r4
+    # lesson: BENCH_r04.json had no "value"). Persist the full record to a file
+    # and emit a compact summary as the LAST line so a tail capture always
+    # parses a headline.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_full.json"), "w") as f:
+            json.dump(out, f)
+    except OSError:
+        pass
+    summary = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "cpus": cpus,
+        "n_docs": n_docs,
+        "n_queries": len(timings),
+        "extract_sec": timings.get("extract"),
+        "full_record": "BENCH_full.json",
+    }
+    print("RESULT_SUMMARY " + json.dumps(summary), flush=True)
+    print(json.dumps(summary), flush=True)
 
 
 if __name__ == "__main__":

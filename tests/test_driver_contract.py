@@ -98,7 +98,8 @@ def test_driver_window_carries_flagship_and_family_reps():
         "q41_quantile_sketch", "q67_surprisal", "q63_html_main",
         "q66_host_stats", "q83_host_policy", "q74_bpe_merges",
         "q64_cdc_upsert", "q36_asof_join", "q77_mixture_sample",
-        "q49_sequence_packing", "q56_pagerank",
+        # graph-family rep rotated q56_pagerank -> q242_label_prop in r5
+        "q49_sequence_packing", "q242_label_prop",
         "q76_phash_near_dup",
         # quality/classification/importance families (round 3);
         # q93 (curation v4) supersedes q79 (v3) as the curation rep —
@@ -114,32 +115,33 @@ def test_driver_window_carries_flagship_and_family_reps():
     }
     missing = must - window
     assert not missing, f"family reps fell out of the driver window: {missing}"
-    # round-4 rotation policy (VERDICT r3 #6): ~15 window seats swap with
-    # their positions-51+ family siblings each round so every entry cycles
-    # through the driver's hard gate; this pins the r4 rotation actually
-    # happened (>= 15 entries not in the r3 window)
-    r3_window = {
+    # rotation policy (VERDICT r3 #6, re-pinned r4): ~15 window seats swap
+    # with their positions-51+ family siblings each round so every entry
+    # cycles through the driver's hard gate; this pins the r5 rotation
+    # actually happened (>= 15 entries not in the r4 window, which is the
+    # key order of CORRECTNESS_r04.json)
+    r4_window = {
         "q90_extract_full", "q91_extract_metrics", "q92_main_content",
-        "q01_text_density", "q02_token_count", "q03_fingerprint_dedup",
-        "q04_agg_modes", "q05_verdict_fold", "q06_dedup_last_wins",
+        "q52_normalize_text", "q116_readability", "q03_fingerprint_dedup",
+        "q04_agg_modes", "q05_verdict_fold", "q123_incremental_dedup",
         "q07_reassembly", "q08_metrics_rollup", "q10_minhash_lsh_pairs",
-        "q121_bigram_lm", "q12_simhash", "q31_dup_clusters",
-        "q133_chat_spans", "q134_preference_pairs", "q73_exact_substring",
-        "q13_cosine_topk", "q17_ivf_topk", "q46_pq_topk",
-        "q124_heavy_hitters", "q78_semdedup", "q76_phash_near_dup",
-        "q33_repetition", "q34_decontam", "q35_hll_distinct",
-        "q39_top_terms", "q41_quantile_sketch", "q42_bloom_decontam",
-        "q43_count_min", "q54_tokenize_ids", "q67_surprisal",
-        "q71_inverted_index", "q63_html_main", "q66_host_stats",
-        "q126_curriculum", "q83_host_policy", "q74_bpe_merges",
-        "q64_cdc_upsert", "q84_quality_classifier", "q89_gopher_filter",
-        "q93_curation_v4", "q94_dsir_resample", "q27_sessionize",
-        "q36_asof_join", "q49_sequence_packing", "q77_mixture_sample",
-        "q56_pagerank", "q98_bm25_search",
+        "q121_bigram_lm", "q105_simhash_pairs", "q100_soft_dedup",
+        "q110_fim_split", "q134_preference_pairs", "q73_exact_substring",
+        "q13_cosine_topk", "q119_ann_recall", "q46_pq_topk",
+        "q124_heavy_hitters", "q111_d4_prune", "q76_phash_near_dup",
+        "q135_trim_repeats", "q114_fuzzy_decontam", "q35_hll_distinct",
+        "q130_stopgram_blocklist", "q41_quantile_sketch",
+        "q42_bloom_decontam", "q43_count_min", "q75_bpe_tokenize",
+        "q67_surprisal", "q120_phrase_search", "q63_html_main",
+        "q66_host_stats", "q132_budget_select", "q83_host_policy",
+        "q74_bpe_merges", "q64_cdc_upsert", "q84_quality_classifier",
+        "q89_gopher_filter", "q93_curation_v4", "q94_dsir_resample",
+        "q59_session_attribution", "q36_asof_join", "q49_sequence_packing",
+        "q77_mixture_sample", "q56_pagerank", "q98_bm25_search",
     }
-    assert len(window - r3_window) >= 15, (
-        f"rotation regressed: only {len(window - r3_window)} window entries "
-        "are new vs round 3"
+    assert len(window - r4_window) >= 15, (
+        f"rotation regressed: only {len(window - r4_window)} window entries "
+        "are new vs round 4"
     )
     oracles = set(mod.oracle_sql())
     assert set(names) == oracles, (
