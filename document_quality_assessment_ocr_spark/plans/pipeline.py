@@ -92,6 +92,7 @@ def run_extraction(
     scored_payloads: Optional[DataFrame] = None,
     max_media_spans: Optional[int] = None,
     broadcast_scores: bool = True,
+    partdoc_max_spans: Optional[int] = None,
 ) -> DataFrame:
     """The flagship plan: spans+payloads → per-document verdict + surviving
     ordered span sequence ``(kind, text, media_ref, order)``.
@@ -112,7 +113,26 @@ def run_extraction(
     ``max_media_spans`` — the reference's page budget analog (≤3 PDF pages /
     ≤20 TIFF frames, ``pdf_handler.py:65``, ``tiff_handler.py:15``): only the
     first K media spans per document (offset order) feed the DOCUMENT
-    verdict; span gating still sees every span."""
+    verdict; span gating still sees every span.
+
+    ``partdoc_max_spans`` — PART-DOC mode for mega-documents (SCALE.md §3):
+    the offset-SORTED spans array is chunked into ``(doc_id, part_idx)``
+    part-docs of at most this many spans, every doc-level aggregate is
+    computed per part first (all partials are algebraic: counts, min/max,
+    (sum, count) pairs for means, min-structs for first-error/first-page
+    selection, and a per-part ``sort_array(collect_list)`` bounded at
+    ``partdoc_max_spans``), then merged per logical doc — the surviving
+    span sequence re-assembles as ``flatten`` of per-part sorted lists in
+    ``part_idx`` order, which IS the global offset order because parts are
+    contiguous ranges of the sorted array: an algebraic concat, no global
+    resort. This lifts the single-task O(n log n) reassembly ceiling the
+    round-4 skew probe measured at 10⁶ spans (~10 s hot task). The verdict
+    fold still runs ONCE per logical doc, on the merged aggregates.
+    Requires ``assume_unique_doc_ids=True`` (same contract as
+    ``operators.salting.split_oversized_docs``) and is incompatible with
+    ``max_media_spans`` (the page budget needs the whole array in one row).
+    Costs one extra Exchange (doc_id+part_idx, then doc_id) whose second
+    hop moves per-part aggregates only."""
     criteria = criteria or default_criteria()
 
     # ---- driver-side constants (config is tiny: closed over, never a join)
@@ -141,6 +161,27 @@ def run_extraction(
         )
     )
     docs = docs.select("doc_id", "skip_checks", spans_sorted.alias("spans"))
+    if partdoc_max_spans is not None:
+        if not assume_unique_doc_ids:
+            raise ValueError("partdoc mode requires assume_unique_doc_ids=True")
+        if max_media_spans is not None:
+            raise ValueError("partdoc mode is incompatible with max_media_spans")
+        m = int(partdoc_max_spans)
+        # contiguous ranges of the SORTED array: part_idx order == offset
+        # order, which is what makes the final flatten-by-part_idx a valid
+        # ordered re-merge (no global resort)
+        n_sp = F.coalesce(F.size("spans"), F.lit(0))
+        n_chunks = F.greatest(F.ceil(n_sp / F.lit(m)).cast("int"), F.lit(1))
+        docs = docs.select(
+            "doc_id",
+            "skip_checks",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.slice(F.col("spans"), i * m + 1, m),
+                )
+            ).alias("part_idx", "spans"),
+        )
     if max_media_spans is not None:
         # array POSITIONS of the first K media spans — the document's
         # "pages". Index-based (not offset-based) so duplicate offsets at the
@@ -162,8 +203,10 @@ def run_extraction(
     else:
         docs = docs.withColumn("page_pos", F.lit(None).cast("array<int>"))
 
+    part_cols = ["part_idx"] if partdoc_max_spans is not None else []
     ex = docs.select(
         "doc_id",
+        *part_cols,
         "skip_checks",
         "page_pos",
         F.posexplode_outer("spans").alias("pos", "s"),
@@ -226,6 +269,111 @@ def run_extraction(
         return F.when(is_page, col)
 
     ratio = pg(F.col("ms.content_ratio"))
+    ferr_struct = F.min(
+        F.when(
+            err_span.isNotNull(),
+            F.struct(
+                F.col("s.offset").alias("o"),
+                F.col("s.text").alias("t"),
+                F.col("s.media_ref").alias("m"),
+                err_span.alias("e"),
+            ),
+        )
+    )
+    fest_struct = F.min(
+        F.when(
+            is_page,
+            F.struct(
+                F.col("s.offset").alias("o"),
+                F.col("s.text").alias("t"),
+                F.col("s.media_ref").alias("m"),
+                F.col("ms.est_dpi").alias("v"),
+            ),
+        )
+    )
+    kept_struct = F.sort_array(
+        F.collect_list(
+            F.when(
+                survives,
+                F.struct(
+                    F.col("s.offset").alias("offset"),
+                    F.col("s.kind").alias("kind"),
+                    F.col("s.text").alias("text"),
+                    F.col("s.media_ref").alias("media_ref"),
+                ),
+            )
+        )
+    )
+    if partdoc_max_spans is not None:
+        # ---- part-doc two-level aggregation: every doc statistic has an
+        # exact algebraic partial (count→sum, min/max→min/max, mean→(sum,
+        # count) merged as Σsum/Σcount — the same partial Spark's own avg
+        # uses — min-structs→min), and the per-part kept list is sorted
+        # within its bounded part only. Exchange 1 keys (doc_id, part_idx)
+        # so no reducer ever sorts more than partdoc_max_spans spans;
+        # Exchange 2 keys doc_id and moves per-part aggregates.
+        td_mode = td.aggregate_mode if td else "avg"
+        part_aggs = [
+            F.count(F.col("s")).alias("n_spans_p"),
+            F.count(F.when(is_media, F.lit(1))).alias("n_media_p"),
+            ferr_struct.alias("ferr_p"),
+            F.sum(ratio).alias("sum_ratio_p"),
+            F.count(ratio).alias("cnt_ratio_p"),
+            F.min(ratio).alias("min_ratio_p"),
+            F.sum(pg(F.col("ms.brightness"))).alias("sum_bright_p"),
+            F.count(pg(F.col("ms.brightness"))).alias("cnt_bright_p"),
+            F.min(pg(F.col("ms.lap_var"))).alias("min_lap_p"),
+            F.max(pg(F.abs(F.col("ms.skew_deg")))).alias("max_abs_skew_p"),
+            F.max(pg(F.col("ms.watermark"))).alias("max_wm_p"),
+            F.max(pg(F.col("ms.noise_pct"))).alias("max_noise_p"),
+            F.min(pg(F.col("ms.entropy"))).alias("min_ent_p"),
+            F.min(pg(F.col("p_dpi"))).alias("min_dpi_meta_p"),
+            fest_struct.alias("fest_p"),
+            kept_struct.alias("kept_p"),
+        ]
+        if td_mode not in ("avg",):
+            part_aggs.append(_agg_by_mode(ratio, td_mode).alias("td_part_p"))
+        part = ex.groupBy("doc_id", "part_idx", "skip_checks").agg(*part_aggs)
+        if td_mode == "avg":
+            td_merged = F.sum("sum_ratio_p") / F.sum("cnt_ratio_p")
+        elif td_mode == "max":
+            td_merged = F.max("td_part_p")
+        else:
+            td_merged = F.min("td_part_p")
+        agg = part.groupBy("doc_id", "skip_checks").agg(
+            F.sum("n_spans_p").alias("n_spans"),
+            F.sum("n_media_p").alias("n_media"),
+            F.min("ferr_p").alias("ferr"),
+            (F.sum("sum_ratio_p") / F.sum("cnt_ratio_p")).alias("avg_ratio"),
+            F.min("min_ratio_p").alias("min_ratio"),
+            td_merged.alias("td_ratio"),
+            (F.sum("sum_bright_p") / F.sum("cnt_bright_p")).alias("avg_bright"),
+            F.min("min_lap_p").alias("min_lap"),
+            F.max("max_abs_skew_p").alias("max_abs_skew"),
+            F.max("max_wm_p").alias("max_wm"),
+            F.max("max_noise_p").alias("max_noise"),
+            F.min("min_ent_p").alias("min_ent"),
+            F.min("min_dpi_meta_p").alias("min_dpi_meta"),
+            F.min("fest_p").alias("fest"),
+            # ordered re-merge: parts are contiguous ranges of the sorted
+            # spans array, so concatenating per-part sorted survivor lists
+            # in part_idx order IS the globally sorted sequence — flatten,
+            # never a second sort_array over the full doc
+            F.flatten(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col("part_idx").alias("i"),
+                                F.col("kept_p").alias("k"),
+                            )
+                        )
+                    ),
+                    lambda x: x["k"],
+                )
+            ).alias("kept"),
+        )
+        return _verdict_select(agg, criteria, min_content, include_metrics_cols)
     # ---- ONE shuffle: every doc-level aggregate in a single HashAggregate.
     # n_spans is an aggregate (count of non-null exploded spans), NOT a group
     # key — so a mega-document's spans array may be pre-split across several
@@ -240,17 +388,7 @@ def run_extraction(
         # key) so ties on offset pick the same page the oracle's pages[0]
         # loop hits first. NOT keyed on posexplode pos: pos is chunk-local
         # under operators/salting.split_oversized_docs.
-        F.min(
-            F.when(
-                err_span.isNotNull(),
-                F.struct(
-                    F.col("s.offset").alias("o"),
-                    F.col("s.text").alias("t"),
-                    F.col("s.media_ref").alias("m"),
-                    err_span.alias("e"),
-                ),
-            )
-        ).alias("ferr"),
+        ferr_struct.alias("ferr"),
         F.avg(ratio).alias("avg_ratio"),
         F.min(ratio).alias("min_ratio"),
         _agg_by_mode(ratio, td.aggregate_mode if td else "avg").alias("td_ratio"),
@@ -263,33 +401,22 @@ def run_extraction(
         F.min(pg(F.col("p_dpi"))).alias("min_dpi_meta"),
         # K8 fallback value of page ONE (reference criteria.py:243): min over
         # the same full-key total order as ferr
-        F.min(
-            F.when(
-                is_page,
-                F.struct(
-                    F.col("s.offset").alias("o"),
-                    F.col("s.text").alias("t"),
-                    F.col("s.media_ref").alias("m"),
-                    F.col("ms.est_dpi").alias("v"),
-                ),
-            )
-        ).alias("fest"),
-        F.sort_array(
-            F.collect_list(
-                F.when(
-                    survives,
-                    F.struct(
-                        F.col("s.offset").alias("offset"),
-                        F.col("s.kind").alias("kind"),
-                        F.col("s.text").alias("text"),
-                        F.col("s.media_ref").alias("media_ref"),
-                    ),
-                )
-            )
-        ).alias("kept"),
+        fest_struct.alias("fest"),
+        kept_struct.alias("kept"),
     )
+    return _verdict_select(agg, criteria, min_content, include_metrics_cols)
 
-    # ---- verdict fold (reference criteria.py:205-325) as Column expressions
+
+def _verdict_select(
+    agg: DataFrame,
+    criteria: List[CriteriaConfig],
+    min_content: float,
+    include_metrics_cols: bool,
+) -> DataFrame:
+    """Verdict fold (reference criteria.py:205-325) over the merged per-doc
+    aggregate columns — shared by the single-Exchange plan and the part-doc
+    two-level plan (both produce identical column names/semantics)."""
+
     def fail_and_reason(c: CriteriaConfig) -> tuple[Column, Column]:
         t = c.threshold or Threshold()
         n = c.name

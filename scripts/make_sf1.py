@@ -110,9 +110,52 @@ def main() -> None:
         os.path.join(OUT, "embeddings.parquet"),
     )
     print(f"[sf1] embeddings: {len(erows)} rows in {time.time()-t0:.1f}s")
+    build_extras()
     with open(done, "w") as f:
         f.write("ok")
     print(f"[sf1] done: {OUT}")
+
+
+def build_extras() -> None:
+    """Round-5 additions so the sf1 VALUE-EQUALITY audit (VERDICT r4 #1)
+    can run check_queries.py unchanged at this dir:
+
+    - events: 10 replicas with event_id/user_id offset by replica·ID_STRIDE
+      and ts/type/value/props unchanged — 10× more USERS with identical
+      per-user series, preserving the per-user monotone (ts, event_id)
+      arrival contract (sessions/transitions twins) and scaling session
+      COUNT linearly, never session length (the documents cluster rule).
+    - remaining TPC-H tables: symlinked from the sf0.1 source — the sf1
+      step scales the documents/embeddings/events-backed heavy set; TPC-H
+      joins are not part of the 10× story and stay at sf0.1 inputs
+      (documented in SCALECHECKS-sf1)."""
+    t0 = time.time()
+    ev_out = os.path.join(OUT, "events.parquet")
+    if not os.path.exists(ev_out):
+        ev = pq.read_table(os.path.join(SRC, "events.parquet"))
+        assert pa.compute.max(ev.column("event_id")).as_py() < ID_STRIDE
+        assert pa.compute.max(ev.column("user_id")).as_py() < ID_STRIDE
+        parts = []
+        for rep in range(REPLICAS):
+            off = pa.scalar(rep * ID_STRIDE, type=pa.int64())
+            parts.append(
+                ev.set_column(
+                    ev.schema.get_field_index("event_id"), "event_id",
+                    pa.compute.add(ev.column("event_id"), off),
+                ).set_column(
+                    ev.schema.get_field_index("user_id"), "user_id",
+                    pa.compute.add(ev.column("user_id"), off),
+                )
+            )
+        big = pa.concat_tables(parts)
+        pq.write_table(big, ev_out)
+        print(f"[sf1] events: {big.num_rows} rows in {time.time()-t0:.1f}s")
+    for t in ["lineitem", "orders", "customer", "part", "supplier",
+              "nation", "region"]:
+        dst = os.path.join(OUT, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(SRC, f"{t}.parquet"), dst)
+    print("[sf1] extras done")
 
 
 if __name__ == "__main__":

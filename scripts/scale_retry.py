@@ -5,7 +5,7 @@ and the table row is patched in place. A chunked sweep can lose 3
 innocent queries to one slow chunk-mate; this pass gives each one its
 own clock. Queries that still cannot finish stay honestly NOT-RUN.
 
-Usage: python3 scripts/scale_retry.py [sf_dir] [timeout_s]
+Usage: python3 scripts/scale_retry.py [sf_dir] [timeout_s] [md_file]
 """
 
 import os
@@ -16,7 +16,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 TIMEOUT = int(sys.argv[2]) if len(sys.argv) > 2 else 1500
-PATH = os.path.join(REPO, "SCALECHECKS.md")
+PATH = os.path.join(REPO, sys.argv[3] if len(sys.argv) > 3 else "SCALECHECKS.md")
 
 
 def main():

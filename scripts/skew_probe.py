@@ -101,11 +101,15 @@ def main() -> None:
 
     results = {}
     mega_rows = {}
-    for variant, sdf in (
-        ("unsplit", spans),
-        ("split", split_oversized_docs(spans, max_spans_per_row=SPLIT_AT)),
+    for variant, sdf, kw in (
+        ("unsplit", spans, {}),
+        ("split", split_oversized_docs(spans, max_spans_per_row=SPLIT_AT), {}),
+        # round-5 part-doc mode (VERDICT r4 #2): two-level aggregation with
+        # per-part bounded sort + flatten-by-part_idx re-merge — the path
+        # that lifts the single-task reassembly ceiling
+        ("partdoc", spans, {"partdoc_max_spans": SPLIT_AT}),
     ):
-        out = run_extraction(sdf, pay, assume_unique_doc_ids=True)
+        out = run_extraction(sdf, pay, assume_unique_doc_ids=True, **kw)
         # warm codegen/scan once so the A/B is steady-state
         out.write.mode("overwrite").format("noop").save()
         before = _stage_ids(ui, app)
@@ -132,10 +136,11 @@ def main() -> None:
             .asDict()
         )
 
-    assert mega_rows["unsplit"] == mega_rows["split"], (
-        "split changed the mega-doc verdict!",
-        mega_rows,
-    )
+    for v in mega_rows:
+        assert mega_rows["unsplit"] == mega_rows[v], (
+            f"{v} changed the mega-doc verdict!",
+            mega_rows,
+        )
     out = {
         "probe": "mega_doc_skew",
         "mega_spans": MEGA_SPANS,

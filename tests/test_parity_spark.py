@@ -81,6 +81,38 @@ def test_split_mega_docs_identical(spark, small_corpus_dir):
     assert res(split) == res(uniq)
 
 
+def test_partdoc_mode_identical(spark, small_corpus_dir):
+    """Part-doc mode (round-5: two-level aggregation, per-part bounded sort,
+    flatten-by-part_idx ordered re-merge) is semantics-free: byte-identical
+    verdict + span sequence vs the single-Exchange plan, even at a part size
+    small enough that every multi-span doc splits."""
+    from document_quality_assessment_ocr_spark.operators.dedup import dedup_last_wins
+
+    spans, pay = tables.read_corpus(spark, small_corpus_dir)
+    uniq = dedup_last_wins(spans, "doc_id", "ingest_seq")
+
+    def res(df, **kw):
+        return {
+            (
+                r["doc_id"],
+                r["accepted"],
+                tuple(r["reasons"]),
+                tuple(r["warnings"]),
+                tuple((s["kind"], s["text"], s["media_ref"], s["order"]) for s in r["spans"]),
+            )
+            for r in run_extraction(df, pay, assume_unique_doc_ids=True, **kw).collect()
+        }
+
+    assert res(uniq, partdoc_max_spans=3) == res(uniq)
+    # contract errors, not silent wrong answers
+    with pytest.raises(ValueError):
+        run_extraction(spans, pay, partdoc_max_spans=3)
+    with pytest.raises(ValueError):
+        run_extraction(
+            uniq, pay, assume_unique_doc_ids=True, partdoc_max_spans=3, max_media_spans=3
+        )
+
+
 @pytest.mark.slow
 def test_duplicate_offset_tiebreak_parity(spark, small_corpus_dir, tmp_path):
     """Duplicate offsets (undefined by the input contract) must still resolve
