@@ -1166,3 +1166,81 @@ def test_stream_daily_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(state_dir, "v2")).collect()
     }
     assert remerged == v2
+
+
+def test_stream_rfm_crash_recovery(spark, tmp_path):
+    """Kill-mid-batch + checkpoint restart (round-5, VERDICT r4 #7): the
+    first stream_rfm run CRASHES inside foreachBatch on its second batch
+    (injected via the shared rfm_user_state stage, before the state
+    write), leaving the checkpoint committed through batch 0 and state at
+    v1. Re-invoking stream_rfm with the SAME checkpoint/state dirs must
+    resume from the checkpoint — replay batch 1, continue to batch 2 —
+    and converge to exactly the uninterrupted batch answer."""
+    import os
+    import time
+    from datetime import datetime, timedelta
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from document_quality_assessment_ocr_spark.operators import sessions as opsess
+    from document_quality_assessment_ocr_spark.operators.sessions import rfm_segments
+    from document_quality_assessment_ocr_spark.streaming.sessions import (
+        read_rfm,
+        stream_rfm,
+    )
+
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+
+    def ev(eid, uid, days, val):
+        return (eid, uid, "E", t0 + timedelta(days=days), val)
+
+    b1 = [ev(1, 1, 0, 1.251), ev(2, 1, 1, 2.5), ev(3, 2, 3, 0.75)]
+    b2 = [ev(4, 1, 10, 4.0), ev(5, 3, 10, -0.5)]
+    b3 = [ev(6, 3, 9, 0.125), ev(7, 2, 11, 2.0)]
+    in_dir = str(tmp_path / "crashin")
+    os.makedirs(in_dir)
+    schema = (
+        "event_id long, user_id long, event_type string, ts timestamp, "
+        "value double"
+    )
+    for i, rows in enumerate((b1, b2, b3)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(in_dir, f"drop-{i}")
+        )
+        time.sleep(1.1)
+
+    ckpt = str(tmp_path / "crashckpt")
+    state_dir = str(tmp_path / "crashstate")
+
+    real = opsess.rfm_user_state
+    calls = {"n": 0}
+
+    def dying(batch):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash: executor lost mid-batch")
+        return real(batch)
+
+    opsess.rfm_user_state = dying
+    try:
+        try:
+            stream_rfm(spark, in_dir + "/*", ckpt, state_dir)
+            raise AssertionError("first run should have crashed")
+        except StreamingQueryException:
+            pass  # the injected kill, surfaced through awaitTermination
+    finally:
+        opsess.rfm_user_state = real
+
+    # crash left batch 0 committed only: state at v1, nothing beyond
+    assert sorted(os.listdir(state_dir)) == ["v1"]
+
+    # REAL checkpoint restart: same dirs, no reset — Spark replays batch 1
+    # from the checkpoint's planned offsets, then continues to batch 2
+    stream_rfm(spark, in_dir + "/*", ckpt, state_dir)
+    assert sorted(os.listdir(state_dir)) == ["v1", "v2", "v3"]
+
+    got = [r.asDict() for r in read_rfm(spark, state_dir).collect()]
+    want = [
+        r.asDict() for r in rfm_segments(spark.read.parquet(in_dir + "/*")).collect()
+    ]
+    assert got == want
