@@ -5496,6 +5496,100 @@ def _png_chunks_sql() -> str:
     """
 
 
+def _q_jpeg_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded-JPEG luma profiles over derived media picks: REAL baseline
+    JFIF decode (from-scratch Huffman + dequant + float64 iDCT,
+    sources/jpeg.py — the reference delegates this to PIL,
+    handlers/pdf_handler.py:48) over the seeded JPEG catalog via
+    mapInPandas, joined to md5-nibble per-document picks at salts 9/10
+    (the q57/q137 shape; fresh salts — grep'd the registry first per the
+    CLAUDE.md checklist). Undecodable payloads (corrupt container) emit
+    no rows. The oracle embeds per-payload (width, height,
+    mean_luma_milli, ahash) literals computed by the SAME
+    multimodal.jpeg_profile_values the engine's UDF calls — the shared-
+    INTEGER contract: only integers and a hex string cross engines."""
+    from document_quality_assessment_ocr_spark.operators.multimodal import (
+        jpeg_stats,
+    )
+    from document_quality_assessment_ocr_spark.sources.derive import _md5_pick_index
+    from document_quality_assessment_ocr_spark.sources.fixtures import (
+        build_jpeg_payloads,
+        jpeg_payload_names,
+    )
+
+    names = sorted(jpeg_payload_names())
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|9"))).alias("_h9"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|10"))).alias("_h10"),
+    )
+    arr = F.array(*[F.lit(x) for x in names])
+    picks = d.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.element_at(arr, _md5_pick_index("_h9", len(names)) + 1),
+                F.element_at(arr, _md5_pick_index("_h10", len(names)) + 1),
+            )
+        ).alias("media_ref"),
+    ).distinct()
+    cat = build_jpeg_payloads()
+    pay = spark.createDataFrame(
+        [(n, bytearray(cat[n])) for n in names], "media_ref string, png binary"
+    )
+    st = jpeg_stats(pay).where(F.col("error").isNull())
+    return picks.join(F.broadcast(st), "media_ref").select(
+        "doc_id", "media_ref", "width", "height", "mean_luma_milli", "ahash"
+    )
+
+
+def _jpeg_profile_sql() -> str:
+    """q261 oracle: the seeded JPEG catalog's decoded profiles as literals
+    (computed by the SAME jpeg_profile_values the engine's mapInPandas
+    calls — real decode on the generator side too), derived media picks
+    via the md5-nibble twin at salts 9/10; the corrupt container
+    contributes no VALUES row. BIGINT casts on every integer (VALUES
+    literals lex as INTEGER in DuckDB)."""
+    from document_quality_assessment_ocr_spark.operators.multimodal import (
+        jpeg_profile_values,
+    )
+    from document_quality_assessment_ocr_spark.sources.fixtures import (
+        build_jpeg_payloads,
+        jpeg_payload_names,
+    )
+
+    cat = build_jpeg_payloads()
+    names = sorted(jpeg_payload_names())
+    vals = []
+    for n in names:
+        try:
+            v = jpeg_profile_values(cat[n])
+        except Exception:
+            continue  # engine emits no rows for undecodable payloads
+        vals.append(f"('{n}', {v[0]}, {v[1]}, {v[2]}, '{v[3]}')")
+    names_lit = "[" + ", ".join(f"'{n}'" for n in names) + "]"
+    return f"""
+        WITH st(media_ref, width, height, mean_luma_milli, ahash) AS
+            (VALUES {", ".join(vals)}),
+        picks AS (
+            SELECT DISTINCT doc_id, media_ref FROM (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       LIST_EXTRACT({names_lit}, {_md5_pick_sql(9, len(names))} + 1) AS media_ref
+                FROM documents
+                UNION ALL
+                SELECT CAST(doc_id AS BIGINT),
+                       LIST_EXTRACT({names_lit}, {_md5_pick_sql(10, len(names))} + 1)
+                FROM documents)
+        )
+        SELECT p.doc_id, p.media_ref,
+               CAST(st.width AS BIGINT) AS width,
+               CAST(st.height AS BIGINT) AS height,
+               CAST(st.mean_luma_milli AS BIGINT) AS mean_luma_milli,
+               st.ahash
+        FROM picks p JOIN st USING (media_ref)
+    """
+
+
 def _q_mw_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiplicative-weights domain reweighting (DoReMi-shaped
     allocator): per-source token-weighted mean unigram surprisal (the
@@ -10414,6 +10508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_bpe_tokenize": _q_bpe_tokenize,
         "q259_sqrt_mixture": _q_sqrt_mix,
         "q260_prf_expansion": _q_prf,
+        "q261_jpeg_profile": _q_jpeg_profile,
     }
 
 
@@ -15038,6 +15133,7 @@ def oracle_sql() -> dict[str, str]:
         "q258_bpe_fertility": _fertility_sql(),
         "q259_sqrt_mixture": _sqrt_mixture_sql(),
         "q260_prf_expansion": _prf_sql(),
+        "q261_jpeg_profile": _jpeg_profile_sql(),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

@@ -2,11 +2,13 @@
 stages as Arrow-batched ``mapInPandas`` transforms.
 
 Every decode path is REAL for the codec-free member of its family: images
-via the in-repo PNG codec, audio via stdlib-``wave`` PCM WAV, video via the
-Y4M (YUV4MPEG2) raw-planar parser. Compressed formats (jpeg/mp3/mp4) still
-need external codec libraries that don't ship in this container — a real
-deployment swaps those decoders in behind the same `bytes → arrays`
-contracts; deterministic fakes remain as test seams (tests/test_multimodal.py)."""
+via the in-repo PNG codec AND (round 5) baseline JPEG via the from-scratch
+``sources/jpeg.py`` Huffman+iDCT decoder, audio via stdlib-``wave`` PCM
+WAV, video via the Y4M (YUV4MPEG2) raw-planar parser. Remaining compressed
+formats (mp3/mp4, progressive JPEG) still need external codec libraries
+that don't ship in this container — a real deployment swaps those decoders
+in behind the same `bytes → arrays` contracts; deterministic fakes remain
+as test seams (tests/test_multimodal.py)."""
 
 from __future__ import annotations
 
@@ -491,6 +493,56 @@ def png_chunk_profile_values(data: bytes) -> tuple:
     if pos != len(data) or not types or types[-1] != "IEND" or width is None:
         raise ValueError("malformed chunk table")
     return (n, idat, width, height, bit_depth, color_type, ",".join(types))
+
+
+def jpeg_profile_values(data: bytes) -> tuple:
+    """Decoded-JPEG profile — the SHARED pure function (the
+    :func:`wav_quality_values` shared-INTEGER contract: float work happens
+    once in here; only integers and a hex string cross engines):
+    ``(width, height, mean_luma_milli, ahash_hex)`` from a REAL baseline
+    JFIF decode (``sources/jpeg.py`` — from-scratch Huffman + dequant +
+    float64 iDCT, deterministic everywhere). ``mean_luma_milli`` is the
+    exact integer ``Σluma·1000 DIV n_pixels``; the aHash rides
+    :func:`ahash_hex` over the same decoded plane. Raises ``ValueError``
+    on malformed/unsupported streams (progressive, truncated) — excluded
+    identically on both engines (the q154 convention)."""
+    from ..sources.jpeg import decode_jpeg_gray
+
+    y = decode_jpeg_gray(bytes(data))
+    h, w = y.shape
+    mean_milli = int(y.astype(np.int64).sum()) * 1000 // int(y.size)
+    return (w, h, mean_milli, ahash_hex(y))
+
+
+def jpeg_stats(payloads: DataFrame) -> DataFrame:
+    """JPEG payloads → decoded luma profiles via one Arrow-batched
+    ``mapInPandas`` pass (the :func:`png_chunk_stats` shape); errors are
+    data (NULL stats, message in ``error``). The decode is the real
+    baseline-JFIF path — a panel-bounded cost (distinct media objects),
+    never a per-corpus-row one."""
+    schema = T.StructType(
+        [
+            T.StructField("media_ref", T.StringType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("mean_luma_milli", T.LongType()),
+            T.StructField("ahash", T.StringType()),
+            T.StructField("error", T.StringType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, data in zip(pdf["media_ref"], pdf["png"]):
+                try:
+                    v = jpeg_profile_values(bytes(data))
+                    rows.append((ref, *v, None))
+                except Exception as e:
+                    rows.append((ref, None, None, None, None, str(e)))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return payloads.select("media_ref", "png").mapInPandas(gen, schema)
 
 
 def png_chunk_stats(payloads: DataFrame) -> DataFrame:

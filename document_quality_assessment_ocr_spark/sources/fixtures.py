@@ -383,6 +383,52 @@ def y4m_payload_names() -> list[str]:
     ]
 
 
+def build_jpeg_payloads(seed: int = 42) -> dict:
+    """name → baseline JFIF bytes: the seeded JPEG payload catalog (the
+    compressed-image analog of :func:`build_payloads`), encoded by the
+    from-scratch ``sources/jpeg.py`` encoder so each payload exercises a
+    distinct decoder path: grayscale single-component, odd (non-MCU-
+    aligned) dimensions, DRI/RSTn restart markers, interleaved YCbCr at
+    4:2:0 and 4:2:2 subsampling, a low-quality noise payload (dense AC
+    runs/ZRL codes), and one deliberately corrupt container (error-row
+    path). All source rasters are integer uint8 from a seeded rng or
+    closed-form ramps, and decode is bit-deterministic — the q261 oracle
+    builder embeds values computed by the SAME
+    ``multimodal.jpeg_profile_values`` the engine's mapInPandas calls."""
+    from .jpeg import encode_jpeg_color, encode_jpeg_gray
+
+    rng = np.random.default_rng(seed)
+    cat: dict[str, bytes] = {}
+    w, h = 64, 48
+    ramp = (np.linspace(0, 255, w)[None, :] * np.ones((h, 1))).astype(np.uint8)
+    cat["gray_ramp"] = encode_jpeg_gray(ramp, quality=90)
+    checker = (((np.arange(h)[:, None] // 8 + np.arange(w)[None, :] // 8) % 2) * 255).astype(np.uint8)
+    cat["gray_checker"] = encode_jpeg_gray(checker, quality=80)
+    cat["gray_noise_q30"] = encode_jpeg_gray(
+        rng.integers(0, 256, (40, 40), dtype=np.uint8).astype(np.uint8), quality=30
+    )
+    odd = (np.add.outer(np.arange(21) * 7, np.arange(13) * 11) % 256).astype(np.uint8)
+    cat["gray_odd_21x13"] = encode_jpeg_gray(odd, quality=95)
+    cat["gray_restart"] = encode_jpeg_gray(ramp.T.copy(), quality=75, restart_interval=3)
+    rgb = np.zeros((h, w, 3), dtype=np.uint8)
+    rgb[..., 0] = ramp
+    rgb[..., 1] = ramp[::-1, :]
+    rgb[..., 2] = 96
+    cat["color_420"] = encode_jpeg_color(rgb, quality=85, subsample="420")
+    cat["color_422"] = encode_jpeg_color(rgb[:, ::-1, :].copy(), quality=70, subsample="422")
+    cat["corrupt_jpeg"] = b"\xff\xd8\xff\xe0\x00\x07JFIFnot-actually-entropy-data"
+    return cat
+
+
+def jpeg_payload_names() -> list[str]:
+    """JPEG catalog keys without encoding anything (same contract as
+    :func:`wav_payload_names`; lockstep-tested)."""
+    return [
+        "gray_ramp", "gray_checker", "gray_noise_q30", "gray_odd_21x13",
+        "gray_restart", "color_420", "color_422", "corrupt_jpeg",
+    ]
+
+
 def build_corpus(
     n_docs: int = 60,
     seed: int = 42,
