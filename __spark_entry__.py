@@ -5590,6 +5590,92 @@ def _jpeg_profile_sql() -> str:
     """
 
 
+def _q_reencode_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-format near-dup invariance: the SAME rendered page as PNG
+    and as a REAL baseline-JPEG re-encode (from-scratch encoder+decoder,
+    sources/jpeg.py) must collide on the perceptual hash — per pick,
+    both aHashes + hamming + the ≤4-bit cross_dup verdict. Picks ride
+    salts 1/2 (the q57 contract: a document's images are the same in
+    every query); panel-bounded crop window documented in
+    reencode_profile_values."""
+    from document_quality_assessment_ocr_spark.operators.multimodal import (
+        reencode_match,
+    )
+    from document_quality_assessment_ocr_spark.sources.derive import (
+        _md5_pick_index,
+        payloads_df,
+    )
+    from document_quality_assessment_ocr_spark.sources.fixtures import payload_names
+
+    names = sorted(payload_names())
+    d = _doc(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|1"))).alias("_h1"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|2"))).alias("_h2"),
+    )
+    arr = F.array(*[F.lit(x) for x in names])
+    picks = d.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.element_at(arr, _md5_pick_index("_h1", len(names)) + 1),
+                F.element_at(arr, _md5_pick_index("_h2", len(names)) + 1),
+            )
+        ).alias("media_ref"),
+    ).distinct()
+    st = reencode_match(payloads_df(spark)).where(F.col("error").isNull())
+    return picks.join(F.broadcast(st), "media_ref").select(
+        "doc_id", "media_ref", "ahash_png", "ahash_jpeg", "hamming",
+        (F.col("hamming") <= F.lit(4)).alias("cross_dup"),
+    )
+
+
+def _reencode_sql(_cache={}) -> str:
+    """q264 oracle: per-payload (ahash_png, ahash_jpeg, hamming) literals
+    computed by the SAME reencode_profile_values (real PNG decode → real
+    JPEG encode → real JPEG decode on the generator side too — ~1.5 s,
+    memoized), picks via the md5-nibble twin at salts 1/2."""
+    if "sql" in _cache:
+        return _cache["sql"]
+    from document_quality_assessment_ocr_spark.operators.multimodal import (
+        reencode_profile_values,
+    )
+    from document_quality_assessment_ocr_spark.sources.fixtures import (
+        build_payloads,
+        payload_names,
+    )
+
+    cat = build_payloads(seed=42)
+    names = sorted(payload_names())
+    vals = []
+    for n in names:
+        try:
+            v = reencode_profile_values(cat[n]["png"])
+        except Exception:
+            continue
+        vals.append(f"('{n}', '{v[0]}', '{v[1]}', {v[2]})")
+    names_lit = "[" + ", ".join(f"'{n}'" for n in names) + "]"
+    _cache["sql"] = f"""
+        WITH st(media_ref, ahash_png, ahash_jpeg, hamming) AS
+            (VALUES {", ".join(vals)}),
+        picks AS (
+            SELECT DISTINCT doc_id, media_ref FROM (
+                SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       LIST_EXTRACT({names_lit}, {_md5_pick_sql(1, len(names))} + 1) AS media_ref
+                FROM documents
+                UNION ALL
+                SELECT CAST(doc_id AS BIGINT),
+                       LIST_EXTRACT({names_lit}, {_md5_pick_sql(2, len(names))} + 1)
+                FROM documents)
+        )
+        SELECT p.doc_id, p.media_ref, st.ahash_png, st.ahash_jpeg,
+               CAST(st.hamming AS BIGINT) AS hamming,
+               st.hamming <= 4 AS cross_dup
+        FROM picks p JOIN st USING (media_ref)
+    """
+    return _cache["sql"]
+
+
 def _q_mw_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiplicative-weights domain reweighting (DoReMi-shaped
     allocator): per-source token-weighted mean unigram surprisal (the
@@ -9238,6 +9324,119 @@ def _isotropy_sql() -> str:
     """
 
 
+def _q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified-silhouette audit of the shared k-means cells: pair-free
+    per-point a/b from per-cluster (n, Σq, Σ‖q‖²) sufficient statistics
+    (the q215 identity per cluster), exact BIGINT distance numerators,
+    bit-identical double keys, micro-truncated order-free sums."""
+    from document_quality_assessment_ocr_spark.operators.similarity import (
+        silhouette_audit,
+    )
+
+    return silhouette_audit(_emb(spark, sf_dir), scale=64)
+
+
+def _silhouette_sql(sf_dir: str | None = None, seed: int = 42) -> str:
+    """q262 oracle: recomputes the SAME deterministic k-means centroids
+    (scaled_n_centroids / scaled_sample_rows — the shared rules) as
+    literals, replays the LIST_INDEXOF(LIST_MIN) assignment (q17 twin),
+    then derives the whole silhouette chain IN SQL from the same
+    TRUNC-quantized integers: (cell, dim) sums, per-point p2, exact
+    dnum = n·p2 + S2 − 2·dot, b via ROW_NUMBER over the identical double
+    key (ties → smaller cell), one fixed-order double s, TRUNC micro.
+    Multi-referenced CTEs are MATERIALIZED (q149/q160 rule)."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from document_quality_assessment_ocr_spark.operators.similarity import (
+        _kmeans_lite,
+        scaled_n_centroids,
+        scaled_sample_rows,
+    )
+
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.array(tbl.column("vec_id"))
+    vecs = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    k = scaled_n_centroids(len(ids))
+    order = np.argsort(ids)
+    sample = vecs[order[: scaled_sample_rows(k)]]
+    cents = _kmeans_lite(sample, k, seed=seed)
+    dists = ", ".join(
+        "(-2.0 * LIST_DOT_PRODUCT(v, ["
+        + ", ".join(repr(float(x)) for x in c)
+        + f"]) + {float((c * c).sum())!r})"
+        for c in cents
+    )
+    cell = f"(LIST_INDEXOF([{dists}], LIST_MIN([{dists}])) - 1)"
+    return f"""
+        WITH e AS MATERIALIZED (
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(embedding AS DOUBLE[]) AS v,
+                   LIST_TRANSFORM(embedding,
+                       x -> CAST(TRUNC(CAST(x AS DOUBLE) * 64) AS BIGINT)) AS q
+            FROM embeddings
+        ), assigned AS MATERIALIZED (
+            SELECT vec_id, q, {cell} AS cell FROM e
+        ), f AS MATERIALIZED (
+            SELECT vec_id, cell, CAST(i AS BIGINT) - 1 AS dim,
+                   q[CAST(i AS INT)] AS qv
+            FROM (SELECT vec_id, cell, q,
+                         UNNEST(RANGE(1, LEN(q) + 1)) AS i FROM assigned)
+        ), g AS MATERIALIZED (
+            SELECT cell, dim, CAST(SUM(qv) AS BIGINT) AS sq
+            FROM f GROUP BY cell, dim
+        ), p AS MATERIALIZED (
+            SELECT vec_id, cell, CAST(SUM(qv * qv) AS BIGINT) AS p2
+            FROM f GROUP BY vec_id, cell
+        ), cs AS MATERIALIZED (
+            SELECT cell, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(p2) AS BIGINT) AS s2
+            FROM p GROUP BY cell
+        ), dots AS MATERIALIZED (
+            SELECT f.vec_id, g.cell AS oc, CAST(SUM(f.qv * g.sq) AS BIGINT) AS dot
+            FROM f JOIN g ON f.dim = g.dim GROUP BY f.vec_id, g.cell
+        ), dmat AS MATERIALIZED (
+            SELECT p.vec_id, p.cell AS own, d.oc, cs.n AS nc,
+                   cs.n * p.p2 + cs.s2 - 2 * d.dot AS dnum
+            FROM p JOIN dots d ON d.vec_id = p.vec_id
+                 JOIN cs ON cs.cell = d.oc
+        ), aa AS MATERIALIZED (
+            SELECT vec_id, own, dnum, nc FROM dmat WHERE oc = own
+        ), bb AS MATERIALIZED (
+            SELECT vec_id, dnum AS bnum, nc AS bn FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id
+                    ORDER BY CAST(dnum AS DOUBLE) / CAST(nc AS DOUBLE) ASC,
+                             oc ASC) AS rn
+                FROM dmat WHERE oc <> own) WHERE rn = 1
+        ), sil AS MATERIALIZED (
+            SELECT a.own AS cell,
+                   CASE WHEN a.nc > 1 AND b.vec_id IS NOT NULL
+                             AND GREATEST(
+                                 CAST(a.dnum AS DOUBLE) / CAST(a.nc - 1 AS DOUBLE),
+                                 CAST(b.bnum AS DOUBLE) / CAST(b.bn AS DOUBLE)
+                             ) > 0e0
+                   THEN (CAST(b.bnum AS DOUBLE) / CAST(b.bn AS DOUBLE)
+                         - CAST(a.dnum AS DOUBLE) / CAST(a.nc - 1 AS DOUBLE))
+                        / GREATEST(
+                            CAST(a.dnum AS DOUBLE) / CAST(a.nc - 1 AS DOUBLE),
+                            CAST(b.bnum AS DOUBLE) / CAST(b.bn AS DOUBLE))
+                   ELSE 0e0 END AS s
+            FROM aa a LEFT JOIN bb b ON b.vec_id = a.vec_id
+        )
+        SELECT CAST(cell AS BIGINT) AS cell,
+               CAST(COUNT(*) AS BIGINT) AS n_points,
+               CAST(SUM(CASE WHEN s > 0e0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_positive,
+               CAST(SUM(CAST(TRUNC(s * 1000000e0) AS BIGINT)) AS BIGINT)
+                   AS sum_s_micro
+        FROM sil GROUP BY cell ORDER BY cell
+    """
+
+
 def _q_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED variance-reduced A/B report: md5-split arms (tag `cuped`),
     metric = n_chars + deterministic md5 noise (tag `cnoise`) + a planted
@@ -9734,6 +9933,47 @@ def _q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return gini_by_group(_doc(spark, sf_dir), "n_chars", "source")
+
+
+def _q_hoover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Hoover (Robin Hood) index of document char mass: the
+    log-free all-BIGINT inequality companion to q230 — grid-only (no
+    window, no rank), numerator non-negative via ABS."""
+    from document_quality_assessment_ocr_spark.operators.profile import (
+        hoover_by_group,
+    )
+
+    return hoover_by_group(_doc(spark, sf_dir), "n_chars", "source")
+
+
+def _hoover_sql() -> str:
+    """q263 oracle: (source, value) grid, per-group totals joined back on
+    the grid, BIGINT Σ c·|v·n − S|, micro scale via `//` (non-negative
+    numerator: DIV == floor)."""
+    return """
+        WITH base AS (
+            SELECT COALESCE(CAST(source AS VARCHAR), '') AS g,
+                   CAST(n_chars AS BIGINT) AS v
+            FROM documents WHERE n_chars >= 0
+        ), grid AS (
+            SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c
+            FROM base GROUP BY 1, 2
+        ), tot AS (
+            SELECT g, CAST(SUM(c) AS BIGINT) AS n_docs,
+                   CAST(SUM(v * c) AS BIGINT) AS total_mass
+            FROM grid GROUP BY 1
+        ), agg AS (
+            SELECT grid.g, MAX(n_docs) AS n_docs,
+                   MAX(total_mass) AS total_mass,
+                   CAST(SUM(c * ABS(v * n_docs - total_mass)) AS BIGINT) AS t
+            FROM grid JOIN tot ON grid.g = tot.g
+            GROUP BY grid.g
+        )
+        SELECT g AS source, n_docs, total_mass,
+               CAST((t * 1000000) // GREATEST(2 * n_docs * total_mass, 1)
+                    AS BIGINT) AS hoover_micro
+        FROM agg ORDER BY source
+    """
 
 
 def _q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10509,6 +10749,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q259_sqrt_mixture": _q_sqrt_mix,
         "q260_prf_expansion": _q_prf,
         "q261_jpeg_profile": _q_jpeg_profile,
+        "q262_silhouette": _q_silhouette,
+        "q263_hoover": _q_hoover,
+        "q264_reencode_dedup": _q_reencode_dedup,
     }
 
 
@@ -15134,6 +15377,9 @@ def oracle_sql() -> dict[str, str]:
         "q259_sqrt_mixture": _sqrt_mixture_sql(),
         "q260_prf_expansion": _prf_sql(),
         "q261_jpeg_profile": _jpeg_profile_sql(),
+        "q262_silhouette": _silhouette_sql(),
+        "q263_hoover": _hoover_sql(),
+        "q264_reencode_dedup": _reencode_sql(),
         "q86_snapshot_diff": """
             WITH d AS (
                 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source

@@ -514,6 +514,68 @@ def jpeg_profile_values(data: bytes) -> tuple:
     return (w, h, mean_milli, ahash_hex(y))
 
 
+def reencode_profile_values(
+    data: bytes, quality: int = 75, crop: tuple = (320, 256)
+) -> tuple:
+    """Cross-format re-encode fingerprint — the SHARED pure function for
+    the q264 oracle-literal builder and the engine's
+    :func:`reencode_match` UDF: decode a PNG payload, JPEG-compress a
+    fixed top-left ``crop`` (h, w) window with the from-scratch baseline
+    encoder (``sources/jpeg.py``), REAL-decode it back, and compare
+    perceptual hashes:
+
+        (ahash_png, ahash_jpeg, hamming)
+
+    The point of the op: a near-dup pipeline keyed on perceptual hashes
+    must survive lossy RE-ENCODES (the same web image circulating as PNG
+    and JPEG) — hamming between the two hashes is the invariance
+    measurement, and at q75 it is ≤ a couple of bits for document-like
+    pages. The crop bounds the pure-python JPEG cost (panel × ~1.3k
+    blocks); it is part of the cross-engine contract. Raises on
+    undecodable payloads (error-as-data upstream)."""
+    from ..sources.jpeg import decode_jpeg_gray, encode_jpeg_gray
+
+    arr, _ = png.decode_gray(bytes(data))
+    win = arr[: crop[0], : crop[1]]
+    ha = ahash64(win)
+    hb = ahash64(decode_jpeg_gray(encode_jpeg_gray(win, quality=quality)))
+    ham = bin((ha ^ hb) & 0xFFFFFFFFFFFFFFFF).count("1")
+    return (
+        f"{ha & 0xFFFFFFFFFFFFFFFF:016x}",
+        f"{hb & 0xFFFFFFFFFFFFFFFF:016x}",
+        ham,
+    )
+
+
+def reencode_match(payloads: DataFrame, quality: int = 75) -> DataFrame:
+    """PNG payloads → cross-format (PNG vs JPEG-re-encode) aHash match
+    table via one Arrow-batched ``mapInPandas`` pass over the payload
+    panel; errors are data. Columns: media_ref, ahash_png, ahash_jpeg,
+    hamming, error."""
+    schema = T.StructType(
+        [
+            T.StructField("media_ref", T.StringType()),
+            T.StructField("ahash_png", T.StringType()),
+            T.StructField("ahash_jpeg", T.StringType()),
+            T.StructField("hamming", T.LongType()),
+            T.StructField("error", T.StringType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, data in zip(pdf["media_ref"], pdf["png"]):
+                try:
+                    v = reencode_profile_values(bytes(data), quality)
+                    rows.append((ref, *v, None))
+                except Exception as e:
+                    rows.append((ref, None, None, None, str(e)))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return payloads.select("media_ref", "png").mapInPandas(gen, schema)
+
+
 def jpeg_stats(payloads: DataFrame) -> DataFrame:
     """JPEG payloads → decoded luma profiles via one Arrow-batched
     ``mapInPandas`` pass (the :func:`png_chunk_stats` shape); errors are

@@ -1209,3 +1209,55 @@ def winsorized_mean(
         )
         .orderBy(group_col)
     )
+
+
+def hoover_by_group(
+    df: DataFrame,
+    value_col: str = "n_chars",
+    group_col: str = "source",
+) -> DataFrame:
+    """Hoover (Robin Hood) index of a non-negative integer mass per group
+    — the share of total mass that would have to move to equalize the
+    distribution: ``H = Σ|x_i − μ| / (2·Σx_i)``. The log-free, fully
+    INTEGER inequality companion to :func:`gini_by_group` (round 5):
+    where Gini needs the value-grid RANK trick, Hoover needs only the
+    grid itself — ``Σ|x−μ| = Σ_v c_v·|v·n − S| / n``, so
+
+        hoover_micro = (Σ_v c_v·|v·n − S|) · 10⁶ DIV (2·n·S)
+
+    with every term BIGINT, the numerator non-negative by construction
+    (ABS — the DIV-vs-floor invariant holds), and no window at all: one
+    hash aggregate to the (group, value) grid, a grid-keyed join of the
+    per-group totals back onto the grid, one rollup. Overflow is the
+    q230 cap class: c·|v·n − S| ≤ n²·vmax and the 10⁶ scale needs
+    n²·vmax ≤ ~9.2e12 — pre-scale values (DIV 2^k; Hoover is
+    scale-invariant) past that, same rule both engines.
+
+    Output: (group, n_docs, total_mass, hoover_micro) ordered by group.
+    """
+    base = df.select(
+        F.coalesce(F.col(group_col).cast("string"), F.lit("")).alias("g"),
+        F.col(value_col).cast("long").alias("v"),
+    ).where(F.col("v") >= 0)
+    grid = base.groupBy("g", "v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = grid.groupBy("g").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.sum(F.col("v") * F.col("c")).cast("long").alias("total_mass"),
+    )
+    j = grid.join(tot, "g")
+    agg = j.groupBy("g").agg(
+        F.first("n_docs").alias("n_docs"),
+        F.first("total_mass").alias("total_mass"),
+        F.sum(
+            F.col("c")
+            * F.abs(F.col("v") * F.col("n_docs") - F.col("total_mass"))
+        ).cast("long").alias("t"),
+    )
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n_docs",
+        "total_mass",
+        F.expr("(t * 1000000L) DIV GREATEST(2L * n_docs * total_mass, 1L)")
+        .cast("long")
+        .alias("hoover_micro"),
+    ).orderBy(group_col)

@@ -1886,3 +1886,138 @@ def centroid_drift(
     return centroid_drift_from_grid(
         centroid_drift_grid(embs, id_col, vec_col, scale, tag), scale
     )
+
+
+def silhouette_audit(
+    embs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 64,
+    n_centroids: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Simplified-silhouette cluster-quality audit over the shared k-means
+    cells — pair-free and exact: for every point, the mean SQUARED L2
+    distance to each cluster's members comes from the three per-cluster
+    sufficient statistics ``(n_c, Σq_c, Σ‖q‖²_c)`` via
+
+        Σ_{j∈c} ‖q_i − q_j‖² = n_c·‖q_i‖² + Σ‖q‖²_c − 2·q_i·Σq_c
+
+    (the q215 isotropy identity, per cluster) — exact BIGINT over
+    q168-quantized vectors, never a pairwise join. ``a(i)`` is the
+    own-cluster mean over the OTHER members (the self term contributes 0,
+    so the denominator is ``n_own − 1``); ``b(i)`` is the minimum over
+    foreign clusters of ``D(i,c)/n_c`` selected by the bit-identical
+    double key (ties → smaller cell id, np.argmin first-occurrence ==
+    the oracle's ROW_NUMBER (key, cell) order); the silhouette
+    ``s = (b − a) / max(a, b)`` is ONE fixed-order double expression over
+    exact integers (the q241/q243 Pearson-class contract) truncated to
+    micro units (q168 portable path) so per-cluster SUMS are order-free
+    BIGINTs. Singleton clusters and max(a,b)=0 take s=0 by convention
+    (documented deviation from undefined; both engines share the CASE).
+
+    Clustering: the SAME deterministic seeded-sample k-means +
+    Arrow-vectorized assignment every SemDeDup-family operator uses
+    (:func:`_kmeans_cells`, k from :func:`scaled_n_centroids`) — the
+    oracle builder re-derives identical centroids and replays assignment
+    with centroid literals (q17 class).
+
+    Scale shape: one ×dim posexplode feeding a map-side-combined
+    (cell, dim) grid (k·d rows — bounded by 256·dim), ONE bounded collect
+    of that grid (the centroid-panel class), then a single mapInPandas
+    pass computing all k distances per batch by int64 matmul (the q207
+    PCA technique) and a final k-row aggregate. Nothing pairwise, nothing
+    corpus-sized shuffles twice. Overflow: ``D·n ≤ (2n·dim·scale²)·n``
+    caps n at ~2e5 rows at dim 64 / scale 64 for the exact-BIGINT double
+    keys' integer inputs; past that drop scale to 16 or audit the md5
+    fixed-rate panel (q201 class — silhouette is a mean-shaped statistic,
+    panels suffice).
+
+    Output: one row per cell — (cell, n_points, n_positive, sum_s_micro).
+    """
+    from pyspark.sql import types as T
+
+    n = embs.count()
+    k = n_centroids if n_centroids is not None else scaled_n_centroids(n)
+    cents, assigned = _kmeans_cells(
+        embs, k, scaled_sample_rows(k), seed, id_col, vec_col
+    )
+    aq = assigned.select(
+        F.col(id_col),
+        F.col("cell"),
+        quantize_embedding(F.col(vec_col), scale).alias("q"),
+    )
+    # per-cluster sufficient statistics: (cell, dim) sums + (cell) n, Σ‖q‖²
+    g = (
+        aq.select("cell", F.posexplode("q").alias("dim", "v"))
+        .groupBy("cell", "dim")
+        .agg(F.sum("v").alias("s"), F.sum(F.col("v") * F.col("v")).alias("ssq"))
+    )
+    rows = g.collect()  # bounded: k·dim cells (the centroid-panel class)
+    dim = 1 + max(r["dim"] for r in rows)
+    kk = len(cents)
+    sq = np.zeros((kk, dim), dtype=np.int64)
+    s2 = np.zeros(kk, dtype=np.int64)
+    for r in rows:
+        sq[r["cell"], r["dim"]] = r["s"]
+        s2[r["cell"]] += r["ssq"]
+    nc = np.zeros(kk, dtype=np.int64)
+    for r in aq.groupBy("cell").count().collect():
+        nc[r["cell"]] = r["count"]
+
+    schema = T.StructType(
+        [
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("s_micro", T.LongType()),
+            T.StructField("positive", T.BooleanType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.array(pdf["q"].tolist(), dtype=np.int64)
+            own = pdf["cell"].to_numpy().astype(np.int64)
+            p2 = (Q * Q).sum(axis=1)
+            dots = Q @ sq.T  # exact int64: |q|≤scale, |Σq|≤n·scale
+            D = nc[None, :] * p2[:, None] + s2[None, :] - 2 * dots
+            # empty cells (k-means cell with no members) never appear in
+            # the oracle's (cell, dim) grid — exclude them here too
+            # instead of dividing by zero
+            safe_nc = np.maximum(nc, 1)
+            key = D.astype(np.float64) / safe_nc[None, :].astype(np.float64)
+            key[:, nc == 0] = np.inf
+            n_own = nc[own]
+            a = np.where(
+                n_own > 1,
+                D[np.arange(len(own)), own].astype(np.float64)
+                / np.maximum(n_own - 1, 1).astype(np.float64),
+                0.0,
+            )
+            masked = key.copy()
+            masked[np.arange(len(own)), own] = np.inf
+            b = masked.min(axis=1)  # np.min ties keep value; selection by
+            # value only — identical doubles on both engines
+            mx = np.maximum(a, b)
+            ok = (n_own > 1) & (mx > 0.0) & np.isfinite(b)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                s = np.where(ok, (b - a) / np.where(ok, mx, 1.0), 0.0)
+            s_micro = np.trunc(s * 1.0e6).astype(np.int64)
+            yield pd.DataFrame(
+                {"cell": own.astype(np.int32), "s_micro": s_micro,
+                 "positive": ok & (s > 0.0)}
+            )
+
+    per_point = aq.mapInPandas(gen, schema)
+    return (
+        per_point.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.sum(F.when(F.col("positive"), 1).otherwise(0)).cast("long").alias("n_positive"),
+            F.sum("s_micro").cast("long").alias("sum_s_micro"),
+        )
+        .orderBy("cell")
+        .select(F.col("cell").cast("long").alias("cell"), "n_points",
+                "n_positive", "sum_s_micro")
+    )

@@ -140,3 +140,18 @@ def test_jpeg_stats_error_as_data(spark):
     v = jpeg_profile_values(cat["gray_ramp"])
     r = rows["gray_ramp"]
     assert (r["width"], r["height"], r["mean_luma_milli"], r["ahash"]) == v
+
+
+def test_reencode_ahash_invariance():
+    """The q264 claim: a lossy JPEG q75 re-encode of a rendered page
+    preserves the 8×8 aHash (hamming ≤ 4; measured 0 on the catalog)."""
+    from document_quality_assessment_ocr_spark.operators.multimodal import (
+        reencode_profile_values,
+    )
+    from document_quality_assessment_ocr_spark.sources.fixtures import build_payloads
+
+    cat = build_payloads(seed=42)
+    a, b, ham = reencode_profile_values(cat["ok_clean"]["png"])
+    assert ham <= 4 and len(a) == 16 and len(b) == 16
+    with pytest.raises(Exception):
+        reencode_profile_values(cat["corrupt"]["png"])
