@@ -1063,15 +1063,35 @@ def gini_by_group(
 
     Output: (group, n_docs, total_mass, gini_micro) ordered by group.
     """
+    return gini_from_grid(value_grid(df, value_col, group_col), group_col)
+
+
+def value_grid(
+    df: DataFrame,
+    value_col: str = "n_chars",
+    group_col: str = "source",
+) -> DataFrame:
+    """The (g, v, c) value-count grid both inequality indices derive from
+    — ALGEBRAIC (counts add across shards/batches), so it doubles as the
+    streaming twin's state (``streaming/inequality.stream_value_grid``,
+    the stream_daily one-state-many-reads shape)."""
+    return (
+        df.select(
+            F.coalesce(F.col(group_col).cast("string"), F.lit("")).alias("g"),
+            F.col(value_col).cast("long").alias("v"),
+        )
+        .where(F.col("v") >= 0)
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def gini_from_grid(grid: DataFrame, group_col: str = "source") -> DataFrame:
+    """:func:`gini_by_group`'s statistic stage over an existing (g, v, c)
+    grid — the shared read for the batch operator AND the streaming
+    state."""
     from pyspark.sql import Window
 
-    base = df.select(
-        F.coalesce(F.col(group_col).cast("string"), F.lit("")).alias("g"),
-        F.col(value_col).cast("long").alias("v"),
-    ).where(F.col("v") >= 0)
-    grid = base.groupBy("g", "v").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
-    )
     woff = (
         Window.partitionBy("g")
         .orderBy("v")
@@ -1235,11 +1255,12 @@ def hoover_by_group(
 
     Output: (group, n_docs, total_mass, hoover_micro) ordered by group.
     """
-    base = df.select(
-        F.coalesce(F.col(group_col).cast("string"), F.lit("")).alias("g"),
-        F.col(value_col).cast("long").alias("v"),
-    ).where(F.col("v") >= 0)
-    grid = base.groupBy("g", "v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return hoover_from_grid(value_grid(df, value_col, group_col), group_col)
+
+
+def hoover_from_grid(grid: DataFrame, group_col: str = "source") -> DataFrame:
+    """:func:`hoover_by_group`'s statistic stage over an existing
+    (g, v, c) grid — shared by batch and streaming state reads."""
     tot = grid.groupBy("g").agg(
         F.sum("c").cast("long").alias("n_docs"),
         F.sum(F.col("v") * F.col("c")).cast("long").alias("total_mass"),

@@ -1244,3 +1244,79 @@ def test_stream_rfm_crash_recovery(spark, tmp_path):
         r.asDict() for r in rfm_segments(spark.read.parquet(in_dir + "/*")).collect()
     ]
     assert got == want
+
+
+def test_stream_inequality_matches_batch(spark, tmp_path):
+    """Sixteenth incremental twin (round 5): one additive (g, v, c)
+    value-count grid serves BOTH inequality indices — read_gini and
+    read_hoover match gini_by_group / hoover_by_group exactly after two
+    micro-batches (a (source, n_chars) cell spanning both batches must
+    fold its count), and replaying batch 1 over v1 regenerates v2
+    byte-for-byte."""
+    import os
+    import time
+    from datetime import datetime, timedelta
+
+    import pyspark.sql.functions as F
+
+    from document_quality_assessment_ocr_spark.operators.profile import (
+        gini_by_group,
+        hoover_by_group,
+        value_grid,
+    )
+    from document_quality_assessment_ocr_spark.streaming.inequality import (
+        read_gini,
+        read_hoover,
+        stream_value_grid,
+    )
+
+    t0 = datetime(2026, 2, 1, 9, 0, 0)
+
+    def doc(did, mins, source, n_chars):
+        return (did, t0 + timedelta(minutes=mins), source, n_chars)
+
+    # (web, 100) appears in BOTH batches — its grid cell must fold to c=3
+    b1 = [doc(1, 0, "web", 100), doc(2, 1, "web", 100), doc(3, 2, "web", 400),
+          doc(4, 3, "books", 250), doc(5, 4, "books", 250)]
+    b2 = [doc(6, 9, "web", 100), doc(7, 10, "web", 7000),
+          doc(8, 11, "books", 10), doc(9, 12, None, 50)]
+    in_dir = str(tmp_path / "ineqin")
+    os.makedirs(in_dir)
+    schema = "doc_id long, ts timestamp, source string, n_chars long"
+    for i, rows in enumerate((b1, b2)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(in_dir, f"drop-{i}")
+        )
+        time.sleep(1.1)
+
+    state_dir = str(tmp_path / "ineqstate")
+    stream_value_grid(spark, in_dir + "/*", str(tmp_path / "ineqckpt"), state_dir)
+    assert sorted(os.listdir(state_dir)) == ["v1", "v2"]
+
+    full = spark.read.parquet(in_dir + "/*")
+    for read_fn, batch_fn in ((read_gini, gini_by_group),
+                              (read_hoover, hoover_by_group)):
+        got = [r.asDict() for r in read_fn(spark, state_dir).collect()]
+        want = [r.asDict() for r in batch_fn(full, "n_chars", "source").collect()]
+        assert got == want, (read_fn.__name__, got, want)
+
+    # the spanning cell folded
+    grid = {
+        (r["g"], r["v"]): r["c"]
+        for r in spark.read.parquet(os.path.join(state_dir, "v2")).collect()
+    }
+    assert grid[("web", 100)] == 3
+
+    # replay idempotence: batch 1's partial merged over v1 == v2
+    part = value_grid(
+        spark.read.parquet(os.path.join(in_dir, "drop-1")), "n_chars", "source"
+    )
+    prev = spark.read.parquet(os.path.join(state_dir, "v1"))
+    remerged = {
+        (r["g"], r["v"]): r["c"]
+        for r in prev.unionByName(part)
+        .groupBy("g", "v")
+        .agg(F.sum("c").cast("long").alias("c"))
+        .collect()
+    }
+    assert remerged == grid
