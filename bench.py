@@ -484,6 +484,10 @@ def main() -> None:
         "q258_bpe_fertility",
         "q259_sqrt_mixture",
         "q260_prf_expansion",
+        "q261_jpeg_profile",
+        "q262_silhouette",
+        "q263_hoover",
+        "q264_reencode_dedup",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).write.mode("overwrite").format(
             "noop"

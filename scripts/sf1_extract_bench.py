@@ -1,0 +1,111 @@
+#!/usr/bin/env python3
+"""Flagship-extraction bench at sf1 (10× rows) — VERDICT r4 item #5.
+
+The round-4 sf1 sweep covered the heavy registry queries but never the
+docs/s headline itself. This script times the SAME extraction pipeline
+(bench.py's ``extract`` line: spans corpus derived from the documents
+table + the cached distinct-payload pool) over BOTH the sf0.1-derived
+corpus (20k docs) and the sf1-derived corpus (200k docs — 10× rows), on
+one occasion, warm (best of N after a warm-up), with the REST
+max-task-duration and the physical plan's Exchange count.
+
+Corpus note (documented, per the verdict's ask): the distinct payload
+pool is capped at bench.MAX_PAYLOADS (12,288) at BOTH scales — kernel
+work is panel-shaped in production (distinct rendered pages), so the 10×
+step scales the SPAN work (explode → gate → aggregate → reassemble) while
+reusing the payload pool across replicas; payload-pool scaling is the
+round-4 sweep's already-measured axis.
+
+Usage: python3 scripts/sf1_extract_bench.py [reps]
+Prints one RESULT json line; paste into BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+
+
+def _stage_ids(ui, app):
+    with urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/stages") as r:
+        return {s["stageId"] for s in json.load(r)}
+
+
+def _max_task_ms(ui, app, stage_ids):
+    worst = 0.0
+    for sid in stage_ids:
+        try:
+            url = (f"{ui}/api/v1/applications/{app}/stages/{sid}/0/"
+                   "taskSummary?quantiles=1.0")
+            with urllib.request.urlopen(url) as r:
+                worst = max(worst, float(json.load(r)["duration"][0]))
+        except Exception:
+            pass
+    return worst
+
+
+def main() -> None:
+    import bench
+    from document_quality_assessment_ocr_spark.plans.pipeline import run_extraction
+    from document_quality_assessment_ocr_spark.session import get_spark
+    from document_quality_assessment_ocr_spark.sources import tables
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cache = os.path.join(repo, ".bench_cache")
+    sf01 = "/root/testdata/sf0.1"
+    sf1 = os.path.join(cache, "sf1_tables")
+    corp01 = bench.build_bench_corpus(sf01, cache)
+    corp1 = bench.build_bench_corpus(sf1, cache)
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+    spark = get_spark(
+        app_name="sf1_extract_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=2 * cpus,
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+
+    out = {"probe": "sf1_extraction", "cpus": cpus, "reps": REPS}
+    for label, corp in (("sf0.1", corp01), ("sf1", corp1)):
+        spans, pay = tables.read_corpus(spark, corp)
+        n_docs = spans.count()
+        res = run_extraction(spans, pay, assume_unique_doc_ids=True)
+        n_exchanges = res._jdf.queryExecution().executedPlan().toString().count(
+            "Exchange"
+        )
+        res.write.mode("overwrite").format("noop").save()  # warm
+        best = float("inf")
+        max_task = 0.0
+        for _ in range(REPS):
+            before = _stage_ids(ui, app)
+            t0 = time.time()
+            res.write.mode("overwrite").format("noop").save()
+            wall = time.time() - t0
+            if wall < best:
+                best = wall
+                max_task = _max_task_ms(ui, app, _stage_ids(ui, app) - before)
+        out[label] = {
+            "n_docs": n_docs,
+            "wall_sec": round(best, 2),
+            "docs_per_sec": round(n_docs / best, 1),
+            "max_task_ms": round(max_task, 1),
+            "exchanges": n_exchanges,
+        }
+    out["x_wall_for_10x_rows"] = round(
+        out["sf1"]["wall_sec"] / out["sf0.1"]["wall_sec"], 2
+    )
+    spark.stop()
+    print("RESULT " + json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
