@@ -116,17 +116,18 @@ def run_extraction(
     verdict; span gating still sees every span.
 
     ``partdoc_max_spans`` — PART-DOC mode for mega-documents (SCALE.md §3):
-    the offset-SORTED spans array is chunked into ``(doc_id, part_idx)``
-    part-docs of at most this many spans, every doc-level aggregate is
-    computed per part first (all partials are algebraic: counts, min/max,
-    (sum, count) pairs for means, min-structs for first-error/first-page
-    selection, and a per-part ``sort_array(collect_list)`` bounded at
-    ``partdoc_max_spans``), then merged per logical doc — the surviving
-    span sequence re-assembles as ``flatten`` of per-part sorted lists in
-    ``part_idx`` order, which IS the global offset order because parts are
-    contiguous ranges of the sorted array: an algebraic concat, no global
-    resort. This lifts the single-task O(n log n) reassembly ceiling the
-    round-4 skew probe measured at 10⁶ spans (~10 s hot task). The verdict
+    spans bucket into ``(doc_id, part_idx)`` part-docs by OFFSET RANGE
+    (``part_idx = offset DIV K`` — contiguous offset ranges, so no
+    array-local global sort ever materializes on the scan task, which the
+    round-5 probe measured as the real 10⁶-span hot task); every
+    doc-level aggregate is computed per part first (all partials are
+    algebraic: counts, min/max, (sum, count) pairs for means, min-structs
+    for first-error/first-page selection, and a per-part
+    ``sort_array(collect_list)`` that runs reduce-side, parallel across
+    parts), then merged per logical doc — the surviving span sequence
+    re-assembles as ``flatten`` of per-part sorted lists in ``part_idx``
+    order, which IS the global offset order because parts partition the
+    offset space: an algebraic concat, no global resort. The verdict
     fold still runs ONCE per logical doc, on the merged aggregates.
     Requires ``assume_unique_doc_ids=True`` (same contract as
     ``operators.salting.split_oversized_docs``) and is incompatible with
@@ -160,28 +161,27 @@ def run_extraction(
             ),
         )
     )
-    docs = docs.select("doc_id", "skip_checks", spans_sorted.alias("spans"))
     if partdoc_max_spans is not None:
         if not assume_unique_doc_ids:
             raise ValueError("partdoc mode requires assume_unique_doc_ids=True")
         if max_media_spans is not None:
             raise ValueError("partdoc mode is incompatible with max_media_spans")
-        m = int(partdoc_max_spans)
-        # contiguous ranges of the SORTED array: part_idx order == offset
-        # order, which is what makes the final flatten-by-part_idx a valid
-        # ordered re-merge (no global resort)
-        n_sp = F.coalesce(F.size("spans"), F.lit(0))
-        n_chunks = F.greatest(F.ceil(n_sp / F.lit(m)).cast("int"), F.lit(1))
-        docs = docs.select(
-            "doc_id",
-            "skip_checks",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), n_chunks - 1),
-                    lambda i: F.slice(F.col("spans"), i * m + 1, m),
-                )
-            ).alias("part_idx", "spans"),
-        )
+        # NO array-local global sort in this mode: the round-5 skew probe
+        # measured that sorting a 10⁶-element spans array on the scan task
+        # IS the irreducible hot task (7.5 s), so parts bucket by OFFSET
+        # RANGE instead — part_idx = offset DIV K partitions the offset
+        # space into contiguous ranges (equal offsets, whatever their
+        # kind/text tiebreak, land in the same part, so the per-part
+        # struct sort resolves ties exactly like a global sort would) and
+        # the per-part sort_array runs REDUCE-side, parallel across
+        # parts. Dense 0..n-1 offsets give ≤K spans per part; sparse
+        # offsets give fewer — the spans_length_histogram hook is the
+        # monitor either way. The raw struct field order differs from the
+        # sorted path's (offset-first) layout, but every consumer reads
+        # fields by name and builds its own key structs.
+        docs = docs.select("doc_id", "skip_checks", "spans")
+    else:
+        docs = docs.select("doc_id", "skip_checks", spans_sorted.alias("spans"))
     if max_media_spans is not None:
         # array POSITIONS of the first K media spans — the document's
         # "pages". Index-based (not offset-based) so duplicate offsets at the
@@ -203,14 +203,28 @@ def run_extraction(
     else:
         docs = docs.withColumn("page_pos", F.lit(None).cast("array<int>"))
 
-    part_cols = ["part_idx"] if partdoc_max_spans is not None else []
     ex = docs.select(
         "doc_id",
-        *part_cols,
         "skip_checks",
         "page_pos",
         F.posexplode_outer("spans").alias("pos", "s"),
     )
+    if partdoc_max_spans is not None:
+        ex = ex.withColumn(
+            "part_idx",
+            F.coalesce(
+                F.expr(f"(s.offset) DIV {int(partdoc_max_spans)}"), F.lit(0)
+            ).cast("long"),
+        )
+        # spread the per-part work BEFORE the aggregation: without this,
+        # map-side partial aggregation builds ALL of a mega-doc's part
+        # lists on its single scan task (stage-level probe measured 9.0 s
+        # there vs 1.6 s on the final merge). Repartitioning the raw
+        # exploded rows on exactly the grouping keys satisfies the
+        # aggregation's required distribution, so the groupBy adds no
+        # second raw-row exchange — the scan task only explodes and
+        # shuffle-writes.
+        ex = ex.repartition("doc_id", "part_idx", "skip_checks")
 
     scored = scored_payloads if scored_payloads is not None else score_payload_table(payloads_df)
     if broadcast_scores:
