@@ -76,7 +76,10 @@ def main() -> None:
 
     out = {"probe": "sf1_extraction", "cpus": cpus, "reps": REPS}
     for label, corp in (("sf0.1", corp01), ("sf1", corp1)):
-        spans, pay = tables.read_corpus(spark, corp)
+        spans = tables.read_spans(
+            spark, os.path.join(corp, "documents_spans.parquet")
+        )
+        pay = tables.read_payloads(spark, os.path.join(corp, "media_payloads"))
         n_docs = spans.count()
         res = run_extraction(spans, pay, assume_unique_doc_ids=True)
         n_exchanges = res._jdf.queryExecution().executedPlan().toString().count(
