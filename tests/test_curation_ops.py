@@ -5050,3 +5050,80 @@ def test_year_coverage_python_replay(spark):
     }
     assert out[("s1", 1999)]["group_total"] == 4
     assert out[("s1", 1999)]["share_micro"] == 500_000
+
+def test_bitext_margin_fast_path_matches_hof(spark):
+    """The r6 matmul-shortlist rewrite of bitext_margin_mine must emit
+    byte-identical rows to the cosine() Column-HOF brute force it replaced
+    — including on engineered ROUND(·,6) ties broken by neighbor id."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+    from document_quality_assessment_ocr_spark.operators.similarity import (
+        bitext_margin_mine,
+        cosine,
+    )
+
+    rng = np.random.default_rng(213)
+    d = 16
+    base = rng.normal(size=(40, d))
+    rows = []
+    rid = 1
+    for b in base:
+        # clones of the same direction -> identical cosines vs every probe
+        # (rounded ties resolved purely by id), plus jittered near-ties
+        for scale in (1.0, 2.0, 0.5):
+            rows.append((rid, (b * scale).tolist()))
+            rid += 2
+        rows.append((rid, (b + rng.normal(size=d) * 1e-7).tolist()))
+        rid += 2
+    right = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = [(2 * i, base[i % len(base)].tolist()) for i in range(12)]
+    left = spark.createDataFrame(probes, "vec_id long, embedding array<double>")
+
+    fast = bitext_margin_mine(left, right, k=4, accept=1.05).collect()
+
+    # reference: the pre-r6 HOF cross-join scoring feeding the same merge
+    pr = left.select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    scored = right.alias("c").join(F.broadcast(pr), F.lit(True)).select(
+        "probe_id",
+        F.col("c.vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("probe_vec"), F.col("c.embedding")), 6).alias("cos"),
+    )
+    item = F.struct(
+        (-F.col("cos")).alias("nc"),
+        F.col("neighbor_id").alias("neighbor_id"),
+        F.col("cos").alias("cos"),
+    )
+    topk = lambda c: F.slice(F.sort_array(F.collect_list(c)), 1, 4)
+    lvl1 = scored.groupBy(
+        "probe_id", F.pmod(F.hash("neighbor_id"), F.lit(32)).alias("b")
+    ).agg(topk(item).alias("top"))
+    merged = (
+        lvl1.select("probe_id", F.explode("top").alias("t"))
+        .groupBy("probe_id")
+        .agg(topk(F.col("t")).alias("top"))
+    )
+    csum = "0.0D"
+    for j in range(1, 5):
+        csum = f"({csum} + top[{j - 1}].cos)"
+    margin = F.expr(
+        f"CASE WHEN size(top) = 4 THEN "
+        f"round(top[0].cos / ({csum} / CAST(4 AS DOUBLE)), 6) + 0.0D END"
+    )
+    ref = merged.select(
+        "probe_id",
+        F.expr("top[0].neighbor_id").cast("long").alias("match_id"),
+        F.expr("top[0].cos + 0.0D").alias("cos"),
+        margin.alias("margin"),
+        (margin >= F.lit(1.05)).alias("accepted"),
+    ).orderBy("probe_id").collect()
+
+    assert len(fast) == len(ref)
+    for a, b in zip(fast, ref):
+        assert a["probe_id"] == b["probe_id"]
+        assert a["match_id"] == b["match_id"], (a, b)
+        assert a["cos"] == b["cos"], (a, b)  # bit-identical, not approx
+        assert a["margin"] == b["margin"], (a, b)
+        assert a["accepted"] == b["accepted"]
