@@ -28,8 +28,23 @@ SF0001 = "/root/testdata/sf0.001"
 WS = "[ \\t\\n\\r\\f\\x0b]"
 
 
+def _par(df: DataFrame) -> DataFrame:
+    """Split an unsplittable scan: the sf tables are ONE parquet file with
+    ONE row group, so the scan yields a single non-empty task and every
+    heavy first-stage map (shingles/tokens/regex/vector math) runs on one
+    core regardless of cluster size (guide §2.5 input skew). A round-robin
+    repartition of the few-MB table immediately after the read unlocks full
+    parallelism; scale-adaptive (defaultParallelism, never a constant) and
+    skipped when the scan is already split at least that wide (real
+    multi-file inputs)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def _doc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _par(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _ensure_shipped(spark: SparkSession) -> None:
@@ -248,7 +263,7 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_topk_bruteforce,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = _par(spark.read.parquet(f"{sf_dir}/embeddings.parquet")).select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
@@ -274,7 +289,7 @@ def _q_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    return _par(spark.read.parquet(f"{sf_dir}/embeddings.parquet")).select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
@@ -933,7 +948,7 @@ def _q_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_topk_filtered,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = _par(spark.read.parquet(f"{sf_dir}/embeddings.parquet")).select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
         F.col("label").cast("int").alias("label"),
@@ -3059,7 +3074,7 @@ def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         hard_negative_mine,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = _par(spark.read.parquet(f"{sf_dir}/embeddings.parquet")).select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
         F.col("label").cast("int").alias("label"),
@@ -10069,7 +10084,7 @@ def _q_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         mmr_rerank,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = _par(spark.read.parquet(f"{sf_dir}/embeddings.parquet")).select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.transform("embedding", lambda x: x.cast("double")).alias(
             "embedding"
@@ -10127,7 +10142,7 @@ def _q_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroid_drift,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = _par(spark.read.parquet(f"{sf_dir}/embeddings.parquet")).select(
         F.col("vec_id").cast("long").alias("vec_id"), "embedding"
     )
     return centroid_drift(emb, scale=64, tag="cd")

@@ -21,6 +21,20 @@ from ..functions.text import WS_CLASS, char_ngrams, fingerprint
 MERSENNE31 = (1 << 31) - 1
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's parallelism when the input
+    arrives in fewer partitions — single-file single-row-group parquet (the
+    test tables' shape) yields ONE non-empty scan task, serializing every
+    per-row-heavy first stage (shingling: one md5 per shingle) on one core.
+    Repartitioning a few-MB id+text table is ~ms; the unlocked map
+    parallelism is the win (optimization guide §2.5, unsplittable input).
+    Scale-adaptive (defaultParallelism), no-op on already-parallel input."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def minhash_coeffs(n_hashes: int, seed: int = 1) -> list[tuple[int, int]]:
     """Seeded (a_i, b_i) pairs of the permutation family — shared verbatim by
     the Spark operator and the DuckDB oracle SQL builder."""
@@ -61,6 +75,7 @@ def _shingle_df(
     Word mode materializes the token array in its own projection so the
     per-gram lambda only touches a column reference — split/lower run once
     per document, not once per shingle."""
+    docs = ensure_parallelism(docs)
     if shingle == "char":
         return docs.select(
             F.col(id_col), F.explode(char_ngrams(F.col(text_col), ngram)).alias("g")
@@ -134,17 +149,14 @@ def minhash_lsh_pairs(
     a bucket only holds near-identical docs), pairs deduped with id<id2.
     """
     assert n_hashes % bands == 0
-    rows = n_hashes // bands
-    sig = minhash_signatures(docs, id_col, text_col, n_hashes, ngram, shingle=shingle)
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"h{b * rows + r:02d}") for r in range(rows)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("#", *parts)).alias("key"))
-        )
-    buckets = sig.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    buckets = _band_buckets(docs, id_col, text_col, n_hashes, bands, ngram, shingle)
+    # explicit hash repartition on the join key: the bucket table is a few
+    # MB of keys, so AQE coalesces its shuffle to 1-2 partitions — but the
+    # JOIN OUTPUT below is quadratic per bucket (AQE cannot see that), and
+    # the pair emission then runs on 2 cores. An explicit repartition is
+    # never coalesced and the self-join reuses the partitioning on both
+    # sides (no extra exchange).
+    buckets = buckets.repartition("band", "key")
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -159,6 +171,33 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
+
+
+def _band_buckets(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int,
+    bands: int,
+    ngram: int,
+    shingle: str = "char",
+) -> DataFrame:
+    """(id, band, key) LSH band-bucket membership — the shared banding
+    stage of :func:`minhash_lsh_pairs` (pair emission) and
+    :func:`duplicate_clusters` (star-contracted connectivity). The band-key
+    expression is the q214 cross-engine contract (md5 of '#'-joined
+    signature ints) — never fork it."""
+    rows = n_hashes // bands
+    sig = minhash_signatures(docs, id_col, text_col, n_hashes, ngram, shingle=shingle)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"h{b * rows + r:02d}") for r in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("#", *parts)).alias("key"))
+        )
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
 
 def ngram_jaccard_pairs(
@@ -315,13 +354,34 @@ def duplicate_clusters(
     swap in reliable ``checkpoint()`` with a checkpoint dir — localCheckpoint
     blocks die with their executor.
 
-    ``candidates`` defaults to :func:`minhash_lsh_pairs` on the same
-    parameters. Singleton documents cluster to themselves."""
-    pairs = (
-        candidates
-        if candidates is not None
-        else minhash_lsh_pairs(docs, id_col, text_col, n_hashes, bands, ngram)
-    )
+    ``candidates`` defaults to the same banded-LSH connectivity as
+    :func:`minhash_lsh_pairs` on the same parameters — but STAR-CONTRACTED:
+    a band bucket's members are mutually connected (a clique), and for
+    connected components a clique and a star on the bucket minimum have
+    exactly the same components, so the default path feeds the loop
+    (bucket_min ↔ member) edges — O(|docs|·bands) of them — instead of the
+    O(Σ bucket²) pair list (the r6 sf1 probe measured 89.0M distinct pairs
+    from 50k docs at the 8/4 char shape; the star set is ≤ 200k). Cluster
+    output is provably identical; callers that need the PAIRS still get
+    them from :func:`minhash_lsh_pairs`, and an explicit ``candidates``
+    DataFrame is used as given. Singleton documents cluster to
+    themselves."""
+    if candidates is not None:
+        pairs = candidates
+    else:
+        bk = _band_buckets(docs, id_col, text_col, n_hashes, bands, ngram)
+        hubs = (
+            bk.groupBy("band", "key")
+            .agg(F.min(id_col).alias("hub"), F.count(F.lit(1)).alias("_c"))
+            .where(F.col("_c") > 1)
+            .select("band", "key", "hub")
+        )
+        pairs = (
+            bk.join(hubs, ["band", "key"])
+            .where(F.col(id_col) != F.col("hub"))
+            .select(F.col("hub").alias("id_a"), F.col(id_col).alias("id_b"))
+            .distinct()
+        )
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -333,14 +393,26 @@ def duplicate_clusters(
     prev_sum = None
     try:
         for _ in range(max_iter):
-            msgs = edges.join(labels, edges["dst"] == labels["id"]).select(
+            # broadcast the label table (|V| rows of two longs — bounded by
+            # the vertex count, far under the broadcast cap for any corpus
+            # this single-box loop serves): the big cached edge set is then
+            # NEVER re-shuffled — each round is one map-side pass over edges
+            # plus a partial-aggregated groupBy whose shuffle is ≤ |V| rows
+            # per partition (pre-broadcast, every round sort-merge-shuffled
+            # the full edge set twice)
+            msgs = edges.join(F.broadcast(labels), edges["dst"] == labels["id"]).select(
                 F.col("src").alias("id"), F.col("label")
             )
-            stepped = labels.unionAll(msgs).groupBy("id").agg(
-                F.min("label").alias("label")
+            stepped = (
+                labels.unionAll(msgs)
+                .groupBy("id")
+                .agg(F.min("label").alias("label"))
+                .persist()
             )
             # pointer jumping: follow one hop of the label chain (labels are
-            # vertex ids, so label(label) always resolves)
+            # vertex ids, so label(label) always resolves); stepped is
+            # persisted because BOTH sides of the jump join read it — without
+            # the persist the edges pass above runs twice per round
             jump = stepped.select(
                 F.col("id").alias("_jid"), F.col("label").alias("_jlabel")
             )
@@ -348,9 +420,10 @@ def duplicate_clusters(
             # the logical plan so analyzer cost stays O(1) per round (see
             # docstring); old round blocks are freed by the ContextCleaner
             new_labels = (
-                stepped.join(jump, stepped["label"] == jump["_jid"])
+                stepped.join(F.broadcast(jump), stepped["label"] == jump["_jid"])
                 .select("id", F.least("label", "_jlabel").alias("label"))
             ).localCheckpoint(eager=True)
+            stepped.unpersist()
             # labels only decrease, so an unchanged sum ⇔ a fixpoint — one
             # aggregate action per round instead of a join + count
             cur_sum = new_labels.agg(

@@ -258,6 +258,75 @@ def _kmeans_cells(
     return cents, assigned
 
 
+def _celldrop_ids(
+    assigned: DataFrame, tau: float, id_col: str, vec_col: str
+) -> DataFrame:
+    """Distinct ids having a LOWER-id same-cell witness at
+    ``ROUND(cos,6) >= tau`` — the shared SemDeDup/D4 stage-1 drop set,
+    byte-identical to the pair-join + :func:`pair_cosine_udf` +
+    ``F.round(·,6) >= tau`` form it replaces (r6 rewrite) but never
+    materializing a pair row.
+
+    Per cell (``applyInPandas``; quadratic in cell size only, the
+    published algorithm's own trade): fast float64-matmul cosines give
+    each row's max over lower-id members; rows with max ≥ boundary+3e-9
+    are definite drops (the exact sequential-fold cosine can differ from
+    the matmul value by ≪1e-9), rows with max < boundary−1e-8 are
+    definite keeps, and only rows in the narrow band are re-scored with
+    :func:`_seq_fold_dot` and resolved with Java-HALF_UP decimal
+    quantization (the exact F.round contract; Spark rounds the SHORTEST
+    double repr, which ``Decimal(repr(c))`` reproduces). The band is
+    empty unless a cosine lands within ~1e-9 of the decimal boundary
+    ``tau − 5e-7``."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    tdec = Decimal(repr(float(tau)))
+    bdec = tdec - Decimal("0.0000005")
+    b = float(bdec)
+    q6 = Decimal("0.000001")
+
+    def per_cell(pdf):
+        m = len(pdf)
+        if m < 2:
+            return pdf.iloc[0:0][[id_col]]
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        C = np.array(pdf[vec_col].tolist(), dtype=np.float64)[order]
+        dd = _seq_fold_dot(C, C)
+        norm = np.sqrt(dd)
+        dropped = np.zeros(m, dtype=bool)
+        chunk = max(16, int(4_000_000 // m))
+        cols = np.arange(m)
+        uncertain = []
+        for s in range(1, m, chunk):
+            e = min(m, s + chunk)
+            Sf = (C[s:e] @ C.T) / (norm[s:e, None] * norm[None, :])
+            mask = cols[None, :] < np.arange(s, e)[:, None]
+            mx = np.where(mask, Sf, -np.inf).max(axis=1)
+            dropped[s:e] = mx >= b + 3e-9
+            for xi in np.nonzero((mx >= b - 1e-8) & (mx < b + 3e-9))[0]:
+                x = s + xi
+                ys = np.nonzero((Sf[xi, :x] >= b - 1e-8))[0]
+                uncertain.append((x, ys))
+        for x, ys in uncertain:
+            if dropped[x]:
+                continue
+            ex = _seq_fold_dot(np.broadcast_to(C[x], (ys.size, C.shape[1])), C[ys])
+            ex = ex / np.sqrt(dd[x] * dd[ys])
+            for c in ex:
+                if Decimal(repr(float(c))).quantize(q6, rounding=ROUND_HALF_UP) >= tdec:
+                    dropped[x] = True
+                    break
+        return pd.DataFrame({id_col: ids[dropped]})
+
+    return (
+        assigned.select(id_col, vec_col, "cell")
+        .groupBy("cell")
+        .applyInPandas(per_cell, schema=f"{id_col} long")
+    )
+
+
 def semdedup(
     emb: DataFrame,
     tau: float = 0.99,
@@ -285,24 +354,8 @@ def semdedup(
     _, assigned = _kmeans_cells(
         emb, n_centroids, sample_rows, seed, id_col, vec_col
     )
-    x, y = assigned.alias("x"), assigned.alias("y")
-    dropped = (
-        x.join(
-            y,
-            (F.col("x.cell") == F.col("y.cell"))
-            & (F.col(f"y.{id_col}") < F.col(f"x.{id_col}")),
-        )
-        .where(
-            # Arrow-vectorized pair cosine (bit-identical values — see
-            # pair_cosine_udf); rounding stays JVM-side HALF_UP
-            F.round(
-                pair_cosine_udf()(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}")), 6
-            )
-            >= F.lit(float(tau))
-        )
-        .select(F.col(f"x.{id_col}").alias(id_col))
-        .distinct()
-        .withColumn("_drop", F.lit(True))
+    dropped = _celldrop_ids(assigned, tau, id_col, vec_col).withColumn(
+        "_drop", F.lit(True)
     )
     return assigned.join(dropped, id_col, "left").select(
         F.col(id_col),
@@ -799,24 +852,8 @@ def d4_prune(
     cents, assigned = _kmeans_cells(
         emb, n_centroids, sample_rows, seed, id_col, vec_col
     )
-    x, y = assigned.alias("x"), assigned.alias("y")
-    dropped = (
-        x.join(
-            y,
-            (F.col("x.cell") == F.col("y.cell"))
-            & (F.col(f"y.{id_col}") < F.col(f"x.{id_col}")),
-        )
-        .where(
-            # Arrow-vectorized pair cosine (bit-identical values — see
-            # pair_cosine_udf); rounding stays JVM-side HALF_UP
-            F.round(
-                pair_cosine_udf()(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}")), 6
-            )
-            >= F.lit(float(tau))
-        )
-        .select(F.col(f"x.{id_col}").alias(id_col))
-        .distinct()
-        .withColumn("_dup", F.lit(True))
+    dropped = _celldrop_ids(assigned, tau, id_col, vec_col).withColumn(
+        "_dup", F.lit(True)
     )
     protos = F.array(
         *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]

@@ -210,8 +210,9 @@ def curate_documents_v4(
 
     Plan shape: stages 1–3 fuse into ONE map-side projection (the quality
     operators share column builders — ``gopher_cols``/``c4_cols`` — so no
-    per-stage join-backs exist); the dedup stage is the standard MinHash
-    pipeline (one shingle exchange + the banded self-join) over the
+    per-stage join-backs exist); the dedup stage is the MinHash banding
+    pipeline (one shingle exchange; the demotion set is derived from
+    band-bucket minima — no pair self-join, see inline note) over the
     survivor subset only; the demotion set (near-dup ids, tiny by
     construction) comes back via one left join that AQE turns into a
     broadcast. PII scrubbing and the fate fold are map-side. At 100 TB
@@ -222,7 +223,7 @@ def curate_documents_v4(
     scrubbed clean text for kept docs, NULL otherwise.
     """
     from ..functions.text import WS_CLASS
-    from ..operators.dedup import minhash_lsh_pairs
+    from ..operators.dedup import _band_buckets
     from ..operators.quality import c4_cols, gopher_cols
     from ..operators.scrub import EMAIL, IPV4, PHONE
     from ..operators.textstats import lang_id
@@ -245,26 +246,39 @@ def curate_documents_v4(
         .when(g["reason"].isNotNull(), F.concat(F.lit("gopher:"), g["reason"]))
         .when(~c4["doc_keep"], F.lit("c4"))
     )
+    # lineage barrier: pre_fate/clean_text fold the whole lang-ID + gopher
+    # + C4 battery, and Catalyst's predicate/alias substitution re-inlines
+    # those expression trees into every downstream reference (the survivor
+    # filter alone re-embedded the synth+tokenize subtree ~20×; the r6 sf1
+    # plan dump showed the fused shingle stage at 17.9 s vs 2.8 s for st
+    # alone). An Exchange cannot stop alias substitution, so materialize:
+    # localCheckpoint (the iterative-op idiom — eager, per-execution, no
+    # cross-run state; ~50k short rows) computes st ONCE and every branch
+    # (survivor filter → banding, fate join-back, scrub/n_pii projection)
+    # reads the materialized columns.
     st = base.select(
         F.col(id_col),
         F.col("lang"),
         pre_fate.alias("pre_fate"),
         c4["clean_text"].alias("clean_text"),
-    )
+    ).localCheckpoint()
     survivors = st.where(F.col("pre_fate").isNull()).select(
         F.col(id_col), F.col("clean_text").alias(text_col)
     )
-    pairs = minhash_lsh_pairs(
-        survivors,
-        id_col=id_col,
-        text_col=text_col,
-        n_hashes=lsh_hashes,
-        bands=lsh_bands,
-        ngram=shingle_ngram,
-        shingle="word",
+    # demotion set == DISTINCT id_b of minhash_lsh_pairs(survivors) ==
+    # every band-bucket member that is not its bucket's minimum id (a doc
+    # is some pair's id_b iff a lower id shares one of its buckets) — so
+    # skip the quadratic pair emission entirely and derive it from the
+    # shared banding stage (r6; the pair-join form re-paid O(Σ bucket²)
+    # rows on clustered corpora for a set of ≤ |survivors| ids)
+    bk = _band_buckets(
+        survivors, id_col, text_col, lsh_hashes, lsh_bands, shingle_ngram, "word"
     )
+    mins = bk.groupBy("band", "key").agg(F.min(id_col).alias("_mn"))
     demoted = (
-        pairs.select(F.col("id_b").alias(id_col))
+        bk.join(mins, ["band", "key"])
+        .where(F.col(id_col) > F.col("_mn"))
+        .select(id_col)
         .distinct()
         .withColumn("near_dup", F.lit(True))
     )
