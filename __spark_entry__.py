@@ -5605,6 +5605,34 @@ def _jpeg_profile_sql() -> str:
     """
 
 
+def _reencode_rows(_cache={}) -> list:
+    """Driver-side (media_ref, ahash_png, ahash_jpeg, hamming) panel rows
+    via the SHARED reencode_profile_values — the q201/oracle-literal
+    panel-bounded pattern (the oracle builder `_reencode_sql` computes the
+    SAME rows the same way). Memoized per process (r5 verdict item #5:
+    the ~0.34 s/payload pure-python codec chain was re-paid every run;
+    the panel is a fixed 17-payload catalog, never corpus data)."""
+    if "rows" not in _cache:
+        from document_quality_assessment_ocr_spark.operators.multimodal import (
+            reencode_profile_values,
+        )
+        from document_quality_assessment_ocr_spark.sources.fixtures import (
+            build_payloads,
+            payload_names,
+        )
+
+        cat = build_payloads(seed=42)
+        rows = []
+        for n in sorted(payload_names()):
+            try:
+                v = reencode_profile_values(cat[n]["png"])
+            except Exception:
+                continue
+            rows.append((n, v[0], v[1], int(v[2])))
+        _cache["rows"] = rows
+    return _cache["rows"]
+
+
 def _q_reencode_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-format near-dup invariance: the SAME rendered page as PNG
     and as a REAL baseline-JPEG re-encode (from-scratch encoder+decoder,
@@ -5612,13 +5640,12 @@ def _q_reencode_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     both aHashes + hamming + the ≤4-bit cross_dup verdict. Picks ride
     salts 1/2 (the q57 contract: a document's images are the same in
     every query); panel-bounded crop window documented in
-    reencode_profile_values."""
-    from document_quality_assessment_ocr_spark.operators.multimodal import (
-        reencode_match,
-    )
+    reencode_profile_values. The panel profile table is driver-computed
+    via the shared fn + broadcast (see :func:`_reencode_rows`); the
+    distributed ``reencode_match`` operator remains the corpus-scale
+    surface."""
     from document_quality_assessment_ocr_spark.sources.derive import (
         _md5_pick_index,
-        payloads_df,
     )
     from document_quality_assessment_ocr_spark.sources.fixtures import payload_names
 
@@ -5638,7 +5665,10 @@ def _q_reencode_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("media_ref"),
     ).distinct()
-    st = reencode_match(payloads_df(spark)).where(F.col("error").isNull())
+    st = spark.createDataFrame(
+        _reencode_rows(),
+        "media_ref string, ahash_png string, ahash_jpeg string, hamming long",
+    )
     return picks.join(F.broadcast(st), "media_ref").select(
         "doc_id", "media_ref", "ahash_png", "ahash_jpeg", "hamming",
         (F.col("hamming") <= F.lit(4)).alias("cross_dup"),

@@ -532,19 +532,40 @@ def reencode_profile_values(
     measurement, and at q75 it is ≤ a couple of bits for document-like
     pages. The crop bounds the pure-python JPEG cost (panel × ~1.3k
     blocks); it is part of the cross-engine contract. Raises on
-    undecodable payloads (error-as-data upstream)."""
+    undecodable payloads (error-as-data upstream).
+
+    Memoized by payload content (md5 of the bytes + params — r5 verdict
+    item #5: the oracle builder already memoized; the engine side re-paid
+    the ~0.34 s/payload codec chain on every pass). A pure deterministic
+    function of the bytes, so the cache is content-addressed, bounded,
+    and survives task boundaries in reused Python workers."""
+    import hashlib
+
     from ..sources.jpeg import decode_jpeg_gray, encode_jpeg_gray
 
+    key = (hashlib.md5(bytes(data)).hexdigest(), int(quality), tuple(crop))
+    hit = _REENCODE_MEMO.get(key)
+    if hit is not None:
+        return hit
     arr, _ = png.decode_gray(bytes(data))
     win = arr[: crop[0], : crop[1]]
     ha = ahash64(win)
     hb = ahash64(decode_jpeg_gray(encode_jpeg_gray(win, quality=quality)))
     ham = bin((ha ^ hb) & 0xFFFFFFFFFFFFFFFF).count("1")
-    return (
+    out = (
         f"{ha & 0xFFFFFFFFFFFFFFFF:016x}",
         f"{hb & 0xFFFFFFFFFFFFFFFF:016x}",
         ham,
     )
+    if len(_REENCODE_MEMO) < 4096:
+        _REENCODE_MEMO[key] = out
+    return out
+
+
+#: content-addressed cache for :func:`reencode_profile_values` (see its
+#: docstring); bounded so a pathological stream of distinct payloads can
+#: never grow worker memory unboundedly
+_REENCODE_MEMO: dict = {}
 
 
 def reencode_match(payloads: DataFrame, quality: int = 75) -> DataFrame:
@@ -573,7 +594,12 @@ def reencode_match(payloads: DataFrame, quality: int = 75) -> DataFrame:
                     rows.append((ref, None, None, None, str(e)))
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
-    return payloads.select("media_ref", "png").mapInPandas(gen, schema)
+    # one payload per task: the panel is tiny (distinct media) but each row
+    # costs ~0.34 s of pure-python codec work — without the repartition the
+    # whole panel lands in one Arrow batch on one core
+    src = payloads.select("media_ref", "png")
+    n = src.sparkSession.sparkContext.defaultParallelism
+    return src.repartition(n).mapInPandas(gen, schema)
 
 
 def jpeg_stats(payloads: DataFrame) -> DataFrame:

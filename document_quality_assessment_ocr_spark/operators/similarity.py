@@ -252,9 +252,13 @@ def _kmeans_cells(
             D[:, j] = -2.0 * _seq_fold_dot(X, np.broadcast_to(cents[j], X.shape)) + c2[j]
         return pd.Series(np.argmin(D, axis=1).astype(np.int32))
 
+    # localCheckpoint: every consumer (SemDeDup/D4/prototype/IVF) reads
+    # `assigned` from 2-3 plan branches; materializing it once per
+    # execution drops the repeated scan + Arrow assignment passes (r6; no
+    # cross-run state — each call builds a fresh checkpoint)
     assigned = emb.select(
         F.col(id_col), F.col(vec_col), _cell(F.col(vec_col)).alias("cell")
-    )
+    ).localCheckpoint()
     return cents, assigned
 
 

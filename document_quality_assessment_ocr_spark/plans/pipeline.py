@@ -147,6 +147,19 @@ def run_extraction(
     docs = spans_df if assume_unique_doc_ids else dedup_last_wins(spans_df)
     if assume_unique_doc_ids and "skip_checks" not in docs.columns:
         docs = docs.withColumn("skip_checks", F.lit(False))
+    if assume_unique_doc_ids:
+        # unsplittable-input guard (optimization guide §2.5): with dedup
+        # skipped there is no exchange before the span gate/fold map work,
+        # so a single-row-group spans file would serialize it on the scan
+        # task (r6 sf1 probe: ~16 s of the 28 s extract was this). The
+        # dedup path needs no guard (its groupBy exchange already spreads
+        # the post-shuffle work) and must not get one: without ingest_seq
+        # its last-wins tiebreak reads monotonically_increasing_id, which
+        # a repartition would reorder. Scale-adaptive, no-op when the scan
+        # is already parallel.
+        n = docs.sparkSession.sparkContext.defaultParallelism
+        if docs.rdd.getNumPartitions() < n:
+            docs = docs.repartition(n)
 
     # sort spans by offset ONCE (array-local, no shuffle); offset leads the
     # struct so sort_array orders by it (posexplode pos is then offset-rank)

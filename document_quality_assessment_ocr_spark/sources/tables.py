@@ -56,8 +56,45 @@ TESTDATA_TABLES = [
 ]
 
 
+def _effective_splits(path: str) -> int:
+    """Ceiling on real scan parallelism for a parquet path: parquet splits
+    at ROW-GROUP boundaries, so a 29 MB file with one row group yields one
+    non-empty task no matter how small ``maxPartitionBytes`` is — and
+    ``rdd.getNumPartitions()`` happily reports 32 empty splits around it.
+    Metadata-only probe (footers, no data pages); unreadable/exotic
+    layouts return a large number so callers skip the repartition."""
+    import glob as _glob
+
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            files = _glob.glob(os.path.join(path, "*.parquet"))
+        else:
+            files = _glob.glob(path) or [path]
+        n = 0
+        for f in files:
+            n += pq.ParquetFile(f).metadata.num_row_groups
+            if n >= 4096:
+                break
+        return max(n, 1)
+    except Exception:
+        return 1 << 30
+
+
 def read_spans(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.schema(SPANS_SCHEMA).parquet(path)
+    df = spark.read.schema(SPANS_SCHEMA).parquet(path)
+    # unsplittable-input guard (optimization guide §2.5): the span-side
+    # gate/fold map work otherwise serializes on the single non-empty scan
+    # task (r6 sf1 probe: one straggler task carried the whole 200k-doc
+    # span plan). Scale-adaptive; a real multi-row-group/multi-file layout
+    # skips the shuffle entirely. Results are partitioning-invariant (the
+    # pipeline keys every aggregate by doc_id and last-wins uses the
+    # explicit ingest_seq column this schema declares).
+    n = spark.sparkContext.defaultParallelism
+    if _effective_splits(path) < n:
+        df = df.repartition(n)
+    return df
 
 
 def read_payloads(spark: SparkSession, path: str) -> DataFrame:
