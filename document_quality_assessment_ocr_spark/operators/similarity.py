@@ -220,6 +220,7 @@ def _kmeans_cells(
     seed: int,
     id_col: str,
     vec_col: str,
+    checkpoint: bool = True,
 ):
     """Seeded driver-side k-means coarse quantizer + Arrow-vectorized cell
     assignment — shared by ``ivf_topk``/``semdedup``/``prototype_prune``/
@@ -252,13 +253,17 @@ def _kmeans_cells(
             D[:, j] = -2.0 * _seq_fold_dot(X, np.broadcast_to(cents[j], X.shape)) + c2[j]
         return pd.Series(np.argmin(D, axis=1).astype(np.int32))
 
-    # localCheckpoint: every consumer (SemDeDup/D4/prototype/IVF) reads
-    # `assigned` from 2-3 plan branches; materializing it once per
-    # execution drops the repeated scan + Arrow assignment passes (r6; no
-    # cross-run state — each call builds a fresh checkpoint)
+    # localCheckpoint (default): SemDeDup/D4/IVF read `assigned` from 2-3
+    # plan branches; materializing it once per execution drops the
+    # repeated scan + Arrow assignment passes (r6; no cross-run state —
+    # each call builds a fresh checkpoint). Single-branch consumers
+    # (prototype_prune, holdout split, silhouette) pass checkpoint=False:
+    # for them the materialization is pure overhead.
     assigned = emb.select(
         F.col(id_col), F.col(vec_col), _cell(F.col(vec_col)).alias("cell")
-    ).localCheckpoint()
+    )
+    if checkpoint:
+        assigned = assigned.localCheckpoint()
     return cents, assigned
 
 
@@ -792,7 +797,7 @@ def prototype_prune(
     Output: (id_col, cell, cos_proto, rank, kept).
     """
     cents, assigned = _kmeans_cells(
-        emb, n_centroids, sample_rows, seed, id_col, vec_col
+        emb, n_centroids, sample_rows, seed, id_col, vec_col, checkpoint=False
     )
     protos = F.array(
         *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
@@ -800,8 +805,11 @@ def prototype_prune(
     scored = assigned.select(
         F.col(id_col),
         "cell",
+        # Arrow pair cosine (bit-identical to the cosine() HOF — see
+        # pair_cosine_udf): the interpreted CodegenFallback HOF re-paid
+        # per-element boxing on every row (r6)
         F.round(
-            cosine(F.col(vec_col), F.element_at(protos, F.col("cell") + 1)), 6
+            pair_cosine_udf()(F.col(vec_col), F.element_at(protos, F.col("cell") + 1)), 6
         ).alias("cos_proto"),
     )
     w = Window.partitionBy("cell").orderBy(
@@ -869,7 +877,9 @@ def d4_prune(
             F.col(id_col),
             "cell",
             F.round(
-                cosine(F.col(vec_col), F.element_at(protos, F.col("cell") + 1)),
+                pair_cosine_udf()(
+                    F.col(vec_col), F.element_at(protos, F.col("cell") + 1)
+                ),
                 6,
             ).alias("cos_proto"),
         )
@@ -994,7 +1004,7 @@ def cluster_holdout_split(
     from .sampling import assign_splits
 
     _, assigned = _kmeans_cells(
-        emb, n_centroids, sample_rows, seed, id_col, vec_col
+        emb, n_centroids, sample_rows, seed, id_col, vec_col, checkpoint=False
     )
     return assign_splits(
         assigned.select(F.col(id_col), "cell"),
@@ -2064,9 +2074,17 @@ def silhouette_audit(
     from pyspark.sql import types as T
 
     n = embs.count()
+    if n == 0:
+        # empty embeddings input: an empty audit grid with the declared
+        # schema instead of an opaque crash in the k-means sample
+        # (r5 ADVICE)
+        return embs.sparkSession.createDataFrame(
+            [],
+            "cell long, n_points long, n_positive long, sum_s_micro long",
+        )
     k = n_centroids if n_centroids is not None else scaled_n_centroids(n)
     cents, assigned = _kmeans_cells(
-        embs, k, scaled_sample_rows(k), seed, id_col, vec_col
+        embs, k, scaled_sample_rows(k), seed, id_col, vec_col, checkpoint=False
     )
     aq = assigned.select(
         F.col(id_col),
@@ -2080,6 +2098,13 @@ def silhouette_audit(
         .agg(F.sum("v").alias("s"), F.sum(F.col("v") * F.col("v")).alias("ssq"))
     )
     rows = g.collect()  # bounded: k·dim cells (the centroid-panel class)
+    if not rows:
+        # empty embeddings input: return an empty grid with the declared
+        # schema instead of an opaque max()-of-empty crash (r5 ADVICE)
+        return embs.sparkSession.createDataFrame(
+            [],
+            "cell long, n_points long, n_positive long, sum_s_micro long",
+        )
     dim = 1 + max(r["dim"] for r in rows)
     kk = len(cents)
     sq = np.zeros((kk, dim), dtype=np.int64)

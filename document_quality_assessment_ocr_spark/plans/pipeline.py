@@ -133,7 +133,19 @@ def run_extraction(
     ``operators.salting.split_oversized_docs``) and is incompatible with
     ``max_media_spans`` (the page budget needs the whole array in one row).
     Costs one extra Exchange (doc_id+part_idx, then doc_id) whose second
-    hop moves per-part aggregates only."""
+    hop moves per-part aggregates only.
+
+    Two caveats (r5 ADVICE): (a) the size bound assumes offsets are
+    reasonably DENSE and mostly unique — many spans sharing one K-wide
+    offset range re-concentrate that part on a single reducer (ties stay
+    correct, they colocate by construction); probe the offset density
+    (the salting path's spans-length histogram) before picking K.
+    (b) the per-part mean merges (Σ per-part sums / Σ counts) associate
+    float additions differently than the single-Exchange ``F.avg`` plan,
+    so results agree up to the same last-ulp nondeterminism class as
+    ``F.avg`` itself — fixture margins are engineered away from the
+    ``%.2f`` reason boundaries (the kernels.py margin convention), not
+    guaranteed bit-stable at them."""
     criteria = criteria or default_criteria()
 
     # ---- driver-side constants (config is tiny: closed over, never a join)
@@ -147,19 +159,12 @@ def run_extraction(
     docs = spans_df if assume_unique_doc_ids else dedup_last_wins(spans_df)
     if assume_unique_doc_ids and "skip_checks" not in docs.columns:
         docs = docs.withColumn("skip_checks", F.lit(False))
-    if assume_unique_doc_ids:
-        # unsplittable-input guard (optimization guide §2.5): with dedup
-        # skipped there is no exchange before the span gate/fold map work,
-        # so a single-row-group spans file would serialize it on the scan
-        # task (r6 sf1 probe: ~16 s of the 28 s extract was this). The
-        # dedup path needs no guard (its groupBy exchange already spreads
-        # the post-shuffle work) and must not get one: without ingest_seq
-        # its last-wins tiebreak reads monotonically_increasing_id, which
-        # a repartition would reorder. Scale-adaptive, no-op when the scan
-        # is already parallel.
-        n = docs.sparkSession.sparkContext.defaultParallelism
-        if docs.rdd.getNumPartitions() < n:
-            docs = docs.repartition(n)
+    # NOTE on narrow inputs: a single-row-group spans file serializes the
+    # span gate/fold on one scan task in this (no-dedup, no-exchange) mode;
+    # the FIX lives in sources/tables.read_spans (row-group-aware
+    # repartition after the read), NOT here — run_extraction must respect
+    # the caller's layout (a bucketed spans table is deliberately
+    # pre-partitioned so this plan stays shuffle-free, tests/test_bucketed).
 
     # sort spans by offset ONCE (array-local, no shuffle); offset leads the
     # struct so sort_array orders by it (posexplode pos is then offset-rank)

@@ -86,13 +86,13 @@ def test_malformed_and_unsupported_raise():
         b"nope",
         b"\xff\xd8\xff\xe0\x00\x07JFIFxx",  # header then garbage
         good[: len(good) // 2],  # truncated entropy data
-        good[:-2],  # missing EOI tail is tolerated only if MCUs complete;
-        # here all MCUs decoded, so strip more:
     ):
-        if bad == good[:-2]:
-            continue
         with pytest.raises(ValueError):
             jpeg.decode_jpeg_gray(bad)
+    # missing EOI tail is TOLERATED when every MCU already decoded — the
+    # documented behavior (r5 ADVICE: assert it positively instead of a
+    # dead skip)
+    assert jpeg.decode_jpeg_gray(good[:-2]).shape == jpeg.decode_jpeg_gray(good).shape
     # progressive (SOF2) is a documented hard boundary
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(ValueError, match="progressive"):

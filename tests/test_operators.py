@@ -2053,3 +2053,89 @@ def test_prf_expansion(spark):
     n_docs, df = 4, 2
     assert r0["score"] == 4 * ((n_docs - df) * 1000 // df)
     assert all(out[i]["score"] >= out[i + 1]["score"] for i in range(len(out) - 1))
+
+
+def test_duplicate_clusters_star_equals_pairs(spark):
+    """The r6 star-contracted default candidate edges must produce the
+    same components as the explicit pair list (clique vs star on the
+    bucket minimum are CC-equivalent)."""
+    from document_quality_assessment_ocr_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_lsh_pairs,
+    )
+
+    rows = []
+    for i in range(60):
+        base = f"the quick brown fox jumps over dog number {i % 7} again and again"
+        if i % 3 == 0:
+            base += " tail"
+        rows.append((i, base))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    star = {
+        (r["doc_id"], r["cluster_id"], r["is_cluster_head"])
+        for r in duplicate_clusters(docs, n_hashes=8, bands=4).collect()
+    }
+    pairs = minhash_lsh_pairs(docs, n_hashes=8, bands=4)
+    viapairs = {
+        (r["doc_id"], r["cluster_id"], r["is_cluster_head"])
+        for r in duplicate_clusters(
+            docs, n_hashes=8, bands=4, candidates=pairs
+        ).collect()
+    }
+    assert star == viapairs and len(star) == 60
+
+
+def test_celldrop_matches_pair_join(spark):
+    """_celldrop_ids (r6 numpy rewrite) == the pair-join + Arrow
+    pair-cosine + F.round >= tau form it replaced, on clustered vectors
+    with exact duplicates (rounded ties)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from document_quality_assessment_ocr_spark.operators.similarity import (
+        _celldrop_ids,
+        pair_cosine_udf,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    rid = 0
+    for cell in range(3):
+        center = rng.normal(size=8)
+        for j in range(25):
+            v = center if j % 5 == 0 else center + rng.normal(size=8) * (1e-8 if j % 5 == 1 else 0.3)
+            rows.append((rid, cell, [float(x) for x in v]))
+            rid += 1
+    assigned = spark.createDataFrame(rows, "vec_id long, cell int, embedding array<double>")
+    for tau in (0.99, 0.35):
+        fast = {r["vec_id"] for r in _celldrop_ids(assigned, tau, "vec_id", "embedding").collect()}
+        x, y = assigned.alias("x"), assigned.alias("y")
+        ref = {
+            r["vec_id"]
+            for r in x.join(
+                y,
+                (F.col("x.cell") == F.col("y.cell"))
+                & (F.col("y.vec_id") < F.col("x.vec_id")),
+            )
+            .where(
+                F.round(pair_cosine_udf()(F.col("x.embedding"), F.col("y.embedding")), 6)
+                >= F.lit(float(tau))
+            )
+            .select(F.col("x.vec_id").alias("vec_id"))
+            .distinct()
+            .collect()
+        }
+        assert fast == ref, (tau, fast ^ ref)
+
+
+def test_silhouette_audit_empty_input(spark):
+    """Empty embeddings -> empty audit grid with the declared schema, not
+    an opaque crash (r5 ADVICE)."""
+    from document_quality_assessment_ocr_spark.operators.similarity import (
+        silhouette_audit,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = silhouette_audit(empty)
+    assert out.columns == ["cell", "n_points", "n_positive", "sum_s_micro"]
+    assert out.count() == 0
