@@ -36,9 +36,16 @@ def _par(df: DataFrame) -> DataFrame:
     repartition of the few-MB table immediately after the read unlocks full
     parallelism; scale-adaptive (defaultParallelism, never a constant) and
     skipped when the scan is already split at least that wide (real
-    multi-file inputs)."""
+    multi-file inputs). Width is judged by the leaf files' ROW-GROUP
+    count (tables.effective_scan_parallelism) — the nominal split count
+    over-reports on 1-row-group files whenever maxPartitionBytes or
+    minPartitionNum carve empty splits (the driver bench conf does)."""
+    from document_quality_assessment_ocr_spark.sources.tables import (
+        effective_scan_parallelism,
+    )
+
     n = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
+    if min(df.rdd.getNumPartitions(), effective_scan_parallelism(df)) >= n:
         return df
     return df.repartition(n)
 

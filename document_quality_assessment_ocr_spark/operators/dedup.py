@@ -28,9 +28,15 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     per-row-heavy first stage (shingling: one md5 per shingle) on one core.
     Repartitioning a few-MB id+text table is ~ms; the unlocked map
     parallelism is the win (optimization guide §2.5, unsplittable input).
-    Scale-adaptive (defaultParallelism), no-op on already-parallel input."""
+    Scale-adaptive (defaultParallelism), no-op on already-parallel input.
+    Parallelism is judged by the LEAF FILES' row-group count, not the
+    nominal split count — a 1-row-group file reports 32 empty splits
+    under a small maxPartitionBytes/minPartitionNum and one task does all
+    the work (tables.effective_scan_parallelism)."""
+    from ..sources.tables import effective_scan_parallelism
+
     n = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
+    if min(df.rdd.getNumPartitions(), effective_scan_parallelism(df)) >= n:
         return df
     return df.repartition(n)
 

@@ -82,6 +82,40 @@ def _effective_splits(path: str) -> int:
         return 1 << 30
 
 
+def effective_scan_parallelism(df: DataFrame) -> int:
+    """Ceiling on a DataFrame's REAL scan parallelism from its leaf
+    parquet files' row-group counts (``df.inputFiles()`` + footers).
+    ``rdd.getNumPartitions()`` lies twice about unsplittable inputs: a
+    1-row-group file reports however many (empty) splits
+    ``maxPartitionBytes`` carves, and with a small ``maxPartitionBytes``
+    or ``minPartitionNum`` the nominal count even exceeds the core count,
+    silencing any partition-count guard (the r6 driver-conf lesson: the
+    bench session's 1 MB ``maxPartitionBytes`` made every 1-row-group
+    table report 32 splits while one task did all the work). Non-file or
+    unprobeable sources return a large number (callers skip the
+    repartition)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return 1 << 30
+    if not files:
+        return 1 << 30
+    try:
+        import pyarrow.parquet as pq
+
+        n = 0
+        for f in files[:512]:
+            p = f[7:] if f.startswith("file://") else f
+            if not p.endswith(".parquet"):
+                return 1 << 30
+            n += pq.ParquetFile(p).metadata.num_row_groups
+            if n >= 4096:
+                break
+        return max(n, 1)
+    except Exception:
+        return 1 << 30
+
+
 def read_spans(spark: SparkSession, path: str) -> DataFrame:
     df = spark.read.schema(SPANS_SCHEMA).parquet(path)
     # unsplittable-input guard (optimization guide §2.5): the span-side
