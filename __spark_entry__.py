@@ -45,7 +45,7 @@ def _par(df: DataFrame) -> DataFrame:
     )
 
     n = df.sparkSession.sparkContext.defaultParallelism
-    if min(df.rdd.getNumPartitions(), effective_scan_parallelism(df)) >= n:
+    if effective_scan_parallelism(df) >= n:
         return df
     return df.repartition(n)
 

@@ -36,7 +36,7 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     from ..sources.tables import effective_scan_parallelism
 
     n = df.sparkSession.sparkContext.defaultParallelism
-    if min(df.rdd.getNumPartitions(), effective_scan_parallelism(df)) >= n:
+    if effective_scan_parallelism(df) >= n:
         return df
     return df.repartition(n)
 

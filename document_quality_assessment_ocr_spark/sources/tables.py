@@ -100,6 +100,10 @@ def effective_scan_parallelism(df: DataFrame) -> int:
         return 1 << 30
     if not files:
         return 1 << 30
+    key = tuple(sorted(files))
+    hit = _SPLITS_MEMO.get(key)
+    if hit is not None:
+        return hit
     try:
         import pyarrow.parquet as pq
 
@@ -111,9 +115,17 @@ def effective_scan_parallelism(df: DataFrame) -> int:
             n += pq.ParquetFile(p).metadata.num_row_groups
             if n >= 4096:
                 break
-        return max(n, 1)
+        n = max(n, 1)
     except Exception:
-        return 1 << 30
+        n = 1 << 30
+    if len(_SPLITS_MEMO) < 1024:
+        _SPLITS_MEMO[key] = n
+    return n
+
+
+#: per-process memo for :func:`effective_scan_parallelism` footer probes
+#: (file lists are stable within a bench/driver session; bounded)
+_SPLITS_MEMO: dict = {}
 
 
 def read_spans(spark: SparkSession, path: str) -> DataFrame:
