@@ -115,7 +115,7 @@ def bm25_search(
 
     base = docs.select(
         F.col(id_col), _tokens(F.col(text_col)).alias("tk")
-    )
+    ).localCheckpoint()  # read by dl/stats/toks branches — tokenize once (r6)
     dl = base.select(F.col(id_col), F.size("tk").cast("long").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -634,7 +634,9 @@ def prf_expansion(
     ranked = bm25_search(docs, queries, k=int(k_docs), id_col=id_col,
                          text_col=text_col)
     pool = ranked.select("query_id", id_col)
-    base = docs.select(F.col(id_col), _tokens(F.col(text_col)).alias("tk"))
+    base = docs.select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("tk")
+    ).localCheckpoint()  # read by toks (2 consumers) + stats — tokenize once (r6)
     toks = base.select(F.col(id_col), F.explode("tk").alias("token"))
     ptoks = toks.join(F.broadcast(pool), id_col)
     qpanel = spark.createDataFrame(
