@@ -2139,3 +2139,50 @@ def test_silhouette_audit_empty_input(spark):
     out = silhouette_audit(empty)
     assert out.columns == ["cell", "n_points", "n_positive", "sum_s_micro"]
     assert out.count() == 0
+
+
+def test_minhash_signatures_python_path_matches_column_form(spark):
+    """The r6 mapInPandas signature pass must equal the explode +
+    HashAggregate Column form it replaced, char AND word mode, including
+    whitespace/short-doc edges."""
+    from pyspark.sql import functions as F
+
+    from document_quality_assessment_ocr_spark.operators.dedup import (
+        MERSENNE31,
+        _shingle_df,
+        minhash_coeffs,
+        minhash_signatures,
+        shingle_hash_expr,
+    )
+
+    rows = [
+        (1, "The quick  brown fox\tjumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "  leading and trailing   "),
+        (4, ""),
+        (5, None),
+        (6, "tiny"),
+        (7, "a b c d e f g h i j k l m n o p"),
+        (8, "word word word word word word"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for mode, ngram in (("char", 5), ("word", 3)):
+        fast = {
+            r["doc_id"]: tuple(r[f"h{i:02d}"] for i in range(8))
+            for r in minhash_signatures(
+                docs, "doc_id", "text", 8, ngram, shingle=mode
+            ).collect()
+        }
+        sh = _shingle_df(docs, "doc_id", "text", ngram, mode).select(
+            F.col("doc_id"), shingle_hash_expr("g").alias("hm")
+        )
+        p = F.lit(MERSENNE31)
+        aggs = [
+            F.min((F.lit(a) * F.col("hm") + F.lit(b)) % p).alias(f"h{i:02d}")
+            for i, (a, b) in enumerate(minhash_coeffs(8, 1))
+        ]
+        ref = {
+            r["doc_id"]: tuple(r[f"h{i:02d}"] for i in range(8))
+            for r in sh.groupBy("doc_id").agg(*aggs).collect()
+        }
+        assert fast == ref, (mode, fast, ref)
