@@ -49,6 +49,18 @@ def _bigrams(text_col) -> F.Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _bigram_base(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, bgs: array<string>) — the per-doc bigram array, materialized
+    ONCE via ``localCheckpoint``: every LM in this module reads the bigram
+    stream from at least two plan branches (the c12 model chain and the
+    per-token scoring join), and without the barrier the tokenizer +
+    zip_with re-run per branch (the r6 tokenize-once idiom — checkpoint
+    the narrow per-doc ARRAY table, never the exploded stream)."""
+    return docs.select(
+        F.col(id_col), _bigrams(F.col(text_col)).alias("bgs")
+    ).localCheckpoint()
+
+
 def bigram_lm_bits(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -65,10 +77,9 @@ def bigram_lm_bits(
     tokens), keep = avg in [keep_lo_bits, keep_hi_bits] (false for NULL).
     """
     lam = int(lam_milli)
-    big = docs.select(
-        F.col(id_col), F.explode(_bigrams(F.col(text_col))).alias("bg")
-    )
-    c12 = big.groupBy("bg").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    base = _bigram_base(docs, id_col, text_col)
+    big = base.select(F.col(id_col), F.explode("bgs").alias("bg"))
+    c12 = big.groupBy("bg").agg(F.count(F.lit(1)).cast("long").alias("c12")).localCheckpoint()
     w1 = F.split(F.col("bg"), " ").getItem(0)
     w2 = F.split(F.col("bg"), " ").getItem(1)
     c1 = c12.groupBy(w1.alias("w1")).agg(F.sum("c12").cast("long").alias("c1"))
@@ -98,7 +109,7 @@ def bigram_lm_bits(
     )
 
     per_doc = (
-        big.join(model, "bg")
+        big.join(model.hint("shuffle_hash"), "bg")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
@@ -114,7 +125,7 @@ def bigram_lm_bits(
         )
     )
     return (
-        docs.select(id_col)
+        base.select(id_col)
         .join(per_doc, id_col, "left")
         .select(
             F.col(id_col),
@@ -166,10 +177,9 @@ def kneser_ney_bits(
     Output: (id_col, n_bigrams, sum_bits, avg_bits, keep).
     """
     D = int(discount_milli)
-    big = docs.select(
-        F.col(id_col), F.explode(_bigrams(F.col(text_col))).alias("bg")
-    )
-    c12 = big.groupBy("bg").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    base = _bigram_base(docs, id_col, text_col)
+    big = base.select(F.col(id_col), F.explode("bgs").alias("bg"))
+    c12 = big.groupBy("bg").agg(F.count(F.lit(1)).cast("long").alias("c12")).localCheckpoint()
     w1 = F.split(F.col("bg"), " ").getItem(0)
     w2 = F.split(F.col("bg"), " ").getItem(1)
     c1 = c12.groupBy(w1.alias("w1")).agg(
@@ -205,7 +215,7 @@ def kneser_ney_bits(
     )
 
     per_doc = (
-        big.join(model, "bg")
+        big.join(model.hint("shuffle_hash"), "bg")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
@@ -221,7 +231,7 @@ def kneser_ney_bits(
         )
     )
     return (
-        docs.select(id_col)
+        base.select(id_col)
         .join(per_doc, id_col, "left")
         .select(
             F.col(id_col),
@@ -278,11 +288,11 @@ def rho1_excess_select(
     from pyspark.sql import Window
 
     rho = int(rho_milli)
-    big = docs.select(
-        F.col(id_col),
-        F.posexplode(_bigrams(F.col(text_col))).alias("pos0", "bg"),
+    base = _bigram_base(docs, id_col, text_col)
+    big = base.select(
+        F.col(id_col), F.posexplode("bgs").alias("pos0", "bg")
     ).select(F.col(id_col), (F.col("pos0") + 1).cast("long").alias("pos"), "bg")
-    c12 = big.groupBy("bg").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    c12 = big.groupBy("bg").agg(F.count(F.lit(1)).cast("long").alias("c12")).localCheckpoint()
     w1 = F.split(F.col("bg"), " ").getItem(0)
     w2 = F.split(F.col("bg"), " ").getItem(1)
     c1 = c12.groupBy(w1.alias("w1")).agg(F.sum("c12").cast("long").alias("c1"))
@@ -309,7 +319,7 @@ def rho1_excess_select(
     part = Window.partitionBy(id_col)
     order = part.orderBy(F.col("excess").desc(), F.col("pos").asc())
     tok = (
-        big.join(model, "bg")
+        big.join(model.hint("shuffle_hash"), "bg")
         .select(F.col(id_col), "pos", "excess")
         .withColumn("n", F.count(F.lit(1)).over(part).cast("long"))
         .withColumn("rnk", F.row_number().over(order).cast("long"))
@@ -326,7 +336,7 @@ def rho1_excess_select(
         .alias("top_pos"),
     )
     return (
-        docs.select(id_col)
+        base.select(id_col)
         .join(per_doc, id_col, "left")
         .select(
             F.col(id_col),
