@@ -70,21 +70,18 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def _shingle_df(
+def _gram_array(
     docs: DataFrame, id_col: str, text_col: str, ngram: int, shingle: str
 ) -> DataFrame:
-    """(id, g) shingle stream — ``shingle='char'`` (character n-grams, the
-    fine-grained default) or ``'word'`` (space-joined word n-grams, the
-    RefinedWeb-style production mode: ~5-10× fewer shingles → ~5-10× fewer
-    md5s, the dominant cost of the minhash family on real text).
-
-    Word mode materializes the token array in its own projection so the
-    per-gram lambda only touches a column reference — split/lower run once
-    per document, not once per shingle."""
+    """(id, gs: array<string>) — the per-doc shingle array, the shared
+    tokenization of the minhash family. Word mode materializes the token
+    array in its own projection so the per-gram lambda only touches a
+    column reference — split/lower run once per document, not once per
+    shingle."""
     docs = ensure_parallelism(docs)
     if shingle == "char":
         return docs.select(
-            F.col(id_col), F.explode(char_ngrams(F.col(text_col), ngram)).alias("g")
+            F.col(id_col), char_ngrams(F.col(text_col), ngram).alias("gs")
         )
     if shingle != "word":
         raise ValueError(f"shingle must be 'char' or 'word', got {shingle!r}")
@@ -102,7 +99,43 @@ def _shingle_df(
             lambda i: F.array_join(F.slice(F.col("tk"), i, ngram), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return base.select(F.col(id_col), F.explode(grams).alias("g"))
+    return base.select(F.col(id_col), grams.alias("gs"))
+
+
+def _shingle_df(
+    docs: DataFrame, id_col: str, text_col: str, ngram: int, shingle: str
+) -> DataFrame:
+    """(id, g) shingle stream — ``shingle='char'`` (character n-grams, the
+    fine-grained default) or ``'word'`` (space-joined word n-grams, the
+    RefinedWeb-style production mode: ~5-10× fewer shingles → ~5-10× fewer
+    md5s, the dominant cost of the minhash family on real text)."""
+    return _gram_array(docs, id_col, text_col, ngram, shingle).select(
+        F.col(id_col), F.explode("gs").alias("g")
+    )
+
+
+def _shingle_sets(
+    docs: DataFrame, id_col: str, text_col: str, ngram: int, shingle: str
+) -> DataFrame:
+    """(id, gs: array<string>) with gs DISTINCT per doc, ``localCheckpoint``-ed.
+
+    The exact-verify chains (Jaccard / containment) need the DISTINCT
+    (id, g) set; distinctness of (id, g) is PER-DOCUMENT when ids are
+    unique, so ``array_distinct`` computes it doc-locally and the
+    corpus-wide DISTINCT hash exchange disappears outright (guide §2.4) —
+    set sizes become a map-side ``F.size`` instead of a grouped count.
+    The narrow array table is checkpointed once because every verify
+    consumer (sizes + both intersection-join legs) reads it (the r6
+    tokenize-once idiom; materializing the EXPLODED distinct stream
+    instead measured as a net loss — 285 MB deserialized × 3 reads).
+
+    Assumes unique ids (one row per document) — the same contract the
+    signature pass and the DuckDB twin's ``DISTINCT doc_id, g`` rely on."""
+    return (
+        _gram_array(docs, id_col, text_col, ngram, shingle)
+        .select(F.col(id_col), F.array_distinct("gs").alias("gs"))
+        .localCheckpoint()
+    )
 
 
 def minhash_signatures(
@@ -251,9 +284,18 @@ def _band_buckets(
     stage of :func:`minhash_lsh_pairs` (pair emission) and
     :func:`duplicate_clusters` (star-contracted connectivity). The band-key
     expression is the q214 cross-engine contract (md5 of '#'-joined
-    signature ints) — never fork it."""
+    signature ints) — never fork it.
+
+    The signature table is ``localCheckpoint``-ed (|docs| rows of
+    n_hashes+1 longs — tiny): the band self-join downstream reads the
+    bucket subtree from BOTH sides and exchange reuse does not unify the
+    two mapInPandas signature passes, so without the barrier every LSH
+    consumer paid the python md5 pass twice (measured ~20-25 s of
+    executor time per pass at the 10x table set)."""
     rows = n_hashes // bands
-    sig = minhash_signatures(docs, id_col, text_col, n_hashes, ngram, shingle=shingle)
+    sig = minhash_signatures(
+        docs, id_col, text_col, n_hashes, ngram, shingle=shingle
+    ).localCheckpoint()
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"h{b * rows + r:02d}") for r in range(rows)]
@@ -297,8 +339,9 @@ def ngram_jaccard_pairs(
     INTERSECTION join (sizes stay exact, so jaccard becomes a lower bound).
     Bounds the posting-list blowup when LSH candidates are unavailable.
     """
-    sh = _shingle_df(docs, id_col, text_col, ngram, shingle).distinct()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sets = _shingle_sets(docs, id_col, text_col, ngram, shingle)
+    sh = sets.select(F.col(id_col), F.explode("gs").alias("g"))
+    sizes = sets.select(F.col(id_col), F.size("gs").alias("sz"))
     if candidates is not None:
         cand = candidates.select("id_a", "id_b")
         a_sh = cand.join(sh, cand["id_a"] == sh[id_col]).select("id_a", "id_b", "g")
@@ -1156,8 +1199,9 @@ def containment_pairs(
     cand = minhash_lsh_pairs(
         docs, id_col, text_col, n_hashes, bands, ngram, shingle=shingle
     )
-    sh = _shingle_df(docs, id_col, text_col, ngram, shingle).distinct()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    sets = _shingle_sets(docs, id_col, text_col, ngram, shingle)
+    sh = sets.select(F.col(id_col), F.explode("gs").alias("g"))
+    sizes = sets.select(F.col(id_col), F.size("gs").cast("long").alias("sz"))
     a_sh = cand.join(sh, cand["id_a"] == sh[id_col]).select("id_a", "id_b", "g")
     b_sh = sh.select(F.col(id_col).alias("_idb"), F.col("g").alias("_gb"))
     inter = (
