@@ -5247,9 +5247,14 @@ def _q_fragment_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), WS_CLASS + "+"),
         lambda x: x != F.lit(""),
     )
+    # checkpoint the token-array BEFORE the length filter: the filter
+    # otherwise pushes below _par's exchange and the tokenizer runs on the
+    # raw scan tasks, once per downstream branch (r6 — the barrier keeps
+    # the one tokenize pass on full parallelism)
     e = (
         _doc(spark, sf_dir)
         .select(F.col("doc_id").cast("long").alias("doc_id"), tk.alias("tk"))
+        .localCheckpoint()
         .where(F.size("tk") >= 2 * k + 2)
     )
     left = e.select(

@@ -186,6 +186,14 @@ def source_overlap_matrix(
                 )
             ).alias("shingle"),
         )
+        # explicit not-null guard BEFORE the distinct: the self-join legs
+        # get isnotnull(src/shingle) pushed below their copy of the
+        # DISTINCT while the sizes aggregate does not, so the two canonical
+        # forms built the corpus-wide distinct exchange twice (97 MB each
+        # at the 10x set). Both columns are non-null by construction
+        # (coalesce'd src, md5 of non-null grams) — the filter only makes
+        # every consumer's subtree identical so ReusedExchange unifies them.
+        .where(F.col("src").isNotNull() & F.col("shingle").isNotNull())
         .distinct()
     )
     sizes = sh.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))

@@ -913,6 +913,17 @@ def simhash_near_dup_pairs(
     b = sig.select(
         F.col(id_col).alias("_id"), F.col("simhash").alias("_h"), F.explode(slices).alias("s")
     ).select("_id", "_h", F.col("s.band").alias("band"), F.col("s.bv").alias("bv"))
+    # explicit hash repartition on the join key (the minhash_lsh_pairs
+    # lesson): the slice table is a few MB so AQE coalesces its shuffle to
+    # a handful of partitions, but the join OUTPUT below is quadratic per
+    # bucket — the partition COUNT must be pinned too (a column-only
+    # repartition is still AQE-coalescible), scale-adaptive from the
+    # session; the self-join reuses the partitioning on both sides (one
+    # exchange, and the simhash pass itself runs once per join, not per
+    # side)
+    b = b.repartition(
+        2 * docs.sparkSession.sparkContext.defaultParallelism, "band", "bv"
+    )
     left = b.select(
         F.col("_id").alias("doc_a"), F.col("_h").alias("ha"), "band", "bv"
     )
@@ -1130,17 +1141,26 @@ def fragment_stitch(
     g = frags.select(F.col(id_col), toks.alias("tk")).where(
         F.size("tk") >= int(k)
     )
-    heads = g.select(
-        F.col(id_col).alias("right_id"),
-        F.md5(F.array_join(F.slice("tk", 1, int(k)), " ")).alias("bkey"),
-    )
-    tails = g.select(
-        F.col(id_col).alias("left_id"),
+    # both boundary keys in ONE checkpointed pass: heads/tails and both
+    # frequency caps read this table, and without the barrier each of the
+    # four branches re-tokenized the corpus — with the size(tk) filter
+    # pushed below any upstream repartition onto the raw scan tasks
+    # (filters push through an Exchange; a checkpoint is the barrier that
+    # holds). |frags| rows of (id, two md5s) — narrow by construction.
+    bounds = g.select(
+        F.col(id_col),
+        F.md5(F.array_join(F.slice("tk", 1, int(k)), " ")).alias("hkey"),
         F.md5(
             F.array_join(
                 F.expr(f"slice(tk, size(tk) - {int(k)} + 1, {int(k)})"), " "
             )
-        ).alias("bkey"),
+        ).alias("tkey"),
+    ).localCheckpoint()
+    heads = bounds.select(
+        F.col(id_col).alias("right_id"), F.col("hkey").alias("bkey")
+    )
+    tails = bounds.select(
+        F.col(id_col).alias("left_id"), F.col("tkey").alias("bkey")
     )
     hc = (
         heads.groupBy("bkey")
