@@ -490,9 +490,17 @@ def duplicate_clusters(
             .select(F.col("hub").alias("id_a"), F.col(id_col).alias("id_b"))
             .distinct()
         )
+    # cap the loop's partition counts (scale-adaptive): the per-round
+    # tables are a few MB, but the union/join legs inherit the candidate
+    # chain's partitioning (measured 160-192 tasks per round at the 10x
+    # set), and every tiny task re-pays scheduling + broadcast-relation
+    # unpack — ~260 ms of fixed cost per task dominating the round.
+    # coalesce (no shuffle) bounds it at the session's core count.
+    ncap = docs.sparkSession.sparkContext.defaultParallelism
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .coalesce(ncap)
         .persist()
     )
     labels = docs.select(
@@ -530,6 +538,7 @@ def duplicate_clusters(
             new_labels = (
                 stepped.join(F.broadcast(jump), stepped["label"] == jump["_jid"])
                 .select("id", F.least("label", "_jlabel").alias("label"))
+                .coalesce(ncap)
             ).localCheckpoint(eager=True)
             stepped.unpersist()
             # labels only decrease, so an unchanged sum ⇔ a fixpoint — one

@@ -98,6 +98,7 @@ def bm25_search(
     id_col: str = "doc_id",
     text_col: str = "text",
     salt_buckets: int = 32,
+    _base: DataFrame | None = None,
 ) -> DataFrame:
     """Top-``k`` documents per query by fixed-point BM25.
 
@@ -113,7 +114,7 @@ def bm25_search(
     )
     all_terms = sorted({str(t) for terms in queries.values() for t in terms})
 
-    base = docs.select(
+    base = _base if _base is not None else docs.select(
         F.col(id_col), _tokens(F.col(text_col)).alias("tk")
     ).localCheckpoint()  # read by dl/stats/toks branches — tokenize once (r6)
     dl = base.select(F.col(id_col), F.size("tk").cast("long").alias("dl"))
@@ -122,8 +123,11 @@ def bm25_search(
         F.sum("dl").cast("long").alias("total"),
     )
 
-    toks = base.select(F.col(id_col), F.explode("tk").alias("token")).where(
-        F.col("token").isin(all_terms)  # literal IN — pushes into the scan
+    # literal IN applied INSIDE the array before the explode: the generate
+    # then emits only query-term hits instead of the full token stream
+    toks = base.select(
+        F.col(id_col),
+        F.explode(F.filter("tk", lambda x: x.isin(all_terms))).alias("token"),
     )
     tf = toks.groupBy("token", id_col).agg(F.count(F.lit(1)).cast("long").alias("tf"))
     df_ = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
@@ -631,12 +635,12 @@ def prf_expansion(
     Output: (query_id, token, tf_pool, df, score, rank), rank <= m.
     """
     spark = docs.sparkSession
-    ranked = bm25_search(docs, queries, k=int(k_docs), id_col=id_col,
-                         text_col=text_col)
-    pool = ranked.select("query_id", id_col)
     base = docs.select(
         F.col(id_col), _tokens(F.col(text_col)).alias("tk")
-    ).localCheckpoint()  # read by toks (2 consumers) + stats — tokenize once (r6)
+    ).localCheckpoint()  # ONE tokenize pass shared with bm25_search (r6)
+    ranked = bm25_search(docs, queries, k=int(k_docs), id_col=id_col,
+                         text_col=text_col, _base=base)
+    pool = ranked.select("query_id", id_col)
     toks = base.select(F.col(id_col), F.explode("tk").alias("token"))
     ptoks = toks.join(F.broadcast(pool), id_col)
     qpanel = spark.createDataFrame(
@@ -649,10 +653,13 @@ def prf_expansion(
         .join(F.broadcast(qpanel), ["query_id", "token"], "left_anti")
     )
     cand = ptf.select("token").distinct()
+    # semi-join to the pool vocabulary BEFORE the distinct: the corpus
+    # (id, token) distinct exchange then carries only pool-term hits
+    # instead of the full token stream (filter/distinct commute here)
     dfx = (
-        toks.select(F.col(id_col), "token")
+        toks.join(F.broadcast(cand), "token")
+        .select(F.col(id_col), "token")
         .distinct()
-        .join(F.broadcast(cand), "token")
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("df"))
     )
