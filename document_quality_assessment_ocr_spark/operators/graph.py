@@ -553,9 +553,15 @@ def two_hop_reach(
         .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
         .distinct()
     )
-    sym = und.unionAll(
-        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).select(F.col("u").alias("s"), F.col("v").alias("d"))
+    # eager localCheckpoint (the triangle_count/q160 idiom): deg, both
+    # wedge legs and the 1-hop reach leg all read `sym` — without the
+    # barrier the upstream edge synthesis + distinct collapse re-derives
+    # per branch (4x)
+    sym = (
+        und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .select(F.col("u").alias("s"), F.col("v").alias("d"))
+        .localCheckpoint(eager=True)
+    )
     deg = sym.groupBy(F.col("s").alias("id")).agg(
         F.count(F.lit(1)).cast("long").alias("deg")
     )

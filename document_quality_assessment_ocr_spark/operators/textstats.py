@@ -244,7 +244,11 @@ def unigram_surprisal(
     toks = docs.select(
         F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok")
     )
-    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # checkpoint the Zipf-shrunk count table (r6, the lm.py c12 idiom):
+    # total/scoring both read it without re-running the corpus aggregate,
+    # and its accurate materialized size lets the scoring join broadcast
+    # the vocab side instead of shuffling the token stream
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
     total = counts.agg(F.sum("c").cast("long").alias("n_total"))
     bits = (F.length(F.bin(F.expr("n_total DIV c"))) - 1).cast("long")
     per_doc = (
@@ -923,12 +927,12 @@ def source_surprisal(
     base = docs.select(
         F.coalesce(F.col(group_col), F.lit("")).alias("source"),
         _tokens(F.col(text_col)).alias("tk"),
-    )
+    ).localCheckpoint()  # read by ndocs + both token passes (r6)
     ndocs = base.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
     toks = base.select("source", F.explode("tk").alias("tok"))
-    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
     total = counts.agg(F.sum("c").cast("long").alias("n_total"))
     bits = (F.length(F.bin(F.expr("n_total DIV c"))) - 1).cast("long")
     per_src = (

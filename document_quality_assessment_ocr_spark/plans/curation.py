@@ -336,7 +336,11 @@ def curate_documents_v3(
     from ..operators.html import extract_main_html
     from ..operators.scrub import normalize_text
 
-    main = extract_main_html(docs_html, id_col, html_col)
+    # checkpoint the extraction: `clean` is a projection OF `main`, so the
+    # join below otherwise re-runs the whole HTML block battery on both
+    # sides (the q93 alias-substitution lesson — measured as the two
+    # 28-36s stages of q79 at the 10x set)
+    main = extract_main_html(docs_html, id_col, html_col).localCheckpoint()
     clean = normalize_text(main, id_col, "main_text").select(id_col, "clean_text")
     m = main.join(clean, id_col)
     n_toks = token_count(F.col("clean_text"))
