@@ -1035,12 +1035,18 @@ def incremental_dedup_flags(
     """
     assert n_hashes % bands == 0
     rows = n_hashes // bands
+    # both signature tables are checkpointed (r6, the _band_buckets rule):
+    # each side is read twice — bucketize for the band join AND the
+    # signature-column select for agreement counting — and exchange reuse
+    # does not unify mapInPandas passes, so without the barrier the python
+    # md5 pass ran 4x (measured ~13-21 s of executor wait per pass at the
+    # 10x set). |docs| rows of n_hashes+1 longs — tiny.
     ns = minhash_signatures(
         new_docs, id_col, text_col, n_hashes, ngram, seed=seed, shingle=shingle
-    )
+    ).localCheckpoint()
     bs = minhash_signatures(
         base_docs, id_col, text_col, n_hashes, ngram, seed=seed, shingle=shingle
-    )
+    ).localCheckpoint()
 
     def bucketize(sig: DataFrame, out_id: str) -> DataFrame:
         band_cols = []

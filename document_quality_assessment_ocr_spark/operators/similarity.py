@@ -134,7 +134,7 @@ def hyperplane_lsh_buckets(
     planes = rng.standard_normal((n_planes, dim))
     acc = F.lit(0).cast("long")
     for p in range(n_planes):
-        w = F.array(*[F.lit(float(x)) for x in planes[p]])
+        w = _lit_vec(planes[p])
         dot = _dot(w, F.col(vec_col))
         acc = acc + F.when(dot > 0, F.lit(2**p).cast("long")).otherwise(F.lit(0).cast("long"))
     return emb.select(F.col(id_col), F.col(vec_col), acc.alias("bucket"))
@@ -197,6 +197,28 @@ def scaled_sample_rows(n_centroids: int, per_centroid: int = 8, floor: int = 512
     fixed-k era). Driver-side cost is the sample's numpy k-means: bounded
     by ``8 * cap`` rows regardless of corpus size."""
     return int(max(floor, per_centroid * n_centroids))
+
+
+def _lit_vec(vec) -> "F.Column":
+    """array<double> literal column parsed as ONE expression: per-element
+    ``F.lit`` costs one py4j round trip each (a k x d centroid panel is
+    ~10k calls — measured 5.9 s of the q107 build). ``CAST('<repr>' AS
+    DOUBLE)`` parses with Java Double.parseDouble, exact on python's
+    shortest round-trip repr, so the folded literals are bit-identical
+    to ``F.lit(float(x))``."""
+    return F.expr(
+        "array(" + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in vec) + ")"
+    )
+
+
+def _lit_mat(mat) -> "F.Column":
+    """array<array<double>> literal column — the matrix form of
+    :func:`_lit_vec` (one parsed expression for the whole panel)."""
+    rows = ",".join(
+        "array(" + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in c) + ")"
+        for c in mat
+    )
+    return F.expr(f"array({rows})")
 
 
 def _kmeans_lite(sample: np.ndarray, k: int, iters: int = 10, seed: int = 42) -> np.ndarray:
@@ -548,7 +570,7 @@ def pq_topk(
     def code_expr(j: int):
         sl = F.slice(F.col(vec_col), j * sub + 1, sub)
         dists = [
-            -2.0 * _dot(F.array(*[F.lit(float(x)) for x in c]), sl)
+            -2.0 * _dot(_lit_vec(c), sl)
             + float((c * c).sum())
             for c in books[j]
         ]
@@ -680,7 +702,7 @@ def random_projection(
     R = rng.standard_normal((out_dim, dim)) / np.sqrt(out_dim)
     cols = [
         F.round(
-            _dot(F.array(*[F.lit(float(x)) for x in R[j]]), F.col(vec_col)), 6
+            _dot(_lit_vec(R[j]), F.col(vec_col)), 6
         ).alias(f"p{j:02d}")
         for j in range(out_dim)
     ]
@@ -812,9 +834,7 @@ def prototype_prune(
     cents, assigned = _kmeans_cells(
         emb, n_centroids, sample_rows, seed, id_col, vec_col, checkpoint=False
     )
-    protos = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
-    )
+    protos = _lit_mat(cents)
     scored = assigned.select(
         F.col(id_col),
         "cell",
@@ -880,9 +900,7 @@ def d4_prune(
     dropped = _celldrop_ids(assigned, tau, id_col, vec_col).withColumn(
         "_dup", F.lit(True)
     )
-    protos = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
-    )
+    protos = _lit_mat(cents)
     survivors = (
         assigned.join(dropped, id_col, "left")
         .where(F.col("_dup").isNull())
@@ -1490,7 +1508,7 @@ def pca_project(
     qd = F.transform(F.col("q"), lambda x: x.cast("double"))
     cols = [F.col("vid").alias(id_col)]
     for j in range(k):
-        vlit = F.array(*[F.lit(float(x)) for x in comps[j]])
+        vlit = _lit_vec(comps[j])
         pc = F.round(_dot(qd, vlit) + F.lit(float(offs[j])), 6) + F.lit(0.0)
         cols.append(pc.alias(f"pc{j + 1}"))
     return q.select(*cols).orderBy(id_col)
@@ -2096,8 +2114,11 @@ def silhouette_audit(
             "cell long, n_points long, n_positive long, sum_s_micro long",
         )
     k = n_centroids if n_centroids is not None else scaled_n_centroids(n)
+    # checkpoint=True (r6 revision): the grid-collect jobs and the per-cell
+    # matmul pass each re-ran the Arrow assignment (three evaluations
+    # measured in the stage profile) — silhouette is NOT single-branch
     cents, assigned = _kmeans_cells(
-        embs, k, scaled_sample_rows(k), seed, id_col, vec_col, checkpoint=False
+        embs, k, scaled_sample_rows(k), seed, id_col, vec_col
     )
     aq = assigned.select(
         F.col(id_col),
