@@ -245,13 +245,21 @@ def _q_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus property, not an operator cost."""
     from document_quality_assessment_ocr_spark.operators.dedup import (
         minhash_lsh_pairs,
+        minhash_signatures,
         ngram_jaccard_pairs,
     )
 
     d = _doc(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"), "text")
-    cand = minhash_lsh_pairs(d, n_hashes=16, bands=4, shingle="word")
+    # one fused python pass: signatures + distinct shingle sets (r6)
+    fused = minhash_signatures(
+        d, n_hashes=16, shingle="word", with_gram_sets=True
+    ).localCheckpoint()
+    cand = minhash_lsh_pairs(
+        d, n_hashes=16, bands=4, shingle="word", _sig=fused.drop("gs")
+    )
     out = ngram_jaccard_pairs(
-        d, ngram=5, threshold=0.8, candidates=cand, shingle="word"
+        d, ngram=5, threshold=0.8, candidates=cand, shingle="word",
+        _sets=fused.select("doc_id", "gs"),
     )
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -8895,12 +8903,23 @@ def _q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_jaccard_pairs,
     )
 
+    from document_quality_assessment_ocr_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
     d = _doc(spark, sf_dir).select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
-    cand = minhash_lsh_pairs(d, n_hashes=16, bands=4, shingle="word")
+    # one fused python pass: signatures + distinct shingle sets (r6)
+    fused = minhash_signatures(
+        d, n_hashes=16, shingle="word", with_gram_sets=True
+    ).localCheckpoint()
+    cand = minhash_lsh_pairs(
+        d, n_hashes=16, bands=4, shingle="word", _sig=fused.drop("gs")
+    )
     pairs = ngram_jaccard_pairs(
-        d, ngram=5, threshold=0.0, candidates=cand, shingle="word"
+        d, ngram=5, threshold=0.0, candidates=cand, shingle="word",
+        _sets=fused.select("doc_id", "gs"),
     ).select("id_a", "id_b", "jaccard")
     thrs = spark.range(1).select(
         F.explode(

@@ -146,6 +146,7 @@ def minhash_signatures(
     ngram: int = 5,
     seed: int = 1,
     shingle: str = "char",
+    with_gram_sets: bool = False,
 ) -> DataFrame:
     """MinHash signatures over character n-gram shingles.
 
@@ -172,7 +173,14 @@ def minhash_signatures(
     at the sf1 8/4 char shape (19.3 s isolated); this pass is ~2-3 s.
     The Column building blocks (``shingle_hash_expr``, ``_shingle_df``)
     remain the documented oracle twins and serve the other shingle
-    consumers."""
+    consumers.
+
+    ``with_gram_sets=True`` adds a ``gs`` column: the doc-locally DISTINCT
+    shingle STRINGS (first-occurrence order — dict.fromkeys, matching
+    ``array_distinct``) the signatures were computed from. The verify
+    chains (Jaccard/containment) need exactly this set, and the strings
+    are already in hand here — one python pass serves both, instead of a
+    python signature pass plus a separate JVM tokenize pass (r6)."""
     import hashlib
     import re as _re
 
@@ -190,10 +198,20 @@ def minhash_signatures(
     B = np.array([b for a, b in coeffs], dtype=np.int64)[:, None]
 
     id_field = docs.schema[id_col]
-    schema = T.StructType(
-        [id_field] + [T.StructField(f"h{i:02d}", T.LongType()) for i in range(n_hashes)]
+    gs_fields = (
+        [T.StructField("gs", T.ArrayType(T.StringType()))] if with_gram_sets else []
     )
-    cols = [id_field.name] + [f"h{i:02d}" for i in range(n_hashes)]
+    schema = T.StructType(
+        [id_field]
+        + gs_fields
+        + [T.StructField(f"h{i:02d}", T.LongType()) for i in range(n_hashes)]
+    )
+    cols = (
+        [id_field.name]
+        + (["gs"] if with_gram_sets else [])
+        + [f"h{i:02d}" for i in range(n_hashes)]
+    )
+    want_gs = bool(with_gram_sets)
 
     def gen(batches):
         md5 = hashlib.md5
@@ -205,27 +223,25 @@ def minhash_signatures(
                     L = len(t) - ng + 1
                     if L <= 0:
                         continue
-                    hs = [
-                        int(md5(t[j : j + ng].encode("utf-8")).hexdigest()[:15], 16) % M
-                        for j in range(L)
-                    ]
+                    strs = [t[j : j + ng] for j in range(L)]
                 else:
                     toks = [x for x in t.strip(" ").split(" ") if x]
                     L = len(toks) - ng + 1
                     if L <= 0:
                         continue
-                    hs = [
-                        int(
-                            md5(" ".join(toks[j : j + ng]).encode("utf-8"))
-                            .hexdigest()[:15],
-                            16,
-                        )
-                        % M
-                        for j in range(L)
-                    ]
+                    strs = [" ".join(toks[j : j + ng]) for j in range(L)]
+                hs = [
+                    int(md5(g.encode("utf-8")).hexdigest()[:15], 16) % M
+                    for g in strs
+                ]
                 hm = np.array(hs, dtype=np.int64)[None, :]
                 sig = ((A * hm + B) % M).min(axis=1)
-                rows.append((did, *[int(x) for x in sig]))
+                if want_gs:
+                    rows.append(
+                        (did, list(dict.fromkeys(strs)), *[int(x) for x in sig])
+                    )
+                else:
+                    rows.append((did, *[int(x) for x in sig]))
             yield pd.DataFrame(rows, columns=cols)
 
     return ensure_parallelism(docs.select(id_col, text_col)).mapInPandas(gen, schema)
@@ -239,6 +255,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     ngram: int = 5,
     shingle: str = "char",
+    _sig: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded LSH over MinHash signatures.
 
@@ -247,7 +264,9 @@ def minhash_lsh_pairs(
     a bucket only holds near-identical docs), pairs deduped with id<id2.
     """
     assert n_hashes % bands == 0
-    buckets = _band_buckets(docs, id_col, text_col, n_hashes, bands, ngram, shingle)
+    buckets = _band_buckets(
+        docs, id_col, text_col, n_hashes, bands, ngram, shingle, sig=_sig
+    )
     # explicit hash repartition on the join key: the bucket table is a few
     # MB of keys, so AQE coalesces its shuffle to 1-2 partitions — but the
     # JOIN OUTPUT below is quadratic per bucket (AQE cannot see that), and
@@ -279,6 +298,7 @@ def _band_buckets(
     bands: int,
     ngram: int,
     shingle: str = "char",
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """(id, band, key) LSH band-bucket membership — the shared banding
     stage of :func:`minhash_lsh_pairs` (pair emission) and
@@ -293,9 +313,10 @@ def _band_buckets(
     consumer paid the python md5 pass twice (measured ~20-25 s of
     executor time per pass at the 10x table set)."""
     rows = n_hashes // bands
-    sig = minhash_signatures(
-        docs, id_col, text_col, n_hashes, ngram, shingle=shingle
-    ).localCheckpoint()
+    if sig is None:
+        sig = minhash_signatures(
+            docs, id_col, text_col, n_hashes, ngram, shingle=shingle
+        ).localCheckpoint()
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"h{b * rows + r:02d}") for r in range(rows)]
@@ -316,6 +337,7 @@ def ngram_jaccard_pairs(
     candidates: DataFrame | None = None,
     max_doc_freq: int | None = None,
     shingle: str = "char",
+    _sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity.
 
@@ -339,7 +361,11 @@ def ngram_jaccard_pairs(
     INTERSECTION join (sizes stay exact, so jaccard becomes a lower bound).
     Bounds the posting-list blowup when LSH candidates are unavailable.
     """
-    sets = _shingle_sets(docs, id_col, text_col, ngram, shingle)
+    sets = (
+        _sets
+        if _sets is not None
+        else _shingle_sets(docs, id_col, text_col, ngram, shingle)
+    )
     sh = sets.select(F.col(id_col), F.explode("gs").alias("g"))
     sizes = sets.select(F.col(id_col), F.size("gs").alias("sz"))
     if candidates is not None:
@@ -1231,10 +1257,19 @@ def containment_pairs(
     ``small_side`` names the contained document ('a' on size ties — the
     deterministic tie-break).
     """
+    # ONE fused python pass computes signatures AND the distinct shingle
+    # sets (the strings are in hand while hashing), checkpointed once —
+    # instead of a python signature pass plus a separate JVM tokenize
+    # pass with its own checkpoint (r6)
+    fused = minhash_signatures(
+        docs, id_col, text_col, n_hashes, ngram, shingle=shingle,
+        with_gram_sets=True,
+    ).localCheckpoint()
     cand = minhash_lsh_pairs(
-        docs, id_col, text_col, n_hashes, bands, ngram, shingle=shingle
+        docs, id_col, text_col, n_hashes, bands, ngram, shingle=shingle,
+        _sig=fused.drop("gs"),
     )
-    sets = _shingle_sets(docs, id_col, text_col, ngram, shingle)
+    sets = fused.select(F.col(id_col), "gs")
     sh = sets.select(F.col(id_col), F.explode("gs").alias("g"))
     sizes = sets.select(F.col(id_col), F.size("gs").cast("long").alias("sz"))
     a_sh = cand.join(sh, cand["id_a"] == sh[id_col]).select("id_a", "id_b", "g")

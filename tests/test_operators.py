@@ -2186,3 +2186,44 @@ def test_minhash_signatures_python_path_matches_column_form(spark):
             for r in sh.groupBy("doc_id").agg(*aggs).collect()
         }
         assert fast == ref, (mode, fast, ref)
+
+
+def test_minhash_fused_gram_sets_match_column_form(spark):
+    """with_gram_sets=True must emit EXACTLY the Column-form doc-local
+    distinct shingle arrays (_shingle_sets): same strings, same
+    first-occurrence order, same docs present (short docs carry no
+    signature row; the Column form carries an empty array for them)."""
+    from document_quality_assessment_ocr_spark.operators.dedup import (
+        _shingle_sets,
+        minhash_signatures,
+    )
+
+    rows = [
+        (1, "The quick  brown fox\tjumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "  leading and trailing   "),
+        (4, ""),
+        (5, None),
+        (6, "tiny"),
+        (7, "a b c a b c a b c a b c"),
+        (8, "word word word word word word"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for mode, ngram in (("char", 5), ("word", 3)):
+        fused = {
+            r["doc_id"]: list(r["gs"])
+            for r in minhash_signatures(
+                docs, "doc_id", "text", 8, ngram, shingle=mode,
+                with_gram_sets=True,
+            ).collect()
+        }
+        ref = {
+            r["doc_id"]: list(r["gs"])
+            for r in _shingle_sets(docs, "doc_id", "text", ngram, mode).collect()
+        }
+        for did, gs in fused.items():
+            assert gs == ref[did], (mode, did, gs, ref[did])
+        # docs absent from the fused table have an EMPTY Column-form set
+        for did, gs in ref.items():
+            if did not in fused:
+                assert gs == [], (mode, did, gs)
