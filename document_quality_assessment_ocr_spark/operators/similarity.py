@@ -127,17 +127,48 @@ def hyperplane_lsh_buckets(
 ) -> DataFrame:
     """Random-hyperplane (SimHash-for-vectors) bucket id per row.
 
-    The plane matrix is generated driver-side from a seed and folded into a
-    native Column expression (sign bits of W·x via aggregate/zip_with) — no
-    UDF, no shuffle; bucket collisions approximate cosine neighbourhoods."""
+    The plane matrix is generated driver-side from a seed. Two
+    bit-identical executors, chosen by panel size (r6, measured at the
+    10x table set): WIDE panels (n_planes·dim ≥ 2048, e.g. q146's 48×64)
+    ride an Arrow pandas UDF — the aggregate/zip_with HOFs are
+    CodegenFallback and per-element boxing dominates there
+    (q146 5.8 → 2.5 s) — while NARROW panels (the 12-plane default)
+    keep the folded Column expression: the UDF's python-worker round
+    trip costs more than 12 cheap HOFs, and bucket-join consumers
+    (q23/q30) evaluate the projection from two plan branches
+    (measured +1-2 s UDF there). Equality of the two forms:
+    :func:`_seq_fold_dot` reproduces the HOF's left-to-right float64
+    fold exactly, ``d > 0`` is the same IEEE comparison, and the 2^p
+    accumulation is exact integer arithmetic (parity unit test pins
+    them equal)."""
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
-    acc = F.lit(0).cast("long")
-    for p in range(n_planes):
-        w = _lit_vec(planes[p])
-        dot = _dot(w, F.col(vec_col))
-        acc = acc + F.when(dot > 0, F.lit(2**p).cast("long")).otherwise(F.lit(0).cast("long"))
-    return emb.select(F.col(id_col), F.col(vec_col), acc.alias("bucket"))
+
+    if n_planes * dim < 2048:
+        acc = F.lit(0).cast("long")
+        for p in range(n_planes):
+            dot = _dot(_lit_vec(planes[p]), F.col(vec_col))
+            acc = acc + F.when(dot > 0, F.lit(2**p).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        return emb.select(F.col(id_col), F.col(vec_col), acc.alias("bucket"))
+
+    P = planes
+
+    @F.pandas_udf("long")
+    def _bucket(vs: pd.Series) -> pd.Series:
+        X = np.array(vs.tolist(), dtype=np.float64)
+        if X.size == 0:
+            return pd.Series(np.zeros(0, dtype=np.int64))
+        acc = np.zeros(X.shape[0], dtype=np.int64)
+        for p in range(len(P)):
+            d = _seq_fold_dot(X, np.broadcast_to(P[p], X.shape))
+            acc += np.where(d > 0, np.int64(1) << p, 0).astype(np.int64)
+        return pd.Series(acc)
+
+    return emb.select(
+        F.col(id_col), F.col(vec_col), _bucket(F.col(vec_col)).alias("bucket")
+    )
 
 
 def embedding_near_dups(

@@ -2227,3 +2227,42 @@ def test_minhash_fused_gram_sets_match_column_form(spark):
         for did, gs in ref.items():
             if did not in fused:
                 assert gs == [], (mode, did, gs)
+
+
+def test_hyperplane_buckets_udf_matches_column_form(spark):
+    """The r6 Arrow bucket UDF must equal the aggregate/zip_with Column
+    form it replaced: _seq_fold_dot reproduces the HOF fold exactly, so
+    the packed sign bits are bit-identical."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from document_quality_assessment_ocr_spark.operators.similarity import (
+        _dot,
+        _lit_vec,
+        hyperplane_lsh_buckets,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.standard_normal(64)]) for i in range(64)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # 48x64 >= 2048 forces the Arrow-UDF branch; 12x64 exercises the
+    # Column branch — both must equal the reference fold
+    for n_planes in (12, 48):
+        fast = {
+            r["vec_id"]: r["bucket"]
+            for r in hyperplane_lsh_buckets(
+                emb, 64, n_planes=n_planes, seed=42
+            ).collect()
+        }
+        planes = np.random.default_rng(42).standard_normal((n_planes, 64))
+        acc = F.lit(0).cast("long")
+        for p in range(n_planes):
+            dot = _dot(_lit_vec(planes[p]), F.col("embedding"))
+            acc = acc + F.when(dot > 0, F.lit(2**p).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ref = {
+            r["vec_id"]: r["b"]
+            for r in emb.select("vec_id", acc.alias("b")).collect()
+        }
+        assert fast == ref, n_planes
